@@ -1,0 +1,75 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The driver runs this per-round and records BENCH_r{N}.json against
+BASELINE.md's 2× envelope. Each query is timed end-to-end (plan + execute
++ count) after a warm-up query primes the JVM/session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from map_reduce_framework_using_python_spark.plans import REGISTRY
+from map_reduce_framework_using_python_spark.session import get_spark
+
+#: Headline set: the flagship agg, the heaviest joins, windows, and the
+#: north-star ops — the queries whose plans matter most at 100 TB.
+HEADLINE = (
+    "q01_pricing_summary",
+    "q05_local_supplier",
+    "q03_shipping_priority",
+    "q18_large_orders",
+    "q_join_broadcast",
+    "q_topk_per_group",
+    "q_window_running",
+    "q_event_sessionize",
+    "ns_dedup_exact",
+    "ns_minhash_lsh_pairs",
+    "ns_cosine_topk",
+    "ns_wordcount",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    # Warm-up: prime the session/codegen so per-query times measure the
+    # plans, not JVM start.
+    REGISTRY["q00_scan_count"].fn(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

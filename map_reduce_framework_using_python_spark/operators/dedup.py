@@ -1,0 +1,254 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+The reference's only dedup-shaped capability is the DISTINCT MR pattern
+(emit ``(row, Ø)``, reducer prints each key once — SURVEY.md §2.B);
+near-duplicate detection is a pure north-star extension. All operators
+are JVM-side expression compositions (split/transform/xxhash64/bitwise)
+— no Python UDFs — so they stay inside whole-stage codegen.
+
+Scale design (100 TB corpora):
+
+- exact: shuffle on a 128-bit digest, never on raw document bytes.
+- all-pairs shingle join (:func:`ngram_jaccard_pairs`) is the *oracle*,
+  quadratic in bucket size — correct at test scale, not the scale path.
+- :func:`minhash_lsh_pairs` is the scale path: fixed-width signatures
+  (num_hashes × 8 bytes/doc), band-bucket join so only probable pairs
+  are generated, then exact verification on the candidates only.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup via hash-groupBy (md5 fingerprint).
+
+    Keeps the min-id witness per fingerprint — deterministic, unlike
+    ``dropDuplicates`` which keeps an arbitrary row per key.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fp"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM higher-order
+    fns: split → sequence → slice → concat_ws). Empty array when the
+    document has fewer than ``n`` tokens."""
+    toks = f"split({text_col}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {n})))) "
+        f"ELSE array() END"
+    )
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs above ``threshold``.
+
+    Shingle-inverted-index self-join: docs sharing no shingle never
+    meet (MR equivalent: shuffle on shingle + reducer pairing, then a
+    second job to aggregate pair counts).
+    """
+    sh = _shingle_table(df, text_col, id_col, n)
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per document: ``num_hashes`` seeded xxhash64
+    permutations over the shingle set, min per permutation.
+
+    One row per doc, fixed width — the sketch that makes 100 TB dedup
+    linear instead of quadratic.
+    """
+    sh = _shingle_table(df, text_col, id_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, exact-verified.
+
+    1. signatures (num_hashes mins over seeded xxhash64);
+    2. split into ``bands`` bands of r = num_hashes/bands rows; band key
+       = xxhash64 of the band's slice → docs agreeing on any band meet
+       in a bucket (prob ≈ 1-(1-j^r)^bands for true Jaccard j);
+    3. bucket self-join → candidate pairs (the only quadratic step, and
+       only within buckets);
+    4. exact Jaccard verification on candidates via collect_set arrays —
+       output is a subset of :func:`ngram_jaccard_pairs` with identical
+       schema (recall pinned by pytest).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * r, (b + 1) * r)]
+        band_rows.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("key"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_rows)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    # Exact verification on the (small) candidate set.
+    sets = df.select(
+        F.col(id_col), word_shingles(text_col, n).alias("sh_set")
+    )
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document: sign of the per-bit ±1 vote sum over
+    xxhash64(token) of every token occurrence."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    sig = tok.groupBy(id_col).agg(*votes)
+    fp = reduce(
+        Column.bitwiseOR,
+        [
+            F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j))
+            .otherwise(F.lit(0).cast("long"))
+            for j in range(64)
+        ],
+    )
+    return sig.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: with 4 16-bit chunks, any pair within Hamming
+    distance 3 agrees on ≥1 chunk, so the join on (chunk_idx, chunk_val)
+    finds all of them without an all-pairs scan.
+    """
+    fps = simhash_fingerprints(df, text_col, id_col)
+    chunks = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("idx"),
+                        F.shiftrightunsigned("simhash", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "simhash", F.col("ck.idx").alias("idx"), F.col("ck.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

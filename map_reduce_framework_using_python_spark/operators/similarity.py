@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star extension (SURVEY.md §2.B bottom rows). Two paths:
+
+- :func:`cosine_topk_bruteforce` — exact scan-and-score baseline. The
+  score is a JVM-side higher-order fold (zip_with + aggregate), no
+  Python in the loop; top-k plans as TakeOrderedAndProject (per-partition
+  heaps), so at 100 TB it is one pass over the corpus with no shuffle of
+  the vectors themselves.
+- :func:`lsh_cosine_topk` — random-hyperplane LSH: bucket by sign
+  pattern, score only the query's bucket. The 100 TB path: with p
+  planes, the scan prunes to ~1/2^p of the corpus (partition-prunable if
+  the table is written bucketed by ``bucket``).
+
+Only the query vector crosses the driver (it is a query *parameter*,
+one row — not data movement).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise dot product of two array<double> columns (JVM fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _query_vector(df: DataFrame, vec_col: str, id_col: str, query_vec_id: int) -> list[float]:
+    row = df.filter(F.col(id_col) == query_vec_id).select(vec_col).head()
+    if row is None:
+        raise ValueError(f"query vector {id_col}={query_vec_id} not found")
+    return [float(x) for x in row[0]]
+
+
+def cosine_scores(df: DataFrame, query: list[float], vec_col: str = "embedding") -> DataFrame:
+    """Append a ``cosine_raw`` column: cosine(vec_col, query) in double
+    precision (dot / (‖a‖·‖q‖), matching DuckDB's list_cosine_similarity
+    formula for oracle parity)."""
+    qlit = F.array(*[F.lit(x) for x in query])
+    qnorm = math.sqrt(sum(x * x for x in query))
+    v = _as_double(F.col(vec_col))
+    return df.withColumn("cosine_raw", dot(v, qlit) / (l2_norm(v) * F.lit(qnorm)))
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact cosine top-k against the stored vector ``query_vec_id``."""
+    q = _query_vector(df, vec_col, id_col, query_vec_id)
+    scored = cosine_scores(df.filter(F.col(id_col) != query_vec_id), q, vec_col)
+    return (
+        scored.orderBy(F.col("cosine_raw").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, label_col, F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (numpy RandomState, fixed seed)."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return rs.randn(n_planes, dim).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id of a vector under the given hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    v = _as_double(vec)
+    for i, p in enumerate(planes):
+        plit = F.array(*[F.lit(x) for x in p])
+        bucket = bucket.bitwiseOR(
+            F.when(dot(v, plit) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bucket
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Approximate cosine top-k: score only vectors whose LSH bucket is
+    within ``probe_hamming`` sign-flips of the query's bucket
+    (multi-probe). Recall < 1 by construction (pytest pins the overlap
+    with the brute-force baseline); planes/probe radius/bucketed storage
+    are the knobs at scale."""
+    q = _query_vector(df, vec_col, id_col, query_vec_id)
+    planes = hyperplanes(len(q), n_planes, seed)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(x * y for x, y in zip(q, p)) >= 0:
+            qbits |= 1 << i
+    candidates = df.filter(F.col(id_col) != query_vec_id).filter(
+        F.bit_count(
+            lsh_bucket(F.col(vec_col), planes).bitwiseXOR(F.lit(qbits).cast("long"))
+        )
+        <= probe_hamming
+    )
+    scored = cosine_scores(candidates, q, vec_col)
+    return (
+        scored.orderBy(F.col("cosine_raw").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, label_col, F.round("cosine_raw", 6).alias("cosine"))
+    )

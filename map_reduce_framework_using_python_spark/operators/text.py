@@ -1,0 +1,83 @@
+"""Text analysis operators: tokenization stats, quality features,
+heuristic language-ID.
+
+North-star extension. The reference's canonical job — word count through
+streaming mapper/reducer (``Worker/worker_v1.py:109`` dev comment) — is
+the ancestor of all of these; here they are pure JVM expression algebra
+(split / higher-order array functions), zero Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and")
+
+#: Tiny per-language stopword profiles for the n-gram/stopword-overlap
+#: language-ID heuristic. (The synthetic corpus is an English word soup,
+#: so the interesting property is determinism, not linguistic accuracy.)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "value", "table", "row"),
+    "es": ("el", "la", "de", "y", "en", "que"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+
+def tokens(text_col: str = "text"):
+    return F.split(F.col(text_col), " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counts (whitespace tokenizer)."""
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).alias("n_chars_measured"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: token count, mean token length,
+    stopword ratio, distinct-token ratio."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.col(text_col), " ", "")) / n_tokens, 4
+        ).alias("avg_token_len"),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / n_tokens, 4).alias("distinct_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language-ID: score = |tokens ∩ profile| per
+    language; winner = (max score, then lexicographically last language —
+    a deterministic tie-break via struct max)."""
+    toks = F.array_distinct(tokens(text_col))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_PROFILES.items())
+        ]
+    )
+    best = F.array_max(scored)
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("predicted_lang"),
+        best["score"].alias("best_score"),
+    )

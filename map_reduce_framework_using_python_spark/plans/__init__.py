@@ -1,0 +1,20 @@
+"""Query plan library — the engine's public query surface.
+
+Every capability row of SURVEY.md §2.B is realized here as a named query:
+a Spark DataFrame builder plus (where SQL-expressible) a DuckDB oracle
+string over the same parquet tables. The driver's correctness gate runs
+both sides and hash-compares (BASELINE.md).
+
+Import side effects register queries into :data:`REGISTRY`.
+"""
+
+from map_reduce_framework_using_python_spark.plans.core import REGISTRY, Query, get_query, query
+
+# Register all query modules (import order = display order).
+from map_reduce_framework_using_python_spark.plans import relational  # noqa: E402,F401
+from map_reduce_framework_using_python_spark.plans import joins  # noqa: E402,F401
+from map_reduce_framework_using_python_spark.plans import windows  # noqa: E402,F401
+from map_reduce_framework_using_python_spark.plans import events  # noqa: E402,F401
+from map_reduce_framework_using_python_spark.plans import northstar  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "Query", "get_query", "query"]

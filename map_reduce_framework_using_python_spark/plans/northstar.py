@@ -1,0 +1,304 @@
+"""North-star LLM-pipeline queries: dedup (exact / n-gram Jaccard /
+MinHash-LSH / SimHash), similarity search over embeddings, and text
+analysis (BASELINE.json "north_star"; the capability rows at the bottom
+of SURVEY.md §2.B).
+
+The heavy algorithms live in
+:mod:`map_reduce_framework_using_python_spark.operators`; this module
+binds them to the ``documents`` / ``embeddings`` tables as registered
+queries. Sketch-based ops (MinHash-LSH, SimHash) are not ANSI-SQL
+expressible — they register without an oracle (rows-only driver check)
+and are pinned by pytest against the exact-Jaccard ground truth instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from map_reduce_framework_using_python_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_cosine_topk,
+)
+from map_reduce_framework_using_python_spark.operators.text import (
+    language_id,
+    quality_scores,
+    token_stats,
+)
+from map_reduce_framework_using_python_spark.plans.core import query, t
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_dedup_exact",
+    oracle="""
+        SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    tags=("northstar", "dedup"),
+)
+def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy on the text fingerprint keeping
+    the min-id witness (deterministic, unlike dropDuplicates' arbitrary
+    row). At 100 TB: shuffle on the 128-bit digest, never on raw text."""
+    return exact_dedup(t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
+
+
+@query(
+    "ns_ngram_jaccard_pairs",
+    oracle="""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+               FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b,
+               round(i.n_shared * 1.0 / (ca.n + cb.n - i.n_shared), 4) AS jaccard
+        FROM inter i
+        JOIN counts ca ON ca.doc_id = i.doc_a
+        JOIN counts cb ON cb.doc_id = i.doc_b
+        WHERE i.n_shared * 1.0 / (ca.n + cb.n - i.n_shared) >= 0.6
+    """,
+    tags=("northstar", "dedup"),
+)
+def ns_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-duplicate pairs (threshold 0.6) — the
+    ground truth that MinHash-LSH approximates."""
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id", n=3, threshold=0.6
+    )
+
+
+@query("ns_minhash_lsh_pairs", oracle=None, tags=("northstar", "dedup", "sketch"))
+def ns_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified by exact
+    Jaccard — the scale path for 100 TB (band-bucket join instead of
+    all-pairs shingle join). Not SQL-expressible (xxhash64 sketches);
+    pytest pins recall against ns_ngram_jaccard_pairs."""
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        num_hashes=64,
+        # 32 bands × 2 rows: P(candidate | j=0.6) = 1-(1-0.36)^32 ≈ 1.0,
+        # so recall vs the exact oracle is ~total; false candidates are
+        # cheap because they're exact-verified before output.
+        bands=32,
+        threshold=0.6,
+    )
+
+
+@query("ns_simhash_pairs", oracle=None, tags=("northstar", "dedup", "sketch"))
+def ns_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup candidates via 16-bit chunk blocking
+    (Hamming distance ≤ 3)."""
+    return simhash_pairs(
+        t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id", max_hamming=3
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_cosine_topk",
+    oracle="""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, e.label,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+        LIMIT 10
+    """,
+    tags=("northstar", "similarity"),
+)
+def ns_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the query vector vec_id=0. The
+    baseline ANN path: JVM-side fold over the array column (no UDF),
+    TakeOrderedAndProject for the top-k (no global sort)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb, query_vec_id=0, k=10)
+
+
+@query("ns_lsh_cosine_topk", oracle=None, tags=("northstar", "similarity", "sketch"))
+def ns_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed cosine top-10 (the 100 TB scale
+    path: only same-bucket candidates are scored). pytest pins recall
+    against the brute-force baseline."""
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb, query_vec_id=0, k=10, n_planes=8, seed=42)
+
+
+@query(
+    "ns_embedding_norms",
+    oracle="""
+        SELECT vec_id, label,
+               round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x))), 6) AS l2_norm
+        FROM embeddings
+    """,
+    tags=("northstar", "similarity", "array"),
+)
+def ns_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column math without UDFs: L2 norm via higher-order functions
+    (transform + aggregate stay inside codegen)."""
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_wordcount",
+    oracle="""
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    """,
+    tags=("northstar", "text"),
+)
+def ns_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count — the reference's canonical MR job (the leftover dev
+    comment at ``Worker/worker_v1.py:109`` pipes a test file through the
+    mapper by hand). Lane-B form: split/explode/groupBy, partial agg
+    before the exchange."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+@query(
+    "ns_lang_stats",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(n_chars), 2) AS avg_chars,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars,
+               count(DISTINCT source) AS n_sources
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("northstar", "text"),
+)
+def ns_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per language."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+@query(
+    "ns_token_stats",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars_measured,
+               len(list_distinct(string_split(text, ' '))) AS n_unique_tokens
+        FROM documents
+    """,
+    tags=("northstar", "text"),
+)
+def ns_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting (whitespace tokenizer)."""
+    return token_stats(t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
+
+
+@query(
+    "ns_quality_scores",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               round(length(replace(text, ' ', '')) * 1.0
+                     / len(string_split(text, ' ')), 4) AS avg_token_len,
+               round(len(list_filter(string_split(text, ' '),
+                                     x -> x IN ('the', 'a', 'of', 'and'))) * 1.0
+                     / len(string_split(text, ' ')), 4) AS stopword_ratio,
+               round(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 4) AS distinct_ratio
+        FROM documents
+    """,
+    tags=("northstar", "text"),
+)
+def ns_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality features (length / stopword / repetition
+    ratios) — all JVM-side expression algebra, no Python in the path."""
+    return quality_scores(t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
+
+
+@query(
+    "ns_fingerprint",
+    oracle="""
+        SELECT doc_id, md5(text) AS fp_md5,
+               md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))),
+                                   ' ')) AS fp_bag
+        FROM documents
+    """,
+    tags=("northstar", "text"),
+)
+def ns_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: raw content hash + order-insensitive
+    bag-of-words hash (md5 on both engines → directly comparable)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fp_md5"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))))
+        ).alias("fp_bag"),
+    )
+
+
+@query("ns_language_id", oracle=None, tags=("northstar", "text"))
+def ns_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID over stopword profiles (rows-only check:
+    the profile tables are engine-internal; pytest asserts schema and
+    determinism)."""
+    return language_id(t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")

@@ -1,0 +1,199 @@
+"""Window functions: ranking, analytic (lag/lead/first/last), running
+aggregates, row/range frames, ntile/percent_rank, top-k per group.
+
+Reference equivalent: the per-partition sort (op 5, ``worker_v1.py:184-191``)
+followed by a stateful streaming reducer (op 6) that remembers previous
+lines — SURVEY.md §2.B "Window" rows. Spark's window exec does the same
+sort-within-partition after hashing on the partition key, but with
+spill-safe buffering and whole-stage codegen.
+
+Every window rides on a TOTAL order (unique tiebreak keys) so results
+are deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.plans.core import query, t
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               row_number()  OVER w AS rn,
+               rank()        OVER w AS rnk,
+               dense_rank()  OVER w AS drnk
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window", "rank"),
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank per nation by balance."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "q_window_lag_lead",
+    oracle="""
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+               lag(l_extendedprice)  OVER w AS prev_price,
+               lead(l_extendedprice) OVER w AS next_price
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+    tags=("window", "analytic"),
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over a per-supplier shipment timeline."""
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.lag("l_extendedprice").over(w).alias("prev_price"),
+        F.lead("l_extendedprice").over(w).alias("next_price"),
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+               count(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
+        FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregate with an explicit ROWS frame."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.count("*").over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               count(*) OVER (
+                   PARTITION BY o_orderstatus ORDER BY o_totalprice
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_within_10k
+        FROM orders
+    """,
+    tags=("window", "frame", "range"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: peers within $10k below each order."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice").rangeBetween(-10000, 0)
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_within_10k"),
+    )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+        SELECT o_orderkey,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window", "rank"),
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist over a global ordering. (A global
+    window is a scale smell — at 100 TB use range partitioning or
+    approx quantiles; kept here for capability parity.)"""
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+        WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (MR: per-key sorted reducer truncating).
+    row_number + filter lets Spark's WindowGroupLimit push the limit
+    below the sort — no full materialization per group."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_window_first_last",
+    oracle="""
+        SELECT DISTINCT o_custkey,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice)  OVER w AS last_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "analytic"),
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last order price per customer over the full-partition frame."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,67 @@
+"""SparkSession factory — the engine's analog of the reference's cluster
+bootstrap (``Master/start-all.py:7-24`` + ``Master/info.txt``).
+
+Where the reference spawns ``worker_count`` single-threaded HTTP servers on
+``base_port``+i and a master on :8031, we configure one SparkSession whose
+scheduler/shuffle-service subsume all of that. Parallelism is decoupled from
+"cluster size" (the reference hard-wires partitions == workers,
+``masterhandler.py:24``): shuffle partitioning is a config, and AQE
+re-plans it at runtime.
+
+Scale notes (100 TB design): every config here is sized for local[32]
+testing but chosen so the same code runs on a 1000-executor cluster —
+AQE (coalescing + skew-join splitting), 128 MiB scan partitions, Arrow
+for any Python exchange, UTC session time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "map_reduce_framework_using_python_spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    AQE is on: at 100 TB the static shuffle-partition count is always
+    wrong somewhere, so we let Spark coalesce small post-shuffle
+    partitions and split skewed ones (the reference's ``myHash`` skew
+    lesson, ``Worker/shuffler.py:6-10`` — see SURVEY.md §4).
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+    if driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
+        builder = builder.config(
+            "spark.driver.memory",
+            driver_memory or os.environ["SPARK_GRAFT_DRIVER_MEM"],
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,131 @@
+"""IO layer: scans, sinks, and the testdata table loader.
+
+Reference parity (SURVEY.md §2.A ops 1-2):
+
+- WRITE (``Client/client_v1.py:75-142``: split text by line count into N
+  partitions, pad empties, register in catalog) → :func:`write_text` with
+  an explicit partition count. Spark's ``part-*`` file naming matches the
+  reference's ``{name}-part-00000_{i}`` convention
+  (``Worker/worker_v1.py:193``) natively.
+- READ (``Client/client_v1.py:144-176``: gather all partitions, merge in
+  manifest order) → :func:`read_text`; single-file gather is
+  ``coalesce(1)`` at write time, never a driver-side collect.
+
+Scale notes: parquet scans get predicate pushdown + column pruning from
+Catalyst for free; ``maxPartitionBytes`` (session.py) sizes scan splits
+at 128 MiB so a 100 TB table becomes ~800k well-sized tasks, not
+one-partition-per-worker like the reference (``masterhandler.py:24``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Driver-generated tables (TESTDATA.md / FIXTURES.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+# rejects ([PARQUET_TYPE_ILLEGAL]). We read the physical INT64 directly
+# and convert ns → µs with integer division — the same truncation DuckDB
+# applies when casting TIMESTAMP_NS → TIMESTAMP, so oracle comparisons
+# line up. Stays fully distributed (schema-on-read, no driver hop).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one synthetic table. Parquet → pushdown/pruning apply."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return (
+            spark.read.schema(_EVENTS_RAW_SCHEMA)
+            .parquet(path)
+            .withColumn(
+                "ts",
+                F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+            )
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for ``spark.sql``."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_text(spark: SparkSession, path: str, n_partitions: int | None = None) -> DataFrame:
+    """Reference READ (op 2): line-delimited text → DataFrame[value: string].
+
+    The reference's push-server/barrier/merge (``client_v1.py:37-57,164-176``)
+    dissolve into the scan; partition count is decoupled from worker count.
+    """
+    df = spark.read.text(path)
+    if n_partitions is not None:
+        df = df.repartition(n_partitions)
+    return df
+
+
+def write_text(
+    df: DataFrame,
+    path: str,
+    n_partitions: int | None = None,
+    mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
+    """Reference WRITE (op 1): store a line-text dataset in N partitions.
+
+    ``n_partitions`` mirrors the reference's partitions==workers rule
+    (``masterhandler.py:24``); ``single_file`` mirrors READ's merge-to-one
+    output (``client_v1.py:172-176``). Empty-partition padding
+    (``client_v1.py:102-109``) holds: repartition(N) always yields N
+    files even when rows < N.
+    """
+    if single_file:
+        df = df.coalesce(1)
+    elif n_partitions is not None:
+        df = df.repartition(n_partitions)
+    df.write.mode(mode).text(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Columnar sink (extension; the reference is text-only, SURVEY.md §2.A)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
