@@ -16,5 +16,6 @@ from map_reduce_framework_using_python_spark.plans import joins  # noqa: E402,F4
 from map_reduce_framework_using_python_spark.plans import windows  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import events  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import northstar  # noqa: E402,F401
+from map_reduce_framework_using_python_spark.plans import mrcompat  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "get_query", "query"]

@@ -1,0 +1,105 @@
+"""Streaming windows: tumbling / sliding / session, watermarks, and
+streaming dedup over the ``events`` table.
+
+Design: the transformations are *shared* with the batch twins — a
+windowed agg is the same ``groupBy(window(...))`` expression whether its
+input is a static or streaming DataFrame. Watermarks bound state at
+scale: a 1000-executor job over an unbounded stream holds only
+(watermark horizon / slide) × |keys| rows of state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.sources.io import _EVENTS_RAW_SCHEMA
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` as a file-source stream (same TIMESTAMP(NANOS)
+    schema-on-read workaround as the batch loader).
+
+    Streaming watermarks require TIMESTAMP (tz-aware), so unlike the
+    batch loader this keeps ``ts`` as TIMESTAMP_LTZ — the session is
+    pinned to UTC, so values align with the NTZ batch twin.
+    """
+    return (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        # file source needs a directory; glob-filter to the events table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def tumbling_window_agg(events: DataFrame, size: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of ``q_event_window_tumbling``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame, size: str = "2 hours", slide: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of ``q_event_window_sliding``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("window.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Native streaming sessionization (``session_window``) — the
+    streaming analog of ``q_event_sessionize``'s lag+cumsum composition."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming dedup on (user_id, event_type) with bounded state —
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only
+    until the watermark passes it (the scalable form of global
+    dropDuplicates, whose state grows without bound)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over the currently
+    available input (Trigger.AvailableNow → memory sink) and return the
+    materialized result — the deterministic replay harness from
+    SURVEY.md §5.
+
+    ``output_mode``: "complete" for aggregations (append would withhold
+    windows the final watermark hasn't passed); "append" for row-level
+    ops like dedup.
+    """
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

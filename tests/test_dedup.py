@@ -1,0 +1,67 @@
+"""Dedup operator tests: exact semantics on crafted frames, MinHash-LSH
+recall against the exact-Jaccard ground truth, SimHash sanity."""
+
+from __future__ import annotations
+
+from map_reduce_framework_using_python_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from map_reduce_framework_using_python_spark.sources.io import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = _docs(
+        spark,
+        [(3, "same text"), (1, "same text"), (2, "other text"), (7, "same text")],
+    )
+    out = {r["keeper_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),       # identical → jaccard 1.0
+            (3, "z y x w v u t s"),       # disjoint
+        ],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_minhash_lsh_matches_exact_on_documents(spark):
+    """On the synthetic corpus the 32×2 banding should recover every
+    exact pair at the 0.6 threshold (P(candidate) ≈ 1-(1-0.36)^32)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs).collect()}
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, num_hashes=64, bands=32).collect()
+    }
+    assert lsh <= exact  # verification step guarantees no false positives
+    recall = len(lsh & exact) / max(len(exact), 1)
+    assert recall >= 0.9, f"LSH recall {recall} ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "totally different words here now ok"),
+        ],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs

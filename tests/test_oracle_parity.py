@@ -1,0 +1,36 @@
+"""Oracle-differential gate (SURVEY.md §5.2): every SQL-expressible
+query must match its DuckDB oracle at sf0.001 — row count, column
+names, and canonicalized values. This is the local twin of the driver's
+t2 correctness check."""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_framework_using_python_spark.oracle import canon_rows
+from map_reduce_framework_using_python_spark.plans import REGISTRY
+from tests.conftest import SF_SMOKE
+
+ORACLE_QUERIES = [name for name, q in REGISTRY.items() if q.oracle is not None]
+ROWS_ONLY_QUERIES = [name for name, q in REGISTRY.items() if q.oracle is None]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, SF_SMOKE)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(q.oracle)
+    dcols = [c.lower() for c in rel.columns]
+    drows = rel.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert canon_rows(scols, srows) == canon_rows(dcols, drows)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, name):
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    assert df.columns  # stable schema
+    df.collect()  # executes without error

@@ -1,0 +1,66 @@
+"""Similarity-search tests: brute-force cosine against a NumPy oracle,
+LSH recall against brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from map_reduce_framework_using_python_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_cosine_topk,
+)
+from map_reduce_framework_using_python_spark.sources.io import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_bruteforce_matches_numpy(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    sims = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in vecs.items()
+        if vid != 0
+    }
+    expected = sorted(sims, key=lambda vid: (-sims[vid], vid))[:10]
+    got = [r["vec_id"] for r in cosine_topk_bruteforce(emb, query_vec_id=0, k=10).collect()]
+    assert got == expected
+    # Scores agree to rounding precision.
+    got_scores = {
+        r["vec_id"]: r["cosine"]
+        for r in cosine_topk_bruteforce(emb, query_vec_id=0, k=10).collect()
+    }
+    for vid, s in got_scores.items():
+        assert abs(s - sims[vid]) < 1e-5
+
+
+def test_lsh_finds_planted_near_duplicate(spark):
+    """LSH's guarantee is for *high*-similarity items: a near-duplicate
+    of the query (cosine ≈ 1) shares its sign pattern and must be
+    retrieved as the top hit. (On this corpus of near-orthogonal random
+    vectors, mid-similarity recall is inherently probabilistic — that's
+    the documented trade; the planted neighbor pins the contract.)"""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    planted = spark.createDataFrame(
+        [(999999, [float(x) * 1.01 for x in q], 0)], emb.schema
+    )
+    corpus = emb.unionByName(planted)
+    got = lsh_cosine_topk(corpus, query_vec_id=0, k=10).collect()
+    assert got[0]["vec_id"] == 999999
+    assert got[0]["cosine"] > 0.999
+
+
+def test_lsh_overlap_with_bruteforce_nonzero(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {r["vec_id"] for r in cosine_topk_bruteforce(emb, query_vec_id=0, k=10).collect()}
+    approx = {r["vec_id"] for r in lsh_cosine_topk(emb, query_vec_id=0, k=10, probe_hamming=3).collect()}
+    assert approx & exact, "LSH found none of the true top-10"
+
+
+def test_lsh_results_are_subset_of_corpus(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    res = lsh_cosine_topk(emb, query_vec_id=0, k=10).collect()
+    assert len(res) <= 10
+    assert all(r["vec_id"] != 0 for r in res)

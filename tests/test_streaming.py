@@ -1,0 +1,132 @@
+"""Structured Streaming tests (SURVEY.md §5.5): batch/stream parity for
+windowed aggs, watermark late-data drops, streaming dedup, and the
+applyInPandasWithState custom operator — all driven to completion with
+Trigger.AvailableNow for determinism."""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.plans import REGISTRY
+from map_reduce_framework_using_python_spark.sources.io import load_table
+from map_reduce_framework_using_python_spark.streaming import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_available_now,
+    tumbling_window_agg,
+)
+from map_reduce_framework_using_python_spark.streaming.stateful import stateful_user_totals
+from tests.conftest import SF_SMOKE
+
+
+def _qname() -> str:
+    return f"t_{uuid.uuid4().hex[:8]}"
+
+
+def test_tumbling_stream_matches_batch(spark):
+    """Streaming tumbling agg (complete mode, AvailableNow) equals the
+    batch twin q_event_window_tumbling."""
+    stream = tumbling_window_agg(read_events_stream(spark, SF_SMOKE))
+    got = run_available_now(stream, _qname(), output_mode="complete")
+    batch = REGISTRY["q_event_window_tumbling"].fn(spark, SF_SMOKE)
+
+    def canon(df):
+        return sorted(
+            (str(r["window_start"]), r["event_type"], r["n_events"], r["total_value"])
+            for r in df.collect()
+        )
+
+    assert canon(got) == canon(batch)
+
+
+def test_session_window_stream_runs(spark):
+    from map_reduce_framework_using_python_spark.streaming import session_window_counts
+
+    stream = session_window_counts(read_events_stream(spark, SF_SMOKE))
+    got = run_available_now(stream, _qname(), output_mode="complete")
+    rows = got.collect()
+    assert len(rows) > 0
+    # Session totals must account for every event exactly once.
+    assert sum(r["n_events"] for r in rows) == load_table(spark, SF_SMOKE, "events").count()
+
+
+def test_dedup_within_watermark(spark):
+    stream = dedup_within_watermark(read_events_stream(spark, SF_SMOKE))
+    got = run_available_now(stream, _qname(), output_mode="append")
+    pairs = [(r["user_id"], r["event_type"]) for r in got.collect()]
+    assert len(pairs) == len(set(pairs)), "dedup emitted duplicate keys"
+    batch_distinct = (
+        load_table(spark, SF_SMOKE, "events").select("user_id", "event_type").distinct().count()
+    )
+    # Watermark-scoped dedup can re-emit a key after the watermark passes
+    # it, never fewer than the global distinct count.
+    assert len(pairs) >= batch_distinct
+
+
+def test_stateful_user_totals(spark):
+    stream = stateful_user_totals(read_events_stream(spark, SF_SMOKE))
+    got = run_available_now(stream, _qname(), output_mode="update")
+    # Final state per user == batch aggregate.
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+        .collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    }
+    assert final == batch
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode tumbling agg over three micro-batches: a row arriving
+    after the watermark passed its window is dropped (SURVEY.md §5.5
+    late-data fixture).
+
+    Three batches because Spark's late-row filter uses the watermark
+    established *before* the arriving batch: batch 0 sets the horizon
+    (13:00 − 10 min), batch 1 lets it take effect and finalizes the
+    10:00 window, batch 2's late 10:10 row is then dropped.
+    """
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    sch = "event_id long, ts string, event_type string, value double"
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(rows, sch).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.parquet(f"{src}/{name}")
+        time.sleep(1.1)  # file source orders batches by modification time
+
+    write_batch("b1", [(1, "2024-01-01 10:05:00", "view", 1.0), (2, "2024-01-01 13:00:00", "view", 1.0)])
+    write_batch("b2", [(4, "2024-01-01 13:01:00", "view", 1.0)])
+    write_batch("b3", [(3, "2024-01-01 10:10:00", "view", 1.0)])  # late: wm is 12:51
+
+    stream = (
+        spark.readStream.schema(sch.replace("ts string", "ts timestamp"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    got = run_available_now(stream, _qname(), output_mode="append")
+    counts = {str(r["ws"]): r["n"] for r in got.collect()}
+    # The 10:00 window was finalized with only its on-time row; the late
+    # 10:10 row must NOT appear in it.
+    assert counts.get("2024-01-01 10:00:00") == 1, counts
+
+
+@pytest.mark.parametrize("mod", ["windows", "stateful"])
+def test_streaming_modules_importable(mod):
+    __import__(f"map_reduce_framework_using_python_spark.streaming.{mod}")

@@ -1,0 +1,39 @@
+"""Text-analysis operator tests on crafted frames."""
+
+from __future__ import annotations
+
+from map_reduce_framework_using_python_spark.operators.text import (
+    language_id,
+    quality_scores,
+    token_stats,
+)
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "a b b c"), (2, "x")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in token_stats(df).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["n_unique_tokens"] == 3
+    assert out[1]["n_chars_measured"] == 7
+    assert out[2]["n_tokens"] == 1
+
+
+def test_quality_scores(spark):
+    df = spark.createDataFrame([(1, "the cat and the hat")], ["doc_id", "text"])
+    r = quality_scores(df).collect()[0]
+    assert r["n_tokens"] == 5
+    assert r["stopword_ratio"] == 0.6  # the, and, the
+    assert r["distinct_ratio"] == 0.8  # the cat and hat / 5
+    assert abs(r["avg_token_len"] - 3.0) < 1e-9
+
+
+def test_language_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "the value of the table and the row"), (2, "el perro y la casa de madrid")],
+        ["doc_id", "text"],
+    )
+    out1 = {r["doc_id"]: r["predicted_lang"] for r in language_id(df).collect()}
+    out2 = {r["doc_id"]: r["predicted_lang"] for r in language_id(df).collect()}
+    assert out1 == out2
+    assert out1[1] == "en"
+    assert out1[2] == "es"

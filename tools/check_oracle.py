@@ -10,35 +10,16 @@ a round ends. Usage:
 
 from __future__ import annotations
 
-import math
 import sys
 
 import duckdb
 
 sys.path.insert(0, "/root/repo")
 
+from map_reduce_framework_using_python_spark.oracle import canon_rows  # noqa: E402
 from map_reduce_framework_using_python_spark.plans import REGISTRY  # noqa: E402
 from map_reduce_framework_using_python_spark.session import get_spark  # noqa: E402
 from map_reduce_framework_using_python_spark.sources.io import TABLES  # noqa: E402
-
-
-def _canon(val):
-    if val is None:
-        return "NULL"
-    if isinstance(val, float):
-        if math.isnan(val):
-            return "NaN"
-        if val == int(val) and abs(val) < 1e15:
-            return str(int(val))
-        return repr(val)
-    if isinstance(val, bool):
-        return str(int(val))
-    return str(val)
-
-
-def canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
 
 
 def main() -> int:
