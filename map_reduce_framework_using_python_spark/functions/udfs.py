@@ -1,0 +1,75 @@
+"""The UDF ladder, demonstrated on the lineitem pricing expression.
+
+Each rung computes something the reference could only express inside an
+opaque mapper/reducer; tests pin rung-for-rung equivalence so the fast
+path (built-in) is provably interchangeable with the Python paths.
+
+The pandas UDFs are built lazily (``pandas_udf`` needs an active
+SparkSession to resolve return types, so decorating at import time
+breaks sessionless imports).
+"""
+
+from __future__ import annotations
+
+from functools import cache
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def discounted_price_builtin(price: Column, discount: Column) -> Column:
+    """Rung 1 — pure expression: stays in whole-stage codegen, zero
+    serialization. This is the hot-path form every operator in plans/
+    uses."""
+    return price * (1 - discount)
+
+
+@cache
+def _discounted_price_pandas():
+    @pandas_udf("double")
+    def discounted(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1 - discount)
+
+    return discounted
+
+
+def discounted_price_pandas(price, discount) -> Column:
+    """Rung 2 — Arrow-vectorized scalar pandas UDF (~10-100× faster than
+    row-at-a-time ``F.udf``; still pays one Arrow round-trip, so only
+    for logic built-in expressions can't express)."""
+    return _discounted_price_pandas()(price, discount)
+
+
+@cache
+def _weighted_avg_price():
+    @pandas_udf("double")
+    def weighted(price: pd.Series, qty: pd.Series) -> float:
+        total_qty = qty.sum()
+        return float((price * qty).sum() / total_qty) if total_qty else float("nan")
+
+    return weighted
+
+
+def weighted_avg_price(price, qty) -> Column:
+    """Rung 2b — grouped-aggregate pandas UDAF (the reference's sorted
+    streaming reducer, op 6, vectorized per group)."""
+    return _weighted_avg_price()(price, qty)
+
+
+def zscore_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Rung 3 — ``applyInPandas`` grouped map (1→many UDTF shape): whole
+    group in, whole group out, used when per-group logic needs the full
+    frame (rank transforms, per-group model scoring …)."""
+
+    def add_z(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean, std = pdf[value_col].mean(), pdf[value_col].std(ddof=0)
+        pdf = pdf.copy()
+        pdf["zscore"] = 0.0 if std == 0 else (pdf[value_col] - mean) / std
+        return pdf
+
+    out_schema = ", ".join(
+        f"{name} {dtype}" for name, dtype in df.dtypes
+    ) + ", zscore double"
+    return df.groupBy(group_col).applyInPandas(add_z, schema=out_schema)

@@ -74,6 +74,34 @@ def cosine_topk_bruteforce(
     )
 
 
+def embedding_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold).
+
+    Exact all-pairs baseline: self-join on id inequality, JVM-side
+    cosine, threshold filter. Correct at oracle scale; the 100 TB path
+    blocks candidates first (LSH sign buckets via :func:`lsh_bucket`,
+    or ANN index) exactly like MinHash-LSH does for text — this is the
+    ground truth those are measured against.
+    """
+    v = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v"), l2_norm(_as_double(F.col(vec_col))).alias("nrm")
+    )
+    a = v.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (numpy RandomState, fixed seed)."""
     import numpy as np
