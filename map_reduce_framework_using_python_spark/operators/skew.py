@@ -1,0 +1,89 @@
+"""Skew-mitigation helpers (SURVEY.md §7 P7, the ``myHash`` lesson).
+
+The reference's hand-rolled hash partitioner skews badly on short keys
+(``Worker/shuffler.py:6-10``: 4 common words → 1 bucket of 4, SURVEY.md
+§4) and it has no recourse — one overloaded worker serializes the job.
+At 100 TB the same failure mode appears as a straggler task on a hot
+key. Two remedies, composable:
+
+1. AQE skew-join splitting (``spark.sql.adaptive.skewJoin.enabled``,
+   on by default in session.py) — handles skew detected at runtime.
+2. Explicit salting (this module) — for *known* hot keys or
+   aggregations AQE can't split (single-key groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
+    """Append a salt in [0, n_salts): spreads one hot key over
+    ``n_salts`` shuffle partitions. Row-content hash mixed with the
+    row's position (``monotonically_increasing_id``) so even exact
+    duplicate rows — the worst hot-key case — spread; position is stable
+    given a stable input partitioning, so task retries re-salt
+    identically."""
+    return df.withColumn(
+        salt_col,
+        F.pmod(
+            F.xxhash64(*df.columns) + F.monotonically_increasing_id(), F.lit(n_salts)
+        ).cast("int"),
+    )
+
+
+def salted_agg(
+    df: DataFrame, key: str, aggs: dict[str, Column], n_salts: int = 16
+) -> DataFrame:
+    """Two-phase aggregation for a skewed group key: partial-agg on
+    (key, salt) — spreading the hot key across n_salts reducers — then
+    final-agg on key.
+
+    ``aggs`` maps output name → aggregate over the *input* columns;
+    supported shapes: sum/count/min/max (re-aggregable). Example::
+
+        salted_agg(li, "l_returnflag", {"sum_qty": F.sum("l_quantity"),
+                                        "n": F.count("*")})
+    """
+    partial = (
+        salted(df, n_salts)
+        .groupBy(key, "_salt")
+        .agg(*[a.alias(f"_p_{name}") for name, a in aggs.items()])
+    )
+    finals = []
+    for name, a in aggs.items():
+        fn = a._jc.toString().split("(")[0].lower()
+        col = F.col(f"_p_{name}")
+        if fn.startswith("count"):
+            finals.append(F.sum(col).alias(name))
+        elif fn.startswith("min"):
+            finals.append(F.min(col).alias(name))
+        elif fn.startswith("max"):
+            finals.append(F.max(col).alias(name))
+        else:
+            finals.append(F.sum(col).alias(name))
+    return partial.groupBy(key).agg(*finals)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big (skewed) side, replicate the
+    small side once per salt value, join on (key, salt). The hot key's
+    rows land on ``n_salts`` different reducers instead of one.
+
+    Prefer ``broadcast(small)`` when the small side fits (no salting
+    needed at all); this is for mid-sized dimension tables that don't.
+    """
+    big_s = salted(big, n_salts)
+    salt_values = small.sparkSession.range(n_salts).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+    small_r = small.crossJoin(salt_values)
+    joined = big_s.join(small_r, on=[key, "_salt"], how=how)
+    return joined.drop("_salt")

@@ -1,0 +1,152 @@
+"""Streaming queries in the driver contract: each runs a Structured
+Streaming job to completion (Trigger.AvailableNow over the events
+parquet) and returns the materialized result.
+
+Because complete-mode windowed aggregation over a fully-replayed bounded
+stream equals the batch aggregation, these carry real DuckDB oracles —
+the streaming engine itself is under the correctness gate, not just the
+expression logic. Only the watermark-dependent dedup is rows-only (its
+output depends on micro-batch boundaries by design).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from map_reduce_framework_using_python_spark.plans.core import query
+from map_reduce_framework_using_python_spark.streaming.stateful import stateful_user_totals
+from map_reduce_framework_using_python_spark.streaming.windows import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_available_now,
+    session_window_counts,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+def _uniq(prefix: str) -> str:
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+@query(
+    "st_tumbling_window",
+    oracle="""
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "window_time"),
+)
+def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows computed BY THE STREAMING ENGINE
+    (AvailableNow replay, complete mode) — must equal the batch oracle."""
+    return run_available_now(
+        tumbling_window_agg(read_events_stream(spark, sf_dir)),
+        _uniq("st_tumbling"),
+        output_mode="complete",
+    )
+
+
+@query(
+    "st_sliding_window",
+    oracle="""
+        SELECT ws AS window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM (
+            SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                           date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR]) AS ws,
+                   value
+            FROM events)
+        GROUP BY ws
+    """,
+    tags=("streaming", "window_time"),
+)
+def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2h/1h sliding windows via the streaming engine."""
+    return run_available_now(
+        sliding_window_agg(read_events_stream(spark, sf_dir)),
+        _uniq("st_sliding"),
+        output_mode="complete",
+    )
+
+
+@query(
+    "st_session_window",
+    oracle="""
+        WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        g AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM g)
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id,
+               count(*) AS n_events
+        FROM s
+        GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session"),
+)
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessionization (30-min gap) via the
+    streaming engine. Session semantics are half-open: a gap of exactly
+    the threshold starts a new session (hence ``>=`` in the oracle), and
+    session_end = last event + gap."""
+    return run_available_now(
+        session_window_counts(read_events_stream(spark, sf_dir)),
+        _uniq("st_session"),
+        output_mode="complete",
+    )
+
+
+@query(
+    "st_stateful_totals",
+    oracle="""
+        SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running totals, replayed to completion —
+    final state per user must equal the batch aggregate. (Update-mode
+    sink may hold one row per micro-batch per user; AvailableNow over a
+    single parquet file yields exactly one.)"""
+    from pyspark.sql import functions as F
+
+    out = run_available_now(
+        stateful_user_totals(read_events_stream(spark, sf_dir)),
+        _uniq("st_state"),
+        output_mode="update",
+    )
+    # Keep the latest state per user (robust to multi-batch replays).
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
+    )
+
+
+@query("st_dedup_watermark", oracle=None, tags=("streaming", "dedup", "rows_only"))
+def st_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over (user_id, event_type):
+    rows-only — the exact surviving row per key depends on micro-batch
+    arrival order by design; pytest pins the invariants (no dup keys in
+    a batch, ≥ global distinct count)."""
+    return run_available_now(
+        dedup_within_watermark(read_events_stream(spark, sf_dir)),
+        _uniq("st_dedup"),
+        output_mode="append",
+    )

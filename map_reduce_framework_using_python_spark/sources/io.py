@@ -108,13 +108,20 @@ def write_text(
     ``n_partitions`` mirrors the reference's partitions==workers rule
     (``masterhandler.py:24``); ``single_file`` mirrors READ's merge-to-one
     output (``client_v1.py:172-176``). Empty-partition padding
-    (``client_v1.py:102-109``) holds: repartition(N) always yields N
-    files even when rows < N.
+    (``client_v1.py:102-109``) holds: with explicit ``n_partitions`` the
+    RDD text sink writes exactly N part files even when rows < N (the
+    DataFrame writer would skip empty partitions).
     """
     if single_file:
-        df = df.coalesce(1)
-    elif n_partitions is not None:
-        df = df.repartition(n_partitions)
+        df.coalesce(1).write.mode(mode).text(path)
+        return
+    if n_partitions is not None:
+        if mode == "overwrite":
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        df.rdd.map(lambda row: row[0]).repartition(n_partitions).saveAsTextFile(path)
+        return
     df.write.mode(mode).text(path)
 
 

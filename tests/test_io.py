@@ -1,0 +1,88 @@
+"""Source/sink tests (reference ops 1-2): text WRITE/READ round-trips
+with explicit partition counts and padding, CSV/JSON/Parquet formats,
+and catalog view registration."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.sources.io import (
+    load_table,
+    read_text,
+    register_views,
+    write_parquet,
+    write_text,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_text_write_read_roundtrip(spark, tmp_path):
+    """WRITE then READ preserves content (the reference's -w / -r pair,
+    ``client_v1.py:75-176``)."""
+    lines = [f"line-{i}" for i in range(100)]
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    out = str(tmp_path / "t1")
+    write_text(df, out, n_partitions=7)
+    back = read_text(spark, out)
+    assert sorted(r["value"] for r in back.collect()) == sorted(lines)
+    # Explicit partition count → exactly 7 part files (reference:
+    # partitions == workers, masterhandler.py:24).
+    assert len(glob.glob(os.path.join(out, "part-*"))) == 7
+
+
+def test_text_write_padding_invariant(spark, tmp_path):
+    """Fewer rows than partitions still produces N part files — empty
+    ones included (client_v1.py:102-109)."""
+    df = spark.createDataFrame([("only",), ("two",)], ["value"])
+    out = str(tmp_path / "t2")
+    write_text(df, out, n_partitions=5)
+    assert len(glob.glob(os.path.join(out, "part-*"))) == 5
+    assert sorted(r["value"] for r in read_text(spark, out).collect()) == ["only", "two"]
+
+
+def test_single_file_gather(spark, tmp_path):
+    """READ's merge-to-one-file semantics (client_v1.py:172-176)."""
+    df = spark.createDataFrame([(f"r{i}",) for i in range(10)], ["value"])
+    out = str(tmp_path / "t3")
+    write_text(df, out, single_file=True)
+    assert len(glob.glob(os.path.join(out, "part-*"))) == 1
+
+
+def test_csv_json_parquet_roundtrip(spark, tmp_path):
+    """Format extensions beyond the reference's text-only surface."""
+    src = load_table(spark, SF_SMOKE, "nation")
+    for fmt in ("csv", "json", "parquet"):
+        out = str(tmp_path / f"fmt_{fmt}")
+        if fmt == "csv":
+            src.write.mode("overwrite").option("header", True).csv(out)
+            back = spark.read.option("header", True).schema(src.schema).csv(out)
+        elif fmt == "json":
+            src.write.mode("overwrite").json(out)
+            back = spark.read.schema(src.schema).json(out)
+        else:
+            write_parquet(src, out)
+            back = spark.read.parquet(out)
+        assert sorted(map(str, back.collect())) == sorted(map(str, src.collect()))
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    """partitionBy + a partition predicate → partition pruning (the scan
+    must list only the matching directory)."""
+    src = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    out = str(tmp_path / "part_orders")
+    write_parquet(src, out, partition_by=["status"])
+    pruned = spark.read.parquet(out).filter(F.col("status") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == src.filter("o_orderstatus = 'F'").count()
+    assert "PartitionFilters: [isnotnull(status" in plan or "status=F" in plan
+
+
+def test_register_views_sql(spark):
+    register_views(spark, SF_SMOKE)
+    n = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n == 6000
