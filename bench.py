@@ -44,9 +44,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
-    # Warm-up: prime the session/codegen so per-query times measure the
-    # plans, not JVM start.
+    # Warm-up: prime the session — scan paths, hash-agg codegen, Python
+    # worker pool — so per-query times measure the plans, not JVM/worker
+    # cold start.
     REGISTRY["q00_scan_count"].fn(spark, sf_dir).collect()
+    REGISTRY["q01_pricing_summary"].fn(spark, sf_dir).collect()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
