@@ -104,7 +104,11 @@ def minhash_signatures(
     permutations over the shingle set, min per permutation.
 
     One row per doc, fixed width — the sketch that makes 100 TB dedup
-    linear instead of quadratic.
+    linear instead of quadratic. Shape: explode shingles → 64 partial
+    mins (map-side combined) → final mins. (A per-row ``array_min ∘
+    transform`` fold would avoid the shuffle entirely, but Catalyst's
+    CollapseProject inlines the shingle expression into each of the 64
+    transforms, recomputing it 64× — measured slower.)
     """
     sh = _shingle_table(df, text_col, id_col, n)
     mins = [
@@ -162,9 +166,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Exact verification on the (small) candidate set.
-    sets = df.select(
-        F.col(id_col), word_shingles(text_col, n).alias("sh_set")
-    )
+    sets = df.select(F.col(id_col), word_shingles(text_col, n).alias("sh_set"))
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
