@@ -46,8 +46,16 @@ def discounted_price_pandas(price, discount) -> Column:
 def _weighted_avg_price():
     @pandas_udf("double")
     def weighted(price: pd.Series, qty: pd.Series) -> float:
-        total_qty = qty.sum()
-        return float((price * qty).sum() / total_qty) if total_qty else float("nan")
+        # Exact-cents integer arithmetic: prices are 2-dp quantities, so
+        # summing int64 cents is exact and the final division produces
+        # the same double as a DECIMAL-exact SQL oracle — float64 sums
+        # would drift by summation order and flip .xx5 rounding ties.
+        cents = (price * 100).round().astype("int64")
+        qty_i = qty.round().astype("int64")
+        total_qty = int(qty_i.sum())
+        if not total_qty:
+            return float("nan")
+        return float(int((cents * qty_i).sum()) / (100.0 * total_qty))
 
     return weighted
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from map_reduce_framework_using_python_spark.plans.core import query, t
+from map_reduce_framework_using_python_spark.plans.core import dec, half_up, query, t
 
 
 @query(
@@ -39,7 +39,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_broadcast",
     oracle="""
         SELECT p.p_brand,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
                count(*) AS n_items
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand
@@ -56,7 +56,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            half_up(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -255,7 +255,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_local_supplier",
     oracle="""
         SELECT n.n_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
         FROM customer c
         JOIN orders o   ON o.o_custkey = c.c_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -293,7 +293,7 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            half_up(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias("revenue")
         )
     )
 
@@ -302,7 +302,7 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     oracle="""
         SELECT l.l_orderkey,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
                o.o_orderdate
         FROM customer c
         JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -331,7 +331,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            half_up(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -370,7 +370,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
         SELECT c.c_custkey, c.c_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
         FROM customer c
         JOIN orders o   ON o.o_custkey = c.c_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -391,7 +391,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            half_up(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)

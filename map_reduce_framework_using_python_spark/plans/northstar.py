@@ -31,7 +31,7 @@ from map_reduce_framework_using_python_spark.operators.text import (
     quality_scores,
     token_stats,
 )
-from map_reduce_framework_using_python_spark.plans.core import query, t
+from map_reduce_framework_using_python_spark.plans.core import half_up, query, t
 
 
 # --------------------------------------------------------------------------
@@ -211,7 +211,7 @@ def ns_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT lang,
                count(*) AS n_docs,
-               round(avg(n_chars), 2) AS avg_chars,
+               floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 100 + 0.5) / 100 AS avg_chars,
                min(n_chars) AS min_chars,
                max(n_chars) AS max_chars,
                count(DISTINCT source) AS n_sources
@@ -227,7 +227,7 @@ def ns_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            half_up(F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
             F.countDistinct("source").alias("n_sources"),

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_framework_using_python_spark.plans.core import query, t
+from map_reduce_framework_using_python_spark.plans.core import dec, half_up, query, t
 
 
 # --------------------------------------------------------------------------
@@ -74,12 +74,12 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 2) AS avg_qty,
-               round(avg(l_extendedprice), 2) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
+               floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_base_price,
+               floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_disc_price,
+               floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_charge,
+               floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 100 + 0.5) / 100 AS avg_qty,
+               floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 100 + 0.5) / 100 AS avg_price,
+               floor(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -94,21 +94,25 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     map output, sort, fold in a reducer, ``worker_v1.py:124-218``); Spark
     runs partial hash-agg before the exchange, so only G groups/partition
     cross the network at 100 TB.
+
+    Money sums are DECIMAL-exact then half_up-rounded — see the
+    determinism note in plans/core.py (revenue grids tie at .xx5).
     """
     li = t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
+    n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            half_up(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            half_up(F.sum(disc_price)).alias("sum_disc_price"),
+            half_up(F.sum(disc_price * (1 + dec("l_tax")))).alias("sum_charge"),
+            half_up(F.sum(dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+            half_up(F.sum(dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            half_up(F.sum(dec("l_discount")).cast("double") / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -116,7 +120,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q06_forecast_revenue",
     oracle="""
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                     * 100 + 0.5) / 100 AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -134,7 +140,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
         & (F.col("l_discount").between(0.02, 0.06))
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(half_up(F.sum(dec("l_extendedprice") * dec("l_discount"))).alias("revenue"))
 
 
 @query(
@@ -579,7 +585,7 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity",
     oracle="""
-        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 * 100 + 0.5) / 100 AS avg_yearly
         FROM lineitem l
         JOIN (SELECT l_partkey, avg(l_quantity) AS avg_qty
               FROM lineitem GROUP BY l_partkey) p
@@ -596,5 +602,5 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(per_part, "l_partkey")
         .filter(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(half_up(F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
     )

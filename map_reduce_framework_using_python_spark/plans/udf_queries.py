@@ -53,8 +53,11 @@ def q_udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udaf_weighted_avg",
     oracle="""
         SELECT l_returnflag,
-               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2)
-                   AS w_avg_price
+               floor(
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_quantity AS BIGINT)) * 100 AS DOUBLE)
+                 / (100.0 * CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE))
+                 * 100 + 0.5) / 100 AS w_avg_price
         FROM lineitem
         GROUP BY l_returnflag
     """,
@@ -63,12 +66,16 @@ def q_udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDAF (quantity-weighted mean price) —
     the reference's sorted-streaming-reducer capability (op 6) as a
-    vectorized per-group kernel, oracle-checked."""
+    vectorized per-group kernel, oracle-checked. The UDAF sums exact
+    integer cents (see functions/udfs.py), so its division matches the
+    oracle's DECIMAL-exact form bit-for-bit."""
+    from map_reduce_framework_using_python_spark.plans.core import half_up
+
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(
+            half_up(
                 weighted_avg_price(F.col("l_extendedprice"), F.col("l_quantity")), 2
             ).alias("w_avg_price")
         )
