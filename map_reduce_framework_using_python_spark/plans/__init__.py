@@ -21,5 +21,6 @@ from map_reduce_framework_using_python_spark.plans import extras  # noqa: E402,F
 from map_reduce_framework_using_python_spark.plans import streaming_queries  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import udf_queries  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import relational2  # noqa: E402,F401
+from map_reduce_framework_using_python_spark.plans import udtf_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "get_query", "query"]
