@@ -1,0 +1,91 @@
+"""Property-based tests (SURVEY.md §5.4, hypothesis): partitioning
+invariants, aggregation linearity, and join-cardinality bounds over
+randomized small inputs. Few examples, tiny frames — each example runs
+real Spark jobs."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.mr.job import MRJob, mr_keyby
+
+KEYS = st.sampled_from(["a", "b", "c", "9", "10", "k-long", ""])
+LINES = st.lists(
+    st.tuples(KEYS, st.integers(0, 99)).map(lambda kv: f"{kv[0]},{kv[1]}"),
+    min_size=0,
+    max_size=30,
+)
+
+IDENTITY = "import sys\nfor line in sys.stdin:\n    sys.stdout.write(line)\n"
+
+prop = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@prop
+@given(lines=LINES)
+def test_partition_union_equals_input(spark, lines):
+    """Union of output partitions == input multiset, and every key lives
+    in exactly one partition (the reference's WRITE/shuffle invariants,
+    client_v1.py:102-109 + worker_v1.py:133)."""
+    job = MRJob(spark, IDENTITY, IDENTITY, n_partitions=4)
+    parts = job.run(spark.sparkContext.parallelize(lines, 3)).glom().collect()
+    assert len(parts) == 4
+    flat = [l for p in parts for l in p]
+    assert Counter(flat) == Counter(lines)
+    key_home: dict[str, int] = {}
+    for i, p in enumerate(parts):
+        for line in p:
+            k = mr_keyby(line)
+            assert key_home.setdefault(k, i) == i
+
+
+@prop
+@given(
+    a=st.lists(st.tuples(st.sampled_from("xyz"), st.floats(0, 100)), max_size=25),
+    b=st.lists(st.tuples(st.sampled_from("xyz"), st.floats(0, 100)), max_size=25),
+)
+def test_agg_linearity(spark, a, b):
+    """sum(A ∪ B) == sum(A) + sum(B) per group (re-aggregability — what
+    makes partial/final hash-agg and salted_agg correct)."""
+
+    def sums(rows):
+        if not rows:
+            return {}
+        df = spark.createDataFrame(rows, ["k", "v"])
+        return {
+            r["k"]: r["s"]
+            for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+        }
+
+    sa, sb, su = sums(a), sums(b), sums(a + b)
+    for k in set(sa) | set(sb):
+        assert abs(sa.get(k, 0.0) + sb.get(k, 0.0) - su[k]) < 1e-6
+
+
+@prop
+@given(
+    a=st.lists(st.integers(0, 5), min_size=0, max_size=20),
+    b=st.lists(st.integers(0, 5), min_size=0, max_size=20),
+)
+def test_join_cardinality(spark, a, b):
+    """|A ⋈_k B| == Σ_k cnt_A(k)·cnt_B(k), and semi ≤ |A|, anti ==
+    |A| − |semi matches|."""
+    ca, cb = Counter(a), Counter(b)
+    expected = sum(ca[k] * cb[k] for k in ca)
+    da = spark.createDataFrame([(k,) for k in a], ["k"]) if a else None
+    db = spark.createDataFrame([(k,) for k in b], ["k"]) if b else None
+    if da is None or db is None:
+        return
+    assert da.join(db, "k").count() == expected
+    n_semi = da.join(db, "k", "left_semi").count()
+    n_anti = da.join(db, "k", "left_anti").count()
+    assert n_semi == sum(c for k, c in ca.items() if k in cb)
+    assert n_semi + n_anti == len(a)
