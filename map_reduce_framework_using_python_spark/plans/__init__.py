@@ -23,5 +23,6 @@ from map_reduce_framework_using_python_spark.plans import udf_queries  # noqa: E
 from map_reduce_framework_using_python_spark.plans import relational2  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import udtf_queries  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import subqueries  # noqa: E402,F401
+from map_reduce_framework_using_python_spark.plans import extras2  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "get_query", "query"]

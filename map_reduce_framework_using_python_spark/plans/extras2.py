@@ -1,0 +1,82 @@
+"""Edge-semantics batch: explicit cross join, generator null semantics
+(explode vs explode_outer), and nth_value window frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.plans.core import query, t
+
+
+@query(
+    "q_cross_join",
+    oracle="""
+        SELECT r.r_name, n.n_name
+        FROM region r CROSS JOIN nation n
+    """,
+    tags=("join", "cross"),
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (dim × dim — the only place a cross
+    join belongs; MR: the degenerate single-key shuffle)."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    n = t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
+    "q_explode_outer",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN []
+                        ELSE string_split(text, ' ')[1:3] END AS arr
+            FROM documents WHERE doc_id < 50)
+        SELECT doc_id,
+               unnest(CASE WHEN len(arr) = 0 THEN [NULL] ELSE arr END) AS word
+        FROM d
+    """,
+    tags=("udtf", "array", "null"),
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty arrays survive with a NULL element
+    (plain explode would drop them) — the outer-lateral-view semantics."""
+    d = t(spark, sf_dir, "documents").filter("doc_id < 50").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.array().cast("array<string>"))
+        .otherwise(F.slice(F.split("text", " "), 1, 3))
+        .alias("arr"),
+    )
+    return d.select("doc_id", F.explode_outer("arr").alias("word"))
+
+
+@query(
+    "q_window_nth",
+    oracle="""
+        SELECT DISTINCT o_custkey,
+               nth_value(o_totalprice, 2) OVER w AS second_price,
+               count(*) OVER (PARTITION BY o_custkey) AS n_orders
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "analytic"),
+)
+def q_window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full-partition frame (NULL when the partition
+    is shorter than n)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+            F.count("*").over(Window.partitionBy("o_custkey")).alias("n_orders"),
+        )
+        .distinct()
+    )
