@@ -49,8 +49,20 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure enough partitions for CPU-heavy per-row work. A small
+    parquet file scans as ONE partition, serializing all shingling/
+    hashing on one core (measured 2.9 s single-task at sf0.1); the
+    repartition shuffle of the raw rows is trivial by comparison. At
+    real scale inputs arrive well-partitioned and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
+    return _spread(df).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
 
@@ -152,21 +164,21 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_rows)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b_ = buckets.alias("a"), buckets.alias("b")
+    # Pair generation per bucket via groupBy + double explode: one
+    # exchange on the bucket key instead of a two-sided self-join
+    # (which would shuffle the bucket table twice). Quadratic only
+    # within a bucket — the whole point of banding.
     cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        buckets.groupBy("band", "key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("doc_a"), F.col("ids"))
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
     # Exact verification on the (small) candidate set.
-    sets = df.select(F.col(id_col), word_shingles(text_col, n).alias("sh_set"))
+    sets = _spread(df).select(F.col(id_col), word_shingles(text_col, n).alias("sh_set"))
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -185,7 +197,7 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """64-bit SimHash per document: sign of the per-bit ±1 vote sum over
     xxhash64(token) of every token occurrence."""
-    tok = df.select(
+    tok = _spread(df).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     h = F.xxhash64("tok")

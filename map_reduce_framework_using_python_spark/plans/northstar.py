@@ -94,11 +94,13 @@ def ns_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         id_col="doc_id",
         n=3,
-        num_hashes=64,
-        # 32 bands × 2 rows: P(candidate | j=0.6) = 1-(1-0.36)^32 ≈ 1.0,
-        # so recall vs the exact oracle is ~total; false candidates are
-        # cheap because they're exact-verified before output.
-        bands=32,
+        # 32 hashes in 16 bands × 2 rows: P(candidate | j=0.6) =
+        # 1-(1-0.36)^16 ≈ 0.999 — recall vs the exact oracle stays ~total
+        # (pinned by pytest) at half the signature width (signature agg
+        # codegen is the dominant fixed cost); false candidates are cheap
+        # because they're exact-verified before output.
+        num_hashes=32,
+        bands=16,
         threshold=0.6,
     )
 
@@ -196,6 +198,9 @@ def ns_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment at ``Worker/worker_v1.py:109`` pipes a test file through the
     mapper by hand). Lane-B form: split/explode/groupBy, partial agg
     before the exchange."""
+    # NOTE: no repartition here — explode feeds a partial agg that
+    # compresses to |vocab| rows per task in the scan stage itself; an
+    # input-spreading shuffle measured slower than the single-task scan.
     return (
         t(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
