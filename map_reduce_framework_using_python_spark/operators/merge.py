@@ -1,0 +1,89 @@
+"""MERGE / CDC / SCD2 emulation on plain parquet-backed DataFrames.
+
+Without a transactional table format (Delta/Iceberg jars aren't in this
+image), MERGE INTO is emulated with the classic anti-join + union
+rewrite, and SCD2 history with window-closed validity intervals. At
+scale both are one shuffle on the merge key; the rewrite pattern is the
+same one a lakehouse engine executes under the hood (copy-on-write).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """MERGE: update matched rows, insert unmatched ones.
+
+    ``source`` wins on key collision (WHEN MATCHED THEN UPDATE SET *);
+    target rows with no source match survive; source rows with no target
+    match insert. Schemas must align by name.
+    """
+    kept = target.join(source.select(key), key, "left_anti")
+    return kept.unionByName(source.select(*target.columns))
+
+
+def merge_delete(target: DataFrame, deletes: DataFrame, key: str) -> DataFrame:
+    """MERGE ... WHEN MATCHED THEN DELETE."""
+    return target.join(deletes.select(key), key, "left_anti")
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    effective_col: str = "valid_from",
+    end_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close out the current row of
+    each updated key (``valid_to`` = the update's ``valid_from``,
+    ``is_current`` = false) and append the update as the new current row.
+
+    ``dim`` columns: key, attributes…, valid_from, valid_to (null when
+    open), is_current. ``updates`` columns: key, attributes…,
+    valid_from.
+    """
+    upd_keys = updates.select(key, F.col(effective_col).alias("_new_from"))
+    closed = (
+        dim.join(F.broadcast(upd_keys), key, "left")
+        .withColumn(
+            end_col,
+            F.when(
+                F.col(current_col) & F.col("_new_from").isNotNull(), F.col("_new_from")
+            ).otherwise(F.col(end_col)),
+        )
+        .withColumn(
+            current_col,
+            F.when(F.col("_new_from").isNotNull(), F.lit(False)).otherwise(
+                F.col(current_col)
+            ),
+        )
+        .drop("_new_from")
+    )
+    fresh = updates.withColumn(end_col, F.lit(None).cast("timestamp")).withColumn(
+        current_col, F.lit(True)
+    )
+    return closed.unionByName(fresh.select(*closed.columns))
+
+
+def changes_between(before: DataFrame, after: DataFrame, key: str) -> DataFrame:
+    """CDC diff of two snapshots: one row per changed key with
+    change_type ∈ {insert, delete, update}."""
+    b = before.alias("b")
+    a = after.alias("a")
+    joined = b.join(a, F.col(f"b.{key}") == F.col(f"a.{key}"), "full")
+    non_key = [c for c in before.columns if c != key]
+    differs: Column = F.lit(False)
+    for c in non_key:
+        differs = differs | ~(
+            F.col(f"b.{c}").eqNullSafe(F.col(f"a.{c}"))
+        )
+    return joined.select(
+        F.coalesce(F.col(f"b.{key}"), F.col(f"a.{key}")).alias(key),
+        F.when(F.col(f"b.{key}").isNull(), "insert")
+        .when(F.col(f"a.{key}").isNull(), "delete")
+        .when(differs, "update")
+        .alias("change_type"),
+    ).filter(F.col("change_type").isNotNull())

@@ -102,6 +102,58 @@ def embedding_near_pairs(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer (spark.ml, fixed seed) →
+    score only vectors whose centroid is among the query's ``n_probe``
+    nearest centroids.
+
+    The 100 TB shape: train centroids on a sample, write the corpus
+    partitioned by ``centroid_id``, and each query scans n_probe/k of
+    the data with partition pruning. Here the assignment happens inline;
+    the math and recall behavior are the same.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(
+        F.col(id_col), F.col(label_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("features", array_to_vector("v"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(vecs)
+    assigned = model.transform(vecs).withColumnRenamed("prediction", "centroid_id")
+
+    q = _query_vector(df, vec_col, id_col, query_vec_id)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    by_dist = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(q, centroids[i])),
+    )
+    probe = by_dist[:n_probe]
+
+    candidates = assigned.filter(
+        F.col("centroid_id").isin(probe) & (F.col(id_col) != query_vec_id)
+    )
+    qlit = F.array(*[F.lit(x) for x in q])
+    qnorm = math.sqrt(sum(x * x for x in q))
+    scored = candidates.withColumn(
+        "cosine_raw", dot(F.col("v"), qlit) / (l2_norm(F.col("v")) * F.lit(qnorm))
+    )
+    return (
+        scored.orderBy(F.col("cosine_raw").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, label_col, F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (numpy RandomState, fixed seed)."""
     import numpy as np

@@ -149,6 +149,16 @@ def ns_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, query_vec_id=0, k=10, n_planes=8, seed=42)
 
 
+@query("ns_ivf_topk", oracle=None, tags=("northstar", "similarity", "sketch"))
+def ns_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (k-means coarse quantizer + n_probe nearest cells)
+    — the partition-prunable scale path; pytest pins full-probe ==
+    brute force and partial-probe recall."""
+    from map_reduce_framework_using_python_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
 @query(
     "ns_embedding_norms",
     oracle="""

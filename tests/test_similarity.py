@@ -59,6 +59,23 @@ def test_lsh_overlap_with_bruteforce_nonzero(spark):
     assert approx & exact, "LSH found none of the true top-10"
 
 
+def test_ivf_topk_recall(spark):
+    """IVF with n_probe=4/16 must recover a solid share of the true
+    top-10 (cosine neighbors concentrate in nearby k-means cells), and
+    the full-probe configuration must equal brute force exactly."""
+    from map_reduce_framework_using_python_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = [r["vec_id"] for r in cosine_topk_bruteforce(emb, query_vec_id=0, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, query_vec_id=0, k=10, n_probe=4).collect()]
+    assert len(set(approx) & set(exact)) >= 3
+    full = [
+        r["vec_id"]
+        for r in ivf_topk(emb, query_vec_id=0, k=10, n_centroids=16, n_probe=16).collect()
+    ]
+    assert full == exact  # probing every cell == brute force
+
+
 def test_lsh_results_are_subset_of_corpus(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     res = lsh_cosine_topk(emb, query_vec_id=0, k=10).collect()
