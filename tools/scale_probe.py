@@ -1,0 +1,92 @@
+"""Scale probe: synthesize a 10× copy of sf0.1 (~6M lineitem rows) under
+/tmp and time the headline queries against it vs sf0.1.
+
+Fact tables are replicated with key offsets (so join cardinalities scale
+linearly, not quadratically); dims stay fixed — the realistic shape of a
+growing warehouse. Results go to stdout; NOTES.md records the latest run.
+
+Usage: python tools/scale_probe.py [replicas]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.plans import REGISTRY
+from map_reduce_framework_using_python_spark.session import get_spark
+from map_reduce_framework_using_python_spark.sources.io import TABLES, load_table
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/spark_graft_sfbig"
+
+#: fact table → columns to offset per replica (dims replicate unchanged
+#: keys only via their fact-side references; dim tables are NOT scaled).
+OFFSETS = {
+    "orders": {"o_orderkey": 10_000_000},
+    "lineitem": {"l_orderkey": 10_000_000},
+    "events": {"event_id": 10_000_000},
+    "documents": {"doc_id": 10_000_000},
+    "embeddings": {"vec_id": 10_000_000},
+}
+
+PROBE = (
+    "q01_pricing_summary",
+    "q06_forecast_revenue",
+    "q05_local_supplier",
+    "q18_large_orders",
+    "q_topk_per_group",
+    "ns_dedup_exact",
+    "ns_minhash_lsh_pairs",
+    "ns_wordcount",
+    "ns_cosine_topk",
+)
+
+
+def build(spark, replicas: int) -> None:
+    for name in TABLES:
+        out = os.path.join(DST, f"{name}.parquet")
+        if os.path.exists(out):
+            continue
+        df = load_table(spark, SRC, name)
+        if name in OFFSETS:
+            parts = []
+            for i in range(replicas):
+                p = df
+                for col, step in OFFSETS[name].items():
+                    p = p.withColumn(col, F.col(col) + F.lit(i * step))
+                parts.append(p)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(out)
+        print(f"built {name}: {spark.read.parquet(out).count()} rows", file=sys.stderr)
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scale_probe")
+    build(spark, replicas)
+    REGISTRY["q00_scan_count"].fn(spark, DST).collect()  # warm
+    REGISTRY["q01_pricing_summary"].fn(spark, SRC).collect()
+    print(f"{'query':28s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}")
+    for name in PROBE:
+        t0 = time.perf_counter()
+        n_small = REGISTRY[name].fn(spark, SRC).count()
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_big = REGISTRY[name].fn(spark, DST).count()
+        t_big = time.perf_counter() - t0
+        print(
+            f"{name:28s} {t_small:8.2f} {t_big:8.2f} {t_big / max(t_small, 1e-9):5.1f}x"
+            f"   rows {n_small}->{n_big}"
+        )
+
+
+if __name__ == "__main__":
+    main()
