@@ -55,11 +55,13 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{DEFAULT_CPUS}]")
-    if driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
-        builder = builder.config(
-            "spark.driver.memory",
-            driver_memory or os.environ["SPARK_GRAFT_DRIVER_MEM"],
-        )
+    # Local mode = single JVM: spark.driver.memory is the ONLY memory
+    # knob. The 1g default dies on multi-GB writes (measured at a 50×
+    # scale probe); 8g is safe for every workload in this repo.
+    builder = builder.config(
+        "spark.driver.memory",
+        driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
