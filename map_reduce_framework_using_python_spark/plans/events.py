@@ -151,6 +151,47 @@ def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_event_session_native",
+    oracle="""
+        WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        g AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM g)
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id,
+               count(*) AS n_events
+        FROM s
+        GROUP BY user_id, sid
+    """,
+    tags=("window_time", "session"),
+)
+def q_event_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` on a BATCH DataFrame (same operator the
+    streaming path uses; the lag+cumsum twin is q_event_sessionize)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+@query(
     "q_event_dedup",
     oracle="""
         SELECT user_id, event_type,

@@ -53,6 +53,22 @@ def test_minhash_lsh_matches_exact_on_documents(spark):
     assert recall >= 0.9, f"LSH recall {recall} ({len(lsh)}/{len(exact)})"
 
 
+def test_ml_backend_matches_custom(spark):
+    """spark.ml MinHashLSH backend and the hand-rolled sketch agree with
+    the exact ground truth (cross-implementation check)."""
+    from map_reduce_framework_using_python_spark.operators.dedup_ml import (
+        minhash_lsh_pairs_ml,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs).collect()}
+    ml = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in minhash_lsh_pairs_ml(docs).collect()}
+    assert set(ml) <= set(exact)
+    assert len(set(ml) & set(exact)) / max(len(exact), 1) >= 0.9
+    for k, j in ml.items():
+        assert abs(j - exact[k]) < 1e-9  # same exact-verification math
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     df = _docs(
         spark,
