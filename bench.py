@@ -44,11 +44,20 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
-    # Warm-up: prime the session — scan paths, hash-agg codegen, Python
-    # worker pool — so per-query times measure the plans, not JVM/worker
-    # cold start.
-    REGISTRY["q00_scan_count"].fn(spark, sf_dir).collect()
-    REGISTRY["q01_pricing_summary"].fn(spark, sf_dir).collect()
+    # Warm-up: run every headline query once against the tiny sf0.001
+    # data first — primes whole-stage-codegen compilation, the Python
+    # worker pool, and scan/shuffle paths, so the timed runs measure
+    # steady-state query latency at the target SF rather than one-time
+    # JIT cost (the 32-aggregate MinHash signature plan alone costs
+    # ~1.5 s of codegen on first execution).
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in ("q00_scan_count", *HEADLINE):
+        try:
+            REGISTRY[name].fn(spark, warm_dir).collect()
+        except Exception:  # noqa: BLE001 — warm-up must never fail the bench
+            pass
 
     times: dict[str, float] = {}
     for name in HEADLINE:
