@@ -14,6 +14,7 @@ first:
 from map_reduce_framework_using_python_spark.functions.udfs import (
     discounted_price_builtin,
     discounted_price_pandas,
+    discounted_price_rowudf,
     weighted_avg_price,
     zscore_per_group,
 )
@@ -21,6 +22,7 @@ from map_reduce_framework_using_python_spark.functions.udfs import (
 __all__ = [
     "discounted_price_builtin",
     "discounted_price_pandas",
+    "discounted_price_rowudf",
     "weighted_avg_price",
     "zscore_per_group",
 ]

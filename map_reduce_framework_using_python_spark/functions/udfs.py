@@ -43,6 +43,23 @@ def discounted_price_pandas(price, discount) -> Column:
 
 
 @cache
+def _discounted_price_rowudf():
+    @F.udf("double")
+    def discounted(price, discount):
+        return price * (1 - discount)
+
+    return discounted
+
+
+def discounted_price_rowudf(price, discount) -> Column:
+    """Rung 0 — row-at-a-time Python UDF. ANTI-PATTERN: pickles and
+    dispatches per row (~10-100× slower than the pandas rung). Exists
+    only so the equivalence test can demonstrate that every rung —
+    including the one you shouldn't use — computes the same answer."""
+    return _discounted_price_rowudf()(price, discount)
+
+
+@cache
 def _weighted_avg_price():
     @pandas_udf("double")
     def weighted(price: pd.Series, qty: pd.Series) -> float:

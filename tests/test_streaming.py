@@ -127,6 +127,34 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert counts.get("2024-01-01 10:00:00") == 1, counts
 
 
+def test_streaming_file_sink(spark, tmp_path):
+    """readStream → transform → writeStream parquet file sink with a
+    checkpoint (the durable-sink path; memory sink covers the rest of
+    the suite). Restarting the query against the same checkpoint must
+    not duplicate output (file-sink exactly-once)."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = read_events_stream(spark, SF_SMOKE).filter(F.col("event_type") == "click")
+
+    def run_once():
+        q = (
+            events.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    expected = (
+        load_table(spark, SF_SMOKE, "events").filter("event_type = 'click'").count()
+    )
+    assert spark.read.parquet(out).count() == expected
+    run_once()  # no new input → no new rows
+    assert spark.read.parquet(out).count() == expected
+
+
 @pytest.mark.parametrize("mod", ["windows", "stateful"])
 def test_streaming_modules_importable(mod):
     __import__(f"map_reduce_framework_using_python_spark.streaming.{mod}")

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from map_reduce_framework_using_python_spark.functions import (
     discounted_price_builtin,
     discounted_price_pandas,
+    discounted_price_rowudf,
     weighted_avg_price,
     zscore_per_group,
 )
@@ -32,6 +33,13 @@ def test_scalar_rungs_agree(spark):
         ).collect()
     ]
     assert built_in == pandas_v  # identical double arithmetic, same order
+    row_v = [
+        r["v"]
+        for r in li.select(
+            discounted_price_rowudf(F.col("l_extendedprice"), F.col("l_discount")).alias("v")
+        ).collect()
+    ]
+    assert row_v == built_in  # even the anti-pattern rung agrees
 
 
 def test_grouped_agg_udaf_matches_expression(spark):
