@@ -11,6 +11,8 @@ one JSON file under the DFS root. Spark-native tables should use
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 
@@ -22,6 +24,17 @@ class FileCatalog:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._path = os.path.join(root, "references.json")
+        self._lock_path = os.path.join(root, ".references.lock")
+
+    @contextlib.contextmanager
+    def _locked(self):
+        # Serialize load-modify-save across concurrent CLI invocations.
+        with open(self._lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
     def _load(self) -> dict:
         if os.path.exists(self._path):
@@ -30,15 +43,23 @@ class FileCatalog:
         return {}
 
     def _save(self, data: dict) -> None:
-        with open(self._path, "w") as fh:
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(data, fh, indent=2, sort_keys=True)
+        os.replace(tmp, self._path)
+
+    def path_for(self, name: str) -> str:
+        """Storage directory a file of this name would occupy — without
+        registering it (write the data first, register on success)."""
+        return os.path.join(self.root, "store", name)
 
     def register(self, name: str, n_partitions: int) -> str:
         """Record a stored file; returns its storage directory."""
-        data = self._load()
-        path = os.path.join(self.root, "store", name)
-        data[name] = {"path": path, "n_partitions": n_partitions}
-        self._save(data)
+        with self._locked():
+            data = self._load()
+            path = self.path_for(name)
+            data[name] = {"path": path, "n_partitions": n_partitions}
+            self._save(data)
         return path
 
     def lookup(self, name: str) -> dict:

@@ -50,8 +50,11 @@ def cmd_write(path: str, root: str = DEFAULT_ROOT, n_partitions: int = DEFAULT_P
 
     name = os.path.basename(path)
     catalog = FileCatalog(root)
-    dest = catalog.register(name, n_partitions)
+    # Write first, register on success — a failed write must not leave a
+    # dangling catalog entry pointing at a missing path.
+    dest = catalog.path_for(name)
     write_text(read_text(_spark(), path), dest, n_partitions=n_partitions)
+    catalog.register(name, n_partitions)
     return name
 
 
@@ -90,9 +93,10 @@ def cmd_mapreduce(
     stem, ext = os.path.splitext(name)
     out_name = f"{stem}-part-00000{ext}"
     catalog = FileCatalog(root)
-    dest = catalog.register(out_name, entry["n_partitions"])
+    dest = catalog.path_for(out_name)
     shutil.rmtree(dest, ignore_errors=True)
     job.save(spark.read.text(entry["path"]), dest)
+    catalog.register(out_name, entry["n_partitions"])
     return out_name
 
 

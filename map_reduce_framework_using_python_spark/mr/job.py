@@ -118,7 +118,9 @@ class MRJob:
         out = self.run(lines).map(
             lambda line: tuple(line.split(",", 1)) if "," in line else (line, None)
         )
-        return out.toDF([key_name, value_name])
+        # Explicit schema: inference would fail if every value is None
+        # (reducer output with no comma on any line).
+        return out.toDF(f"{key_name} string, {value_name} string")
 
     def save(self, lines: RDD | DataFrame, path: str) -> None:
         """Write results as ``part-*`` text files — the reference's

@@ -41,7 +41,11 @@ def salted_agg(
     final-agg on key.
 
     ``aggs`` maps output name → aggregate over the *input* columns;
-    supported shapes: sum/count/min/max (re-aggregable). Example::
+    ONLY re-aggregable shapes are accepted — sum, count, min, max.
+    Anything else (avg, stddev, percentile, …) does not decompose as
+    partial-then-final over the same function and raises ValueError:
+    express it in re-aggregable parts instead (avg = sum/count).
+    Example::
 
         salted_agg(li, "l_returnflag", {"sum_qty": F.sum("l_quantity"),
                                         "n": F.count("*")})
@@ -53,16 +57,21 @@ def salted_agg(
     )
     finals = []
     for name, a in aggs.items():
-        fn = a._jc.toString().split("(")[0].lower()
+        fn = a._jc.toString().split("(")[0].lower().lstrip('"')
         col = F.col(f"_p_{name}")
-        if fn.startswith("count"):
+        if fn.startswith("count") or fn.startswith("sum"):
+            # partial counts re-aggregate by SUM; partial sums likewise
             finals.append(F.sum(col).alias(name))
         elif fn.startswith("min"):
             finals.append(F.min(col).alias(name))
         elif fn.startswith("max"):
             finals.append(F.max(col).alias(name))
         else:
-            finals.append(F.sum(col).alias(name))
+            raise ValueError(
+                f"salted_agg: aggregate for {name!r} ({fn!r}) is not "
+                "decomposable as partial+final; use sum/count/min/max "
+                "(avg = sum/count)"
+            )
     return partial.groupBy(key).agg(*finals)
 
 

@@ -22,6 +22,10 @@ def canon_value(val) -> str:
             return str(int(val))
         return repr(val)
     if isinstance(val, Decimal):
+        # Integral decimals compare exactly as ints (float() would lose
+        # precision above 2^53, e.g. a DuckDB DECIMAL/HUGEINT sum).
+        if val == val.to_integral_value():
+            return canon_value(int(val))
         return canon_value(float(val))
     if isinstance(val, bool):
         return str(int(val))

@@ -134,8 +134,13 @@ def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     # Keep the latest state per user (robust to multi-batch replays).
+    # n_events is monotonic by construction (one increment per event),
+    # so max_by picks the most recent state; max(total_value) would be
+    # wrong if values could be negative (a stale larger intermediate
+    # total would win).
     return out.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
     )
 
 

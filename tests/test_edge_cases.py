@@ -67,3 +67,28 @@ def test_all_null_text_column(spark):
     # exact dedup groups the NULL fingerprint deterministically.
     out = exact_dedup(df).collect()
     assert len(out) == 1 and out[0]["n_copies"] == 2
+
+def test_canon_value_integral_decimal_exact():
+    """Integral Decimals above 2^53 must not round-trip through float
+    (ADVICE r1): a DECIMAL/HUGEINT oracle sum compares exactly."""
+    from decimal import Decimal
+
+    from map_reduce_framework_using_python_spark.oracle import canon_value
+
+    big = Decimal(2**63 + 1)
+    assert canon_value(big) == str(2**63 + 1)
+    assert canon_value(Decimal("5.00")) == canon_value(5.0) == "5"
+    assert canon_value(Decimal("2.5")) == canon_value(2.5)
+
+
+def test_catalog_registers_only_after_write(tmp_path):
+    """A failed WRITE must not leave a dangling catalog entry."""
+    import pytest
+
+    from map_reduce_framework_using_python_spark.catalog import FileCatalog
+    from map_reduce_framework_using_python_spark.cli import cmd_write
+
+    root = str(tmp_path / "dfs")
+    with pytest.raises(FileNotFoundError):
+        cmd_write(str(tmp_path / "missing.txt"), root=root)
+    assert FileCatalog(root).names() == []

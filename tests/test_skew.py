@@ -55,6 +55,15 @@ def test_salted_agg_matches_plain(spark):
     assert saltedr == plain
 
 
+def test_salted_agg_rejects_non_decomposable(spark):
+    # avg does not decompose as partial-avg-then-final-avg; the helper
+    # must refuse rather than silently re-aggregate with sum.
+    import pytest
+
+    with pytest.raises(ValueError, match="not\\s+decomposable"):
+        salted_agg(_skewed(spark), "k", {"a": F.avg("v")}, n_salts=4).collect()
+
+
 def test_salted_join_matches_plain(spark):
     big = _skewed(spark)
     small = spark.createDataFrame(
