@@ -1,0 +1,213 @@
+"""Storage-backed ANN indexes: partition-pruned similarity search.
+
+The inline variants in :mod:`.similarity` (``lsh_cosine_topk``,
+``ivf_topk``) prune *compute* — they still scan every row at query time
+to evaluate the bucket/centroid predicate. The 100 TB path prunes
+*storage*: write the corpus ONCE partitioned by bucket id (LSH) or
+centroid id (IVF), then each query enumerates its probe ids driver-side
+and filters on the partition column, so the parquet scan touches only
+the probed directories (``PartitionFilters`` in the plan — see
+EXPLAINS.md §ANN). With 8 hyperplanes and Hamming radius 2, a query
+reads 37/256 ≈ 14% of the corpus; IVF with 16 centroids and 4 probes
+reads ~25%, and both ratios improve with more planes/centroids at real
+scale.
+
+Index layout on disk::
+
+    <path>/_ann_meta.json          # planes or centroids + params (driver-side JSON)
+    <path>/bucket=<id>/*.parquet   # LSH  (partition column: bucket)
+    <path>/centroid_id=<id>/*.parquet  # IVF
+
+Equivalence contract (pinned in tests/test_ann_index.py): an indexed
+query with the same seed/params returns EXACTLY the rows of its inline
+counterpart — the index changes the access path, never the answer.
+
+Reference parity note: the reference has no ANN at all; this is part of
+the north-star LLM-pipeline extension (SURVEY.md §2.B bottom rows).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.operators.similarity import (
+    _as_double,
+    cosine_scores,
+    hyperplanes,
+    lsh_bucket,
+)
+
+#: Default root for index layouts (tests override with tmp_path).
+INDEX_ROOT = os.environ.get("SPARK_GRAFT_INDEX_ROOT", "/tmp/spark_graft_ann")
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_ann_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _read_meta(path: str) -> dict:
+    with open(os.path.join(path, "_ann_meta.json")) as fh:
+        return json.load(fh)
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Write ``df`` partitioned by LSH sign-bucket.
+
+    One pass over the corpus: compute the bucket JVM-side, then
+    ``partitionBy(bucket)`` so each of the 2^n_planes buckets becomes
+    its own parquet directory. The hyperplanes are persisted alongside
+    so queries hash identically forever (an index is only valid with
+    the planes it was built with).
+    """
+    dim = len(df.select(vec_col).head()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    (
+        df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    _write_meta(path, {"kind": "lsh", "n_planes": n_planes, "seed": seed,
+                       "planes": planes, "vec_col": vec_col, "id_col": id_col})
+    return path
+
+
+def _hamming_ball(center: int, n_bits: int, radius: int) -> list[int]:
+    """All bucket ids within ``radius`` sign-flips of ``center``."""
+    out = [center]
+    if radius >= 1:
+        for i in range(n_bits):
+            out.append(center ^ (1 << i))
+    if radius >= 2:
+        for i in range(n_bits):
+            for j in range(i + 1, n_bits):
+                out.append(center ^ (1 << i) ^ (1 << j))
+    if radius >= 3:
+        for i in range(n_bits):
+            for j in range(i + 1, n_bits):
+                for m in range(j + 1, n_bits):
+                    out.append(center ^ (1 << i) ^ (1 << j) ^ (1 << m))
+    if radius > 3:
+        raise ValueError("probe radius > 3 reads most of the corpus; add planes instead")
+    return out
+
+
+def lsh_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    probe_hamming: int = 2,
+    label_col: str = "label",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Partition-pruned LSH cosine top-k against a built index.
+
+    The probe set (Hamming ball around the query's bucket) is enumerated
+    driver-side from the persisted planes — tiny, pure math — and pushed
+    as ``bucket IN (...)`` on the PARTITION column, so the scan plans
+    with ``PartitionFilters`` and never opens non-probed directories.
+    """
+    meta = _read_meta(path)
+    planes, id_col = meta["planes"], meta["id_col"]
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(x * y for x, y in zip(query, p)) >= 0:
+            qbits |= 1 << i
+    probe = sorted(set(_hamming_ball(qbits, meta["n_planes"], probe_hamming)))
+    corpus = spark.read.parquet(path).filter(F.col("bucket").isin(probe))
+    if exclude_id is not None:
+        corpus = corpus.filter(F.col(id_col) != exclude_id)
+    scored = cosine_scores(corpus, query, meta["vec_col"])
+    return (
+        scored.orderBy(F.col("cosine_raw").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, label_col, F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Write ``df`` partitioned by IVF centroid id.
+
+    k-means coarse quantizer (spark.ml, fixed seed — at 100 TB you
+    train on a sample, which changes nothing below), assign each row
+    its nearest centroid JVM-side, ``partitionBy(centroid_id)``.
+    Centroid coordinates persist in the meta sidecar so query-time
+    probe selection is pure driver math.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.withColumn("_features", array_to_vector(_as_double(F.col(vec_col))))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="_features").fit(vecs)
+    (
+        model.transform(vecs)
+        .withColumnRenamed("prediction", "centroid_id")
+        .drop("_features")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    _write_meta(path, {"kind": "ivf", "n_centroids": n_centroids, "seed": seed,
+                       "centroids": centroids, "vec_col": vec_col, "id_col": id_col})
+    return path
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    label_col: str = "label",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Partition-pruned IVF cosine top-k against a built index: rank the
+    persisted centroids by distance to the query (driver math), filter
+    ``centroid_id IN (n_probe nearest)`` on the partition column."""
+    meta = _read_meta(path)
+    centroids, id_col = meta["centroids"], meta["id_col"]
+    by_dist = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(query, centroids[i])),
+    )
+    probe = by_dist[:n_probe]
+    corpus = spark.read.parquet(path).filter(F.col("centroid_id").isin(probe))
+    if exclude_id is not None:
+        corpus = corpus.filter(F.col(id_col) != exclude_id)
+    scored = cosine_scores(corpus, query, meta["vec_col"])
+    return (
+        scored.orderBy(F.col("cosine_raw").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, label_col, F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def scan_fraction(path: str, probed: list[int], part_col: str) -> float:
+    """Fraction of partition directories a probe set actually opens —
+    the observable pruning ratio (tests assert it ≪ 1)."""
+    parts = [d for d in os.listdir(path) if d.startswith(f"{part_col}=")]
+    hit = sum(1 for d in parts if int(d.split("=", 1)[1]) in set(probed))
+    return hit / max(1, len(parts))

@@ -25,5 +25,6 @@ from map_reduce_framework_using_python_spark.plans import udtf_queries  # noqa: 
 from map_reduce_framework_using_python_spark.plans import subqueries  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import extras2  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import predicates  # noqa: E402,F401
+from map_reduce_framework_using_python_spark.plans import ann_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "get_query", "query"]
