@@ -1,12 +1,19 @@
 """Multimodal column handling: images/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-North-star extension (SURVEY.md §2.B bottom row). The container has no
-image/audio codecs, so the decode kernels are STUBBED — clearly marked,
-deterministic fakes behind ``_decode_stub`` — while everything Spark
-cares about is real and tested: the schema contract, the binary source,
-the ``mapInPandas`` batch iteration, partition sizing, and the
-feature-vector output shape.
+North-star extension (SURVEY.md §2.B bottom row). Decode kernels:
+
+- ``audio/wav`` and ``image/x-portable-pixmap`` decode FOR REAL —
+  pure-Python RIFF/PCM and P6 parsers over numpy
+  (:mod:`.codecs`), no codec libraries needed; tests pin exact
+  features from exact bytes.
+- ``image/png`` / ``video/mp4`` remain STUBBED (clearly marked,
+  deterministic sha256 fakes) — the container has no zlib-image/h264
+  codecs; this is the documented seam where PIL/pyav plug in.
+
+Everything Spark cares about is real either way: the schema contract,
+the binary source, the ``mapInPandas`` batch iteration, partition
+sizing, and the feature-vector output shape.
 
 Scale design: blobs stay in executor memory one Arrow batch at a time
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak usage);
@@ -39,17 +46,51 @@ FEATURES_SCHEMA = (
 
 def binary_assets_from_documents(docs: DataFrame) -> DataFrame:
     """Build a typed multimodal asset table from the documents corpus
-    (text bytes standing in for media blobs — the plumbing under test is
-    identical for real image/audio content)."""
+    (text bytes standing in for opaque blobs — the plumbing under test
+    is identical for real media content). Types here all route to the
+    stub kernel; for real decodable bytes use
+    :func:`synthetic_media_assets`."""
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.when(F.col("doc_id") % 3 == 0, "image/png")
-        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .when(F.col("doc_id") % 3 == 1, "text/plain")
         .otherwise("video/mp4")
         .alias("media_type"),
         F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
         F.encode(F.col("text"), "UTF-8").alias("content"),
     )
+
+
+def synthetic_media_assets(docs: DataFrame) -> DataFrame:
+    """Asset table with REAL media bytes: WAV (RIFF/PCM16 sine) and PPM
+    (P6 gradient) synthesized deterministically from ``doc_id`` — the
+    decoders parse genuine headers and samples, not fakes. Generated in
+    Arrow batches (``mapInPandas``), exactly how real blobs would arrive
+    from a binaryFile scan."""
+    from map_reduce_framework_using_python_spark.operators.codecs import (
+        synth_ppm,
+        synth_wav,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            blobs = [
+                synth_wav(i) if i % 2 == 0 else synth_ppm(i) for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": [
+                        "audio/wav" if i % 2 == 0 else "image/x-portable-pixmap"
+                        for i in ids
+                    ],
+                    "n_bytes": [len(b) for b in blobs],
+                    "content": blobs,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
 def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
@@ -62,19 +103,32 @@ def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFr
     )
 
 
-def _decode_stub(content: bytes, media_type: str) -> list[float] | None:
-    """STUB decode kernel.
-
-    Real deployments would dispatch on ``media_type`` to PIL / torchaudio
-    / pyav here (not installed in this container). The stub is a
-    deterministic fake: an 8-dim feature from the content's sha256, so
-    tests can pin exact outputs. Raises ``NotImplementedError`` for
-    unknown media types — the marked seam where real codecs plug in.
-    """
-    if media_type not in ("image/png", "audio/wav", "video/mp4"):
-        raise NotImplementedError(f"no decoder for media_type={media_type}")
+def _decode_stub(content: bytes, media_type: str) -> list[float]:
+    """STUB decode kernel for formats whose codecs aren't in this
+    container (PNG needs zlib-image decode, MP4 needs h264). A
+    deterministic fake — an 8-dim feature from the content's sha256 —
+    so tests can pin exact outputs."""
     digest = hashlib.sha256(content).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def _decode(content: bytes, media_type: str) -> list[float]:
+    """Dispatch on media type: REAL decoders where the format permits
+    (WAV, PPM — :mod:`.codecs`), stub where the container lacks codecs,
+    ``NotImplementedError`` for everything else (the plug-in seam).
+    ``ValueError`` from a real decoder means malformed bytes."""
+    from map_reduce_framework_using_python_spark.operators.codecs import (
+        decode_ppm,
+        decode_wav,
+    )
+
+    if media_type == "audio/wav":
+        return decode_wav(content)
+    if media_type == "image/x-portable-pixmap":
+        return decode_ppm(content)
+    if media_type in ("image/png", "video/mp4", "text/plain"):
+        return _decode_stub(content, media_type)
+    raise NotImplementedError(f"no decoder for media_type={media_type}")
 
 
 def extract_features(assets: DataFrame, batch_size: int | None = None) -> DataFrame:
@@ -87,9 +141,11 @@ def extract_features(assets: DataFrame, batch_size: int | None = None) -> DataFr
             feats, oks = [], []
             for content, mt in zip(pdf["content"], pdf["media_type"]):
                 try:
-                    feats.append(_decode_stub(bytes(content), mt))
+                    feats.append(_decode(bytes(content), mt))
                     oks.append(True)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # Unknown type or malformed bytes: flagged row, not
+                    # a failed task — corrupt blobs are routine at 100 TB.
                     feats.append(None)
                     oks.append(False)
             yield pd.DataFrame(

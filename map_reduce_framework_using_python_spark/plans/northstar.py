@@ -317,3 +317,29 @@ def ns_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     the profile tables are engine-internal; pytest asserts schema and
     determinism)."""
     return language_id(t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
+
+
+@query("ns_multimodal_features", oracle=None, tags=("northstar", "multimodal"))
+def ns_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real multimodal decode under mapInPandas: synthesize genuine WAV
+    (RIFF/PCM16) and PPM (P6) bytes per document, parse them with the
+    pure-Python codecs, and aggregate signal/image features per media
+    type. Deterministic end-to-end (seeded synthesis), so rows-only
+    driver checks are stable; exact per-byte features are pinned in
+    tests/test_multimodal.py."""
+    from map_reduce_framework_using_python_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media_assets,
+    )
+
+    feats = extract_features(synthetic_media_assets(t(spark, sf_dir, "documents")))
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+            F.round(F.avg(F.element_at("feature", 4)), 6).alias("avg_f4"),
+            F.round(F.avg(F.element_at("feature", 5)), 6).alias("avg_f5"),
+        )
+        .orderBy("media_type")
+    )
