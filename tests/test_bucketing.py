@@ -70,3 +70,34 @@ def test_bucket_pruning_metadata(spark, warehouse):
     and aggs on the same key reuse."""
     plan = spark.table("b_lineitem")._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan or "bucket" in plan.lower()
+
+
+def test_bucketed_q18_zero_exchange_plan(spark):
+    """q18 over bucketed facts: agg on the bucket key + co-located SMJ →
+    NO Exchange anywhere in the plan (write-time shuffle, amortized)."""
+    from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+
+    df = REGISTRY["q18_large_orders_bucketed"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    # Same answer as the scan-based twin.
+    got = {tuple(r) for r in df.collect()}
+    want = {tuple(r) for r in REGISTRY["q18_large_orders"].fn(spark, SF_SMOKE).collect()}
+    assert got == want
+
+
+def test_bucketed_q05_join_edge_has_no_orderkey_exchange(spark):
+    """q05 over bucketed facts: the lineitem↔orders edge (the only
+    non-broadcastable join at 100 TB) runs shuffle-free; the single
+    remaining Exchange is the final tiny groupBy(n_name)."""
+    from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+
+    df = REGISTRY["q05_local_supplier_bucketed"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    got = {tuple(r) for r in df.collect()}
+    want = {tuple(r) for r in REGISTRY["q05_local_supplier"].fn(spark, SF_SMOKE).collect()}
+    assert got == want
