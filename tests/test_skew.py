@@ -80,3 +80,43 @@ def test_salted_join_left_keeps_unmatched(spark):
     out = salted_join(big, small, "k", n_salts=4, how="left")
     assert out.count() == big.count()
     assert out.filter("label IS NULL").count() == 100  # all cold keys unmatched
+
+
+def test_salting_bounds_max_partition_skew(spark):
+    """The reference's myHash lesson (Worker/shuffler.py:6-10) at probe
+    scale: hash-partitioning a hot key sends ~all rows to ONE reducer —
+    the straggler that serializes the job at 100 TB. Salting bounds the
+    max partition to ~1/n_salts of the hot key's rows."""
+    n_rows, n_parts = 200_000, 16
+    df = (
+        spark.range(n_rows)
+        .withColumn("k", F.when(F.col("id") % 10 < 9, "hot").otherwise(F.col("id").cast("string")))
+        .withColumn("v", F.col("id").cast("double"))
+    )
+
+    def max_partition_rows(d):
+        sizes = (
+            d.groupBy(F.spark_partition_id().alias("p")).count().collect()
+        )
+        return max(r["count"] for r in sizes)
+
+    unsalted = max_partition_rows(df.repartition(n_parts, "k"))
+    # Many more salts than partitions, so (k, salt) cells distribute
+    # smoothly over reducers instead of colliding balls-in-bins.
+    saltedd = max_partition_rows(
+        salted(df, n_salts=8 * n_parts).repartition(n_parts, "k", "_salt")
+    )
+    ideal = n_rows / n_parts
+    # Unsalted: the hot key's 180k rows land on one reducer.
+    assert unsalted >= 0.9 * n_rows * 0.9
+    # Salted: no reducer holds more than 2× the ideal share.
+    assert saltedd <= 2 * ideal
+    # And the salted aggregate still gets the exact answer.
+    got = {
+        r["k"]: (r["s"], r["n"])
+        for r in salted_agg(df, "k", {"s": F.sum("v"), "n": F.count("*")},
+                            n_salts=n_parts).collect()
+        if r["k"] == "hot"
+    }
+    exact = df.filter("k = 'hot'").agg(F.sum("v"), F.count("*")).collect()[0]
+    assert got["hot"] == (exact[0], exact[1])

@@ -1,0 +1,120 @@
+"""Streaming CDC-apply sink (foreachBatch MERGE over versioned parquet)
+and RocksDB state store: the streaming-hardening items from round 1's
+NOTES/VERDICT."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.sources.io import load_table
+from map_reduce_framework_using_python_spark.streaming.cdc import (
+    apply_cdc_stream,
+    current_version,
+    init_table,
+    read_table,
+)
+from map_reduce_framework_using_python_spark.streaming.windows import (
+    read_events_stream,
+    run_available_now,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _seed(spark):
+    # Initial dimension snapshot: users 0-4 with a sentinel total.
+    return spark.createDataFrame(
+        [(u, -1.0) for u in range(5)], "user_id long, total double"
+    )
+
+
+def _updates_stream(spark):
+    # CDC update stream: per event, the user's new total; _ord orders
+    # multiple updates for one key within a batch (latest wins).
+    return read_events_stream(spark, SF_SMOKE).select(
+        "user_id",
+        F.col("value").alias("total"),
+        F.struct("ts", "event_id").alias("_ord"),
+    )
+
+
+def _expected(spark, seed):
+    """Batch oracle: latest event value per user merged over the seed."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("total")
+    )
+    kept = seed.join(latest.select("user_id"), "user_id", "left_anti")
+    return {tuple(r) for r in kept.unionByName(latest).collect()}
+
+
+def test_cdc_apply_stream_matches_batch_merge(spark, tmp_path):
+    root = str(tmp_path / "dim")
+    init_table(_seed(spark), root)
+    apply_cdc_stream(
+        _updates_stream(spark),
+        root,
+        key="user_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        order_col="_ord",
+    )
+    got = {tuple(r) for r in read_table(spark, root).collect()}
+    assert got == _expected(spark, _seed(spark))
+    # No user appears twice (MERGE, not append).
+    n_keys = read_table(spark, root).select("user_id").distinct().count()
+    assert n_keys == read_table(spark, root).count()
+
+
+def test_cdc_apply_rerun_is_idempotent(spark, tmp_path):
+    """Replaying the drained stream against the same checkpoint applies
+    nothing new: table version and contents are unchanged (the
+    exactly-once contract of checkpointed foreachBatch)."""
+    root = str(tmp_path / "dim")
+    init_table(_seed(spark), root)
+    ckpt = str(tmp_path / "ckpt")
+    apply_cdc_stream(_updates_stream(spark), root, "user_id", ckpt, order_col="_ord")
+    v1 = current_version(root)
+    rows1 = {tuple(r) for r in read_table(spark, root).collect()}
+    apply_cdc_stream(_updates_stream(spark), root, "user_id", ckpt, order_col="_ord")
+    assert current_version(root) == v1
+    assert {tuple(r) for r in read_table(spark, root).collect()} == rows1
+
+
+def test_rocksdb_state_store_stateful_totals(spark):
+    """applyInPandasWithState runs on the RocksDB state store provider
+    (disk-backed state — the 100 TB configuration, where key cardinality
+    exceeds executor heap) and produces the same final states as the
+    default in-memory HDFS-backed provider."""
+    from map_reduce_framework_using_python_spark.streaming.stateful import (
+        stateful_user_totals,
+    )
+
+    def run(provider: str | None):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(key, None)
+        if provider:
+            spark.conf.set(key, provider)
+        try:
+            out = run_available_now(
+                stateful_user_totals(read_events_stream(spark, SF_SMOKE)),
+                f"st_cdc_{uuid.uuid4().hex[:8]}",
+                output_mode="update",
+            )
+            latest = out.groupBy("user_id").agg(
+                F.max("n_events").alias("n_events"),
+                F.max_by("total_value", "n_events").alias("total_value"),
+            )
+            return {tuple(r) for r in latest.collect()}
+        finally:
+            if provider:
+                if old:
+                    spark.conf.set(key, old)
+                else:
+                    spark.conf.unset(key)
+
+    rocks = run(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    default = run(None)
+    assert rocks == default and len(rocks) > 0
