@@ -53,9 +53,22 @@ def _spread(df: DataFrame) -> DataFrame:
     """Ensure enough partitions for CPU-heavy per-row work. A small
     parquet file scans as ONE partition, serializing all shingling/
     hashing on one core (measured 2.9 s single-task at sf0.1); the
-    repartition shuffle of the raw rows is trivial by comparison. At
-    real scale inputs arrive well-partitioned and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    repartition shuffle of the raw rows is trivial by comparison.
+
+    Gated on the master: at cluster scale inputs arrive well-partitioned
+    (files ≫ cores), so this must not cost anything there — the
+    ``df.rdd`` partition probe itself forces physical planning, which is
+    why it only runs under local masters (or when forced via
+    ``SPARK_GRAFT_SPREAD=force|off``)."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_SPREAD", "auto")
+    if mode == "off":
+        return df
+    sc = df.sparkSession.sparkContext
+    if mode != "force" and not sc.master.startswith("local"):
+        return df
+    target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
