@@ -1,0 +1,216 @@
+"""Training-data pipeline operators over the documents corpus.
+
+The operations a 100 TB LLM-corpus build runs between raw crawl and
+tokenizer — beyond dedup/similarity/quality-scoring (northstar.py),
+a pipeline needs: text normalization, hard quality gates, REPRODUCIBLE
+sampling and split assignment (content-hash based, so re-runs and
+late-arriving shards get identical assignments — never ``rand()``),
+source-mixture reweighting, and a seeded deterministic shuffle.
+
+Everything is pure JVM expression algebra (no Python in any per-row
+path) and every query carries a DuckDB oracle — determinism across
+engines is exactly the property a reproducible pipeline leans on. The
+hash primitives use md5 hex (identical on both engines); bucket
+membership tests use hex-prefix classes rather than bigint conversion
+so no engine-specific hex→int function is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.plans.core import half_up, query, t
+
+
+@query(
+    "ns_text_normalize",
+    oracle="""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g')) AS norm_text
+        FROM documents
+    """,
+    tags=("northstar", "pipeline", "text"),
+)
+def ns_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization: lowercase → strip non-alnum →
+    collapse whitespace → trim. The pre-tokenization cleanup pass;
+    one narrow projection, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", " "), r" +", " "
+        )
+    )
+    return d.select("doc_id", norm.alias("norm_text"))
+
+
+@query(
+    "ns_quality_filter",
+    oracle="""
+        SELECT doc_id, n_chars, n_tokens
+        FROM (SELECT doc_id, n_chars,
+                     length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+                     CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / (length(text) - length(replace(text, ' ', '')) + 1) AS mean_word_len
+              FROM documents)
+        WHERE n_chars BETWEEN 100 AND 2000
+          AND n_tokens BETWEEN 20 AND 400
+          AND mean_word_len BETWEEN 2.0 AND 12.0
+    """,
+    tags=("northstar", "pipeline", "filter"),
+)
+def ns_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style hard quality gate: length, token-count, and mean-word-
+    length bounds. Pure scan-side predicates — at 100 TB this prunes
+    before anything expensive runs (and the length predicate on the
+    typed metadata column pushes into the parquet scan)."""
+    d = t(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
+    )
+    mean_wl = (
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens
+    )
+    return (
+        d.withColumn("n_tokens", n_tokens)
+        .withColumn("_mwl", mean_wl)
+        .filter(
+            F.col("n_chars").between(100, 2000)
+            & F.col("n_tokens").between(20, 400)
+            & F.col("_mwl").between(2.0, 12.0)
+        )
+        .select("doc_id", "n_chars", "n_tokens")
+    )
+
+
+@query(
+    "ns_hash_sample",
+    oracle="""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    """,
+    tags=("northstar", "pipeline", "sampling"),
+)
+def ns_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 1/16 corpus sample by content-hash prefix — the
+    sound way to sample at scale: no rand() (irreproducible), no
+    LIMIT (orders the world), stable under re-partitioning and
+    re-runs, and composable (the same predicate yields the same
+    sample on any engine)."""
+    d = t(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    ).select("doc_id", "lang")
+
+
+@query(
+    "ns_train_val_test",
+    oracle="""
+        SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM (SELECT n_chars,
+                     CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+                          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+                          ELSE 'train' END AS split
+              FROM documents)
+        GROUP BY 1
+    """,
+    tags=("northstar", "pipeline", "sampling"),
+)
+def ns_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hash-prefix class
+    (12/2/2 of 16): every engine, every re-run, every shard arrives at
+    the same split — the property that keeps eval sets uncontaminated
+    as the corpus grows."""
+    d = t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h.isin("e", "f"), "test").when(h.isin("c", "d"), "val").otherwise("train")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "ns_mixture_upsample",
+    oracle="""
+        SELECT lang, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs
+        FROM (SELECT d.doc_id, d.lang
+              FROM documents d,
+                   UNNEST(range(CASE WHEN d.lang = 'en' THEN 1
+                                     WHEN d.lang = 'zh' THEN 3
+                                     ELSE 2 END)) AS r(i))
+        GROUP BY 1
+    """,
+    tags=("northstar", "pipeline", "mixture"),
+)
+def ns_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture reweighting by replication: each language gets an
+    integer weight (en×1, zh×3, others×2) and rows are exploded to that
+    multiplicity — how a corpus hits its target mixture without a
+    separate sampling job. JVM-side ``explode(sequence(...))``; the
+    blow-up is bounded by the weight table, never data-dependent."""
+    d = t(spark, sf_dir, "documents")
+    weight = (
+        F.when(F.col("lang") == "en", 1).when(F.col("lang") == "zh", 3).otherwise(2)
+    )
+    return (
+        d.withColumn("_i", F.explode(F.sequence(F.lit(1), weight)))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_rows"), F.count_distinct("doc_id").alias("n_docs"))
+    )
+
+
+@query(
+    "ns_seeded_shuffle",
+    oracle="""
+        SELECT doc_id,
+               row_number() OVER (ORDER BY md5('seed42' || CAST(doc_id AS VARCHAR)), doc_id)
+                 AS shuffle_rank
+        FROM documents
+    """,
+    tags=("northstar", "pipeline", "sampling"),
+)
+def ns_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle: order by md5(seed ‖ id).
+    Changing the seed re-shuffles; the same seed reproduces the exact
+    epoch order on any engine. (The global row_number is the oracle-
+    checkable form; at 100 TB you'd keep just the sort key and let the
+    writer range-partition on it instead of materializing ranks.)"""
+    d = t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("seed42"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(key, "doc_id")
+    return d.select("doc_id", F.row_number().over(w).alias("shuffle_rank"))
+
+
+@query(
+    "ns_corpus_report",
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               count(DISTINCT lang) AS n_langs,
+               sum(n_chars) AS total_chars,
+               floor(CAST(avg(n_chars) AS DOUBLE) * 100 + 0.5) / 100 AS avg_chars,
+               count(DISTINCT md5(text)) AS n_unique_texts
+        FROM documents
+        GROUP BY source
+    """,
+    tags=("northstar", "pipeline", "report"),
+)
+def ns_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report: volume, language spread, and
+    exact-duplicate pressure (distinct content hashes vs rows) — the
+    dashboard a curation run watches. One partial-agg shuffle."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        half_up(F.avg("n_chars")).alias("avg_chars"),
+        F.count_distinct(F.md5("text")).alias("n_unique_texts"),
+    )

@@ -1,0 +1,61 @@
+"""Training-data pipeline operator properties: reproducibility of
+hash-based sampling/splits/shuffle and the mixture arithmetic. The
+cross-engine value equality is covered by the DuckDB oracles
+(plans/pipeline_queries.py); these pin the semantic invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def test_splits_partition_the_corpus(spark):
+    out = {r["split"]: r["n_docs"] for r in REGISTRY["ns_train_val_test"].fn(spark, SF_SMOKE).collect()}
+    total = sum(out.values())
+    assert total == 500
+    # 12/2/2 hex classes → expected proportions within generous bounds.
+    assert out["train"] > out["val"] and out["train"] > out["test"]
+    assert 0.55 < out["train"] / total < 0.9
+
+
+def test_hash_sample_is_stable_and_disjoint_with_complement(spark):
+    s1 = {r["doc_id"] for r in REGISTRY["ns_hash_sample"].fn(spark, SF_SMOKE).collect()}
+    s2 = {r["doc_id"] for r in REGISTRY["ns_hash_sample"].fn(spark, SF_SMOKE).collect()}
+    assert s1 == s2 and 0 < len(s1) < 500  # reproducible, nontrivial
+
+
+def test_seeded_shuffle_is_a_permutation_and_seed_sensitive(spark):
+    from map_reduce_framework_using_python_spark.plans.core import t
+
+    ranks = REGISTRY["ns_seeded_shuffle"].fn(spark, SF_SMOKE).collect()
+    assert sorted(r["shuffle_rank"] for r in ranks) == list(range(1, 501))
+    # A different seed yields a different order (astronomically certain).
+    d = t(spark, SF_SMOKE, "documents")
+    from pyspark.sql import Window
+
+    other = d.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.md5(F.concat(F.lit("seed43"), F.col("doc_id").cast("string"))), "doc_id"))
+        .alias("shuffle_rank"),
+    ).collect()
+    assert {(r["doc_id"], r["shuffle_rank"]) for r in ranks} != {
+        (r["doc_id"], r["shuffle_rank"]) for r in other
+    }
+
+
+def test_mixture_upsample_multiplicities(spark):
+    rows = {r["lang"]: (r["n_rows"], r["n_docs"]) for r in REGISTRY["ns_mixture_upsample"].fn(spark, SF_SMOKE).collect()}
+    for lang, (n_rows, n_docs) in rows.items():
+        w = 1 if lang == "en" else 3 if lang == "zh" else 2
+        assert n_rows == w * n_docs, (lang, n_rows, n_docs)
+
+
+def test_normalize_output_is_clean(spark):
+    out = REGISTRY["ns_text_normalize"].fn(spark, SF_SMOKE)
+    bad = out.filter(
+        F.col("norm_text").rlike("[^a-z0-9 ]") | F.col("norm_text").contains("  ")
+    ).count()
+    assert bad == 0
