@@ -136,3 +136,48 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+#: Formats the generic table sink/source dispatches over (all built into
+#: Spark — no extra jars; avro would need a package, so it's excluded).
+FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write_table_path(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Generic table sink: one dispatch point for every self-describing
+    format. CSV gets ``header`` by default (it is not self-describing)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    writer = df.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)
+
+
+def read_table_path(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options: str,
+):
+    """Generic table source twin of :func:`write_table_path`. Pass the
+    schema for csv/json (schema-on-read beats inference: inference scans
+    the data once just to guess, and guesses wrong on empty partitions)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format(fmt).load(path)

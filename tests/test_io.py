@@ -86,3 +86,37 @@ def test_register_views_sql(spark):
     register_views(spark, SF_SMOKE)
     n = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
     assert n == 6000
+
+
+def test_generic_format_roundtrip_including_orc(spark, tmp_path):
+    """write_table_path/read_table_path roundtrip every built-in
+    columnar/row format, ORC included (same Tungsten scan machinery as
+    parquet — vectorized reader, pushdown)."""
+    from map_reduce_framework_using_python_spark.sources.io import (
+        FORMATS,
+        read_table_path,
+        write_table_path,
+    )
+
+    src = load_table(spark, SF_SMOKE, "nation")
+    want = {tuple(r) for r in src.collect()}
+    for fmt in FORMATS:
+        out = str(tmp_path / f"t_{fmt}")
+        write_table_path(src, out, fmt=fmt)
+        back = read_table_path(spark, out, fmt=fmt, schema=src.schema)
+        assert {tuple(r) for r in back.collect()} == want, fmt
+
+
+def test_orc_partitioned_write_prunes(spark, tmp_path):
+    from map_reduce_framework_using_python_spark.sources.io import (
+        read_table_path,
+        write_table_path,
+    )
+
+    src = load_table(spark, SF_SMOKE, "nation")
+    out = str(tmp_path / "orc_part")
+    write_table_path(src, out, fmt="orc", partition_by=["n_regionkey"])
+    df = read_table_path(spark, out, fmt="orc").filter("n_regionkey = 2")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert df.count() == src.filter("n_regionkey = 2").count()
