@@ -1,0 +1,89 @@
+"""Iterative graph operators: connected components (dup clustering).
+
+Near-duplicate detection emits PAIRS (MinHash-LSH, SimHash —
+:mod:`.dedup`); a pipeline needs CLUSTERS: "keep one doc per group of
+transitively-connected duplicates". That closure is connected
+components — the canonical iterative DataFrame algorithm.
+
+Implementation: min-label propagation. Every node starts labeled with
+its own id; each round takes the min label over itself and its
+neighbors; fixpoint in O(component diameter) rounds. Each round is one
+shuffle (join + groupBy-min) — the same plan GraphX/GraphFrames
+executes, with two scale-critical details made explicit:
+
+- ``localCheckpoint`` per round truncates the plan lineage. Without it
+  the logical plan doubles every iteration and the driver dies in the
+  optimizer long before the executors break a sweat.
+- Convergence is detected with a count of changed labels (one cheap
+  aggregate per round), not a fixed iteration budget — real graphs
+  have small diameters, so rounds ≈ 3-6.
+
+Not in the reference (it has no iterative jobs at all); part of the
+north-star dedup story (SURVEY.md §2.B bottom rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Components of an undirected graph; returns (node, component)
+    where ``component`` is the minimum node id in the component —
+    a deterministic, engine-independent canonical labeling.
+
+    ``edges`` needs one row per edge (either direction); isolated nodes
+    that appear in no edge are by definition not in the output (callers
+    left-join and coalesce to the node's own id).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .select(F.col("a").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("new_label"),
+                "label",
+            )
+        ).localCheckpoint()
+        n_changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if n_changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+) -> DataFrame:
+    """Duplicate-cluster assignment from a near-dup PAIR list: every doc
+    gets a cluster id (min doc id of its transitive dup group; docs with
+    no duplicate are their own cluster). The "keep min-id per cluster"
+    policy this enables is the standard deterministic dedup witness."""
+    comp = connected_components(pairs, src=left_col, dst=right_col)
+    return all_ids.select(id_col).join(
+        comp, F.col(id_col) == comp.node, "left"
+    ).select(
+        id_col, F.coalesce("component", F.col(id_col)).alias("cluster_id")
+    )

@@ -214,3 +214,53 @@ def ns_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_up(F.avg("n_chars")).alias("avg_chars"),
         F.count_distinct(F.md5("text")).alias("n_unique_texts"),
     )
+
+
+@query(
+    "ns_dup_clusters",
+    oracle="""
+        WITH RECURSIVE
+        keyed AS (
+            SELECT doc_id, md5(substring(text, 1, 100)) AS k FROM documents
+            UNION ALL
+            SELECT doc_id, md5(substring(text, greatest(length(text) - 99, 1), 100)) AS k
+            FROM documents),
+        edges AS (
+            SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+            FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        walk(node, label) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.node),
+        comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+    tags=("northstar", "pipeline", "dedup", "iterative"),
+)
+def ns_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS (not just pairs): connected components over a
+    shared-prefix/suffix-hash candidate graph, via iterative min-label
+    propagation (`operators/graph.py` — one shuffle per round,
+    localCheckpoint lineage truncation, converges in O(diameter)).
+    The DuckDB oracle computes the same closure with a recursive CTE —
+    an oracle-checked ITERATIVE algorithm, not just relational algebra.
+    Cluster id = min doc_id of the group (deterministic keep-witness)."""
+    from map_reduce_framework_using_python_spark.operators.graph import dedup_clusters
+
+    d = t(spark, sf_dir, "documents")
+    prefix = F.md5(F.substring("text", 1, 100))
+    suffix = F.md5(F.expr("substring(text, greatest(length(text) - 99, 1), 100)"))
+    keyed = d.select("doc_id", prefix.alias("k")).unionAll(
+        d.select("doc_id", suffix.alias("k"))
+    )
+    a = keyed.select(F.col("doc_id").alias("doc_a"), "k")
+    b = keyed.select(F.col("doc_id").alias("doc_b"), "k")
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return dedup_clusters(pairs, d, id_col="doc_id")
