@@ -264,3 +264,107 @@ def ns_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return dedup_clusters(pairs, d, id_col="doc_id")
+
+
+@query(
+    "ns_token_count_bpe",
+    oracle="""
+        SELECT doc_id,
+               array_length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_ws_tokens
+        FROM documents
+    """,
+    tags=("northstar", "pipeline", "text", "tokenizer"),
+)
+def ns_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex class
+    split (letter runs | digit runs | single punctuation), counted
+    JVM-side next to the whitespace count — the cost model for context
+    budgeting. Both engines run the identical regex, so this is
+    oracle-exact, not approximate."""
+    d = t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    ws = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                   round(sum(value), 2) AS total
+            FROM events
+            WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+              AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-02'
+            GROUP BY 1, 2),
+        spine AS (
+            SELECT t.event_type, s.h
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                                      TIMESTAMP '2024-01-01 23:00:00',
+                                                      INTERVAL 1 HOUR)) AS h) s)
+        SELECT s.event_type, s.h AS hour,
+               coalesce(hr.total,
+                        last_value(hr.total IGNORE NULLS)
+                          OVER (PARTITION BY s.event_type ORDER BY s.h
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS filled_total,
+               hr.total IS NULL AS was_gap
+        FROM spine s LEFT JOIN hourly hr ON hr.event_type = s.event_type AND hr.h = s.h
+    """,
+    tags=("timeseries", "spine", "window"),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: hourly totals per event type joined onto a
+    generated hour spine, missing hours forward-filled with the last
+    observed value (window ``last(ignorenulls)``) and flagged. The
+    resample-and-fill primitive every metrics pipeline needs; the spine
+    is JVM ``sequence``/``explode`` — planned, never materialized on
+    the driver."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-02").cast("timestamp_ntz"))
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("total"))
+    hours = t(spark, sf_dir, "events").select("event_type").distinct().crossJoin(
+        F.broadcast(
+            ev.sparkSession.range(1).select(
+                F.explode(
+                    F.sequence(
+                        F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+                        F.lit("2024-01-01 23:00:00").cast("timestamp_ntz"),
+                        F.expr("INTERVAL 1 HOUR"),
+                    )
+                ).alias("h")
+            )
+        )
+    )
+    w = (
+        Window.partitionBy(hours.event_type)
+        .orderBy(hours.h)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = hours.join(
+        hourly,
+        (hours.event_type == hourly.event_type) & (hours.h == hourly.h),
+        "left",
+    ).select(hours.event_type, hours.h.alias("hour"), hourly.total)
+    w2 = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour",
+        F.coalesce("total", F.last("total", ignorenulls=True).over(w2)).alias("filled_total"),
+        F.col("total").isNull().alias("was_gap"),
+    )
