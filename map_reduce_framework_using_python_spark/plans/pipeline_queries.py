@@ -368,3 +368,67 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("total", F.last("total", ignorenulls=True).over(w2)).alias("filled_total"),
         F.col("total").isNull().alias("was_gap"),
     )
+
+
+@query(
+    "ns_dedup_keep_best",
+    oracle="""
+        WITH RECURSIVE
+        keyed AS (
+            SELECT doc_id, md5(substring(text, 1, 100)) AS k FROM documents
+            UNION ALL
+            SELECT doc_id, md5(substring(text, greatest(length(text) - 99, 1), 100)) AS k
+            FROM documents),
+        edges AS (
+            SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+            FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        walk(node, label) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.node),
+        comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+        clustered AS (
+            SELECT d.doc_id, d.n_chars, coalesce(c.component, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+        SELECT cluster_id, doc_id AS kept_doc, n_chars
+        FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                           ORDER BY n_chars DESC, doc_id) AS rn
+              FROM clustered)
+        WHERE rn = 1
+    """,
+    tags=("northstar", "pipeline", "dedup", "iterative"),
+)
+def ns_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline end-to-end: candidate graph → connected
+    components (iterative) → keep ONE representative per duplicate
+    cluster, chosen by quality (longest doc, min-id tiebreak) rather
+    than arbitrary — the policy that decides what 100 TB of training
+    data actually keeps. Window rank-1 inside each cluster."""
+    from pyspark.sql import Window
+
+    from map_reduce_framework_using_python_spark.operators.graph import dedup_clusters
+
+    d = t(spark, sf_dir, "documents")
+    prefix = F.md5(F.substring("text", 1, 100))
+    suffix = F.md5(F.expr("substring(text, greatest(length(text) - 99, 1), 100)"))
+    keyed = d.select("doc_id", prefix.alias("k")).unionAll(
+        d.select("doc_id", suffix.alias("k"))
+    )
+    a = keyed.select(F.col("doc_id").alias("doc_a"), "k")
+    b = keyed.select(F.col("doc_id").alias("doc_b"), "k")
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    clustered = dedup_clusters(pairs, d, id_col="doc_id").join(
+        d.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        clustered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("kept_doc"), "n_chars")
+    )
