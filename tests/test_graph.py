@@ -44,3 +44,43 @@ def test_components_deterministic_across_runs(spark):
     a = sorted(tuple(r) for r in connected_components(edges).collect())
     b = sorted(tuple(r) for r in connected_components(edges).collect())
     assert a == b
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    """Property check: min-label propagation equals a union-find ground
+    truth over a batch of pseudo-random graphs (fixed seeds — includes
+    chains, stars, cycles, and disconnected pieces by construction)."""
+    import random
+
+    def union_find_components(n_nodes, pairs):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # Canonical label = min node id in component.
+        label = {}
+        for node in {x for p in pairs for x in p}:
+            root = find(node)
+            label.setdefault(root, min(
+                n for n in range(n_nodes) if find(n) == root
+            ))
+        return {node: label[find(node)] for node in {x for p in pairs for x in p}}
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 60
+        pairs = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(45)})
+        pairs = [(a, b) for a, b in pairs if a != b]
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(_edges(spark, pairs)).collect()
+        }
+        assert got == union_find_components(n, pairs), f"seed {seed}"
