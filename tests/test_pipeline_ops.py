@@ -59,3 +59,29 @@ def test_normalize_output_is_clean(spark):
         F.col("norm_text").rlike("[^a-z0-9 ]") | F.col("norm_text").contains("  ")
     ).count()
     assert bad == 0
+
+
+def test_seeded_shuffle_scales_via_range_partitioning(spark):
+    """The 100 TB form of the seeded shuffle: range-partition on the
+    hash key and sort within partitions — global epoch order across
+    output files WITHOUT the single-partition window that the oracle-
+    checkable row_number form needs. Plan shows parallel range
+    partitioning; partition-major concatenation equals the exact
+    md5-sorted order."""
+    from map_reduce_framework_using_python_spark.plans.core import t
+
+    d = t(spark, SF_SMOKE, "documents")
+    key = F.md5(F.concat(F.lit("seed42"), F.col("doc_id").cast("string")))
+    shuffled = (
+        d.select("doc_id", key.alias("_k"))
+        .repartitionByRange(8, "_k")
+        .sortWithinPartitions("_k")
+    )
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+    # Partition-major order == true global order by the key.
+    rows = shuffled.select("doc_id", "_k", F.spark_partition_id().alias("p")).collect()
+    got = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["p"], r["_k"]))]
+    want = [r["doc_id"] for r in sorted(rows, key=lambda r: r["_k"])]
+    assert got == want
