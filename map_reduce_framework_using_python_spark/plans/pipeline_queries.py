@@ -432,3 +432,29 @@ def ns_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("cluster_id", F.col("doc_id").alias("kept_doc"), "n_chars")
     )
+
+
+@query(
+    "ns_stratified_sample",
+    oracle="""
+        SELECT lang, count(*) AS n_sampled
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+              (CASE WHEN lang = 'en' THEN '0' ELSE '?' END,
+               CASE WHEN lang = 'en' THEN '?' ELSE '0' END,
+               CASE WHEN lang = 'en' THEN '?' ELSE '1' END,
+               CASE WHEN lang = 'en' THEN '?' ELSE '2' END,
+               CASE WHEN lang = 'en' THEN '?' ELSE '3' END)
+        GROUP BY lang
+    """,
+    tags=("northstar", "pipeline", "sampling"),
+)
+def ns_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified hash sampling: per-stratum rates from the same
+    deterministic hash — here 1/16 of English (over-represented) and
+    4/16 of every other language. The downsample-the-majority-class
+    primitive, reproducible like every other hash-based op."""
+    d = t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = F.when(F.col("lang") == "en", h == "0").otherwise(h.isin("0", "1", "2", "3"))
+    return d.filter(keep).groupBy("lang").agg(F.count("*").alias("n_sampled"))

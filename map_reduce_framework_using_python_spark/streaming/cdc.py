@@ -68,6 +68,24 @@ def read_table(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(cur)
 
 
+def list_versions(root: str) -> list[str]:
+    """Committed version directories, oldest first (``vinit`` before
+    numbered batches)."""
+    vs = [d for d in os.listdir(root) if d.startswith("v") and
+          os.path.isdir(os.path.join(root, d))]
+    return sorted(vs, key=lambda v: (-1 if v == "vinit" else int(v[1:])))
+
+
+def read_version(spark: SparkSession, root: str, version: str) -> DataFrame:
+    """Time travel: read any retained historical version (copy-on-write
+    keeps every committed snapshot until a retention job prunes it —
+    the same mechanics as Delta's VERSION AS OF)."""
+    path = os.path.join(root, version)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"version {version!r} not found under {root}")
+    return spark.read.parquet(path)
+
+
 def apply_cdc_stream(
     updates: DataFrame,
     root: str,

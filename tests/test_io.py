@@ -120,3 +120,43 @@ def test_orc_partitioned_write_prunes(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert df.count() == src.filter("n_regionkey = 2").count()
+
+
+def test_permissive_json_corrupt_records_quarantined(spark, tmp_path):
+    """Malformed rows at 100 TB are routine: PERMISSIVE mode parses what
+    it can and quarantines the rest in _corrupt_record instead of
+    failing the job (FAILFAST is opt-in for strict loads)."""
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"id": 1, "v": 10}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": 20}\n'
+        '{"id": 3, "v": }\n'
+    )
+    df = spark.read.schema("id long, v long, _corrupt_record string").json(str(p))
+    rows = df.collect()
+    good = {r["id"]: r["v"] for r in rows if r["_corrupt_record"] is None}
+    bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
+    assert good == {1: 10, 2: 20}
+    assert len(bad) == 2 and "NOT JSON" in bad[0]
+
+    import pytest
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    with pytest.raises(Exception):
+        spark.read.schema("id long, v long").option("mode", "FAILFAST").json(str(p)).collect()
+
+
+def test_aqe_coalesces_shuffle_partitions_at_runtime(spark):
+    """AQE evidence: a tiny aggregate planned with 32 shuffle partitions
+    executes with far fewer after runtime coalescing — the mechanism
+    that makes one static shuffle-partition setting survive 100 TB in
+    one stage and 100 KB in the next."""
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, SF_SMOKE, "nation").groupBy("n_regionkey").agg(
+        F.count("*").alias("n")
+    )
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in plan

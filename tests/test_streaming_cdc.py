@@ -118,3 +118,26 @@ def test_rocksdb_state_store_stateful_totals(spark):
     )
     default = run(None)
     assert rocks == default and len(rocks) > 0
+
+
+def test_time_travel_versions(spark, tmp_path):
+    """Copy-on-write retains history: after the CDC apply, the initial
+    snapshot is still readable as-of 'vinit' (Delta-style VERSION AS OF
+    mechanics on the pointer-file commit protocol)."""
+    from map_reduce_framework_using_python_spark.streaming.cdc import (
+        list_versions,
+        read_version,
+    )
+
+    root = str(tmp_path / "dim")
+    init_table(_seed(spark), root)
+    apply_cdc_stream(
+        _updates_stream(spark), root, "user_id", str(tmp_path / "ckpt"), order_col="_ord"
+    )
+    versions = list_versions(root)
+    assert versions[0] == "vinit" and len(versions) >= 2
+    asof_init = {tuple(r) for r in read_version(spark, root, "vinit").collect()}
+    assert asof_init == {tuple(r) for r in _seed(spark).collect()}
+    # Latest version == the live pointer's contents.
+    live = {tuple(r) for r in read_table(spark, root).collect()}
+    assert {tuple(r) for r in read_version(spark, root, versions[-1]).collect()} == live
