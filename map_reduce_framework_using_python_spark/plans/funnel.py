@@ -1,0 +1,140 @@
+"""Event-analytics queries: ordered funnels, cohort retention, histograms.
+
+The product-analytics layer every event warehouse grows on top of the
+raw `events` stream (reference parity: the reference's MAP-REDUCE is
+the only tool its users have for these — `Readme.md:3-6` — so each is
+re-expressed here as declarative Spark the optimizer can own).
+
+Scale notes: every query below aggregates per `user_id` first, so the
+single shuffle is on the natural key, partial aggregation runs map-side,
+and nothing ever materializes per-event state wider than (user, ts).
+At 100 TB the funnel's three stage frames reuse one exchange when the
+source is bucketed by user_id (see sources/warehouse.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.plans.core import query, t
+
+
+@query(
+    "q_funnel",
+    oracle="""
+        WITH s1 AS (SELECT user_id, min(ts) AS t1
+                    FROM events WHERE event_type = 'view' GROUP BY 1),
+             s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                    FROM events e JOIN s1 ON e.user_id = s1.user_id
+                    WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+             s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                    FROM events e JOIN s2 ON e.user_id = s2.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+        SELECT (SELECT count(*) FROM s1) AS n_view,
+               (SELECT count(*) FROM s2) AS n_click_after_view,
+               (SELECT count(*) FROM s3) AS n_purchase_after_click
+    """,
+    tags=("events", "funnel"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase): a user counts
+    for step N only with an event at or after their step-N−1 time.
+
+    Each stage is a per-user min-ts aggregate joined to the previous
+    stage — shuffles stay on user_id, stage frames shrink monotonically,
+    and the final counts are three scalar aggregates cross-joined (1×1×1
+    rows, no data movement)."""
+    e = t(spark, sf_dir, "events")
+
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_view"))
+        .crossJoin(s2.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(s3.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+@query(
+    "q_retention",
+    oracle="""
+        WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                       FROM events GROUP BY 1)
+        SELECT CAST(date_trunc('week', f.cohort_day) AS DATE) AS cohort_week,
+               CAST(floor(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) / 7)
+                    AS BIGINT) AS week_offset,
+               count(DISTINCT e.user_id) AS n_active
+        FROM events e JOIN first f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    tags=("events", "retention"),
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = week of a user's first event;
+    n_active = distinct users from that cohort active N weeks later.
+
+    The cohort frame is one row per user (tiny next to the event log),
+    so Spark broadcasts it back onto events; the only wide exchange is
+    the final (cohort_week, week_offset) distinct-count aggregate."""
+    e = t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    return (
+        e.select("user_id", F.to_date("ts").alias("day"))
+        .join(first, "user_id")
+        .select(
+            F.date_trunc("week", F.col("cohort_day")).cast("date").alias("cohort_week"),
+            F.floor(F.datediff(F.col("day"), F.col("cohort_day")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "q_value_histogram",
+    oracle="""
+        SELECT CAST(floor(value / 25) AS BIGINT) AS bin,
+               count(*) AS n,
+               min(value) AS min_v,
+               max(value) AS max_v
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("events", "histogram"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (bin width 25) with exact
+    per-bin extrema. min/max select existing doubles (no accumulation),
+    so the output is bit-exact across engines with no rounding step.
+    One partial+final hash aggregate; bin count is bounded (~20), so
+    the reduce side is trivial at any scale."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / 25).cast("bigint").alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
