@@ -30,5 +30,6 @@ from map_reduce_framework_using_python_spark.plans import tpch2  # noqa: E402,F4
 from map_reduce_framework_using_python_spark.plans import bucketed  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import pipeline_queries  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import funnel  # noqa: E402,F401
+from map_reduce_framework_using_python_spark.plans import pipeline2  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "get_query", "query"]

@@ -1,0 +1,168 @@
+"""Training-pipeline operators, part 2: chunking, decontamination, TF-IDF.
+
+Three more passes a 100 TB corpus build runs between crawl and
+tokenizer (complementing pipeline_queries.py / northstar.py):
+
+* **Chunking** — split documents into fixed-width overlapping windows
+  (the unit LLM pretraining actually consumes). Pure expression
+  algebra: `sequence()` of chunk starts + `posexplode` — no Python,
+  no shuffle; output size is data-proportional.
+* **Decontamination** — flag corpus documents sharing character
+  shingles with a held-out benchmark set. The benchmark shingle set is
+  tiny relative to the corpus, so it broadcasts; the corpus side never
+  shuffles raw text, only (doc_id, 128-bit digest).
+* **TF-IDF** — corpus-level term statistics (document frequency,
+  total term frequency, idf). Two hash aggregates with map-side
+  partial agg; idf is rounded half-up on both engines (plans/core.py
+  rationale — `ln` may differ in the last ulp across libm builds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.plans.core import half_up, query, t
+
+#: Chunk window/stride (chars) — overlapping windows, stride < window.
+_CHUNK_LEN, _CHUNK_STRIDE = 500, 400
+#: Decontamination shingle width / stride (chars).
+_SHINGLE_LEN, _SHINGLE_STRIDE = 30, 10
+
+
+@query(
+    "ns_chunk_documents",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(g AS BIGINT) AS chunk_start,
+               md5(substr(text, CAST(g AS INT), {_CHUNK_LEN})) AS chunk_hash,
+               length(substr(text, CAST(g AS INT), {_CHUNK_LEN})) AS chunk_len
+        FROM documents,
+             LATERAL unnest(generate_series(1, n_chars, {_CHUNK_STRIDE})) t(g)
+    """,
+    tags=("northstar", "pipeline", "chunking"),
+)
+def ns_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width character chunks (window 500, stride
+    400): the pre-tokenization windowing pass. `sequence()` generates
+    chunk starts JVM-side and `explode` fans out — a narrow map-only
+    plan whose output is bounded by ~1.25× input bytes; chunk content
+    leaves the stage only as a 128-bit digest here (real pipelines
+    would write the substring column instead)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.col("n_chars").cast("int"), F.lit(_CHUNK_STRIDE)
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.col("g").cast("bigint").alias("chunk_start"),
+            F.md5(F.expr(f"substring(text, g, {_CHUNK_LEN})")).alias("chunk_hash"),
+            F.length(F.expr(f"substring(text, g, {_CHUNK_LEN})")).alias("chunk_len"),
+        )
+    )
+
+
+@query(
+    "ns_decontaminate",
+    oracle=f"""
+        WITH sh AS (SELECT doc_id, source,
+                           md5(substr(text, CAST(g AS INT), {_SHINGLE_LEN})) AS h
+                    FROM documents,
+                         LATERAL unnest(generate_series(
+                             1, greatest(n_chars - {_SHINGLE_LEN - 1}, 1),
+                             {_SHINGLE_STRIDE})) t(g)),
+             bench AS (SELECT DISTINCT h FROM sh WHERE source = 'src0'),
+             corp AS (SELECT DISTINCT doc_id, h FROM sh WHERE source <> 'src0')
+        SELECT corp.doc_id, count(*) AS n_hits
+        FROM corp JOIN bench USING (h)
+        GROUP BY 1
+    """,
+    tags=("northstar", "pipeline", "decontamination"),
+)
+def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥1 character
+    30-shingle (stride 10) with the held-out set (source='src0'),
+    with the overlapping-shingle count as evidence.
+
+    Scale shape: the benchmark side is fixed-size (a benchmark suite,
+    not the corpus) → its distinct digest set broadcasts; the corpus
+    side is one explode + two hash aggregates shuffling only (doc_id,
+    digest) pairs — raw text never crosses the wire. This is the same
+    architecture as MinHash-LSH dedup (operators/dedup.py) with the
+    candidate set replaced by a fixed reference."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.col("n_chars") - (_SHINGLE_LEN - 1), F.lit(1)
+                ).cast("int"),
+                F.lit(_SHINGLE_STRIDE),
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        "source",
+        F.md5(F.expr(f"substring(text, g, {_SHINGLE_LEN})")).alias("h"),
+    )
+    bench = sh.filter(F.col("source") == "src0").select("h").distinct()
+    corp = sh.filter(F.col("source") != "src0").select("doc_id", "h").distinct()
+    return (
+        corp.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+@query(
+    "ns_tfidf",
+    oracle="""
+        WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+             tf AS (SELECT term, doc_id, count(*) AS tf
+                    FROM words GROUP BY 1, 2),
+             stats AS (SELECT term, count(*) AS df,
+                              CAST(sum(tf) AS BIGINT) AS tf_total
+                       FROM tf GROUP BY 1),
+             n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT term, df, tf_total,
+               floor(ln(CAST(n_docs AS DOUBLE) / df) * 10000 + 0.5) / 10000 AS idf
+        FROM stats, n
+    """,
+    tags=("northstar", "pipeline", "text"),
+)
+def ns_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: document frequency, total term
+    frequency, and idf = ln(N/df) per term (rounded 4dp half-up, both
+    engines — plans/core.py).
+
+    Two-level aggregation — (term, doc) then (term) — each with
+    map-side partial agg; the vocabulary (not the corpus) bounds the
+    final exchange, which is exactly why TF-IDF scales: 100 TB of text
+    reduces to |vocab| rows before anything wide happens."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = words.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("tf_total")
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    return stats.crossJoin(F.broadcast(n)).select(
+        "term",
+        "df",
+        "tf_total",
+        half_up(F.log(F.col("n_docs").cast("double") / F.col("df")), 4).alias("idf"),
+    )
