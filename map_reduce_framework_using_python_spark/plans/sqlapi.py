@@ -1,0 +1,118 @@
+"""SQL front-end queries — plans declared as raw ``spark.sql`` text.
+
+Everything else in plans/ uses the DataFrame DSL; these exercise the
+other half of the public surface (SURVEY.md §2.B "SQL"), including two
+capabilities the DSL cannot express at all:
+
+* **Recursive CTEs** (``WITH RECURSIVE``, Spark 4.0+) — bounded
+  iterative expansion inside one declarative plan.
+* **LATERAL correlated subqueries** (Spark 3.2+) — per-row dependent
+  joins with ORDER BY + LIMIT (top-k per driving row).
+
+The oracle strings are near-identical SQL (dialect-adjusted only for
+date arithmetic), which is the point: the SQL front-end is the
+portability layer, so the same text runs on any ANSI engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from map_reduce_framework_using_python_spark.plans.core import query, t
+
+
+def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@query(
+    "q_sql_recursive_months",
+    oracle="""
+        WITH RECURSIVE months AS (
+            SELECT CAST('1992-01-01' AS DATE) AS month_start
+            UNION ALL
+            SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE)
+            FROM months WHERE month_start < CAST('1998-12-01' AS DATE)
+        )
+        SELECT month_start, count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON date_trunc('month', o_orderdate) = month_start
+        GROUP BY 1
+    """,
+    tags=("sql", "recursive"),
+)
+def q_sql_recursive_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive month spine (84 rows, depth < Spark's default
+    recursion limit of 100) left-joined to per-month order counts —
+    gap-filling via WITH RECURSIVE instead of sequence() (q_gap_fill
+    is the DSL twin). The spine is one row per month, so the join
+    broadcasts it; orders aggregates map-side first."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql("""
+        WITH RECURSIVE months AS (
+            SELECT CAST('1992-01-01' AS DATE) AS month_start
+            UNION ALL
+            SELECT add_months(month_start, 1)
+            FROM months WHERE month_start < CAST('1998-12-01' AS DATE)
+        )
+        SELECT month_start, count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON trunc(o_orderdate, 'month') = month_start
+        GROUP BY 1
+    """)
+
+
+@query(
+    "q_sql_lateral_topk",
+    oracle="""
+        SELECT n.n_name, o.o_orderkey, o.o_totalprice
+        FROM nation n,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2) o
+    """,
+    tags=("sql", "lateral"),
+)
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders by price per nation via a LATERAL correlated
+    subquery — identical text on both engines (ties broken by
+    o_orderkey for determinism; o_totalprice is a raw column
+    passthrough, so no rounding). Catalyst rewrites the lateral into
+    a ranked window over the join, i.e. the same physical plan as
+    q_topk_per_group — per-row re-execution is never materialized."""
+    _view(spark, sf_dir, "nation", "orders", "customer")
+    return spark.sql("""
+        SELECT n.n_name, o.o_orderkey, o.o_totalprice
+        FROM nation n,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2) o
+    """)
+
+
+@query(
+    "q_sql_group_by_all",
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               min(o_orderdate) AS first_order
+        FROM orders
+        GROUP BY ALL
+    """,
+    tags=("sql",),
+)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+ / DuckDB): every non-aggregate select
+    item becomes a grouping key — byte-identical query text on both
+    engines. Plain partial+final hash aggregate underneath."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               min(o_orderdate) AS first_order
+        FROM orders
+        GROUP BY ALL
+    """)
