@@ -1,0 +1,100 @@
+"""Deterministic Lloyd k-means over embedding columns, as DataFrame algebra.
+
+The iterative-algorithm pattern on Spark (complementing the spark.ml
+KMeans used as IVF's coarse quantizer in similarity.py): each Lloyd
+iteration is one distributed pass —
+
+1. **assign**: per-row argmin over k squared distances, a pure JVM
+   expression (array of (dist, cluster) structs → ``array_min``; struct
+   ordering breaks ties by cluster id, so assignment is deterministic);
+2. **update**: ``posexplode`` the vectors and average per
+   (cluster, dimension) — a partial+final hash aggregate whose output
+   is k×dim numbers.
+
+Only the centroid matrix (k×dim doubles — the model state, not data)
+crosses the driver between iterations; it is re-broadcast into the next
+assignment expression exactly as a cluster k-means would broadcast
+updated centroids to executors. At 100 TB each iteration is one scan +
+one bounded aggregate; nothing else shuffles.
+
+Determinism contract (oracle-parity critical, same reasoning as
+plans/core.py): centroid coordinates are rounded half-up to 6 dp after
+every update, so Spark's partition-order-dependent double summation and
+any reference implementation (numpy in tests/test_clustering.py) agree
+bit-for-bit on the centroids they feed back, making assignments — and
+therefore cluster sizes — exactly reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.operators.similarity import _as_double
+
+
+def _sqdist(v: Column, centroid: list[float]) -> Column:
+    clit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(v, clit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    vecs: DataFrame, centroids: list[list[float]], vec_col: str = "v"
+) -> DataFrame:
+    """Append ``cluster``: index of the nearest centroid (squared
+    euclidean; ties broken by lowest cluster id via struct ordering)."""
+    scored = F.array(
+        *[
+            F.struct(
+                _sqdist(F.col(vec_col), c).alias("d"), F.lit(i).alias("c")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return vecs.withColumn("cluster", F.array_min(scored)["c"])
+
+
+def _round6(x: float) -> float:
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0 else -math.floor(-x * 1e6 + 0.5) / 1e6
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fixed-iteration Lloyd k-means; returns (assigned_df, centroids).
+
+    Init is deterministic: the vectors of the ``k`` smallest ids (no
+    RNG — reproducible across engines and re-runs, the same property
+    pipeline_queries.py demands of sampling). Empty clusters keep
+    their previous centroid.
+    """
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    init_rows = vecs.orderBy(id_col).limit(k).collect()  # k rows: model init, not data movement
+    centroids = [[_round6(x) for x in r["v"]] for r in init_rows]
+    dim = len(centroids[0])
+
+    for _ in range(n_iter):
+        assigned = assign_clusters(vecs, centroids)
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()  # k×dim rows: the updated model state
+        )
+        new = [list(c) for c in centroids]
+        for r in sums:
+            new[r["cluster"]][r["pos"]] = _round6(r["s"] / r["n"])
+        centroids = new
+        assert all(len(c) == dim for c in centroids)
+
+    return assign_clusters(vecs, centroids), centroids

@@ -1,0 +1,79 @@
+"""Registered k-means clustering queries (operators/clustering.py).
+
+The oracle is the interesting part: fixed-iteration Lloyd k-means IS
+SQL-expressible, so rather than settling for a rows-only check the
+oracle unrolls the iterations into a CTE chain (assignment = argmin via
+lexicographic struct-min over a cross join with the k centroids; update
+= per-(cluster, dimension) mean re-assembled with an ordered list
+aggregate). Both engines round centroids half-up to 6 dp per iteration
+(the determinism contract in operators/clustering.py), so cluster
+assignments — and the final sizes — match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.operators.clustering import kmeans_fit
+from map_reduce_framework_using_python_spark.plans.core import query, t
+
+_K, _N_ITER, _DIM = 8, 2, 64
+
+
+def _r6(x: str) -> str:
+    return (
+        f"CASE WHEN ({x}) >= 0 THEN floor(({x}) * 1000000 + 0.5) / 1000000 "
+        f"ELSE -floor(-({x}) * 1000000 + 0.5) / 1000000 END"
+    )
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+def _kmeans_oracle(k: int, n_iter: int, dim: int) -> str:
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        f"cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,"
+        f" list_transform(v, x -> {_r6('x')}) AS cent"
+        f" FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(n_iter + 1):  # n_iter updates + the final assignment
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, v,"
+            f" min(struct_pack(d := {_sqdist_sql('v', 'cent')}, c := cluster))['c']"
+            f" AS cluster FROM v CROSS JOIN cent{i} GROUP BY vec_id, v)"
+        )
+        if i < n_iter:
+            ctes.append(
+                f"cent{i + 1} AS (SELECT cluster, list({_r6('s / n')} ORDER BY i) AS cent"
+                f" FROM (SELECT cluster, i, sum(v[i]) AS s, count(*) AS n"
+                f" FROM a{i} CROSS JOIN range(1, {dim + 1}) t(i)"
+                f" GROUP BY cluster, i) GROUP BY cluster)"
+            )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT cluster, count(*) AS n_vecs FROM a{n_iter} GROUP BY cluster"
+    )
+
+
+@query(
+    "ns_kmeans_sizes",
+    oracle=_kmeans_oracle(_K, _N_ITER, _DIM),
+    tags=("northstar", "clustering"),
+)
+def ns_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster sizes after 2 deterministic Lloyd iterations (k=8,
+    init = vectors of the 8 smallest vec_ids). Each iteration is one
+    scan + one bounded aggregate (see operators/clustering.py for the
+    scale analysis); the DuckDB oracle unrolls the same algorithm as a
+    CTE chain."""
+    assigned, _ = kmeans_fit(
+        t(spark, sf_dir, "embeddings"), k=_K, n_iter=_N_ITER
+    )
+    return assigned.groupBy("cluster").agg(F.count("*").alias("n_vecs"))

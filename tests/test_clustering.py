@@ -1,0 +1,84 @@
+"""Deterministic Lloyd k-means (operators/clustering.py): exact pin
+against an independent numpy implementation of the same contract
+(min-id init, per-iteration 6-dp half-up centroid rounding, squared
+euclidean, lowest-cluster-id tie-break)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from map_reduce_framework_using_python_spark.operators.clustering import (
+    assign_clusters,
+    kmeans_fit,
+)
+from tests.conftest import SF_SMOKE
+
+K, N_ITER = 8, 2
+
+
+def _r6(a: np.ndarray) -> np.ndarray:
+    return np.where(
+        a >= 0,
+        np.floor(a * 1e6 + 0.5) / 1e6,
+        -np.floor(-a * 1e6 + 0.5) / 1e6,
+    )
+
+
+def _numpy_kmeans(vecs: np.ndarray, ids: np.ndarray, k: int, n_iter: int):
+    order = np.argsort(ids)
+    cents = _r6(vecs[order[:k]].astype(np.float64))
+    for _ in range(n_iter):
+        d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin takes first (lowest id) on ties
+        for c in range(k):
+            members = vecs[assign == c]
+            if len(members):
+                cents[c] = _r6(members.mean(axis=0))
+    d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1), cents
+
+
+@pytest.fixture(scope="module")
+def ref():
+    tbl = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    ids = np.array(tbl["vec_id"].to_pylist())
+    vecs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    return ids, vecs
+
+
+def test_kmeans_matches_numpy_exactly(spark, ref):
+    ids, vecs = ref
+    np_assign, np_cents = _numpy_kmeans(vecs, ids, K, N_ITER)
+
+    from map_reduce_framework_using_python_spark.plans.core import t
+
+    assigned, cents = kmeans_fit(t(spark, SF_SMOKE, "embeddings"), k=K, n_iter=N_ITER)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.select("vec_id", "cluster").collect()}
+
+    want = dict(zip(ids.tolist(), np_assign.tolist()))
+    assert got == want  # per-vector assignment, not just sizes
+
+    for c_spark, c_np in zip(cents, np_cents):
+        assert all(
+            math.isclose(a, b, abs_tol=0.0) for a, b in zip(c_spark, c_np.tolist())
+        )
+
+
+def test_kmeans_no_empty_clusters(spark):
+    from map_reduce_framework_using_python_spark.plans.core import t
+
+    assigned, _ = kmeans_fit(t(spark, SF_SMOKE, "embeddings"), k=K, n_iter=N_ITER)
+    sizes = assigned.groupBy("cluster").count().collect()
+    assert len(sizes) == K
+    assert all(r["count"] > 0 for r in sizes)
+
+
+def test_assign_clusters_tie_breaks_to_lowest_id(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, v array<double>")
+    # both centroids equidistant → struct ordering must pick cluster 0
+    out = assign_clusters(df, [[1.0, 0.0], [0.0, 1.0]]).collect()
+    assert out[0]["cluster"] == 0
