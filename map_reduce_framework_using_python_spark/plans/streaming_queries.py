@@ -19,6 +19,7 @@ from map_reduce_framework_using_python_spark.plans.core import query
 from map_reduce_framework_using_python_spark.streaming.stateful import stateful_user_totals
 from map_reduce_framework_using_python_spark.streaming.windows import (
     dedup_within_watermark,
+    interval_join_clicks_purchases,
     read_events_stream,
     run_available_now,
     session_window_counts,
@@ -141,6 +142,35 @@ def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("total_value", "n_events").alias("total_value"),
+    )
+
+
+@query(
+    "st_stream_join",
+    oracle="""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               p.value AS purchase_value
+        FROM events c JOIN events p ON c.user_id = p.user_id
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+          AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join"),
+)
+def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click → purchase attribution within
+    30 min) executed BY THE STREAMING ENGINE over two independent file
+    streams; inner-join semantics make the AvailableNow replay equal the
+    batch join, so this carries a full oracle. purchase_value is a raw
+    column passthrough (no rounding)."""
+    return run_available_now(
+        interval_join_clicks_purchases(
+            read_events_stream(spark, sf_dir), read_events_stream(spark, sf_dir)
+        ),
+        _uniq("st_join"),
+        output_mode="append",
     )
 
 

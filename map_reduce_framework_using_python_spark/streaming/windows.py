@@ -81,6 +81,49 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> 
     )
 
 
+def interval_join_clicks_purchases(
+    clicks_stream: DataFrame,
+    purchases_stream: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every
+    click by the same user in the preceding ``horizon``.
+
+    The canonical two-stream join shape: watermarks on BOTH sides plus
+    a range predicate on the event-time columns let the engine expire
+    buffered rows — state is bounded by (watermark + horizon) × arrival
+    rate instead of growing with the stream. Inner join, so rows emit
+    as soon as both sides arrive; an AvailableNow replay over a bounded
+    source therefore yields exactly the batch join (the DuckDB oracle).
+    """
+    clicks = (
+        clicks_stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        purchases_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("user_id", "click_id", "purchase_id", "purchase_value")
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:
