@@ -80,3 +80,62 @@ def q_window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "q_window_pct",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM orders
+        WHERE o_totalprice > 400000
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "ranking"),
+)
+def q_window_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist over a deterministic (price, key)
+    ordering. Both are exact rationals of integer rank/count computed
+    identically per engine, so no rounding is needed — raw double
+    passthrough. Same single-shuffle window shape as q_window_rank."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "q_mode_by_group",
+    oracle="""
+        SELECT user_id, event_type, n
+        FROM (SELECT user_id, event_type, count(*) AS n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC, event_type) AS rn
+              FROM events GROUP BY user_id, event_type)
+        WHERE rn = 1
+    """,
+    tags=("agg", "mode"),
+)
+def q_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (modal event_type per user, ties →
+    lexicographically smallest) — built-in mode() leaves tie order
+    engine-defined, so the portable form is count + ranked window with
+    an explicit tie-break. Partial agg shrinks events to (user, type)
+    pairs before the window's shuffle."""
+    e = t(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "n")
+    )
