@@ -112,6 +112,7 @@ def main() -> None:
             for name in (
                 "q01_pricing_summary",
                 "q05_local_supplier",
+                "q05_local_supplier_smj",
                 "q05_local_supplier_bucketed",
                 "q18_large_orders",
                 "q18_large_orders_bucketed",

@@ -55,6 +55,43 @@ def q05_local_supplier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q05_local_supplier_smj", oracle=REGISTRY["q05_local_supplier"].oracle,
+       tags=("join", "star", "agg", "smj"))
+def q05_local_supplier_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 with the fact edge FORCED to SortMergeJoin over plain
+    (unbucketed) scans — the control for the bucketing experiment.
+
+    q05_local_supplier lets AQE broadcast the filtered orders side,
+    which wins at bench scale but is impossible at 100 TB where both
+    sides exceed any broadcast threshold; there the planner is forced
+    onto exactly this shuffle-both-sides SMJ. Comparing this variant
+    against q05_local_supplier_bucketed isolates what bucketing buys:
+    the same join minus both Exchanges (bench scale10x section)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.hint("merge").join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            half_up(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias("revenue")
+        )
+    )
+
+
 @query("q18_large_orders_bucketed", oracle=REGISTRY["q18_large_orders"].oracle,
        tags=("join", "agg", "having", "bucketed"))
 def q18_large_orders_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
