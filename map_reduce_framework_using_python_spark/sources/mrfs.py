@@ -1,0 +1,148 @@
+"""`mrtext` — a Spark 4 Python DataSource for the reference's DFS layout.
+
+The reference's "filesystem" is a directory of line-text part files
+(`Client/client_v1.py:96-115` splits; `Worker/worker_v1.py:81-98`
+stores; `Worker/worker_v1.py:193` names reduce output `part-00000_{i}`),
+and its scheduler reads each part on the worker that stores it. This
+module re-expresses that contract through Spark's DataSource V2 Python
+API (pyspark.sql.datasource, Spark 4.0+):
+
+* **read**: one Spark input partition PER PART FILE, in manifest
+  (index) order — the moral equivalent of the reference's
+  placement-local map tasks — with the part index surfaced as a
+  column (the manifest the reference keeps in `references.json`);
+* **write**: honors the empty-partition padding invariant
+  (`client_v1.py:102-109`): writing with an explicit partition count
+  N produces exactly N part files even when rows < N (Spark's native
+  text sink skips empty partitions).
+
+This is the *extensibility* path — a custom source participates in
+Catalyst like any table (schema, partitions → tasks). The production
+lane stays Parquet (`sources/io.py`); mrtext exists for MR-compat and
+as the template for wrapping any bespoke storage layout.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+SCHEMA = StructType(
+    [
+        StructField("part", IntegerType(), nullable=False),
+        StructField("value", StringType(), nullable=True),
+    ]
+)
+
+
+class _PartFile(InputPartition):
+    def __init__(self, index: int, path: str):
+        self.index = index
+        self.path = path
+
+
+def _part_files(path: str) -> list[str]:
+    # reference naming: part_0.. / part-00000_{i} / Spark part-*; sort
+    # lexicographic-with-numeric-suffix so index order == manifest order
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "*"))
+        if os.path.isfile(f) and not os.path.basename(f).startswith((".", "_"))
+    ]
+
+    def keyf(f: str):
+        base = os.path.basename(f)
+        digits = "".join(c for c in base if c.isdigit())
+        return (int(digits) if digits else 0, base)
+
+    return sorted(files, key=keyf)
+
+
+class MRTextReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mrtext: path required (use .load(<dir>))")
+
+    def partitions(self):
+        return [_PartFile(i, f) for i, f in enumerate(_part_files(self.path))]
+
+    def read(self, partition: _PartFile):
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                yield (partition.index, line.rstrip("\n"))
+
+
+class _Committed(WriterCommitMessage):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class MRTextWriter(DataSourceWriter):
+    """Each Spark task writes its partition to ``_tmp_part_<id>``; the
+    driver-side commit renames the full set into ``part_<i>`` — the
+    all-or-nothing contract the reference enforces by aborting WRITE
+    when any worker POST fails (`client_v1.py:127-133`)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mrtext: path required (use .save(<dir>))")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp_part_{pid}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                # rows arrive with the writer schema; last field is the line
+                fh.write(f"{row[-1]}\n")
+        return _Committed(tmp)
+
+    def commit(self, messages):
+        for old in glob.glob(os.path.join(self.path, "part_*")):
+            os.remove(old)
+        # padding invariant: every task committed a file, even empty ones;
+        # numeric sort on the task id (lexicographic would put 10 < 2)
+        def _pid(m):
+            return int(m.path.rsplit("_", 1)[-1])
+
+        for i, m in enumerate(sorted(messages, key=_pid)):
+            os.replace(m.path, os.path.join(self.path, f"part_{i}"))
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class MRTextDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "mrtext"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema):
+        return MRTextReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return MRTextWriter(self.options, overwrite)
+
+
+def register(spark) -> None:
+    """Idempotently register the mrtext format on a session."""
+    spark.dataSource.register(MRTextDataSource)

@@ -1,0 +1,74 @@
+"""`mrtext` Python DataSource (sources/mrfs.py): the reference's DFS
+layout as a first-class Spark format — placement-shaped reads (one
+input partition per part file, manifest order) and padded writes
+(exactly N part files even when rows < N, `client_v1.py:102-109`)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.sources import mrfs
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    mrfs.register(spark)
+
+
+def _write_parts(path: str, parts: list[list[str]]) -> None:
+    os.makedirs(path)
+    for i, lines in enumerate(parts):
+        with open(os.path.join(path, f"part_{i}"), "w") as fh:
+            fh.writelines(f"{x}\n" for x in lines)
+
+
+def test_read_one_partition_per_part_file(spark, tmp_path):
+    src = str(tmp_path / "dfs")
+    _write_parts(src, [["a", "b"], ["c"], ["d", "e", "f"]])
+    df = spark.read.format("mrtext").load(src)
+    assert df.rdd.getNumPartitions() == 3  # placement: task i ⇔ part i
+    rows = {(r["part"], r["value"]) for r in df.collect()}
+    assert rows == {(0, "a"), (0, "b"), (1, "c"), (2, "d"), (2, "e"), (2, "f")}
+    # part index comes from manifest order, not arrival order
+    assert [r["value"] for r in df.filter("part = 2").orderBy("value").collect()] == [
+        "d",
+        "e",
+        "f",
+    ]
+
+
+def test_read_empty_parts_and_numeric_order(spark, tmp_path):
+    src = str(tmp_path / "dfs")
+    _write_parts(src, [["x"], [], ["y"], [], [], [], [], [], [], [], ["tail10"]])
+    df = spark.read.format("mrtext").load(src)
+    assert df.rdd.getNumPartitions() == 11
+    # part_10 must sort after part_2 (numeric, not lexicographic)
+    assert df.filter("part = 10").collect()[0]["value"] == "tail10"
+    assert df.count() == 3
+
+
+def test_write_padding_invariant(spark, tmp_path):
+    dst = str(tmp_path / "out")
+    df = spark.createDataFrame([(v,) for v in "abc"], "value string").repartition(7)
+    df.select(F.lit(0).alias("part"), "value").write.format("mrtext").mode(
+        "append"
+    ).save(dst)
+    files = sorted(os.listdir(dst))
+    assert files == [f"part_{i}" for i in range(7)]  # 3 rows, 7 files — padded
+    total = sum(
+        1 for f in files for _ in open(os.path.join(dst, f), encoding="utf-8")
+    )
+    assert total == 3
+
+
+def test_roundtrip(spark, tmp_path):
+    dst = str(tmp_path / "rt")
+    data = [f"line{i}" for i in range(100)]
+    df = spark.createDataFrame([(0, v) for v in data], "part int, value string")
+    df.repartition(4).write.format("mrtext").mode("append").save(dst)
+    back = spark.read.format("mrtext").load(dst)
+    assert back.rdd.getNumPartitions() == 4
+    assert sorted(r["value"] for r in back.collect()) == sorted(data)
