@@ -83,6 +83,30 @@ def weighted_avg_price(price, qty) -> Column:
     return _weighted_avg_price()(price, qty)
 
 
+def discounted_price_arrow(df: DataFrame) -> DataFrame:
+    """Rung 2c — ``mapInArrow``: the zero-copy batch path. The function
+    sees raw ``pyarrow.RecordBatch``es (no pandas materialization at
+    all), the right rung when the kernel is itself Arrow-native
+    (compute kernels, Arrow-backed ML featurizers, the multimodal
+    decoders in operators/multimodal.py). Emits the input columns plus
+    ``disc_price``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it):
+        for b in it:
+            disc = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [*b.columns, disc], names=[*b.schema.names, "disc_price"]
+            )
+
+    schema = ", ".join(f"{n} {t}" for n, t in df.dtypes) + ", disc_price double"
+    return df.mapInArrow(batches, schema=schema)
+
+
 def zscore_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Rung 3 — ``applyInPandas`` grouped map (1→many UDTF shape): whole
     group in, whole group out, used when per-group logic needs the full

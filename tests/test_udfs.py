@@ -41,6 +41,27 @@ def test_scalar_rungs_agree(spark):
     ]
     assert row_v == built_in  # even the anti-pattern rung agrees
 
+    from map_reduce_framework_using_python_spark.functions.udfs import (
+        discounted_price_arrow,
+    )
+
+    ordered = li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    arrow_v = {
+        (r["l_orderkey"], r["l_linenumber"]): r["disc_price"]
+        for r in discounted_price_arrow(ordered).collect()
+    }
+    want = {
+        (r["l_orderkey"], r["l_linenumber"]): r["v"]
+        for r in li.select(
+            "l_orderkey",
+            "l_linenumber",
+            discounted_price_builtin(
+                F.col("l_extendedprice"), F.col("l_discount")
+            ).alias("v"),
+        ).collect()
+    }
+    assert arrow_v == want  # mapInArrow rung agrees keyed by row identity
+
 
 def test_grouped_agg_udaf_matches_expression(spark):
     li = load_table(spark, SF_SMOKE, "lineitem")
