@@ -45,6 +45,11 @@ PROBE = (
     "ns_minhash_lsh_pairs",
     "ns_wordcount",
     "ns_cosine_topk",
+    "q_funnel",
+    "ns_chunk_documents",
+    "ns_decontaminate",
+    "ns_tfidf",
+    "ns_kmeans_sizes",
 )
 
 
