@@ -1,0 +1,101 @@
+"""Materialized-state maintenance + time-series queries.
+
+* **Incremental aggregate maintenance** — the invariant behind every
+  materialized view / rollup pipeline: merging yesterday's partial
+  aggregate with today's delta must equal recomputing from scratch.
+  The Spark side computes the merge (union of partials → re-aggregate);
+  the DuckDB oracle recomputes from the raw table — the query passing
+  the hash gate IS the invariant. Sums use DECIMAL partials (exact,
+  associative — plans/core.py), so merge order cannot drift; at 100 TB
+  this is what lets an hourly rollup avoid rescanning the corpus.
+* **Time-weighted average** — duration-weighted mean, the correct
+  aggregate for sampled gauges (a value holds until the next reading).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.plans.core import dec, half_up, query, t
+
+_CUT = "2024-01-20"
+
+
+@query(
+    "q_incremental_agg",
+    oracle=f"""
+        SELECT user_id, count(*) AS n_events,
+               floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5)
+                   / 100 AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("maintenance", "incremental"),
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-of-partials == full recompute. base = events before
+    {cut} pre-aggregated (the stored rollup); delta = events at/after
+    {cut}; the merge unions the two partial states and re-aggregates.
+    DECIMAL partial sums make the merge exact regardless of grouping or
+    order, which is precisely why mergeable state works at scale; the
+    oracle recomputes over all of events directly.""".replace("{cut}", _CUT)
+    e = t(spark, sf_dir, "events")
+    cut = F.lit(_CUT).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).alias("total_dec"),
+        )
+
+    base = partial(e.filter(F.col("ts") < cut))
+    delta = partial(e.filter(F.col("ts") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            half_up(F.sum("total_dec")).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+        WITH x AS (
+            SELECT user_id, value,
+                   date_diff('microsecond', CAST(ts AS TIMESTAMP),
+                             lead(CAST(ts AS TIMESTAMP))
+                                 OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)) AS dur_us
+            FROM events)
+        SELECT user_id,
+               floor(sum(value * dur_us) / sum(dur_us) * 10000 + 0.5) / 10000
+                   AS tw_avg
+        FROM x WHERE dur_us IS NOT NULL
+        GROUP BY 1
+    """,
+    tags=("events", "timeseries"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean event value per user: each reading is
+    weighted by how long it 'held' (time to the user's next event; the
+    final open-ended reading is excluded). One window pass for the
+    durations, then a plain hash aggregate — shuffles only on user_id,
+    rounded half-up 4dp on both engines."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # batch ts is TIMESTAMP_NTZ; unix_micros needs LTZ (session is UTC,
+    # so the cast is value-preserving)
+    ts_ltz = F.col("ts").cast("timestamp")
+    dur = (
+        F.unix_micros(F.lead(ts_ltz).over(w)) - F.unix_micros(ts_ltz)
+    ).alias("dur_us")
+    x = e.select("user_id", "value", dur).filter(F.col("dur_us").isNotNull())
+    return x.groupBy("user_id").agg(
+        half_up(
+            F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+        ).alias("tw_avg")
+    )
