@@ -138,3 +138,75 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_v"),
         )
     )
+
+
+@query(
+    "q_funnel_latency",
+    oracle="""
+        WITH s1 AS (SELECT user_id, min(ts) AS t1
+                    FROM events WHERE event_type = 'view' GROUP BY 1),
+             s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                    FROM events e JOIN s1 ON e.user_id = s1.user_id
+                    WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+             s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                    FROM events e JOIN s2 ON e.user_id = s2.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1),
+             lat AS (SELECT s3.user_id,
+                            date_diff('microsecond', CAST(s1.t1 AS TIMESTAMP),
+                                      CAST(s3.t3 AS TIMESTAMP)) AS us
+                     FROM s3 JOIN s1 ON s3.user_id = s1.user_id),
+             r AS (SELECT us, row_number() OVER (ORDER BY us) AS rn,
+                          count(*) OVER () AS n
+                   FROM lat)
+        SELECT count(*) AS n_converted,
+               max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN us END) AS p50_us,
+               max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN us END) AS p90_us
+        FROM r
+    """,
+    tags=("events", "funnel", "percentile"),
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert through the full view→click→purchase funnel:
+    exact discrete p50/p90 of (first-qualifying-purchase − first-view)
+    per converted user, in microseconds (integer arithmetic end to end
+    — raw stored timestamps, no float rounding anywhere). The percentile
+    frame is one row per CONVERTED user — tiny next to the event log —
+    so the global ordering window is cheap at any scale."""
+    e = t(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    from pyspark.sql import Window
+
+    lat = s3.join(s1, "user_id").select(
+        (
+            F.unix_micros(F.col("t3").cast("timestamp"))
+            - F.unix_micros(F.col("t1").cast("timestamp"))
+        ).alias("us")
+    )
+    r = lat.select(
+        "us",
+        F.row_number().over(Window.orderBy("us")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return r.agg(
+        F.count("*").alias("n_converted"),
+        F.max(F.when(F.col("rn") == F.ceil(0.5 * F.col("n")), F.col("us"))).alias("p50_us"),
+        F.max(F.when(F.col("rn") == F.ceil(0.9 * F.col("n")), F.col("us"))).alias("p90_us"),
+    )
