@@ -210,3 +210,92 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == F.ceil(0.5 * F.col("n")), F.col("us"))).alias("p50_us"),
         F.max(F.when(F.col("rn") == F.ceil(0.9 * F.col("n")), F.col("us"))).alias("p90_us"),
     )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+        WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events)
+        SELECT c.event_id, c.ts,
+               CASE WHEN p.ts <= c.ts + INTERVAL 1 HOUR THEN p.ts END
+                   AS next_purchase_ts
+        FROM (SELECT * FROM e WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+    tags=("join", "asof", "events"),
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each click matched to the
+    user's NEXT purchase at-or-after it, nulled beyond a 1-hour horizon.
+
+    Same scalable composition as q_join_asof mirrored in time: union-tag
+    both sides, one (user, time) window with a current-row→following
+    frame and ``first(ignorenulls)`` — one shuffle, no pairwise blow-up.
+    The tolerance is a post-hoc CASE, NOT a join predicate, so the plan
+    shape is identical with or without it. (Purchases sort after clicks
+    at equal ts so 'at or after' includes same-instant matches — the
+    mirror of the backward variant's tie rule.)"""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    tagged = clicks.select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_p"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    ).unionByName(
+        purchases.select(
+            "event_id", "user_id", "ts", F.lit(1).alias("is_p"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn("next_p", F.first("p_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 0)
+        .select(
+            "event_id",
+            "ts",
+            F.when(
+                F.col("next_p") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+                F.col("next_p"),
+            ).alias("next_purchase_ts"),
+        )
+    )
+
+
+@query(
+    "q_equidepth_histogram",
+    oracle="""
+        WITH b AS (SELECT value,
+                          ntile(4) OVER (ORDER BY value, event_id) AS bucket
+                   FROM events)
+        SELECT bucket, count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        FROM b GROUP BY 1
+    """,
+    tags=("events", "histogram", "window"),
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) histogram: ntile over a deterministic
+    (value, event_id) order, then per-bucket extrema — the data-driven
+    complement of q_value_histogram's fixed-width bins. All outputs are
+    raw stored values; no rounding anywhere."""
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    b = e.select(
+        "value", F.ntile(4).over(Window.orderBy("value", "event_id")).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
