@@ -166,3 +166,69 @@ def ns_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tf_total",
         half_up(F.log(F.col("n_docs").cast("double") / F.col("df")), 4).alias("idf"),
     )
+
+
+@query(
+    "ns_word_cooccurrence",
+    oracle="""
+        WITH w AS (SELECT DISTINCT doc_id,
+                          unnest(string_split(text, ' ')) AS word
+                   FROM documents)
+        SELECT a.word AS word_a, b.word AS word_b, count(*) AS n_docs
+        FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.word < b.word
+        GROUP BY 1, 2
+        HAVING count(*) >= 50
+    """,
+    tags=("northstar", "text", "cooccurrence"),
+)
+def ns_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence with min-support (market-basket over the
+    corpus) — the classic MR 'pairs' job (the reference's users would
+    write a pair-emitting mapper; `Readme.md:6`), as declarative Spark.
+
+    Scale shape: the self-join is per-document and bounded by each
+    document's DISTINCT vocabulary (not its length), so the blow-up is
+    |vocab_d|² per doc — the standard market-basket cost — and the
+    support filter collapses the result before anything leaves the
+    aggregate. The join key is doc_id: one co-partitioned shuffle."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).distinct()
+    a = w.select("doc_id", F.col("word").alias("word_a"))
+    b = w.select("doc_id", F.col("word").alias("word_b"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .groupBy("word_a", "word_b")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 50)
+    )
+
+
+@query(
+    "ns_event_transitions",
+    oracle="""
+        WITH s AS (SELECT user_id, event_type,
+                          lead(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS next_type
+                   FROM events)
+        SELECT event_type, next_type, count(*) AS n
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    tags=("events", "path"),
+)
+def ns_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order path analysis: counts of (event_type → next event
+    type) transitions per user timeline — the empirical Markov matrix
+    behind funnel design. One (user, time) window pass + one bounded
+    aggregate (|event types|² rows out)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return s.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
