@@ -86,6 +86,27 @@ def read_version(spark: SparkSession, root: str, version: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def vacuum(root: str, keep_last: int = 1) -> list[str]:
+    """Retention: delete historical snapshots, keeping the live version
+    plus the ``keep_last`` most recent others. Returns the versions
+    removed. The live pointer is re-read AFTER computing the candidate
+    set, so a concurrent commit can at worst leave an extra survivor,
+    never delete the live version — same safety stance as Delta's
+    VACUUM. Copy-on-write means reclaimed space is proportional to
+    (table size × versions pruned): at 100 TB retention is a cost
+    policy, not housekeeping."""
+    import shutil
+
+    cur = current_version(root)
+    cur_name = os.path.basename(cur) if cur else None
+    history = [v for v in list_versions(root) if v != cur_name]
+    doomed = history[: max(0, len(history) - keep_last)]
+    for v in doomed:
+        if v != os.path.basename(current_version(root) or ""):
+            shutil.rmtree(os.path.join(root, v), ignore_errors=True)
+    return doomed
+
+
 def apply_cdc_stream(
     updates: DataFrame,
     root: str,

@@ -141,3 +141,32 @@ def test_time_travel_versions(spark, tmp_path):
     # Latest version == the live pointer's contents.
     live = {tuple(r) for r in read_table(spark, root).collect()}
     assert {tuple(r) for r in read_version(spark, root, versions[-1]).collect()} == live
+
+
+def test_vacuum_prunes_history_keeps_live(spark, tmp_path):
+    """Retention keeps the live version + keep_last most recent others;
+    pruned versions stop resolving, the live table is untouched."""
+    import pytest
+
+    from map_reduce_framework_using_python_spark.streaming.cdc import (
+        list_versions,
+        read_version,
+        vacuum,
+    )
+
+    root = str(tmp_path / "dim")
+    init_table(_seed(spark), root)
+    apply_cdc_stream(
+        _updates_stream(spark), root, "user_id", str(tmp_path / "ckpt"), order_col="_ord"
+    )
+    before = list_versions(root)
+    assert len(before) >= 2
+    live = {tuple(r) for r in read_table(spark, root).collect()}
+
+    removed = vacuum(root, keep_last=0)
+
+    assert removed == before[:-1]  # everything but the live (latest) version
+    assert list_versions(root) == [before[-1]]
+    assert {tuple(r) for r in read_table(spark, root).collect()} == live
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, root, "vinit")
