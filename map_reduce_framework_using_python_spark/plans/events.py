@@ -210,3 +210,31 @@ def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "event_type")
         .agg(F.min("ts").alias("first_ts"), F.count("*").alias("n_dupes"))
     )
+
+
+@query(
+    "q_variant_extract",
+    oracle="""
+        SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+                   AS k_total
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("json", "variant"),
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` once into
+    the binary VARIANT encoding, then typed ``variant_get`` paths — the
+    shredded-at-scan successor to per-access string re-parsing
+    (get_json_object twin: q_json_extract). Same partial+final agg
+    shape; the parse happens once per row in the scan projection."""
+    e = t(spark, sf_dir, "events")
+    v = e.select(F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "int")
+    return (
+        v.select((k % 10).alias("k_mod"), k.alias("k"))
+        .groupBy("k_mod")
+        .agg(F.count("*").alias("n"), F.sum("k").cast("bigint").alias("k_total"))
+    )

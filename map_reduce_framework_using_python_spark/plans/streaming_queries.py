@@ -14,6 +14,7 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from map_reduce_framework_using_python_spark.plans.core import query
 from map_reduce_framework_using_python_spark.streaming.stateful import stateful_user_totals
@@ -172,6 +173,45 @@ def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _uniq("st_join"),
         output_mode="append",
     )
+
+
+@query(
+    "st_stream_static_enrich",
+    oracle="""
+        WITH dim AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_seen
+                     FROM events GROUP BY 1)
+        SELECT e.event_type,
+               CAST(date_trunc('day', d.first_seen) AS DATE) AS cohort_day,
+               count(*) AS n
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "join"),
+)
+def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to a STATIC
+    dimension (per-user first-seen day, computed batch-side) — the
+    standard lookup-enrichment shape. The static side needs no
+    watermark and no state: each micro-batch joins against it directly
+    (broadcast at this size), so state stays zero no matter how long
+    the stream runs. Complete-mode replay equals the batch join."""
+    from map_reduce_framework_using_python_spark.plans.core import t as _t
+
+    dim = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("timestamp")).alias("first_seen"))
+    )
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.join(dim, "user_id")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "first_seen").cast("date").alias("cohort_day"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return run_available_now(agg, _uniq("st_enrich"), output_mode="complete")
 
 
 @query("st_dedup_watermark", oracle=None, tags=("streaming", "dedup", "rows_only"))
