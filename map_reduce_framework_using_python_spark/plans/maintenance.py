@@ -99,3 +99,40 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
         ).alias("tw_avg")
     )
+
+
+@query(
+    "q_regression_stats",
+    oracle="""
+        SELECT event_type,
+               floor(regr_slope(value, epoch(CAST(ts AS TIMESTAMP))
+                                - epoch(TIMESTAMP '2024-01-01')) * 1000000 + 0.5)
+                   / 1000000 AS slope,
+               floor(regr_intercept(value, epoch(CAST(ts AS TIMESTAMP))
+                                    - epoch(TIMESTAMP '2024-01-01')) * 100 + 0.5)
+                   / 100 AS intercept,
+               count(*) AS n
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("agg", "statistics"),
+)
+def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-SQL least-squares per group: regr_slope / regr_intercept of
+    event value over time (is the metric drifting?). Both engines
+    implement the same closed-form moments, computed in one partial+
+    final aggregate pass; results rounded half-up (6dp slope / 2dp
+    intercept) since moment accumulation order differs per engine."""
+    e = t(spark, sf_dir, "events")
+    # center the regressor on the epoch of interest: slope is invariant,
+    # the intercept becomes 'value at 2024-01-01' instead of an
+    # extrapolation to 1970 (catastrophic cancellation at scale)
+    t0 = 1_704_067_200.0  # 2024-01-01 UTC
+    epoch_s = (
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("double") / 1e6 - t0
+    )
+    return e.groupBy("event_type").agg(
+        half_up(F.regr_slope(F.col("value"), epoch_s), 6).alias("slope"),
+        half_up(F.regr_intercept(F.col("value"), epoch_s), 2).alias("intercept"),
+        F.count("*").alias("n"),
+    )
