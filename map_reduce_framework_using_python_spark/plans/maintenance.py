@@ -136,3 +136,27 @@ def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_up(F.regr_intercept(F.col("value"), epoch_s), 2).alias("intercept"),
         F.count("*").alias("n"),
     )
+
+
+@query("q_hll_sketch_merge", oracle=None, tags=("agg", "sketch", "rows_only"))
+def q_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL,
+    Spark 3.5+): build one sketch PER SOURCE, then union-merge the
+    binary sketches into a corpus-wide estimate — without ever
+    re-touching raw data. This is the scale contract materialized
+    rollups rely on: per-day/per-partition sketches merge associatively,
+    so a 100 TB backfill never rescans history. Rows-only (sketch
+    estimates are engine-specific); tests/test_edge_cases.py pins the
+    merged and direct whole-corpus estimates within
+    3% of the exact count (union merges can shift sketch mode, so the
+    merged estimate differs from the direct one by a hair — both stay
+    inside the envelope)."""
+    d = t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.hll_sketch_agg(F.md5("text")).alias("sk"),
+        F.count("*").alias("n_docs"),
+    )
+    return per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_distinct_texts"),
+        F.sum("n_docs").alias("n_docs"),
+    )

@@ -92,3 +92,28 @@ def test_catalog_registers_only_after_write(tmp_path):
     with pytest.raises(FileNotFoundError):
         cmd_write(str(tmp_path / "missing.txt"), root=root)
     assert FileCatalog(root).names() == []
+
+
+def test_hll_sketch_merge_equals_direct(spark):
+    """Merging per-source HLL sketches must equal sketching the whole
+    corpus directly up to sketch-mode effects; both estimates must land
+    within HLL's error envelope of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.plans import REGISTRY
+    from map_reduce_framework_using_python_spark.plans.core import t
+    from tests.conftest import SF_SMOKE
+
+    merged = REGISTRY["q_hll_sketch_merge"].fn(spark, SF_SMOKE).first()
+    d = t(spark, SF_SMOKE, "documents")
+    direct = d.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.md5("text"))).alias("est")
+    ).first()["est"]
+    exact = d.select(F.md5("text")).distinct().count()
+
+    # union-merging may transition sketch modes (sparse->dense), so the
+    # merged estimate is not bit-identical to the direct one — both must
+    # simply land within HLL's error envelope of the exact count
+    assert abs(merged["merged_distinct_texts"] - exact) / exact < 0.03
+    assert abs(direct - exact) / exact < 0.03
+    assert merged["n_docs"] == d.count()
