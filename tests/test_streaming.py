@@ -158,3 +158,76 @@ def test_streaming_file_sink(spark, tmp_path):
 @pytest.mark.parametrize("mod", ["windows", "stateful"])
 def test_streaming_modules_importable(mod):
     __import__(f"map_reduce_framework_using_python_spark.streaming.{mod}")
+
+
+def test_transform_with_state_matches_old_api_and_batch(spark):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API, RocksDB
+    provider) produces the same final per-user states as the
+    applyInPandasWithState twin AND the batch aggregate.
+
+    The API's state-server handshake needs a working protobuf runtime;
+    this container ships a broken google.protobuf, so the test gates on
+    it (the applyInPandasWithState twin below remains the always-on
+    coverage for arbitrary stateful processing)."""
+    import pytest as _pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        _pytest.skip("google.protobuf unusable in this container "
+                     "(transformWithState state-server dependency)")
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.plans.core import t
+    from map_reduce_framework_using_python_spark.streaming.stateful import (
+        stateful_user_totals,
+    )
+    from map_reduce_framework_using_python_spark.streaming.stateful2 import (
+        rocksdb_state_store,
+        stateful_user_totals_v2,
+    )
+    from map_reduce_framework_using_python_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def latest(out):
+        return {
+            tuple(r)
+            for r in out.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max_by("total_value", "n_events").alias("total_value"),
+            )
+            .collect()
+        }
+
+    with rocksdb_state_store(spark):
+        v2 = latest(
+            run_available_now(
+                stateful_user_totals_v2(read_events_stream(spark, SF_SMOKE)),
+                f"st_tws_{_uuid.uuid4().hex[:8]}",
+                output_mode="update",
+            )
+        )
+    v1 = latest(
+        run_available_now(
+            stateful_user_totals(read_events_stream(spark, SF_SMOKE)),
+            f"st_old_{_uuid.uuid4().hex[:8]}",
+            output_mode="update",
+        )
+    )
+    batch = {
+        tuple(r)
+        for r in t(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert v2 == v1 == batch and len(v2) > 0
