@@ -16,6 +16,8 @@ portability layer, so the same text runs on any ANSI engine.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from map_reduce_framework_using_python_spark.plans.core import query, t
@@ -115,4 +117,41 @@ def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(o_orderdate) AS first_order
         FROM orders
         GROUP BY ALL
+    """)
+
+
+@query(
+    "q_sql_udf",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                             / 100 AS DECIMAL(18,2))) AS DOUBLE) AS disc_revenue
+        FROM lineitem
+        GROUP BY 1
+    """,
+    tags=("sql", "udf"),
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Python function registered into the SQL namespace
+    (``spark.udf.register``) and invoked from query TEXT — the SQL
+    user's path to custom logic (the reference's mapper, callable from
+    SQL). The UDF rounds per ROW to the 2-dp grid with the explicit
+    half-up formula (pandas .round is half-EVEN and the product sits on
+    the 1e-4 tie grid — plans/core.py lesson), so the DECIMAL sum is
+    exact on both engines and needs no final rounding. Arrow-batched
+    (pandas) under the hood; same partial+final agg around it."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def disc_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return np.floor(price * (1 - discount) * 100 + 0.5) / 100
+
+    spark.udf.register("disc_price", disc_price)
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(sum(CAST(disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(18,2))) AS DOUBLE) AS disc_revenue
+        FROM lineitem
+        GROUP BY 1
     """)
