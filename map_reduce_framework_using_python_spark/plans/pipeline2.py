@@ -232,3 +232,84 @@ def ns_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.lead("event_type").over(w).alias("next_type")
     ).filter(F.col("next_type").isNotNull())
     return s.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "ns_corpus_build",
+    oracle="""
+        WITH gated AS (SELECT doc_id, text, lang, n_chars
+                       FROM documents
+                       WHERE n_chars BETWEEN 100 AND 2000),
+             deduped AS (SELECT min(doc_id) AS doc_id
+                         FROM gated GROUP BY md5(text)),
+             survivors AS (SELECT g.doc_id, g.lang, g.n_chars
+                           FROM gated g JOIN deduped d ON g.doc_id = d.doc_id)
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f')
+                         THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+                         THEN 'val'
+                    ELSE 'train' END AS split
+        FROM survivors
+    """,
+    tags=("northstar", "pipeline", "capstone"),
+)
+def ns_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-build capstone: quality gate → exact dedup (min-id
+    witness per content hash) → reproducible split assignment, composed
+    as ONE declarative plan (each stage individually oracle-gated:
+    ns_quality_filter, ns_dedup_exact, ns_train_val_test).
+
+    Scale shape is the sum of its parts: the gate is scan-side, the
+    dedup shuffles only (digest, doc_id), the split is a pure
+    projection — so the whole pipeline is one scan + one exchange, and
+    Catalyst fuses the rest. This is the query a user actually ships."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars").between(100, 2000))
+    keep = d.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    survivors = d.join(keep.select("doc_id"), "doc_id")
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return survivors.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.when(first_hex.isin("e", "f"), "test")
+        .when(first_hex.isin("c", "d"), "val")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+@query(
+    "ns_fuzzy_match",
+    oracle="""
+        WITH p AS (SELECT doc_id, source, substr(text, 1, 40) AS prefix
+                   FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(a.prefix, b.prefix) AS edit_dist
+        FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
+        WHERE levenshtein(a.prefix, b.prefix) <= 28
+    """,
+    tags=("northstar", "text", "fuzzy"),
+)
+def ns_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (levenshtein ≤ 28 on 40-char
+    prefixes, adjacent-id candidate pairs). The candidate generation is
+    a narrow equi-join — at scale you'd block candidates first (LSH /
+    sorted-neighborhood, operators/dedup.py) and levenshtein-verify
+    only within blocks, exactly this verify step; cost is bounded by
+    the fixed prefix length, not document size."""
+    d = t(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id", F.substring("text", 1, 40).alias("prefix")
+    )
+    a = p.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    b = p.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 28)
+    )
