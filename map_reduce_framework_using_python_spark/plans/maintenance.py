@@ -34,12 +34,12 @@ _CUT = "2024-01-20"
     tags=("maintenance", "incremental"),
 )
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge-of-partials == full recompute. base = events before
-    {cut} pre-aggregated (the stored rollup); delta = events at/after
-    {cut}; the merge unions the two partial states and re-aggregates.
-    DECIMAL partial sums make the merge exact regardless of grouping or
-    order, which is precisely why mergeable state works at scale; the
-    oracle recomputes over all of events directly.""".replace("{cut}", _CUT)
+    """Merge-of-partials == full recompute. base = events before the
+    2024-01-20 cut pre-aggregated (the stored rollup); delta = events
+    at/after it; the merge unions the two partial states and
+    re-aggregates. DECIMAL partial sums make the merge exact regardless
+    of grouping or order, which is precisely why mergeable state works
+    at scale; the oracle recomputes over all of events directly."""
     e = t(spark, sf_dir, "events")
     cut = F.lit(_CUT).cast("timestamp")
 
