@@ -72,7 +72,9 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY ts, event_id)) AS dur_us
             FROM events)
         SELECT user_id,
-               floor(sum(value * dur_us) / sum(dur_us) * 10000 + 0.5) / 10000
+               floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * dur_us)
+                          AS DOUBLE)
+                     / CAST(sum(dur_us) AS DOUBLE) / 100 * 10000 + 0.5) / 10000
                    AS tw_avg
         FROM x WHERE dur_us IS NOT NULL
         GROUP BY 1
@@ -83,8 +85,13 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duration-weighted mean event value per user: each reading is
     weighted by how long it 'held' (time to the user's next event; the
     final open-ended reading is excluded). One window pass for the
-    durations, then a plain hash aggregate — shuffles only on user_id,
-    rounded half-up 4dp on both engines."""
+    durations, then a plain hash aggregate — shuffles only on user_id.
+
+    Determinism: value sits on the 2-dp grid, so (cents × µs) is exact
+    integer arithmetic; the sums are exact (DECIMAL accumulators — no
+    float summation-order jitter run-to-run or engine-to-engine), and
+    only the final division happens in double on bit-identical inputs.
+    Rounded half-up 4dp on both engines."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # batch ts is TIMESTAMP_NTZ; unix_micros needs LTZ (session is UTC,
@@ -94,9 +101,14 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.lead(ts_ltz).over(w)) - F.unix_micros(ts_ltz)
     ).alias("dur_us")
     x = e.select("user_id", "value", dur).filter(F.col("dur_us").isNotNull())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    weighted = (cents * F.col("dur_us")).cast("decimal(38,0)")
     return x.groupBy("user_id").agg(
         half_up(
-            F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+            F.sum(weighted).cast("double")
+            / F.sum(F.col("dur_us").cast("decimal(38,0)")).cast("double")
+            / 100,
+            4,
         ).alias("tw_avg")
     )
 
@@ -105,9 +117,9 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_regression_stats",
     oracle="""
         SELECT event_type,
-               floor(regr_slope(value, epoch(CAST(ts AS TIMESTAMP))
-                                - epoch(TIMESTAMP '2024-01-01')) * 1000000 + 0.5)
-                   / 1000000 AS slope,
+               floor(regr_slope(value, (epoch(CAST(ts AS TIMESTAMP))
+                                - epoch(TIMESTAMP '2024-01-01')) / 86400.0)
+                         * 10000 + 0.5) / 10000 AS slope_per_day,
                floor(regr_intercept(value, epoch(CAST(ts AS TIMESTAMP))
                                     - epoch(TIMESTAMP '2024-01-01')) * 100 + 0.5)
                    / 100 AS intercept,
@@ -121,8 +133,10 @@ def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-SQL least-squares per group: regr_slope / regr_intercept of
     event value over time (is the metric drifting?). Both engines
     implement the same closed-form moments, computed in one partial+
-    final aggregate pass; results rounded half-up (6dp slope / 2dp
-    intercept) since moment accumulation order differs per engine."""
+    final aggregate pass. The slope is per DAY rounded 4dp — per-second
+    slope is ~1e-6, the same order as any sane rounding grid, so every
+    run would sit near a tie boundary; per-day keeps the value orders of
+    magnitude above the grid. Intercept 2dp; both half-up."""
     e = t(spark, sf_dir, "events")
     # center the regressor on the epoch of interest: slope is invariant,
     # the intercept becomes 'value at 2024-01-01' instead of an
@@ -132,7 +146,9 @@ def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts").cast("timestamp")).cast("double") / 1e6 - t0
     )
     return e.groupBy("event_type").agg(
-        half_up(F.regr_slope(F.col("value"), epoch_s), 6).alias("slope"),
+        half_up(F.regr_slope(F.col("value"), epoch_s / 86400.0), 4).alias(
+            "slope_per_day"
+        ),
         half_up(F.regr_intercept(F.col("value"), epoch_s), 2).alias("intercept"),
         F.count("*").alias("n"),
     )
