@@ -52,13 +52,22 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                lead(l_extendedprice) OVER w AS next_price
         FROM lineitem
         WINDOW w AS (PARTITION BY l_suppkey
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                              l_extendedprice)
     """,
     tags=("window", "analytic"),
 )
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead over a per-supplier shipment timeline."""
-    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    """lag/lead over a per-supplier shipment timeline.
+
+    The synthetic lineitem does NOT keep (l_orderkey, l_linenumber)
+    unique (11.8k dup pairs at sf0.01), so the ordering includes
+    l_extendedprice to stay total over the OUTPUT columns — a non-total
+    window order makes lag/lead run-to-run nondeterministic (caught by
+    a repeated-sweep flake at sf0.1, one tie in 600k rows)."""
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
     return t(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         "l_orderkey",
