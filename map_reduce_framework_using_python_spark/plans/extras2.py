@@ -139,3 +139,55 @@ def q_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "n")
     )
+
+
+@query(
+    "q_argmax_struct",
+    oracle="""
+        SELECT o_orderstatus,
+               max(struct_pack(p := o_totalprice, k := o_orderkey))['k']
+                   AS top_orderkey,
+               max(o_totalprice) AS top_price
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("agg", "argmax"),
+)
+def q_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax: the orderkey of each status's priciest
+    order, ties resolved to the LARGEST key by lexicographic struct
+    comparison — the portable form of max_by, whose tie choice is
+    engine-defined. One partial+final aggregate; struct-max is
+    order-insensitive so it composes with partial aggregation."""
+    o = t(spark, sf_dir, "orders")
+    s = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    return o.groupBy("o_orderstatus").agg(
+        F.max(s)["k"].alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
+@query(
+    "q_try_arithmetic",
+    oracle="""
+        SELECT doc_id,
+               TRY_CAST(substr(text, 1, 3) AS INTEGER) AS maybe_int,
+               CASE WHEN (doc_id % 7) = 0 THEN NULL
+                    ELSE CAST(n_chars AS DOUBLE) / nullif(doc_id % 7, 0) END
+                   AS safe_div
+        FROM documents
+        WHERE doc_id < 100
+    """,
+    tags=("predicates", "null", "error_safe"),
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression semantics: try_cast of non-numeric text →
+    NULL (not a job abort — at 100 TB one malformed row must never
+    kill a stage), and try_divide's divide-by-zero → NULL. The oracle
+    mirrors with TRY_CAST/nullif."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.try_to_number(F.substring("text", 1, 3), F.lit("999")).cast("int").alias("maybe_int"),
+        F.try_divide(F.col("n_chars").cast("double"), F.col("doc_id") % 7).alias("safe_div"),
+    )
