@@ -311,11 +311,36 @@ def ns_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ns_language_id", oracle=None, tags=("northstar", "text"))
+def _langid_oracle() -> str:
+    """DuckDB twin of operators/text.py:language_id, generated from the
+    SAME profile dict: per-language score = |distinct tokens ∩ profile|,
+    winner = lexicographic struct max via list_aggregate(…, 'max') — identical
+    tie-break to Spark's array_max over (score, lang) structs."""
+    from map_reduce_framework_using_python_spark.operators.text import LANG_PROFILES
+
+    structs = []
+    for lang, words in sorted(LANG_PROFILES.items()):
+        arr = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+        structs.append(
+            f"struct_pack(s := len(list_intersect(tk, [{arr}])), l := '{lang}')"
+        )
+    g = "list_aggregate([" + ", ".join(structs) + "], 'max')"
+    return (
+        "WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk"
+        " FROM documents)\n"
+        f"SELECT doc_id, {g}['l'] AS predicted_lang,"
+        f" CAST({g}['s'] AS INTEGER) AS best_score FROM toks"
+    )
+
+
+@query("ns_language_id", oracle=_langid_oracle(), tags=("northstar", "text"))
 def ns_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language-ID over stopword profiles (rows-only check:
-    the profile tables are engine-internal; pytest asserts schema and
-    determinism)."""
+    """Heuristic language-ID over stopword profiles — fully
+    oracle-gated: the DuckDB twin is GENERATED from the same
+    LANG_PROFILES dict (struct-max argmax, identical tie-break), so
+    the whole scoring pipeline — tokenize → distinct → per-profile
+    intersection counts → argmax — is hash-compared, not just
+    schema-checked."""
     return language_id(t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
 
 
