@@ -40,6 +40,24 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q_scalar_subquery", "q_string_funcs", "q_topk_per_group", "q_union",
     "q_window_first_last", "q_window_lag_lead", "q_window_ntile",
     "q_window_range_frame", "q_window_rank", "q_window_running",
+    # round 2 (CORRECTNESS_r02.json, 48/50 green; the 2 reds —
+    # q_corr_stats, q_null_handling — stay OUT so they re-rotate
+    # through the round-3 window after hardening)
+    "ns_cosine_topk", "ns_embedding_near_pairs", "ns_embedding_norms",
+    "ns_fingerprint", "ns_lang_stats", "ns_language_id",
+    "ns_ngram_jaccard_pairs", "ns_quality_scores", "ns_token_stats",
+    "ns_wordcount", "mr_wordcount_pipe", "q02_min_cost_supplier",
+    "q04_priority_exists", "q07_nation_volume", "q14_promo_share",
+    "q15_top_supplier", "q19_disjunctive", "q21_sole_supplier",
+    "q22_idle_customers", "q_array_ops", "q_binary_funcs", "q_bool_agg",
+    "q_collect_sorted", "q_cross_join", "q_date_spine", "q_except_all",
+    "q_explode_outer", "q_explode_udtf", "q_from_json", "q_intersect_all",
+    "q_map_funcs", "q_percentile", "q_python_udtf", "q_regexp_funcs",
+    "q_udaf_weighted_avg", "q_udf_scalar_pandas", "q_udtf_grouped_map",
+    "q_union_byname", "q_unpivot", "q_variant_extract", "q_window_nth",
+    "q_window_pct", "st_session_window", "st_sliding_window",
+    "st_stateful_totals", "st_stream_join", "st_stream_static_enrich",
+    "st_tumbling_window",
 })
 
 
