@@ -1,0 +1,99 @@
+"""Scale-safe global ranking: bucketed row_number / ntile without a
+single-partition window.
+
+A global ``row_number() OVER (ORDER BY ...)`` funnels every row through
+ONE task (`WindowExec: No Partition Defined`) — correct at sf0.1, dead
+at 100 TB. The classic distributed form (what the reference's users
+would hand-write as a two-pass MR job) is:
+
+1. derive a **bucket** from the sort key itself with a deterministic,
+   order-consistent function (``bucket(a) <= bucket(b)`` whenever ``a``
+   sorts before ``b``) — no sampling pass, no RangePartitioner
+   nondeterminism;
+2. ``row_number`` *within* each bucket (hash-partitioned window — every
+   executor ranks its own buckets);
+3. per-bucket counts → prefix-sum offsets via a broadcast triangular
+   self-join over the (tiny, bounded) bucket list;
+4. ``global_rank = bucket_offset + local_rank``.
+
+Everything stays lazy and JVM-side: the only extra exchanges are the
+bucket-count aggregate (≤ a few hundred rows) and the window's hash
+partitioning. No ``collect()``, no global window, no driver loop — the
+plan survives a 1000-executor 100 TB run, where bucket count should be
+scaled with the cluster (more md5-prefix chars / finer value widths).
+
+Derived global functions on top of (rank, n_total):
+
+- ``ntile(k)``  = SQL semantics: first ``n mod k`` tiles get one extra row
+- ``percent_rank`` = (rank-1)/(n-1)    (total orders only — no tie groups)
+- ``cume_dist``    = rank/n            (ditto)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bucketed_rank", "ntile_from_rank"]
+
+
+def bucketed_rank(
+    df: DataFrame,
+    bucket: Column,
+    order_by: list[Column],
+    rank_col: str = "rn",
+    total_col: str = "n_total",
+) -> DataFrame:
+    """Attach a global ``rank_col`` (1-based, dense ROW_NUMBER over the
+    total order) and ``total_col`` (global row count) to ``df``.
+
+    ``bucket`` must be an order-consistent function of the sort key:
+    monotone non-decreasing along ``order_by``. For a DESC numeric key
+    pass e.g. ``F.floor(-col / width)``; for an md5 hex key pass
+    ``F.substring(key, 1, 2)`` (prefix order == full-string order).
+
+    ``order_by`` must be a TOTAL order over the rows (include a unique
+    tiebreak key) or downstream rank consumers become nondeterministic.
+    """
+    b = df.withColumn("_rk_bucket", bucket)
+    w = Window.partitionBy("_rk_bucket").orderBy(*order_by)
+    local = b.withColumn("_rk_local", F.row_number().over(w))
+
+    counts = b.groupBy("_rk_bucket").agg(F.count("*").alias("_rk_cnt"))
+    ca = counts.select(
+        F.col("_rk_bucket").alias("_rk_a"), F.col("_rk_cnt").alias("_rk_a_cnt")
+    )
+    cb = counts.select(
+        F.col("_rk_bucket").alias("_rk_b"), F.col("_rk_cnt").alias("_rk_b_cnt")
+    )
+    # Prefix sum over the bounded bucket list: triangular broadcast join
+    # (buckets × buckets, both tiny) — no window, stays fully lazy.
+    offsets = (
+        ca.join(F.broadcast(cb), F.col("_rk_b") < F.col("_rk_a"), "left")
+        .groupBy("_rk_a")
+        .agg(F.coalesce(F.sum("_rk_b_cnt"), F.lit(0)).alias("_rk_offset"))
+    )
+    total = counts.agg(F.sum("_rk_cnt").alias(total_col))
+
+    return (
+        local.join(F.broadcast(offsets), local["_rk_bucket"] == offsets["_rk_a"])
+        .crossJoin(F.broadcast(total))
+        .withColumn(rank_col, F.col("_rk_offset") + F.col("_rk_local"))
+        .drop("_rk_bucket", "_rk_local", "_rk_a", "_rk_offset")
+    )
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """SQL ``ntile(k)`` recomputed from a global (rank, total) pair:
+    ``n div k`` base rows per tile, the first ``n mod k`` tiles take one
+    extra. Exact integer arithmetic (doubles stay exact below 2^53)."""
+    q = F.floor(n / k)  # base tile size
+    r = n - q * k  # tiles that get one extra row
+    big = q + 1
+    # greatest(q, 1): when n < k the otherwise-branch is never selected,
+    # but ANSI mode must still not see a divide-by-zero expression.
+    return (
+        F.when(rank <= r * big, F.floor((rank - 1) / big) + 1)
+        .otherwise(r + F.floor((rank - r * big - 1) / F.greatest(q, F.lit(1))) + 1)
+        .cast("int")
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_framework_using_python_spark.operators.ranks import bucketed_rank, ntile_from_rank
 from map_reduce_framework_using_python_spark.plans.core import query, t
 
 
@@ -170,8 +171,11 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact discrete p50/p90 of (first-qualifying-purchase − first-view)
     per converted user, in microseconds (integer arithmetic end to end
     — raw stored timestamps, no float rounding anywhere). The percentile
-    frame is one row per CONVERTED user — tiny next to the event log —
-    so the global ordering window is cheap at any scale."""
+    frame is one row per CONVERTED user — small next to the event log
+    but still unbounded, so the global rank is assembled scale-safely
+    (operators/ranks.py: 6-hour latency buckets → per-bucket row_number
+    → broadcast prefix-sum offsets) instead of a single-partition
+    window."""
     e = t(spark, sf_dir, "events")
     s1 = (
         e.filter(F.col("event_type") == "view")
@@ -192,18 +196,20 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
-    from pyspark.sql import Window
-
     lat = s3.join(s1, "user_id").select(
         (
             F.unix_micros(F.col("t3").cast("timestamp"))
             - F.unix_micros(F.col("t1").cast("timestamp"))
         ).alias("us")
     )
-    r = lat.select(
-        "us",
-        F.row_number().over(Window.orderBy("us")).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    # Ties in `us` across users are harmless: the rank only selects the
+    # `us` value itself, so any tie resolution yields the same output.
+    r = bucketed_rank(
+        lat,
+        bucket=F.floor(F.col("us") / 21_600_000_000),  # 6 h in µs
+        order_by=[F.col("us")],
+        rank_col="rn",
+        total_col="n",
     )
     return r.agg(
         F.count("*").alias("n_converted"),
@@ -287,12 +293,23 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quartile) histogram: ntile over a deterministic
     (value, event_id) order, then per-bucket extrema — the data-driven
     complement of q_value_histogram's fixed-width bins. All outputs are
-    raw stored values; no rounding anywhere."""
-    e = t(spark, sf_dir, "events")
-    from pyspark.sql import Window
+    raw stored values; no rounding anywhere.
 
-    b = e.select(
-        "value", F.ntile(4).over(Window.orderBy("value", "event_id")).alias("bucket")
+    The global ntile runs over the full events table, so it uses the
+    bucketed-rank composition (operators/ranks.py): fixed-width value
+    buckets (width 25, order-consistent) → per-bucket row_number →
+    broadcast offsets → ntile recomputed from (rank, n). No
+    single-partition window anywhere in the plan."""
+    e = t(spark, sf_dir, "events")
+    ranked = bucketed_rank(
+        e.select("value", "event_id"),
+        bucket=F.floor(F.col("value") / 25),
+        order_by=[F.col("value"), F.col("event_id")],
+        rank_col="_rn",
+        total_col="_n",
+    )
+    b = ranked.select(
+        "value", ntile_from_rank(F.col("_rn"), F.col("_n"), 4).alias("bucket")
     )
     return b.groupBy("bucket").agg(
         F.count("*").alias("n"),

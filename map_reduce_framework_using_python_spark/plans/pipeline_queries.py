@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from map_reduce_framework_using_python_spark.operators.ranks import bucketed_rank
 from map_reduce_framework_using_python_spark.plans.core import half_up, query, t
 
 
@@ -179,13 +180,26 @@ def ns_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ns_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded deterministic global shuffle: order by md5(seed ‖ id).
     Changing the seed re-shuffles; the same seed reproduces the exact
-    epoch order on any engine. (The global row_number is the oracle-
-    checkable form; at 100 TB you'd keep just the sort key and let the
-    writer range-partition on it instead of materializing ranks.)"""
+    epoch order on any engine.
+
+    The global epoch rank is assembled scale-safely via bucketed_rank
+    (operators/ranks.py): the md5 key's first two hex chars are 256
+    order-consistent buckets (prefix order == full-string order), each
+    ranked in parallel, stitched with broadcast prefix-sum offsets — the
+    uniform hash makes the buckets perfectly balanced, so this is the
+    rare global rank with ZERO skew risk. (At 100 TB you'd widen the
+    prefix and usually skip materializing ranks entirely — write with
+    the writer range-partitioned on the key.)"""
     d = t(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("seed42"), F.col("doc_id").cast("string")))
-    w = Window.orderBy(key, "doc_id")
-    return d.select("doc_id", F.row_number().over(w).alias("shuffle_rank"))
+    ranked = bucketed_rank(
+        d.select("doc_id", key.alias("_key")),
+        bucket=F.substring(F.col("_key"), 1, 2),
+        order_by=[F.col("_key"), F.col("doc_id")],
+        rank_col="shuffle_rank",
+        total_col="_n",
+    )
+    return ranked.select("doc_id", F.col("shuffle_rank").cast("int").alias("shuffle_rank"))
 
 
 @query(

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from map_reduce_framework_using_python_spark.operators.ranks import bucketed_rank, ntile_from_rank
 from map_reduce_framework_using_python_spark.plans.core import query, t
 
 
@@ -142,15 +143,28 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "rank"),
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile/percent_rank/cume_dist over a global ordering. (A global
-    window is a scale smell — at 100 TB use range partitioning or
-    approx quantiles; kept here for capability parity.)"""
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return t(spark, sf_dir, "orders").select(
+    """ntile/percent_rank/cume_dist over a global ordering — WITHOUT a
+    global window. The global rank is assembled scale-safely
+    (operators/ranks.py): price-derived order-consistent buckets →
+    per-bucket row_number → broadcast prefix-sum offsets; ntile/pct/cume
+    are then pure expressions of (rank, n). Identical output to the
+    single-partition form, but the heavy sort is hash-partitioned
+    (~50 buckets here; widen with data volume)."""
+    o = t(spark, sf_dir, "orders")
+    # DESC price order → bucket on floor(-price/1e4) (monotone along it).
+    ranked = bucketed_rank(
+        o,
+        bucket=F.floor(-F.col("o_totalprice") / 10000),
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        rank_col="_rn",
+        total_col="_n",
+    )
+    rn, n = F.col("_rn"), F.col("_n")
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ntile_from_rank(rn, n, 4).alias("quartile"),
+        F.round((rn - 1) / (n - 1), 6).alias("pct_rank"),
+        F.round(rn / n, 6).alias("cume"),
     )
 
 
