@@ -32,6 +32,18 @@ def compact_parquet(
 ) -> dict:
     """Rewrite ``path`` to ceil(n/target_rows) parquet files; returns
     {files_before, files_after, rows}. Atomic swap via rename."""
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    # Recover from a prior crashed run before touching anything:
+    # - crash between the two renames leaves the live data at `old`
+    #   with `path` missing → restore it;
+    # - leftover `tmp`/`old` from any other crash point would make the
+    #   renames below fail with EEXIST → clear them.
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.rename(old, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
     df = spark.read.parquet(path)
     n = df.count()
     files_before = sum(
@@ -41,9 +53,12 @@ def compact_parquet(
     repartitioned = (
         df.repartition(n_files, *by) if by else df.repartition(n_files)
     )
-    tmp = path.rstrip("/") + "__compact_tmp"
     repartitioned.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__compact_old"
+    # NOT a single atomic op: between these two renames `path` briefly
+    # does not exist (POSIX rename can't swap directories). A crash in
+    # the window is healed by the recovery block above on the next run;
+    # concurrent READERS during the window must retry. True atomicity
+    # needs a pointer-file scheme (see streaming/cdc.py).
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

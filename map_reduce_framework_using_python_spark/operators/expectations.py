@@ -10,9 +10,14 @@ Supported rules (each returns violation count):
 
 * ``not_null(col)``
 * ``unique(*cols)`` — duplicate-row count over the key
-* ``in_range(col, lo, hi)``
-* ``in_set(col, values)``
-* ``matches(col, regex)``
+* ``in_range(col, lo, hi)`` — NULLs pass (add ``not_null`` to forbid)
+* ``in_set(col, values)`` — NULLs pass
+* ``matches(col, regex)`` — NULLs pass
+
+Value rules skip NULLs, matching dbt tests / Deequ / SQL CHECK
+semantics: a constraint only fails on a definitively-false value, and
+nullability is ``not_null``'s job alone — a nullable column with a
+range rule but no ``not_null`` is a deliberate contract.
 
 ``check()`` returns {rule_name: violations}; ``enforce()`` raises
 ``ExpectationError`` listing every failed rule (all rules are still
@@ -32,8 +37,16 @@ class ExpectationError(AssertionError):
 
 
 def _viol(cond: Column) -> Column:
-    """Count of rows violating ``cond`` (null counts as violation)."""
+    """Count of rows violating ``cond`` (NULL condition counts as a
+    violation — used by ``not_null``, where NULL IS the violation)."""
     return F.sum(F.when(cond, 0).otherwise(1))
+
+
+def _viol_skip_nulls(cond: Column, col: str) -> Column:
+    """Count of rows where ``cond`` is definitively false: NULL values
+    pass value rules (SQL CHECK semantics — nullability is a separate
+    ``not_null`` contract)."""
+    return F.sum(F.when(cond | F.col(col).isNull(), 0).otherwise(1))
 
 
 class Expectations:
@@ -50,19 +63,19 @@ class Expectations:
 
     def in_range(self, col: str, lo, hi) -> "Expectations":
         self._aggs.append(
-            _viol(F.col(col).between(lo, hi)).alias(f"in_range_{col}")
+            _viol_skip_nulls(F.col(col).between(lo, hi), col).alias(f"in_range_{col}")
         )
         return self
 
     def in_set(self, col: str, values) -> "Expectations":
         self._aggs.append(
-            _viol(F.col(col).isin(list(values))).alias(f"in_set_{col}")
+            _viol_skip_nulls(F.col(col).isin(list(values)), col).alias(f"in_set_{col}")
         )
         return self
 
     def matches(self, col: str, regex: str) -> "Expectations":
         self._aggs.append(
-            _viol(F.col(col).rlike(regex)).alias(f"matches_{col}")
+            _viol_skip_nulls(F.col(col).rlike(regex), col).alias(f"matches_{col}")
         )
         return self
 

@@ -50,11 +50,21 @@ def _kmeans_oracle(k: int, n_iter: int, dim: int) -> str:
             f" AS cluster FROM v CROSS JOIN cent{i} GROUP BY vec_id, v)"
         )
         if i < n_iter:
+            # LEFT JOIN back onto the previous centroid list: a cluster
+            # with zero assigned points keeps its old centroid — the
+            # exact rule kmeans_fit applies (it only overwrites entries
+            # present in the update aggregate), so the two engines stay
+            # in lockstep even if a cluster empties mid-run.
             ctes.append(
-                f"cent{i + 1} AS (SELECT cluster, list({_r6('s / n')} ORDER BY i) AS cent"
+                f"upd{i} AS (SELECT cluster, list({_r6('s / n')} ORDER BY i) AS cent"
                 f" FROM (SELECT cluster, i, sum(v[i]) AS s, count(*) AS n"
                 f" FROM a{i} CROSS JOIN range(1, {dim + 1}) t(i)"
                 f" GROUP BY cluster, i) GROUP BY cluster)"
+            )
+            ctes.append(
+                f"cent{i + 1} AS (SELECT p.cluster,"
+                f" coalesce(u.cent, p.cent) AS cent"
+                f" FROM cent{i} p LEFT JOIN upd{i} u ON u.cluster = p.cluster)"
             )
     return (
         "WITH " + ",\n".join(ctes)

@@ -112,15 +112,27 @@ class MRTextWriter(DataSourceWriter):
         return _Committed(tmp)
 
     def commit(self, messages):
-        for old in glob.glob(os.path.join(self.path, "part_*")):
-            os.remove(old)
+        existing = glob.glob(os.path.join(self.path, "part_*"))
+        if self.overwrite:
+            for old in existing:
+                os.remove(old)
+            start = 0
+        else:
+            # append: keep existing parts, continue numbering after the
+            # current max index (mode('append') must not lose data)
+            def _idx(f: str) -> int:
+                suffix = os.path.basename(f).rsplit("_", 1)[-1]
+                return int(suffix) if suffix.isdigit() else -1
+
+            start = max((_idx(f) for f in existing), default=-1) + 1
+
         # padding invariant: every task committed a file, even empty ones;
         # numeric sort on the task id (lexicographic would put 10 < 2)
         def _pid(m):
             return int(m.path.rsplit("_", 1)[-1])
 
         for i, m in enumerate(sorted(messages, key=_pid)):
-            os.replace(m.path, os.path.join(self.path, f"part_{i}"))
+            os.replace(m.path, os.path.join(self.path, f"part_{start + i}"))
 
     def abort(self, messages):
         for m in messages:

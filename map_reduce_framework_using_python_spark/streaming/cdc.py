@@ -132,6 +132,17 @@ def apply_cdc_stream(
     spark = updates.sparkSession
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        rel = f"v{batch_id}"
+        cur = current_version(root)
+        if cur is not None and os.path.basename(cur) == rel:
+            # Checkpoint replay of an already-committed batch (crash
+            # landed between _commit() and the streaming checkpoint
+            # commit). Re-running the MERGE would read the live version
+            # root/v<batch_id> AND overwrite that same path — Spark
+            # refuses to overwrite a path being read. The committed
+            # state is exactly this batch's output, so skipping IS the
+            # idempotent replay.
+            return
         src = batch_df
         if order_col is not None:
             src = batch_df.groupBy(key).agg(
@@ -143,7 +154,6 @@ def apply_cdc_stream(
             )
         target = read_table(spark, root)
         merged = merge_upsert(target, src, key)
-        rel = f"v{batch_id}"
         merged.write.mode("overwrite").parquet(os.path.join(root, rel))
         _commit(root, rel)
 

@@ -53,3 +53,39 @@ def test_compact_by_key_clusters_rows(spark, tmp_path):
         assert seen.isdisjoint(keys)
         seen |= keys
     assert seen == {0, 1, 2, 3}
+
+
+def test_compact_recovers_from_crashed_prior_run(spark, tmp_path):
+    """Crash between the two swap renames leaves the live data stranded
+    at path__compact_old with path missing; leftover tmp/old dirs from
+    other crash points must not fail the next run (ADVICE r2)."""
+    import shutil
+
+    path = str(tmp_path / "frag")
+    spark.range(100).repartition(8).write.parquet(path)
+    want = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    # Simulate the mid-swap crash: data at __compact_old, path gone,
+    # plus a stale half-written __compact_tmp.
+    os.rename(path, path + "__compact_old")
+    os.makedirs(path + "__compact_tmp")
+
+    stats = compact_parquet(spark, path, target_rows=100)
+
+    assert stats["rows"] == 100
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == want
+    assert not os.path.exists(path + "__compact_tmp")
+    assert not os.path.exists(path + "__compact_old")
+
+
+def test_compact_clears_stale_dirs_when_live_intact(spark, tmp_path):
+    """Leftover tmp/old with the live dir intact (crash during the final
+    rmtree) must be cleared, not EEXIST the renames."""
+    path = str(tmp_path / "frag")
+    spark.range(50).repartition(4).write.parquet(path)
+    spark.range(5).write.parquet(path + "__compact_old")  # stale survivor
+    os.makedirs(path + "__compact_tmp")
+
+    stats = compact_parquet(spark, path, target_rows=50)
+    assert stats["rows"] == 50
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == list(range(50))

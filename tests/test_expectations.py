@@ -45,4 +45,26 @@ def test_matches_rule(spark):
         [("a@b.com",), ("nope",), (None,)], "email string"
     )
     res = expect(df).matches("email", r"^[^@]+@[^@]+\.[^@]+$").check()
-    assert res == {"matches_email": 2}  # 'nope' + NULL both violate
+    assert res == {"matches_email": 1}  # 'nope' only — NULL passes value rules
+
+
+def test_value_rules_skip_nulls_not_null_catches_them(spark):
+    """dbt/Deequ/SQL-CHECK semantics: NULL passes in_range/in_set/matches;
+    nullability is not_null's job alone."""
+    df = spark.createDataFrame(
+        [(1.0, "a"), (None, None), (99.0, "zz")], "v double, s string"
+    )
+    res = (
+        expect(df)
+        .in_range("v", 0.0, 10.0)
+        .in_set("s", ["a", "b"])
+        .matches("s", r"^[a-y]$")
+        .not_null("v")
+        .check()
+    )
+    assert res == {
+        "in_range_v": 1,   # 99.0 only; NULL passes
+        "in_set_s": 1,     # 'zz' only; NULL passes
+        "matches_s": 1,    # 'zz' only; NULL passes
+        "not_null_v": 1,   # NULL caught where it belongs
+    }

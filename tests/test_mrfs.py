@@ -72,3 +72,32 @@ def test_roundtrip(spark, tmp_path):
     back = spark.read.format("mrtext").load(dst)
     assert back.rdd.getNumPartitions() == 4
     assert sorted(r["value"] for r in back.collect()) == sorted(data)
+
+
+def test_append_keeps_existing_parts(spark, tmp_path):
+    """mode('append') must extend the part sequence, not silently
+    overwrite (ADVICE r2): numbering continues after the existing max."""
+    dst = str(tmp_path / "app")
+    first = spark.createDataFrame([(0, f"a{i}") for i in range(6)], "part int, value string")
+    first.repartition(3).write.format("mrtext").mode("append").save(dst)
+    assert sorted(os.listdir(dst)) == ["part_0", "part_1", "part_2"]
+
+    second = spark.createDataFrame([(0, f"b{i}") for i in range(4)], "part int, value string")
+    second.repartition(2).write.format("mrtext").mode("append").save(dst)
+    assert sorted(os.listdir(dst)) == [f"part_{i}" for i in range(5)]
+
+    back = spark.read.format("mrtext").load(dst)
+    assert sorted(r["value"] for r in back.collect()) == sorted(
+        [f"a{i}" for i in range(6)] + [f"b{i}" for i in range(4)]
+    )
+
+
+def test_overwrite_replaces_existing_parts(spark, tmp_path):
+    dst = str(tmp_path / "ovw")
+    first = spark.createDataFrame([(0, f"a{i}") for i in range(6)], "part int, value string")
+    first.repartition(3).write.format("mrtext").mode("append").save(dst)
+    second = spark.createDataFrame([(0, "fresh")], "part int, value string")
+    second.repartition(1).write.format("mrtext").mode("overwrite").save(dst)
+    assert sorted(os.listdir(dst)) == ["part_0"]
+    back = spark.read.format("mrtext").load(dst)
+    assert [r["value"] for r in back.collect()] == ["fresh"]

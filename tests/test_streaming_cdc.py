@@ -170,3 +170,27 @@ def test_vacuum_prunes_history_keeps_live(spark, tmp_path):
     assert {tuple(r) for r in read_table(spark, root).collect()} == live
     with pytest.raises(FileNotFoundError):
         read_version(spark, root, "vinit")
+
+
+def test_cdc_replay_of_committed_batch_is_skipped(spark, tmp_path):
+    """Crash-window replay (ADVICE r2): when the live pointer already
+    names v<batch_id>, re-running the MERGE would read root/v<batch_id>
+    and overwrite the same path — Spark refuses. The sink must detect
+    the already-committed batch and skip it. Simulated with a FRESH
+    checkpoint so batch 0 is redelivered while v0 is live."""
+    root = str(tmp_path / "dim")
+    init_table(_seed(spark), root)
+    apply_cdc_stream(
+        _updates_stream(spark), root, "user_id",
+        str(tmp_path / "ckpt1"), order_col="_ord",
+    )
+    v_after = current_version(root)
+    rows_after = {tuple(r) for r in read_table(spark, root).collect()}
+
+    # Fresh checkpoint ⇒ the drained source is redelivered as batch 0.
+    apply_cdc_stream(
+        _updates_stream(spark), root, "user_id",
+        str(tmp_path / "ckpt2"), order_col="_ord",
+    )
+    assert current_version(root) == v_after
+    assert {tuple(r) for r in read_table(spark, root).collect()} == rows_after
