@@ -119,3 +119,41 @@ def test_failing_mapper_raises(spark):
     job = MRJob(spark, bad_mapper, reducer, n_partitions=2)
     with pytest.raises(Exception, match="Pipe function"):
         job.run(spark.sparkContext.parallelize(["x,1"], 1)).collect()
+
+
+def test_cmd_cluster_branch_pins_sparkfiles_contract(spark):
+    """The non-local `_cmd` branch is untestable by construction on
+    local[*] (no cluster here), so PIN the command strings it would
+    emit (VERDICT r2 item 7):
+
+    - local[*]: absolute interpreter + absolute job-dir path (executors
+      share the driver filesystem);
+    - cluster: bare `python3 <basename>` — relies on Spark resolving
+      addFile'd files into each task's working directory (SparkFiles
+      contract: files shipped via `SparkContext.addFile` materialize in
+      the task CWD on executors, which is why the basename alone must
+      resolve).
+    """
+    import sys
+    from types import SimpleNamespace
+
+    job = MRJob(spark, WORDCOUNT_MAPPER, WORDCOUNT_REDUCER, n_partitions=2)
+    name = f"mapper_{job._uid}.py"
+
+    local_cmd = job._cmd(name)
+    assert local_cmd == f"{sys.executable} {job._mapper_path}"
+    assert local_cmd.split(" ", 1)[1].startswith(job._job_dir)
+
+    # Swap in a cluster-master stub: only `.sparkContext.master` is read.
+    real = job.spark
+    try:
+        job.spark = SimpleNamespace(
+            sparkContext=SimpleNamespace(master="spark://host:7077")
+        )
+        assert job._cmd(name) == f"python3 {name}"
+        job.spark = SimpleNamespace(
+            sparkContext=SimpleNamespace(master="yarn")
+        )
+        assert job._cmd(name) == f"python3 {name}"
+    finally:
+        job.spark = real
