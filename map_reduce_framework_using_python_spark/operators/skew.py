@@ -24,11 +24,14 @@ def salted(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
     row's position (``monotonically_increasing_id``) so even exact
     duplicate rows — the worst hot-key case — spread; position is stable
     given a stable input partitioning, so task retries re-salt
-    identically."""
+    identically. Mixed with XOR, not ``+``: the hash spans the full
+    int64 range, so addition overflows under ANSI mode on large inputs
+    (caught by the 50× scale probe)."""
     return df.withColumn(
         salt_col,
         F.pmod(
-            F.xxhash64(*df.columns) + F.monotonically_increasing_id(), F.lit(n_salts)
+            F.xxhash64(*df.columns).bitwiseXOR(F.monotonically_increasing_id()),
+            F.lit(n_salts),
         ).cast("int"),
     )
 

@@ -50,6 +50,14 @@ PROBE = (
     "ns_decontaminate",
     "ns_tfidf",
     "ns_kmeans_sizes",
+    # round 3: bucketed-rank rewrites of the former global windows,
+    # the corpus capstone, and the salted skew path
+    "q_window_ntile",
+    "q_equidepth_histogram",
+    "ns_seeded_shuffle",
+    "q_funnel_latency",
+    "ns_corpus_build",
+    "q_skew_salted",
 )
 
 
@@ -90,12 +98,15 @@ def build(spark, replicas: int) -> None:
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])  # optional query-name filter
     spark = get_spark(app_name="scale_probe")
     build(spark, replicas)
     REGISTRY["q00_scan_count"].fn(spark, DST).collect()  # warm
     REGISTRY["q01_pricing_summary"].fn(spark, SRC).collect()
     print(f"{'query':28s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}")
     for name in PROBE:
+        if only and name not in only:
+            continue
         t0 = time.perf_counter()
         n_small = REGISTRY[name].fn(spark, SRC).count()
         t_small = time.perf_counter() - t0
