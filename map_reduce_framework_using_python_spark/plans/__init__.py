@@ -35,5 +35,6 @@ from map_reduce_framework_using_python_spark.plans import sqlapi  # noqa: E402,F
 from map_reduce_framework_using_python_spark.plans import clustering_queries  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import maintenance  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import skew_queries  # noqa: E402,F401
+from map_reduce_framework_using_python_spark.plans import pipeline3  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "get_query", "query"]

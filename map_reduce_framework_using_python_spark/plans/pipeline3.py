@@ -1,0 +1,90 @@
+"""Third pipeline batch: Gopher-style repetition quality signals.
+
+Self-repetition is the strongest cheap predictor of low-quality /
+machine-generated text (the Gopher and C4 cleaning rules both gate on
+it): a document whose bigrams keep repeating, or that one token
+dominates, is boilerplate or spam. Both signals here are exact and
+engine-portable:
+
+- ``dup_bigram_frac``: 1 − distinct_bigrams / total_bigrams, computed
+  per-row as pure array algebra (split → two shifted slices →
+  ``zip_with`` concat → ``array_distinct``) — no shuffle at all, scales
+  as a map-only pass;
+- ``top_word_frac``: most-frequent-token share, via explode →
+  (doc, word) partial-agg → per-doc max/total — two hash aggregates on
+  naturally-spreading keys, the same shape ns_wordcount proved at 50×.
+
+Ratios are half-up-rounded at 6 dp from identical integer inputs on
+both engines (plans/core.py determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.plans.core import half_up, query, t
+
+
+@query(
+    "ns_repetition_signals",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+            FROM documents),
+        bg AS (
+            SELECT doc_id,
+                   len(ws) AS n_words,
+                   CASE WHEN len(ws) > 1 THEN
+                       floor((1.0 - CAST(len(list_distinct(list_transform(
+                                 list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+                                 p -> p[1] || chr(1) || p[2]))) AS DOUBLE)
+                             / (len(ws) - 1)) * 1000000.0 + 0.5) / 1000000.0
+                   ELSE 0.0 END AS dup_bigram_frac
+            FROM w),
+        c AS (
+            SELECT doc_id, word, count(*) AS c
+            FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+            GROUP BY 1, 2),
+        topw AS (
+            SELECT doc_id,
+                   floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS top_word_frac
+            FROM c GROUP BY 1)
+        SELECT bg.doc_id, bg.n_words, bg.dup_bigram_frac, topw.top_word_frac
+        FROM bg JOIN topw ON topw.doc_id = bg.doc_id
+    """,
+    tags=("northstar", "pipeline", "quality", "repetition"),
+)
+def ns_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: duplicate-bigram fraction
+    (map-only array algebra) and top-token dominance (two hash aggs).
+    The Gopher/C4 repetition gates, exact on both engines."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), " +")
+    wdf = d.select("doc_id", ws.alias("ws"))
+    nw = F.size(F.col("ws"))
+    bigrams = F.zip_with(
+        F.slice(F.col("ws"), F.lit(1), nw - 1),
+        F.slice(F.col("ws"), F.lit(2), nw - 1),
+        lambda x, y: F.concat(x, F.lit("\x01"), y),
+    )
+    per_row = wdf.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.when(
+            nw > 1,
+            half_up(F.lit(1.0) - F.size(F.array_distinct(bigrams)) / (nw - 1), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+    counts = (
+        wdf.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    top = counts.groupBy("doc_id").agg(
+        half_up(F.max("c") / F.sum("c"), 6).alias("top_word_frac")
+    )
+    return per_row.join(top, "doc_id")
