@@ -176,6 +176,51 @@ def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_stream_join_left",
+    oracle="""
+        WITH e AS (SELECT user_id, event_id, event_type, value,
+                          CAST(ts AS TIMESTAMP) AS ts FROM events),
+        c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+              FROM e WHERE event_type = 'click'),
+        p AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+                     ts AS purchase_ts, value AS purchase_value
+              FROM e WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                            (SELECT max(purchase_ts) FROM p))
+                      - INTERVAL 1 HOUR AS w),
+        j AS (SELECT c.user_id, c.click_id, c.click_ts,
+                     p.purchase_id, p.purchase_value
+              FROM c LEFT JOIN p ON p.p_user_id = c.user_id
+                 AND p.purchase_ts >= c.click_ts
+                 AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+        SELECT user_id, click_id, purchase_id, purchase_value
+        FROM j, wm
+        WHERE purchase_id IS NOT NULL
+           OR click_ts + INTERVAL 30 MINUTE < wm.w
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def st_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: matched rows emit
+    immediately; an unmatched click's NULL row emits only when the
+    global watermark (min of both sides') passes click_ts + horizon —
+    earlier, a matching purchase could still arrive. The oracle encodes
+    that rule exactly: batch left join, null-extended rows restricted to
+    ``click_ts + horizon < least(max_click, max_purchase) − delay``
+    (tail clicks inside the closing window stay withheld on a bounded
+    replay — state-cleanup semantics the inner join never exposes)."""
+    return run_available_now(
+        interval_join_clicks_purchases(
+            read_events_stream(spark, sf_dir),
+            read_events_stream(spark, sf_dir),
+            how="left_outer",
+        ),
+        _uniq("st_join_left"),
+        output_mode="append",
+    )
+
+
+@query(
     "st_stream_static_enrich",
     oracle="""
         WITH dim AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_seen

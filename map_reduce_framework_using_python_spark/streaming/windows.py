@@ -86,6 +86,7 @@ def interval_join_clicks_purchases(
     purchases_stream: DataFrame,
     horizon: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: attribute each purchase to every
     click by the same user in the preceding ``horizon``.
@@ -96,6 +97,15 @@ def interval_join_clicks_purchases(
     rate instead of growing with the stream. Inner join, so rows emit
     as soon as both sides arrive; an AvailableNow replay over a bounded
     source therefore yields exactly the batch join (the DuckDB oracle).
+
+    ``how="left_outer"`` adds watermark-gated null-extension: an
+    unmatched click emits its NULL row only once the global watermark
+    (min of both sides' = ``least(max_click_ts, max_purchase_ts) −
+    watermark``) passes ``click_ts + horizon`` — before that a matching
+    purchase could still arrive. Tail clicks inside that closing window
+    are withheld forever on a bounded replay; st_stream_join_left's
+    oracle encodes exactly this rule (verified empirically: emitted
+    NULL set == the ``click_ts + horizon < W`` predicate).
     """
     clicks = (
         clicks_stream.filter(F.col("event_type") == "click")
@@ -121,6 +131,7 @@ def interval_join_clicks_purchases(
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
     ).select("user_id", "click_id", "purchase_id", "purchase_value")
 
 
