@@ -155,3 +155,37 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         GROUP BY 1
     """)
+
+
+@query(
+    "q_sql_pipe_syntax",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("sql", "pipe"),
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (`|>`, Spark 4.0+): the linear dataflow dialect
+    — each stage feeds the next top-to-bottom, the way the DataFrame
+    DSL (and the reference's MAP → SHUFFLE → REDUCE chain) composes.
+    Catalyst parses it into exactly the plan the nested form produces;
+    the oracle is the classic-syntax twin. o_totalprice sums ride the
+    exact DECIMAL grid as always."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql("""
+        FROM orders
+        |> WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                         AS total_price
+           GROUP BY o_orderstatus
+        |> SELECT o_orderstatus, n_orders, total_price
+        |> ORDER BY o_orderstatus
+    """)
