@@ -88,3 +88,50 @@ def ns_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_up(F.max("c") / F.sum("c"), 6).alias("top_word_frac")
     )
     return per_row.join(top, "doc_id")
+
+
+from map_reduce_framework_using_python_spark.operators.rangejoin import (  # noqa: E402
+    range_join_candidates,
+)
+
+
+@query(
+    "q_join_range_bigbig",
+    oracle="""
+        WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events),
+        err AS (SELECT event_id, ts FROM e WHERE event_type = 'error'),
+        v AS (SELECT ts FROM e WHERE event_type = 'view')
+        SELECT err.event_id, count(v.ts) AS n_nearby_views
+        FROM err LEFT JOIN v
+          ON v.ts >= err.ts - INTERVAL 5 MINUTE
+         AND v.ts <= err.ts + INTERVAL 5 MINUTE
+        GROUP BY 1
+    """,
+    tags=("join", "range", "bigbig"),
+)
+def q_join_range_bigbig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big×big range join with NO equi key: views within ±5 min of each
+    error event, counted per error. Neither side broadcasts at scale
+    and a cross join is quadratic — the bucketed path
+    (operators/rangejoin.py) quantizes both sides onto a
+    tolerance-width grid, equi-joins on neighbor buckets (two ordinary
+    shuffles), and exact-filters the candidates; fan-out is bounded by
+    bucket occupancy. LEFT semantics re-assembled by joining the match
+    counts back onto the error spine (coalesce 0)."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", us.alias("e_us")
+    )
+    views = e.filter(F.col("event_type") == "view").select(us.alias("v_us"))
+    tol = 5 * 60 * 1_000_000  # ±5 min in µs
+    cand = range_join_candidates(
+        errors, views, F.col("e_us"), F.col("v_us"), tolerance=tol
+    )
+    counts = cand.groupBy("event_id").agg(F.count("*").alias("_n"))
+    return (
+        errors.select("event_id")
+        .join(counts, "event_id", "left")
+        .select("event_id", F.coalesce(F.col("_n"), F.lit(0)).alias("n_nearby_views"))
+    )
