@@ -61,16 +61,29 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
+#: Within the unverified tier, these go FIRST: the two round-2 driver
+#: reds (hardened in round 3 — their re-check is the point) and the
+#: queries newly written this round (newest code carries the most risk;
+#: an r2-backlog query that waits one more round is all local-green).
+_PRIORITY: tuple[str, ...] = (
+    "q_corr_stats", "q_null_handling",
+    "q_skew_salted", "ns_repetition_signals", "q_join_range_bigbig",
+    "q_sql_pipe_syntax", "st_stream_join_left",
+)
+
+
 def _rotated() -> list[str]:
     """Registry names, driver-unverified oracle queries first.
 
-    Order within each tier is stable registration order.  Tiers:
+    Order within each tier is stable registration order (with
+    ``_PRIORITY`` pulled to the front of tier 1).  Tiers:
     1. oracle-bearing, no driver green row yet (need the hard signal)
     2. oracle-bearing, already driver-verified (regression backstop)
     3. rows-only queries (no oracle) — window doesn't apply to them
     """
     unverified = [n for n, q in REGISTRY.items()
                   if q.oracle is not None and n not in _DRIVER_VERIFIED]
+    unverified.sort(key=lambda n: (n not in _PRIORITY,))
     verified = [n for n, q in REGISTRY.items()
                 if q.oracle is not None and n in _DRIVER_VERIFIED]
     rows_only = [n for n, q in REGISTRY.items() if q.oracle is None]
