@@ -36,6 +36,10 @@ HEADLINE = (
     "ns_minhash_lsh_pairs",
     "ns_cosine_topk",
     "ns_wordcount",
+    # round 3: bucketed big×big range join and the Gopher repetition
+    # signals — the two new data-path shapes worth tracking per-round
+    "q_join_range_bigbig",
+    "ns_repetition_signals",
 )
 
 
