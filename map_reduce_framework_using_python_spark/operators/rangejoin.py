@@ -39,7 +39,9 @@ def range_join_candidates(
     neighbor-bucket equi join + exact filter. Keys are numeric (cast
     timestamps to epoch first). Each qualifying pair appears exactly
     once. For outer semantics, aggregate this result per left key and
-    join back (see q_join_range_bigbig).
+    join back (see q_join_range_bigbig). Null keys produce null buckets
+    and drop out of the inner join — filter upstream if they need
+    different treatment.
 
     Returns all columns of both inputs; callers aggregate or project.
     """

@@ -54,6 +54,12 @@ def bucketed_rank(
 
     ``order_by`` must be a TOTAL order over the rows (include a unique
     tiebreak key) or downstream rank consumers become nondeterministic.
+
+    Sort keys must be NON-NULL: a null key yields a null bucket, which
+    the offset join and the triangular prefix-sum both exclude (null
+    comparisons), silently colliding its ranks with the first real
+    bucket. Filter or coalesce nulls upstream (every registered caller
+    ranks a non-null key).
     """
     b = df.withColumn("_rk_bucket", bucket)
     w = Window.partitionBy("_rk_bucket").orderBy(*order_by)
