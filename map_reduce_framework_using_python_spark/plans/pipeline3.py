@@ -135,3 +135,57 @@ def q_join_range_bigbig(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, "event_id", "left")
         .select("event_id", F.coalesce(F.col("_n"), F.lit(0)).alias("n_nearby_views"))
     )
+
+
+@query("ns_kll_quantiles", oracle=None, tags=("agg", "sketch", "rows_only"))
+def ns_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (Apache DataSketches KLL, Spark 4):
+    one sketch per l_returnflag partition, merged into corpus-wide
+    p50/p90/p99 price estimates without a global sort or a second pass
+    — the 100 TB path to percentiles (exact q_percentile needs a
+    per-group sort; a KLL rollup merges associatively like the HLL
+    twin). Rows-only (sketch estimates are run-order-dependent);
+    tests/test_sketches.py pins every estimate inside a 1.5% rank
+    envelope of the exact discrete percentiles."""
+    li = t(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk"),
+        F.count("*").alias("n"),
+    )
+    merged = per_group.agg(
+        F.kll_merge_agg_double("sk").alias("sk"), F.sum("n").alias("n_rows")
+    )
+    return merged.select(
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50_est"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90_est"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99_est"),
+        "n_rows",
+    )
+
+
+@query("ns_theta_overlap", oracle=None, tags=("agg", "sketch", "rows_only"))
+def ns_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Apache DataSketches, Spark 4): distinct-count
+    SET ALGEBRA — per-source document sketches combined with union AND
+    intersection to estimate cross-source content overlap without a
+    pairwise exact join. HLL can only union; theta's intersection /
+    difference is what contamination and coverage dashboards need at
+    100 TB. Rows-only; tests/test_sketches.py pins union == exact and
+    intersection within an absolute error envelope of the exact
+    digest-join counts."""
+    d = t(spark, sf_dir, "documents")
+    digests = d.select("source", F.md5("text").alias("dg"))
+    srcs = [r["source"] for r in digests.select("source").distinct().orderBy("source").limit(2).collect()]
+    a = digests.filter(F.col("source") == srcs[0]).agg(
+        F.theta_sketch_agg("dg").alias("sk_a")
+    )
+    b = digests.filter(F.col("source") == srcs[1]).agg(
+        F.theta_sketch_agg("dg").alias("sk_b")
+    )
+    both = a.crossJoin(b)
+    return both.select(
+        F.lit(srcs[0]).alias("source_a"),
+        F.lit(srcs[1]).alias("source_b"),
+        F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias("union_est"),
+        F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b")).alias("inter_est"),
+    )
