@@ -189,3 +189,28 @@ def ns_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias("union_est"),
         F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b")).alias("inter_est"),
     )
+
+
+@query("ns_cms_word_freq", oracle=None, tags=("agg", "sketch", "rows_only"))
+def ns_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch word frequencies — the third leg of the sketch
+    stool (distinct → HLL/theta, quantiles → KLL, FREQUENCIES → CMS).
+    The sketch is built distributed (the ``count_min_sketch`` aggregate
+    merges per-partition sketches; one binary blob reaches the driver);
+    querying it is a driver-side lookup of a BOUNDED probe list —
+    model-state, not data. CMS guarantees
+    est ≥ exact and est ≤ exact + ε·N w.h.p.; tests/test_sketches.py
+    pins both bounds against exact counts. At 100 TB this answers "how
+    often does token X appear" from one pass + kilobytes of state."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.trim(F.col("text")), " +")).alias("w"))
+    row = words.agg(
+        F.count_min_sketch("w", F.lit(0.001), F.lit(0.99), F.lit(42)).alias("sk")
+    ).first()
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(row["sk"]))
+    )
+    probes = ["data", "table", "row", "spark", "query"]
+    rows = [(w, int(cms.estimateCount(w)), int(cms.totalCount())) for w in probes]
+    return spark.createDataFrame(rows, "word string, est_count long, n_total long")

@@ -38,3 +38,18 @@ def test_theta_set_algebra_exact_below_k(spark):
     exact_inter = a.join(b, "dg").count()
     assert int(round(row["union_est"])) == exact_union
     assert int(round(row["inter_est"])) == exact_inter
+
+
+def test_cms_bounds_vs_exact(spark):
+    out = {r["word"]: (r["est_count"], r["n_total"])
+           for r in REGISTRY["ns_cms_word_freq"].fn(spark, SF_SMOKE).collect()}
+    words = (
+        t(spark, SF_SMOKE, "documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), " +")).alias("w"))
+    )
+    exact = {r["w"]: r["n"] for r in
+             words.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    for w, (est, n_total) in out.items():
+        ex = exact.get(w, 0)
+        assert est >= ex, (w, est, ex)               # CMS never undercounts
+        assert est <= ex + 0.001 * n_total * 3, (w, est, ex)  # 3x slack on eps*N
