@@ -38,7 +38,10 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q_join_left", "q_join_range", "q_join_semi", "q_join_theta",
     "q_json_extract", "q_math_funcs", "q_pivot", "q_rollup",
     "q_scalar_subquery", "q_string_funcs", "q_topk_per_group", "q_union",
-    "q_window_first_last", "q_window_lag_lead", "q_window_ntile",
+    "q_window_first_last", "q_window_lag_lead",
+    # q_window_ntile was r1-green but REWRITTEN in round 3 (global
+    # window → bucketed_rank) — dropped from the verified set so the
+    # new implementation earns its own driver green row.
     "q_window_range_frame", "q_window_rank", "q_window_running",
     # round 2 (CORRECTNESS_r02.json, 48/50 green; the 2 reds —
     # q_corr_stats, q_null_handling — stay OUT so they re-rotate
@@ -66,7 +69,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
 #: queries newly written this round (newest code carries the most risk;
 #: an r2-backlog query that waits one more round is all local-green).
 _PRIORITY: tuple[str, ...] = (
-    "q_corr_stats", "q_null_handling",
+    "q_corr_stats", "q_null_handling", "q_window_ntile",
     "q_skew_salted", "ns_repetition_signals", "q_join_range_bigbig",
     "q_sql_pipe_syntax", "st_stream_join_left",
 )

@@ -80,16 +80,18 @@ def main() -> None:
     # FASTER than round 1). The min of two passes measures the query,
     # not the noise.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        q = REGISTRY[name]
+
+    def best_of(name: str, data_dir: str) -> tuple[float, int]:
         best, n = float("inf"), 0
         for _ in range(reps):
             t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            n = df.count()
+            n = REGISTRY[name].fn(spark, data_dir).count()
             best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+        return round(best, 3), n
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name], n = best_of(name, sf_dir)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
@@ -131,12 +133,7 @@ def main() -> None:
                 "q18_large_orders_bucketed",
                 "ns_dedup_exact",
             ):
-                best, n = float("inf"), 0
-                for _ in range(reps):
-                    t0 = time.perf_counter()
-                    n = REGISTRY[name].fn(spark, DST).count()
-                    best = min(best, time.perf_counter() - t0)
-                scale[name] = round(best, 3)
+                scale[name], n = best_of(name, DST)
                 print(f"# scale10x {name}: {scale[name]:.3f}s ({n} rows)", file=sys.stderr)
             result["scale10x"] = scale
             result["scale10x_lineitem_rows"] = replicas * 600_572

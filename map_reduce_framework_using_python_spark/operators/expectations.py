@@ -46,7 +46,7 @@ def _viol_skip_nulls(cond: Column, col: str) -> Column:
     """Count of rows where ``cond`` is definitively false: NULL values
     pass value rules (SQL CHECK semantics — nullability is a separate
     ``not_null`` contract)."""
-    return F.sum(F.when(cond | F.col(col).isNull(), 0).otherwise(1))
+    return _viol(cond | F.col(col).isNull())
 
 
 class Expectations:

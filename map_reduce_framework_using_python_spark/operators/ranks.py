@@ -57,11 +57,21 @@ def bucketed_rank(
 
     Sort keys must be NON-NULL: a null key yields a null bucket, which
     the offset join and the triangular prefix-sum both exclude (null
-    comparisons), silently colliding its ranks with the first real
-    bucket. Filter or coalesce nulls upstream (every registered caller
-    ranks a non-null key).
+    comparisons) — that would silently DROP those rows, so a null
+    bucket fails fast instead (``raise_error`` inside the bucket
+    expression; the global windows this replaces ranked NULLs first —
+    callers that want ranked nulls must coalesce to a sentinel that
+    sorts accordingly).
     """
-    b = df.withColumn("_rk_bucket", bucket)
+    b = df.withColumn(
+        "_rk_bucket",
+        F.coalesce(
+            bucket,
+            F.raise_error(
+                F.lit("bucketed_rank: NULL sort key/bucket — order keys must be non-null")
+            ),
+        ),
+    )
     w = Window.partitionBy("_rk_bucket").orderBy(*order_by)
     local = b.withColumn("_rk_local", F.row_number().over(w))
 

@@ -176,6 +176,12 @@ def ns_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     digests = d.select("source", F.md5("text").alias("dg"))
     srcs = [r["source"] for r in digests.select("source").distinct().orderBy("source").limit(2).collect()]
+    if len(srcs) < 2:
+        # Single-source (or empty) corpus: no pair to compare — empty
+        # frame with the contract schema, not an IndexError.
+        return spark.createDataFrame(
+            [], "source_a string, source_b string, union_est double, inter_est double"
+        )
     a = digests.filter(F.col("source") == srcs[0]).agg(
         F.theta_sketch_agg("dg").alias("sk_a")
     )

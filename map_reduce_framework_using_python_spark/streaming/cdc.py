@@ -133,16 +133,6 @@ def apply_cdc_stream(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         rel = f"v{batch_id}"
-        cur = current_version(root)
-        if cur is not None and os.path.basename(cur) == rel:
-            # Checkpoint replay of an already-committed batch (crash
-            # landed between _commit() and the streaming checkpoint
-            # commit). Re-running the MERGE would read the live version
-            # root/v<batch_id> AND overwrite that same path — Spark
-            # refuses to overwrite a path being read. The committed
-            # state is exactly this batch's output, so skipping IS the
-            # idempotent replay.
-            return
         src = batch_df
         if order_col is not None:
             src = batch_df.groupBy(key).agg(
@@ -152,9 +142,33 @@ def apply_cdc_stream(
                     if c != key
                 ]
             )
+        # Write to a side directory, then swap. The live version may BE
+        # root/v<batch_id> (checkpoint replay after a crash between
+        # _commit() and the streaming checkpoint commit, or a fresh
+        # checkpoint re-numbering from batch 0 onto an old table) —
+        # writing it in place would overwrite the path being read.
+        # Batch ids are only unique per checkpoint, so the batch must
+        # actually re-run (its content may be new); only the publish
+        # step needs to dodge the read path.
+        import shutil
+
         target = read_table(spark, root)
         merged = merge_upsert(target, src, key)
-        merged.write.mode("overwrite").parquet(os.path.join(root, rel))
+        dst = os.path.join(root, rel)
+        tmp = dst + "__tmp"
+        old = dst + "__old"
+        # Recover a swap that crashed between its two renames (dst
+        # missing, previous copy stranded at old) BEFORE clearing the
+        # side dirs — rmtree'ing old first would delete the only copy.
+        if not os.path.exists(dst) and os.path.isdir(old):
+            os.rename(old, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(tmp)  # reads cur, writes tmp
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        os.rename(tmp, dst)
+        shutil.rmtree(old, ignore_errors=True)
         _commit(root, rel)
 
     q = (

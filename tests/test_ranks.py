@@ -82,3 +82,13 @@ def test_window_is_partitioned(spark, df):
     assert window_lines, f"expected a Window operator in:\n{plan}"
     for ln in window_lines:
         assert "_rk_bucket" in ln, f"unpartitioned window: {ln}"
+
+
+def test_null_sort_key_fails_fast(spark):
+    """A NULL bucket would silently drop rows from the offset join —
+    it must raise instead (the replaced global windows ranked NULLs)."""
+    df = spark.createDataFrame([(1, 1.0), (2, None)], "id long, v double")
+    with pytest.raises(Exception, match="NULL sort key"):
+        bucketed_rank(
+            df, bucket=F.floor(F.col("v")), order_by=[F.col("v"), F.col("id")]
+        ).collect()

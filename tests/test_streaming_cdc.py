@@ -172,12 +172,15 @@ def test_vacuum_prunes_history_keeps_live(spark, tmp_path):
         read_version(spark, root, "vinit")
 
 
-def test_cdc_replay_of_committed_batch_is_skipped(spark, tmp_path):
+def test_cdc_replay_onto_live_version_is_safe(spark, tmp_path):
     """Crash-window replay (ADVICE r2): when the live pointer already
     names v<batch_id>, re-running the MERGE would read root/v<batch_id>
-    and overwrite the same path — Spark refuses. The sink must detect
-    the already-committed batch and skip it. Simulated with a FRESH
-    checkpoint so batch 0 is redelivered while v0 is live."""
+    and overwrite the same path — Spark refuses. The sink publishes via
+    a temp dir + rename swap, so the batch re-applies cleanly (batch
+    ids are only unique per checkpoint — a fresh checkpoint may deliver
+    NEW data as batch 0, so skipping by id would lose data). Simulated
+    with a FRESH checkpoint redelivering the same source while v0 is
+    live: version name and contents must be unchanged."""
     root = str(tmp_path / "dim")
     init_table(_seed(spark), root)
     apply_cdc_stream(
