@@ -58,6 +58,13 @@ PROBE = (
     "q_funnel_latency",
     "ns_corpus_build",
     "q_skew_salted",
+    # one-pass sketch aggregates + map-heavy repetition signals
+    # (q_join_range_bigbig is deliberately NOT probed on replicas:
+    # replicas clone timestamps, so per-bucket density — and the true
+    # pair count the query answers with — grows quadratically; that's
+    # the replica artifact, not the operator)
+    "ns_kll_quantiles",
+    "ns_repetition_signals",
 )
 
 
