@@ -1,0 +1,99 @@
+"""Plan-shape regression pins for the headline queries.
+
+EXPLAINS.md documents the plans; these tests FREEZE the properties that
+matter at 100 TB so a refactor that silently adds a shuffle, drops a
+broadcast, or un-prunes a scan fails CI instead of surviving until a
+scale run. Counting is done on the pre-AQE executed plan (stable across
+runs; AQE only narrows it at runtime).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    return REGISTRY[name].fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> int:
+    # ReusedExchange re-reads an existing shuffle; don't double-count.
+    return len(re.findall(r"(?<!Reused)Exchange ", plan))
+
+
+def test_q01_single_shuffle_partial_final_agg(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert _exchanges(plan) == 1, plan  # partial agg → 1 exchange → final agg
+    assert plan.count("HashAggregate") >= 2  # map-side combine present
+
+
+def test_q06_single_shuffle_with_pushdown(spark):
+    plan = _plan(spark, "q06_forecast_revenue")
+    assert _exchanges(plan) <= 1, plan
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
+
+
+def test_q05_dims_broadcast_fact_never_hash_joins_wide(spark):
+    plan = _plan(spark, "q05_local_supplier")
+    # Every dim joins via broadcast; lineitem is never shuffled FOR A JOIN
+    # (the only exchanges are aggregation/broadcast ones).
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_q18_semi_join_shuffles_on_orderkey_only(spark):
+    plan = _plan(spark, "q18_large_orders")
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    # No cartesian anywhere in the TPC-H set.
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    plan = _plan(spark, "q_topk_per_group")
+    assert "WindowGroupLimit" in plan, plan  # limit pushed below the sort
+
+
+def test_global_sort_topn_uses_take_ordered(spark):
+    plan = _plan(spark, "q03_global_topn")
+    assert "TakeOrderedAndProject" in plan, plan  # never a full global sort
+
+
+def test_minhash_no_cartesian_no_python(spark):
+    plan = _plan(spark, "ns_minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time Python
+
+
+def test_cosine_topk_stays_jvm_side(spark):
+    plan = _plan(spark, "ns_cosine_topk")
+    assert "BatchEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_scans_prune_columns(spark):
+    # The pricing summary needs 7 of lineitem's 11 columns; the scan
+    # must not read the rest (ReadSchema listing is the proof).
+    plan = _plan(spark, "q01_pricing_summary")
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    cols = len([c for c in m.group(1).split(",") if c])
+    assert cols <= 7, m.group(1)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_window_ntile", "q_equidepth_histogram", "ns_seeded_shuffle", "q_funnel_latency"],
+)
+def test_no_single_partition_window_anywhere(spark, name):
+    plan = _plan(spark, name)
+    for ln in plan.splitlines():
+        if "Window [" in ln:
+            assert "windowspecdefinition(" in ln or "_rk_bucket" in ln, ln
+    # The real assertion: no empty window partition spec.
+    assert "Window [" not in plan or "_rk_bucket" in plan, plan
