@@ -71,7 +71,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
 _PRIORITY: tuple[str, ...] = (
     "q_corr_stats", "q_null_handling", "q_window_ntile",
     "q_skew_salted", "ns_repetition_signals", "q_join_range_bigbig",
-    "q_sql_pipe_syntax", "st_stream_join_left",
+    "q_sql_pipe_syntax", "st_stream_join_left", "q_session_dynamic_gap",
 )
 
 

@@ -220,3 +220,63 @@ def ns_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ["data", "table", "row", "spark", "query"]
     rows = [(w, int(cms.estimateCount(w)), int(cms.totalCount())) for w in probes]
     return spark.createDataFrame(rows, "word string, est_count long, n_total long")
+
+
+@query(
+    "q_session_dynamic_gap",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN event_type = 'error' THEN INTERVAL 5 MINUTE
+                        ELSE INTERVAL 30 MINUTE END AS gap
+            FROM events),
+        g AS (
+            SELECT user_id, event_id, ts, gap,
+                   max(ts + gap) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND 1 PRECEDING) AS prev_end
+            FROM e),
+        s AS (
+            SELECT user_id, ts, gap,
+                   sum(CASE WHEN prev_end IS NULL OR ts >= prev_end
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
+            FROM g)
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts + gap) AS session_end,
+               count(*) AS n_events
+        FROM s
+        GROUP BY user_id, sid
+    """,
+    tags=("window_time", "session", "dynamic"),
+)
+def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows: the gap is an EXPRESSION of the row
+    ('error' events close their session after 5 min, everything else
+    30 min) — native ``session_window(ts, gap_expr)``, the Spark 3.2+
+    surface the fixed-gap q_event_session_native can't reach. The
+    oracle is true interval-union semantics: an event merges iff it
+    starts before the running max of (ts + gap) over all PRIOR events
+    in the session (a lag-diff twin would be wrong here — a long-gap
+    event can cover past a short-gap successor); both windows ride the
+    total (ts, event_id) order."""
+    e = t(spark, sf_dir, "events")
+    # gapDuration must be CalendarIntervalType — a per-row duration
+    # STRING parses to exactly that.
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        e.groupBy("user_id", F.session_window(F.col("ts"), gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
