@@ -86,6 +86,27 @@ def test_scans_prune_columns(spark):
     assert cols <= 7, m.group(1)
 
 
+def test_asof_join_is_one_window_not_pairwise(spark):
+    # The as-of join must be the union-tag + window composition — a
+    # pairwise join-then-max would show a non-equi join or cartesian.
+    plan = _plan(spark, "q_join_asof")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window [" in plan
+
+
+def test_session_dynamic_gap_single_session_exchange(spark):
+    plan = _plan(spark, "q_session_dynamic_gap")
+    assert "CartesianProduct" not in plan
+    assert _exchanges(plan) <= 2, plan  # user_id shuffle (+ final agg at most)
+
+
+def test_range_bigbig_is_equi_join_not_nested_loop(spark):
+    # The whole point of the bucket grid: a plain shuffle equi join on
+    # the bucket key, never a nested-loop over the range predicate.
+    plan = _plan(spark, "q_join_range_bigbig")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 @pytest.mark.parametrize(
     "name",
     ["q_window_ntile", "q_equidepth_histogram", "ns_seeded_shuffle", "q_funnel_latency"],
