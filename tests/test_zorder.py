@@ -90,3 +90,18 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
 
     # And the layout loses no rows.
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_zorder_skipping_query_on_real_events(spark):
+    """The registered query's claim on real data: the Z layout keeps a
+    strictly smaller row-group fraction than the 1-D value sort."""
+    from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r["layout"]: (r["rowgroups_kept"], r["rowgroups_total"])
+        for r in REGISTRY["ns_zorder_skipping"].fn(spark, SF_SMOKE).collect()
+    }
+    zk, zt = rows["zorder"]
+    sk, st = rows["sort_value"]
+    assert zk / zt < sk / st, rows
