@@ -65,6 +65,7 @@ PROBE = (
     # the replica artifact, not the operator)
     "ns_kll_quantiles",
     "ns_repetition_signals",
+    "q_session_dynamic_gap",
 )
 
 
