@@ -152,18 +152,21 @@ def apply_cdc_stream(
         # step needs to dodge the read path.
         import shutil
 
-        target = read_table(spark, root)
-        merged = merge_upsert(target, src, key)
         dst = os.path.join(root, rel)
         tmp = dst + "__tmp"
         old = dst + "__old"
         # Recover a swap that crashed between its two renames (dst
-        # missing, previous copy stranded at old) BEFORE clearing the
-        # side dirs — rmtree'ing old first would delete the only copy.
+        # missing, previous copy stranded at old — possibly the LIVE
+        # version the pointer still names) BEFORE reading the table or
+        # clearing side dirs: rmtree'ing old first would delete the
+        # only copy, and read_table would fail on the dangling pointer.
         if not os.path.exists(dst) and os.path.isdir(old):
             os.rename(old, dst)
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
+
+        target = read_table(spark, root)
+        merged = merge_upsert(target, src, key)
         merged.write.mode("overwrite").parquet(tmp)  # reads cur, writes tmp
         if os.path.exists(dst):
             os.rename(dst, old)

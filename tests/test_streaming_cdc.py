@@ -197,3 +197,34 @@ def test_cdc_replay_onto_live_version_is_safe(spark, tmp_path):
     )
     assert current_version(root) == v_after
     assert {tuple(r) for r in read_table(spark, root).collect()} == rows_after
+
+
+def test_cdc_recovers_mid_swap_crash(spark, tmp_path):
+    """Crash between the publish renames leaves the live version only at
+    v<id>__old with the pointer dangling; the next replay must restore
+    it BEFORE side-dir cleanup (deleting __old first would destroy the
+    only copy) and then re-apply the batch."""
+    import os
+
+    root = str(tmp_path / "dim")
+    init_table(_seed(spark), root)
+    apply_cdc_stream(
+        _updates_stream(spark), root, "user_id",
+        str(tmp_path / "ckpt1"), order_col="_ord",
+    )
+    rows_good = {tuple(r) for r in read_table(spark, root).collect()}
+    live = current_version(root)
+
+    # Simulate the mid-swap crash: live dir stranded at __old, plus a
+    # stale half-written __tmp.
+    os.rename(live, live + "__old")
+    os.makedirs(live + "__tmp")
+    assert not os.path.exists(live)
+
+    apply_cdc_stream(
+        _updates_stream(spark), root, "user_id",
+        str(tmp_path / "ckpt2"), order_col="_ord",
+    )
+    assert {tuple(r) for r in read_table(spark, root).collect()} == rows_good
+    assert not os.path.exists(live + "__old")
+    assert not os.path.exists(live + "__tmp")
