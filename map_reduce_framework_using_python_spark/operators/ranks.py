@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_rank", "ntile_from_rank"]
+__all__ = ["bucketed_rank", "bucketed_cumsum", "ntile_from_rank"]
 
 
 def bucketed_rank(
@@ -96,6 +96,60 @@ def bucketed_rank(
         .crossJoin(F.broadcast(total))
         .withColumn(rank_col, F.col("_rk_offset") + F.col("_rk_local"))
         .drop("_rk_bucket", "_rk_local", "_rk_a", "_rk_offset")
+    )
+
+
+def bucketed_cumsum(
+    df: DataFrame,
+    bucket: Column,
+    order_by: list[Column],
+    weight: Column,
+    cum_col: str = "cum",
+) -> DataFrame:
+    """Attach a global inclusive running ``sum(weight)`` over the total
+    order ``order_by`` — the cumulative-sum sibling of
+    :func:`bucketed_rank` (same two-pass distributed shape: per-bucket
+    window + broadcast triangular prefix-sum over bucket totals), with
+    the same contracts: ``bucket`` order-consistent along ``order_by``,
+    ``order_by`` a TOTAL order, sort keys non-null (fail-fast).
+
+    ``bucketed_rank`` is the ``weight = 1`` special case; it stays a
+    separate code path so the already-driver-verified rank queries keep
+    their exact plan. ``weight`` must be non-negative integral for the
+    exclusive-start use (``cum - weight``) to stay on the int grid.
+    """
+    b = df.withColumn(
+        "_cs_bucket",
+        F.coalesce(
+            bucket,
+            F.raise_error(
+                F.lit("bucketed_cumsum: NULL sort key/bucket — order keys must be non-null")
+            ),
+        ),
+    ).withColumn("_cs_w", weight)
+    w = (
+        Window.partitionBy("_cs_bucket")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("_cs_local", F.sum("_cs_w").over(w))
+
+    totals = b.groupBy("_cs_bucket").agg(F.sum("_cs_w").alias("_cs_tot"))
+    ta = totals.select(
+        F.col("_cs_bucket").alias("_cs_a"), F.col("_cs_tot").alias("_cs_a_tot")
+    )
+    tb = totals.select(
+        F.col("_cs_bucket").alias("_cs_b"), F.col("_cs_tot").alias("_cs_b_tot")
+    )
+    offsets = (
+        ta.join(F.broadcast(tb), F.col("_cs_b") < F.col("_cs_a"), "left")
+        .groupBy("_cs_a")
+        .agg(F.coalesce(F.sum("_cs_b_tot"), F.lit(0)).alias("_cs_offset"))
+    )
+    return (
+        local.join(F.broadcast(offsets), local["_cs_bucket"] == offsets["_cs_a"])
+        .withColumn(cum_col, F.col("_cs_offset") + F.col("_cs_local"))
+        .drop("_cs_bucket", "_cs_w", "_cs_local", "_cs_a", "_cs_offset")
     )
 
 

@@ -92,3 +92,49 @@ def test_null_sort_key_fails_fast(spark):
         bucketed_rank(
             df, bucket=F.floor(F.col("v")), order_by=[F.col("v"), F.col("id")]
         ).collect()
+
+
+# ---------------------------------------------------------------- cumsum
+
+
+def test_cumsum_matches_global_window(spark, df):
+    from map_reduce_framework_using_python_spark.operators.ranks import bucketed_cumsum
+
+    w = (
+        Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.select("id", F.sum("v").over(w).alias("cum"))
+    got = bucketed_cumsum(
+        df,
+        bucket=F.floor(F.col("v") / 100),
+        order_by=[F.col("v"), F.col("id")],
+        weight=F.col("v"),
+    ).select("id", "cum")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_cumsum_null_key_fails_fast(spark):
+    from map_reduce_framework_using_python_spark.operators.ranks import bucketed_cumsum
+
+    df = spark.createDataFrame([(1, 10), (2, None)], "id long, v long")
+    bad = bucketed_cumsum(
+        df,
+        bucket=F.floor(F.col("v") / 100),
+        order_by=[F.col("v"), F.col("id")],
+        weight=F.coalesce(F.col("v"), F.lit(0)),
+    )
+    with pytest.raises(Exception, match="NULL sort key"):
+        bad.collect()
+
+
+def test_cumsum_no_single_partition_window(spark, df):
+    from map_reduce_framework_using_python_spark.operators.ranks import bucketed_cumsum
+
+    plan = bucketed_cumsum(
+        df,
+        bucket=F.floor(F.col("v") / 100),
+        order_by=[F.col("v"), F.col("id")],
+        weight=F.col("v"),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "No Partition Defined" not in plan
