@@ -91,3 +91,43 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         best["lang"].alias("predicted_lang"),
         best["score"].alias("best_score"),
     )
+
+
+# ---------------------------------------------------------------- PII
+
+#: Sequential redaction rules: (name, pattern, replacement). ORDER
+#: MATTERS — each category is counted and replaced on the text as left
+#: by the previous rules (an SSN must be consumed by the SSN rule, not
+#: the broader phone rule), and the per-category counts reflect that
+#: same sequence. Patterns stick to the regex subset with identical
+#: semantics in Java (Spark) and RE2 (DuckDB): literal classes, bounded
+#: quantifiers, ASCII \d and \b.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\d{1,3}[ -]\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub PII from ``text_col``: emails, SSNs, phone numbers, and
+    IPv4 addresses are replaced by ``<EMAIL>``/``<SSN>``/``<PHONE>``/
+    ``<IP>`` tokens, applied in :data:`PII_RULES` order. Adds one
+    ``n_<category>`` count column per rule (occurrences at that stage)
+    and a ``redacted`` column with the scrubbed text.
+
+    The mandatory compliance pass of any crawl→training-data pipeline.
+    Pure JVM regexp expressions — one narrow projection, no shuffle, no
+    Python in the row path; Catalyst pipelines the four rewrites into a
+    single codegen stage.
+    """
+    cur = F.col(text_col)
+    cols = list(df.columns)
+    out = df
+    for name, pat, repl in PII_RULES:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out.select(
+        *cols, *[f"n_{name}" for name, _, _ in PII_RULES], cur.alias("redacted")
+    )

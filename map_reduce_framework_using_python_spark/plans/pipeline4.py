@@ -318,3 +318,71 @@ def ns_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_freq"),
         )
     )
+
+
+# The PII query synthesizes a deterministic PII-bearing string per doc
+# (the corpus itself is a clean word soup) with IDENTICAL expression
+# structure on both engines, then runs the sequential redaction pass.
+# {S} is the engine's string type name: STRING (Spark) / VARCHAR (DuckDB).
+_PII_INJECT_SQL = """
+    'u' || CAST(doc_id AS {S})
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' mail user' || CAST(doc_id AS {S}) || '@ex'
+                 || CAST(doc_id % 10 AS {S}) || '.com'
+            ELSE ' mail none' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS {S}), 3, '0')
+                 || '-' || lpad(CAST(doc_id % 100 AS {S}), 2, '0')
+                 || '-' || lpad(CAST(doc_id % 10000 AS {S}), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' tel +1 202-555-' || lpad(CAST(doc_id % 10000 AS {S}), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' ip 10.' || CAST(doc_id % 256 AS {S})
+                 || '.0.' || CAST(doc_id % 100 AS {S})
+            ELSE '' END
+"""
+
+
+def _pii_oracle() -> str:
+    from map_reduce_framework_using_python_spark.operators.text import PII_RULES
+
+    inject = _PII_INJECT_SQL.replace("{S}", "VARCHAR")
+    sql = f"SELECT doc_id, {inject} AS s FROM documents"
+    for name, pat, repl in PII_RULES:
+        sql = (
+            f"SELECT doc_id, * EXCLUDE (s),"
+            f" len(regexp_extract_all(s, '{pat}')) AS n_{name},"
+            f" regexp_replace(s, '{pat}', '{repl}', 'g') AS s"
+            f" FROM ({sql}) sub"
+        )
+    names = ", ".join(
+        f"n_{name}" for name, _, _ in PII_RULES
+    )
+    return f"SELECT doc_id, {names}, s AS redacted FROM ({sql}) fin"
+
+
+@query(
+    "ns_pii_redact",
+    oracle=_pii_oracle(),
+    tags=("northstar", "pipeline", "text", "compliance"),
+)
+def ns_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (operators/text.py:redact_pii): emails, SSNs,
+    phones, and IPv4s replaced by typed tokens, with per-category
+    occurrence counts, over a deterministically injected PII column
+    (the synthetic corpus itself is clean). Sequential rule order is
+    part of the contract — an SSN is consumed by the SSN rule, never
+    the broader phone rule.
+
+    Scale shape: a single narrow projection — four regexp rewrites
+    fused into one codegen stage, no shuffle, no Python in the row
+    path. At 100 TB this is scan-bound, exactly as a compliance pass
+    should be."""
+    from map_reduce_framework_using_python_spark.operators.text import redact_pii
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_INJECT_SQL.replace("{S}", "STRING")).alias("pii_text")
+    )
+    return redact_pii(d, text_col="pii_text").drop("pii_text")

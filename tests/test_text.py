@@ -53,3 +53,41 @@ def test_language_id_recovers_each_profile(spark):
     # rest still score > 0.
     hits = sum(1 for i, lang in enumerate(langs) if got[i] == lang)
     assert hits >= 12, {langs[i]: got[i] for i in range(len(langs)) if got[i] != langs[i]}
+
+
+# ---------------------------------------------------------------- PII
+
+
+def test_redact_pii_crafted(spark):
+    from map_reduce_framework_using_python_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@sub.example.co and d@e.io thanks"),
+        (2, "ssn 123-45-6789 tel +1 202-555-0142"),
+        (3, "server 192.168.0.1 and 10.0.0.255"),
+        (4, "nothing sensitive here"),
+        (5, "call 44 555-123-4567 now"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in redact_pii(df).collect()}
+    assert got[1].n_email == 2
+    assert got[1].redacted == "mail <EMAIL> and <EMAIL> thanks"
+    assert (got[2].n_ssn, got[2].n_phone) == (1, 1)
+    assert got[2].redacted == "ssn <SSN> tel <PHONE>"
+    assert got[3].n_ipv4 == 2
+    assert got[3].redacted == "server <IP> and <IP>"
+    assert got[4].redacted == rows[3][1]
+    assert all(
+        getattr(got[4], c) == 0 for c in ("n_email", "n_ssn", "n_phone", "n_ipv4")
+    )
+    # An SSN is consumed by the SSN rule even though the phone pattern
+    # could also reach it — sequential order is the contract.
+    assert got[5].n_phone == 1 and got[5].n_ssn == 0
+
+
+def test_redact_pii_no_shuffle(spark):
+    from map_reduce_framework_using_python_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
