@@ -87,3 +87,87 @@ def dedup_clusters(
     ).select(
         id_col, F.coalesce("component", F.col(id_col)).alias("cluster_id")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 8,
+    damping: float = 0.85,
+    round_scale: int = 9,
+) -> DataFrame:
+    """Weighted PageRank with uniform dangling-mass redistribution,
+    run for a FIXED ``iters`` rounds (deterministic output, unlike a
+    tolerance stop whose round count could differ across engines).
+    Returns (node, r).
+
+    Each round is the classic update
+    ``r'(v) = (1-d)/N + d·(Σ_{u→v} r(u)·w(u,v)/outw(u) + mass/N)``
+    where ``mass`` is the rank sitting on dangling nodes. Ranks are
+    snapped to a ``round_scale``-dp grid (explicit half-up floor
+    arithmetic, plans/core.py doctrine) after EVERY round: engines sum
+    double contributions in different orders, and the per-round snap
+    keeps that ulp drift from compounding — the same structure an
+    ANSI-SQL oracle can replay as unrolled CTEs.
+
+    Scale shape: the rank table is |nodes| rows while the heavy side is
+    the edge list; every round is one join-aggregate over edges
+    (hash-partitioned on src/dst) plus two tiny aggregates. Like
+    :func:`connected_components`, each round's rank table is
+    ``localCheckpoint``-ed: without lineage truncation the logical plan
+    re-derives the full prefix every round and the OPTIMIZER (not the
+    executors) becomes the bottleneck. The edge list and its
+    out-weight/node/count satellites are checkpointed once up front —
+    they are re-read 2·iters times.
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    ).localCheckpoint()
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    ).localCheckpoint()
+    cnt = nodes.agg(F.count("*").alias("n"))
+
+    m = float(10**round_scale)
+
+    def snap(col):
+        return F.floor(col * m + F.lit(0.5)) / m
+
+    ranks = nodes.crossJoin(F.broadcast(cnt)).select(
+        "node", snap(F.lit(1.0) / F.col("n")).alias("r")
+    )
+    base, d = 1.0 - damping, damping
+    for _ in range(iters):
+        contrib = (
+            e.join(outw, "src")
+            .join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("ow")).alias("contrib"))
+        )
+        mass = (
+            ranks.join(outw, ranks.node == outw.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(cnt))
+            .crossJoin(F.broadcast(mass))
+            .select(
+                "node",
+                snap(
+                    F.lit(base) / F.col("n")
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("mass") / F.col("n")
+                    )
+                ).alias("r"),
+            )
+        ).localCheckpoint()
+    return ranks

@@ -1,12 +1,17 @@
-"""Connected-components tests: transitive closure on chains, multiple
-components, isolated nodes, and determinism. Cross-engine parity is
-covered by the ns_dup_clusters recursive-CTE oracle."""
+"""Graph-operator tests: connected components (transitive closure on
+chains, multiple components, isolated nodes, determinism) and PageRank
+(conservation, known closed forms, dangling mass). Cross-engine parity
+is covered by the ns_dup_clusters recursive-CTE oracle and the
+ns_pagerank_events unrolled-CTE oracle."""
 
 from __future__ import annotations
+
+import pytest
 
 from map_reduce_framework_using_python_spark.operators.graph import (
     connected_components,
     dedup_clusters,
+    pagerank,
 )
 
 
@@ -84,3 +89,59 @@ def test_components_match_union_find_on_random_graphs(spark):
             for r in connected_components(_edges(spark, pairs)).collect()
         }
         assert got == union_find_components(n, pairs), f"seed {seed}"
+
+
+def _ranks(df):
+    return {r["node"]: r["r"] for r in df.collect()}
+
+
+def test_pagerank_conserves_total_mass(spark):
+    # No dangling nodes (cycle) → total rank stays 1 each round up to
+    # the per-round 9-dp snap (|nodes| · 5e-10 worst case).
+    pr = _ranks(pagerank(_edges(spark, [(0, 1), (1, 2), (2, 0)])))
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-8)
+    # Symmetric cycle → uniform ranks exactly.
+    assert all(v == pytest.approx(1 / 3, abs=1e-8) for v in pr.values())
+
+
+def test_pagerank_star_closed_form(spark):
+    # Star 1..4 → 0: leaves keep only the base share, the hub gets
+    # base + d·(leaf contribs + its own dangling mass / n).  Iterate the
+    # closed-form recurrence in Python with the same 9-dp snapping.
+    pr = _ranks(pagerank(_edges(spark, [(i, 0) for i in range(1, 5)]), iters=8))
+    n, d = 5, 0.85
+
+    def snap(x):
+        import math
+
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    leaf = hub = snap(1 / n)
+    for _ in range(8):
+        mass = hub  # node 0 has no out-edges
+        new_leaf = snap((1 - d) / n + d * (mass / n))
+        new_hub = snap((1 - d) / n + d * (4 * leaf + mass / n))
+        leaf, hub = new_leaf, new_hub
+    assert pr[0] == pytest.approx(hub, abs=1e-9)
+    for i in range(1, 5):
+        assert pr[i] == pytest.approx(leaf, abs=1e-9)
+    assert pr[0] > pr[1]
+
+
+def test_pagerank_weighted_split(spark):
+    # 0 sends 3/4 of its rank to 1 and 1/4 to 2; 1 and 2 return to 0.
+    # Heavier edge → strictly larger rank, and weights beat edge count.
+    edges = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    pr = _ranks(pagerank(edges, weight="w"))
+    assert pr[1] > pr[2]
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-8)
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    edges = _edges(spark, [(i, (i * 7 + 3) % 23) for i in range(40)])
+    a = sorted(_ranks(pagerank(edges)).items())
+    b = sorted(_ranks(pagerank(edges)).items())
+    assert a == b
