@@ -73,7 +73,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_skew_salted", "ns_repetition_signals", "q_join_range_bigbig",
     "q_sql_pipe_syntax", "st_stream_join_left", "q_session_dynamic_gap",
     # round 4 additions + the round-3 deferrals (local-green backlog)
-    "ns_pagerank_events", "ns_span_dedup", "q_sql_group_by_all", "q_sql_udf",
+    "ns_pagerank_events", "ns_span_dedup", "ns_bm25_topk",
+    "ns_sequence_packing", "ns_phrase_search", "ns_bigram_rarity",
+    "ns_pii_redact", "q_sql_group_by_all", "q_sql_udf",
     "ns_kmeans_sizes", "q_incremental_agg", "q_time_weighted_avg",
     "q_regression_stats",
 )
