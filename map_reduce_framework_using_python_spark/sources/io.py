@@ -42,11 +42,14 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-# rejects ([PARQUET_TYPE_ILLEGAL]). We read the physical INT64 directly
-# and convert ns → µs with integer division — the same truncation DuckDB
-# applies when casting TIMESTAMP_NS → TIMESTAMP, so oracle comparisons
-# line up. Stays fully distributed (schema-on-read, no driver hop).
+# events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+# generations (Spark's parquet reader rejects that type with
+# [PARQUET_TYPE_ILLEGAL]) and TIMESTAMP(MICROS) in others. We read the
+# physical INT64 directly and normalize to µs by the unit recorded in
+# the parquet footer — for ns this is integer division, the same
+# truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so
+# oracle comparisons line up. One footer read on the driver decides the
+# expression; the scan itself stays fully distributed (schema-on-read).
 _EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -59,16 +62,30 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+def _ts_unit(path: str) -> str:
+    """Timestamp unit ('ns'/'us'/'ms') of events.ts per the parquet footer."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        names = [n for n in sorted(os.listdir(path)) if n.endswith(".parquet")]
+        path = os.path.join(path, names[0])
+    return pq.read_schema(path).field("ts").type.unit
+
+
+_TS_TO_MICROS = {"ns": "ts div 1000", "us": "ts", "ms": "ts * 1000"}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table. Parquet → pushdown/pruning apply."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        micros = _TS_TO_MICROS[_ts_unit(path)]
         return (
             spark.read.schema(_EVENTS_RAW_SCHEMA)
             .parquet(path)
             .withColumn(
                 "ts",
-                F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+                F.expr(f"cast(timestamp_micros({micros}) as timestamp_ntz)"),
             )
         )
     return spark.read.parquet(path)

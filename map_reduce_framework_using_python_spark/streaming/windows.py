@@ -13,23 +13,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_framework_using_python_spark.sources.io import _EVENTS_RAW_SCHEMA
+import os
+
+from map_reduce_framework_using_python_spark.sources.io import (
+    _EVENTS_RAW_SCHEMA,
+    _TS_TO_MICROS,
+    _ts_unit,
+)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events`` as a file-source stream (same TIMESTAMP(NANOS)
-    schema-on-read workaround as the batch loader).
+    """``events`` as a file-source stream (same raw-INT64 schema-on-read
+    workaround as the batch loader, normalized to µs by the footer's
+    actual unit — testdata generations have shipped both ns and µs).
 
     Streaming watermarks require TIMESTAMP (tz-aware), so unlike the
     batch loader this keeps ``ts`` as TIMESTAMP_LTZ — the session is
     pinned to UTC, so values align with the NTZ batch twin.
     """
+    micros = _TS_TO_MICROS[_ts_unit(os.path.join(sf_dir, "events.parquet"))]
     return (
         spark.readStream.schema(_EVENTS_RAW_SCHEMA)
         # file source needs a directory; glob-filter to the events table
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.timestamp_micros(F.expr(micros)))
     )
 
 
