@@ -34,7 +34,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_rank", "bucketed_cumsum", "ntile_from_rank"]
+__all__ = [
+    "bucketed_rank",
+    "bucketed_rank_grouped",
+    "bucketed_cumsum",
+    "ntile_from_rank",
+]
 
 
 def bucketed_rank(
@@ -96,6 +101,87 @@ def bucketed_rank(
         .crossJoin(F.broadcast(total))
         .withColumn(rank_col, F.col("_rk_offset") + F.col("_rk_local"))
         .drop("_rk_bucket", "_rk_local", "_rk_a", "_rk_offset")
+    )
+
+
+def bucketed_rank_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket: Column,
+    order_by: list[Column],
+    rank_col: str = "rn",
+    total_col: str = "n_total",
+) -> DataFrame:
+    """Per-group ``row_number`` + group row count without a per-group
+    single-task window.
+
+    ``PARTITION BY group`` windows are the grouped cousin of the global
+    window scale-killer: with few, heavy groups (e.g. 5 event types over
+    100 TB) each group funnels through ONE task. This composes the same
+    two-pass shape as :func:`bucketed_rank` but keyed on
+    (group, bucket): the window hash-partitions on the composite key
+    (heavy groups split across ``bucket``), and the prefix-sum join is
+    per-group over the bounded bucket list. Same contracts: ``bucket``
+    order-consistent along ``order_by`` within every group, ``order_by``
+    a total order, sort keys non-null (fail-fast).
+    """
+    b = df.withColumn(
+        "_rg_bucket",
+        F.coalesce(
+            bucket,
+            F.raise_error(
+                F.lit(
+                    "bucketed_rank_grouped: NULL sort key/bucket — order keys must be non-null"
+                )
+            ),
+        ),
+    )
+    w = Window.partitionBy(*group_cols, "_rg_bucket").orderBy(*order_by)
+    local = b.withColumn("_rg_local", F.row_number().over(w))
+
+    counts = b.groupBy(*group_cols, "_rg_bucket").agg(F.count("*").alias("_rg_cnt"))
+    ca = counts.select(
+        *[F.col(g).alias(f"_rg_ga_{g}") for g in group_cols],
+        F.col("_rg_bucket").alias("_rg_a"),
+        F.col("_rg_cnt").alias("_rg_a_cnt"),
+    )
+    cb = counts.select(
+        *[F.col(g).alias(f"_rg_gb_{g}") for g in group_cols],
+        F.col("_rg_bucket").alias("_rg_b"),
+        F.col("_rg_cnt").alias("_rg_b_cnt"),
+    )
+    same_group = [
+        F.col(f"_rg_ga_{g}").eqNullSafe(F.col(f"_rg_gb_{g}")) for g in group_cols
+    ]
+    lower = F.col("_rg_b") < F.col("_rg_a")
+    cond = same_group[0]
+    for c in same_group[1:]:
+        cond = cond & c
+    offsets = (
+        ca.join(F.broadcast(cb), cond & lower, "left")
+        .groupBy(*[f"_rg_ga_{g}" for g in group_cols], "_rg_a")
+        .agg(F.coalesce(F.sum("_rg_b_cnt"), F.lit(0)).alias("_rg_offset"))
+    )
+    totals = counts.groupBy(*group_cols).agg(F.sum("_rg_cnt").alias(total_col))
+    tot = totals.select(
+        *[F.col(g).alias(f"_rg_gt_{g}") for g in group_cols], total_col
+    )
+
+    joined = local.join(
+        F.broadcast(offsets),
+        [local[g].eqNullSafe(offsets[f"_rg_ga_{g}"]) for g in group_cols]
+        + [local["_rg_bucket"] == offsets["_rg_a"]],
+    ).join(
+        F.broadcast(tot),
+        [local[g].eqNullSafe(tot[f"_rg_gt_{g}"]) for g in group_cols],
+    )
+    return joined.withColumn(rank_col, F.col("_rg_offset") + F.col("_rg_local")).drop(
+        "_rg_bucket",
+        "_rg_local",
+        "_rg_a",
+        "_rg_offset",
+        *[f"_rg_ga_{g}" for g in group_cols],
+        *[f"_rg_gt_{g}" for g in group_cols],
     )
 
 
