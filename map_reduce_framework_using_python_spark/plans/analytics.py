@@ -395,6 +395,68 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Fuzzy string match (blocked edit-distance join)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+        WITH probe AS (SELECT p_partkey, p_brand, p_name FROM part
+                       WHERE p_size = 1),
+             cand AS (SELECT pr.p_partkey, c.p_partkey AS match_partkey,
+                             levenshtein(pr.p_name, c.p_name) AS dist
+                      FROM probe pr
+                      JOIN part c ON c.p_brand = pr.p_brand
+                                 AND c.p_partkey <> pr.p_partkey),
+             best AS (SELECT *, row_number() OVER (
+                          PARTITION BY p_partkey
+                          ORDER BY dist, match_partkey) AS rn
+                      FROM cand)
+        SELECT p_partkey, match_partkey, dist FROM best WHERE rn = 1
+    """,
+    tags=("join", "string", "analytics"),
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity match: for every size-1 part, the closest OTHER part
+    name (Levenshtein) within the same brand; deterministic tie-break on
+    the smaller candidate key.
+
+    Edit distance is exact integer DP — identical in both engines — so
+    this is hash-stable with zero float hazard. The scale story is the
+    BLOCKING: candidates come only from the same brand (an equi-join),
+    never an all-pairs cross join, which is how fuzzy entity resolution
+    survives 100 TB (block key cardinality grows with data; here brand
+    stands in for the usual sorted-neighborhood / phonetic block). The
+    per-probe argmin window partitions on p_partkey — maximal key
+    cardinality, no skew.
+    """
+    p = t(spark, sf_dir, "part")
+    probe = p.filter(F.col("p_size") == 1).select(
+        "p_partkey", "p_brand", F.col("p_name").alias("probe_name")
+    )
+    cand = probe.join(
+        p.select(
+            F.col("p_partkey").alias("match_partkey"),
+            "p_brand",
+            F.col("p_name").alias("cand_name"),
+        ),
+        "p_brand",
+    ).filter(F.col("match_partkey") != F.col("p_partkey"))
+    scored = cand.select(
+        "p_partkey",
+        "match_partkey",
+        F.levenshtein("probe_name", "cand_name").alias("dist"),
+    )
+    w = Window.partitionBy("p_partkey").orderBy("dist", "match_partkey")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "match_partkey", "dist")
+    )
+
+
+# --------------------------------------------------------------------------
 # Rolling EWMA (dyadic truncated kernel)
 # --------------------------------------------------------------------------
 

@@ -66,6 +66,16 @@ PROBE = (
     "ns_kll_quantiles",
     "ns_repetition_signals",
     "q_session_dynamic_gap",
+    # round 3, second half: graph + analytics batch (q_fuzzy_match is
+    # not probed — `part` is a dim table, unscaled by replicas)
+    "q_triangle_count",
+    "q_attribution_last_touch",
+    "q_assoc_rules",
+    "q_mad_outliers",
+    "q_rolling_ewma",
+    "ns_span_dedup",
+    "ns_bm25_topk",
+    "ns_pagerank_events",
 )
 
 
