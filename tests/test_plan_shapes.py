@@ -118,3 +118,33 @@ def test_no_single_partition_window_anywhere(spark, name):
             assert "windowspecdefinition(" in ln or "_rk_bucket" in ln, ln
     # The real assertion: no empty window partition spec.
     assert "Window [" not in plan or "_rk_bucket" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name,part_col",
+    [
+        ("q_rolling_ewma", "user_id"),
+        ("q_window_count_distinct", "user_id"),
+        ("q_attribution_last_touch", "user_id"),
+        ("q_fuzzy_match", "p_partkey"),
+        ("q_mad_outliers", "_rg_bucket"),
+    ],
+)
+def test_analytics_windows_are_partitioned(spark, name, part_col):
+    # Every Window in the analytics batch must hash-partition (on the
+    # natural key, or on the grouped-rank composite bucket) — never an
+    # unpartitioned single-task window.
+    plan = _plan(spark, name)
+    for ln in plan.splitlines():
+        if "Window [" in ln:
+            assert part_col in ln, (name, ln)
+
+
+def test_triangle_closing_join_is_equi(spark):
+    # The wedge + closing joins must be hash/sort-merge equi-joins; the
+    # only nested-loop joins are the two 1-row stat crossJoins at the
+    # top (an OR-of-permutations closing condition would plan the whole
+    # wedge×edge product as a nested loop).
+    plan = _plan(spark, "q_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
