@@ -160,3 +160,35 @@ def test_aqe_coalesces_shuffle_partitions_at_runtime(spark):
     df.collect()  # materialize so AQE finalizes the plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead coalesced" in plan
+
+
+def test_events_ts_unit_detection(spark, tmp_path):
+    # The loader must normalize events.ts to µs from WHATEVER physical
+    # unit the parquet footer declares — testdata generations have
+    # shipped both ns and µs (the driver refresh mid-round-3 flipped
+    # it; lesson #11 in NOTES.md).
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_framework_using_python_spark.sources.io import load_table
+
+    want = dt.datetime(2024, 3, 1, 12, 0, 0, 123456)
+    for unit in ("ns", "us", "ms"):
+        d = tmp_path / unit
+        d.mkdir()
+        val = want if unit != "ms" else want.replace(microsecond=123000)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([val], pa.timestamp(unit)),
+                "user_id": pa.array([1], pa.int64()),
+                "event_type": pa.array(["view"]),
+                "value": pa.array([1.0], pa.float64()),
+                "props": pa.array(["{}"]),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        got = load_table(spark, str(d), "events").first()["ts"]
+        assert got == val, (unit, got, val)
