@@ -42,5 +42,6 @@ from map_reduce_framework_using_python_spark.plans import pipeline5  # noqa: E40
 from map_reduce_framework_using_python_spark.plans import analytics  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import partitioned  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import quality  # noqa: E402,F401
+from map_reduce_framework_using_python_spark.plans import stats2  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "get_query", "query"]

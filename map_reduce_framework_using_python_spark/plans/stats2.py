@@ -1,0 +1,183 @@
+"""Rank statistics and weighted sampling — exact-arithmetic additions
+to the statistical surface.
+
+Spearman correlation is the rank twin of q_corr_stats: because ranks
+(and tie-averaged ranks scaled by 2) are INTEGERS, every component sum
+is exact DECIMAL, and the final rho is one identical IEEE expression on
+identical operands in both engines — no float-grid hazard anywhere.
+Systematic PPS sampling (probability proportional to size) is the
+classic production weighted sampler (one pass, exact integer
+arithmetic), built on the scale-safe ``bucketed_cumsum``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.operators.ranks import (
+    bucketed_cumsum,
+    bucketed_rank_grouped,
+)
+from map_reduce_framework_using_python_spark.plans.core import query, t
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation
+# ---------------------------------------------------------------------------
+
+_RHO_EXPR = (
+    "round(CAST(n * sxy - sx * sy AS DOUBLE) / "
+    "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)"
+)
+
+
+@query(
+    "q_spearman",
+    oracle=f"""
+        WITH r AS (
+            SELECT l_returnflag AS g,
+                   2 * rank() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_quantity)
+                     + count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+                     - 1 AS rx,
+                   2 * rank() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice)
+                     + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+                     - 1 AS ry
+            FROM lineitem),
+        s AS (SELECT g, CAST(count(*) AS DECIMAL(38,0)) AS n,
+                     CAST(sum(CAST(rx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                     CAST(sum(CAST(ry AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                     CAST(sum(CAST(rx AS DECIMAL(38,0)) * ry) AS DECIMAL(38,0)) AS sxy,
+                     CAST(sum(CAST(rx AS DECIMAL(38,0)) * rx) AS DECIMAL(38,0)) AS sxx,
+                     CAST(sum(CAST(ry AS DECIMAL(38,0)) * ry) AS DECIMAL(38,0)) AS syy
+              FROM r GROUP BY g)
+        SELECT g, CAST(n AS BIGINT) AS n_rows, {_RHO_EXPR} AS spearman_rho
+        FROM s
+    """,
+    tags=("agg", "stats", "analytics"),
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price per
+    return flag, with textbook tie handling (average ranks).
+
+    2·avg_rank = 2·min_rank + tie_count − 1 is an INTEGER, so the whole
+    statistic reduces to exact DECIMAL sums of integer products; the
+    final rho is one identical double expression (sqrt is
+    correctly-rounded IEEE) — the q_corr_stats doctrine, extended to
+    rank statistics.
+
+    The oracle's per-group rank windows are the textbook form; the
+    Spark side derives min-rank from ``bucketed_rank_grouped`` (total
+    order (value, key)) + a per-(group, value) tie aggregate, so no
+    heavy group ever funnels through one window task.
+    """
+    l = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    )
+
+    def scaled_rank(df: DataFrame, col: str, bucket, out: str) -> DataFrame:
+        """2·avg_rank over ties of ``col`` within g, as an integer col."""
+        rn = bucketed_rank_grouped(
+            df,
+            ["g"],
+            bucket,
+            [F.col(col), F.col("l_orderkey"), F.col("l_linenumber")],
+            rank_col="_rn",
+            total_col="_nt",
+        )
+        ties = rn.groupBy("g", col).agg(
+            F.min("_rn").alias("_minrn"), F.count("*").alias("_c")
+        )
+        return (
+            rn.join(ties, ["g", col])
+            .withColumn(out, 2 * F.col("_minrn") + F.col("_c") - 1)
+            .drop("_rn", "_nt", "_minrn", "_c")
+        )
+
+    rx = scaled_rank(l, "x", F.floor(F.col("x") / 8), "rx")
+    rxy = scaled_rank(rx, "y", F.floor(F.col("y") / 8192), "ry")
+    s = rxy.groupBy("g").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("rx").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("ry").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("ry"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("rx"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("ry").cast("decimal(38,0)") * F.col("ry"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    return s.select(
+        "g",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(_RHO_EXPR).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Systematic PPS (probability-proportional-to-size) sampling
+# ---------------------------------------------------------------------------
+
+_PPS_K = 25
+
+
+@query(
+    "ns_pps_sample",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, n_chars,
+                          md5(CAST(doc_id AS VARCHAR)) AS h
+                   FROM documents),
+             c AS (SELECT doc_id, n_chars,
+                          sum(n_chars) OVER (ORDER BY h, doc_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS cum,
+                          sum(n_chars) OVER () AS total
+                   FROM w)
+        SELECT doc_id, n_chars, cum
+        FROM c
+        WHERE cum // (total // {_PPS_K}) > (cum - n_chars) // (total // {_PPS_K})
+    """,
+    tags=("pipeline", "sampling", "northstar"),
+)
+def ns_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample of ~{k} documents, inclusion probability
+    proportional to ``n_chars``: order by a content-hash key (stable,
+    engine-shared pseudo-random order), take the running weight sum,
+    and select every document whose weight interval crosses a stride
+    boundary (stride = total // k). Long documents are proportionally
+    more likely to be picked — the sampler a training pipeline uses for
+    size-weighted corpus subsampling — and everything is INTEGER
+    arithmetic, exact on both engines.
+
+    The running sum comes from ``bucketed_cumsum`` (md5-prefix buckets
+    + broadcast prefix-sum), so there is no single-task global window;
+    the only full-table pass is one hash-partitioned window + two tiny
+    broadcasts — the identical shape to ns_seeded_shuffle.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    c = bucketed_cumsum(
+        d,
+        F.substring("h", 1, 2),
+        [F.col("h"), F.col("doc_id")],
+        F.col("n_chars"),
+        cum_col="cum",
+    )
+    total = d.agg(F.sum("n_chars").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(total))
+        .filter(
+            F.expr(f"cum div (total div {_PPS_K})")
+            > F.expr(f"(cum - n_chars) div (total div {_PPS_K})")
+        )
+        .select("doc_id", "n_chars", "cum")
+    )
