@@ -395,6 +395,58 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Rolling 7-day distinct users (DAU/WAU)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_wau_rolling",
+    oracle="""
+        WITH pairs AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+                                       user_id
+                       FROM events),
+             days AS (SELECT DISTINCT d FROM pairs)
+        SELECT days.d AS day,
+               count(DISTINCT CASE WHEN pairs.d = days.d
+                                   THEN pairs.user_id END) AS dau,
+               count(DISTINCT pairs.user_id) AS wau
+        FROM days
+        JOIN pairs ON pairs.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        GROUP BY 1
+    """,
+    tags=("events", "agg", "analytics"),
+)
+def q_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and trailing-7-day distinct active users (DAU/WAU) — the
+    canonical product-analytics metric whose trailing DISTINCT does NOT
+    decompose into a sliding-window aggregate.
+
+    The scalable rewrite: dedup to (user, day) pairs first (one
+    shuffle, output bounded by users × days), then range-join the
+    bounded pair set against the tiny day spine and count distinct per
+    day. The corpus-sized events table is touched exactly once; at
+    100 TB the pair table is orders of magnitude smaller than the
+    events it summarizes (the same pre-aggregation shape Spark's
+    own approx `count_distinct` rollups use).
+    """
+    e = t(spark, sf_dir, "events")
+    pairs = e.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = pairs.select("d").distinct().withColumnRenamed("d", "day")
+    j = pairs.join(
+        F.broadcast(days),
+        (F.col("d") <= F.col("day")) & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+    )
+    return j.groupBy("day").agg(
+        F.countDistinct(
+            F.when(F.col("d") == F.col("day"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct("user_id").alias("wau"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Windowed distinct count + ANSI-safe arithmetic
 # --------------------------------------------------------------------------
 
