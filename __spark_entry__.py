@@ -77,7 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     "ns_sequence_packing", "ns_phrase_search", "ns_bigram_rarity",
     "ns_pii_redact", "q_triangle_count", "q_attribution_last_touch",
     "q_assoc_rules", "q_mad_outliers", "q_rolling_ewma", "q_fuzzy_match",
-    "q_window_count_distinct", "q_try_arith", "q_dpp_partitioned",
+    "q_window_count_distinct", "q_dpp_partitioned",
     "q_profile_stats", "q_data_quality", "q_spearman", "ns_pps_sample",
     "q_wau_rolling",
     "q_sql_group_by_all", "q_sql_udf",

@@ -447,7 +447,7 @@ def q_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Windowed distinct count + ANSI-safe arithmetic
+# Windowed distinct count
 # --------------------------------------------------------------------------
 
 
@@ -483,39 +483,6 @@ def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("n_types_seen"),
-    )
-
-
-@query(
-    "q_try_arith",
-    oracle="""
-        SELECT l_orderkey, l_linenumber,
-               l_extendedprice / nullif(l_quantity - 25, 0) AS price_per_excess,
-               TRY_CAST(l_returnflag AS INTEGER) AS bad_cast,
-               TRY_CAST(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS INTEGER) AS good_cast
-        FROM lineitem
-        WHERE l_orderkey < 1000
-    """,
-    tags=("predicates", "analytics"),
-)
-def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANSI-safe arithmetic surface: ``try_divide`` (NULL on /0 instead
-    of the ANSI-mode DIVIDE_BY_ZERO error) and ``try_cast`` (NULL on
-    malformed input). The engine runs with ANSI mode ON — these are the
-    sanctioned escape hatches, semantically NULLIF/TRY_CAST in DuckDB.
-
-    ``price_per_excess`` is a raw-double division on identical operands
-    (both engines NULL it at quantity = 25), a passthrough for the hash.
-    """
-    l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
-    return l.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25).alias(
-            "price_per_excess"
-        ),
-        F.col("l_returnflag").try_cast("int").alias("bad_cast"),
-        F.col("l_quantity").cast("bigint").cast("string").try_cast("int").alias("good_cast"),
     )
 
 
