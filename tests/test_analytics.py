@@ -157,3 +157,82 @@ def test_ewma_kernel_hand_checked(spark, tmp_path):
     assert got[1] == 1.0
     assert got[2] == round((200 * 128 + 100 * 64) / (192 * 100), 6)
     assert got[3] == 3.0
+
+
+def test_pps_sample_hand_checked(spark, tmp_path):
+    # 4 docs, weights 10/20/30/40 (total=100, k=25 → stride=4):
+    # every doc's weight interval spans ≥1 stride boundary, so all are
+    # selected; shrink one weight below the stride to see it CAN miss.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_framework_using_python_spark.plans.stats2 import ns_pps_sample
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a", "b", "c", "d"]),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([10, 20, 30, 40], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = ns_pps_sample(spark, str(tmp_path)).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3, 4}
+    # cum must be a permutation-consistent running sum of the weights.
+    assert sorted(r["cum"] for r in rows)[-1] == 100
+
+
+def _spearman_numpy(x, y):
+    import numpy as np
+
+    def avg_ranks(v):
+        v = np.asarray(v)
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), dtype=float)
+        i = 0
+        sv = v[order]
+        while i < len(v):
+            j = i
+            while j < len(v) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0  # average of positions i+1..j
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(x), avg_ranks(y)
+    rx = rx - rx.mean()
+    ry = ry - ry.mean()
+    return float((rx * ry).sum() / ((rx**2).sum() ** 0.5 * (ry**2).sum() ** 0.5))
+
+
+def test_spearman_matches_numpy(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_framework_using_python_spark.plans.stats2 import q_spearman
+
+    # One group, deliberate ties in both columns.
+    x = [10, 10, 20, 30, 30, 30, 40, 50]
+    y = [1.0, 2.0, 2.0, 3.0, 5.0, 4.0, 4.0, 8.0]
+    n = len(x)
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(range(1, n + 1), pa.int64()),
+            "l_partkey": pa.array([1] * n, pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array([1] * n, pa.int64()),
+            "l_quantity": pa.array([float(v) for v in x], pa.float64()),
+            "l_extendedprice": pa.array(y, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["A"] * n),
+            "l_linestatus": pa.array(["O"] * n),
+            "l_shipdate": pa.array([None] * n, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+    got = q_spearman(spark, str(tmp_path)).collect()
+    assert len(got) == 1 and got[0]["n_rows"] == n
+    assert got[0]["spearman_rho"] == round(_spearman_numpy(x, y), 6)
