@@ -41,7 +41,12 @@ def events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = os.path.join(root, "events_by_day")
     manifest = os.path.join(root, "_manifest.json")
-    want = {"sf_dir": sf_dir, "rows": e.count()}
+    # Source-generation fingerprint from the parquet footer — free
+    # metadata, no Spark job on the validation-only path.
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    want = {"sf_dir": sf_dir, "rows": n_rows}
     have = None
     if os.path.exists(manifest):
         with open(manifest) as fh:
