@@ -30,13 +30,17 @@ _PROFILE_COLS = {
 
 
 def _profile_oracle() -> str:
+    # min/max aggregate the TYPED column (numeric order), then render
+    # the single result value on the stable string grid — stringifying
+    # before the aggregate would report lexicographic extremes
+    # ("99" > "100").
     parts = [
         f"""SELECT '{c}' AS column_name,
                    count(*) AS n_rows,
                    count(*) - count({c}) AS n_nulls,
                    count(DISTINCT {c}) AS n_distinct,
-                   min({expr.format(c=c)}) AS min_str,
-                   max({expr.format(c=c)}) AS max_str
+                   {expr.format(c=f"min({c})")} AS min_str,
+                   {expr.format(c=f"max({c})")} AS max_str
             FROM orders"""
         for c, expr in _PROFILE_COLS.items()
     ]
@@ -50,8 +54,10 @@ def _profile_oracle() -> str:
 )
 def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level profile of ``orders`` — row count, null count,
-    distinct count, and min/max rendered on an engine-stable string
-    grid (ints and 2-dp decimals; raw doubles are never stringified).
+    distinct count, and TYPED min/max rendered on an engine-stable
+    string grid (ints and 2-dp decimals; raw doubles are never
+    stringified, and the aggregate runs on the typed column so numeric
+    extremes are numeric, not lexicographic).
 
     One wide aggregate computes every column's stats in a single scan
     (the profiler never runs one job per column), then unpivots to the
@@ -62,13 +68,13 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     aggs = []
     for c, expr in _PROFILE_COLS.items():
-        rendered = expr.replace("VARCHAR", "STRING").format(c=c)
+        spark_expr = expr.replace("VARCHAR", "STRING")
         aggs += [
             F.count("*").alias(f"{c}__n"),
             (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(F.expr(rendered)).alias(f"{c}__min"),
-            F.max(F.expr(rendered)).alias(f"{c}__max"),
+            F.expr(spark_expr.format(c=f"min({c})")).alias(f"{c}__min"),
+            F.expr(spark_expr.format(c=f"max({c})")).alias(f"{c}__max"),
         ]
     wide = o.agg(*aggs)
     stack_args = ", ".join(
