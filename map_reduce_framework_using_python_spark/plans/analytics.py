@@ -1,5 +1,6 @@
 """Advanced analytics batch: triangle counting, marketing attribution,
-association rules, robust (MAD) outliers, and a rolling EWMA.
+association rules, robust (MAD) outliers, rolling EWMA, rolling
+DAU/WAU, windowed distinct counts, and blocked fuzzy matching.
 
 Each is a workload the reference's users would express as a chain of
 mapper/reducer jobs over the §2.A primitives (`Readme.md:6`) — e.g.
