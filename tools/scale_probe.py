@@ -76,6 +76,9 @@ PROBE = (
     "ns_span_dedup",
     "ns_bm25_topk",
     "ns_pagerank_events",
+    "q_wau_rolling",
+    "q_bfs_distance",
+    "q_kcore",
 )
 
 
