@@ -79,7 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_assoc_rules", "q_mad_outliers", "q_rolling_ewma", "q_fuzzy_match",
     "q_window_count_distinct", "q_dpp_partitioned",
     "q_profile_stats", "q_data_quality", "q_spearman", "ns_pps_sample",
-    "q_wau_rolling", "q_bfs_distance", "q_kcore",
+    "q_wau_rolling", "q_bfs_distance", "q_kcore", "q_ohlc_bars",
     "q_sql_group_by_all", "q_sql_udf",
     "ns_kmeans_sizes", "q_incremental_agg", "q_time_weighted_avg",
     "q_regression_stats",

@@ -181,3 +181,49 @@ def ns_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_chars", "cum")
     )
+
+
+@query(
+    "q_ohlc_bars",
+    oracle="""
+        WITH r AS (SELECT date_trunc('hour', ts) AS bar,
+                          value, ts, event_id,
+                          row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                             ORDER BY ts, event_id) AS rn_a,
+                          row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                             ORDER BY ts DESC, event_id DESC) AS rn_z
+                   FROM events)
+        SELECT bar,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_z = 1 THEN value END) AS close,
+               count(*) AS volume
+        FROM r GROUP BY bar
+    """,
+    tags=("events", "timeseries", "analytics"),
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC resampling of the event value stream — the financial
+    bar aggregation (open/high/low/close/volume per bucket).
+
+    open/close are deterministic endpoint picks over the total order
+    (ts, event_id): Spark uses struct-min/max argmin (order-insensitive,
+    composes with partial aggregation — ONE hash aggregate, no window);
+    the oracle spells the same pick with row_number. high/low/volume are
+    plain aggregates. All outputs are raw column passthroughs or
+    counts — nothing rounded. Scale: one shuffle on the bar key; the
+    struct-min trick keeps the endpoint pick inside the map-side
+    combine, which a window-based form would forfeit.
+    """
+    e = t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("bar"), "value", "ts", "event_id"
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return e.groupBy("bar").agg(
+        F.min(key)["value"].alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(key)["value"].alias("close"),
+        F.count("*").alias("volume"),
+    )
