@@ -61,28 +61,46 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q_window_pct", "st_session_window", "st_sliding_window",
     "st_stateful_totals", "st_stream_join", "st_stream_static_enrich",
     "st_tumbling_window",
+    # round 3 (CORRECTNESS_r03.json, 47/50 green; the 3 reds —
+    # q12_priority_by_returnflag, ns_pps_sample, ns_sequence_packing,
+    # all oracle HUGEINT-cast bugs fixed in round 4 — stay OUT so they
+    # re-rotate through the round-4 window)
+    "ns_bigram_rarity", "ns_bm25_topk", "ns_kmeans_sizes", "ns_pagerank_events",
+    "ns_phrase_search", "ns_pii_redact", "ns_repetition_signals", "ns_span_dedup",
+    "q05_local_supplier_bucketed", "q08_market_share", "q09_product_profit",
+    "q11_important_stock", "q13_customer_distribution", "q16_parts_supplier_count",
+    "q20_part_promotion", "q_argmax_struct", "q_assoc_rules",
+    "q_attribution_last_touch", "q_bfs_distance", "q_corr_stats",
+    "q_data_quality", "q_dpp_partitioned", "q_fuzzy_match", "q_incremental_agg",
+    "q_join_range_bigbig", "q_kcore", "q_mad_outliers", "q_mode_by_group",
+    "q_null_handling", "q_ohlc_bars", "q_predicates_misc", "q_profile_stats",
+    "q_regression_stats", "q_rolling_ewma", "q_session_dynamic_gap",
+    "q_skew_salted", "q_spearman", "q_sql_group_by_all", "q_sql_pipe_syntax",
+    "q_sql_udf", "q_time_weighted_avg", "q_triangle_count", "q_try_arithmetic",
+    "q_wau_rolling", "q_window_count_distinct", "q_window_ntile",
+    "st_stream_join_left",
 })
 
 
-#: Within the unverified tier, these go FIRST: the two round-2 driver
-#: reds (hardened in round 3 — their re-check is the point) and the
-#: queries newly written this round (newest code carries the most risk;
-#: an r2-backlog query that waits one more round is all local-green).
+#: Within the unverified tier, these go FIRST: the three round-3 reds
+#: (oracle HUGEINT casts fixed in round 4 — their re-check is the
+#: point), then the full never-driver-checked backlog.  All 32
+#: unverified names fit inside the driver's 50-query window, so round 4
+#: closes the entire 176-query oracle surface.
 _PRIORITY: tuple[str, ...] = (
-    "q_corr_stats", "q_null_handling", "q_window_ntile",
-    "q_skew_salted", "ns_repetition_signals", "q_join_range_bigbig",
-    "q_sql_pipe_syntax", "st_stream_join_left", "q_session_dynamic_gap",
-    # round 4 additions + the round-3 deferrals (local-green backlog)
-    "ns_pagerank_events", "ns_span_dedup", "ns_bm25_topk",
-    "ns_sequence_packing", "ns_phrase_search", "ns_bigram_rarity",
-    "ns_pii_redact", "q_triangle_count", "q_attribution_last_touch",
-    "q_assoc_rules", "q_mad_outliers", "q_rolling_ewma", "q_fuzzy_match",
-    "q_window_count_distinct", "q_dpp_partitioned",
-    "q_profile_stats", "q_data_quality", "q_spearman", "ns_pps_sample",
-    "q_wau_rolling", "q_bfs_distance", "q_kcore", "q_ohlc_bars",
-    "q_sql_group_by_all", "q_sql_udf",
-    "ns_kmeans_sizes", "q_incremental_agg", "q_time_weighted_avg",
-    "q_regression_stats",
+    # the 3 round-3 reds, oracle casts fixed this round
+    "q12_priority_by_returnflag", "ns_pps_sample", "ns_sequence_packing",
+    # never-driver-checked backlog (registration order)
+    "q05_local_supplier_smj", "q18_large_orders_bucketed",
+    "ns_text_normalize", "ns_quality_filter", "ns_hash_sample",
+    "ns_train_val_test", "ns_mixture_upsample", "ns_seeded_shuffle",
+    "ns_corpus_report", "ns_dup_clusters", "ns_token_count_bpe",
+    "q_gap_fill", "ns_dedup_keep_best", "ns_stratified_sample",
+    "q_funnel", "q_retention", "q_value_histogram",
+    "q_funnel_latency", "q_join_asof_forward", "q_equidepth_histogram",
+    "ns_chunk_documents", "ns_decontaminate", "ns_tfidf",
+    "ns_word_cooccurrence", "ns_event_transitions", "ns_corpus_build",
+    "ns_fuzzy_match", "q_sql_recursive_months", "q_sql_lateral_topk",
 )
 
 

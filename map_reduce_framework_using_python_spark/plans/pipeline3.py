@@ -175,25 +175,32 @@ def ns_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest-join counts."""
     d = t(spark, sf_dir, "documents")
     digests = d.select("source", F.md5("text").alias("dg"))
-    srcs = [r["source"] for r in digests.select("source").distinct().orderBy("source").limit(2).collect()]
-    if len(srcs) < 2:
-        # Single-source (or empty) corpus: no pair to compare — empty
-        # frame with the contract schema, not an IndexError.
-        return spark.createDataFrame(
-            [], "source_a string, source_b string, union_est double, inter_est double"
+    # Fully lazy: pick the two lexicographically-first sources INSIDE
+    # the plan (driver-contract: building the callable must launch no
+    # job).  Per-source sketches first (one row per source — bounded
+    # model state), then the two smallest sources fold into a single
+    # row via min_by/max_by — no window, no collect.
+    per_src = digests.groupBy("source").agg(F.theta_sketch_agg("dg").alias("sk"))
+    two = per_src.orderBy("source").limit(2)
+    pair = two.agg(
+        F.min("source").alias("source_a"),
+        F.max("source").alias("source_b"),
+        F.min_by("sk", "source").alias("sk_a"),
+        F.max_by("sk", "source").alias("sk_b"),
+    )
+    return (
+        # Single-source (or empty) corpus: min == max (or NULL) — no
+        # pair to compare, so the filter yields the empty frame the
+        # contract schema promises.
+        pair.filter(F.col("source_a") != F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias("union_est"),
+            F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b")).alias(
+                "inter_est"
+            ),
         )
-    a = digests.filter(F.col("source") == srcs[0]).agg(
-        F.theta_sketch_agg("dg").alias("sk_a")
-    )
-    b = digests.filter(F.col("source") == srcs[1]).agg(
-        F.theta_sketch_agg("dg").alias("sk_b")
-    )
-    both = a.crossJoin(b)
-    return both.select(
-        F.lit(srcs[0]).alias("source_a"),
-        F.lit(srcs[1]).alias("source_b"),
-        F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias("union_est"),
-        F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b")).alias("inter_est"),
     )
 
 

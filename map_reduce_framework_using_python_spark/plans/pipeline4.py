@@ -159,7 +159,7 @@ def ns_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            ROWS UNBOUNDED PRECEDING) AS cum_end
                 FROM docs)
         SELECT doc_id, n_tokens,
-               cum_end - n_tokens AS offset_start,
+               CAST(cum_end - n_tokens AS BIGINT) AS offset_start,
                CAST(floor((cum_end - n_tokens) / {_CTX}) AS BIGINT) AS context_id,
                CAST(floor((cum_end - 1) / {_CTX})
                     - floor((cum_end - n_tokens) / {_CTX}) AS BIGINT)

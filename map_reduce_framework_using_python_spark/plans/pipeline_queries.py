@@ -110,7 +110,8 @@ def ns_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ns_train_val_test",
     oracle="""
-        SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM (SELECT n_chars,
                      CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
                           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
@@ -208,7 +209,7 @@ def ns_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                count(*) AS n_docs,
                count(DISTINCT lang) AS n_langs,
-               sum(n_chars) AS total_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                floor(CAST(avg(n_chars) AS DOUBLE) * 100 + 0.5) / 100 AS avg_chars,
                count(DISTINCT md5(text)) AS n_unique_texts
         FROM documents

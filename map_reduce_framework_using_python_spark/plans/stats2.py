@@ -141,7 +141,7 @@ _PPS_K = 25
                                              AND CURRENT ROW) AS cum,
                           sum(n_chars) OVER () AS total
                    FROM w)
-        SELECT doc_id, n_chars, cum
+        SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum
         FROM c
         WHERE cum // (total // {_PPS_K}) > (cum - n_chars) // (total // {_PPS_K})
     """,

@@ -63,23 +63,48 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def _ts_unit(path: str) -> str:
-    """Timestamp unit ('ns'/'us'/'ms') of events.ts per the parquet footer."""
+    """Timestamp unit ('s'/'ns'/'us'/'ms') of events.ts per the parquet footer."""
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
         names = [n for n in sorted(os.listdir(path)) if n.endswith(".parquet")]
+        if not names:
+            raise ValueError(f"no .parquet files under events directory {path!r}")
         path = os.path.join(path, names[0])
     return pq.read_schema(path).field("ts").type.unit
 
 
-_TS_TO_MICROS = {"ns": "ts div 1000", "us": "ts", "ms": "ts * 1000"}
+_TS_TO_MICROS = {"ns": "ts div 1000", "us": "ts", "ms": "ts * 1000", "s": "ts * 1000000"}
+
+
+def _footer_mtime(path: str) -> float:
+    """Modification time keying the schema cache (dir → newest file)."""
+    if os.path.isdir(path):
+        files = [os.path.join(path, n) for n in os.listdir(path)]
+        return max((os.path.getmtime(f) for f in files), default=0.0)
+    return os.path.getmtime(path)
+
+
+#: Inferred parquet schema per (path, mtime) — schema inference launches
+#: a footer-sampling Spark job on EVERY ``read.parquet`` call, so without
+#: this cache each of the ~190 plan builds pays a metadata job per table
+#: (and the driver contract says building a callable should launch no
+#: job).  At 100 TB the same principle holds: pin the schema (catalog /
+#: first read), don't re-sample thousands of footers per query.
+_SCHEMA_CACHE: dict[tuple[str, float], T.StructType] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table. Parquet → pushdown/pruning apply."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        micros = _TS_TO_MICROS[_ts_unit(path)]
+        unit = _ts_unit(path)
+        try:
+            micros = _TS_TO_MICROS[unit]
+        except KeyError:
+            raise ValueError(
+                f"unsupported events.ts timestamp unit {unit!r} in {path!r}"
+            ) from None
         return (
             spark.read.schema(_EVENTS_RAW_SCHEMA)
             .parquet(path)
@@ -88,7 +113,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 F.expr(f"cast(timestamp_micros({micros}) as timestamp_ntz)"),
             )
         )
-    return spark.read.parquet(path)
+    key = (path, _footer_mtime(path))
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return spark.read.schema(schema).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pytest
 
-from map_reduce_framework_using_python_spark.oracle import canon_rows
+from map_reduce_framework_using_python_spark.oracle import canon_rows, type_mismatches
 from map_reduce_framework_using_python_spark.plans import REGISTRY
 from tests.conftest import SF_SMOKE
 
@@ -25,6 +25,10 @@ def test_query_matches_oracle(spark, duck, name):
     dcols = [c.lower() for c in rel.columns]
     drows = rel.fetchall()
     assert sorted(scols) == sorted(dcols)
+    # Type-family parity (lesson #5): the driver hashes raw values, so a
+    # DuckDB HUGEINT/DECIMAL widening next to a Spark BIGINT fails the
+    # driver even when the stringified values below agree.
+    assert type_mismatches(sdf.dtypes, rel.columns, rel.types) == []
     assert len(srows) == len(drows)
     assert canon_rows(scols, srows) == canon_rows(dcols, drows)
 

@@ -40,6 +40,20 @@ def test_theta_set_algebra_exact_below_k(spark):
     assert int(round(row["inter_est"])) == exact_inter
 
 
+def test_theta_overlap_builds_lazily(spark):
+    """Driver contract: building the ns_theta_overlap callable must
+    launch NO Spark job (the pre-round-4 version collected the source
+    pair at plan-build time). Job count is read from the app status
+    store before and after building the plan."""
+    t(spark, SF_SMOKE, "documents")  # warm the io.py schema cache
+    store = spark.sparkContext._jsc.sc().statusStore()
+    before = store.jobsList(None).size()
+    df = REGISTRY["ns_theta_overlap"].fn(spark, SF_SMOKE)
+    after = store.jobsList(None).size()
+    assert after == before, "building the callable launched a Spark job"
+    assert df.columns == ["source_a", "source_b", "union_est", "inter_est"]
+
+
 def test_cms_bounds_vs_exact(spark):
     out = {r["word"]: (r["est_count"], r["n_total"])
            for r in REGISTRY["ns_cms_word_freq"].fn(spark, SF_SMOKE).collect()}

@@ -16,7 +16,10 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-from map_reduce_framework_using_python_spark.oracle import canon_rows  # noqa: E402
+from map_reduce_framework_using_python_spark.oracle import (  # noqa: E402
+    canon_rows,
+    type_mismatches,
+)
 from map_reduce_framework_using_python_spark.plans import REGISTRY  # noqa: E402
 from map_reduce_framework_using_python_spark.session import get_spark  # noqa: E402
 from map_reduce_framework_using_python_spark.sources.io import TABLES  # noqa: E402
@@ -57,6 +60,11 @@ def main() -> int:
             continue
         if sorted(c.lower() for c in scols) != sorted(dcols):
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            n_fail += 1
+            continue
+        type_errs = type_mismatches(sdf.dtypes, rel.columns, rel.types)
+        if type_errs:
+            print(f"FAIL {name}: type divergence: {'; '.join(type_errs)}")
             n_fail += 1
             continue
         if len(srows) != len(drows):
