@@ -3,13 +3,14 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 North-star extension (SURVEY.md §2.B bottom row). Decode kernels:
 
-- ``audio/wav`` and ``image/x-portable-pixmap`` decode FOR REAL —
-  pure-Python RIFF/PCM and P6 parsers over numpy
-  (:mod:`.codecs`), no codec libraries needed; tests pin exact
-  features from exact bytes.
-- ``image/png`` / ``video/mp4`` remain STUBBED (clearly marked,
-  deterministic sha256 fakes) — the container has no zlib-image/h264
-  codecs; this is the documented seam where PIL/pyav plug in.
+- ``audio/wav``, ``image/x-portable-pixmap``, and ``image/png`` decode
+  FOR REAL — pure-Python RIFF/PCM, P6, and zlib+unfilter PNG parsers
+  over numpy/stdlib (:mod:`.codecs`), no codec libraries needed; tests
+  pin exact features from exact bytes (and pin PNG == PPM on
+  pixel-identical images).
+- ``video/mp4`` remains the one STUB (clearly marked, deterministic
+  sha256 fake) — the container has no h264 codec; this is the
+  documented seam where pyav plugs in.
 
 Everything Spark cares about is real either way: the schema contract,
 the binary source, the ``mapInPandas`` batch iteration, partition
@@ -48,11 +49,11 @@ def binary_assets_from_documents(docs: DataFrame) -> DataFrame:
     """Build a typed multimodal asset table from the documents corpus
     (text bytes standing in for opaque blobs — the plumbing under test
     is identical for real media content). Types here all route to the
-    stub kernel; for real decodable bytes use
-    :func:`synthetic_media_assets`."""
+    stub kernel (PNG now decodes for real, so text bytes can't pose as
+    it); for real decodable bytes use :func:`synthetic_media_assets`."""
     return docs.select(
         F.col("doc_id").alias("asset_id"),
-        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        F.when(F.col("doc_id") % 3 == 0, "video/mp4")
         .when(F.col("doc_id") % 3 == 1, "text/plain")
         .otherwise("video/mp4")
         .alias("media_type"),
@@ -62,29 +63,32 @@ def binary_assets_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def synthetic_media_assets(docs: DataFrame) -> DataFrame:
-    """Asset table with REAL media bytes: WAV (RIFF/PCM16 sine) and PPM
-    (P6 gradient) synthesized deterministically from ``doc_id`` — the
-    decoders parse genuine headers and samples, not fakes. Generated in
+    """Asset table with REAL media bytes: WAV (RIFF/PCM16 sine), PPM
+    (P6 gradient), and PNG (zlib-compressed gradient) synthesized
+    deterministically from ``doc_id`` — the decoders parse genuine
+    headers, samples, and compressed scanlines, not fakes. Generated in
     Arrow batches (``mapInPandas``), exactly how real blobs would arrive
     from a binaryFile scan."""
     from map_reduce_framework_using_python_spark.operators.codecs import (
+        synth_png,
         synth_ppm,
         synth_wav,
     )
 
+    _SYNTH = {
+        0: ("audio/wav", synth_wav),
+        1: ("image/x-portable-pixmap", synth_ppm),
+        2: ("image/png", synth_png),
+    }
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
-            blobs = [
-                synth_wav(i) if i % 2 == 0 else synth_ppm(i) for i in ids
-            ]
+            blobs = [_SYNTH[i % 3][1](i) for i in ids]
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
-                    "media_type": [
-                        "audio/wav" if i % 2 == 0 else "image/x-portable-pixmap"
-                        for i in ids
-                    ],
+                    "media_type": [_SYNTH[i % 3][0] for i in ids],
                     "n_bytes": [len(b) for b in blobs],
                     "content": blobs,
                 }
@@ -105,19 +109,20 @@ def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFr
 
 def _decode_stub(content: bytes, media_type: str) -> list[float]:
     """STUB decode kernel for formats whose codecs aren't in this
-    container (PNG needs zlib-image decode, MP4 needs h264). A
-    deterministic fake — an 8-dim feature from the content's sha256 —
-    so tests can pin exact outputs."""
+    container (MP4 needs h264). A deterministic fake — an 8-dim feature
+    from the content's sha256 — so tests can pin exact outputs."""
     digest = hashlib.sha256(content).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
 
 def _decode(content: bytes, media_type: str) -> list[float]:
     """Dispatch on media type: REAL decoders where the format permits
-    (WAV, PPM — :mod:`.codecs`), stub where the container lacks codecs,
-    ``NotImplementedError`` for everything else (the plug-in seam).
-    ``ValueError`` from a real decoder means malformed bytes."""
+    (WAV, PPM, PNG — :mod:`.codecs`), stub where the container lacks
+    codecs (MP4), ``NotImplementedError`` for everything else (the
+    plug-in seam). ``ValueError`` from a real decoder means malformed
+    bytes."""
     from map_reduce_framework_using_python_spark.operators.codecs import (
+        decode_png,
         decode_ppm,
         decode_wav,
     )
@@ -126,7 +131,9 @@ def _decode(content: bytes, media_type: str) -> list[float]:
         return decode_wav(content)
     if media_type == "image/x-portable-pixmap":
         return decode_ppm(content)
-    if media_type in ("image/png", "video/mp4", "text/plain"):
+    if media_type == "image/png":
+        return decode_png(content)
+    if media_type in ("video/mp4", "text/plain"):
         return _decode_stub(content, media_type)
     raise NotImplementedError(f"no decoder for media_type={media_type}")
 

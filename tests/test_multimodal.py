@@ -58,8 +58,8 @@ def test_unknown_media_type_flagged_not_fatal(spark):
 def test_metadata_pruning_before_decode(spark):
     """Predicates on typed metadata prune without touching blobs: the
     filtered plan must not grow a Python (mapInPandas) stage."""
-    a = _assets(spark).filter(F.col("media_type") == "image/png")
-    assert "image/png" in a._jdf.queryExecution().executedPlan().toString() or a.count() > 0
+    a = _assets(spark).filter(F.col("media_type") == "video/mp4")
+    assert "video/mp4" in a._jdf.queryExecution().executedPlan().toString() or a.count() > 0
 
 
 def test_frame_sample_plan(spark):
@@ -131,13 +131,126 @@ def test_ppm_decode_exact_features():
     assert decode_ppm(commented) == [w, h, maxval, mr, mg, mb, brightness, aspect]
 
 
-def test_real_decode_under_mapinpandas(spark):
-    """End-to-end: synthesized WAV/PPM bytes decode for real inside the
-    Arrow-batched extractor; per-row features equal driver-side decode of
-    the same bytes."""
+def test_png_decode_exact_features_and_ppm_parity():
+    """Real PNG parsing (zlib + CRC + unfiltering): synth_png paints the
+    SAME gradient as synth_ppm, so a pixel-identical pair must featurize
+    identically — the PNG path's ground truth is the already-pinned PPM
+    decoder."""
     from map_reduce_framework_using_python_spark.operators.codecs import (
+        decode_png,
+        decode_ppm,
+        synth_png,
+        synth_ppm,
+    )
+
+    for seed in (0, 7, 13):
+        assert decode_png(synth_png(seed)) == decode_ppm(synth_ppm(seed))
+    w, h, maxval, mr, mg, mb, brightness, aspect = decode_png(synth_png(7))
+    assert (w, h, maxval) == (23.0, 12.0, 255.0)
+    assert abs(mb - (7 % 256) / 255.0) < 1e-12
+    assert abs(brightness - (mr + mg + mb) / 3) < 1e-12
+
+
+def test_png_all_filter_types_and_color_modes():
+    """Hand-built PNGs exercising every scanline filter (0 None, 1 Sub,
+    2 Up, 3 Average, 4 Paeth) and the gray/RGBA color modes; recon
+    pixels are verified through the channel means."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from map_reduce_framework_using_python_spark.operators.codecs import (
+        _png_chunk,
+        decode_png,
+    )
+
+    def build_png(pix, color_type, filters):
+        h, w, ch = pix.shape
+        raw = bytearray()
+        prior = np.zeros(w * ch, dtype=np.int32)
+        for y in range(h):
+            row = pix[y].reshape(-1).astype(np.int32)
+            f = filters[y % len(filters)]
+            raw.append(f)
+            if f == 0:
+                enc = row
+            elif f == 1:
+                left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
+                enc = (row - left) % 256
+            elif f == 2:
+                enc = (row - prior) % 256
+            elif f == 3:
+                left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
+                enc = (row - (left + prior) // 2) % 256
+            else:  # 4 Paeth
+                enc = np.zeros(w * ch, np.int32)
+                for x in range(w * ch):
+                    a = int(row[x - ch]) if x >= ch else 0
+                    b = int(prior[x])
+                    c = int(prior[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[x] = (row[x] - pred) % 256
+            raw.extend(enc.astype(np.uint8).tobytes())
+            prior = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(42)
+    # RGB through every filter type, one per row
+    pix = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    feats = decode_png(build_png(pix, 2, [0, 1, 2, 3, 4]))
+    expect = pix.astype(np.float64).mean(axis=(0, 1)) / 255.0
+    assert np.allclose(feats[3:6], expect, atol=1e-12)
+    # Same pixels, different filter choice → identical features
+    assert feats == decode_png(build_png(pix, 2, [4, 3, 2, 1, 0]))
+    # Grayscale: gray value replicated into r/g/b means
+    gray = rng.integers(0, 256, size=(4, 4, 1), dtype=np.uint8)
+    g = decode_png(build_png(gray, 0, [0, 2]))
+    gm = gray.astype(np.float64).mean() / 255.0
+    assert np.allclose(g[3:6], [gm, gm, gm], atol=1e-12)
+    # RGBA: alpha excluded from the color means
+    rgba = rng.integers(0, 256, size=(3, 5, 4), dtype=np.uint8)
+    f4 = decode_png(build_png(rgba, 6, [0, 1, 4]))
+    expect4 = rgba[:, :, :3].astype(np.float64).mean(axis=(0, 1)) / 255.0
+    assert np.allclose(f4[3:6], expect4, atol=1e-12)
+
+
+def test_png_decode_rejects_corruption():
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.codecs import (
+        decode_png,
+        synth_png,
+    )
+
+    good = synth_png(3)
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG but not really")
+    with pytest.raises(ValueError):
+        decode_png(good[:40])  # truncated mid-chunk
+    flipped = bytearray(good)
+    flipped[40] ^= 0xFF  # corrupt an IDAT byte → CRC failure
+    with pytest.raises(ValueError):
+        decode_png(bytes(flipped))
+
+
+def test_real_decode_under_mapinpandas(spark):
+    """End-to-end: synthesized WAV/PPM/PNG bytes decode for real inside
+    the Arrow-batched extractor; per-row features equal driver-side
+    decode of the same bytes."""
+    from map_reduce_framework_using_python_spark.operators.codecs import (
+        decode_png,
         decode_ppm,
         decode_wav,
+        synth_png,
         synth_ppm,
         synth_wav,
     )
@@ -145,16 +258,18 @@ def test_real_decode_under_mapinpandas(spark):
         synthetic_media_assets,
     )
 
+    decoders = {
+        "audio/wav": (decode_wav, synth_wav),
+        "image/x-portable-pixmap": (decode_ppm, synth_ppm),
+        "image/png": (decode_png, synth_png),
+    }
     docs = load_table(spark, SF_SMOKE, "documents").limit(20)
     out = extract_features(synthetic_media_assets(docs)).collect()
     assert len(out) == 20 and all(r["decode_ok"] for r in out)
+    assert {r["media_type"] for r in out} == set(decoders)
     for r in out:
-        expected = (
-            decode_wav(synth_wav(r["asset_id"]))
-            if r["media_type"] == "audio/wav"
-            else decode_ppm(synth_ppm(r["asset_id"]))
-        )
-        assert r["feature"] == expected
+        dec, synth = decoders[r["media_type"]]
+        assert r["feature"] == dec(synth(r["asset_id"]))
 
 
 def test_corrupt_real_media_flagged_not_fatal(spark):
