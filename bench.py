@@ -42,6 +42,99 @@ HEADLINE = (
     "ns_repetition_signals",
 )
 
+#: Round-3 per-query times (BENCH_r03.json, sf0.1) — the soft regression
+#: floor. A query slower than 1.5× its r3 time gets flagged in the
+#: output so later-round churn can't silently give the gains back.
+R3_FLOOR: dict[str, float] = {
+    "q01_pricing_summary": 0.337,
+    "q05_local_supplier": 0.711,
+    "q03_shipping_priority": 0.59,
+    "q18_large_orders": 0.437,
+    "q_join_broadcast": 0.379,
+    "q_topk_per_group": 0.363,
+    "q_window_running": 0.122,
+    "q_event_sessionize": 0.37,
+    "ns_dedup_exact": 0.188,
+    "ns_minhash_lsh_pairs": 1.566,
+    "ns_cosine_topk": 0.314,
+    "ns_wordcount": 0.23,
+    "q_join_range_bigbig": 0.187,
+    "ns_repetition_signals": 0.456,
+}
+
+
+def _skew_probe(spark, dst: str, reps: int) -> dict[str, float]:
+    """Hot-key join wall clock, plain vs AQE-skew-split vs salted.
+
+    Builds (once, cached under the scale-probe dir) a fact table whose
+    key is 'hot' for 90% of the 10× lineitem rows and unique otherwise,
+    plus a dim of all keys. Broadcast is disabled during the probe so
+    the join actually shuffles — the hot partition is the straggler the
+    salt spreads over 32 reducers.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators.skew import salted_join
+    from map_reduce_framework_using_python_spark.sources.io import load_table
+
+    fact_path = os.path.join(dst, "skew_fact.parquet")
+    dim_path = os.path.join(dst, "skew_dim.parquet")
+    if not (os.path.isdir(fact_path) and os.path.isdir(dim_path)):
+        li = load_table(spark, dst, "lineitem")
+        fact = li.select(
+            F.when(F.col("l_orderkey") % 10 != 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), F.col("l_orderkey")))
+            .alias("k"),
+            F.col("l_quantity").cast("double").alias("v"),
+        )
+        fact.write.mode("overwrite").parquet(fact_path)
+        (
+            spark.read.parquet(fact_path)
+            .select("k")
+            .distinct()
+            .select("k", F.length("k").cast("double").alias("attr"))
+            .write.mode("overwrite")
+            .parquet(dim_path)
+        )
+
+    def run(mode: str) -> None:
+        f = spark.read.parquet(fact_path)
+        d = spark.read.parquet(dim_path)
+        j = (
+            salted_join(f, d, "k", n_salts=32)
+            if mode == "salted"
+            else f.join(d, "k")
+        )
+        j.agg(F.sum(F.col("v") * F.col("attr"))).collect()
+
+    def best_of(mode: str) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            run(mode)
+            best = min(best, _time.perf_counter() - t0)
+        return round(best, 3)
+
+    conf = spark.conf
+    prev_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_skew = conf.get("spark.sql.adaptive.skewJoin.enabled")
+    out: dict[str, float] = {}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        out["join_hotkey_plain"] = best_of("plain")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        out["join_hotkey_aqe_skewsplit"] = best_of("plain")
+        out["join_hotkey_salted"] = best_of("salted")
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+    for k, v in out.items():
+        print(f"# scale10x_skew {k}: {v:.3f}s", file=sys.stderr)
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,6 +196,22 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
+    # Soft regression floor vs round 3 (only meaningful at the default
+    # sf0.1 the floor was recorded at).
+    if sf == "0.1":
+        regressions = {
+            name: {"now": times[name], "r3": floor}
+            for name, floor in R3_FLOOR.items()
+            if name in times and times[name] > 1.5 * floor
+        }
+        result["regressions_vs_r3"] = regressions
+        for name, v in regressions.items():
+            print(
+                f"# REGRESSION {name}: {v['now']:.3f}s vs r3 {v['r3']:.3f}s "
+                f"({v['now'] / v['r3']:.2f}x)",
+                file=sys.stderr,
+            )
+
     # Scale section: replicate sf0.1 10× (~6M lineitem rows, cached in
     # /tmp) and time the shuffle-heavy joins scan-based vs bucketed —
     # the regression our 50× probe surfaced and the bucketed warehouse
@@ -137,6 +246,16 @@ def main() -> None:
                 print(f"# scale10x {name}: {scale[name]:.3f}s ({n} rows)", file=sys.stderr)
             result["scale10x"] = scale
             result["scale10x_lineitem_rows"] = replicas * 600_572
+
+            # Skew evidence with a wall clock (the reference's myHash
+            # lesson, Worker/shuffler.py:6-10): a 90%-hot-key fact
+            # joined to a deliberately non-broadcast dim. Partial agg
+            # hides skew in sum-style groupBys — the shuffle JOIN is
+            # where one overloaded partition actually bleeds time. Three
+            # variants: plain SMJ with AQE skew-split off (the naive
+            # plan), plain with AQE skew-split on (runtime re-plan), and
+            # the explicit salted join (operators/skew.py).
+            result["scale10x_skew"] = _skew_probe(spark, DST, reps)
         except Exception as exc:  # noqa: BLE001 — scale probe must never fail the bench
             result["scale10x_error"] = str(exc)[:200]
 

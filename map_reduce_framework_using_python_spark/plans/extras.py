@@ -247,10 +247,13 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.v, b.v) >= 0.4
     """,
-    tags=("northstar", "similarity", "dedup"),
+    tags=("northstar", "similarity", "dedup", "oracle_tier"),
 )
 def ns_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4) — exact
-    all-pairs ground truth; the LSH-bucketed variant covers the scale
-    path (see operators/similarity.py docstring)."""
+    all-pairs ground truth, QUADRATIC BY DESIGN (``oracle_tier`` tag):
+    it exists to pin the LSH-bucketed scale path and must not be run on
+    a large corpus. Production-scale near-pair search is
+    ns_lsh_cosine_topk / ns_lsh_topk_indexed (operators/similarity.py,
+    operators/ann_index.py), pinned equal/recall-1.0 against this."""
     return embedding_near_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)

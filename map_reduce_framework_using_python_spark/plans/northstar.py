@@ -73,11 +73,16 @@ def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN counts cb ON cb.doc_id = i.doc_b
         WHERE i.n_shared * 1.0 / (ca.n + cb.n - i.n_shared) >= 0.6
     """,
-    tags=("northstar", "dedup"),
+    tags=("northstar", "dedup", "oracle_tier"),
 )
 def ns_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-duplicate pairs (threshold 0.6) — the
-    ground truth that MinHash-LSH approximates."""
+    ground truth that MinHash-LSH approximates. QUADRATIC-PRONE BY
+    DESIGN (``oracle_tier`` tag): the shingle-index join degenerates on
+    common shingles, so this is a test oracle, not the plan to run at
+    scale. The 100 TB path is ns_minhash_lsh_pairs (band-bucket join,
+    plan-pinned no-cartesian), whose recall is pinned at 1.0 against
+    this query."""
     return ngram_jaccard_pairs(
         t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id", n=3, threshold=0.6
     )

@@ -31,3 +31,18 @@ def test_registry_names_unique_and_tagged():
     assert len(REGISTRY) == len(set(REGISTRY))
     untagged = [n for n, q in REGISTRY.items() if not q.tags]
     assert not untagged, f"untagged queries: {untagged}"
+
+
+def test_oracle_tier_quadratic_baselines_are_marked():
+    """The exact quadratic ground-truth twins carry the ``oracle_tier``
+    tag (registry-level warning: correct but not the plan to run at
+    scale), and each has an untagged scale-path sibling registered."""
+    from map_reduce_framework_using_python_spark.plans import REGISTRY
+
+    tiered = {n for n, q in REGISTRY.items() if "oracle_tier" in q.tags}
+    assert tiered == {"ns_embedding_near_pairs", "ns_ngram_jaccard_pairs"}
+    # The scale paths must exist and must NOT be oracle-tier.
+    for scale_path in ("ns_minhash_lsh_pairs", "ns_lsh_cosine_topk",
+                      "ns_lsh_topk_indexed", "ns_ivf_topk_indexed"):
+        assert scale_path in REGISTRY, scale_path
+        assert "oracle_tier" not in REGISTRY[scale_path].tags
