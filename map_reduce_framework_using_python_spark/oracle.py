@@ -61,6 +61,10 @@ def type_class(t: str) -> str:
     t = t.strip().lower()
     if t == "hugeint":
         return "hugeint"  # never OK — Spark cannot emit it
+    if t.endswith("[]"):  # DuckDB list type, e.g. BIGINT[]
+        return f"array<{type_class(t[:-2])}>"
+    if t.startswith("array<") and t.endswith(">"):  # Spark array type
+        return f"array<{type_class(t[6:-1])}>"
     if t.startswith("decimal") or t.startswith("numeric"):
         return "decimal"
     if t in _INT_TYPES:

@@ -39,6 +39,7 @@ from map_reduce_framework_using_python_spark.plans import pipeline3  # noqa: E40
 from map_reduce_framework_using_python_spark.plans import pipeline4  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import graph_queries  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import pipeline5  # noqa: E402,F401
+from map_reduce_framework_using_python_spark.plans import pipeline6  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import analytics  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import partitioned  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import quality  # noqa: E402,F401

@@ -33,6 +33,25 @@ def test_query_matches_oracle(spark, duck, name):
     assert canon_rows(scols, srows) == canon_rows(dcols, drows)
 
 
+def test_type_class_families():
+    """The lesson-#5 guard: DuckDB integer widenings and list spellings
+    map onto Spark's families; HUGEINT never passes."""
+    assert type_mismatches([("n", "bigint")], ["n"], ["BIGINT"]) == []
+    assert type_mismatches([("n", "int")], ["n"], ["BIGINT"]) == []
+    assert type_mismatches([("q", "array<int>")], ["q"], ["INTEGER[]"]) == []
+    assert type_mismatches([("v", "array<double>")], ["v"], ["DOUBLE[]"]) == []
+    assert type_mismatches([("d", "decimal(18,2)")], ["d"], ["DECIMAL(18,2)"]) == []
+    # HUGEINT is rejected against any Spark integer type
+    errs = type_mismatches([("n", "bigint")], ["n"], ["HUGEINT"])
+    assert errs and "HUGEINT" in errs[0]
+    # family divergence is reported
+    assert type_mismatches([("x", "double")], ["x"], ["BIGINT"])
+    assert type_mismatches([("q", "array<int>")], ["q"], ["DOUBLE[]"])
+    # column matching is case-insensitive; unmatched names are not typed here
+    assert type_mismatches([("A", "bigint")], ["a"], ["BIGINT"]) == []
+    assert type_mismatches([("a", "bigint")], ["b"], ["HUGEINT"]) == []
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_query_runs(spark, name):
     df = REGISTRY[name].fn(spark, SF_SMOKE)
