@@ -279,6 +279,93 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_asof_nearest",
+    oracle="""
+        WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events),
+             p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+             c AS (SELECT * FROM e WHERE event_type = 'click'),
+             b AS (SELECT p.event_id, p.ts, c.ts AS back_ts
+                   FROM p ASOF LEFT JOIN c
+                     ON p.user_id = c.user_id AND p.ts >= c.ts),
+             f AS (SELECT p.event_id, c.ts AS fwd_ts
+                   FROM p ASOF LEFT JOIN c
+                     ON p.user_id = c.user_id AND p.ts < c.ts)
+        SELECT b.event_id, b.ts,
+               CASE WHEN back_ts IS NULL THEN fwd_ts
+                    WHEN fwd_ts IS NULL THEN back_ts
+                    WHEN epoch_us(b.ts) - epoch_us(back_ts)
+                         <= epoch_us(fwd_ts) - epoch_us(b.ts) THEN back_ts
+                    ELSE fwd_ts END AS nearest_click_ts,
+               CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+                    WHEN fwd_ts IS NULL THEN 'back'
+                    WHEN back_ts IS NULL THEN 'fwd'
+                    WHEN epoch_us(b.ts) - epoch_us(back_ts)
+                         <= epoch_us(fwd_ts) - epoch_us(b.ts) THEN 'back'
+                    ELSE 'fwd' END AS direction
+        FROM b JOIN f USING (event_id)
+    """,
+    tags=("join", "asof", "events"),
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each purchase matched to the user's closest
+    click in EITHER direction (at-or-before vs strictly-after; ties on
+    distance go to the earlier click) — the merge_asof
+    ``direction='nearest'`` semantics, which neither Spark nor the
+    backward/forward pair alone provides.
+
+    Scalable composition: ONE union-tag + ONE (user, time) sort carries
+    both window passes (``last`` over preceding for the backward match,
+    ``first`` over following for the forward match share the partition
+    and ordering, so Spark plans a single Exchange+Sort); the nearest
+    pick is a post-hoc CASE on exact microsecond deltas. Clicks sort
+    before purchases at equal ts, so same-instant clicks belong to the
+    backward match only — mirroring the DuckDB double-ASOF oracle."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    tagged = purchases.select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_p"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+    ).unionByName(
+        clicks.select(
+            "event_id", "user_id", "ts", F.lit(0).alias("is_p"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("user_id").orderBy("ts", "is_p")
+    w_back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    back, fwd = F.col("back_ts"), F.col("fwd_ts")
+    d_back = F.unix_micros(F.col("ts")) - F.unix_micros(back)
+    d_fwd = F.unix_micros(fwd) - F.unix_micros(F.col("ts"))
+    return (
+        tagged.withColumn("back_ts", F.last("c_ts", ignorenulls=True).over(w_back))
+        .withColumn("fwd_ts", F.first("c_ts", ignorenulls=True).over(w_fwd))
+        .filter(F.col("is_p") == 1)
+        .select(
+            "event_id",
+            "ts",
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(d_back <= d_fwd, back)
+            .otherwise(fwd)
+            .alias("nearest_click_ts"),
+            F.when(back.isNull() & fwd.isNull(), F.lit(None).cast("string"))
+            .when(fwd.isNull(), "back")
+            .when(back.isNull(), "fwd")
+            .when(d_back <= d_fwd, "back")
+            .otherwise("fwd")
+            .alias("direction"),
+        )
+    )
+
+
+@query(
     "q_equidepth_histogram",
     oracle="""
         WITH b AS (SELECT value,

@@ -161,6 +161,56 @@ def ns_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_source_gini",
+    oracle="""
+        WITH r AS (SELECT source, n_chars,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY n_chars, doc_id) AS i,
+                          count(*) OVER (PARTITION BY source) AS n
+                   FROM documents)
+        SELECT source,
+               CAST(max(n) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               floor((2.0 * CAST(CAST(sum(i * n_chars) AS BIGINT) AS DOUBLE)
+                      / (CAST(max(n) AS DOUBLE) * CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE))
+                      - (CAST(max(n) AS DOUBLE) + 1.0) / CAST(max(n) AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS gini
+        FROM r GROUP BY source
+    """,
+    tags=("northstar", "pipeline", "mixture", "stats"),
+)
+def ns_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document-length concentration per source —
+    the inequality signal a mixture-balancing pass watches (a source
+    whose token mass sits in a few giant documents needs different
+    sampling than a uniform one). Exact rank formula
+    G = 2·Σ(i·x_i)/(n·Σx_i) − (n+1)/n over lengths sorted ascending,
+    ties broken by doc_id for cross-engine determinism.
+
+    Scale shape: the rank window partitions BY SOURCE (natural spread —
+    never a single global partition), then one hash agg; every term is
+    exact integer arithmetic until the final 1e-6-grid division."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.count("*").over(Window.partitionBy("source")).cast("bigint").alias("n"),
+    )
+    n = F.max("n").cast("double")
+    s = F.sum("x").cast("double")
+    si = F.sum(F.col("i") * F.col("x")).cast("double")
+    return r.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.sum("x").alias("total_chars"),
+        half_up(F.lit(2.0) * si / (n * s) - (n + F.lit(1.0)) / n, 6).alias("gini"),
+    )
+
+
+@query(
     "ns_shingle_containment",
     oracle=f"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a

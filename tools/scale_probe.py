@@ -79,6 +79,11 @@ PROBE = (
     "q_wau_rolling",
     "q_bfs_distance",
     "q_kcore",
+    # round 4: quantization (map-only), bigram LM (vocab-bounded
+    # exchanges), containment decontamination (digest shuffle)
+    "ns_int8_quantize",
+    "ns_bigram_lm_score",
+    "ns_shingle_containment",
 )
 
 
