@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_framework_using_python_spark.operators.clustering import kmeans_fit
+from map_reduce_framework_using_python_spark.operators.similarity import dot, l2_norm
 from map_reduce_framework_using_python_spark.plans.core import query, t
 
 _K, _N_ITER, _DIM = 8, 2, 64
@@ -35,7 +36,7 @@ def _sqdist_sql(a: str, b: str) -> str:
     )
 
 
-def _kmeans_oracle(k: int, n_iter: int, dim: int) -> str:
+def _kmeans_ctes(k: int, n_iter: int, dim: int) -> list[str]:
     ctes = [
         "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
         " FROM embeddings)",
@@ -66,9 +67,29 @@ def _kmeans_oracle(k: int, n_iter: int, dim: int) -> str:
                 f" coalesce(u.cent, p.cent) AS cent"
                 f" FROM cent{i} p LEFT JOIN upd{i} u ON u.cluster = p.cluster)"
             )
+    return ctes
+
+
+def _kmeans_oracle(k: int, n_iter: int, dim: int) -> str:
+    ctes = _kmeans_ctes(k, n_iter, dim)
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT cluster, count(*) AS n_vecs FROM a{n_iter} GROUP BY cluster"
+    )
+
+
+def _semdedup_oracle(k: int, n_iter: int, dim: int, thr: float) -> str:
+    ctes = _kmeans_ctes(k, n_iter, dim)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT a.cluster,
+               a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM a{n_iter} a JOIN a{n_iter} b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= {thr}
+        """
     )
 
 
@@ -87,3 +108,46 @@ def ns_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "embeddings"), k=_K, n_iter=_N_ITER
     )
     return assigned.groupBy("cluster").agg(F.count("*").alias("n_vecs"))
+
+
+_SEM_THR = 0.4
+
+
+@query(
+    "ns_semdedup_pairs",
+    oracle=_semdedup_oracle(_K, _N_ITER, _DIM, _SEM_THR),
+    tags=("northstar", "clustering", "dedup", "similarity"),
+)
+def ns_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs
+    found by k-means bucketing — cluster the embeddings (same
+    deterministic Lloyd run as ns_kmeans_sizes), then compare vectors
+    only WITHIN a cluster and keep pairs with cosine ≥ 0.4. The drop
+    rule downstream keeps min(vec_id) per near-group, exactly
+    ns_dedup_keep_best's representative pattern.
+
+    This is the cluster-bucketed scale path for embedding dedup — the
+    k-means twin of MinHash-LSH banding: quadratic work happens only
+    inside a cluster (expected n/k rows each; production runs
+    k ≈ √n), so the all-pairs blow-up ns_embedding_near_pairs is
+    tagged oracle_tier for never materializes. Join + cosine are pure
+    JVM expressions; pytest pins recall against the exact all-pairs
+    ground truth restricted to co-clustered pairs (= 1.0 by
+    construction)."""
+    assigned, _ = kmeans_fit(t(spark, sf_dir, "embeddings"), k=_K, n_iter=_N_ITER)
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (
+        l2_norm(F.col("va")) * l2_norm(F.col("vb"))
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= _SEM_THR)
+        .select("cluster", "vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
+    )

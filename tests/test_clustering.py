@@ -82,3 +82,33 @@ def test_assign_clusters_tie_breaks_to_lowest_id(spark):
     # both centroids equidistant → struct ordering must pick cluster 0
     out = assign_clusters(df, [[1.0, 0.0], [0.0, 1.0]]).collect()
     assert out[0]["cluster"] == 0
+
+
+def test_semdedup_pairs_equal_cocluster_restriction_of_exact(spark):
+    """SemDeDup's candidate set must be EXACTLY the all-pairs ground
+    truth (ns_embedding_near_pairs, the oracle_tier quadratic twin)
+    restricted to co-clustered pairs — bucketing may only lose
+    cross-cluster pairs, never in-cluster ones, and must invent none."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.plans import REGISTRY
+
+    sem = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in REGISTRY["ns_semdedup_pairs"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = REGISTRY["ns_embedding_near_pairs"].fn(spark, SF_SMOKE)
+    assigned, _ = kmeans_fit(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet"), k=K, n_iter=N_ITER
+    )
+    cl = assigned.select("vec_id", "cluster")
+    cocluster = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in exact.join(cl.withColumnRenamed("vec_id", "vec_a"), "vec_a")
+        .withColumnRenamed("cluster", "ca")
+        .join(cl.withColumnRenamed("vec_id", "vec_b"), "vec_b")
+        .filter(F.col("ca") == F.col("cluster"))
+        .select("vec_a", "vec_b", "cosine")
+        .collect()
+    }
+    assert sem == cocluster and sem  # non-trivial and exactly equal
