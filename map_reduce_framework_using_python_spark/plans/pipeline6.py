@@ -58,7 +58,9 @@ _SHINGLE_W = 5
                    FROM m)
         SELECT vec_id,
                floor(sc * 1000000.0 + 0.5) / 1000000.0 AS qscale,
-               list_transform(v, x -> CAST(floor(x * sc + 0.5) AS INT)) AS q
+               array_to_string(
+                   list_transform(v, x -> CAST(floor(x * sc + 0.5) AS INT)),
+                   ',') AS q
         FROM s
     """,
     tags=("northstar", "pipeline", "embedding", "quantization"),
@@ -73,7 +75,10 @@ def ns_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is a pure scan→write pass. The reference would need a full
     mapper over every row to do the same (`Worker/worker_v1.py:113`).
     Rounding is the explicit floor(x+0.5) form on both engines
-    (plans/core.py determinism rules)."""
+    (plans/core.py determinism rules). The quantized vector is emitted
+    comma-joined — the repo's oracle-surface rule for list values
+    (q_collect_sorted): scalars hash identically everywhere, raw array
+    columns have no proven driver-hasher precedent."""
     e = t(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     ma = F.array_max(F.transform(v, F.abs))
@@ -81,7 +86,9 @@ def ns_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         half_up(sc, 6).alias("qscale"),
-        F.transform(v, lambda x: F.floor(x * sc + F.lit(0.5)).cast("int")).alias("q"),
+        F.array_join(
+            F.transform(v, lambda x: F.floor(x * sc + F.lit(0.5)).cast("int")), ","
+        ).alias("q"),
     )
 
 
