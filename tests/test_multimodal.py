@@ -151,58 +151,63 @@ def test_png_decode_exact_features_and_ppm_parity():
     assert abs(brightness - (mr + mg + mb) / 3) < 1e-12
 
 
-def test_png_all_filter_types_and_color_modes():
-    """Hand-built PNGs exercising every scanline filter (0 None, 1 Sub,
-    2 Up, 3 Average, 4 Paeth) and the gray/RGBA color modes; recon
-    pixels are verified through the channel means."""
+def _build_png(pix, color_type, filters):
+    """Reference PNG encoder for tests: encode `pix` (h×w×ch uint8) with
+    an arbitrary per-row filter choice (cycled from `filters`)."""
     import struct
     import zlib
 
     import numpy as np
 
-    from map_reduce_framework_using_python_spark.operators.codecs import (
-        _png_chunk,
-        decode_png,
+    from map_reduce_framework_using_python_spark.operators.codecs import _png_chunk
+
+    h, w, ch = pix.shape
+    raw = bytearray()
+    prior = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        row = pix[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        if f == 0:
+            enc = row
+        elif f == 1:
+            left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
+            enc = (row - left) % 256
+        elif f == 2:
+            enc = (row - prior) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
+            enc = (row - (left + prior) // 2) % 256
+        else:  # 4 Paeth
+            enc = np.zeros(w * ch, np.int32)
+            for x in range(w * ch):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(prior[x])
+                c = int(prior[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (row[x] - pred) % 256
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
     )
 
-    def build_png(pix, color_type, filters):
-        h, w, ch = pix.shape
-        raw = bytearray()
-        prior = np.zeros(w * ch, dtype=np.int32)
-        for y in range(h):
-            row = pix[y].reshape(-1).astype(np.int32)
-            f = filters[y % len(filters)]
-            raw.append(f)
-            if f == 0:
-                enc = row
-            elif f == 1:
-                left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
-                enc = (row - left) % 256
-            elif f == 2:
-                enc = (row - prior) % 256
-            elif f == 3:
-                left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
-                enc = (row - (left + prior) // 2) % 256
-            else:  # 4 Paeth
-                enc = np.zeros(w * ch, np.int32)
-                for x in range(w * ch):
-                    a = int(row[x - ch]) if x >= ch else 0
-                    b = int(prior[x])
-                    c = int(prior[x - ch]) if x >= ch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    enc[x] = (row[x] - pred) % 256
-            raw.extend(enc.astype(np.uint8).tobytes())
-            prior = row
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-        return (
-            b"\x89PNG\r\n\x1a\n"
-            + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
-            + _png_chunk(b"IEND", b"")
-        )
 
+def test_png_all_filter_types_and_color_modes():
+    """Hand-built PNGs exercising every scanline filter (0 None, 1 Sub,
+    2 Up, 3 Average, 4 Paeth) and the gray/RGBA color modes; recon
+    pixels are verified through the channel means."""
+    import numpy as np
+
+    from map_reduce_framework_using_python_spark.operators.codecs import decode_png
+
+    build_png = _build_png
     rng = np.random.default_rng(42)
     # RGB through every filter type, one per row
     pix = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
@@ -285,3 +290,39 @@ def test_corrupt_real_media_flagged_not_fatal(spark):
     )
     got = {r["asset_id"]: r["decode_ok"] for r in extract_features(bad).collect()}
     assert got == {1: False, 2: True, 3: False}
+
+
+def test_png_roundtrip_property():
+    """Property (hypothesis): ANY 8-bit image encoded with ANY per-row
+    filter choice decodes to the same channel means as the raw pixels —
+    the encoder/decoder pair is lossless through every filter path."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_framework_using_python_spark.operators.codecs import decode_png
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(2, 9),
+        h=st.integers(2, 7),
+        color=st.sampled_from([0, 2, 6]),
+        seed=st.integers(0, 2**31 - 1),
+        data=st.data(),
+    )
+    def check(w, h, color, seed, data):
+        ch = {0: 1, 2: 3, 6: 4}[color]
+        rng = np.random.default_rng(seed)
+        pix = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        png = _build_png(pix, color, filters)
+        feats = decode_png(png)
+        assert feats[0] == float(w) and feats[1] == float(h)
+        rgb = (
+            np.repeat(pix, 3, axis=2) if ch == 1 else pix[:, :, :3]
+        ).astype(np.float64)
+        assert np.allclose(feats[3:6], rgb.mean(axis=(0, 1)) / 255.0, atol=1e-12)
+
+    check()
