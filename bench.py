@@ -40,6 +40,10 @@ HEADLINE = (
     # signals — the two new data-path shapes worth tracking per-round
     "q_join_range_bigbig",
     "ns_repetition_signals",
+    # round 4: the two heaviest new pipeline shapes (map-only
+    # quantization; vocabulary-bounded bigram LM scoring)
+    "ns_int8_quantize",
+    "ns_bigram_lm_score",
 )
 
 #: Round-3 per-query times (BENCH_r03.json, sf0.1) — the soft regression
