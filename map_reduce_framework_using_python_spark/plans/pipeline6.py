@@ -167,6 +167,56 @@ def ns_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Weighted-sample size and the uniform-hash denominator (16^8 + 1, so
+#: u ∈ (0, 1) strictly — u = 0 would make ln(u) undefined).
+_WS_K = 25
+_WS_DEN = float(16**8 + 1)
+
+
+@query(
+    "ns_weighted_sample",
+    oracle=f"""
+        WITH u AS (SELECT doc_id, n_chars,
+                          (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) + 1) / {_WS_DEN} AS uni
+                   FROM documents)
+        SELECT doc_id, n_chars,
+               floor(ln(uni) / n_chars * 1000000000.0 + 0.5) / 1000000000.0 AS key
+        FROM u
+        ORDER BY ln(uni) / n_chars DESC, doc_id
+        LIMIT {_WS_K}
+    """,
+    tags=("northstar", "pipeline", "sampling"),
+)
+def ns_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each document draws u ∈ (0,1) and the top-k by u^(1/w) — computed
+    as ln(u)/w for numerical sanity — form the sample, with w = n_chars
+    so long documents are proportionally likelier. Deterministic: u is
+    md5-derived (the same no-rand() rule as ns_hash_sample), so the
+    sample is reproducible across engines, retries, and partitionings.
+
+    Scale shape: map-side key computation + TakeOrderedAndProject top-k
+    — per-partition heaps then a k-row merge on the driver, never a
+    global sort; the classic one-pass distributed weighted reservoir.
+    The emitted key is rounded to the 1e-9 grid; the ORDER BY uses the
+    raw double (identical on both engines from identical integers)."""
+    d = t(spark, sf_dir, "documents")
+    uni = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        + 1
+    ) / F.lit(_WS_DEN)
+    key_raw = F.log(uni) / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", key_raw.alias("_kr"))
+        .orderBy(F.col("_kr").desc(), "doc_id")
+        .limit(_WS_K)
+        .select("doc_id", "n_chars", half_up(F.col("_kr"), 9).alias("key"))
+    )
+
+
 @query(
     "ns_source_gini",
     oracle="""

@@ -84,6 +84,7 @@ PROBE = (
     "ns_int8_quantize",
     "ns_bigram_lm_score",
     "ns_shingle_containment",
+    "ns_weighted_sample",
 )
 
 
