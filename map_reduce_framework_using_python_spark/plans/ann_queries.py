@@ -37,18 +37,47 @@ def _index_path(sf_dir: str, kind: str) -> str:
     return os.path.join(INDEX_ROOT, tag, kind)
 
 
-def _ensure_lsh(spark: SparkSession, sf_dir: str) -> str:
-    path = _index_path(sf_dir, "lsh8_seed42")
-    if not os.path.exists(os.path.join(path, "_ann_meta.json")):
-        build_lsh_index(t(spark, sf_dir, "embeddings"), path, n_planes=8, seed=42)
+def _ensure(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
+    """Build-or-reuse a storage-backed index, guarded by a SOURCE
+    fingerprint in the meta file: a regenerated embeddings.parquet
+    (even same-cardinality) invalidates the index — the same
+    refresh-hazard rule as the partitioned/Z-order layouts."""
+    import json
+
+    from map_reduce_framework_using_python_spark.sources.io import source_fingerprint
+
+    path = _index_path(sf_dir, kind)
+    meta_path = os.path.join(path, "_ann_meta.json")
+    src = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if json.load(fh).get("src") == src:
+                return path
+    build(path)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["src"] = src
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
     return path
+
+
+def _ensure_lsh(spark: SparkSession, sf_dir: str) -> str:
+    return _ensure(
+        spark, sf_dir, "lsh8_seed42",
+        lambda p: build_lsh_index(
+            t(spark, sf_dir, "embeddings"), p, n_planes=8, seed=42
+        ),
+    )
 
 
 def _ensure_ivf(spark: SparkSession, sf_dir: str) -> str:
-    path = _index_path(sf_dir, "ivf16_seed42")
-    if not os.path.exists(os.path.join(path, "_ann_meta.json")):
-        build_ivf_index(t(spark, sf_dir, "embeddings"), path, n_centroids=16, seed=42)
-    return path
+    return _ensure(
+        spark, sf_dir, "ivf16_seed42",
+        lambda p: build_ivf_index(
+            t(spark, sf_dir, "embeddings"), p, n_centroids=16, seed=42
+        ),
+    )
 
 
 def _qvec(spark: SparkSession, sf_dir: str, vid: int = 0) -> list[float]:

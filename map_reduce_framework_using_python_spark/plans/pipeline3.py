@@ -322,8 +322,18 @@ def ns_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(sf_dir.rstrip("/")),
     )
     zpath, spath = os.path.join(root, "zorder"), os.path.join(root, "sort_v")
+    from map_reduce_framework_using_python_spark.sources.io import source_fingerprint
+
     manifest = os.path.join(root, "_manifest.json")
-    want = {"sf_dir": sf_dir, "rows": n}
+    # Value bounds + source fingerprint, not just row count: a
+    # same-cardinality testdata refresh must invalidate the layout
+    # (the partitioned.py refresh-hazard rule).
+    want = {
+        "sf_dir": sf_dir,
+        "rows": n,
+        "bounds": [u_lo, u_hi, v_lo, v_hi],
+        "src": source_fingerprint(os.path.join(sf_dir, "events.parquet")),
+    }
     have = None
     if os.path.exists(manifest):
         with open(manifest) as fh:

@@ -94,6 +94,31 @@ def _footer_mtime(path: str) -> float:
 _SCHEMA_CACHE: dict[tuple[str, float], T.StructType] = {}
 
 
+def source_fingerprint(path: str) -> dict:
+    """Cheap identity of a source parquet (size, mtime, footer row
+    count) — the refresh-hazard guard every derived layout (ANN index,
+    Z-order, partitioned events) stores in its manifest, so a testdata
+    regeneration with the same cardinality still forces a rebuild."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.endswith(".parquet")
+        )
+        return {
+            "bytes": sum(os.path.getsize(f) for f in files),
+            "mtime": max((os.path.getmtime(f) for f in files), default=0.0),
+            "rows": sum(pq.ParquetFile(f).metadata.num_rows for f in files),
+        }
+    return {
+        "bytes": os.path.getsize(path),
+        "mtime": os.path.getmtime(path),
+        "rows": pq.ParquetFile(path).metadata.num_rows,
+    }
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table. Parquet → pushdown/pruning apply."""
     path = os.path.join(sf_dir, f"{name}.parquet")
