@@ -145,10 +145,13 @@ def ns_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(bigrams).alias("bg"))
     )
     c12 = bg.groupBy("bg").agg(F.count("*").alias("n12"))
+    # Unigram-prefix counts derive from the bigram counts (sum n12 per
+    # w1) — aggregating the vocabulary-sized c12, not a second pass
+    # over the corpus-sized exploded table. Spark's sum(bigint) stays
+    # bigint; values are identical to counting bg directly.
     c1 = (
-        bg.select(F.split("bg", "\x01").getItem(0).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("n1"))
+        c12.groupBy(F.split("bg", "\x01").getItem(0).alias("w1"))
+        .agg(F.sum("n12").alias("n1"))
     )
     li = F.floor(
         F.log(F.col("n12").cast("double") / F.col("n1")) * _LOG_GRID + F.lit(0.5)
