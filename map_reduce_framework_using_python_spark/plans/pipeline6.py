@@ -124,6 +124,10 @@ def ns_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     model: P(w2|w1) = count(w1,w2)/count(w1·) with counts over all
     documents — the cheap KenLM-style fluency gate, computed exactly.
     Lower (more negative) = rarer transitions = less fluent text.
+    Distinct from ns_bigram_rarity (plans/pipeline4.py), which scores
+    raw JOINT bigram frequency: a document full of common words in odd
+    orders is unremarkable to rarity but penalized here, because the
+    CONDITIONAL P(w2|w1) is what word order perturbs.
 
     Scale shape: one explode to (doc, bigram) pairs — raw text stays in
     the scan stage, only bigram STRINGS and counts shuffle, and those
