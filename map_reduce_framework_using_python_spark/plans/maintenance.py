@@ -176,3 +176,77 @@ def q_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_distinct_texts"),
         F.sum("n_docs").alias("n_docs"),
     )
+
+
+@query(
+    "q_scd2_point_in_time",
+    oracle="""
+        WITH dim AS (
+            SELECT c_custkey, c_mktsegment AS segment,
+                   TIMESTAMP '1992-01-01' AS valid_from,
+                   TIMESTAMP '1996-01-01' AS valid_to,
+                   FALSE AS is_current
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, c_mktsegment || '_R',
+                   TIMESTAMP '1996-01-01', NULL, TRUE
+            FROM customer)
+        SELECT d.segment,
+               count(*) AS n_orders,
+               count(DISTINCT o.o_custkey) AS n_custs,
+               floor(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     * 100 + 0.5) / 100 AS total_price
+        FROM orders o
+        JOIN dim d
+          ON d.c_custkey = o.o_custkey
+         AND CAST(o.o_orderdate AS TIMESTAMP) >= d.valid_from
+         AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < d.valid_to)
+        GROUP BY 1
+    """,
+    tags=("warehouse", "scd2", "join", "temporal"),
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension — the warehouse
+    correctness test for slowly-changing dimensions: every order must
+    see the customer-segment VERSION that was valid on its order date,
+    not the current one. The dimension's version history is built with
+    ``operators/merge.py:scd2_apply`` (a deterministic mid-1996
+    re-segmentation), so the operator itself sits under the oracle
+    gate; the DuckDB twin writes the same two versions directly.
+
+    Scale shape: the dim is per-key-bounded (versions ≪ facts), so the
+    join hashes on custkey with the validity interval as a residual
+    filter — never an interval blow-up; the oracle's is_current flag
+    lives on through scd2_apply untouched."""
+    from map_reduce_framework_using_python_spark.operators.merge import scd2_apply
+
+    c = t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = c.select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("_R")).alias("segment"),
+        F.lit("1996-01-01").cast("timestamp").alias("valid_from"),
+    )
+    dim = scd2_apply(base, updates, "c_custkey")
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("odate"),
+        "o_totalprice",
+    )
+    j = o.join(
+        dim,
+        (dim.c_custkey == o.o_custkey)
+        & (F.col("odate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("odate") < F.col("valid_to"))),
+    )
+    return j.groupBy("segment").agg(
+        F.count("*").alias("n_orders"),
+        F.count_distinct("o_custkey").alias("n_custs"),
+        half_up(F.sum(dec("o_totalprice"))).alias("total_price"),
+    )
