@@ -85,6 +85,7 @@ PROBE = (
     "ns_bigram_lm_score",
     "ns_shingle_containment",
     "ns_weighted_sample",
+    "q_scd2_point_in_time",
 )
 
 
