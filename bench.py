@@ -83,9 +83,20 @@ def _skew_probe(spark, dst: str, reps: int) -> dict[str, float]:
     from map_reduce_framework_using_python_spark.operators.skew import salted_join
     from map_reduce_framework_using_python_spark.sources.io import load_table
 
+    from map_reduce_framework_using_python_spark.sources.io import source_fingerprint
+
     fact_path = os.path.join(dst, "skew_fact.parquet")
     dim_path = os.path.join(dst, "skew_dim.parquet")
-    if not (os.path.isdir(fact_path) and os.path.isdir(dim_path)):
+    # Same refresh-hazard guard as the ANN/Z-order/partitioned layouts:
+    # reuse only if the probe tables were derived from THIS lineitem —
+    # a regenerated replica dir must not serve stale probe tables.
+    meta_path = os.path.join(dst, "skew_probe_meta.json")
+    src = source_fingerprint(os.path.join(dst, "lineitem.parquet"))
+    fresh = False
+    if os.path.isdir(fact_path) and os.path.isdir(dim_path) and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            fresh = json.load(fh).get("src") == src
+    if not fresh:
         li = load_table(spark, dst, "lineitem")
         fact = li.select(
             F.when(F.col("l_orderkey") % 10 != 0, F.lit("hot"))
@@ -102,6 +113,8 @@ def _skew_probe(spark, dst: str, reps: int) -> dict[str, float]:
             .write.mode("overwrite")
             .parquet(dim_path)
         )
+        with open(meta_path, "w") as fh:
+            json.dump({"src": src}, fh)
 
     def run(mode: str) -> None:
         f = spark.read.parquet(fact_path)

@@ -166,7 +166,19 @@ def decode_png(content: bytes) -> list[float]:
     image feature vector as :func:`decode_ppm`:
     ``[width, height, maxval, mean_r, mean_g, mean_b, brightness,
     aspect_ratio]`` — so a pixel-identical PNG and PPM featurize
-    identically. CRC is verified per chunk."""
+    identically. CRC is verified per chunk.
+
+    Every malformed input surfaces as ``ValueError`` — CRC-valid chunks
+    can still carry corrupt deflate data (``zlib.error``) or truncated
+    headers (``struct.error``), and those must read as "bad blob", not
+    a task-killing crash, to the ``extract_features`` contract."""
+    try:
+        return _decode_png_strict(content)
+    except (zlib.error, struct.error) as exc:
+        raise ValueError(f"malformed PNG: {exc}") from exc
+
+
+def _decode_png_strict(content: bytes) -> list[float]:
     if content[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG stream")
     pos, ihdr, idat = 8, None, bytearray()

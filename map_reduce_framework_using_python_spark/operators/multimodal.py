@@ -26,6 +26,8 @@ never touch the raw bytes again.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -53,8 +55,7 @@ def binary_assets_from_documents(docs: DataFrame) -> DataFrame:
     it); for real decodable bytes use :func:`synthetic_media_assets`."""
     return docs.select(
         F.col("doc_id").alias("asset_id"),
-        F.when(F.col("doc_id") % 3 == 0, "video/mp4")
-        .when(F.col("doc_id") % 3 == 1, "text/plain")
+        F.when(F.col("doc_id") % 3 == 1, "text/plain")
         .otherwise("video/mp4")
         .alias("media_type"),
         F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
@@ -150,9 +151,11 @@ def extract_features(assets: DataFrame, batch_size: int | None = None) -> DataFr
                 try:
                     feats.append(_decode(bytes(content), mt))
                     oks.append(True)
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, zlib.error, struct.error):
                     # Unknown type or malformed bytes: flagged row, not
                     # a failed task — corrupt blobs are routine at 100 TB.
+                    # zlib/struct cover CRC-valid chunks hiding corrupt
+                    # deflate data or truncated fixed-width headers.
                     feats.append(None)
                     oks.append(False)
             yield pd.DataFrame(

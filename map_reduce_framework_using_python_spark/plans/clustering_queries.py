@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_framework_using_python_spark.operators.clustering import kmeans_fit
 from map_reduce_framework_using_python_spark.operators.similarity import dot, l2_norm
-from map_reduce_framework_using_python_spark.plans.core import query, t
+from map_reduce_framework_using_python_spark.plans.core import half_up, query, t
 
 _K, _N_ITER, _DIM = 8, 2, 64
 
@@ -80,15 +80,23 @@ def _kmeans_oracle(k: int, n_iter: int, dim: int) -> str:
 
 def _semdedup_oracle(k: int, n_iter: int, dim: int, thr: float) -> str:
     ctes = _kmeans_ctes(k, n_iter, dim)
+    # Quantize the cosine to the half_up 1e-6 grid BEFORE thresholding
+    # (repo determinism rule): both engines compare the same quantized
+    # number, so a last-ulp float divergence at the threshold (or a
+    # .xxxxxx5 rounding boundary) can't flip a pair in or out.
     return (
         "WITH " + ",\n".join(ctes)
-        + f"""
-        SELECT a.cluster,
-               a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-        FROM a{n_iter} a JOIN a{n_iter} b
-          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.v, b.v) >= {thr}
+        + f""",
+        pairs AS (
+            SELECT a.cluster,
+                   a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5)
+                     / 1000000.0 AS cosine
+            FROM a{n_iter} a JOIN a{n_iter} b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        )
+        SELECT cluster, vec_a, vec_b, cosine FROM pairs
+        WHERE cosine >= {thr}
         """
     )
 
@@ -144,10 +152,13 @@ def ns_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = dot(F.col("va"), F.col("vb")) / (
         l2_norm(F.col("va")) * l2_norm(F.col("vb"))
     )
+    # half_up-quantize FIRST, threshold the quantized value — the same
+    # floor(x*1e6+0.5)/1e6 grid the oracle computes, so the 0.4 cut and
+    # the emitted cosine are bit-identical across engines.
     return (
         a.join(b, "cluster")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine_raw", cos)
-        .filter(F.col("cosine_raw") >= _SEM_THR)
-        .select("cluster", "vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
+        .withColumn("cosine", half_up(cos, 6))
+        .filter(F.col("cosine") >= _SEM_THR)
+        .select("cluster", "vec_a", "vec_b", "cosine")
     )

@@ -5,6 +5,8 @@ binaryFile source."""
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 from pyspark.sql import functions as F
 
@@ -245,6 +247,34 @@ def test_png_decode_rejects_corruption():
     flipped[40] ^= 0xFF  # corrupt an IDAT byte → CRC failure
     with pytest.raises(ValueError):
         decode_png(bytes(flipped))
+
+
+def test_png_decode_crc_valid_but_malformed_is_valueerror():
+    """CRC-valid chunks can still hide corrupt payloads: bad deflate
+    data raises zlib.error and a short IHDR raises struct.error deep in
+    the parser — both must surface as ValueError so extract_features
+    flags the row (decode_ok=False) instead of killing the task."""
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.codecs import (
+        _png_chunk,
+        decode_png,
+    )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    # IDAT holds bytes that are NOT a deflate stream, with a correct CRC.
+    bad_deflate = sig + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", b"\xff\xfe\xfd\xfc not deflate"
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="malformed PNG"):
+        decode_png(bad_deflate)
+    # CRC-valid IHDR too short for the ">IIBBBBB" unpack.
+    short_ihdr = sig + _png_chunk(b"IHDR", b"\x00\x00\x00\x04") + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00" * 13)
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="malformed PNG"):
+        decode_png(short_ihdr)
 
 
 def test_real_decode_under_mapinpandas(spark):
