@@ -18,106 +18,115 @@ from pyspark.sql import DataFrame, SparkSession
 
 from map_reduce_framework_using_python_spark.plans import REGISTRY
 
-#: Oracle-bearing queries already driver-verified (green rows in
-#: CORRECTNESS_r01.json).  The driver hash-checks only the first 50
-#: oracle-bearing queries in ``queries()`` order, so we rotate: queries
-#: without a driver-side green row yet come FIRST, previously-verified
-#: ones move behind the window.  Union over rounds — append each new
-#: round's green set so the window keeps sweeping forward.
-_DRIVER_VERIFIED: frozenset[str] = frozenset({
-    # round 1 (CORRECTNESS_r01.json, 50/50 green)
-    "ns_dedup_exact", "q00_scan_count", "q01_pricing_summary",
-    "q02_filter_project", "q03_global_topn", "q03_shipping_priority",
-    "q05_local_supplier", "q06_forecast_revenue", "q10_returned_items",
-    "q17_small_quantity", "q18_large_orders", "q_agg_stats", "q_case_expr",
-    "q_count_distinct", "q_cube", "q_date_funcs", "q_distinct",
-    "q_distinct_subset", "q_event_dedup", "q_event_session_native",
-    "q_event_sessionize", "q_event_window_sliding", "q_event_window_tumbling",
-    "q_except", "q_grouping_sets", "q_having", "q_intersect", "q_join_anti",
-    "q_join_asof", "q_join_broadcast", "q_join_full", "q_join_inner",
-    "q_join_left", "q_join_range", "q_join_semi", "q_join_theta",
-    "q_json_extract", "q_math_funcs", "q_pivot", "q_rollup",
-    "q_scalar_subquery", "q_string_funcs", "q_topk_per_group", "q_union",
-    "q_window_first_last", "q_window_lag_lead",
-    # q_window_ntile was r1-green but REWRITTEN in round 3 (global
-    # window → bucketed_rank) — dropped from the verified set so the
-    # new implementation earns its own driver green row.
-    "q_window_range_frame", "q_window_rank", "q_window_running",
-    # round 2 (CORRECTNESS_r02.json, 48/50 green; the 2 reds —
-    # q_corr_stats, q_null_handling — stay OUT so they re-rotate
-    # through the round-3 window after hardening)
-    "ns_cosine_topk", "ns_embedding_near_pairs", "ns_embedding_norms",
-    "ns_fingerprint", "ns_lang_stats", "ns_language_id",
-    "ns_ngram_jaccard_pairs", "ns_quality_scores", "ns_token_stats",
-    "ns_wordcount", "mr_wordcount_pipe", "q02_min_cost_supplier",
-    "q04_priority_exists", "q07_nation_volume", "q14_promo_share",
-    "q15_top_supplier", "q19_disjunctive", "q21_sole_supplier",
-    "q22_idle_customers", "q_array_ops", "q_binary_funcs", "q_bool_agg",
-    "q_collect_sorted", "q_cross_join", "q_date_spine", "q_except_all",
-    "q_explode_outer", "q_explode_udtf", "q_from_json", "q_intersect_all",
-    "q_map_funcs", "q_percentile", "q_python_udtf", "q_regexp_funcs",
-    "q_udaf_weighted_avg", "q_udf_scalar_pandas", "q_udtf_grouped_map",
-    "q_union_byname", "q_unpivot", "q_variant_extract", "q_window_nth",
-    "q_window_pct", "st_session_window", "st_sliding_window",
-    "st_stateful_totals", "st_stream_join", "st_stream_static_enrich",
-    "st_tumbling_window",
-    # round 3 (CORRECTNESS_r03.json, 47/50 green; the 3 reds —
-    # q12_priority_by_returnflag, ns_pps_sample, ns_sequence_packing,
-    # all oracle HUGEINT-cast bugs fixed in round 4 — stay OUT so they
-    # re-rotate through the round-4 window)
-    "ns_bigram_rarity", "ns_bm25_topk", "ns_kmeans_sizes", "ns_pagerank_events",
-    "ns_phrase_search", "ns_pii_redact", "ns_repetition_signals", "ns_span_dedup",
-    "q05_local_supplier_bucketed", "q08_market_share", "q09_product_profit",
-    "q11_important_stock", "q13_customer_distribution", "q16_parts_supplier_count",
-    "q20_part_promotion", "q_argmax_struct", "q_assoc_rules",
-    "q_attribution_last_touch", "q_bfs_distance", "q_corr_stats",
-    "q_data_quality", "q_dpp_partitioned", "q_fuzzy_match", "q_incremental_agg",
-    "q_join_range_bigbig", "q_kcore", "q_mad_outliers", "q_mode_by_group",
-    "q_null_handling", "q_ohlc_bars", "q_predicates_misc", "q_profile_stats",
-    "q_regression_stats", "q_rolling_ewma", "q_session_dynamic_gap",
-    "q_skew_salted", "q_spearman", "q_sql_group_by_all", "q_sql_pipe_syntax",
-    "q_sql_udf", "q_time_weighted_avg", "q_triangle_count", "q_try_arithmetic",
-    "q_wau_rolling", "q_window_count_distinct", "q_window_ntile",
-    "st_stream_join_left",
-})
-
-
-#: Within the unverified tier, these go FIRST: the three round-3 reds
-#: (oracle HUGEINT casts fixed in round 4 — their re-check is the
-#: point), then the full never-driver-checked backlog.  All 32
-#: unverified names fit inside the driver's 50-query window, so round 4
-#: closes the entire 176-query oracle surface.
-_PRIORITY: tuple[str, ...] = (
-    # the 3 round-3 reds, oracle casts fixed this round
-    "q12_priority_by_returnflag", "ns_pps_sample", "ns_sequence_packing",
-    # never-driver-checked backlog (registration order)
-    "q05_local_supplier_smj", "q18_large_orders_bucketed",
-    "ns_text_normalize", "ns_quality_filter", "ns_hash_sample",
-    "ns_train_val_test", "ns_mixture_upsample", "ns_seeded_shuffle",
-    "ns_corpus_report", "ns_dup_clusters", "ns_token_count_bpe",
-    "q_gap_fill", "ns_dedup_keep_best", "ns_stratified_sample",
-    "q_funnel", "q_retention", "q_value_histogram",
-    "q_funnel_latency", "q_join_asof_forward", "q_equidepth_histogram",
-    "ns_chunk_documents", "ns_decontaminate", "ns_tfidf",
-    "ns_word_cooccurrence", "ns_event_transitions", "ns_corpus_build",
-    "ns_fuzzy_match", "q_sql_recursive_months", "q_sql_lateral_topk",
-)
+#: Last driver-green round per oracle query (CORRECTNESS_r01–r04.json:
+#: the latest round whose row was rows+schema+hash green).  The driver
+#: hash-checks only the first 50 oracle-bearing queries in ``queries()``
+#: order, and all 184 oracle queries have been green at least once — so
+#: from round 5 on the window is a REGRESSION BACKSTOP that cycles the
+#: STALEST greens first: never-verified (new or reworked this round)
+#: queries lead, then ascending last-verified round, oldest first.
+#: Maintain by bumping a query's round here when a new CORRECTNESS file
+#: lands, and REMOVING a query (→ unverified tier) whenever its output
+#: surface changes (e.g. q_window_ntile's round-3 rewrite, or round 5's
+#: ns_semdedup_pairs cosine-quantization change).
+_LAST_VERIFIED: dict[str, int] = {
+    # round 1 (CORRECTNESS_r01.json) — stalest tier, re-check first
+    **dict.fromkeys((
+        "ns_dedup_exact", "q03_global_topn", "q03_shipping_priority",
+        "q05_local_supplier", "q10_returned_items", "q17_small_quantity",
+        "q18_large_orders", "q_cube", "q_date_funcs", "q_event_dedup",
+        "q_event_session_native", "q_event_sessionize",
+        "q_event_window_sliding", "q_event_window_tumbling", "q_except",
+        "q_grouping_sets", "q_intersect", "q_join_anti", "q_join_asof",
+        "q_join_broadcast", "q_join_full", "q_join_inner", "q_join_left",
+        "q_join_range", "q_join_semi", "q_join_theta", "q_json_extract",
+        "q_math_funcs", "q_pivot", "q_rollup", "q_scalar_subquery",
+        "q_string_funcs", "q_topk_per_group", "q_union",
+        "q_window_first_last", "q_window_lag_lead", "q_window_range_frame",
+        "q_window_rank", "q_window_running",
+    ), 1),
+    # round 2 (CORRECTNESS_r02.json)
+    **dict.fromkeys((
+        "mr_wordcount_pipe", "ns_cosine_topk", "ns_embedding_near_pairs",
+        "ns_embedding_norms", "ns_fingerprint", "ns_lang_stats",
+        "ns_language_id", "ns_ngram_jaccard_pairs", "ns_quality_scores",
+        "ns_token_stats", "ns_wordcount", "q02_min_cost_supplier",
+        "q04_priority_exists", "q07_nation_volume", "q14_promo_share",
+        "q15_top_supplier", "q19_disjunctive", "q21_sole_supplier",
+        "q22_idle_customers", "q_array_ops", "q_binary_funcs", "q_bool_agg",
+        "q_collect_sorted", "q_cross_join", "q_date_spine", "q_except_all",
+        "q_explode_outer", "q_explode_udtf", "q_from_json",
+        "q_intersect_all", "q_map_funcs", "q_percentile", "q_python_udtf",
+        "q_regexp_funcs", "q_udaf_weighted_avg", "q_udf_scalar_pandas",
+        "q_udtf_grouped_map", "q_union_byname", "q_unpivot",
+        "q_variant_extract", "q_window_nth", "q_window_pct",
+        "st_session_window", "st_sliding_window", "st_stateful_totals",
+        "st_stream_join", "st_stream_static_enrich", "st_tumbling_window",
+    ), 2),
+    # round 3 (CORRECTNESS_r03.json)
+    **dict.fromkeys((
+        "ns_bigram_rarity", "ns_bm25_topk", "ns_kmeans_sizes",
+        "ns_pagerank_events", "ns_phrase_search", "ns_pii_redact",
+        "ns_repetition_signals", "ns_span_dedup",
+        "q05_local_supplier_bucketed", "q08_market_share",
+        "q09_product_profit", "q11_important_stock",
+        "q13_customer_distribution", "q16_parts_supplier_count",
+        "q20_part_promotion", "q_argmax_struct", "q_assoc_rules",
+        "q_attribution_last_touch", "q_bfs_distance", "q_corr_stats",
+        "q_data_quality", "q_dpp_partitioned", "q_fuzzy_match",
+        "q_incremental_agg", "q_join_range_bigbig", "q_kcore",
+        "q_mad_outliers", "q_mode_by_group", "q_null_handling",
+        "q_ohlc_bars", "q_predicates_misc", "q_profile_stats",
+        "q_regression_stats", "q_rolling_ewma", "q_session_dynamic_gap",
+        "q_skew_salted", "q_spearman", "q_sql_group_by_all",
+        "q_sql_pipe_syntax", "q_sql_udf", "q_time_weighted_avg",
+        "q_triangle_count", "q_try_arithmetic", "q_wau_rolling",
+        "q_window_count_distinct", "q_window_ntile", "st_stream_join_left",
+    ), 3),
+    # round 4 (CORRECTNESS_r04.json) — freshest tier, re-check last.
+    # ns_semdedup_pairs was r4-green but its cosine output moved to the
+    # half_up 1e-6 grid in round 5 → dropped to re-earn green;
+    # ns_bigram_lm_score's round-5 change is plan-only (broadcast →
+    # shuffle-hash model join; values identical) but re-earns too.
+    **dict.fromkeys((
+        "ns_chunk_documents", "ns_corpus_build", "ns_corpus_report",
+        "ns_decontaminate", "ns_dedup_keep_best", "ns_dup_clusters",
+        "ns_event_transitions", "ns_fuzzy_match", "ns_hash_sample",
+        "ns_int8_quantize", "ns_mixture_upsample", "ns_pps_sample",
+        "ns_quality_filter", "ns_seeded_shuffle", "ns_sequence_packing",
+        "ns_shingle_containment", "ns_source_gini", "ns_stratified_sample",
+        "ns_text_normalize", "ns_tfidf", "ns_token_count_bpe",
+        "ns_train_val_test", "ns_weighted_sample", "ns_word_cooccurrence",
+        "q00_scan_count", "q01_pricing_summary", "q02_filter_project",
+        "q05_local_supplier_smj", "q06_forecast_revenue",
+        "q12_priority_by_returnflag", "q18_large_orders_bucketed",
+        "q_agg_stats", "q_case_expr", "q_count_distinct", "q_distinct",
+        "q_distinct_subset", "q_equidepth_histogram", "q_funnel",
+        "q_funnel_latency", "q_gap_fill", "q_having", "q_join_asof_forward",
+        "q_join_asof_nearest", "q_retention", "q_scd2_point_in_time",
+        "q_sql_lateral_topk", "q_sql_recursive_months", "q_value_histogram",
+    ), 4),
+}
 
 
 def _rotated() -> list[str]:
-    """Registry names, driver-unverified oracle queries first.
+    """Registry names in driver-window order, stalest first.
 
-    Order within each tier is stable registration order (with
-    ``_PRIORITY`` pulled to the front of tier 1).  Tiers:
-    1. oracle-bearing, no driver green row yet (need the hard signal)
-    2. oracle-bearing, already driver-verified (regression backstop)
+    Tiers (stable registration order within each):
+    1. oracle-bearing, no current driver green row — new this round or
+       output-changed since last green (the hard signal)
+    2. oracle-bearing, verified — ascending last-green round, so the
+       50-query window re-checks the longest-unchecked greens first
+       (regression backstop that sweeps the whole surface over rounds)
     3. rows-only queries (no oracle) — window doesn't apply to them
     """
     unverified = [n for n, q in REGISTRY.items()
-                  if q.oracle is not None and n not in _DRIVER_VERIFIED]
-    unverified.sort(key=lambda n: (n not in _PRIORITY,))
-    verified = [n for n, q in REGISTRY.items()
-                if q.oracle is not None and n in _DRIVER_VERIFIED]
+                  if q.oracle is not None and n not in _LAST_VERIFIED]
+    verified = sorted(
+        (n for n, q in REGISTRY.items()
+         if q.oracle is not None and n in _LAST_VERIFIED),
+        key=lambda n: _LAST_VERIFIED[n],
+    )
     rows_only = [n for n, q in REGISTRY.items() if q.oracle is None]
     return unverified + verified + rows_only
 

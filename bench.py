@@ -258,9 +258,43 @@ def main() -> None:
                 "q18_large_orders",
                 "q18_large_orders_bucketed",
                 "ns_dedup_exact",
+                # round 5: the dedup flagship and the bigram-LM pair —
+                # shuffle-model (scale-safe registered default) vs
+                # broadcast-model (small-model opt-in) on the same data
+                "ns_minhash_lsh_pairs",
+                "ns_bigram_lm_score",
+                "ns_bigram_lm_score_broadcast",
             ):
                 scale[name], n = best_of(name, DST)
                 print(f"# scale10x {name}: {scale[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+            # SemDeDup: the registered k=8 query is the ORACLE fixture
+            # (DuckDB unrolls its Lloyd run); at 10× its fixed k makes
+            # within-cluster pairing quadratic — measured 80.3 s, the
+            # exact blow-up the paper's bucketing avoids. The scale path
+            # (operators/clustering.py:semdedup_pairs_scaled) grows
+            # k ≈ √n via spark.ml KMeans; THAT is what belongs in the
+            # 10× bench. k passed explicitly (√n of replicas×2000
+            # embeddings) so the build stays job-free.
+            from map_reduce_framework_using_python_spark.operators.clustering import (
+                semdedup_pairs_scaled,
+            )
+            from map_reduce_framework_using_python_spark.sources.io import load_table
+
+            emb = load_table(spark, DST, "embeddings")
+            k_sqrt = int((replicas * 2000) ** 0.5)
+            # Single rep: the ~15 s run is KMeans-fit-dominated and
+            # stable; best-of-2 would double bench wall-clock for noise
+            # reduction the fit cost doesn't need.
+            t0 = time.perf_counter()
+            n = semdedup_pairs_scaled(emb, threshold=0.4, k=k_sqrt).count()
+            best = time.perf_counter() - t0
+            scale["ns_semdedup_scaled_sqrtk"] = round(best, 3)
+            print(
+                f"# scale10x ns_semdedup_scaled_sqrtk(k={k_sqrt}): {best:.3f}s "
+                f"({n} rows)",
+                file=sys.stderr,
+            )
             result["scale10x"] = scale
             result["scale10x_lineitem_rows"] = replicas * 600_572
 

@@ -297,3 +297,219 @@ def decode_ppm(content: bytes) -> list[float]:
         float(means.mean()),
         w / h,
     ]
+
+
+# --------------------------------------------------------------------------
+# MP4 — ISO BMFF container (moov/mvhd/tkhd/hdlr/stsd metadata parse)
+# --------------------------------------------------------------------------
+#
+# No h264/aac codec exists in this container, so SAMPLE DATA is not
+# decoded — but the ISO base-media CONTAINER is pure big-endian boxes
+# and parses exactly like the PNG chunk stream above. That makes every
+# media type featurizable for pipeline purposes (duration, dimensions,
+# track layout, codec fourcc) without any codec library; frame-pixel
+# features remain the documented pyav plug-in seam.
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def synth_mp4(seed: int, width: int | None = None, height: int = 240) -> bytes:
+    """Deterministic minimal ISO BMFF file: ftyp + moov (mvhd, one
+    video trak with tkhd/hdlr/stsd[avc1], one audio trak with
+    hdlr/stsd[mp4a]) + an mdat of seed-derived bytes. The mdat payload
+    is NOT valid h264 — the container metadata is the real, parseable
+    part, mirroring what a 100 TB media crawl can always extract."""
+    w = width if width is not None else 320 + (seed % 16)
+    dur_ms = 1000 + (seed * 37) % 9000
+    mvhd = (
+        b"\x00\x00\x00\x00"                       # version 0 + flags
+        + struct.pack(">IIII", 0, 0, 1000, dur_ms)  # ctime mtime timescale dur
+        + struct.pack(">i", 0x00010000)           # rate 1.0
+        + struct.pack(">h", 0x0100)               # volume 1.0
+        + b"\x00" * 10                            # reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24                            # predefines
+        + struct.pack(">I", 3)                    # next track id
+    )
+
+    def tkhd(track_id: int, tw: int, th: int) -> bytes:
+        return _box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"                   # v0, flags: enabled|in-movie
+            + struct.pack(">IIII", 0, 0, track_id, 0)
+            + struct.pack(">I", dur_ms)
+            + b"\x00" * 8                         # reserved
+            + struct.pack(">hhhh", 0, 0, 0, 0)    # layer alt volume reserved
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", tw << 16, th << 16)  # 16.16 fixed
+        )
+
+    def hdlr(handler: bytes) -> bytes:
+        return _box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12 + b"\x00")
+
+    def stsd(fourcc: bytes) -> bytes:
+        # One minimal sample entry: size+fourcc+6 reserved+2 data-ref.
+        entry = struct.pack(">I", 16) + fourcc + b"\x00" * 6 + struct.pack(">H", 1)
+        return _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+
+    def trak(track_id: int, handler: bytes, fourcc: bytes, tw: int, th: int) -> bytes:
+        stbl = _box(b"stbl", stsd(fourcc))
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", hdlr(handler) + minf)
+        return _box(b"trak", tkhd(track_id, tw, th) + mdia)
+
+    moov = _box(
+        b"moov",
+        _box(b"mvhd", mvhd)
+        + trak(1, b"vide", b"avc1", w, height)
+        + trak(2, b"soun", b"mp4a", 0, 0),
+    )
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomavc1")
+    mdat_body = bytes((seed * 31 + i * 7) % 256 for i in range(64))
+    return ftyp + moov + _box(b"mdat", mdat_body)
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each ISO BMFF box
+    in buf[start:end); ValueError on truncation or a lying size field."""
+    pos = start
+    while pos < end:
+        if end - pos < 8:
+            raise ValueError("truncated MP4 box header")
+        (size,) = struct.unpack_from(">I", buf, pos)
+        btype = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if end - pos < 16:
+                raise ValueError("truncated MP4 largesize")
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            hdr = 16
+        elif size == 0:  # box runs to end of enclosing scope
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"bad MP4 box size {size} for {btype!r}")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _child(buf: bytes, start: int, end: int, want: bytes):
+    for btype, s, e in _iter_boxes(buf, start, end):
+        if btype == want:
+            return s, e
+    return None
+
+
+def decode_mp4(content: bytes) -> list[float]:
+    """Parse an MP4/ISO-BMFF container (moov/mvhd/tkhd/hdlr/stsd) and
+    compute an 8-dim metadata feature vector:
+    ``[duration_sec, timescale, n_tracks, width, height,
+    video_codec_id, has_video, has_audio]`` — width/height from the
+    first video track's tkhd (16.16 fixed point), video_codec_id the
+    first video stsd entry's fourcc as a big-endian uint32 (e.g.
+    'avc1' → 1635148593.0). Sample data (mdat) is NOT decoded — no
+    codec library in this container; container metadata is real.
+    Malformed input surfaces as ValueError (struct.error wrapped), the
+    extract_features flag-don't-fail contract."""
+    try:
+        return _decode_mp4_strict(content)
+    except struct.error as exc:
+        raise ValueError(f"malformed MP4: {exc}") from exc
+
+
+def _decode_mp4_strict(content: bytes) -> list[float]:
+    if len(content) < 12 or content[4:8] not in (b"ftyp", b"moov", b"styp"):
+        raise ValueError("not an ISO BMFF stream")
+    moov = _child(content, 0, len(content), b"moov")
+    if moov is None:
+        raise ValueError("missing moov box")
+    mvhd = _child(content, *moov, b"mvhd")
+    if mvhd is None:
+        raise ValueError("missing mvhd box")
+    s, e = mvhd
+    if e - s < 4:
+        raise ValueError("truncated mvhd")
+    version = content[s]
+    if version == 1:
+        timescale, duration = struct.unpack_from(">IQ", content, s + 4 + 16)
+    else:
+        timescale, duration = struct.unpack_from(">II", content, s + 4 + 8)
+    if timescale == 0:
+        raise ValueError("mvhd timescale is zero")
+    n_tracks = 0
+    width = height = 0.0
+    vcodec = 0
+    has_video = has_audio = False
+    for btype, ts_, te_ in _iter_boxes(content, *moov):
+        if btype != b"trak":
+            continue
+        n_tracks += 1
+        mdia = _child(content, ts_, te_, b"mdia")
+        handler = b""
+        if mdia is not None:
+            h = _child(content, *mdia, b"hdlr")
+            if h is not None and h[1] - h[0] >= 12:
+                handler = content[h[0] + 8 : h[0] + 12]
+        if handler == b"soun":
+            has_audio = True
+        if handler != b"vide":
+            continue
+        if not has_video:  # first video track wins
+            has_video = True
+            tk = _child(content, ts_, te_, b"tkhd")
+            if tk is not None:
+                tks, tke = tk
+                if tke - tks < 4:
+                    raise ValueError("truncated tkhd")
+                tkv = content[tks]
+                # v0: 4+4*5 then 8+2*4+36 to width; v1: 64-bit times
+                off = tks + (4 + 8 + 8 + 4 + 4 + 8 if tkv == 1 else 4 + 4 * 5)
+                off += 8 + 2 * 4 + 36
+                w_fx, h_fx = struct.unpack_from(">II", content, off)
+                width, height = w_fx / 65536.0, h_fx / 65536.0
+            if mdia is not None:
+                minf = _child(content, *mdia, b"minf")
+                stbl = _child(content, *minf, b"stbl") if minf else None
+                stsd = _child(content, *stbl, b"stsd") if stbl else None
+                if stsd is not None and stsd[1] - stsd[0] >= 16:
+                    n_entries = struct.unpack_from(">I", content, stsd[0] + 4)[0]
+                    if n_entries > 0:
+                        (vcodec,) = struct.unpack_from(">I", content, stsd[0] + 12)
+    return [
+        duration / timescale,
+        float(timescale),
+        float(n_tracks),
+        width,
+        height,
+        float(vcodec),
+        1.0 if has_video else 0.0,
+        1.0 if has_audio else 0.0,
+    ]
+
+
+# --------------------------------------------------------------------------
+# Plain text — byte-statistics featurizer
+# --------------------------------------------------------------------------
+
+
+def decode_text(content: bytes) -> list[float]:
+    """8-dim byte-statistics features for a text blob:
+    ``[n_bytes, n_lines, n_words, ascii_ratio, alpha_ratio,
+    digit_ratio, space_ratio, mean_byte]``. Pure byte math (no charset
+    guessing); an empty blob is malformed (ValueError)."""
+    if len(content) == 0:
+        raise ValueError("empty text blob")
+    arr = np.frombuffer(content, dtype=np.uint8)
+    n = float(len(arr))
+    is_alpha = ((arr >= 65) & (arr <= 90)) | ((arr >= 97) & (arr <= 122))
+    return [
+        n,
+        float(np.count_nonzero(arr == 10) + (0 if content.endswith(b"\n") else 1)),
+        float(len(content.split())),
+        float(np.count_nonzero(arr < 128) / n),
+        float(np.count_nonzero(is_alpha) / n),
+        float(np.count_nonzero((arr >= 48) & (arr <= 57)) / n),
+        float(np.count_nonzero((arr == 32) | (arr == 9) | (arr == 10) | (arr == 13)) / n),
+        float(arr.mean()),
+    ]

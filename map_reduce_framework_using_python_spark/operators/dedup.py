@@ -56,10 +56,19 @@ def _spread(df: DataFrame) -> DataFrame:
     repartition shuffle of the raw rows is trivial by comparison.
 
     Gated on the master: at cluster scale inputs arrive well-partitioned
-    (files ≫ cores), so this must not cost anything there — the
-    ``df.rdd`` partition probe itself forces physical planning, which is
-    why it only runs under local masters (or when forced via
-    ``SPARK_GRAFT_SPREAD=force|off``)."""
+    (files ≫ cores), so this must not cost anything there — it only
+    runs under local masters (or when forced via
+    ``SPARK_GRAFT_SPREAD=force|off``).
+
+    Job-free by construction: the need-to-spread signal is the SOURCE
+    FILE COUNT (``df.inputFiles()`` — driver-side listing of the plan's
+    file index, no Spark job), never ``df.rdd.getNumPartitions()``,
+    whose physical-planning probe would violate the "building a plan
+    launches no job" contract on every local plan build. Fewer files
+    than cores ⇒ the scan cannot parallelize CPU-heavy per-row work ⇒
+    repartition. Non-file sources (in-memory test frames) report zero
+    input files and spread too — correct, since a parallelized local
+    relation is at worst a trivial extra exchange."""
     import os
 
     mode = os.environ.get("SPARK_GRAFT_SPREAD", "auto")
@@ -69,7 +78,7 @@ def _spread(df: DataFrame) -> DataFrame:
     if mode != "force" and not sc.master.startswith("local"):
         return df
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 

@@ -92,49 +92,47 @@ def ns_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ns_bigram_lm_score",
-    oracle=f"""
-        WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
-                   FROM documents),
-             bg AS (SELECT doc_id,
-                           unnest(list_transform(
-                               list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
-                               p -> p[1] || chr(1) || p[2])) AS bg
-                    FROM w WHERE len(ws) > 1),
-             c12 AS (SELECT bg, count(*) AS n12 FROM bg GROUP BY 1),
-             c1 AS (SELECT string_split(bg, chr(1))[1] AS w1, count(*) AS n1
-                    FROM bg GROUP BY 1),
-             q AS (SELECT b.doc_id,
-                          CAST(floor(ln(CAST(c12.n12 AS DOUBLE) / c1.n1)
-                                     * {_LOG_GRID} + 0.5) AS BIGINT) AS li
-                   FROM bg b
-                   JOIN c12 USING (bg)
-                   JOIN c1 ON string_split(b.bg, chr(1))[1] = c1.w1)
-        SELECT doc_id, count(*) AS n_bigrams,
-               floor(CAST(CAST(sum(li) AS BIGINT) AS DOUBLE)
-                     / (count(*) * {_LOG_GRID}) * 1000000.0 + 0.5) / 1000000.0
-                   AS avg_logp
-        FROM q GROUP BY 1
-    """,
-    tags=("northstar", "pipeline", "quality", "lm"),
-)
-def ns_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document mean log P(w2|w1) under the corpus's own bigram
-    model: P(w2|w1) = count(w1,w2)/count(w1·) with counts over all
-    documents — the cheap KenLM-style fluency gate, computed exactly.
-    Lower (more negative) = rarer transitions = less fluent text.
-    Distinct from ns_bigram_rarity (plans/pipeline4.py), which scores
-    raw JOINT bigram frequency: a document full of common words in odd
-    orders is unremarkable to rarity but penalized here, because the
-    CONDITIONAL P(w2|w1) is what word order perturbs.
+_BIGRAM_LM_ORACLE = f"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+               FROM documents),
+         bg AS (SELECT doc_id,
+                       unnest(list_transform(
+                           list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+                           p -> p[1] || chr(1) || p[2])) AS bg
+                FROM w WHERE len(ws) > 1),
+         c12 AS (SELECT bg, count(*) AS n12 FROM bg GROUP BY 1),
+         c1 AS (SELECT string_split(bg, chr(1))[1] AS w1, count(*) AS n1
+                FROM bg GROUP BY 1),
+         q AS (SELECT b.doc_id,
+                      CAST(floor(ln(CAST(c12.n12 AS DOUBLE) / c1.n1)
+                                 * {_LOG_GRID} + 0.5) AS BIGINT) AS li
+               FROM bg b
+               JOIN c12 USING (bg)
+               JOIN c1 ON string_split(b.bg, chr(1))[1] = c1.w1)
+    SELECT doc_id, count(*) AS n_bigrams,
+           floor(CAST(CAST(sum(li) AS BIGINT) AS DOUBLE)
+                 / (count(*) * {_LOG_GRID}) * 1000000.0 + 0.5) / 1000000.0
+               AS avg_logp
+    FROM q GROUP BY 1
+"""
 
-    Scale shape: one explode to (doc, bigram) pairs — raw text stays in
-    the scan stage, only bigram STRINGS and counts shuffle, and those
-    exchanges are vocabulary-bounded (Heaps' law), not corpus-bounded.
-    Two hash aggs build the model; two vocabulary-keyed joins score it.
-    Determinism: each log-term is quantized to the 1e-9 grid and summed
-    as BIGINT, so the per-doc mean is addition-order-independent."""
+
+def _bigram_lm(spark: SparkSession, sf_dir: str, model_join: str) -> DataFrame:
+    """Shared builder for the bigram-LM fluency score; ``model_join``
+    picks how the per-bigram model lands on the corpus-sized (doc,
+    bigram) table:
+
+    - ``"shuffle"`` — shuffle-hash join on the bigram key. The
+      100 TB-safe default: a corpus-derived bigram model is itself
+      billions of distinct rows (Heaps' law bounds it by vocabulary²,
+      not corpus size — big enough to kill a broadcast, small enough
+      that the per-reducer hash table fits once hash-partitioned).
+      Both sides partition on ``bg``; no driver collect, no sort.
+    - ``"broadcast"`` — explicit ``F.broadcast`` of the model. Right
+      only when the model is KNOWN small (pruned top-K vocab, or a
+      fixed pretrained table), so the corpus side never shuffles for
+      the join at all.
+    """
     d = t(spark, sf_dir, "documents")
     ws = F.split(F.trim(F.col("text")), " +")
     nw = F.size(F.col("ws"))
@@ -160,18 +158,70 @@ def ns_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = F.floor(
         F.log(F.col("n12").cast("double") / F.col("n1")) * _LOG_GRID + F.lit(0.5)
     ).cast("bigint")
-    scored = (
-        bg.join(c12, "bg")
-        .withColumn("w1", F.split("bg", "\x01").getItem(0))
-        .join(c1, "w1")
-        .select("doc_id", li.alias("li"))
+    # Fold the unigram denominators into the model FIRST (vocab-sized ⋈
+    # vocab-sized on w1), producing one (bg → li) table — so the
+    # corpus-sized bg table pays exactly ONE model join, not two.
+    model = (
+        c12.withColumn("w1", F.split("bg", "\x01").getItem(0))
+        .join(c1.hint("shuffle_hash"), "w1")
+        .select("bg", li.alias("li"))
     )
+    if model_join == "broadcast":
+        scored = bg.join(F.broadcast(model), "bg")
+    else:
+        scored = bg.join(model.hint("shuffle_hash"), "bg")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         half_up(
             F.sum("li").cast("double") / (F.count("*") * F.lit(_LOG_GRID)), 6
         ).alias("avg_logp"),
     )
+
+
+@query(
+    "ns_bigram_lm_score",
+    oracle=_BIGRAM_LM_ORACLE,
+    tags=("northstar", "pipeline", "quality", "lm"),
+)
+def ns_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log P(w2|w1) under the corpus's own bigram
+    model: P(w2|w1) = count(w1,w2)/count(w1·) with counts over all
+    documents — the cheap KenLM-style fluency gate, computed exactly.
+    Lower (more negative) = rarer transitions = less fluent text.
+    Distinct from ns_bigram_rarity (plans/pipeline4.py), which scores
+    raw JOINT bigram frequency: a document full of common words in odd
+    orders is unremarkable to rarity but penalized here, because the
+    CONDITIONAL P(w2|w1) is what word order perturbs.
+
+    Scale shape: one explode to (doc, bigram) pairs — raw text stays in
+    the scan stage, only bigram STRINGS and counts shuffle, and those
+    exchanges are vocabulary-bounded (Heaps' law), not corpus-bounded.
+    Two hash aggs build the (bg → log-term) model; the corpus pays ONE
+    shuffle-hash join on the bigram key — never a broadcast of the
+    model, which at 100 TB is billions of distinct bigrams and would
+    OOM the driver or silently fall back past the audited plan (see
+    :func:`_bigram_lm`; the broadcast twin exists for known-small
+    models). Determinism: each log-term is quantized to the 1e-9 grid
+    and summed as BIGINT, so the per-doc mean is
+    addition-order-independent."""
+    return _bigram_lm(spark, sf_dir, "shuffle")
+
+
+@query(
+    "ns_bigram_lm_score_broadcast",
+    oracle=_BIGRAM_LM_ORACLE,
+    tags=("northstar", "pipeline", "quality", "lm"),
+)
+def ns_bigram_lm_score_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-model twin of ns_bigram_lm_score — identical output,
+    different physical plan: the (bg → log-term) model is explicitly
+    broadcast, so the corpus-sized (doc, bigram) side never shuffles
+    for the scoring join. Correct ONLY when the model is known to be
+    broadcast-sized (threshold-pruned top-K vocabulary, or a fixed
+    pretrained LM table); the registered default takes the shuffle
+    path because a corpus-derived model does not fit a broadcast at
+    100 TB. Benched against the shuffle twin at scale10x."""
+    return _bigram_lm(spark, sf_dir, "broadcast")
 
 
 #: Weighted-sample size and the uniform-hash denominator (16^8 + 1, so

@@ -112,3 +112,36 @@ def test_semdedup_pairs_equal_cocluster_restriction_of_exact(spark):
         .collect()
     }
     assert sem == cocluster and sem  # non-trivial and exactly equal
+
+
+def test_semdedup_scaled_matches_brute_force_at_k1(spark):
+    """The spark.ml-bucketed scale path (semdedup_pairs_scaled) with a
+    single cluster must equal brute-force all-pairs exactly — same
+    pairs, same half_up-1e-6 cosine — since k=1 makes bucketing a
+    no-op. Also pins soundness at k>1: every emitted pair clears the
+    threshold on the quantized value."""
+    from map_reduce_framework_using_python_spark.operators.clustering import (
+        semdedup_pairs_scaled,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in semdedup_pairs_scaled(emb, threshold=0.4, k=1).collect()
+    }
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    want = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            va, vb = vecs[a], vecs[b]
+            c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            cq = math.floor(c * 1e6 + 0.5) / 1e6
+            if cq >= 0.4:
+                want.add((a, b, cq))
+    assert got == want
+
+    some_k = semdedup_pairs_scaled(emb, threshold=0.4, k=5).collect()
+    assert all(r["cosine"] >= 0.4 for r in some_k)
+    assert {(r["vec_a"], r["vec_b"], r["cosine"]) for r in some_k} <= want

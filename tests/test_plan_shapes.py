@@ -148,3 +148,25 @@ def test_triangle_closing_join_is_equi(spark):
     plan = _plan(spark, "q_triangle_count")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_plan_build_launches_no_spark_job(spark):
+    """The driver contract says BUILDING a query callable launches no
+    job. _spread() used to probe df.rdd.getNumPartitions() (forces
+    physical planning = a real cost on every local dedup plan build);
+    it now derives the spread decision from the source file count
+    (driver-side listing). Pin: constructing every dedup/minhash plan
+    submits zero Spark jobs (DAGScheduler job counter unchanged)."""
+
+    def n_jobs() -> int:
+        return spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs()
+
+    # Prime the file index (spark.read itself may list directories).
+    for name in ("ns_dedup_exact", "ns_minhash_lsh_pairs",
+                 "ns_ngram_jaccard_pairs", "ns_span_dedup"):
+        REGISTRY[name].fn(spark, SF_SMOKE)
+    before = n_jobs()
+    for name in ("ns_dedup_exact", "ns_minhash_lsh_pairs",
+                 "ns_ngram_jaccard_pairs", "ns_span_dedup"):
+        REGISTRY[name].fn(spark, SF_SMOKE)
+    assert n_jobs() == before
