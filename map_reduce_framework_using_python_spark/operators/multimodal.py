@@ -1,20 +1,26 @@
 """Multimodal column handling: images/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-North-star extension (SURVEY.md §2.B bottom row). Decode kernels:
+North-star extension (SURVEY.md §2.B bottom row). Decode kernels — ALL
+real as of round 5, no stub kernel remains:
 
-- ``audio/wav``, ``image/x-portable-pixmap``, and ``image/png`` decode
+- ``audio/wav``, ``image/x-portable-pixmap``, ``image/png`` decode
   FOR REAL — pure-Python RIFF/PCM, P6, and zlib+unfilter PNG parsers
   over numpy/stdlib (:mod:`.codecs`), no codec libraries needed; tests
   pin exact features from exact bytes (and pin PNG == PPM on
   pixel-identical images).
-- ``video/mp4`` remains the one STUB (clearly marked, deterministic
-  sha256 fake) — the container has no h264 codec; this is the
-  documented seam where pyav plugs in.
+- ``video/mp4`` parses the ISO BMFF CONTAINER for real (ftyp/moov/
+  mvhd/tkhd/hdlr/stsd: duration, track layout, dimensions, codec
+  fourcc). Sample data is NOT decoded — no h264 codec exists in this
+  environment; frame-pixel features are the one documented pyav
+  plug-in seam (``NotImplementedError`` on unknown media types marks
+  where it goes).
+- ``text/plain`` computes byte-statistics features (line/word counts,
+  ascii/alpha/digit/space ratios).
 
-Everything Spark cares about is real either way: the schema contract,
-the binary source, the ``mapInPandas`` batch iteration, partition
-sizing, and the feature-vector output shape.
+The Spark side is real throughout: the schema contract, the binary
+source, the ``mapInPandas`` batch iteration, partition sizing, and the
+feature-vector output shape.
 
 Scale design: blobs stay in executor memory one Arrow batch at a time
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak usage);
@@ -25,7 +31,6 @@ never touch the raw bytes again.
 
 from __future__ import annotations
 
-import hashlib
 import struct
 import zlib
 from collections.abc import Iterator
@@ -48,11 +53,13 @@ FEATURES_SCHEMA = (
 
 
 def binary_assets_from_documents(docs: DataFrame) -> DataFrame:
-    """Build a typed multimodal asset table from the documents corpus
-    (text bytes standing in for opaque blobs — the plumbing under test
-    is identical for real media content). Types here all route to the
-    stub kernel (PNG now decodes for real, so text bytes can't pose as
-    it); for real decodable bytes use :func:`synthetic_media_assets`."""
+    """Build a typed multimodal asset table from the documents corpus:
+    text bytes labeled 1/3 ``text/plain`` (decodes for real via the
+    byte-statistics featurizer) and 2/3 ``video/mp4`` (text bytes are
+    NOT a valid ISO BMFF stream, so these rows exercise the
+    flag-don't-fail path: ``decode_ok = false``, task survives — the
+    mislabeled/corrupt-blob mix every 100 TB crawl contains). For
+    decodable media bytes use :func:`synthetic_media_assets`."""
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.when(F.col("doc_id") % 3 == 1, "text/plain")
@@ -65,12 +72,14 @@ def binary_assets_from_documents(docs: DataFrame) -> DataFrame:
 
 def synthetic_media_assets(docs: DataFrame) -> DataFrame:
     """Asset table with REAL media bytes: WAV (RIFF/PCM16 sine), PPM
-    (P6 gradient), and PNG (zlib-compressed gradient) synthesized
-    deterministically from ``doc_id`` — the decoders parse genuine
-    headers, samples, and compressed scanlines, not fakes. Generated in
+    (P6 gradient), PNG (zlib-compressed gradient), and MP4 (ISO BMFF
+    ftyp/moov/trak boxes) synthesized deterministically from
+    ``doc_id`` — the decoders parse genuine headers, samples,
+    compressed scanlines, and container boxes, not fakes. Generated in
     Arrow batches (``mapInPandas``), exactly how real blobs would arrive
     from a binaryFile scan."""
     from map_reduce_framework_using_python_spark.operators.codecs import (
+        synth_mp4,
         synth_png,
         synth_ppm,
         synth_wav,
@@ -80,16 +89,17 @@ def synthetic_media_assets(docs: DataFrame) -> DataFrame:
         0: ("audio/wav", synth_wav),
         1: ("image/x-portable-pixmap", synth_ppm),
         2: ("image/png", synth_png),
+        3: ("video/mp4", synth_mp4),
     }
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
-            blobs = [_SYNTH[i % 3][1](i) for i in ids]
+            blobs = [_SYNTH[i % 4][1](i) for i in ids]
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
-                    "media_type": [_SYNTH[i % 3][0] for i in ids],
+                    "media_type": [_SYNTH[i % 4][0] for i in ids],
                     "n_bytes": [len(b) for b in blobs],
                     "content": blobs,
                 }
@@ -108,23 +118,18 @@ def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFr
     )
 
 
-def _decode_stub(content: bytes, media_type: str) -> list[float]:
-    """STUB decode kernel for formats whose codecs aren't in this
-    container (MP4 needs h264). A deterministic fake — an 8-dim feature
-    from the content's sha256 — so tests can pin exact outputs."""
-    digest = hashlib.sha256(content).digest()
-    return [b / 255.0 for b in digest[:FEATURE_DIM]]
-
-
 def _decode(content: bytes, media_type: str) -> list[float]:
-    """Dispatch on media type: REAL decoders where the format permits
-    (WAV, PPM, PNG — :mod:`.codecs`), stub where the container lacks
-    codecs (MP4), ``NotImplementedError`` for everything else (the
-    plug-in seam). ``ValueError`` from a real decoder means malformed
-    bytes."""
+    """Dispatch on media type: every supported type has a REAL decoder
+    (:mod:`.codecs` — WAV/PPM/PNG down to pixels/samples, MP4 to full
+    container metadata, text to byte statistics);
+    ``NotImplementedError`` for everything else — the plug-in seam
+    where a codec library (pyav etc.) would slot in. ``ValueError``
+    from a decoder means malformed bytes."""
     from map_reduce_framework_using_python_spark.operators.codecs import (
+        decode_mp4,
         decode_png,
         decode_ppm,
+        decode_text,
         decode_wav,
     )
 
@@ -134,8 +139,10 @@ def _decode(content: bytes, media_type: str) -> list[float]:
         return decode_ppm(content)
     if media_type == "image/png":
         return decode_png(content)
-    if media_type in ("video/mp4", "text/plain"):
-        return _decode_stub(content, media_type)
+    if media_type == "video/mp4":
+        return decode_mp4(content)
+    if media_type == "text/plain":
+        return decode_text(content)
     raise NotImplementedError(f"no decoder for media_type={media_type}")
 
 
@@ -175,7 +182,8 @@ def frame_sample_plan(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Video frame-sampling *plan* shape: one row per sampled offset.
     The sampler itself is metadata math (JVM-side ``sequence``), so a
     100 TB corpus plans its sampling without touching a single blob;
-    only the sampled offsets would be handed to the (stubbed) decoder."""
+    only the sampled offsets would be handed to a frame decoder (the
+    pyav plug-in seam — the container parser yields the metadata)."""
     return assets.filter(F.col("media_type") == "video/mp4").select(
         "asset_id",
         F.explode(

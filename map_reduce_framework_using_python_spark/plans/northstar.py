@@ -352,11 +352,12 @@ def ns_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ns_multimodal_features", oracle=None, tags=("northstar", "multimodal"))
 def ns_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal decode under mapInPandas: synthesize genuine WAV
-    (RIFF/PCM16), PPM (P6), and PNG (zlib scanlines) bytes per document,
-    parse them with the pure-Python codecs, and aggregate signal/image
-    features per media type. Deterministic end-to-end (seeded
-    synthesis), so rows-only driver checks are stable; exact per-byte
-    features are pinned in tests/test_multimodal.py."""
+    (RIFF/PCM16), PPM (P6), PNG (zlib scanlines), and MP4 (ISO BMFF
+    container) bytes per document, parse them with the pure-Python
+    codecs, and aggregate signal/image/container features per media
+    type. Deterministic end-to-end (seeded synthesis), so rows-only
+    driver checks are stable; exact per-byte features are pinned in
+    tests/test_multimodal.py."""
     from map_reduce_framework_using_python_spark.operators.multimodal import (
         extract_features,
         synthetic_media_assets,

@@ -1,10 +1,9 @@
 """Multimodal plumbing tests: schema contract, mapInPandas batch decode
-(stubbed kernel), metadata-only pruning, frame-sample planning, and the
-binaryFile source."""
+(real WAV/PPM/PNG/MP4-container/text kernels), metadata-only pruning,
+frame-sample planning, and the binaryFile source."""
 
 from __future__ import annotations
 
-import hashlib
 import struct
 import zlib
 
@@ -36,15 +35,22 @@ def test_asset_schema_contract(spark):
     assert a.count() == 500
 
 
-def test_extract_features_deterministic_stub(spark):
+def test_extract_features_mixed_good_and_mislabeled(spark):
+    """binary_assets_from_documents labels text bytes 1/3 text/plain
+    (real byte-statistics decode) and 2/3 video/mp4 (text is not ISO
+    BMFF → flagged, not fatal). Pin both paths plus one exact feature
+    row against the driver-side decoder."""
+    from map_reduce_framework_using_python_spark.operators.codecs import decode_text
+
     feats = extract_features(_assets(spark)).collect()
-    assert all(r["decode_ok"] for r in feats)
-    assert all(len(r["feature"]) == FEATURE_DIM for r in feats)
-    # Pin one row against the stub definition (sha256-derived fake).
-    row = next(r for r in feats if r["asset_id"] == 0)
-    doc0 = load_table(spark, SF_SMOKE, "documents").filter("doc_id = 0").collect()[0]
-    digest = hashlib.sha256(doc0["text"].encode()).digest()
-    assert row["feature"] == [b / 255.0 for b in digest[:FEATURE_DIM]]
+    for r in feats:
+        if r["asset_id"] % 3 == 1:  # text/plain: real decode
+            assert r["decode_ok"] and len(r["feature"]) == FEATURE_DIM
+        else:  # text bytes labeled video/mp4: flagged row
+            assert r["decode_ok"] is False and r["feature"] is None
+    row = next(r for r in feats if r["asset_id"] == 1)
+    doc1 = load_table(spark, SF_SMOKE, "documents").filter("doc_id = 1").collect()[0]
+    assert row["feature"] == decode_text(doc1["text"].encode())
 
 
 def test_unknown_media_type_flagged_not_fatal(spark):
@@ -293,10 +299,16 @@ def test_real_decode_under_mapinpandas(spark):
         synthetic_media_assets,
     )
 
+    from map_reduce_framework_using_python_spark.operators.codecs import (
+        decode_mp4,
+        synth_mp4,
+    )
+
     decoders = {
         "audio/wav": (decode_wav, synth_wav),
         "image/x-portable-pixmap": (decode_ppm, synth_ppm),
         "image/png": (decode_png, synth_png),
+        "video/mp4": (decode_mp4, synth_mp4),
     }
     docs = load_table(spark, SF_SMOKE, "documents").limit(20)
     out = extract_features(synthetic_media_assets(docs)).collect()
@@ -356,3 +368,86 @@ def test_png_roundtrip_property():
         assert np.allclose(feats[3:6], rgb.mean(axis=(0, 1)) / 255.0, atol=1e-12)
 
     check()
+
+
+def test_mp4_container_parse_exact():
+    """Hand-check decode_mp4 against the synth generator's box math:
+    duration = (1000 + seed·37 % 9000) ms at timescale 1000, width =
+    320 + seed%16 from tkhd 16.16 fixed point, fourcc 'avc1', one
+    video + one audio track."""
+    from map_reduce_framework_using_python_spark.operators.codecs import (
+        decode_mp4,
+        synth_mp4,
+    )
+
+    for seed in (0, 7, 123):
+        dur, ts, n_tracks, w, h, vcodec, has_v, has_a = decode_mp4(synth_mp4(seed))
+        assert ts == 1000.0 and n_tracks == 2.0
+        assert dur == (1000 + (seed * 37) % 9000) / 1000.0
+        assert w == 320.0 + (seed % 16) and h == 240.0
+        assert int(vcodec) == int.from_bytes(b"avc1", "big")
+        assert (has_v, has_a) == (1.0, 1.0)
+
+
+def test_mp4_decode_rejects_corruption():
+    """Truncations and lying size fields must all surface as ValueError
+    (flag-don't-fail contract), never struct.error/IndexError."""
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.codecs import (
+        decode_mp4,
+        synth_mp4,
+    )
+
+    good = synth_mp4(3)
+    for bad in (
+        b"",                                   # empty
+        b"AAAAAAAAAAAA",                       # not BMFF
+        good[:9],                              # mid-header truncation
+        good[:60],                             # mid-moov truncation
+        good[:len(good) // 2],                 # mid-file truncation
+    ):
+        with pytest.raises(ValueError):
+            decode_mp4(bad)
+    # A lying box size (larger than the file) inside moov.
+    lying = bytearray(good)
+    moov_at = good.find(b"moov") - 4
+    lying[moov_at : moov_at + 4] = (2**31).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        decode_mp4(bytes(lying))
+    # Text bytes (what binary_assets_from_documents feeds mp4 rows).
+    with pytest.raises(ValueError):
+        decode_mp4(b"the quick brown fox jumps over the lazy dog etc")
+
+
+def test_mp4_v1_and_largesize_boxes():
+    """64-bit paths: a version-1 mvhd (64-bit times) and a largesize
+    (size==1) moov wrapper parse identically to v0/32-bit."""
+    from map_reduce_framework_using_python_spark.operators.codecs import (
+        _box,
+        decode_mp4,
+    )
+
+    mvhd_v1 = (
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQIQ", 0, 0, 600, 1200)   # ctime mtime timescale dur
+        + struct.pack(">i", 0x00010000)
+        + struct.pack(">h", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2)
+    )
+    moov_payload = _box(b"mvhd", mvhd_v1)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    # largesize form: size field == 1, real 64-bit size follows type
+    large_moov = (
+        struct.pack(">I", 1)
+        + b"moov"
+        + struct.pack(">Q", 16 + len(moov_payload))
+        + moov_payload
+    )
+    feats = decode_mp4(ftyp + large_moov)
+    assert feats[0] == 2.0          # 1200 / 600
+    assert feats[1] == 600.0
+    assert feats[2] == 0.0          # no tracks in this minimal file
