@@ -84,10 +84,12 @@ _LAST_VERIFIED: dict[str, int] = {
         "q_window_count_distinct", "q_window_ntile", "st_stream_join_left",
     ), 3),
     # round 4 (CORRECTNESS_r04.json) — freshest tier, re-check last.
-    # ns_semdedup_pairs was r4-green but its cosine output moved to the
-    # half_up 1e-6 grid in round 5 → dropped to re-earn green;
-    # ns_bigram_lm_score's round-5 change is plan-only (broadcast →
-    # shuffle-hash model join; values identical) but re-earns too.
+    # Dropped to re-earn green after round-5 output/plan changes:
+    # ns_semdedup_pairs (cosine moved to the half_up 1e-6 grid),
+    # ns_bigram_lm_score (broadcast → shuffle-hash model join; values
+    # identical but the plan is new), ns_token_count_bpe (real
+    # merge-table BPE replaced the regex approximation — values
+    # changed).
     **dict.fromkeys((
         "ns_chunk_documents", "ns_corpus_build", "ns_corpus_report",
         "ns_decontaminate", "ns_dedup_keep_best", "ns_dup_clusters",
@@ -95,7 +97,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "ns_int8_quantize", "ns_mixture_upsample", "ns_pps_sample",
         "ns_quality_filter", "ns_seeded_shuffle", "ns_sequence_packing",
         "ns_shingle_containment", "ns_source_gini", "ns_stratified_sample",
-        "ns_text_normalize", "ns_tfidf", "ns_token_count_bpe",
+        "ns_text_normalize", "ns_tfidf",
         "ns_train_val_test", "ns_weighted_sample", "ns_word_cooccurrence",
         "q00_scan_count", "q01_pricing_summary", "q02_filter_project",
         "q05_local_supplier_smj", "q06_forecast_revenue",

@@ -17,6 +17,7 @@ so no engine-specific hex→int function is needed.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -281,29 +282,80 @@ def ns_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, d, id_col="doc_id")
 
 
+def _bpe_oracle() -> str:
+    from map_reduce_framework_using_python_spark.functions.bpe import (
+        PRETOKEN_RE,
+        oracle_encode_sql,
+    )
+
+    return f"""
+        WITH words AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '{PRETOKEN_RE}')) AS w
+                       FROM documents),
+             wcnt AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY 1, 2),
+             enc AS (SELECT w, {oracle_encode_sql("w")} AS n_tok
+                     FROM (SELECT DISTINCT w FROM wcnt)),
+             per_doc AS (SELECT doc_id, sum(cnt * n_tok) AS n_bpe
+                         FROM wcnt JOIN enc USING (w) GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+               length(d.text) - length(replace(d.text, ' ', '')) + 1 AS n_ws_tokens
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
 @query(
     "ns_token_count_bpe",
-    oracle="""
-        SELECT doc_id,
-               array_length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
-               length(text) - length(replace(text, ' ', '')) + 1 AS n_ws_tokens
-        FROM documents
-    """,
+    oracle=_bpe_oracle(),
     tags=("northstar", "pipeline", "text", "tokenizer"),
 )
 def ns_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex class
-    split (letter runs | digit runs | single punctuation), counted
-    JVM-side next to the whitespace count — the cost model for context
-    budgeting. Both engines run the identical regex, so this is
-    oracle-exact, not approximate."""
+    """REAL merge-table BPE token counting (replaces the round-4 regex
+    approximation): GPT-2-style pre-tokenize, then encode each word
+    with the canonical greedy lowest-rank merge loop over the frozen
+    40-rule merge table (functions/bpe.py) — the actual tokenizer-cost
+    model for context budgeting, next to the whitespace count.
+
+    Scale shape: the Python merge loop (Arrow-batched pandas UDF) runs
+    per DISTINCT word — vocabulary-bounded, never per occurrence; the
+    corpus-sized (doc, word, count) table takes ONE vocabulary-keyed
+    shuffle-hash join to pick up per-word token counts (same
+    de-broadcast rule as ns_bigram_lm_score: a corpus-derived vocab
+    can outgrow a broadcast). Raw text never shuffles. The DuckDB twin
+    applies the SAME merge table as a rank-ordered replace chain —
+    provably equal to the greedy loop (functions/bpe.py docstring,
+    property-tested in tests/test_bpe.py)."""
+    from map_reduce_framework_using_python_spark.functions.bpe import (
+        PRETOKEN_RE,
+        bpe_encode,
+    )
+
     d = t(spark, sf_dir, "documents")
-    bpe = F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
-    ws = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
-    return d.select(
+    words = d.select(
         "doc_id",
-        F.size(bpe).alias("n_bpe_tokens"),
-        ws.alias("n_ws_tokens"),
+        F.explode(F.regexp_extract_all("text", F.lit(PRETOKEN_RE), 0)).alias("w"),
+    )
+    wcnt = words.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+
+    @F.pandas_udf("long")
+    def n_bpe(col: pd.Series) -> pd.Series:
+        return col.map(lambda w: len(bpe_encode(w)))
+
+    enc = wcnt.select("w").distinct().withColumn("n_tok", n_bpe("w"))
+    per_doc = (
+        wcnt.join(enc.hint("shuffle_hash"), "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe"))
+    )
+    ws = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
+    return (
+        d.select("doc_id", ws.alias("n_ws_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bpe", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+            "n_ws_tokens",
+        )
     )
 
 
