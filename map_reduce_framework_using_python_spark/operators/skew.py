@@ -10,6 +10,16 @@ key. Two remedies, composable:
    on by default in session.py) — handles skew detected at runtime.
 2. Explicit salting (this module) — for *known* hot keys or
    aggregations AQE can't split (single-key groupBy).
+
+Which one, when (measured, bench ``scale10x_skew``; full analysis in
+NOTES.md round-5 entry): AQE's split fires only when the skewed
+post-shuffle partition exceeds ``spark.sql.adaptive.skewJoin.
+skewedPartitionThresholdInBytes`` (256 MB default) — a hot key can
+dominate a stage while staying under that, in which case AQE measures
+as plain-join + re-planning overhead (2.26 s vs 2.26 s plain vs 1.22 s
+salted on the probe). Salting has no threshold: it spreads the key at
+shuffle-write time, so SALT known hot keys and keep AQE as the safety
+net for skew you didn't predict — the two compose.
 """
 
 from __future__ import annotations

@@ -174,8 +174,12 @@ def test_transform_with_state_matches_old_api_and_batch(spark):
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:
-        _pytest.skip("google.protobuf unusable in this container "
-                     "(transformWithState state-server dependency)")
+        _pytest.skip(
+            "protobuf wheel absent: pyspark/sql/streaming/proto/"
+            "StateMessage_pb2.py needs google.protobuf for the "
+            "transformWithState state-server handshake (NOTES.md round-5 "
+            "entry documents the exact chain; installs are forbidden here)"
+        )
     import uuid as _uuid
 
     from pyspark.sql import functions as F
