@@ -152,6 +152,30 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*mins)
 
 
+def band_table(
+    sig: DataFrame, id_col: str = "doc_id", num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """LSH band-bucket table ``(id, band, key)`` from a signature frame:
+    the ``num_hashes`` mins split into ``bands`` bands of r rows each,
+    band key = xxhash64 of the band's slice. Docs agreeing on any band
+    land in the same (band, key) bucket — the collision structure both
+    the one-shot pair generator (:func:`minhash_lsh_pairs`) and the
+    persisted incremental index (:mod:`.dedup_index`) are built on.
+    Shared so index build and batch probe hash IDENTICALLY forever."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * r, (b + 1) * r)]
+        band_rows.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("key"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_rows)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -173,19 +197,10 @@ def minhash_lsh_pairs(
        output is a subset of :func:`ngram_jaccard_pairs` with identical
        schema (recall pinned by pytest).
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must divide evenly into bands")
-    r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}") for i in range(b * r, (b + 1) * r)]
-        band_rows.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("key"))
-        )
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_rows)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = band_table(
+        minhash_signatures(df, text_col, id_col, n, num_hashes),
+        id_col, num_hashes, bands,
+    )
     # Pair generation per bucket via groupBy + double explode: one
     # exchange on the bucket key instead of a two-sided self-join
     # (which would shuffle the bucket table twice). Quadratic only

@@ -110,6 +110,70 @@ def ns_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Batch/corpus split for the incremental-index query: every 16th doc
+#: (by id) plays the role of the arriving ingest batch (~6%), the rest
+#: are the already-indexed corpus.
+_BATCH_MOD, _BATCH_REM = 16, 7
+
+
+def _ensure_dedup_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the corpus MinHash index under /tmp, guarded by a
+    source fingerprint of documents.parquet — the same refresh-hazard
+    rule as every derived layout (ann_queries._ensure)."""
+    import json
+    import os
+
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        build_minhash_index,
+    )
+    from map_reduce_framework_using_python_spark.sources.io import source_fingerprint
+
+    root = os.environ.get("SPARK_GRAFT_DEDUP_INDEX_ROOT", "/tmp/spark_graft_dedup")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    path = os.path.join(root, tag, "mh32b16")
+    meta_path = os.path.join(path, "_dedup_meta.json")
+    src = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if json.load(fh).get("src") == src:
+                return path
+    corpus = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _BATCH_MOD != _BATCH_REM
+    )
+    build_minhash_index(corpus, path, n=3, num_hashes=32, bands=16)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["src"] = src
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    return path
+
+
+@query("ns_incremental_dedup", oracle=None, tags=("northstar", "dedup", "sketch", "index"))
+def ns_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup screen of an arriving batch (doc_id ≡ 7 mod 16) against
+    the PERSISTED MinHash index of the rest of the corpus — the ingest
+    path that makes 100 TB dedup incremental: the corpus text is never
+    re-sketched, only its fixed-width band-bucket table is scanned, and
+    exact verification prunes the corpus text scan to candidate ids.
+    Pinned exactly equal to the batch↔corpus pairs of the one-shot
+    minhash_lsh_pairs over the full table (tests/test_dedup_index.py).
+    Not SQL-expressible (xxhash64 banding); rows-only driver check."""
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        incremental_dedup_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    path = _ensure_dedup_index(spark, sf_dir)
+    return incremental_dedup_pairs(
+        spark,
+        batch=d.filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM),
+        corpus=d.filter(F.col("doc_id") % _BATCH_MOD != _BATCH_REM),
+        path=path,
+        threshold=0.6,
+    )
+
+
 @query("ns_simhash_pairs", oracle=None, tags=("northstar", "dedup", "sketch"))
 def ns_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup candidates via 16-bit chunk blocking

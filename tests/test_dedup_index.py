@@ -1,0 +1,75 @@
+"""Persisted MinHash-LSH dedup index: the incremental batch↔corpus
+probe must return EXACTLY the cross pairs of the one-shot operator —
+the index changes the access path, never the answer (same contract as
+the ANN index)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.operators.dedup import minhash_lsh_pairs
+from map_reduce_framework_using_python_spark.operators.dedup_index import (
+    build_minhash_index,
+    incremental_dedup_pairs,
+    read_meta,
+)
+from map_reduce_framework_using_python_spark.sources.io import load_table
+from tests.conftest import SF_SMOKE
+
+MOD, REM = 16, 7
+
+
+def _split(docs):
+    return (
+        docs.filter(F.col("doc_id") % MOD == REM),
+        docs.filter(F.col("doc_id") % MOD != REM),
+    )
+
+
+def test_incremental_equals_oneshot_cross_pairs(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    batch, corpus = _split(docs)
+    path = build_minhash_index(
+        corpus, str(tmp_path / "idx"), n=3, num_hashes=32, bands=16
+    )
+    inc = {
+        (min(r["batch_doc"], r["corpus_doc"]),
+         max(r["batch_doc"], r["corpus_doc"]),
+         r["jaccard"])
+        for r in incremental_dedup_pairs(
+            spark, batch, corpus, path, threshold=0.6
+        ).collect()
+    }
+    oneshot = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=32, bands=16, threshold=0.6
+        ).collect()
+        # cross pairs only: exactly one side in the batch
+        if (r["doc_a"] % MOD == REM) != (r["doc_b"] % MOD == REM)
+    }
+    assert inc == oneshot
+    assert inc  # the split must actually produce near-dup pairs to pin
+
+
+def test_index_persists_params_and_layout(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    path = build_minhash_index(docs, str(tmp_path / "idx"), num_hashes=32, bands=16)
+    meta = read_meta(path)
+    assert meta["num_hashes"] == 32 and meta["bands"] == 16 and meta["n"] == 3
+    # band-partitioned layout: probing a band subset prunes directories
+    idx = spark.read.parquet(str(tmp_path / "idx" / "buckets"))
+    assert set(idx.columns) == {"doc_id", "key", "band"}
+    assert idx.select("band").distinct().count() == 16
+
+
+def test_probe_plan_broadcasts_batch_side(spark, tmp_path):
+    """Scale shape: the corpus-side index scan must join the batch via
+    broadcast — no Exchange of the corpus buckets for the probe join."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    batch, corpus = _split(docs)
+    path = build_minhash_index(corpus, str(tmp_path / "idx"), num_hashes=32, bands=16)
+    plan = incremental_dedup_pairs(
+        spark, batch, corpus, path
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
