@@ -295,6 +295,26 @@ def main() -> None:
                 f"({n} rows)",
                 file=sys.stderr,
             )
+            # Incremental dedup: index build is write-time cost (one-off,
+            # fingerprint-cached like the bucketed facts); the per-ingest
+            # probe is the number to hold against the one-shot
+            # ns_minhash_lsh_pairs row above — the probe re-sketches only
+            # the ~6% batch and scans the fixed-width index, not the text.
+            from map_reduce_framework_using_python_spark.plans.northstar import (
+                _ensure_dedup_index,
+            )
+
+            t0 = time.perf_counter()
+            _ensure_dedup_index(spark, DST)
+            result["scale10x_dedup_index_build_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            scale["ns_incremental_dedup"], n = best_of("ns_incremental_dedup", DST)
+            print(
+                f"# scale10x ns_incremental_dedup: {scale['ns_incremental_dedup']:.3f}s"
+                f" ({n} rows)",
+                file=sys.stderr,
+            )
             result["scale10x"] = scale
             result["scale10x_lineitem_rows"] = replicas * 600_572
 

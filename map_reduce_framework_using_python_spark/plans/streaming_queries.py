@@ -270,3 +270,44 @@ def st_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         _uniq("st_dedup"),
         output_mode="append",
     )
+
+
+@query("st_incremental_dedup", oracle=None, tags=("streaming", "dedup", "index", "rows_only"))
+def st_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest: a document stream screened against the PERSISTED
+    MinHash index via foreachBatch (streaming/ingest.py) — the
+    continuous form of ns_incremental_dedup, and the shape a 100 TB
+    ingest pipeline actually runs: per micro-batch cost is sketch-the-
+    batch + scan-the-fixed-width-index; the corpus text is never
+    re-read. Pinned equal to the one-shot batch probe over the same
+    docs (tests/test_streaming_ingest.py); rows-only for the driver —
+    pair content depends on xxhash64 banding, not SQL-expressible."""
+    import tempfile
+
+    from map_reduce_framework_using_python_spark.plans.core import t
+
+    from map_reduce_framework_using_python_spark.plans.northstar import (
+        _BATCH_MOD,
+        _BATCH_REM,
+        _ensure_dedup_index,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ingest import (
+        read_documents_stream,
+        screen_stream,
+    )
+
+    path = _ensure_dedup_index(spark, sf_dir)
+    corpus = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _BATCH_MOD != _BATCH_REM
+    )
+    work = tempfile.mkdtemp(prefix="st_ingest_dedup_")
+    return screen_stream(
+        read_documents_stream(spark, sf_dir).filter(
+            F.col("doc_id") % _BATCH_MOD == _BATCH_REM
+        ),
+        corpus,
+        path,
+        out_dir=f"{work}/pairs",
+        checkpoint_dir=f"{work}/ckpt",
+        threshold=0.6,
+    )

@@ -1,0 +1,83 @@
+"""Streaming ingest dedup: screen a document stream against the
+persisted MinHash index (:mod:`..operators.dedup_index`) as it arrives.
+
+The batch query ``ns_incremental_dedup`` answers "which of these NEW
+docs near-duplicate the corpus?" for one ingest; this module runs the
+same screen CONTINUOUSLY: a file-source stream of arriving documents,
+``foreachBatch`` probing each micro-batch against the index, appending
+the verified pairs to a parquet sink. The corpus is never re-sketched —
+per micro-batch cost is (sketch the batch) + (scan the fixed-width
+index), which is what makes dedup-on-ingest viable at 100 TB.
+
+Correctness contract (pinned in tests/test_streaming_ingest.py): the
+result over a fully-drained bounded stream equals the one-shot batch
+probe of the same documents — legitimate because each batch doc's
+verdict depends only on (doc, corpus index), never on other batch docs,
+so micro-batch boundaries cannot change the answer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from map_reduce_framework_using_python_spark.operators.dedup_index import (
+    incremental_dedup_pairs,
+)
+
+#: documents.parquet schema (file-source streams need it declared).
+_DOCS_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+_PAIRS_SCHEMA = "batch_doc BIGINT, corpus_doc BIGINT, jaccard DOUBLE"
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` as a file-source stream (one file → one AvailableNow
+    micro-batch; a real deployment points this at the landing dir)."""
+    return (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def screen_stream(
+    batch_stream: DataFrame,
+    corpus: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Drain ``batch_stream`` (AvailableNow) through the index probe and
+    return all pairs found: ``(batch_doc, corpus_doc, jaccard)``.
+
+    ``foreachBatch`` + parquet append + checkpoint: a replayed batch
+    (restart between append and checkpoint commit) re-appends its pairs,
+    so readers dedup on the pair key — the standard at-least-once
+    append sink contract (exactly-once MERGE lives in streaming/cdc.py;
+    pairs are idempotent facts, so ``distinct`` is enough here).
+    """
+    spark = batch_stream.sparkSession
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = incremental_dedup_pairs(
+            spark, batch_df, corpus, index_path, threshold=threshold
+        )
+        pairs.write.mode("append").parquet(out_dir)
+
+    q = (
+        batch_stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], _PAIRS_SCHEMA)
+    return (
+        spark.read.schema(_PAIRS_SCHEMA).parquet(out_dir)
+        .select("batch_doc", "corpus_doc", "jaccard")
+        .distinct()
+    )

@@ -86,6 +86,11 @@ PROBE = (
     "ns_shingle_containment",
     "ns_weighted_sample",
     "q_scd2_point_in_time",
+    # round 5: real merge-table BPE (broadcast vocab, map-only) and the
+    # persisted-index ingest probe (index build amortized via the
+    # fingerprint cache — the probe row is the per-ingest cost)
+    "ns_token_count_bpe",
+    "ns_incremental_dedup",
 )
 
 
