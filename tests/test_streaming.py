@@ -235,3 +235,40 @@ def test_transform_with_state_matches_old_api_and_batch(spark):
         .collect()
     }
     assert v2 == v1 == batch and len(v2) > 0
+
+
+def test_stateful_totals_on_rocksdb_state_store(spark):
+    """The production state backend: the same applyInPandasWithState op
+    under RocksDBStateStoreProvider must equal the batch aggregate —
+    the state store changes durability/memory behavior, never results.
+    (transformWithState's Python state server needs protobuf, absent
+    here; the RocksDB store itself is JVM-side and runs fine.)"""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = run_available_now(
+            stateful_user_totals(read_events_stream(spark, SF_SMOKE)),
+            _qname(),
+            output_mode="update",
+        )
+        final = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in got.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_value").alias("total_value"),
+            )
+            .collect()
+        }
+        batch = {
+            r["user_id"]: (r["n"], r["v"])
+            for r in load_table(spark, SF_SMOKE, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+            .collect()
+        }
+        assert final == batch
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
