@@ -112,7 +112,11 @@ def incremental_dedup_pairs(
     here the candidate-pruned text scan keeps the index minimal).
     """
     meta = read_meta(path)
-    idx = spark.read.parquet(os.path.join(path, "buckets"))
+    # Explicit schema: an index built over an EMPTY corpus has no band
+    # directories, and schema inference would fail on the bare dir.
+    idx = spark.read.schema(f"{meta['id_col']} BIGINT, key BIGINT, band INT").parquet(
+        os.path.join(path, "buckets")
+    )
     probe = band_table(
         minhash_signatures(batch, text_col, id_col, meta["n"], meta["num_hashes"]),
         id_col, meta["num_hashes"], meta["bands"],

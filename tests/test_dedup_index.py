@@ -73,3 +73,14 @@ def test_probe_plan_broadcasts_batch_side(spark, tmp_path):
         spark, batch, corpus, path
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_empty_corpus_index_probes_to_zero_pairs(spark, tmp_path):
+    """An index over an empty corpus must probe cleanly (explicit-schema
+    read: no band directories exist for inference)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    empty = docs.filter(F.lit(False))
+    path = build_minhash_index(empty, str(tmp_path / "idx"), num_hashes=32, bands=16)
+    out = incremental_dedup_pairs(spark, docs.limit(5), empty, path)
+    assert out.columns == ["batch_doc", "corpus_doc", "jaccard"]
+    assert out.count() == 0
