@@ -295,6 +295,20 @@ def main() -> None:
                 f"({n} rows)",
                 file=sys.stderr,
             )
+            # Sample-fit twin: quantizer trained on a 15% hash-sample
+            # (≈20×k vectors), everything assigned — the fit-dominated
+            # cost above is the target; soundness is pytest-pinned.
+            t0 = time.perf_counter()
+            n = semdedup_pairs_scaled(
+                emb, threshold=0.4, k=k_sqrt, fit_fraction=0.15
+            ).count()
+            best = time.perf_counter() - t0
+            scale["ns_semdedup_scaled_samplefit"] = round(best, 3)
+            print(
+                f"# scale10x ns_semdedup_scaled_samplefit(k={k_sqrt}, f=0.15): "
+                f"{best:.3f}s ({n} rows)",
+                file=sys.stderr,
+            )
             # Incremental dedup: index build is write-time cost (one-off,
             # fingerprint-cached like the bucketed facts); the per-ingest
             # probe is the number to hold against the one-shot

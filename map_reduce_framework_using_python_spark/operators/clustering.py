@@ -108,6 +108,7 @@ def semdedup_pairs_scaled(
     max_iter: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """Production-scale SemDeDup bucketing (Abbas et al. 2023): cluster
     with spark.ml KMeans at ``k ≈ √n``, then emit within-cluster pairs
@@ -126,7 +127,20 @@ def semdedup_pairs_scaled(
     argmin EXPRESSION would blow codegen past ~tens of centroids.
 
     ``k=None`` sizes k from a ``count()`` — one model-sizing job; pass
-    k explicitly where plan builds must stay job-free."""
+    k explicitly where plan builds must stay job-free.
+
+    ``fit_fraction``: train the quantizer on a deterministic hash-sample
+    of this fraction of the vectors, then assign ALL of them — the
+    standard coarse-quantizer practice (an IVF index trains on a
+    subsample too): fit cost drops from O(n·k·iter) to
+    O(f·n·k·iter) while assignment and pairing are unchanged, and
+    bucketing quality degrades only marginally because centroids need
+    density estimates, not every point. Soundness is untouched — every
+    emitted pair still clears the exact quantized-cosine threshold
+    (pinned in tests/test_clustering.py). Caller contract: the sample
+    (f·n) must comfortably exceed k. Sampling is xxhash-deterministic
+    (no rand(): reproducible across runs/partitionings, the same rule
+    as ns_hash_sample)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -143,9 +157,15 @@ def semdedup_pairs_scaled(
         assigned = vecs.withColumn("cluster", F.lit(0))
     else:
         feats = vecs.withColumn("features", array_to_vector("v"))
+        train = feats
+        if fit_fraction is not None and fit_fraction < 1.0:
+            train = feats.filter(
+                F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+                < F.lit(int(fit_fraction * 1_000_000))
+            )
         model = KMeans(
             k=k, seed=seed, maxIter=max_iter, featuresCol="features"
-        ).fit(feats)
+        ).fit(train)
         assigned = model.transform(feats).select(
             F.col(id_col), "v", F.col("prediction").alias("cluster")
         )

@@ -145,3 +145,25 @@ def test_semdedup_scaled_matches_brute_force_at_k1(spark):
     some_k = semdedup_pairs_scaled(emb, threshold=0.4, k=5).collect()
     assert all(r["cosine"] >= 0.4 for r in some_k)
     assert {(r["vec_a"], r["vec_b"], r["cosine"]) for r in some_k} <= want
+
+
+def test_semdedup_sample_fit_stays_sound(spark):
+    """Quantizer trained on a hash-sample (fit_fraction): bucketing may
+    shift, but every emitted pair must still clear the quantized-cosine
+    threshold and be a true near-dup pair (subset of the k=1 brute
+    set) — sampling trades recall, never soundness."""
+    from map_reduce_framework_using_python_spark.operators.clustering import (
+        semdedup_pairs_scaled,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    brute = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in semdedup_pairs_scaled(emb, threshold=0.4, k=1).collect()
+    }
+    sampled = semdedup_pairs_scaled(
+        emb, threshold=0.4, k=5, fit_fraction=0.5
+    ).collect()
+    assert sampled  # the sample-fit buckets must still find pairs
+    assert all(r["cosine"] >= 0.4 for r in sampled)
+    assert {(r["vec_a"], r["vec_b"], r["cosine"]) for r in sampled} <= brute
