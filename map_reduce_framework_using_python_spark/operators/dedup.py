@@ -214,8 +214,27 @@ def minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    # Exact verification on the (small) candidate set.
-    sets = _spread(df).select(F.col(id_col), word_shingles(text_col, n).alias("sh_set"))
+    # Exact verification on the (small) candidate set. The expensive
+    # shingle expression re-runs ONLY for docs that appear in a
+    # candidate pair: a semi-join prunes the text scan first (AQE
+    # broadcasts the id set when it is small — the common case at real
+    # scale, where candidates ≪ corpus; the same pruning shape as the
+    # incremental index probe in dedup_index.py). The candidate table
+    # feeds both the id set and the verification join, so it is
+    # persisted (lazily — plan builds stay job-free; the ContextCleaner
+    # reclaims it once the result is dereferenced): without this the
+    # whole signature+banding pipeline would execute twice.
+    cand = cand.persist()
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        _spread(df)
+        .join(cand_ids, id_col, "semi")
+        .select(F.col(id_col), word_shingles(text_col, n).alias("sh_set"))
+    )
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
