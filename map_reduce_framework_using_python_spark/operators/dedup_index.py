@@ -123,10 +123,15 @@ def incremental_dedup_pairs(
     ).withColumnRenamed(id_col, "batch_doc")
     # Batch side is ingest-sized → broadcast it so the corpus-side
     # index scan joins without an Exchange.
+    # Persisted lazily: the candidate table feeds both the corpus-text
+    # pruning id set and the verification join — without the persist
+    # the index-scan join would execute twice (same rationale as
+    # minhash_lsh_pairs; the ContextCleaner reclaims it).
     cand = (
         idx.join(F.broadcast(probe), ["band", "key"])
         .select(F.col("batch_doc"), F.col(id_col).alias("corpus_doc"))
         .distinct()
+        .persist()
     )
     # Exact verification: batch shingles are cheap; corpus text prunes
     # to candidate docs via a broadcast semi-join BEFORE shingling, so
