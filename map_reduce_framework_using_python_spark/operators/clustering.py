@@ -169,6 +169,10 @@ def semdedup_pairs_scaled(
         assigned = model.transform(feats).select(
             F.col(id_col), "v", F.col("prediction").alias("cluster")
         )
+    # Persisted lazily: both join sides read the assignment, and without
+    # the persist the KMeans transform scan runs twice (linear rows,
+    # spills if needed).
+    assigned = assigned.persist()
     a = assigned.select(
         "cluster", F.col(id_col).alias("vec_a"), F.col("v").alias("va")
     )

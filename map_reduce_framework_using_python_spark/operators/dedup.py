@@ -305,6 +305,10 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select(id_col, "simhash", F.col("ck.idx").alias("idx"), F.col("ck.val").alias("val"))
+    # Persisted lazily: both sides of the self-join read this table, and
+    # without the persist the 64-vote fingerprint aggregation runs twice
+    # (4 rows × 24 B per doc — linear, spills if ever needed).
+    chunks = chunks.persist()
     a, b = chunks.alias("a"), chunks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
