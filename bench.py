@@ -296,8 +296,10 @@ def main() -> None:
                 file=sys.stderr,
             )
             # Sample-fit twin: quantizer trained on a 15% hash-sample
-            # (≈20×k vectors), everything assigned — the fit-dominated
-            # cost above is the target; soundness is pytest-pinned.
+            # (≈20×k vectors), everything assigned. At THIS n the
+            # pairing join dominates and the twins tie (NOTES); the row
+            # exists to measure the crossover where fit cost takes over.
+            # Soundness is pytest-pinned.
             t0 = time.perf_counter()
             n = semdedup_pairs_scaled(
                 emb, threshold=0.4, k=k_sqrt, fit_fraction=0.15
