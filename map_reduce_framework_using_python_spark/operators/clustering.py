@@ -169,19 +169,22 @@ def semdedup_pairs_scaled(
         assigned = model.transform(feats).select(
             F.col(id_col), "v", F.col("prediction").alias("cluster")
         )
-    # Persisted lazily: both join sides read the assignment, and without
-    # the persist the KMeans transform scan runs twice (linear rows,
-    # spills if needed).
-    assigned = assigned.persist()
+    # Per-vector norm computed ONCE before the join (numerically
+    # identical to computing it per pair — same expression over the
+    # same doubles — but the O(d) fold runs n times instead of twice
+    # per candidate pair). Persisted lazily: both join sides read the
+    # assignment, and without the persist the KMeans transform scan
+    # would run twice.
+    assigned = assigned.withColumn("nrm", l2_norm(F.col("v"))).persist()
     a = assigned.select(
-        "cluster", F.col(id_col).alias("vec_a"), F.col("v").alias("va")
+        "cluster", F.col(id_col).alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = assigned.select(
-        "cluster", F.col(id_col).alias("vec_b"), F.col("v").alias("vb")
+        "cluster", F.col(id_col).alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
-    cos = dot(F.col("va"), F.col("vb")) / (
-        l2_norm(F.col("va")) * l2_norm(F.col("vb"))
-    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     # Same half_up 1e-6 quantize-then-threshold rule as the registered
     # query (plans/clustering_queries.py): the grid is part of the
     # operator's contract, not an oracle artifact.

@@ -143,15 +143,20 @@ def ns_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth restricted to co-clustered pairs (= 1.0 by
     construction)."""
     assigned, _ = kmeans_fit(t(spark, sf_dir, "embeddings"), k=_K, n_iter=_N_ITER)
+    # Per-vector norm before the join: numerically identical to a
+    # per-pair l2_norm (same expression over the same doubles, so the
+    # oracle hash is unchanged) but the O(d) fold runs n times, not
+    # twice per candidate pair (measured 40% off the scaled twin).
+    assigned = assigned.withColumn("nrm", l2_norm(F.col("v")))
     a = assigned.select(
-        "cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+        "cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = assigned.select(
-        "cluster", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+        "cluster", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
-    cos = dot(F.col("va"), F.col("vb")) / (
-        l2_norm(F.col("va")) * l2_norm(F.col("vb"))
-    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     # half_up-quantize FIRST, threshold the quantized value — the same
     # floor(x*1e6+0.5)/1e6 grid the oracle computes, so the 0.4 cut and
     # the emitted cosine are bit-identical across engines.
