@@ -393,3 +393,90 @@ def ns_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("bh").alias("n_hits"),
         half_up(F.count("bh").cast("double") / F.count("*"), 6).alias("containment"),
     )
+
+
+#: Feature-hashing embedder dimensionality (small enough for a 16-column
+#: oracle; the Spark side generalizes to any power of two).
+_FH_DIM = 16
+
+
+def _fh_oracle() -> str:
+    b = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % {d}".format(d=_FH_DIM)
+    sgn = ("CASE WHEN CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) % 2 = 0 "
+           "THEN 1 ELSE -1 END")
+    sums = ",\n".join(
+        f"SUM(CASE WHEN bucket = {i} THEN sgn ELSE 0 END) AS s{i}"
+        for i in range(_FH_DIM)
+    )
+    nrm = " + ".join(f"s{i}*s{i}" for i in range(_FH_DIM))
+    comps = ",\n".join(
+        f"CASE WHEN nrm > 0 THEN floor(CAST(s{i} AS DOUBLE) / nrm * 1000000.0 + 0.5)"
+        f" / 1000000.0 ELSE 0.0 END AS e{i}"
+        for i in range(_FH_DIM)
+    )
+    return f"""
+        WITH tok AS (SELECT doc_id, t.tok
+                     FROM (SELECT doc_id,
+                                  string_split_regex(trim(text), ' +') AS ws
+                           FROM documents) s,
+                          unnest(s.ws) AS t(tok)
+                     WHERE t.tok <> ''),
+             h AS (SELECT doc_id, {b} AS bucket, {sgn} AS sgn FROM tok),
+             s AS (SELECT doc_id, count(*) AS n_tokens, {sums}
+                   FROM h GROUP BY 1),
+             n AS (SELECT *, sqrt({nrm}) AS nrm FROM s)
+        SELECT doc_id, n_tokens, {comps}
+        FROM n
+    """
+
+
+@query(
+    "ns_hash_embed",
+    oracle=_fh_oracle(),
+    tags=("northstar", "pipeline", "embedding", "text"),
+)
+def ns_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embedder (the "hashing trick", Weinberger
+    et al. 2009): every token occurrence votes ±1 into one of 16
+    md5-derived buckets, and the per-document vote vector is
+    L2-normalized — a deterministic, vocabulary-free bag-of-words
+    embedding. This closes the text→vector gap in the pipeline: the
+    other embedding ops (ANN, SemDeDup, quantization) consume a given
+    embedding column; this one MANUFACTURES one from raw text, exactly
+    the kind of cheap featurization a 100 TB corpus pass runs before
+    clustering or near-dup blocking.
+
+    Scale shape: explode → one partial+final hash aggregate keyed on
+    doc_id (16 conditional integer sums, map-side combined), then
+    map-only normalization — one vocabulary-free shuffle of (doc_id,
+    small ints); no model state at all. Determinism: bucket and sign
+    come from disjoint md5 substrings (decorrelated), components are
+    integer-sum / sqrt(integer-sum) doubles — identical on both
+    engines — then half_up-quantized to 1e-6. The 16 components are
+    emitted as typed scalar columns (e0..e15): scalars hash
+    identically everywhere, and 16 is plenty for blocking-grade
+    similarity while keeping the oracle a finite column list."""
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    h1 = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("long")
+    bucket = F.pmod(h1, F.lit(_FH_DIM))
+    sgn = F.when(F.pmod(h2, F.lit(2)) == 0, F.lit(1)).otherwise(F.lit(-1))
+    sums = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        *[
+            F.sum(F.when(bucket == i, sgn).otherwise(F.lit(0))).alias(f"s{i}")
+            for i in range(_FH_DIM)
+        ],
+    )
+    nrm = F.sqrt(sum(F.col(f"s{i}") * F.col(f"s{i}") for i in range(_FH_DIM)))
+    comps = [
+        F.when(nrm > 0, half_up(F.col(f"s{i}") / nrm, 6))
+        .otherwise(F.lit(0.0))
+        .alias(f"e{i}")
+        for i in range(_FH_DIM)
+    ]
+    return sums.select("doc_id", "n_tokens", *comps)
