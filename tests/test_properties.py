@@ -89,3 +89,50 @@ def test_join_cardinality(spark, a, b):
     n_anti = da.join(db, "k", "left_anti").count()
     assert n_semi == sum(c for k, c in ca.items() if k in cb)
     assert n_semi + n_anti == len(a)
+
+
+TEXTS = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=40),
+    min_size=1,
+    max_size=8,
+)
+
+
+@prop
+@given(texts=TEXTS)
+def test_hash_embed_invariants(spark, texts):
+    """Feature-hashing embedder properties on arbitrary text: emitted
+    vectors are unit-L2 (up to the 1e-6 quantization grid) whenever the
+    signed votes don't fully cancel, components lie in [-1, 1], and the
+    result is invariant under repartitioning (hash-derived, no
+    partition-order dependence)."""
+    from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+
+    fn = REGISTRY["ns_hash_embed"].fn
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        rows = fn(spark, d).collect()
+        ecols = [f"e{i}" for i in range(16)]
+        for r in rows:
+            comps = [r[c] for c in ecols]
+            assert all(-1.0 <= c <= 1.0 for c in comps)
+            nrm2 = sum(c * c for c in comps)
+            # zero vector only when every bucket's votes cancelled
+            assert nrm2 == 0.0 or abs(nrm2 - 1.0) < 1e-4
+        again = {
+            r["doc_id"]: tuple(r[c] for c in ecols)
+            for r in fn(spark, d).collect()
+        }
+        spread = spark.read.parquet(os.path.join(d, "documents.parquet")).repartition(7)
+        spread.write.mode("overwrite").parquet(os.path.join(d, "documents2.parquet"))
+        os.rename(os.path.join(d, "documents.parquet"), os.path.join(d, "gone"))
+        os.rename(os.path.join(d, "documents2.parquet"), os.path.join(d, "documents.parquet"))
+        respread = {
+            r["doc_id"]: tuple(r[c] for c in ecols)
+            for r in fn(spark, d).collect()
+        }
+        assert respread == again

@@ -91,6 +91,7 @@ PROBE = (
     # fingerprint cache — the probe row is the per-ingest cost)
     "ns_token_count_bpe",
     "ns_incremental_dedup",
+    "ns_hash_embed",
 )
 
 
