@@ -480,3 +480,72 @@ def ns_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(_FH_DIM)
     ]
     return sums.select("doc_id", "n_tokens", *comps)
+
+
+@query(
+    "ns_source_overlap",
+    oracle="""
+        WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                     FROM documents),
+             sh AS (SELECT DISTINCT source,
+                           w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                    FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i)),
+             counts AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+             shared AS (SELECT a.source AS source_a, b.source AS source_b,
+                               count(*) AS n_shared
+                        FROM sh a
+                        JOIN sh b ON a.shingle = b.shingle
+                                 AND a.source < b.source
+                        GROUP BY 1, 2)
+        SELECT s.source_a, s.source_b, s.n_shared,
+               floor(CAST(s.n_shared AS DOUBLE)
+                     / (ca.n + cb.n - s.n_shared) * 1000000.0 + 0.5)
+                   / 1000000.0 AS jaccard
+        FROM shared s
+        JOIN counts ca ON ca.source = s.source_a
+        JOIN counts cb ON cb.source = s.source_b
+    """,
+    tags=("northstar", "pipeline", "dedup", "analysis"),
+)
+def ns_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources,
+    how many distinct word 3-gram shingles they share and the Jaccard
+    of their shingle sets — the corpus-analysis view of
+    decontamination (ns_decontaminate asks "is THIS doc leaked";
+    this asks "WHICH feeds overlap", the report that decides whether
+    a source is worth ingesting at all).
+
+    Scale shape: distinct (shingle, source) — the source dimension is
+    small, so this is a shingle-bounded exchange — then per-shingle
+    source-set pairing via collect_set + double explode: ONE exchange
+    on the shingle key instead of a two-sided self-join, and the
+    per-shingle pair blow-up is bounded by |sources|², a dimension
+    constant, never corpus-sized (same bucket-pairing shape as
+    minhash_lsh_pairs). Counts are exact integers; only the final
+    Jaccard is quantized (half_up 1e-6, both engines)."""
+    from map_reduce_framework_using_python_spark.operators.dedup import word_shingles
+
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.select("source", F.explode(word_shingles("text", 3)).alias("shingle"))
+        .distinct()
+    )
+    counts = sh.groupBy("source").agg(F.count("*").alias("n"))
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.collect_set("source").alias("srcs"))
+        .filter(F.size("srcs") > 1)
+        .select(F.explode("srcs").alias("source_a"), F.col("srcs"))
+        .select("source_a", F.explode("srcs").alias("source_b"))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ca = counts.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        shared.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select("source_a", "source_b", "n_shared", half_up(jac, 6).alias("jaccard"))
+    )
