@@ -549,3 +549,71 @@ def ns_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cb), "source_b")
         .select("source_a", "source_b", "n_shared", half_up(jac, 6).alias("jaccard"))
     )
+
+
+@query(
+    "ns_token_entropy",
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, t.tok
+                     FROM (SELECT doc_id,
+                                  string_split_regex(trim(text), ' +') AS ws
+                           FROM documents) s,
+                          unnest(s.ws) AS t(tok)
+                     WHERE t.tok <> ''),
+             tf AS (SELECT doc_id, tok, count(*) AS c
+                    FROM tok GROUP BY 1, 2),
+             n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                          count(*) AS n_distinct
+                   FROM tf GROUP BY 1),
+             q AS (SELECT tf.doc_id,
+                          CAST(floor(-(CAST(tf.c AS DOUBLE) / n.n_tokens)
+                                     * ln(CAST(tf.c AS DOUBLE) / n.n_tokens)
+                                     * {_LOG_GRID} + 0.5) AS BIGINT) AS li
+                   FROM tf JOIN n USING (doc_id)
+                   WHERE tf.c < n.n_tokens)
+        SELECT n.doc_id, n.n_tokens, n.n_distinct,
+               floor(COALESCE(CAST(CAST(sum(q.li) AS BIGINT) AS DOUBLE), 0.0)
+                     / {_LOG_GRID} * 1000000.0 + 0.5) / 1000000.0 AS entropy
+        FROM n LEFT JOIN q ON q.doc_id = n.doc_id
+        GROUP BY 1, 2, 3
+    """,
+    tags=("northstar", "pipeline", "quality", "text"),
+)
+def ns_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution,
+    H = -Σ p·ln p — the classic gibberish/boilerplate signal (a doc
+    repeating one token has H=0; rich vocabulary pushes H toward
+    ln(n_distinct)); the CCNet-family quality gates threshold on
+    exactly this.
+
+    Scale shape: one (doc, token) hash agg then one doc-keyed agg —
+    both map-side combined, vocabulary-free, no model state.
+    Determinism (plans/core.py rules): each term's -p·ln p lands on
+    the 1e-9 integer grid BEFORE the cross-row sum (BIGINT — addition-
+    order-independent), with the single-token term (p=1, contribution
+    exactly 0) excluded on both engines so no -0.0/ln(1) noise enters
+    the grid; the final entropy is half_up-quantized to 1e-6."""
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    p = F.col("c").cast("double") / F.col("n_tokens")
+    li = F.floor(-p * F.log(p) * F.lit(_LOG_GRID) + F.lit(0.5)).cast("bigint")
+    n = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.count("*").alias("n_distinct")
+    )
+    return (
+        tf.join(n, "doc_id")
+        .select(
+            "doc_id", "n_tokens", "n_distinct",
+            F.when(F.col("c") < F.col("n_tokens"), li).otherwise(F.lit(None)).alias("li"),
+        )
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(
+            half_up(
+                F.coalesce(F.sum("li").cast("double"), F.lit(0.0)) / _LOG_GRID, 6
+            ).alias("entropy")
+        )
+    )
