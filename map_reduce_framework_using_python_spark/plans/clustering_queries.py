@@ -167,3 +167,34 @@ def ns_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= _SEM_THR)
         .select("cluster", "vec_a", "vec_b", "cosine")
     )
+
+
+@query("ns_whiten_embeddings", oracle=None, tags=("northstar", "embedding", "rows_only"))
+def ns_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA-whitened embeddings (operators/whiten.py): one moments pass
+    (mapInPandas partials, O(partitions) model-state rows to the
+    driver), a d×d eig on the driver, and a map-only broadcast
+    projection — the decorrelation step retrieval/clustering pipelines
+    run before cosine math. Rows-only for the driver (eigendecomposition
+    has no ANSI-SQL twin); numpy-pinned in tests/test_whiten.py
+    (whitened covariance == identity, projection == reference). Emits
+    the leading 8 components (half_up 1e-6) as typed scalars plus the
+    full whitened L2 norm."""
+    from map_reduce_framework_using_python_spark.operators.whiten import (
+        embedding_moments,
+        whiten,
+        zca_matrix,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    _, mean, cov = embedding_moments(emb)
+    out = whiten(emb.select("vec_id", "embedding"), mean, zca_matrix(cov))
+    comp = [
+        half_up(F.col("whitened").getItem(i), 6).alias(f"w{i}") for i in range(8)
+    ]
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("whitened", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return out.select("vec_id", *comp, half_up(nrm, 6).alias("wnorm"))
