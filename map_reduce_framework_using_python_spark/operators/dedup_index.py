@@ -91,6 +91,33 @@ def build_minhash_index(
     return path
 
 
+def append_to_index(
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Extend the index with ``batch``'s band buckets (parquet append
+    into the same band partitions) — the post-screen step of the ingest
+    loop: screen the batch, keep what's novel, then make the index
+    aware of it so the NEXT batch dedups against this one too.
+
+    Equivalence (pinned): build(corpus) + append(batch) contains
+    exactly the rows of build(corpus ∪ batch) — the band table is
+    row-local, so appending commutes with building.
+    """
+    meta = read_meta(path)
+    if meta["id_col"] != id_col:
+        raise ValueError(f"index id_col {meta['id_col']!r} != {id_col!r}")
+    buckets = band_table(
+        minhash_signatures(batch, text_col, id_col, meta["n"], meta["num_hashes"]),
+        id_col, meta["num_hashes"], meta["bands"],
+    )
+    buckets.write.mode("append").partitionBy("band").parquet(
+        os.path.join(path, "buckets")
+    )
+
+
 def incremental_dedup_pairs(
     spark: SparkSession,
     batch: DataFrame,

@@ -49,6 +49,7 @@ def screen_stream(
     out_dir: str,
     checkpoint_dir: str,
     threshold: float = 0.6,
+    extend_index: bool = False,
 ) -> DataFrame:
     """Drain ``batch_stream`` (AvailableNow) through the index probe and
     return all pairs found: ``(batch_doc, corpus_doc, jaccard)``.
@@ -58,14 +59,35 @@ def screen_stream(
     so readers dedup on the pair key — the standard at-least-once
     append sink contract (exactly-once MERGE lives in streaming/cdc.py;
     pairs are idempotent facts, so ``distinct`` is enough here).
+
+    ``extend_index=True`` closes the ingest loop: after screening, each
+    batch's band buckets are APPENDED to the index (and its text to a
+    ``seen/`` side store for verification), so batch N+1 dedups against
+    batches 1..N as well as the corpus — continuous dedup, not just
+    corpus screening. Screen-then-append ordering means a batch never
+    matches itself; intra-batch duplicates are the one-shot operator's
+    job (run it per batch if batches are large enough to self-dup).
     """
     spark = batch_stream.sparkSession
+    seen_dir = os.path.join(os.path.dirname(out_dir.rstrip("/")), "seen")
 
     def probe(batch_df: DataFrame, batch_id: int) -> None:
+        from map_reduce_framework_using_python_spark.operators.dedup_index import (
+            append_to_index,
+        )
+
+        corpus_now = corpus
+        if extend_index and os.path.isdir(seen_dir):
+            corpus_now = corpus.unionByName(
+                spark.read.schema(_DOCS_SCHEMA).parquet(seen_dir)
+            )
         pairs = incremental_dedup_pairs(
-            spark, batch_df, corpus, index_path, threshold=threshold
+            spark, batch_df, corpus_now, index_path, threshold=threshold
         )
         pairs.write.mode("append").parquet(out_dir)
+        if extend_index:
+            append_to_index(batch_df, index_path)
+            batch_df.write.mode("append").parquet(seen_dir)
 
     q = (
         batch_stream.writeStream.foreachBatch(probe)

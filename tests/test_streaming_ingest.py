@@ -62,3 +62,53 @@ def test_stream_screen_empty_batch_yields_empty_frame(spark, tmp_path):
     )
     assert streamed.columns == ["batch_doc", "corpus_doc", "jaccard"]
     assert streamed.count() == 0
+
+
+def test_extend_index_dedups_across_batches(spark, tmp_path):
+    """Continuous-dedup semantics: with extend_index=True, batch 2 is
+    screened against batch 1's documents (appended to the index after
+    batch 1 was screened), not just the original corpus."""
+    import os
+    import time
+
+    from map_reduce_framework_using_python_spark.streaming.ingest import _DOCS_SCHEMA
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % MOD != REM).limit(50)
+    path = build_minhash_index(
+        corpus, str(tmp_path / "idx"), n=3, num_hashes=32, bands=16
+    )
+    novel = "zq wq vq uq tq sq rq qq pq oq nq mq"  # matches nothing in corpus
+    land = tmp_path / "landing"
+    land.mkdir()
+    # the file source wants plain FILES (a Spark write dir would be
+    # skipped as a non-partition subdirectory) — hoist the part file
+    now = time.time()
+    for name, row, ts in (
+        ("b1.parquet", (900001, novel, "en", "srcA", len(novel)), now - 60),
+        ("b2.parquet", (900002, novel + " extra", "en", "srcA", len(novel) + 6), now),
+    ):
+        d = tmp_path / f"_w_{name}"
+        spark.createDataFrame([row], _DOCS_SCHEMA).coalesce(1).write.parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        os.rename(d / part, land / name)
+        # file source orders by mtime: force b1 strictly older
+        os.utime(land / name, (ts, ts))
+    stream = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    got = screen_stream(
+        stream,
+        corpus,
+        path,
+        out_dir=str(tmp_path / "out" / "pairs"),
+        checkpoint_dir=str(tmp_path / "out" / "ckpt"),
+        threshold=0.6,
+        extend_index=True,
+    )
+    pairs = {(r["batch_doc"], r["corpus_doc"]) for r in got.collect()}
+    # doc2 (batch 2) must have been caught against doc1 (batch 1),
+    # which is in no corpus — only the extended index knows it.
+    assert (900002, 900001) in pairs
