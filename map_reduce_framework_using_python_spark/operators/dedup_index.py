@@ -118,6 +118,36 @@ def append_to_index(
     )
 
 
+def compact_index(spark: SparkSession, path: str, write_partitions: int = 8) -> None:
+    """Rewrite the bucket layout into ONE file per band — the
+    small-file remedy for an index that has absorbed many streamed
+    micro-batch appends (each append lands one file per touched band;
+    a year of 5-minute batches is ~10⁵ files per band without this).
+    Hash-clustering on ``band`` before the partitioned write puts each
+    band in exactly one task (``write_partitions`` only caps write
+    parallelism), so each band directory comes out as a single file.
+    Content is unchanged; the rewrite goes through a side directory and
+    an atomic rename so a crashed compaction never leaves a
+    half-written index."""
+    import shutil
+
+    meta = read_meta(path)
+    buckets = os.path.join(path, "buckets")
+    tmp = buckets + "__compact"
+    old = buckets + "__old"
+    (
+        spark.read.schema(f"{meta['id_col']} BIGINT, key BIGINT, band INT")
+        .parquet(buckets)
+        .repartition(write_partitions, "band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(tmp)
+    )
+    os.rename(buckets, old)
+    os.rename(tmp, buckets)
+    shutil.rmtree(old)
+
+
 def incremental_dedup_pairs(
     spark: SparkSession,
     batch: DataFrame,

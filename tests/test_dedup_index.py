@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 
 from map_reduce_framework_using_python_spark.operators.dedup import minhash_lsh_pairs
 from map_reduce_framework_using_python_spark.operators.dedup_index import (
+    append_to_index,
     build_minhash_index,
+    compact_index,
     incremental_dedup_pairs,
     read_meta,
 )
@@ -84,3 +86,41 @@ def test_empty_corpus_index_probes_to_zero_pairs(spark, tmp_path):
     out = incremental_dedup_pairs(spark, docs.limit(5), empty, path)
     assert out.columns == ["batch_doc", "corpus_doc", "jaccard"]
     assert out.count() == 0
+
+
+def test_append_commutes_with_build(spark, tmp_path):
+    """build(corpus) + append(batch) must contain exactly the bucket
+    rows of build(corpus ∪ batch) — the band table is row-local."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(120)
+    batch, corpus = _split(docs)
+    p1 = build_minhash_index(corpus, str(tmp_path / "i1"), num_hashes=32, bands=16)
+    append_to_index(batch, p1)
+    p2 = build_minhash_index(docs, str(tmp_path / "i2"), num_hashes=32, bands=16)
+    rows = lambda p: {
+        tuple(r)
+        for r in spark.read.parquet(str(p) + "/buckets")
+        .select("doc_id", "band", "key")
+        .collect()
+    }
+    assert rows(p1) == rows(p2)
+
+
+def test_compact_index_single_file_per_band_same_rows(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(120)
+    batch, corpus = _split(docs)
+    path = build_minhash_index(corpus, str(tmp_path / "idx"), num_hashes=32, bands=16)
+    append_to_index(batch, path)            # second file in each band
+    def state():
+        df = spark.read.parquet(str(tmp_path / "idx" / "buckets"))
+        return {tuple(r) for r in df.select("doc_id", "band", "key").collect()}
+    import glob
+    before = state()
+    assert any(
+        len(glob.glob(f"{tmp_path}/idx/buckets/band={b}/*.parquet")) > 1
+        for b in range(16)
+    )
+    compact_index(spark, path)
+    assert state() == before
+    for b in range(16):
+        files = glob.glob(f"{tmp_path}/idx/buckets/band={b}/*.parquet")
+        assert len(files) <= 1
