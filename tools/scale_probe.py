@@ -92,6 +92,8 @@ PROBE = (
     "ns_token_count_bpe",
     "ns_incremental_dedup",
     "ns_hash_embed",
+    "ns_token_entropy",
+    "ns_source_overlap",
 )
 
 
