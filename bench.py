@@ -44,6 +44,12 @@ HEADLINE = (
     # quantization; vocabulary-bounded bigram LM scoring)
     "ns_int8_quantize",
     "ns_bigram_lm_score",
+    # round 5: the ingest-lane probe (fingerprint-cached index build —
+    # first run pays it, steady state is the probe), the vocabulary-free
+    # text embedder, and the fixed-point entropy gate
+    "ns_incremental_dedup",
+    "ns_hash_embed",
+    "ns_token_entropy",
 )
 
 #: Round-3 per-query times (BENCH_r03.json, sf0.1) — the soft regression
