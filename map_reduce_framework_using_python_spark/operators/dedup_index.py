@@ -127,14 +127,20 @@ def compact_index(spark: SparkSession, path: str, write_partitions: int = 8) -> 
     band in exactly one task (``write_partitions`` only caps write
     parallelism), so each band directory comes out as a single file.
     Content is unchanged; the rewrite goes through a side directory and
-    an atomic rename so a crashed compaction never leaves a
-    half-written index."""
+    a two-rename swap. A crash between the renames leaves the live dir
+    missing but the previous copy intact at ``__old`` — recovered here
+    on the next call (and the stale ``__compact``/``__old`` leftovers
+    of any earlier crash are cleared before rewriting)."""
     import shutil
 
     meta = read_meta(path)
     buckets = os.path.join(path, "buckets")
     tmp = buckets + "__compact"
     old = buckets + "__old"
+    if not os.path.isdir(buckets) and os.path.isdir(old):
+        os.rename(old, buckets)  # crashed mid-swap last time: roll back
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     (
         spark.read.schema(f"{meta['id_col']} BIGINT, key BIGINT, band INT")
         .parquet(buckets)

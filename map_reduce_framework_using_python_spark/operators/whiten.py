@@ -60,7 +60,10 @@ def embedding_moments(
                 }
             )
 
-    d = len(df.select(vec_col).head()[0])
+    first = df.select(vec_col).head()
+    if first is None:
+        raise ValueError("embedding_moments: no vectors")
+    d = len(first[0])
     rows = df.select(vec_col).mapInPandas(
         partials, schema="n long, s array<double>, ss array<double>"
     ).collect()  # O(partitions) partial rows: model state, not data

@@ -124,3 +124,26 @@ def test_compact_index_single_file_per_band_same_rows(spark, tmp_path):
     for b in range(16):
         files = glob.glob(f"{tmp_path}/idx/buckets/band={b}/*.parquet")
         assert len(files) <= 1
+
+
+def test_compact_index_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves buckets missing and
+    the previous copy at __old; the next compaction must roll back and
+    proceed."""
+    import os
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(80)
+    path = build_minhash_index(docs, str(tmp_path / "idx"), num_hashes=32, bands=16)
+    buckets = str(tmp_path / "idx" / "buckets")
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(buckets).select("doc_id", "band", "key").collect()
+    }
+    os.rename(buckets, buckets + "__old")  # simulate the crash window
+    compact_index(spark, path)
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(buckets).select("doc_id", "band", "key").collect()
+    }
+    assert after == before
+    assert not os.path.exists(buckets + "__old")
