@@ -1,0 +1,287 @@
+"""Training-pipeline operators, part 7: DSIR importance weights,
+CCNet-style perplexity bucketing, and distributed BPE tokenizer
+training.
+
+Three curation ops from the published LLM-data-pipeline literature (the
+reference's users would chain mapper/reducer jobs over ``documents``
+for each, `Readme.md:6`; here each is one declarative plan):
+
+- **DSIR importance weights** (``ns_dsir_weights``): Data Selection via
+  Importance Resampling (Xie et al., NeurIPS 2023). Hashed unigram
+  features (md5-prefix buckets), a Laplace-smoothed bag-of-buckets
+  model of the TARGET distribution (here: the ``lang='en'`` slice)
+  against the RAW corpus, and per-document log importance weight
+  log p_target(d) − log p_raw(d) = Σ_tokens log-ratio(bucket(token)).
+  Documents whose token mix looks like the target get weights > 0 and
+  survive the downstream weighted resample (ns_weighted_sample).
+- **CCNet perplexity buckets** (``ns_ccnet_buckets``): per-language
+  head/middle/tail terciles of the bigram-LM fluency score
+  (ns_bigram_lm_score) — the CCNet (Wenzek et al. 2020) quality
+  stratification that lets a pipeline keep "head" text and downsample
+  "tail" per language instead of applying one global threshold.
+- **BPE tokenizer training** (``ns_bpe_train``): learn the merge table
+  itself (Sennrich et al. 2016) — not just apply one
+  (ns_token_count_bpe). One corpus-sized pass builds the distinct
+  (word, count) vocabulary; every subsequent merge round runs over
+  that vocabulary-sized table only: explode adjacent symbol pairs,
+  weighted pair-count agg, argmax with a deterministic tie-break, and
+  a JVM-side ``aggregate`` fold applies the merge greedily
+  left-to-right. The driver pulls exactly ONE row per round (the
+  winning pair — model state, like the k-means centroids in
+  operators/clustering.py), never data.
+
+Determinism rules (plans/core.py): per-bucket log-ratios land on the
+1e-9 integer grid BEFORE any cross-row sum, and per-doc scores reach
+aggregation as exact 1e-6-grid integers — both engines sum BIGINTs, so
+order of addition cannot diverge them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.plans.core import query, t
+from map_reduce_framework_using_python_spark.plans.pipeline6 import (
+    _BIGRAM_LM_ORACLE,
+    _LOG_GRID,
+    _bigram_lm,
+)
+
+#: Hashed-feature space: the first two md5 hex chars → 256 buckets.
+#: DSIR's paper uses 10k hashed n-gram buckets; 256 keeps the bucket
+#: model human-checkable while exercising the identical shape (the
+#: bucket width is a constant, not a scale knob — the model is always
+#: exactly B rows no matter the corpus size).
+_DSIR_BUCKETS = 256
+
+
+@query(
+    "ns_dsir_weights",
+    oracle=f"""
+        WITH tokd AS (SELECT doc_id, lang,
+                             unnest(string_split_regex(trim(text), ' +')) AS w
+                      FROM documents),
+             tok AS (SELECT doc_id, substr(md5(w), 1, 2) AS b, lang FROM tokd),
+             m AS (SELECT b, count(*) AS n_r,
+                          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t
+                   FROM tok GROUP BY 1),
+             tt AS (SELECT CAST(sum(n_r) AS BIGINT) AS t_r,
+                           CAST(sum(n_t) AS BIGINT) AS t_t FROM m),
+             model AS (SELECT b,
+                              CAST(floor((ln(CAST(n_t + 1 AS DOUBLE) / (t_t + {_DSIR_BUCKETS}))
+                                          - ln(CAST(n_r + 1 AS DOUBLE) / (t_r + {_DSIR_BUCKETS})))
+                                         * {_LOG_GRID} + 0.5) AS BIGINT) AS li
+                       FROM m, tt)
+        SELECT doc_id, count(*) AS n_tokens,
+               floor(CAST(CAST(sum(li) AS BIGINT) AS DOUBLE) / {_LOG_GRID}
+                     * 1000000.0 + 0.5) / 1000000.0 AS log_weight
+        FROM tok JOIN model USING (b)
+        GROUP BY 1
+    """,
+    tags=("northstar", "pipeline", "sampling", "dsir"),
+)
+def ns_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight: Σ over token occurrences of
+    log-ratio between the Laplace-smoothed hashed-unigram model of the
+    TARGET slice (``lang='en'``) and of the raw corpus. Positive →
+    target-like, negative → off-distribution; feed into
+    ns_weighted_sample / ns_pps_sample to realize the resample.
+
+    Scale shape: tokens explode once and carry only a 2-char bucket id
+    — raw text never leaves the scan stage. The bucket model is a
+    256-row hash agg (map-side combine collapses every partition to
+    ≤256 rows before the exchange) and is broadcast back onto the
+    token stream — broadcast is RIGHT here, unlike the bigram-LM model
+    (plans/pipeline6.py), because the feature space is a fixed B=256
+    rows by construction, not vocabulary-sized. The only
+    corpus-proportional exchange is the final per-doc partial agg of
+    (bigint, bigint) pairs. Per-bucket log-ratios are 1e-9-grid
+    integers before summation (plans/core.py determinism rules)."""
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.trim(F.col("text")), " +")).alias("w"),
+        )
+        .select("doc_id", "lang", F.substring(F.md5("w"), 1, 2).alias("b"))
+    )
+    m = tok.groupBy("b").agg(
+        F.count("*").alias("n_r"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_t"),
+    )
+    tot = m.agg(F.sum("n_r").alias("t_r"), F.sum("n_t").alias("t_t"))
+    li = F.floor(
+        (
+            F.log((F.col("n_t") + 1).cast("double") / (F.col("t_t") + _DSIR_BUCKETS))
+            - F.log((F.col("n_r") + 1).cast("double") / (F.col("t_r") + _DSIR_BUCKETS))
+        )
+        * _LOG_GRID
+        + F.lit(0.5)
+    ).cast("bigint")
+    model = m.crossJoin(F.broadcast(tot)).select("b", li.alias("li"))
+    return (
+        tok.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum("li").cast("double") / _LOG_GRID * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("log_weight"),
+        )
+    )
+
+
+@query(
+    "ns_ccnet_buckets",
+    oracle=f"""
+        WITH lm AS ({_BIGRAM_LM_ORACLE}),
+             j AS (SELECT lm.doc_id, d.lang, lm.avg_logp
+                   FROM lm JOIN documents d USING (doc_id)),
+             nt AS (SELECT lang,
+                           CAST(floor(avg_logp * 1000000.0 + 0.5) AS BIGINT) AS li6,
+                           ntile(3) OVER (PARTITION BY lang
+                                          ORDER BY avg_logp DESC, doc_id) AS tert
+                    FROM j)
+        SELECT lang,
+               CASE tert WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                         ELSE 'tail' END AS bucket,
+               count(*) AS n_docs,
+               floor(CAST(CAST(sum(li6) AS BIGINT) AS DOUBLE) / count(*) + 0.5)
+                   / 1000000.0 AS mean_logp
+        FROM nt GROUP BY 1, 2
+    """,
+    tags=("northstar", "pipeline", "quality", "lm"),
+)
+def ns_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality stratification: per-language head/middle/tail
+    terciles of the bigram-LM fluency score, with per-bucket volume and
+    mean score — the table a curation run thresholds on ("keep head,
+    sample middle, drop tail") so quality cuts adapt per language
+    instead of penalizing low-resource ones with a global bar.
+
+    Composes the shuffle-join bigram LM (plans/pipeline6.py) with an
+    exact NTILE(3) windowed per language. The per-lang window is the
+    honest parity choice at test scale; at 100 TB a dominant language
+    makes a single window partition a straggler, and the production
+    form replaces the exact tercile with two approx-quantile thresholds
+    (`df.stat.approxQuantile` / KLL, plans/pipeline3.py) joined back as
+    a broadcast — same bucket semantics to within sketch error, zero
+    global sort. The mean score is aggregated from exact 1e-6-grid
+    integers, so both engines sum identical BIGINTs."""
+    lm = _bigram_lm(spark, sf_dir, "shuffle")
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = lm.join(d, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logp"), "doc_id")
+    li6 = F.floor(F.col("avg_logp") * 1e6 + F.lit(0.5)).cast("bigint")
+    nt = j.select("lang", li6.alias("li6"), F.ntile(3).over(w).alias("tert"))
+    bucket = (
+        F.when(F.col("tert") == 1, "head")
+        .when(F.col("tert") == 2, "middle")
+        .otherwise("tail")
+    )
+    return nt.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.floor(F.sum("li6").cast("double") / F.count("*") + F.lit(0.5)) / 1e6
+        ).alias("mean_logp"),
+    )
+
+
+#: Merge rounds learned by ns_bpe_train. Each round is one
+#: vocabulary-sized job; 8 rounds keeps the registry query cheap while
+#: exercising the full loop (real tokenizer training runs ~30k rounds
+#: of the same shape — the per-round cost is what scales, not K).
+_BPE_ROUNDS = 8
+
+
+def bpe_train(words: DataFrame, rounds: int = _BPE_ROUNDS) -> list[tuple[int, str, str, int]]:
+    """Learn a BPE merge table from a (w, cnt) vocabulary DataFrame.
+
+    Returns ``[(rank, left, right, pair_count), ...]`` — the classic
+    Sennrich et al. 2016 procedure, distributed:
+
+    - symbols start as single characters of each distinct word;
+    - each round explodes adjacent symbol pairs weighted by word count,
+      hash-aggregates pair counts (vocabulary-bounded — map-side
+      combine collapses them before the exchange), and takes the
+      argmax via ``TakeOrderedAndProject`` (ties broken by pair string,
+      so reruns and engines agree);
+    - the winning merge is applied with a JVM-side ``F.aggregate`` fold
+      (greedy left-to-right, no re-merge across a just-merged token —
+      the fold's accumulator tail is the merged token, which no longer
+      equals ``left``), then the vocabulary is ``localCheckpoint``-ed
+      to cut the per-round lineage (same pattern as the connected-
+      components loop in operators/graph.py).
+
+    The corpus is read ONCE (the word-count agg the caller supplies);
+    every round after that touches only the distinct-word table. The
+    driver receives exactly one row per round — model state, not data.
+    """
+    cur = words.withColumn("syms", F.split("w", "")).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        n = F.size("syms")
+        pairs = cur.filter(n > 1).select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, n - 1),
+                    F.expr("slice(syms, 2, size(syms) - 1)"),
+                    lambda x, y: F.concat(x, F.lit("\x01"), y),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "p")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["p"].split("\x01")
+        merges.append((r, a, b, int(top[0]["c"])))
+        ab = a + b
+        merged = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        cur = cur.withColumn("syms", merged).localCheckpoint()
+    return merges
+
+
+@query(
+    "ns_bpe_train",
+    oracle=None,  # iterative argmax loop — no ANSI-SQL twin; pinned
+    # against a pure-Python reference BPE in tests/test_pipeline7.py.
+    tags=("northstar", "pipeline", "tokenizer"),
+)
+def ns_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 8 BPE merges from the corpus and return the
+    merge table (rank, left, right, merged, pair_count) — tokenizer
+    TRAINING, the op that produces the merge table ns_token_count_bpe
+    applies. See :func:`bpe_train` for the distributed procedure and
+    its scale shape."""
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.trim("text"), " +")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merges = bpe_train(words)
+    return spark.createDataFrame(
+        [(r, a, b, a + b, c) for r, a, b, c in merges],
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )

@@ -1,0 +1,133 @@
+"""Pins for the part-7 pipeline ops (plans/pipeline7.py).
+
+``ns_dsir_weights`` / ``ns_ccnet_buckets`` get their exact-equivalence
+coverage from the oracle-parity gate (tests/test_oracle_parity.py);
+here we pin the SEMANTIC properties the oracles can't express — the
+importance weights actually point at the target slice, the terciles
+actually stratify by score — plus the full reference-equivalence pin
+for ``ns_bpe_train``, whose iterative argmax loop has no SQL twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.plans import REGISTRY
+from map_reduce_framework_using_python_spark.plans.pipeline7 import bpe_train
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def _reference_bpe(word_counts: dict[str, int], rounds: int):
+    """Pure-Python Sennrich et al. BPE: the single-node ground truth
+    the distributed loop must reproduce exactly, tie-break included
+    (max pair count, then lexicographically smallest `left‖SEP‖right`)."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for r in range(1, rounds + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] = pc.get((x, y), 0) + c
+        if not pc:
+            break
+        (a, b), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + "\x01" + kv[0][1])
+        )
+        merges.append((r, a, b, c))
+        new: dict[tuple[str, ...], int] = {}
+        for syms, cnt in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            tk = tuple(out)
+            new[tk] = new.get(tk, 0) + cnt
+        vocab = new
+    return merges
+
+
+def test_bpe_train_matches_reference(spark, duck):
+    rows = duck.sql(
+        "SELECT w, count(*) FROM (SELECT unnest(string_split_regex(trim(text),"
+        " ' +')) AS w FROM documents) GROUP BY 1"
+    ).fetchall()
+    expected = _reference_bpe(dict(rows), rounds=8)
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in REGISTRY["ns_bpe_train"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_merge_fold_is_greedy_left_to_right(spark):
+    """The fold must not re-merge across a just-merged token: with the
+    merge (a,a), 'aaa' → [aa, a] (NOT [a, aa] and NOT [aaa]), and
+    'aaaa' → [aa, aa] — the standard greedy BPE contract."""
+    words = spark.createDataFrame(
+        [("aaa", 5), ("aaaa", 1)], "w string, cnt bigint"
+    )
+    merges = bpe_train(words, rounds=1)
+    # pair (a,a) appears 2× in 'aaa' (weight 5) and 3× in 'aaaa' → 13
+    assert merges == [(1, "a", "a", 13)]
+    # second round merges (aa, a) from 'aaa' (5) — 'aaaa' is [aa, aa],
+    # contributing to (aa, aa) with count 1 only
+    merges2 = bpe_train(words, rounds=2)
+    assert merges2[1] == (2, "aa", "a", 5)
+
+
+def test_bpe_tie_break_is_lexicographic(spark):
+    words = spark.createDataFrame(
+        [("zy", 3), ("ab", 3)], "w string, cnt bigint"
+    )
+    merges = bpe_train(words, rounds=1)
+    assert merges == [(1, "a", "b", 3)]
+
+
+# --------------------------------------------------------------- DSIR
+
+
+def test_dsir_weights_point_at_the_target_slice(spark):
+    """The whole point of the importance weight: documents FROM the
+    target distribution (lang='en') must score higher on average than
+    documents off it."""
+    w = REGISTRY["ns_dsir_weights"].fn(spark, SF_SMOKE)
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "lang")
+    per_lang = (
+        w.join(d, "doc_id")
+        .withColumn("is_en", F.col("lang") == "en")
+        .groupBy("is_en")
+        .agg(F.avg(F.col("log_weight") / F.col("n_tokens")).alias("mean_lw"))
+        .collect()
+    )
+    means = {r["is_en"]: r["mean_lw"] for r in per_lang}
+    assert means[True] > means[False]
+
+
+def test_dsir_covers_every_document(spark):
+    w = REGISTRY["ns_dsir_weights"].fn(spark, SF_SMOKE)
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert w.count() == n_docs
+
+
+# -------------------------------------------------------- CCNet buckets
+
+
+def test_ccnet_buckets_stratify_and_balance(spark):
+    rows = REGISTRY["ns_ccnet_buckets"].fn(spark, SF_SMOKE).collect()
+    by_lang: dict[str, dict[str, tuple[int, float]]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = (r["n_docs"], r["mean_logp"])
+    assert by_lang  # at least one language scored
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}, lang
+        sizes = [buckets[b][0] for b in ("head", "middle", "tail")]
+        # NTILE(3): bucket sizes differ by at most one, larger first
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert sizes == sorted(sizes, reverse=True), (lang, sizes)
+        # terciles are ordered by the score they stratify
+        assert buckets["head"][1] >= buckets["middle"][1] >= buckets["tail"][1], lang
