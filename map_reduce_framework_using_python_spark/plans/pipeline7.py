@@ -111,7 +111,19 @@ def ns_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_r"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_t"),
     )
-    tot = m.agg(F.sum("n_r").alias("t_r"), F.sum("n_t").alias("t_t"))
+    # Corpus totals via an unpartitioned window over the ≤256-row model
+    # table (NOT a second aggregation of the token stream — a crossJoin
+    # with m.agg(...) would make Catalyst re-derive m from the corpus,
+    # i.e. a third full scan+explode; the single-partition window sees
+    # only the 256 bucket rows, so "no partition" is harmless here).
+    wall = Window.partitionBy()
+    tot = m.select(
+        "b",
+        "n_r",
+        "n_t",
+        F.sum("n_r").over(wall).alias("t_r"),
+        F.sum("n_t").over(wall).alias("t_t"),
+    )
     li = F.floor(
         (
             F.log((F.col("n_t") + 1).cast("double") / (F.col("t_t") + _DSIR_BUCKETS))
@@ -120,7 +132,7 @@ def ns_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         * _LOG_GRID
         + F.lit(0.5)
     ).cast("bigint")
-    model = m.crossJoin(F.broadcast(tot)).select("b", li.alias("li"))
+    model = tot.select("b", li.alias("li"))
     return (
         tok.join(F.broadcast(model), "b")
         .groupBy("doc_id")

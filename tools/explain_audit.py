@@ -95,6 +95,11 @@ AUDIT = (
     "ns_hash_embed",
     "ns_token_entropy",
     "ns_source_overlap",
+    # round 5, part 7: DSIR (256-row broadcast model, one doc-keyed
+    # exchange) and the CCNet terciles (per-lang window over the
+    # shuffle-join LM — the documented exact-parity form)
+    "ns_dsir_weights",
+    "ns_ccnet_buckets",
 )
 
 
