@@ -50,6 +50,10 @@ HEADLINE = (
     "ns_incremental_dedup",
     "ns_hash_embed",
     "ns_token_entropy",
+    # round 5, part 7: DSIR importance weights (256-row broadcast
+    # model) and the CCNet terciles stacked on the shuffle-join LM
+    "ns_dsir_weights",
+    "ns_ccnet_buckets",
 )
 
 #: Round-3 per-query times (BENCH_r03.json, sf0.1) — the soft regression

@@ -94,6 +94,12 @@ PROBE = (
     "ns_hash_embed",
     "ns_token_entropy",
     "ns_source_overlap",
+    # round 5, part 7: DSIR (fixed 256-row model — exchanges are
+    # bucket- or doc-keyed, never wider), CCNet terciles (LM + per-lang
+    # window), BPE training (corpus pass once, then vocab-sized rounds)
+    "ns_dsir_weights",
+    "ns_ccnet_buckets",
+    "ns_bpe_train",
 )
 
 
