@@ -56,9 +56,10 @@ from map_reduce_framework_using_python_spark.plans.pipeline6 import (
 _DSIR_BUCKETS = 256
 
 
-@query(
-    "ns_dsir_weights",
-    oracle=f"""
+#: The DSIR weight computation as a reusable oracle fragment: a full
+#: SELECT producing (doc_id, n_tokens, log_weight) — registered as
+#: ns_dsir_weights directly and re-wrapped as a CTE by ns_dsir_resample.
+_DSIR_ORACLE = f"""
         WITH tokd AS (SELECT doc_id, lang,
                              unnest(string_split_regex(trim(text), ' +')) AS w
                       FROM documents),
@@ -78,7 +79,12 @@ _DSIR_BUCKETS = 256
                      * 1000000.0 + 0.5) / 1000000.0 AS log_weight
         FROM tok JOIN model USING (b)
         GROUP BY 1
-    """,
+"""
+
+
+@query(
+    "ns_dsir_weights",
+    oracle=_DSIR_ORACLE,
     tags=("northstar", "pipeline", "sampling", "dsir"),
 )
 def ns_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,6 +104,10 @@ def ns_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-proportional exchange is the final per-doc partial agg of
     (bigint, bigint) pairs. Per-bucket log-ratios are 1e-9-grid
     integers before summation (plans/core.py determinism rules)."""
+    return _dsir_weights(spark, sf_dir)
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     tok = (
         d.select(
@@ -144,6 +154,69 @@ def ns_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / 1e6
             ).alias("log_weight"),
+        )
+    )
+
+
+#: Resample size and the uniform-hash denominator (16^8 + 1 keeps
+#: u ∈ (0, 1) strictly — the same construction as ns_weighted_sample,
+#: and the double −ln(−ln(u)) needs u ∉ {0, 1}).
+_DSIR_K = 25
+_DSIR_DEN = float(16**8 + 1)
+
+
+@query(
+    "ns_dsir_resample",
+    oracle=f"""
+        WITH dw AS ({_DSIR_ORACLE}),
+             g AS (SELECT doc_id, n_tokens, log_weight,
+                          log_weight - ln(-ln(
+                              (CAST(concat('0x', substr(md5(concat('gum',
+                                   CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                               + 1) / {_DSIR_DEN})) AS gk
+                   FROM dw)
+        SELECT doc_id, n_tokens, log_weight,
+               floor(gk * 1000000000.0 + 0.5) / 1000000000.0 AS key
+        FROM g
+        ORDER BY gk DESC, doc_id
+        LIMIT {_DSIR_K}
+    """,
+    tags=("northstar", "pipeline", "sampling", "dsir"),
+)
+def ns_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of DSIR: sample k documents WITHOUT replacement
+    with probability ∝ exp(log_weight) via the Gumbel top-k trick —
+    key = log_weight − ln(−ln(u)) with u md5-derived (no rand(), so the
+    sample reproduces on any engine / retry / partitioning), take the
+    top k. Target-like documents dominate the resampled corpus exactly
+    as the DSIR paper prescribes; together with ns_dsir_weights this is
+    the full select-then-resample loop.
+
+    Scale shape: the weight plan (see ns_dsir_weights) plus a map-side
+    Gumbel key and a ``TakeOrderedAndProject`` top-k — per-partition
+    heaps, a k-row driver merge, never a global sort. The Gumbel key is
+    built from the ALREADY-QUANTIZED 1e-6-grid log_weight, so both
+    engines order identical doubles (ties broken by doc_id); the
+    emitted key is rounded to the 1e-9 grid."""
+    dw = _dsir_weights(spark, sf_dir)
+    uni = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("gum"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(_DSIR_DEN)
+    gk = F.col("log_weight") - F.log(-F.log(uni))
+    return (
+        dw.select("doc_id", "n_tokens", "log_weight", gk.alias("_gk"))
+        .orderBy(F.col("_gk").desc(), "doc_id")
+        .limit(_DSIR_K)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "log_weight",
+            (F.floor(F.col("_gk") * 1e9 + F.lit(0.5)) / 1e9).alias("key"),
         )
     )
 

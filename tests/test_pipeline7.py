@@ -131,3 +131,37 @@ def test_ccnet_buckets_stratify_and_balance(spark):
         assert sizes == sorted(sizes, reverse=True), (lang, sizes)
         # terciles are ordered by the score they stratify
         assert buckets["head"][1] >= buckets["middle"][1] >= buckets["tail"][1], lang
+
+
+# ---------------------------------------------------------- edge cases
+
+
+def test_bpe_train_empty_vocabulary(spark):
+    words = spark.createDataFrame([], "w string, cnt bigint")
+    assert bpe_train(words, rounds=3) == []
+
+
+def test_bpe_train_single_char_words_only(spark):
+    # no adjacent pairs anywhere → the loop must stop, not spin
+    words = spark.createDataFrame([("a", 9), ("b", 4)], "w string, cnt bigint")
+    assert bpe_train(words, rounds=3) == []
+
+
+def test_bpe_train_stops_when_pairs_run_out(spark):
+    # 'ab' fully merges in one round; round 2 has no pair left
+    words = spark.createDataFrame([("ab", 7)], "w string, cnt bigint")
+    assert bpe_train(words, rounds=5) == [(1, "a", "b", 7)]
+
+
+def test_dsir_resample_prefers_target_like_docs(spark):
+    """Gumbel top-k ∝ exp(log_weight): the resampled set's mean weight
+    must exceed the corpus mean (noise can pick low-weight docs, but
+    k=25 in aggregate has to lean target-ward)."""
+    w = REGISTRY["ns_dsir_weights"].fn(spark, SF_SMOKE)
+    s = REGISTRY["ns_dsir_resample"].fn(spark, SF_SMOKE)
+    corpus_mean = w.agg(F.avg("log_weight")).first()[0]
+    sample_mean = s.agg(F.avg("log_weight")).first()[0]
+    assert sample_mean > corpus_mean
+    assert s.count() == 25
+    # without replacement: all distinct
+    assert s.select("doc_id").distinct().count() == 25
