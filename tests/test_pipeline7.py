@@ -165,3 +165,35 @@ def test_dsir_resample_prefers_target_like_docs(spark):
     assert s.count() == 25
     # without replacement: all distinct
     assert s.select("doc_id").distinct().count() == 25
+
+
+# ----------------------------------------------- property: BPE ≡ reference
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = st.lists(
+    st.tuples(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(entries=_WORDS)
+def test_bpe_train_matches_reference_on_random_vocabs(spark, entries):
+    """Distributed BPE == single-node reference on arbitrary small
+    vocabularies (a tiny alphabet forces heavy pair collisions and
+    ties, stressing the tie-break and the greedy fold)."""
+    counts: dict[str, int] = {}
+    for w, c in entries:
+        counts[w] = counts.get(w, 0) + c
+    words = spark.createDataFrame(list(counts.items()), "w string, cnt bigint")
+    assert bpe_train(words, rounds=4) == _reference_bpe(counts, rounds=4)

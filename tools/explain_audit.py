@@ -100,6 +100,7 @@ AUDIT = (
     # shuffle-join LM — the documented exact-parity form)
     "ns_dsir_weights",
     "ns_ccnet_buckets",
+    "ns_dsir_resample",
 )
 
 
