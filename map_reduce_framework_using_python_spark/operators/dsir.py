@@ -1,0 +1,156 @@
+"""DSIR (Data Selection via Importance Resampling, Xie et al. 2023) as
+composable operators: a hashed-unigram bucket model of a TARGET
+distribution vs the raw corpus, and a scorer that applies a model —
+in-memory or persisted — to any document frame.
+
+Split out of plans/pipeline7.py so the model can be TRAINED ONCE on the
+corpus, persisted next to it, and then applied to data the model never
+saw — the ingest-lane shape (streaming/quality_gate.py): at 100 TB you
+do not re-derive corpus statistics per arriving batch; you freeze them,
+fingerprint them against their source, and broadcast the fixed 256-row
+table into each scoring pass.
+
+Determinism: per-bucket log-ratios are quantized to the 1e-9 integer
+grid at model-build time, so scoring is pure BIGINT summation —
+micro-batch boundaries, partitionings, and engines cannot reorder a
+float sum that never happens (plans/core.py rules).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: Hashed-feature space: first two md5 hex chars → 256 buckets. The
+#: model is always exactly ≤256 rows no matter the corpus size — the
+#: property that makes broadcasting it CORRECT, not just convenient.
+DSIR_BUCKETS = 256
+
+#: Fixed-point grid for the per-bucket log-ratio (plans/pipeline6.py's
+#: grid — both modules must agree so oracles stay shared).
+LOG_GRID = 1_000_000_000.0
+
+_MODEL_SCHEMA = "b STRING, li BIGINT"
+
+
+def _buckets(docs: DataFrame, extra: list[str] | None = None) -> DataFrame:
+    """(doc_id[, extra...], b): one row per token occurrence, carrying
+    only the 2-hex-char bucket id — raw text never leaves the scan."""
+    cols = ["doc_id", *(extra or [])]
+    return docs.select(
+        *cols, F.explode(F.split(F.trim(F.col("text")), " +")).alias("w")
+    ).select(*cols, F.substring(F.md5("w"), 1, 2).alias("b"))
+
+
+def dsir_model(docs: DataFrame, is_target: Column) -> DataFrame:
+    """Laplace-smoothed target-vs-raw log-ratio per hash bucket:
+    li = floor((ln p_target(b) − ln p_raw(b)) · GRID + 0.5).
+
+    One corpus pass (bucket hash agg with map-side combine → ≤256
+    rows); corpus totals come from an unpartitioned window over those
+    256 rows — NOT a second corpus aggregation (see plans/pipeline7.py
+    for the Catalyst re-derivation trap this avoids).
+    """
+    tok = _buckets(docs.withColumn("_t", is_target), ["_t"])
+    m = tok.groupBy("b").agg(
+        F.count("*").alias("n_r"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("n_t"),
+    )
+    wall = Window.partitionBy()
+    tot = m.select(
+        "b",
+        "n_r",
+        "n_t",
+        F.sum("n_r").over(wall).alias("t_r"),
+        F.sum("n_t").over(wall).alias("t_t"),
+    )
+    li = F.floor(
+        (
+            F.log((F.col("n_t") + 1).cast("double") / (F.col("t_t") + DSIR_BUCKETS))
+            - F.log((F.col("n_r") + 1).cast("double") / (F.col("t_r") + DSIR_BUCKETS))
+        )
+        * LOG_GRID
+        + F.lit(0.5)
+    ).cast("bigint")
+    return tot.select("b", li.alias("li"))
+
+
+def dsir_score(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Score documents under a bucket model: (doc_id, n_tokens,
+    log_weight) with log_weight = Σ li / GRID on the 1e-6 output grid.
+    The model is broadcast (≤256 rows by construction); the only
+    corpus-proportional exchange is the doc-keyed partial agg."""
+    return (
+        _buckets(docs)
+        .join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.floor(F.sum("li").cast("double") / LOG_GRID * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("log_weight"),
+        )
+    )
+
+
+def dsir_gate(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Score + keep verdict: keep ⇔ the MEAN per-token log-ratio is
+    ≥ 0, i.e. the document looks at least as target-like as not.
+    Evaluated as Σ li ≥ 0 — an exact BIGINT comparison, so the verdict
+    is bit-stable under any partitioning or batch boundary (the
+    property the streaming pin in tests/test_streaming_ingest.py
+    relies on)."""
+    return (
+        _buckets(docs)
+        .join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.floor(F.sum("li").cast("double") / LOG_GRID * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("log_weight"),
+            (F.sum("li") >= 0).alias("keep"),
+        )
+    )
+
+
+# ------------------------------------------------------------ persistence
+
+
+def build_dsir_model(
+    spark: SparkSession,
+    docs: DataFrame,
+    is_target: Column,
+    path: str,
+    fingerprint: dict | None = None,
+) -> None:
+    """Train the bucket model and persist it (parquet + meta manifest).
+
+    ``fingerprint`` should be ``source_fingerprint(<corpus parquet>)``
+    (sources/io.py) — the stale-layout guard every derived artifact in
+    this repo stores: a regenerated corpus with the same cardinality
+    still forces a rebuild (NOTES.md round-4 hardening)."""
+    dsir_model(docs, is_target).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "model")
+    )
+    with open(os.path.join(path, "_dsir_meta.json"), "w") as fh:
+        json.dump({"buckets": DSIR_BUCKETS, "src": fingerprint or {}}, fh)
+
+
+def load_dsir_model(spark: SparkSession, path: str) -> DataFrame:
+    """Read a persisted model with its explicit schema (an empty model
+    dir must still probe cleanly — the dedup-index lesson)."""
+    return spark.read.schema(_MODEL_SCHEMA).parquet(os.path.join(path, "model"))
+
+
+def model_meta(path: str) -> dict:
+    meta_path = os.path.join(path, "_dsir_meta.json")
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as fh:
+        return json.load(fh)

@@ -52,8 +52,17 @@ from map_reduce_framework_using_python_spark.plans.pipeline6 import (
 #: DSIR's paper uses 10k hashed n-gram buckets; 256 keeps the bucket
 #: model human-checkable while exercising the identical shape (the
 #: bucket width is a constant, not a scale knob — the model is always
-#: exactly B rows no matter the corpus size).
-_DSIR_BUCKETS = 256
+#: exactly B rows no matter the corpus size). Imported from the
+#: operator module so the oracle grids can never drift from the
+#: Spark-side expressions.
+from map_reduce_framework_using_python_spark.operators.dsir import (  # noqa: E402
+    DSIR_BUCKETS as _DSIR_BUCKETS,
+    LOG_GRID as _OP_LOG_GRID,
+)
+
+# The oracle strings quantize on pipeline6's grid; the operator module
+# must agree or Spark and DuckDB would round on different grids.
+assert _OP_LOG_GRID == _LOG_GRID
 
 
 #: The DSIR weight computation as a reusable oracle fragment: a full
@@ -108,54 +117,20 @@ def ns_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Model build + scoring live in operators/dsir.py so the same
+    # expressions serve the persisted-model ingest lane
+    # (streaming/quality_gate.py). Corpus totals come from an
+    # unpartitioned window over the ≤256-row model table — NOT a second
+    # aggregation of the token stream: a crossJoin with m.agg(...)
+    # makes Catalyst re-derive the model from the corpus, i.e. a third
+    # full scan+explode (see dsir_model's docstring).
+    from map_reduce_framework_using_python_spark.operators.dsir import (
+        dsir_model,
+        dsir_score,
+    )
+
     d = t(spark, sf_dir, "documents")
-    tok = (
-        d.select(
-            "doc_id",
-            "lang",
-            F.explode(F.split(F.trim(F.col("text")), " +")).alias("w"),
-        )
-        .select("doc_id", "lang", F.substring(F.md5("w"), 1, 2).alias("b"))
-    )
-    m = tok.groupBy("b").agg(
-        F.count("*").alias("n_r"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_t"),
-    )
-    # Corpus totals via an unpartitioned window over the ≤256-row model
-    # table (NOT a second aggregation of the token stream — a crossJoin
-    # with m.agg(...) would make Catalyst re-derive m from the corpus,
-    # i.e. a third full scan+explode; the single-partition window sees
-    # only the 256 bucket rows, so "no partition" is harmless here).
-    wall = Window.partitionBy()
-    tot = m.select(
-        "b",
-        "n_r",
-        "n_t",
-        F.sum("n_r").over(wall).alias("t_r"),
-        F.sum("n_t").over(wall).alias("t_t"),
-    )
-    li = F.floor(
-        (
-            F.log((F.col("n_t") + 1).cast("double") / (F.col("t_t") + _DSIR_BUCKETS))
-            - F.log((F.col("n_r") + 1).cast("double") / (F.col("t_r") + _DSIR_BUCKETS))
-        )
-        * _LOG_GRID
-        + F.lit(0.5)
-    ).cast("bigint")
-    model = tot.select("b", li.alias("li"))
-    return (
-        tok.join(F.broadcast(model), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            (
-                F.floor(
-                    F.sum("li").cast("double") / _LOG_GRID * 1e6 + F.lit(0.5)
-                )
-                / 1e6
-            ).alias("log_weight"),
-        )
-    )
+    return dsir_score(d, dsir_model(d, F.col("lang") == "en"))
 
 
 #: Resample size and the uniform-hash denominator (16^8 + 1 keeps
@@ -370,3 +345,66 @@ def ns_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, a, b, a + b, c) for r, a, b, c in merges],
         "rank int, left string, right string, merged string, pair_count bigint",
     )
+
+
+def _ensure_dsir_model(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the persisted DSIR bucket model under /tmp,
+    trained on the corpus slice (doc_id ≢ 7 mod 16) with lang='en' as
+    the target — fingerprint-guarded against corpus refresh, the same
+    rule as every derived layout (northstar._ensure_dedup_index)."""
+    import os
+
+    from map_reduce_framework_using_python_spark.operators.dsir import (
+        build_dsir_model,
+        model_meta,
+    )
+    from map_reduce_framework_using_python_spark.plans.northstar import (
+        _BATCH_MOD,
+        _BATCH_REM,
+    )
+    from map_reduce_framework_using_python_spark.sources.io import source_fingerprint
+
+    root = os.environ.get("SPARK_GRAFT_DSIR_MODEL_ROOT", "/tmp/spark_graft_dsir")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    path = os.path.join(root, tag, "b256")
+    src = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    if model_meta(path).get("src") == src:
+        return path
+    corpus = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _BATCH_MOD != _BATCH_REM
+    )
+    build_dsir_model(spark, corpus, F.col("lang") == "en", path, fingerprint=src)
+    return path
+
+
+#: Oracle twin of the persisted-model ingest gate: train the model on
+#: the corpus slice, score the arriving slice, keep ⇔ Σ li ≥ 0 (an
+#: exact BIGINT comparison on both engines).
+_DSIR_GATE_ORACLE = f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 16 <> 7),
+         batch AS (SELECT * FROM documents WHERE doc_id % 16 = 7),
+         tokc AS (SELECT substr(md5(w), 1, 2) AS b, lang
+                  FROM (SELECT lang,
+                               unnest(string_split_regex(trim(text), ' +')) AS w
+                        FROM corpus)),
+         m AS (SELECT b, count(*) AS n_r,
+                      sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t
+               FROM tokc GROUP BY 1),
+         tt AS (SELECT CAST(sum(n_r) AS BIGINT) AS t_r,
+                       CAST(sum(n_t) AS BIGINT) AS t_t FROM m),
+         model AS (SELECT b,
+                          CAST(floor((ln(CAST(n_t + 1 AS DOUBLE) / (t_t + {_DSIR_BUCKETS}))
+                                      - ln(CAST(n_r + 1 AS DOUBLE) / (t_r + {_DSIR_BUCKETS})))
+                                     * {_LOG_GRID} + 0.5) AS BIGINT) AS li
+                   FROM m, tt),
+         tokb AS (SELECT doc_id, substr(md5(w), 1, 2) AS b
+                  FROM (SELECT doc_id,
+                               unnest(string_split_regex(trim(text), ' +')) AS w
+                        FROM batch))
+    SELECT doc_id, count(*) AS n_tokens,
+           floor(CAST(CAST(sum(li) AS BIGINT) AS DOUBLE) / {_LOG_GRID}
+                 * 1000000.0 + 0.5) / 1000000.0 AS log_weight,
+           CAST(sum(li) AS BIGINT) >= 0 AS keep
+    FROM tokb JOIN model USING (b)
+    GROUP BY 1
+"""

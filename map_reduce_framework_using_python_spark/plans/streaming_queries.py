@@ -311,3 +311,50 @@ def st_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=f"{work}/ckpt",
         threshold=0.6,
     )
+
+
+from map_reduce_framework_using_python_spark.plans.pipeline7 import (  # noqa: E402
+    _DSIR_GATE_ORACLE,
+)
+
+
+@query("st_dsir_gate", oracle=_DSIR_GATE_ORACLE, tags=("streaming", "pipeline", "dsir"))
+def st_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating on ingest: arriving documents (doc_id ≡ 7 mod 16)
+    scored per micro-batch against the PERSISTED DSIR bucket model
+    trained on the rest of the corpus (streaming/quality_gate.py) —
+    corpus statistics frozen once, then broadcast into each batch's
+    map-side scoring pass; the corpus itself is never re-read.
+
+    The rare streaming query with a FULL DuckDB oracle: every emitted
+    value is either an exact integer, a 1e-6-grid quantized double, or
+    the Σ li ≥ 0 BIGINT comparison — nothing depends on micro-batch
+    boundaries, so the drained-stream result is SQL-expressible.
+    Drained-equals-batch is additionally pinned in
+    tests/test_quality_gate.py."""
+    import tempfile
+
+    from map_reduce_framework_using_python_spark.plans.northstar import (
+        _BATCH_MOD,
+        _BATCH_REM,
+    )
+    from map_reduce_framework_using_python_spark.plans.pipeline7 import (
+        _ensure_dsir_model,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ingest import (
+        read_documents_stream,
+    )
+    from map_reduce_framework_using_python_spark.streaming.quality_gate import (
+        gate_stream,
+    )
+
+    model_path = _ensure_dsir_model(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="st_dsir_gate_")
+    return gate_stream(
+        read_documents_stream(spark, sf_dir).filter(
+            F.col("doc_id") % _BATCH_MOD == _BATCH_REM
+        ),
+        model_path,
+        out_dir=f"{work}/verdicts",
+        checkpoint_dir=f"{work}/ckpt",
+    )

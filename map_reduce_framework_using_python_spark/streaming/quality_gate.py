@@ -1,0 +1,79 @@
+"""Streaming quality gate: score arriving documents against FROZEN
+corpus statistics (a persisted DSIR bucket model) as they land.
+
+The batch query ``ns_dsir_weights`` derives the model and scores the
+same corpus in one plan. A real ingest pipeline cannot do that — the
+corpus statistics must be trained once, frozen, and applied to data
+they never saw, or every arriving batch would shift the yardstick it
+is being measured with. This module runs that shape continuously:
+
+- :func:`map_reduce_framework_using_python_spark.operators.dsir.build_dsir_model`
+  trains and persists the 256-row model (fingerprint-guarded against
+  corpus refresh, like every derived layout in this repo);
+- ``gate_stream`` drains a document stream through ``foreachBatch``,
+  scoring each micro-batch with the broadcast model and appending
+  ``(doc_id, n_tokens, log_weight, keep)`` verdicts to a parquet sink.
+
+Per-micro-batch cost is one map-side tokenize + a broadcast join + a
+doc-keyed agg over THE BATCH ONLY — the corpus is never touched after
+training, which is what makes quality gating at ingest viable at
+100 TB (same argument as dedup-on-ingest, streaming/ingest.py).
+
+Correctness contract (pinned in tests/test_quality_gate.py): the
+drained-stream verdicts equal the one-shot batch scoring of the same
+documents under the same model — legitimate because each verdict
+depends only on (doc, frozen model), never on other batch docs, so
+micro-batch boundaries cannot change the answer; and the keep verdict
+itself is an exact BIGINT comparison (Σ li ≥ 0), immune to float
+reassociation across batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from map_reduce_framework_using_python_spark.operators.dsir import (
+    dsir_gate,
+    load_dsir_model,
+)
+
+_VERDICT_SCHEMA = (
+    "doc_id BIGINT, n_tokens BIGINT, log_weight DOUBLE, keep BOOLEAN"
+)
+
+
+def gate_stream(
+    batch_stream: DataFrame,
+    model_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Drain ``batch_stream`` (AvailableNow) through the persisted-model
+    gate and return all verdicts.
+
+    ``foreachBatch`` + parquet append + checkpoint: a replayed batch
+    re-appends its verdicts, so the read-back dedups on doc_id — the
+    at-least-once append contract (verdicts are idempotent facts;
+    exactly-once MERGE lives in streaming/cdc.py)."""
+    spark = batch_stream.sparkSession
+    model = load_dsir_model(spark, model_path)
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        dsir_gate(batch_df, model).write.mode("append").parquet(out_dir)
+
+    q = (
+        batch_stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], _VERDICT_SCHEMA)
+    return (
+        spark.read.schema(_VERDICT_SCHEMA)
+        .parquet(out_dir)
+        .dropDuplicates(["doc_id"])
+    )
