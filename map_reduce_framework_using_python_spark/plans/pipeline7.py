@@ -408,3 +408,73 @@ _DSIR_GATE_ORACLE = f"""
     FROM tokb JOIN model USING (b)
     GROUP BY 1
 """
+
+
+@query(
+    "ns_temperature_mixture",
+    oracle="""
+        WITH s AS (SELECT source, count(*) AS n_docs,
+                          CAST(sum(n_chars) AS BIGINT) AS mass
+                   FROM documents GROUP BY 1),
+             sh AS (SELECT source, n_docs, mass,
+                           CAST(mass AS DOUBLE)
+                               / CAST(sum(mass) OVER () AS BIGINT) AS share
+                    FROM s),
+             w AS (SELECT source, n_docs, mass, share,
+                          CAST(floor(sqrt(share) * 1000000000.0 + 0.5)
+                               AS BIGINT) AS w9
+                   FROM sh),
+             p AS (SELECT source, n_docs, mass, share,
+                          CAST(w9 AS DOUBLE)
+                              / CAST(sum(w9) OVER () AS BIGINT) AS pt
+                   FROM w),
+             b AS (SELECT source, n_docs, mass, share, pt,
+                          pt / share AS boost
+                   FROM p)
+        SELECT source, n_docs,
+               floor(share * 1000000.0 + 0.5) / 1000000.0 AS share,
+               floor(pt * 1000000.0 + 0.5) / 1000000.0 AS p_target,
+               floor(boost / max(boost) OVER () * 1000000.0 + 0.5)
+                   / 1000000.0 AS sample_rate
+        FROM b
+    """,
+    tags=("northstar", "pipeline", "mixture"),
+)
+def ns_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual-sampling rule
+    of Conneau & Lample 2019, τ = 0.5): per-source natural share of the
+    corpus mass, target probability p_s ∝ share_s^τ, and the relative
+    sampling rate (p_s / share_s, normalized so the most-boosted source
+    samples at 1.0) — the table a mixture-realization pass (hash-
+    threshold sampling, ns_stratified_sample) consumes to flatten a
+    skewed source distribution without a separate counting job per
+    source.
+
+    Determinism: τ = 0.5 is computed with ``sqrt``, which IEEE 754
+    requires to be correctly rounded — bit-identical on both engines
+    (pow(x, τ) would not be). The weight sum crosses rows as 1e-9-grid
+    BIGINTs, so no float accumulates in engine-specific order; every
+    emitted double derives from identical bits and lands half-up on the
+    1e-6 grid. All windows run over the ≤|sources|-row aggregate, never
+    the corpus."""
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("mass")
+    )
+    wall = Window.partitionBy()
+    share = F.col("mass").cast("double") / F.sum("mass").over(wall)
+    w9 = F.floor(F.sqrt(share) * 1e9 + F.lit(0.5)).cast("bigint")
+    sh = s.select("source", "n_docs", "mass", share.alias("share"), w9.alias("w9"))
+    pt = F.col("w9").cast("double") / F.sum("w9").over(wall)
+    b = sh.select("source", "n_docs", "share", pt.alias("pt")).withColumn(
+        "boost", F.col("pt") / F.col("share")
+    )
+    from map_reduce_framework_using_python_spark.plans.core import half_up
+
+    return b.select(
+        "source",
+        "n_docs",
+        half_up(F.col("share"), 6).alias("share"),
+        half_up(F.col("pt"), 6).alias("p_target"),
+        half_up(F.col("boost") / F.max("boost").over(wall), 6).alias("sample_rate"),
+    )

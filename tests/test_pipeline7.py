@@ -197,3 +197,35 @@ def test_bpe_train_matches_reference_on_random_vocabs(spark, entries):
         counts[w] = counts.get(w, 0) + c
     words = spark.createDataFrame(list(counts.items()), "w string, cnt bigint")
     assert bpe_train(words, rounds=4) == _reference_bpe(counts, rounds=4)
+
+
+def test_bpe_train_reproduces_the_frozen_merge_table_prefix(spark, duck):
+    """functions/bpe.py's frozen MERGES artifact was learned offline
+    with this same procedure on the sf0.001 corpus — the distributed
+    trainer must reproduce its prefix exactly, tying the tokenizer-
+    APPLICATION op (ns_token_count_bpe) to the tokenizer-TRAINING op."""
+    from map_reduce_framework_using_python_spark.functions.bpe import MERGES
+
+    got = [
+        (r["left"], r["right"])
+        for r in REGISTRY["ns_bpe_train"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == MERGES[: len(got)]
+
+
+def test_temperature_mixture_flattens_without_inverting(spark):
+    """τ = 0.5 must BOOST minority sources and DOWNWEIGHT majority ones
+    relative to natural share — but never invert the order (p_target is
+    monotone in share), and rates are in (0, 1] with the max at 1."""
+    rows = REGISTRY["ns_temperature_mixture"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    by_share = sorted(rows, key=lambda r: r["share"])
+    p = [r["p_target"] for r in by_share]
+    assert p == sorted(p)  # monotone: bigger share → bigger target p
+    for r in rows:
+        assert 0 < r["sample_rate"] <= 1.0
+    assert max(r["sample_rate"] for r in rows) == 1.0
+    # flattening: the smallest source's target share exceeds its natural
+    # share; the largest source's is below it
+    assert by_share[0]["p_target"] > by_share[0]["share"]
+    assert by_share[-1]["p_target"] < by_share[-1]["share"]
