@@ -478,3 +478,79 @@ def ns_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_up(F.col("pt"), 6).alias("p_target"),
         half_up(F.col("boost") / F.max("boost").over(wall), 6).alias("sample_rate"),
     )
+
+
+@query(
+    "ns_corpus_drift",
+    oracle=f"""
+        WITH tok AS (SELECT source, substr(md5(w), 1, 2) AS b
+                     FROM (SELECT source,
+                                  unnest(string_split_regex(trim(text), ' +')) AS w
+                           FROM documents)),
+             c AS (SELECT source, b, count(*) AS n FROM tok GROUP BY 1, 2),
+             tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY 1),
+             allb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM c GROUP BY 1),
+             g AS (SELECT CAST(sum(n) AS BIGINT) AS ng FROM c),
+             terms AS (SELECT c.source,
+                              CAST(floor(
+                                  (CAST(c.n + 1 AS DOUBLE) / (tot.ns + {_DSIR_BUCKETS})
+                                   - CAST(allb.nb - c.n + 1 AS DOUBLE)
+                                     / (g.ng - tot.ns + {_DSIR_BUCKETS}))
+                                  * (ln(CAST(c.n + 1 AS DOUBLE) / (tot.ns + {_DSIR_BUCKETS}))
+                                     - ln(CAST(allb.nb - c.n + 1 AS DOUBLE)
+                                          / (g.ng - tot.ns + {_DSIR_BUCKETS})))
+                                  * {_LOG_GRID} + 0.5) AS BIGINT) AS psi9
+                       FROM c JOIN tot USING (source)
+                              JOIN allb USING (b), g)
+        SELECT source,
+               floor(CAST(CAST(sum(psi9) AS BIGINT) AS DOUBLE) / {_LOG_GRID}
+                     * 1000000.0 + 0.5) / 1000000.0 AS psi
+        FROM terms GROUP BY 1
+    """,
+    tags=("northstar", "pipeline", "quality", "drift"),
+)
+def ns_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of each source against the REST of
+    the corpus over the 256 hashed-unigram buckets:
+    PSI = Σ_b (p_b − q_b)·ln(p_b/q_b), Laplace-smoothed — the standard
+    drift monitor (PSI < 0.1 stable, > 0.25 shifted) a curation
+    pipeline watches when a feed starts delivering different text than
+    the corpus it feeds.
+
+    Scale shape: one token explode carrying (source, 2-char bucket),
+    one (source, b) hash agg — at most |sources|·256 rows after
+    map-side combine — then bucket/source-keyed joins among
+    model-sized tables only. Per-(source, bucket) PSI terms are
+    quantized to the 1e-9 integer grid BEFORE the per-source sum
+    (plans/core.py rules), so engines sum identical BIGINTs.
+
+    A held-out-vs-corpus PSI over TIME windows is this same plan with
+    ``source`` swapped for an ingest-batch id — the streaming twin
+    would ride quality_gate.py's persisted bucket counts."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.trim(F.col("text")), " +")).alias("w"))
+        .select("source", F.substring(F.md5("w"), 1, 2).alias("b"))
+    )
+    c = tok.groupBy("source", "b").agg(F.count("*").alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("ns"))
+    allb = c.groupBy("b").agg(F.sum("n").alias("nb"))
+    g = F.broadcast(c.agg(F.sum("n").alias("ng")))
+    p = (F.col("n") + 1).cast("double") / (F.col("ns") + _DSIR_BUCKETS)
+    q = (F.col("nb") - F.col("n") + 1).cast("double") / (
+        F.col("ng") - F.col("ns") + _DSIR_BUCKETS
+    )
+    psi9 = F.floor((p - q) * (F.log(p) - F.log(q)) * _LOG_GRID + F.lit(0.5)).cast(
+        "bigint"
+    )
+    terms = (
+        c.join(F.broadcast(tot), "source")
+        .join(F.broadcast(allb), "b")
+        .crossJoin(g)
+        .select("source", psi9.alias("psi9"))
+    )
+    return terms.groupBy("source").agg(
+        (
+            F.floor(F.sum("psi9").cast("double") / _LOG_GRID * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("psi")
+    )

@@ -229,3 +229,19 @@ def test_temperature_mixture_flattens_without_inverting(spark):
     # share; the largest source's is below it
     assert by_share[0]["p_target"] > by_share[0]["share"]
     assert by_share[-1]["p_target"] < by_share[-1]["share"]
+
+
+def test_corpus_drift_psi_is_nonnegative_per_source(spark):
+    """Every PSI term (p−q)·ln(p/q) is ≥ 0, so per-source PSI must be
+    ≥ 0 (within one 1e-6 grid step for the quantized sum) and cover
+    every source."""
+    rows = REGISTRY["ns_corpus_drift"].fn(spark, SF_SMOKE).collect()
+    n_sources = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources
+    for r in rows:
+        assert r["psi"] >= -1e-6, r
