@@ -35,6 +35,14 @@ LOG_GRID = 1_000_000_000.0
 
 _MODEL_SCHEMA = "b STRING, li BIGINT"
 
+#: Bump when the on-disk artifact set changes (2 = model + counts).
+#: A persisted dir with an older layout is rebuilt even when its
+#: source fingerprint still matches — fingerprints version the DATA,
+#: this versions the ARTIFACT SHAPE (found the hard way: a pre-counts
+#: model dir satisfied the fingerprint check and broke the drift
+#: monitor's counts read).
+LAYOUT_VERSION = 2
+
 
 def _buckets(docs: DataFrame, extra: list[str] | None = None) -> DataFrame:
     """(doc_id[, extra...], b): one row per token occurrence, carrying
@@ -43,6 +51,18 @@ def _buckets(docs: DataFrame, extra: list[str] | None = None) -> DataFrame:
     return docs.select(
         *cols, F.explode(F.split(F.trim(F.col("text")), " +")).alias("w")
     ).select(*cols, F.substring(F.md5("w"), 1, 2).alias("b"))
+
+
+def bucket_counts(docs: DataFrame, is_target: Column) -> DataFrame:
+    """(b, n_r, n_t): per-bucket raw and target token-occurrence counts
+    — the sufficient statistic both the DSIR model and the PSI drift
+    monitor derive from. One corpus pass; map-side combine collapses
+    every partition to ≤256 rows before the exchange."""
+    tok = _buckets(docs.withColumn("_t", is_target), ["_t"])
+    return tok.groupBy("b").agg(
+        F.count("*").alias("n_r"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("n_t"),
+    )
 
 
 def dsir_model(docs: DataFrame, is_target: Column) -> DataFrame:
@@ -54,11 +74,13 @@ def dsir_model(docs: DataFrame, is_target: Column) -> DataFrame:
     256 rows — NOT a second corpus aggregation (see plans/pipeline7.py
     for the Catalyst re-derivation trap this avoids).
     """
-    tok = _buckets(docs.withColumn("_t", is_target), ["_t"])
-    m = tok.groupBy("b").agg(
-        F.count("*").alias("n_r"),
-        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("n_t"),
-    )
+    return model_from_counts(bucket_counts(docs, is_target))
+
+
+def model_from_counts(m: DataFrame) -> DataFrame:
+    """The (b, li) model derived from a (b, n_r, n_t) count table —
+    counts in hand (freshly aggregated or reloaded from disk), this is
+    pure 256-row arithmetic."""
     wall = Window.partitionBy()
     tot = m.select(
         "b",
@@ -119,6 +141,61 @@ def dsir_gate(docs: DataFrame, model: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ drift (PSI)
+
+
+def psi_vs_counts(docs: DataFrame, counts: DataFrame) -> DataFrame:
+    """Population stability index of ``docs`` against a reference
+    bucket-count table: Σ_b (p_b − q_b)·ln(p_b/q_b), Laplace-smoothed,
+    with p the batch distribution and q the reference — the drift
+    alarm an ingest pipeline raises when a feed's text stops looking
+    like the corpus its models were trained on.
+
+    All 256 reference buckets participate (batch-absent buckets count
+    0 — smoothing keeps the log finite); per-bucket terms land on the
+    1e-9 integer grid before the sum. Returns one row
+    ``(n_tokens, psi)``, or zero rows for a token-free batch (an empty
+    batch has no distribution to compare)."""
+    bc = (
+        _buckets(docs)
+        .groupBy("b")
+        .agg(F.count("*").alias("n"))
+    )
+    wall = Window.partitionBy()
+    j = (
+        F.broadcast(counts)
+        .join(bc, "b", "left")
+        .select(
+            "b",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            "n_r",
+        )
+        .select(
+            "n",
+            "n_r",
+            F.sum("n").over(wall).alias("nt"),
+            F.sum("n_r").over(wall).alias("rt"),
+        )
+    )
+    p = (F.col("n") + 1).cast("double") / (F.col("nt") + DSIR_BUCKETS)
+    q = (F.col("n_r") + 1).cast("double") / (F.col("rt") + DSIR_BUCKETS)
+    psi9 = F.floor((p - q) * (F.log(p) - F.log(q)) * LOG_GRID + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        j.select(psi9.alias("psi9"), F.col("nt").alias("n_tokens"))
+        .groupBy("n_tokens")
+        .agg(
+            (
+                F.floor(F.sum("psi9").cast("double") / LOG_GRID * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("psi")
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select("n_tokens", "psi")
+    )
+
+
 # ------------------------------------------------------------ persistence
 
 
@@ -129,23 +206,44 @@ def build_dsir_model(
     path: str,
     fingerprint: dict | None = None,
 ) -> None:
-    """Train the bucket model and persist it (parquet + meta manifest).
+    """Train the bucket model and persist it (parquet + meta manifest),
+    alongside the raw bucket COUNTS it derives from — the sufficient
+    statistic the ingest drift monitor (psi_vs_counts) compares
+    arriving batches against, frozen at the same instant as the model.
 
     ``fingerprint`` should be ``source_fingerprint(<corpus parquet>)``
     (sources/io.py) — the stale-layout guard every derived artifact in
     this repo stores: a regenerated corpus with the same cardinality
     still forces a rebuild (NOTES.md round-4 hardening)."""
-    dsir_model(docs, is_target).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "model")
+    bucket_counts(docs, is_target).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "counts")
     )
+    # Derive the model from the counts JUST WRITTEN — one corpus pass
+    # total, and the persisted pair is consistent by construction.
+    model_from_counts(load_bucket_counts(spark, path)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "model"))
     with open(os.path.join(path, "_dsir_meta.json"), "w") as fh:
-        json.dump({"buckets": DSIR_BUCKETS, "src": fingerprint or {}}, fh)
+        json.dump(
+            {
+                "buckets": DSIR_BUCKETS,
+                "layout": LAYOUT_VERSION,
+                "src": fingerprint or {},
+            },
+            fh,
+        )
 
 
 def load_dsir_model(spark: SparkSession, path: str) -> DataFrame:
     """Read a persisted model with its explicit schema (an empty model
     dir must still probe cleanly — the dedup-index lesson)."""
     return spark.read.schema(_MODEL_SCHEMA).parquet(os.path.join(path, "model"))
+
+
+def load_bucket_counts(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema("b STRING, n_r BIGINT, n_t BIGINT").parquet(
+        os.path.join(path, "counts")
+    )
 
 
 def model_meta(path: str) -> dict:

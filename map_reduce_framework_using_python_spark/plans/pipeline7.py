@@ -368,7 +368,10 @@ def _ensure_dsir_model(spark: SparkSession, sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
     path = os.path.join(root, tag, "b256")
     src = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    if model_meta(path).get("src") == src:
+    from map_reduce_framework_using_python_spark.operators.dsir import LAYOUT_VERSION
+
+    meta = model_meta(path)
+    if meta.get("src") == src and meta.get("layout") == LAYOUT_VERSION:
         return path
     corpus = t(spark, sf_dir, "documents").filter(
         F.col("doc_id") % _BATCH_MOD != _BATCH_REM

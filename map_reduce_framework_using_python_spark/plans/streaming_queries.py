@@ -358,3 +358,40 @@ def st_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir=f"{work}/verdicts",
         checkpoint_dir=f"{work}/ckpt",
     )
+
+
+@query("st_ingest_drift", oracle=None, tags=("streaming", "pipeline", "drift", "rows_only"))
+def st_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest drift alarm: per-micro-batch PSI of arriving documents
+    (doc_id ≡ 7 mod 16) against the corpus bucket counts frozen with
+    the persisted DSIR model (streaming/quality_gate.py:drift_stream).
+    Rows-only: the PSI value is integer-grid deterministic, but batch
+    BOUNDARIES belong to the stream, not the data — pinned against the
+    one-shot psi_vs_counts of the same docs in
+    tests/test_quality_gate.py."""
+    import tempfile
+
+    from map_reduce_framework_using_python_spark.plans.northstar import (
+        _BATCH_MOD,
+        _BATCH_REM,
+    )
+    from map_reduce_framework_using_python_spark.plans.pipeline7 import (
+        _ensure_dsir_model,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ingest import (
+        read_documents_stream,
+    )
+    from map_reduce_framework_using_python_spark.streaming.quality_gate import (
+        drift_stream,
+    )
+
+    model_path = _ensure_dsir_model(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="st_ingest_drift_")
+    return drift_stream(
+        read_documents_stream(spark, sf_dir).filter(
+            F.col("doc_id") % _BATCH_MOD == _BATCH_REM
+        ),
+        model_path,
+        out_dir=f"{work}/drift",
+        checkpoint_dir=f"{work}/ckpt",
+    )

@@ -33,6 +33,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from map_reduce_framework_using_python_spark.operators.dsir import (
     dsir_gate,
@@ -76,4 +77,56 @@ def gate_stream(
         spark.read.schema(_VERDICT_SCHEMA)
         .parquet(out_dir)
         .dropDuplicates(["doc_id"])
+    )
+
+
+_DRIFT_SCHEMA = "batch_id BIGINT, n_tokens BIGINT, psi DOUBLE"
+
+
+def drift_stream(
+    batch_stream: DataFrame,
+    model_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Per-micro-batch drift alarm: PSI of each arriving batch against
+    the FROZEN corpus bucket counts persisted with the model
+    (operators/dsir.py:psi_vs_counts) — the monitor that notices a feed
+    delivering different text than the corpus the models were trained
+    on, while it happens rather than at the next full corpus report.
+
+    Emits ``(batch_id, n_tokens, psi)`` per non-empty batch. The PSI
+    VALUE is batch-deterministic (integer-grid terms), but batch
+    BOUNDARIES are a property of the stream, not the data — so this op
+    is pinned against the one-shot computation per batch (rows-only,
+    never SQL-oracled). Cost per batch: one map-side tokenize + a
+    256-row broadcast join; the corpus is never touched."""
+    spark = batch_stream.sparkSession
+    from map_reduce_framework_using_python_spark.operators.dsir import (
+        load_bucket_counts,
+        psi_vs_counts,
+    )
+
+    counts = load_bucket_counts(spark, model_path)
+
+    def measure(batch_df: DataFrame, batch_id: int) -> None:
+        psi_vs_counts(batch_df, counts).select(
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+            "n_tokens",
+            "psi",
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        batch_stream.writeStream.foreachBatch(measure)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], _DRIFT_SCHEMA)
+    return (
+        spark.read.schema(_DRIFT_SCHEMA)
+        .parquet(out_dir)
+        .dropDuplicates(["batch_id"])
     )

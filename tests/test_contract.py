@@ -46,3 +46,30 @@ def test_oracle_tier_quadratic_baselines_are_marked():
                       "ns_lsh_topk_indexed", "ns_ivf_topk_indexed"):
         assert scale_path in REGISTRY, scale_path
         assert "oracle_tier" not in REGISTRY[scale_path].tags
+
+
+def test_tooling_query_lists_resolve_in_registry():
+    """Every query name referenced by the bench, the scale probe, and
+    the plan-audit tool must exist in the registry — a rename or typo
+    in the tooling dies here instead of at driver-bench time."""
+    import importlib.util as ilu
+
+    from map_reduce_framework_using_python_spark.plans import REGISTRY
+
+    def load(path, name):
+        spec = ilu.spec_from_file_location(name, path)
+        mod = ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    bench = load("/root/repo/bench.py", "_bench_mod")
+    probe = load("/root/repo/tools/scale_probe.py", "_probe_mod")
+    audit = load("/root/repo/tools/explain_audit.py", "_audit_mod")
+    for src, names in (
+        ("bench.HEADLINE", bench.HEADLINE),
+        ("bench.R3_FLOOR", bench.R3_FLOOR),
+        ("scale_probe.PROBE", probe.PROBE),
+        ("explain_audit.AUDIT", audit.AUDIT),
+    ):
+        unknown = [n for n in names if n not in REGISTRY]
+        assert not unknown, f"{src} references unknown queries: {unknown}"

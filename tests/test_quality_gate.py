@@ -69,7 +69,11 @@ def test_model_meta_records_fingerprint(spark):
         build_dsir_model(
             spark, corpus, F.col("lang") == "en", d, fingerprint={"bytes": 123}
         )
-        assert model_meta(d) == {"buckets": 256, "src": {"bytes": 123}}
+        assert model_meta(d) == {
+            "buckets": 256,
+            "layout": 2,
+            "src": {"bytes": 123},
+        }
         assert model_meta(os.path.join(d, "nope")) == {}
 
 
@@ -123,3 +127,113 @@ def test_gate_stream_empty_input(spark):
         )
         assert streamed.count() == 0
         assert streamed.columns == ["doc_id", "n_tokens", "log_weight", "keep"]
+
+
+# ------------------------------------------------------------ drift (PSI)
+
+
+def test_drift_stream_equals_one_shot_psi(spark):
+    """AvailableNow over one parquet file = one micro-batch, so the
+    drained drift stream must emit exactly the one-shot PSI of the
+    batch slice against the frozen corpus counts."""
+    from map_reduce_framework_using_python_spark.operators.dsir import (
+        load_bucket_counts,
+        psi_vs_counts,
+    )
+    from map_reduce_framework_using_python_spark.streaming.quality_gate import (
+        drift_stream,
+    )
+
+    corpus, batch = _corpus(spark), _batch(spark)
+    with tempfile.TemporaryDirectory() as d:
+        model_path = os.path.join(d, "model")
+        build_dsir_model(spark, corpus, F.col("lang") == "en", model_path)
+        streamed = drift_stream(
+            read_documents_stream(spark, SF_SMOKE).filter(
+                F.col("doc_id") % _BATCH_MOD == _BATCH_REM
+            ),
+            model_path,
+            out_dir=os.path.join(d, "out"),
+            checkpoint_dir=os.path.join(d, "ckpt"),
+        ).collect()
+        one_shot = psi_vs_counts(
+            batch, load_bucket_counts(spark, model_path)
+        ).collect()
+        assert len(streamed) == len(one_shot) == 1
+        assert (streamed[0]["n_tokens"], streamed[0]["psi"]) == (
+            one_shot[0]["n_tokens"],
+            one_shot[0]["psi"],
+        )
+
+
+def test_psi_of_corpus_against_itself_is_near_zero(spark):
+    """Self-PSI must be ~0 (not exactly 0: the batch excludes nothing,
+    but smoothing perturbs p and q identically, so every term is 0 up
+    to the 1e-9 term grid)."""
+    from map_reduce_framework_using_python_spark.operators.dsir import (
+        bucket_counts,
+        psi_vs_counts,
+    )
+
+    corpus = _corpus(spark)
+    counts = bucket_counts(corpus, F.col("lang") == "en")
+    rows = psi_vs_counts(corpus, counts).collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["psi"]) < 1e-5
+
+
+def test_psi_detects_a_shifted_batch(spark):
+    """A batch drawn from a single source must read as drifted
+    relative to the mixed corpus — PSI well above the self-PSI."""
+    from map_reduce_framework_using_python_spark.operators.dsir import (
+        bucket_counts,
+        psi_vs_counts,
+    )
+
+    corpus = _corpus(spark)
+    counts = bucket_counts(corpus, F.col("lang") == "en")
+    one_lang = corpus.filter(F.col("lang") != "en").limit(40)
+    psi = psi_vs_counts(one_lang, counts).collect()[0]["psi"]
+    self_psi = psi_vs_counts(corpus, counts).collect()[0]["psi"]
+    assert psi > self_psi + 0.01
+
+
+def test_psi_empty_batch_emits_nothing(spark):
+    from map_reduce_framework_using_python_spark.operators.dsir import (
+        bucket_counts,
+        psi_vs_counts,
+    )
+
+    corpus = _corpus(spark)
+    counts = bucket_counts(corpus, F.col("lang") == "en")
+    empty = corpus.filter(F.lit(False))
+    assert psi_vs_counts(empty, counts).count() == 0
+
+
+def test_stale_layout_forces_model_rebuild(spark, tmp_path, monkeypatch):
+    """A persisted dir whose meta predates the counts artifact (layout
+    < 2) must be rebuilt even though its source fingerprint matches —
+    fingerprints version the data, LAYOUT_VERSION versions the
+    artifact shape."""
+    import json
+
+    from map_reduce_framework_using_python_spark.plans.pipeline7 import (
+        _ensure_dsir_model,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_DSIR_MODEL_ROOT", str(tmp_path))
+    path = _ensure_dsir_model(spark, SF_SMOKE)
+    assert os.path.isdir(os.path.join(path, "counts"))
+    # simulate a pre-counts artifact: drop counts, age the layout tag
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "counts"))
+    meta_file = os.path.join(path, "_dsir_meta.json")
+    with open(meta_file) as fh:
+        meta = json.load(fh)
+    meta["layout"] = 1
+    with open(meta_file, "w") as fh:
+        json.dump(meta, fh)
+    path2 = _ensure_dsir_model(spark, SF_SMOKE)
+    assert path2 == path
+    assert os.path.isdir(os.path.join(path, "counts"))  # rebuilt

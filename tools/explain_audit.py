@@ -101,6 +101,8 @@ AUDIT = (
     "ns_dsir_weights",
     "ns_ccnet_buckets",
     "ns_dsir_resample",
+    "ns_temperature_mixture",
+    "ns_corpus_drift",
 )
 
 

@@ -100,6 +100,8 @@ PROBE = (
     "ns_dsir_weights",
     "ns_ccnet_buckets",
     "ns_bpe_train",
+    "ns_temperature_mixture",
+    "ns_corpus_drift",
 )
 
 
