@@ -162,9 +162,10 @@ def psi_vs_counts(docs: DataFrame, counts: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     wall = Window.partitionBy()
+    # counts is the PRESERVED side of the left join, so the batch-count
+    # table (also ≤256 rows) is the broadcastable build side.
     j = (
-        F.broadcast(counts)
-        .join(bc, "b", "left")
+        counts.join(F.broadcast(bc), "b", "left")
         .select(
             "b",
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
