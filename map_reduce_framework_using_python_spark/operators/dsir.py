@@ -162,14 +162,16 @@ def psi_vs_counts(docs: DataFrame, counts: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     wall = Window.partitionBy()
-    # counts is the PRESERVED side of the left join, so the batch-count
-    # table (also ≤256 rows) is the broadcastable build side.
+    # FULL outer: a batch bucket the reference never saw is exactly the
+    # drift signal (p > 0 vs smoothed-floor q), and a reference bucket
+    # absent from the batch still contributes its (0 vs q) term. Both
+    # tables are ≤256 rows — the join is trivia either way.
     j = (
-        counts.join(F.broadcast(bc), "b", "left")
+        counts.join(bc, "b", "full")
         .select(
             "b",
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
-            "n_r",
+            F.coalesce(F.col("n_r"), F.lit(0)).alias("n_r"),
         )
         .select(
             "n",

@@ -237,3 +237,24 @@ def test_stale_layout_forces_model_rebuild(spark, tmp_path, monkeypatch):
     path2 = _ensure_dsir_model(spark, SF_SMOKE)
     assert path2 == path
     assert os.path.isdir(os.path.join(path, "counts"))  # rebuilt
+
+
+def test_psi_counts_batch_tokens_in_reference_unseen_buckets(spark):
+    """A batch token hashing to a bucket the reference never saw must
+    still count (full-outer join): n_tokens covers the whole batch and
+    the unseen bucket contributes a positive drift term."""
+    from map_reduce_framework_using_python_spark.operators.dsir import (
+        bucket_counts,
+        psi_vs_counts,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "alpha alpha alpha", "en")], "doc_id long, text string, lang string"
+    )
+    counts = bucket_counts(ref, F.col("lang") == "en")
+    batch = spark.createDataFrame(
+        [(2, "alpha zulu", "en")], "doc_id long, text string, lang string"
+    )
+    row = psi_vs_counts(batch, counts).collect()[0]
+    assert row["n_tokens"] == 2  # zulu's unseen bucket still counted
+    assert row["psi"] > 0
