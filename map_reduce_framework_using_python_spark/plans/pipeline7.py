@@ -557,3 +557,47 @@ def ns_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum("psi9").cast("double") / _LOG_GRID * 1e6 + F.lit(0.5)) / 1e6
         ).alias("psi")
     )
+
+
+@query(
+    "ns_ccnet_buckets_approx",
+    oracle=None,  # sketch-thresholded — pinned against the exact
+    # NTILE terciles (ns_ccnet_buckets) in tests/test_pipeline7.py.
+    tags=("northstar", "pipeline", "quality", "lm", "sketch"),
+)
+def ns_ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of ns_ccnet_buckets: per-language tercile
+    THRESHOLDS from a distributed ``percentile_approx`` aggregate,
+    broadcast back onto the scored docs — zero per-language windows, so
+    a dominant language cannot produce a straggler partition (the skew
+    the exact twin's docstring warns about at 100 TB).
+
+    Shape: the bigram-LM scoring plan, one (lang → [q⅓, q⅔]) hash agg
+    (map-side combinable KLL-style sketch, never a sort), a broadcast
+    join, and a final (lang, bucket) agg. Thresholding assigns boundary
+    TIES differently than rank-based NTILE — the pin asserts bucket
+    sizes within the tie classes of the exact terciles."""
+    lm = _bigram_lm(spark, sf_dir, "shuffle")
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = lm.join(d, "doc_id").select("lang", "avg_logp")
+    th = j.groupBy("lang").agg(
+        F.percentile_approx("avg_logp", F.array(F.lit(1 / 3), F.lit(2 / 3)), 10000)
+        .alias("q")
+    )
+    jt = j.join(F.broadcast(th), "lang")
+    bucket = (
+        F.when(F.col("avg_logp") > F.col("q")[1], "head")
+        .when(F.col("avg_logp") > F.col("q")[0], "middle")
+        .otherwise("tail")
+    )
+    li6 = F.floor(F.col("avg_logp") * 1e6 + F.lit(0.5)).cast("bigint")
+    return (
+        jt.select("lang", bucket.alias("bucket"), li6.alias("li6"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.floor(F.sum("li6").cast("double") / F.count("*") + F.lit(0.5)) / 1e6
+            ).alias("mean_logp"),
+        )
+    )

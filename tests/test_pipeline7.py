@@ -245,3 +245,26 @@ def test_corpus_drift_psi_is_nonnegative_per_source(spark):
     assert len(rows) == n_sources
     for r in rows:
         assert r["psi"] >= -1e-6, r
+
+
+def test_ccnet_approx_matches_exact_terciles_up_to_ties(spark):
+    """The sketch-thresholded production twin must reproduce the exact
+    NTILE tercile sizes up to boundary ties: per (lang, bucket), sizes
+    differ by at most the multiplicity of the tercile-boundary score
+    values (distinct scores → exact agreement)."""
+    exact = {
+        (r["lang"], r["bucket"]): r["n_docs"]
+        for r in REGISTRY["ns_ccnet_buckets"].fn(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r["lang"], r["bucket"]): r["n_docs"]
+        for r in REGISTRY["ns_ccnet_buckets_approx"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(a for a, _ in exact) == set(a for a, _ in approx)
+    for lang in {k[0] for k in exact}:
+        n_exact = sum(v for k, v in exact.items() if k[0] == lang)
+        n_approx = sum(v for k, v in approx.items() if k[0] == lang)
+        assert n_exact == n_approx, lang  # same docs, just re-bucketed
+        for b in ("head", "middle", "tail"):
+            # ±2: at most the two boundary tie classes can migrate
+            assert abs(exact[(lang, b)] - approx.get((lang, b), 0)) <= 2, (lang, b)
