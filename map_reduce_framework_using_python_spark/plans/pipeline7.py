@@ -491,20 +491,21 @@ def ns_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   unnest(string_split_regex(trim(text), ' +')) AS w
                            FROM documents)),
              c AS (SELECT source, b, count(*) AS n FROM tok GROUP BY 1, 2),
-             tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY 1),
-             allb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM c GROUP BY 1),
-             g AS (SELECT CAST(sum(n) AS BIGINT) AS ng FROM c),
-             terms AS (SELECT c.source,
+             base AS (SELECT source, b, n,
+                             CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS ns,
+                             CAST(sum(n) OVER (PARTITION BY b) AS BIGINT) AS nb,
+                             CAST(sum(n) OVER () AS BIGINT) AS ng
+                      FROM c),
+             terms AS (SELECT source,
                               CAST(floor(
-                                  (CAST(c.n + 1 AS DOUBLE) / (tot.ns + {_DSIR_BUCKETS})
-                                   - CAST(allb.nb - c.n + 1 AS DOUBLE)
-                                     / (g.ng - tot.ns + {_DSIR_BUCKETS}))
-                                  * (ln(CAST(c.n + 1 AS DOUBLE) / (tot.ns + {_DSIR_BUCKETS}))
-                                     - ln(CAST(allb.nb - c.n + 1 AS DOUBLE)
-                                          / (g.ng - tot.ns + {_DSIR_BUCKETS})))
+                                  (CAST(n + 1 AS DOUBLE) / (ns + {_DSIR_BUCKETS})
+                                   - CAST(nb - n + 1 AS DOUBLE)
+                                     / (ng - ns + {_DSIR_BUCKETS}))
+                                  * (ln(CAST(n + 1 AS DOUBLE) / (ns + {_DSIR_BUCKETS}))
+                                     - ln(CAST(nb - n + 1 AS DOUBLE)
+                                          / (ng - ns + {_DSIR_BUCKETS})))
                                   * {_LOG_GRID} + 0.5) AS BIGINT) AS psi9
-                       FROM c JOIN tot USING (source)
-                              JOIN allb USING (b), g)
+                       FROM base)
         SELECT source,
                floor(CAST(CAST(sum(psi9) AS BIGINT) AS DOUBLE) / {_LOG_GRID}
                      * 1000000.0 + 0.5) / 1000000.0 AS psi
@@ -536,9 +537,18 @@ def ns_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.substring(F.md5("w"), 1, 2).alias("b"))
     )
     c = tok.groupBy("source", "b").agg(F.count("*").alias("n"))
-    tot = c.groupBy("source").agg(F.sum("n").alias("ns"))
-    allb = c.groupBy("b").agg(F.sum("n").alias("nb"))
-    g = F.broadcast(c.agg(F.sum("n").alias("ng")))
+    # All three totals as WINDOWS over the ≤|sources|·256-row count
+    # table — separate groupBy branches would make Catalyst re-derive c
+    # from the corpus once per branch (measured: 4 full scans before
+    # this rewrite; the same trap dsir_model's docstring documents).
+    base = c.select(
+        "source",
+        "b",
+        "n",
+        F.sum("n").over(Window.partitionBy("source")).alias("ns"),
+        F.sum("n").over(Window.partitionBy("b")).alias("nb"),
+        F.sum("n").over(Window.partitionBy()).alias("ng"),
+    )
     p = (F.col("n") + 1).cast("double") / (F.col("ns") + _DSIR_BUCKETS)
     q = (F.col("nb") - F.col("n") + 1).cast("double") / (
         F.col("ng") - F.col("ns") + _DSIR_BUCKETS
@@ -546,12 +556,7 @@ def ns_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     psi9 = F.floor((p - q) * (F.log(p) - F.log(q)) * _LOG_GRID + F.lit(0.5)).cast(
         "bigint"
     )
-    terms = (
-        c.join(F.broadcast(tot), "source")
-        .join(F.broadcast(allb), "b")
-        .crossJoin(g)
-        .select("source", psi9.alias("psi9"))
-    )
+    terms = base.select("source", psi9.alias("psi9"))
     return terms.groupBy("source").agg(
         (
             F.floor(F.sum("psi9").cast("double") / _LOG_GRID * 1e6 + F.lit(0.5)) / 1e6
