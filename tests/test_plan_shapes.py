@@ -170,3 +170,32 @@ def test_plan_build_launches_no_spark_job(spark):
                  "ns_ngram_jaccard_pairs", "ns_span_dedup"):
         REGISTRY[name].fn(spark, SF_SMOKE)
     assert n_jobs() == before
+
+
+def test_dsir_weights_two_scans_one_broadcast_join(spark):
+    """The DSIR plan pays exactly two corpus passes (model build +
+    scoring) and lands the 256-row model via broadcast — a third scan
+    means the totals regressed to a corpus re-aggregation (the
+    Catalyst re-derivation trap, operators/dsir.py)."""
+    plan = _plan(spark, "ns_dsir_weights")
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_drift_single_corpus_pass(spark):
+    """PSI totals come from windows over the count table — one corpus
+    scan, one token explode. Separate groupBy branches re-derive the
+    counts once per branch (measured: 4 scans before the rewrite)."""
+    plan = _plan(spark, "ns_corpus_drift")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Generate") == 1
+
+
+def test_ccnet_approx_has_no_windows(spark):
+    """The production CCNet twin replaces the per-language NTILE window
+    with a percentile_approx agg + broadcast join — zero Window nodes,
+    so no dominant-language straggler partition can exist."""
+    plan = _plan(spark, "ns_ccnet_buckets_approx")
+    assert "Window" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1
