@@ -1,0 +1,97 @@
+"""Pins for the learned quality classifier (operators/quality_model.py).
+
+There is deliberately NO registry query for this operator: the synthetic
+corpus's languages and sources share one vocabulary (measured — an
+honest fit tops out near AUC 0.6), so a corpus-level "quality" query
+would be either flaky or fake. The operator is pinned on a
+planted-signal corpus instead: quality and junk documents draw from
+shifted vocabularies, and the classifier must separate them almost
+perfectly, score deterministically, and agree with the generative DSIR
+ratio on the same planted signal.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.operators.quality_model import (
+    auc,
+    score_quality,
+    train_quality_classifier,
+)
+
+_GOOD = "the quick brown fox jumps over the lazy dog with great prose".split()
+_JUNK = "zx qq kpw vrt zzz uu glorp blat xx yy wub nrg".split()
+
+
+def _planted_corpus(spark, n=400, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        good = rng.random() < 0.5  # label independent of doc_id parity
+        vocab = _GOOD if good else _JUNK
+        text = " ".join(rng.choice(vocab) for _ in range(30))
+        rows.append((i, text, good))
+    return spark.createDataFrame(rows, "doc_id long, text string, good boolean")
+
+
+def test_classifier_separates_planted_signal(spark):
+    d = _planted_corpus(spark)
+    train = d.filter(F.col("doc_id") % 4 != 3)
+    held = d.filter(F.col("doc_id") % 4 == 3)
+    model = train_quality_classifier(train, F.col("good"))
+    scored = score_quality(held, model).join(held.select("doc_id", "good"), "doc_id")
+    assert auc(scored, "p_quality", "good") > 0.99
+    agree = scored.filter(F.col("keep") == F.col("good")).count() / scored.count()
+    assert agree > 0.95
+
+
+def test_classifier_scores_are_fit_deterministic(spark):
+    d = _planted_corpus(spark)
+    lab = F.col("good")
+    a = score_quality(d, train_quality_classifier(d, lab)).collect()
+    b = score_quality(d, train_quality_classifier(d, lab)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_classifier_and_dsir_agree_on_planted_signal(spark):
+    """The discriminative (LR) and generative (DSIR ratio) models must
+    rank the same planted-vocabulary docs on the same side."""
+    from map_reduce_framework_using_python_spark.operators.dsir import (
+        dsir_gate,
+        dsir_model,
+    )
+
+    d = _planted_corpus(spark)
+    lr = train_quality_classifier(d, F.col("good"))
+    lr_scores = score_quality(d, lr)
+    gen = dsir_gate(d, dsir_model(d, F.col("good")))
+    j = (
+        lr_scores.select("doc_id", "keep")
+        .join(gen.select("doc_id", F.col("keep").alias("gen_keep")), "doc_id")
+        .join(d.select("doc_id", "good"), "doc_id")
+    )
+    n = j.count()
+    assert j.filter(F.col("keep") == F.col("gen_keep")).count() / n > 0.95
+    assert j.filter(F.col("gen_keep") == F.col("good")).count() / n > 0.95
+
+
+def test_auc_helper_is_correct_on_known_cases(spark):
+    df = spark.createDataFrame(
+        [(0.9, True), (0.8, False), (0.7, True), (0.1, False)],
+        "s double, y boolean",
+    )
+    # pairs: (0.9,0.8)+, (0.9,0.1)+, (0.7,0.8)-, (0.7,0.1)+ → 3/4
+    assert abs(auc(df, "s", "y") - 0.75) < 1e-9
+    perfect = spark.createDataFrame(
+        [(0.9, True), (0.8, True), (0.2, False)], "s double, y boolean"
+    )
+    assert abs(auc(perfect, "s", "y") - 1.0) < 1e-9
+    # ties get average ranks: all-equal scores → AUC exactly 0.5
+    tied = spark.createDataFrame(
+        [(0.5, True), (0.5, False), (0.5, True), (0.5, False)],
+        "s double, y boolean",
+    )
+    assert abs(auc(tied, "s", "y") - 0.5) < 1e-9
