@@ -35,13 +35,13 @@ LOG_GRID = 1_000_000_000.0
 
 _MODEL_SCHEMA = "b STRING, li BIGINT"
 
-#: Bump when the on-disk artifact set changes (2 = model + counts).
-#: A persisted dir with an older layout is rebuilt even when its
-#: source fingerprint still matches — fingerprints version the DATA,
-#: this versions the ARTIFACT SHAPE (found the hard way: a pre-counts
-#: model dir satisfied the fingerprint check and broke the drift
-#: monitor's counts read).
-LAYOUT_VERSION = 2
+#: Bump when the on-disk artifact set changes (2 = model + counts,
+#: 3 = + calibrated tau in the meta). A persisted dir with an older
+#: layout is rebuilt even when its source fingerprint still matches —
+#: fingerprints version the DATA, this versions the ARTIFACT SHAPE
+#: (found the hard way: a pre-counts model dir satisfied the
+#: fingerprint check and broke the drift monitor's counts read).
+LAYOUT_VERSION = 3
 
 
 def _buckets(docs: DataFrame, extra: list[str] | None = None) -> DataFrame:
@@ -119,13 +119,21 @@ def dsir_score(docs: DataFrame, model: DataFrame) -> DataFrame:
     )
 
 
-def dsir_gate(docs: DataFrame, model: DataFrame) -> DataFrame:
+def dsir_gate(docs: DataFrame, model: DataFrame, tau: float = 0.0) -> DataFrame:
     """Score + keep verdict: keep ⇔ the MEAN per-token log-ratio is
-    ≥ 0, i.e. the document looks at least as target-like as not.
-    Evaluated as Σ li ≥ 0 — an exact BIGINT comparison, so the verdict
-    is bit-stable under any partitioning or batch boundary (the
-    property the streaming pin in tests/test_streaming_ingest.py
-    relies on)."""
+    ≥ ``tau``. With the default tau=0 the document must look at least
+    as target-like as not — an exact BIGINT comparison (Σ li ≥ 0), so
+    the verdict is bit-stable under any partitioning or batch boundary
+    (the property st_dsir_gate's oracle relies on).
+
+    A non-zero tau is the CALIBRATED operating point: corpora whose
+    target slice shares the raw vocabulary (so every doc's expected
+    weight sits slightly below 0 — Jensen: E_r[log t/r] = −KL(r‖t))
+    gate on the corpus's own score distribution instead of the
+    absolute axis. build_dsir_model freezes the corpus median
+    per-token ratio as meta['tau'] for exactly this use; the verdict
+    stays exact-integer (Σ li ≥ round(tau·GRID)·n_tokens)."""
+    tau_grid = int(round(tau * LOG_GRID))
     return (
         _buckets(docs)
         .join(F.broadcast(model), "b")
@@ -136,7 +144,7 @@ def dsir_gate(docs: DataFrame, model: DataFrame) -> DataFrame:
                 F.floor(F.sum("li").cast("double") / LOG_GRID * 1e6 + F.lit(0.5))
                 / 1e6
             ).alias("log_weight"),
-            (F.sum("li") >= 0).alias("keep"),
+            (F.sum("li") >= F.lit(tau_grid) * F.count("*")).alias("keep"),
         )
     )
 
@@ -226,11 +234,25 @@ def build_dsir_model(
     model_from_counts(load_bucket_counts(spark, path)).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "model"))
+    # Calibrated operating point: the corpus's own median per-token
+    # log-ratio, frozen with the model. dsir_gate(tau=meta['tau'])
+    # then keeps "the better-than-median half" — the right gate when
+    # target and raw share a vocabulary and the absolute axis is
+    # uninformative (see dsir_gate's docstring). One scoring pass over
+    # the training docs, a percentile_approx agg; the driver receives
+    # one float (model state).
+    scored = dsir_score(docs, load_dsir_model(spark, path))
+    tau_row = scored.agg(
+        F.percentile_approx(
+            F.col("log_weight") / F.col("n_tokens"), 0.5, 100000
+        ).alias("tau")
+    ).first()
     with open(os.path.join(path, "_dsir_meta.json"), "w") as fh:
         json.dump(
             {
                 "buckets": DSIR_BUCKETS,
                 "layout": LAYOUT_VERSION,
+                "tau": float(tau_row["tau"] if tau_row["tau"] is not None else 0.0),
                 "src": fingerprint or {},
             },
             fh,

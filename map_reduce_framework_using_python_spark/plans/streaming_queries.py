@@ -395,3 +395,53 @@ def st_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir=f"{work}/drift",
         checkpoint_dir=f"{work}/ckpt",
     )
+
+
+@query(
+    "st_curation_pipeline",
+    oracle=None,
+    tags=("streaming", "pipeline", "dedup", "quality", "rows_only"),
+)
+def st_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ingest curation pass (streaming/curation.py): arriving
+    documents (doc_id ≡ 7 mod 16) screened against the persisted
+    MinHash index, gated by the persisted DSIR model, and drift-
+    monitored against the frozen bucket counts — one foreachBatch, three
+    sinks (curated / rejected-with-reason / per-batch metrics), corpus
+    artifacts all frozen at build time. Returns the curated documents.
+    Rows-only (the dedup leg rides xxhash64 banding); pinned equal to
+    the one-shot curate_batch composition in tests/test_curation.py."""
+    import tempfile
+
+    from map_reduce_framework_using_python_spark.plans.core import t
+    from map_reduce_framework_using_python_spark.plans.northstar import (
+        _BATCH_MOD,
+        _BATCH_REM,
+        _ensure_dedup_index,
+    )
+    from map_reduce_framework_using_python_spark.plans.pipeline7 import (
+        _ensure_dsir_model,
+    )
+    from map_reduce_framework_using_python_spark.streaming.curation import (
+        curate_stream,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ingest import (
+        read_documents_stream,
+    )
+
+    index_path = _ensure_dedup_index(spark, sf_dir)
+    model_path = _ensure_dsir_model(spark, sf_dir)
+    corpus = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _BATCH_MOD != _BATCH_REM
+    )
+    work = tempfile.mkdtemp(prefix="st_curation_")
+    return curate_stream(
+        read_documents_stream(spark, sf_dir).filter(
+            F.col("doc_id") % _BATCH_MOD == _BATCH_REM
+        ),
+        corpus,
+        index_path,
+        model_path,
+        out_root=work,
+        checkpoint_dir=f"{work}/ckpt",
+    )

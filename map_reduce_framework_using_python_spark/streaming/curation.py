@@ -1,0 +1,161 @@
+"""One-pass ingest curation: the capstone composition of the round-5
+ingest lane. Per arriving micro-batch, against artifacts all FROZEN at
+corpus-build time:
+
+1. **near-dup screen** — probe the persisted MinHash band-bucket index
+   (operators/dedup_index.py); batch docs that collide-and-verify
+   against the corpus are rejected as ``duplicate``;
+2. **quality gate** — score survivors with the persisted DSIR bucket
+   model (operators/dsir.py); Σ li < 0 rejects as ``low_quality``;
+3. **drift alarm** — the batch's PSI against the frozen corpus bucket
+   counts, recorded per batch whether or not anything was rejected.
+
+Outputs three append sinks under one root: ``curated/`` (accepted docs
+with their scores), ``rejected/`` (doc_id + reason, duplicate taking
+precedence), ``metrics/`` (batch_id, volume, rejection counts, psi).
+
+This is the pipeline a 100 TB ingest actually runs: every per-batch
+cost is (sketch the batch) + (scan the fixed-width index) + (broadcast
+a 256-row model) — the corpus text is touched only to verify dedup
+CANDIDATES, and nothing is ever re-derived from the corpus at large.
+
+Correctness contract (tests/test_curation.py): the drained stream's
+curated/rejected/metrics sets equal the one-shot composition of the
+three batch operators over the same documents — every verdict depends
+only on (doc, frozen artifacts), so micro-batch boundaries cannot
+change any of them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.operators.dedup_index import (
+    incremental_dedup_pairs,
+)
+from map_reduce_framework_using_python_spark.operators.dsir import (
+    dsir_gate,
+    load_bucket_counts,
+    load_dsir_model,
+    model_meta,
+    psi_vs_counts,
+)
+
+_CURATED_SCHEMA = "doc_id BIGINT, n_tokens BIGINT, log_weight DOUBLE"
+_REJECTED_SCHEMA = "doc_id BIGINT, reason STRING"
+_METRICS_SCHEMA = (
+    "batch_id BIGINT, n_in BIGINT, n_duplicate BIGINT, n_low_quality BIGINT,"
+    " n_curated BIGINT, psi DOUBLE"
+)
+
+
+def curate_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    corpus: DataFrame,
+    index_path: str,
+    model_path: str,
+    threshold: float = 0.6,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One-shot curation of a document frame: returns (curated,
+    rejected, metrics-without-batch_id). The streaming path calls this
+    per micro-batch; tests call it directly as the ground truth."""
+    dups = (
+        incremental_dedup_pairs(
+            spark, batch, corpus, index_path, threshold=threshold
+        )
+        .select(F.col("batch_doc").alias("doc_id"))
+        .distinct()
+    )
+    # Gate at the model's frozen operating point (the corpus median
+    # per-token ratio calibrated at build time), not the absolute axis.
+    scored = dsir_gate(
+        batch,
+        load_dsir_model(spark, model_path),
+        tau=model_meta(model_path).get("tau", 0.0),
+    )
+    dup_flagged = scored.join(
+        dups.withColumn("_dup", F.lit(True)), "doc_id", "left"
+    ).withColumn("_dup", F.coalesce(F.col("_dup"), F.lit(False)))
+    curated = dup_flagged.filter(~F.col("_dup") & F.col("keep")).select(
+        "doc_id", "n_tokens", "log_weight"
+    )
+    rejected = dup_flagged.filter(F.col("_dup") | ~F.col("keep")).select(
+        "doc_id",
+        F.when(F.col("_dup"), "duplicate").otherwise("low_quality").alias("reason"),
+    )
+    psi = psi_vs_counts(batch, load_bucket_counts(spark, model_path))
+    metrics = (
+        dup_flagged.agg(
+            F.count("*").alias("n_in"),
+            F.sum(F.col("_dup").cast("long")).alias("n_duplicate"),
+            F.sum((~F.col("_dup") & ~F.col("keep")).cast("long")).alias(
+                "n_low_quality"
+            ),
+            F.sum((~F.col("_dup") & F.col("keep")).cast("long")).alias("n_curated"),
+        )
+        .crossJoin(psi.select("psi"))
+    )
+    return curated, rejected, metrics
+
+
+def curate_stream(
+    batch_stream: DataFrame,
+    corpus: DataFrame,
+    index_path: str,
+    model_path: str,
+    out_root: str,
+    checkpoint_dir: str,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Drain ``batch_stream`` (AvailableNow) through the full curation
+    pass and return the curated read-back. Sinks are at-least-once
+    appends (idempotent facts; readers dedup on doc_id / batch_id —
+    the streaming/ingest.py contract)."""
+    spark = batch_stream.sparkSession
+
+    def curate(batch_df: DataFrame, batch_id: int) -> None:
+        curated, rejected, metrics = curate_batch(
+            spark, batch_df, corpus, index_path, model_path, threshold=threshold
+        )
+        curated.write.mode("append").parquet(os.path.join(out_root, "curated"))
+        rejected.write.mode("append").parquet(os.path.join(out_root, "rejected"))
+        metrics.select(
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+            "n_in",
+            "n_duplicate",
+            "n_low_quality",
+            "n_curated",
+            "psi",
+        ).write.mode("append").parquet(os.path.join(out_root, "metrics"))
+
+    q = (
+        batch_stream.writeStream.foreachBatch(curate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    path = os.path.join(out_root, "curated")
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], _CURATED_SCHEMA)
+    return (
+        spark.read.schema(_CURATED_SCHEMA).parquet(path).dropDuplicates(["doc_id"])
+    )
+
+
+def read_rejected(spark: SparkSession, out_root: str) -> DataFrame:
+    path = os.path.join(out_root, "rejected")
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], _REJECTED_SCHEMA)
+    return spark.read.schema(_REJECTED_SCHEMA).parquet(path).dropDuplicates(["doc_id"])
+
+
+def read_metrics(spark: SparkSession, out_root: str) -> DataFrame:
+    path = os.path.join(out_root, "metrics")
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], _METRICS_SCHEMA)
+    return spark.read.schema(_METRICS_SCHEMA).parquet(path).dropDuplicates(["batch_id"])

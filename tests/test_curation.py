@@ -1,0 +1,121 @@
+"""Pins for the one-pass ingest curation capstone
+(streaming/curation.py): the drained stream must equal the one-shot
+composition of its three legs (dedup screen, DSIR gate, PSI), the
+rejection ledger must partition the batch with the curated set, and
+reasons must carry the documented precedence (duplicate > low_quality).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.operators.dedup_index import (
+    build_minhash_index,
+)
+from map_reduce_framework_using_python_spark.operators.dsir import build_dsir_model
+from map_reduce_framework_using_python_spark.plans.northstar import (
+    _BATCH_MOD,
+    _BATCH_REM,
+)
+from map_reduce_framework_using_python_spark.streaming.curation import (
+    curate_batch,
+    curate_stream,
+    read_metrics,
+    read_rejected,
+)
+from map_reduce_framework_using_python_spark.streaming.ingest import (
+    read_documents_stream,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _split(spark):
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    return (
+        d.filter(F.col("doc_id") % _BATCH_MOD != _BATCH_REM),
+        d.filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM),
+    )
+
+
+def _artifacts(spark, root):
+    corpus, batch = _split(spark)
+    index_path = os.path.join(root, "idx")
+    model_path = os.path.join(root, "model")
+    build_minhash_index(corpus, index_path, n=3, num_hashes=32, bands=16)
+    build_dsir_model(spark, corpus, F.col("lang") == "en", model_path)
+    return corpus, batch, index_path, model_path
+
+
+def test_curation_stream_equals_one_shot_composition(spark):
+    with tempfile.TemporaryDirectory() as d:
+        corpus, batch, index_path, model_path = _artifacts(spark, d)
+        out_root = os.path.join(d, "out")
+        streamed = curate_stream(
+            read_documents_stream(spark, SF_SMOKE).filter(
+                F.col("doc_id") % _BATCH_MOD == _BATCH_REM
+            ),
+            corpus,
+            index_path,
+            model_path,
+            out_root=out_root,
+            checkpoint_dir=os.path.join(d, "ckpt"),
+        )
+        curated, rejected, metrics = curate_batch(
+            spark, batch, corpus, index_path, model_path
+        )
+        assert sorted(map(tuple, streamed.collect())) == sorted(
+            map(tuple, curated.collect())
+        )
+        assert sorted(map(tuple, read_rejected(spark, out_root).collect())) == sorted(
+            map(tuple, rejected.collect())
+        )
+        m_stream = read_metrics(spark, out_root).drop("batch_id").collect()
+        assert list(map(tuple, m_stream)) == list(map(tuple, metrics.collect()))
+
+
+def test_curation_partitions_the_batch(spark):
+    """curated ∪ rejected == batch, disjointly; metrics counts agree."""
+    with tempfile.TemporaryDirectory() as d:
+        corpus, batch, index_path, model_path = _artifacts(spark, d)
+        curated, rejected, metrics = curate_batch(
+            spark, batch, corpus, index_path, model_path
+        )
+        cur_ids = {r["doc_id"] for r in curated.collect()}
+        rej = {r["doc_id"]: r["reason"] for r in rejected.collect()}
+        batch_ids = {r["doc_id"] for r in batch.collect()}
+        assert cur_ids | set(rej) == batch_ids
+        assert not (cur_ids & set(rej))
+        # The calibrated tau gate keeps roughly the better-than-median
+        # half of non-duplicate docs — the pipeline must actually pass
+        # a meaningful fraction, not reject the world.
+        assert len(cur_ids) > 0.2 * len(batch_ids)
+        m = metrics.collect()[0]
+        assert m["n_in"] == len(batch_ids)
+        assert m["n_curated"] == len(cur_ids)
+        assert m["n_duplicate"] == sum(1 for v in rej.values() if v == "duplicate")
+        assert m["n_low_quality"] == sum(
+            1 for v in rej.values() if v == "low_quality"
+        )
+        assert m["psi"] is not None
+
+
+def test_duplicate_takes_precedence_over_low_quality(spark):
+    """A doc that is BOTH a near-dup and low quality must be ledgered
+    as duplicate — plant one: copy a corpus doc (dup for sure) whose
+    gate verdict we force negative by checking it's ledgered as
+    duplicate regardless of its quality verdict."""
+    with tempfile.TemporaryDirectory() as d:
+        corpus, batch, index_path, model_path = _artifacts(spark, d)
+        src = corpus.limit(1).collect()[0]
+        clone = spark.createDataFrame(
+            [(999_999, src["text"], src["lang"], src["source"], src["n_chars"])],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        _, rejected, _ = curate_batch(
+            spark, clone, corpus, index_path, model_path
+        )
+        ledger = {r["doc_id"]: r["reason"] for r in rejected.collect()}
+        assert ledger.get(999_999) == "duplicate"

@@ -69,11 +69,13 @@ def test_model_meta_records_fingerprint(spark):
         build_dsir_model(
             spark, corpus, F.col("lang") == "en", d, fingerprint={"bytes": 123}
         )
-        assert model_meta(d) == {
-            "buckets": 256,
-            "layout": 2,
-            "src": {"bytes": 123},
-        }
+        meta = model_meta(d)
+        assert meta["buckets"] == 256
+        assert meta["layout"] == 3
+        assert meta["src"] == {"bytes": 123}
+        # tau is the corpus median per-token ratio — a small negative
+        # number here (shared-vocabulary corpus: E_r[log t/r] = −KL < 0)
+        assert isinstance(meta["tau"], float) and -1.0 < meta["tau"] < 0.5
         assert model_meta(os.path.join(d, "nope")) == {}
 
 
