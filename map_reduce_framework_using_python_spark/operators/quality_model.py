@@ -60,39 +60,76 @@ def train_quality_classifier(docs: DataFrame, is_positive: Column):
 def score_quality(docs: DataFrame, model) -> DataFrame:
     """(doc_id, p_quality, keep): P(positive | doc) under the fitted
     model, quantized to the 1e-6 grid for stable downstream compares,
-    and the model's own decision. Map-only: the 256-dim model is a
-    broadcast task binary; no shuffle at all."""
+    and the model's decision at the default 0.5 threshold (margin > 0).
+
+    Deliberately NOT ``model.transform``: the fitted
+    ``LogisticRegressionModel`` carries its training summary, and the
+    summary holds the live ``SparkSession`` — so the transform UDF's
+    closure drags the whole session (including its non-serializable
+    ``ObservationManager``) into every task, which crashes with
+    ``Task not serializable`` as soon as the session has ever run an
+    ``Observation``. The model STATE is just 256 coefficients + an
+    intercept, so we lift those to the driver once (exactly like the
+    k-means centroids in operators/clustering.py) and score with JVM
+    array expressions over the hashed features: margin = b + Σ wᵢxᵢ,
+    p = σ(margin). Map-only, whole-stage-codegen, nothing but literals
+    in the closure — the shape a 100 TB scoring pass wants anyway."""
     from pyspark.ml.functions import vector_to_array
 
-    scored = model.transform(_featurize(docs))
-    return scored.select(
+    coef = [float(c) for c in model.coefficients]
+    intercept = float(model.intercept)
+    x = vector_to_array(F.col("features"))
+    w = F.array(*[F.lit(c) for c in coef])
+    margin = F.lit(intercept) + F.aggregate(
+        F.zip_with(x, w, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return _featurize(docs).select(
         "doc_id",
-        (
-            F.floor(
-                vector_to_array(F.col("probability"))[1] * 1e6 + F.lit(0.5)
-            )
-            / 1e6
-        ).alias("p_quality"),
-        (F.col("prediction") > 0.5).alias("keep"),
+        (F.floor(p * 1e6 + F.lit(0.5)) / 1e6).alias("p_quality"),
+        (margin > 0).alias("keep"),
     )
 
 
 def auc(scored_with_truth: DataFrame, score_col: str, truth_col: str) -> float:
-    """Exact ROC-AUC via the rank-sum (Mann–Whitney) identity, computed
-    distributed: AUC = (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺·n⁻),
-    with average ranks for score ties. One window over the score order
-    + one aggregate — no driver-side sklearn."""
-    from pyspark.sql import Window
+    """Exact ROC-AUC via the rank-sum (Mann–Whitney) identity with
+    average ranks for score ties — computed WITHOUT a global window.
 
-    w = Window.orderBy(score_col)
-    ranked = scored_with_truth.select(
-        F.col(truth_col).cast("int").alias("y"),
-        F.avg(F.row_number().over(w)).over(Window.partitionBy(score_col)).alias("r"),
+    A ``row_number() OVER (ORDER BY score)`` funnels the whole scored
+    corpus through one task (the scale-killer ``operators/ranks.py``
+    exists to avoid), and ties only ever occur at EQUAL scores — so the
+    corpus-sized rank pass collapses to a per-score aggregate: for each
+    distinct score, (row count, positive count); the average rank of
+    that tie group is ``rows_below + (cnt + 1)/2``. The prefix count of
+    strictly-smaller scores comes from :func:`~.ranks.bucketed_cumsum`
+    over the per-score table — which is bounded by the score grid
+    (``score_quality`` emits the 1e-6 grid), never corpus-sized, and
+    the cumsum itself is the two-pass bucketed shape, no single-task
+    window anywhere. One final aggregate pulls three scalars."""
+    from map_reduce_framework_using_python_spark.operators.ranks import (
+        bucketed_cumsum,
     )
-    agg = ranked.agg(
-        F.sum(F.when(F.col("y") == 1, F.col("r"))).alias("rp"),
-        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("np"),
-        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("nn"),
+
+    per_score = scored_with_truth.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count("*").alias("_cnt"),
+        F.sum(F.col(truth_col).cast("int")).alias("_pos"),
+    )
+    # floor(s*16) is monotone along s (negatives included) — the
+    # order-consistent bucket contract of bucketed_cumsum.
+    cum = bucketed_cumsum(
+        per_score,
+        bucket=F.floor(F.col("_s") * 16),
+        order_by=[F.col("_s")],
+        weight=F.col("_cnt"),
+        cum_col="_cum",
+    )
+    avg_rank = (F.col("_cum") - F.col("_cnt")) + (F.col("_cnt") + 1) / 2.0
+    agg = cum.agg(
+        F.sum(F.col("_pos") * avg_rank).alias("rp"),
+        F.sum("_pos").alias("np"),
+        F.sum(F.col("_cnt") - F.col("_pos")).alias("nn"),
     ).first()
     if not agg["np"] or not agg["nn"]:
         raise ValueError(
