@@ -205,6 +205,84 @@ def ivf_topk_indexed(
     )
 
 
+def lsh_probe_index_batch(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    probe_hamming: int = 2,
+    label_col: str = "label",
+) -> DataFrame:
+    """Batched multi-query probe of a persisted LSH index: every query
+    vector in ``queries`` gets its k nearest indexed vectors in ONE
+    plan — ``(q_id, vec_id, label, cosine, rn)``.
+
+    :func:`lsh_topk_indexed` enumerates its probe buckets driver-side
+    for a single query; an ingest micro-batch carries MANY query
+    vectors, and looping it would launch one index scan per vector.
+    Here the query side buckets itself with the index's own persisted
+    planes (raw-sign :func:`~.similarity.lsh_bucket` — the function the
+    index was BUILT with, so query and index hash identically), explodes
+    the Hamming-ball XOR masks, and the tiny probe table is broadcast
+    into an equi-join on the index's PARTITION column — so the scan is
+    pruned to the union of all probed directories (dynamic pruning from
+    the broadcast side; the batch-side twin of the incremental-dedup
+    probe in operators/dedup_index.py). Per-query ordering matches
+    :func:`lsh_topk_indexed` exactly (raw cosine desc, id tiebreak) —
+    pinned equal in tests/test_ann_batch.py."""
+    from pyspark.sql import Window
+
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        dot,
+        hamming_masks,
+        l2_norm,
+        lsh_bucket,
+    )
+
+    meta = _read_meta(path)
+    planes, id_col, vec_col = meta["planes"], meta["id_col"], meta["vec_col"]
+    masks = hamming_masks(meta["n_planes"], probe_hamming)
+    qv = _as_double(F.col(vec_col))
+    probes = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            qv.alias("qv"),
+            l2_norm(qv).alias("qnorm"),
+            lsh_bucket(F.col(vec_col), planes).alias("_qbucket"),
+            F.explode(
+                F.array(*[F.lit(m).cast("long") for m in masks])
+            ).alias("_mask"),
+        )
+        .withColumn("bucket", F.col("_qbucket").bitwiseXOR(F.col("_mask")))
+        .drop("_qbucket", "_mask")
+    )
+    v = _as_double(F.col(vec_col))
+    idx = spark.read.parquet(path).select(
+        F.col(id_col), F.col(label_col), v.alias("v"), l2_norm(v).alias("vnorm"),
+        F.col("bucket"),
+    )
+    cand = (
+        idx.join(F.broadcast(probes), "bucket")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn(
+            "cosine_raw",
+            dot(F.col("v"), F.col("qv")) / (F.col("vnorm") * F.col("qnorm")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "q_id",
+            F.col(id_col),
+            F.col(label_col),
+            F.round("cosine_raw", 6).alias("cosine"),
+            "rn",
+        )
+    )
+
+
 def scan_fraction(path: str, probed: list[int], part_col: str) -> float:
     """Fraction of partition directories a probe set actually opens —
     the observable pruning ratio (tests assert it ≪ 1)."""

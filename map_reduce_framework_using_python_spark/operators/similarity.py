@@ -176,6 +176,134 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def lsh_bucket_grid(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket with the sign taken on the 1e-6 grid:
+    bit i = (floor(dot(v, plane_i)·1e6 + 0.5) >= 0).
+
+    The oracle-parity twin of :func:`lsh_bucket` (raw ``dot >= 0``):
+    both engines of a DuckDB-checked query quantize each plane
+    projection to the same integer grid BEFORE taking its sign, so a
+    last-ulp disagreement between two independent float pipelines
+    cannot flip a bucket bit (the repo determinism rule —
+    plans/core.py). The persisted index layouts keep the raw form they
+    were built with; this grid form is for inline, oracle-gated
+    probing."""
+    bucket = F.lit(0).cast("long")
+    v = _as_double(vec)
+    for i, p in enumerate(planes):
+        plit = F.array(*[F.lit(x) for x in p])
+        grid = F.floor(dot(v, plit) * 1e6 + F.lit(0.5))
+        bucket = bucket.bitwiseOR(
+            F.when(grid >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bucket
+
+
+def hamming_masks(n_bits: int, radius: int) -> list[int]:
+    """All XOR masks of Hamming weight ≤ ``radius`` over ``n_bits`` —
+    ``bucket ^ mask`` enumerates the Hamming ball around ``bucket``.
+    Mask count is Σ C(n_bits, r), r ≤ radius (37 for 8 bits, r=2)."""
+    if n_bits > 20:
+        raise ValueError("hamming_masks enumerates 2^n_bits; use <= 20 bits")
+    return [m for m in range(1 << n_bits) if bin(m).count("1") <= radius]
+
+
+def lsh_probe_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Batched multi-query LSH cosine top-k: every query vector gets its
+    k approximate nearest corpus vectors in ONE plan.
+
+    The single-query variants (:func:`lsh_cosine_topk`,
+    ``ann_index.lsh_topk_indexed``) enumerate the probe set driver-side
+    per query; a production retrieval/dedup pass carries a BATCH of
+    queries, and looping the per-query op would scan the corpus B
+    times. Shape here — the one a 100 TB corpus wants:
+
+    1. query side: bucket each query (JVM), explode the Hamming-ball
+       XOR masks → (q_id, qv, probe bucket); batch_size × |ball| rows;
+    2. ``broadcast`` that probe table and EQUI-join on the corpus's
+       bucket column — the corpus is scanned once, never shuffled, and
+       each row hash-probes a tiny table (ball membership ⇔
+       ``bit_count(xor) ≤ r``, so the equi-join is exactly the
+       multi-probe candidate rule);
+    3. score candidates, quantize the cosine to the 1e-6 grid, then
+       ``row_number`` per query (hash-partitioned window; groups are
+       candidate-sized, never corpus-sized).
+
+    Buckets use :func:`lsh_bucket_grid` and ordering uses the
+    QUANTIZED cosine (ties broken on ``id_col``), so a DuckDB oracle
+    can replay the query bit-for-bit."""
+    planes = hyperplanes(dim, n_planes, seed)
+    masks = hamming_masks(n_planes, probe_hamming)
+    qv = _as_double(F.col(vec_col))
+    qb = queries.select(
+        F.col(id_col).alias("q_id"),
+        qv.alias("qv"),
+        l2_norm(qv).alias("qnorm"),
+        lsh_bucket_grid(F.col(vec_col), planes).alias("_qbucket"),
+    )
+    probes = (
+        qb.select(
+            "q_id",
+            "qv",
+            "qnorm",
+            "_qbucket",
+            F.explode(
+                F.array(*[F.lit(m).cast("long") for m in masks])
+            ).alias("_mask"),
+        )
+        .withColumn("bucket", F.col("_qbucket").bitwiseXOR(F.col("_mask")))
+        .drop("_qbucket", "_mask")
+    )
+    v = _as_double(F.col(vec_col))
+    cand = (
+        corpus.select(
+            F.col(id_col),
+            F.col(label_col),
+            v.alias("v"),
+            l2_norm(v).alias("vnorm"),
+            lsh_bucket_grid(F.col(vec_col), planes).alias("bucket"),
+        )
+        .join(F.broadcast(probes), "bucket")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn(
+            "_qcos",
+            F.floor(
+                dot(F.col("v"), F.col("qv"))
+                / (F.col("vnorm") * F.col("qnorm"))
+                * 1e6
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("_qcos").desc(), F.col(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "q_id",
+            F.col(id_col),
+            F.col(label_col),
+            (F.col("_qcos") / 1e6).alias("cosine"),
+            "rn",
+        )
+    )
+
+
 def lsh_cosine_topk(
     df: DataFrame,
     query_vec_id: int,

@@ -107,3 +107,124 @@ def ns_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(
         spark, path, _qvec(spark, sf_dir), k=10, n_probe=4, exclude_id=0
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-query probing (round 5): one plan answers a BATCH of
+# query vectors — the shape retrieval/curation actually runs — and, by
+# quantizing both the bucket signs and the cosine to the 1e-6 grid on
+# both engines, the first ANN query that carries a full DuckDB oracle
+# (every earlier ANN entry is pytest-pinned rows-only).
+
+from map_reduce_framework_using_python_spark.operators.similarity import (  # noqa: E402
+    hyperplanes,
+    lsh_probe_batch,
+)
+
+#: The testdata embedding dimension. The oracle embeds the hyperplanes
+#: as SQL literals, so it is generated for THIS dim; a testdata dim
+#: change fails the sweep loudly on both engines rather than silently.
+_EMB_DIM = 64
+
+_PLANES = hyperplanes(_EMB_DIM, 8, seed=42)
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    """DuckDB twin of operators/similarity.lsh_bucket_grid: bit i =
+    (floor(dot(v, plane_i)*1e6 + 0.5) >= 0), planes as literals."""
+    terms = []
+    for i, p in enumerate(_PLANES):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN floor(list_dot_product({vec_expr}, {lit})"
+            f" * 1000000.0 + 0.5) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_ANN_PROBE_BATCH_ORACLE = f"""
+    WITH b AS (
+        SELECT vec_id, label,
+               CAST(embedding AS DOUBLE[]) AS v,
+               CAST({_bucket_sql("CAST(embedding AS DOUBLE[])")} AS BIGINT)
+                   AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS q_id, v AS qv, bucket AS qbucket
+        FROM b WHERE vec_id % 37 = 0
+    ), cand AS (
+        SELECT q.q_id, b.vec_id, b.label,
+               floor(list_cosine_similarity(b.v, q.qv) * 1000000.0 + 0.5)
+                   AS qcos
+        FROM q JOIN b
+          ON bit_count(xor(b.bucket, q.qbucket)) <= 2
+         AND b.vec_id <> q.q_id
+    ), r AS (
+        SELECT q_id, vec_id, label, qcos,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY qcos DESC, vec_id) AS rn
+        FROM cand
+    )
+    SELECT q_id, vec_id, label, qcos / 1000000.0 AS cosine,
+           CAST(rn AS INTEGER) AS rn
+    FROM r WHERE rn <= 5
+"""
+
+
+@query(
+    "ns_ann_probe_batch",
+    oracle=_ANN_PROBE_BATCH_ORACLE,
+    tags=("northstar", "similarity", "batch"),
+)
+def ns_ann_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched LSH cosine top-5: every query vector (vec_id ≡ 0 mod 37)
+    gets its 5 approximate nearest corpus neighbors in ONE plan — the
+    corpus is scanned once and equi-joined against the broadcast
+    exploded Hamming-ball probe table (ball membership ⇔
+    bit_count(xor) ≤ 2, which is what the oracle checks directly).
+    Grid-quantized bucket signs and cosines make it the one ANN query
+    under the full DuckDB hash gate."""
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_probe_batch(
+        emb,
+        emb.filter(F.col("vec_id") % 37 == 0),
+        dim=_EMB_DIM,
+        k=5,
+        n_planes=8,
+        seed=42,
+        probe_hamming=2,
+    )
+
+
+@query(
+    "st_ann_ingest",
+    oracle=None,
+    tags=("streaming", "similarity", "index", "rows_only"),
+)
+def st_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-on-ingest: embedding vectors arriving as micro-batches
+    (a replayed corpus slice, vec_id ≡ 5 mod 13) are probed per batch
+    against the PERSISTED LSH index — per-batch cost is (bucket the
+    batch) + (scan the probed partition directories); the corpus
+    embeddings outside the probe set are never read. Rows-only for the
+    driver (bucket contents depend on the hyperplane hash, not
+    SQL-expressible at the index layer); pinned equal to the one-shot
+    batch probe and to per-query ``lsh_topk_indexed`` in
+    tests/test_ann_batch.py."""
+    import tempfile
+
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        probe_stream,
+        read_embeddings_stream,
+    )
+
+    path = _ensure_lsh(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="st_ann_ingest_")
+    return probe_stream(
+        read_embeddings_stream(spark, sf_dir).filter(F.col("vec_id") % 13 == 5),
+        path,
+        out_dir=f"{work}/neighbors",
+        checkpoint_dir=f"{work}/ckpt",
+        k=5,
+        probe_hamming=2,
+    )

@@ -1,0 +1,79 @@
+"""Similarity-on-ingest: arriving embedding vectors probed per
+micro-batch against the PERSISTED LSH index (operators/ann_index.py) —
+the similarity-lane sibling of the dedup screen in streaming/ingest.py.
+
+A 100 TB retrieval/curation pipeline does this continuously: the corpus
+index is built ONCE (partitioned by bucket on storage), and each
+arriving batch pays only (bucket the batch) + (scan the probed
+partition directories) — the corpus embeddings are never re-scanned
+outside the probe set, and nothing is re-derived at large.
+
+Sink contract is the ingest-lane standard: ``foreachBatch`` + parquet
+append + checkpoint = at-least-once appends of idempotent facts
+(a (q_id, vec_id) neighbor edge with its rank); readers dedup on the
+pair key. Correctness pin (tests/test_ann_batch.py): the drained
+stream equals the one-shot batch probe over the same vectors — every
+neighbor list depends only on (query vector, frozen index), so
+micro-batch boundaries cannot change any of them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from map_reduce_framework_using_python_spark.operators.ann_index import (
+    lsh_probe_index_batch,
+)
+
+_EMB_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+_NEIGHBORS_SCHEMA = (
+    "q_id BIGINT, vec_id BIGINT, label INT, cosine DOUBLE, rn INT"
+)
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embeddings`` as a file-source stream (one file → one
+    AvailableNow micro-batch; a real deployment points this at the
+    landing directory for freshly embedded documents)."""
+    return (
+        spark.readStream.schema(_EMB_SCHEMA)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def probe_stream(
+    batch_stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """Drain ``batch_stream`` (AvailableNow) through the index probe and
+    return every arriving vector's top-k corpus neighbors
+    ``(q_id, vec_id, label, cosine, rn)``."""
+    spark = batch_stream.sparkSession
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        lsh_probe_index_batch(
+            spark, batch_df, index_path, k=k, probe_hamming=probe_hamming
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        batch_stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], _NEIGHBORS_SCHEMA)
+    return (
+        spark.read.schema(_NEIGHBORS_SCHEMA)
+        .parquet(out_dir)
+        .dropDuplicates(["q_id", "vec_id"])
+    )

@@ -1,0 +1,137 @@
+"""Batched multi-query ANN probing: the batch is an ACCESS-PATH change,
+never an answer change — per-query rows equal the single-query indexed
+probe exactly, the full-radius inline batch reproduces brute force, and
+micro-batch boundaries cannot change a neighbor list that depends only
+on (query vector, frozen index)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.operators.ann_index import (
+    _hamming_ball,
+    build_lsh_index,
+    lsh_probe_index_batch,
+    lsh_topk_indexed,
+)
+from map_reduce_framework_using_python_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    hamming_masks,
+    lsh_probe_batch,
+)
+from map_reduce_framework_using_python_spark.sources.io import load_table
+from tests.conftest import SF_SMOKE
+
+_QIDS = (0, 5, 11)
+
+
+def _query_vec(emb, vid):
+    return [float(x) for x in emb.filter(F.col("vec_id") == vid).head()["embedding"]]
+
+
+def test_hamming_masks_enumerate_the_ball():
+    masks = hamming_masks(8, 2)
+    assert len(masks) == 1 + 8 + 28
+    for center in (0, 0b1010, 0xFF):
+        assert sorted(center ^ m for m in masks) == sorted(
+            set(_hamming_ball(center, 8, 2))
+        )
+
+
+def test_index_batch_probe_matches_per_query_indexed(spark, tmp_path):
+    """Each q_id's rows (in rn order) must be EXACTLY the single-query
+    lsh_topk_indexed answer — same ids, labels, cosines, same order."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "lsh_idx")
+    build_lsh_index(emb, path, n_planes=8, seed=42)
+    queries = emb.filter(F.col("vec_id").isin(list(_QIDS)))
+    batch = lsh_probe_index_batch(spark, queries, path, k=5, probe_hamming=2)
+    rows = batch.collect()
+    assert {r["q_id"] for r in rows} == set(_QIDS)
+    for qid in _QIDS:
+        got = [
+            (r["vec_id"], r["label"], r["cosine"])
+            for r in sorted(
+                (r for r in rows if r["q_id"] == qid), key=lambda r: r["rn"]
+            )
+        ]
+        want = [
+            tuple(r)
+            for r in lsh_topk_indexed(
+                spark, path, _query_vec(emb, qid), k=5, probe_hamming=2,
+                exclude_id=qid,
+            ).collect()
+        ]
+        assert got == want
+        assert len(got) == 5
+
+
+def test_inline_batch_full_probe_equals_brute_force(spark):
+    """radius = n_planes probes every bucket → the approximate batch op
+    must return the exact brute-force neighbor ids, per query."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(list(_QIDS)))
+    full = lsh_probe_batch(
+        emb, queries, dim=64, k=5, n_planes=8, seed=42, probe_hamming=8
+    ).collect()
+    for qid in _QIDS:
+        got = [
+            r["vec_id"]
+            for r in sorted(
+                (r for r in full if r["q_id"] == qid), key=lambda r: r["rn"]
+            )
+        ]
+        want = [
+            r["vec_id"]
+            for r in cosine_topk_bruteforce(emb, query_vec_id=qid, k=5).collect()
+        ]
+        assert got == want
+
+
+def test_probe_stream_equals_one_shot_batch(spark, tmp_path):
+    """Drained stream == one-shot batch probe over the same vectors."""
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        probe_stream,
+        read_embeddings_stream,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "lsh_idx")
+    build_lsh_index(emb, path, n_planes=8, seed=42)
+    pred = F.col("vec_id") % 13 == 5
+    streamed = probe_stream(
+        read_embeddings_stream(spark, SF_SMOKE).filter(pred),
+        path,
+        out_dir=str(tmp_path / "neighbors"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=5,
+        probe_hamming=2,
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    want = {
+        tuple(r)
+        for r in lsh_probe_index_batch(
+            spark, emb.filter(pred), path, k=5, probe_hamming=2
+        ).collect()
+    }
+    assert got == want
+    assert got
+
+
+def test_probe_stream_empty_batch_yields_empty_frame(spark, tmp_path):
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        probe_stream,
+        read_embeddings_stream,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "lsh_idx")
+    build_lsh_index(emb, path, n_planes=8, seed=42)
+    streamed = probe_stream(
+        read_embeddings_stream(spark, SF_SMOKE).filter(F.col("vec_id") < 0),
+        path,
+        out_dir=str(tmp_path / "neighbors"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert streamed.columns == ["q_id", "vec_id", "label", "cosine", "rn"]
+    assert streamed.count() == 0

@@ -103,6 +103,11 @@ AUDIT = (
     "ns_dsir_resample",
     "ns_temperature_mixture",
     "ns_corpus_drift",
+    # round 5, closing: batched multi-query ANN probe — the corpus must
+    # scan once, equi-join the broadcast exploded Hamming-ball probe
+    # table on bucket, and top-k via partial WindowGroupLimit before
+    # the single q_id exchange
+    "ns_ann_probe_batch",
 )
 
 
