@@ -54,6 +54,9 @@ HEADLINE = (
     # model) and the CCNet terciles stacked on the shuffle-join LM
     "ns_dsir_weights",
     "ns_ccnet_buckets",
+    # round 5, closing: batched multi-query ANN probe (broadcast
+    # exploded Hamming-ball, one corpus scan, partial WindowGroupLimit)
+    "ns_ann_probe_batch",
 )
 
 #: Round-3 per-query times (BENCH_r03.json, sf0.1) — the soft regression

@@ -151,7 +151,7 @@ _ANN_PROBE_BATCH_ORACLE = f"""
         FROM embeddings
     ), q AS (
         SELECT vec_id AS q_id, v AS qv, bucket AS qbucket
-        FROM b WHERE vec_id % 37 = 0
+        FROM b WHERE vec_id % 37 = 0 AND vec_id < 18500
     ), cand AS (
         SELECT q.q_id, b.vec_id, b.label,
                floor(list_cosine_similarity(b.v, q.qv) * 1000000.0 + 0.5)
@@ -183,11 +183,17 @@ def ns_ann_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded Hamming-ball probe table (ball membership ⇔
     bit_count(xor) ≤ 2, which is what the oracle checks directly).
     Grid-quantized bucket signs and cosines make it the one ANN query
-    under the full DuckDB hash gate."""
+    under the full DuckDB hash gate.
+
+    The batch is id-bounded (``vec_id < 18500`` = the first 500-id
+    slice — a no-op at test scale, where ids stop at 500): a probe
+    batch is a fixed-size unit of work, so a bigger corpus must mean
+    more candidates per query, never more queries — which is what the
+    scale probe measures (tools/scale_probe.py)."""
     emb = t(spark, sf_dir, "embeddings")
     return lsh_probe_batch(
         emb,
-        emb.filter(F.col("vec_id") % 37 == 0),
+        emb.filter((F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 18500)),
         dim=_EMB_DIM,
         k=5,
         n_planes=8,

@@ -102,6 +102,10 @@ PROBE = (
     "ns_bpe_train",
     "ns_temperature_mixture",
     "ns_corpus_drift",
+    # round 5, closing: batched ANN probe — the query batch is
+    # id-bounded (fixed 14 queries), so replicas scale the CORPUS only:
+    # expected growth is candidates-per-bucket, ~linear
+    "ns_ann_probe_batch",
 )
 
 
