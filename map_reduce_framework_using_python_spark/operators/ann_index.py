@@ -205,6 +205,33 @@ def ivf_topk_indexed(
     )
 
 
+def append_to_lsh_index(batch: DataFrame, path: str) -> None:
+    """Extend a persisted LSH index with ``batch``'s vectors (parquet
+    append into the same bucket partitions) — the post-probe step of a
+    similarity ingest loop: probe the batch against what's known, then
+    make the index aware of it so the NEXT batch retrieves against
+    this one too (the ANN twin of ``dedup_index.append_to_index``).
+
+    The batch hashes with the index's PERSISTED planes — an index is
+    only valid with the planes it was built with — so appending
+    commutes with building: build(corpus) + append(batch) holds
+    exactly the rows of build(corpus ∪ batch) (bucketing is row-local;
+    pinned in tests/test_ann_batch.py)."""
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        lsh_bucket,
+    )
+
+    meta = _read_meta(path)
+    (
+        batch.withColumn(
+            "bucket", lsh_bucket(F.col(meta["vec_col"]), meta["planes"])
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 def lsh_probe_index_batch(
     spark: SparkSession,
     queries: DataFrame,

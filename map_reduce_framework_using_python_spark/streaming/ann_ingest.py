@@ -52,16 +52,30 @@ def probe_stream(
     checkpoint_dir: str,
     k: int = 5,
     probe_hamming: int = 2,
+    extend_index: bool = False,
 ) -> DataFrame:
     """Drain ``batch_stream`` (AvailableNow) through the index probe and
     return every arriving vector's top-k corpus neighbors
-    ``(q_id, vec_id, label, cosine, rn)``."""
+    ``(q_id, vec_id, label, cosine, rn)``.
+
+    ``extend_index=True`` closes the retrieval loop: after probing,
+    each batch's vectors are APPENDED to the index
+    (:func:`~.ann_index.append_to_lsh_index`), so batch N+1 retrieves
+    against batches 1..N as well as the corpus — continuous similarity,
+    not just corpus lookup. Probe-then-append ordering means a batch
+    never matches itself (the screen_stream contract)."""
     spark = batch_stream.sparkSession
 
     def probe(batch_df: DataFrame, batch_id: int) -> None:
+        from map_reduce_framework_using_python_spark.operators.ann_index import (
+            append_to_lsh_index,
+        )
+
         lsh_probe_index_batch(
             spark, batch_df, index_path, k=k, probe_hamming=probe_hamming
         ).write.mode("append").parquet(out_dir)
+        if extend_index:
+            append_to_lsh_index(batch_df, index_path)
 
     q = (
         batch_stream.writeStream.foreachBatch(probe)

@@ -135,3 +135,101 @@ def test_probe_stream_empty_batch_yields_empty_frame(spark, tmp_path):
     )
     assert streamed.columns == ["q_id", "vec_id", "label", "cosine", "rn"]
     assert streamed.count() == 0
+
+
+def test_append_commutes_with_build(spark, tmp_path):
+    """build(corpus) + append(batch) must hold exactly the rows of
+    build(corpus ∪ batch) — bucketing is row-local — and probes against
+    either index must answer identically."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        append_to_lsh_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    full_path = str(tmp_path / "full")
+    build_lsh_index(emb, full_path, n_planes=8, seed=42)
+    grown_path = str(tmp_path / "grown")
+    build_lsh_index(half_a, grown_path, n_planes=8, seed=42)
+    append_to_lsh_index(half_b, grown_path)
+
+    full_rows = {
+        (r["vec_id"], r["bucket"]) for r in spark.read.parquet(full_path).collect()
+    }
+    grown_rows = {
+        (r["vec_id"], r["bucket"]) for r in spark.read.parquet(grown_path).collect()
+    }
+    assert grown_rows == full_rows
+
+    queries = emb.filter(F.col("vec_id").isin(list(_QIDS)))
+    got = {
+        tuple(r)
+        for r in lsh_probe_index_batch(
+            spark, queries, grown_path, k=5, probe_hamming=2
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in lsh_probe_index_batch(
+            spark, queries, full_path, k=5, probe_hamming=2
+        ).collect()
+    }
+    assert got == want
+
+
+def test_extend_index_retrieves_across_batches(spark, tmp_path):
+    """Continuous-similarity semantics: with extend_index=True, batch 2
+    retrieves batch 1's vectors (appended after batch 1 was probed),
+    not just the original corpus."""
+    import os
+    import time
+
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        _EMB_SCHEMA,
+        probe_stream,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(100)
+    path = str(tmp_path / "idx")
+    build_lsh_index(emb, path, n_planes=8, seed=42)
+
+    # Two nearly-identical planted vectors, far from the corpus cloud:
+    # v2's true nearest neighbor is v1, which lives in NO corpus — only
+    # the extended index can produce it.
+    base = [10.0 if i % 2 == 0 else -10.0 for i in range(64)]
+    near = [x + (0.001 if i == 0 else 0.0) for i, x in enumerate(base)]
+    land = tmp_path / "landing"
+    land.mkdir()
+    now = time.time()
+    for name, row, ts in (
+        ("b1.parquet", (900001, base, 7), now - 60),
+        ("b2.parquet", (900002, near, 7), now),
+    ):
+        d = tmp_path / f"_w_{name}"
+        spark.createDataFrame([row], _EMB_SCHEMA).coalesce(1).write.parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        os.rename(str(d / part), str(land / name))
+        os.utime(str(land / name), (ts, ts))
+    stream = (
+        spark.readStream.schema(_EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    got = probe_stream(
+        stream,
+        path,
+        out_dir=str(tmp_path / "out" / "neighbors"),
+        checkpoint_dir=str(tmp_path / "out" / "ckpt"),
+        k=5,
+        probe_hamming=2,
+        extend_index=True,
+    )
+    rows = got.collect()
+    top = {
+        r["q_id"]: r["vec_id"]
+        for r in rows
+        if r["rn"] == 1
+    }
+    assert top.get(900002) == 900001
