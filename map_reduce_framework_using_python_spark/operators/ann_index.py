@@ -310,6 +310,95 @@ def lsh_probe_index_batch(
     )
 
 
+def ivf_probe_index_batch(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probe: int = 4,
+    label_col: str = "label",
+) -> DataFrame:
+    """Batched multi-query probe of a persisted IVF index — the IVF twin
+    of :func:`lsh_probe_index_batch`: ``(q_id, vec_id, label, cosine,
+    rn)`` for every query vector in ONE plan.
+
+    Per-query centroid selection stays fully JVM-side (no driver loop
+    over queries): each query ranks the persisted centroids by squared
+    L2 distance via an array-of-structs ``array_sort`` — the centroid
+    list is meta-sized (16 literals), so this is constant work per
+    query row — keeps the ``n_probe`` nearest, and explodes to a tiny
+    (q_id, centroid_id) probe table that broadcasts into an equi-join
+    on the index's PARTITION column. Per-query ordering matches
+    :func:`ivf_topk_indexed` exactly (raw cosine desc, id tiebreak) —
+    pinned equal in tests/test_ann_batch.py."""
+    from pyspark.sql import Window
+
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        dot,
+        l2_norm,
+    )
+
+    meta = _read_meta(path)
+    centroids, id_col, vec_col = meta["centroids"], meta["id_col"], meta["vec_col"]
+    qv = _as_double(F.col(vec_col))
+    # (squared-distance, cid) structs sort lexicographically: nearest
+    # first, cid as the deterministic tie-break — the JVM twin of the
+    # driver-side `sorted(range(k), key=dist)` in ivf_topk_indexed.
+    dist_structs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            qv.alias("qv"),
+            l2_norm(qv).alias("qnorm"),
+        )
+        .withColumn(
+            "_probe", F.explode(F.slice(F.array_sort(dist_structs), 1, n_probe))
+        )
+        .select("q_id", "qv", "qnorm", F.col("_probe.cid").alias("centroid_id"))
+    )
+    v = _as_double(F.col(vec_col))
+    idx = spark.read.parquet(path).select(
+        F.col(id_col), F.col(label_col), v.alias("v"), l2_norm(v).alias("vnorm"),
+        F.col("centroid_id"),
+    )
+    cand = (
+        idx.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn(
+            "cosine_raw",
+            dot(F.col("v"), F.col("qv")) / (F.col("vnorm") * F.col("qnorm")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "q_id",
+            F.col(id_col),
+            F.col(label_col),
+            F.round("cosine_raw", 6).alias("cosine"),
+            "rn",
+        )
+    )
+
+
 def scan_fraction(path: str, probed: list[int], part_col: str) -> float:
     """Fraction of partition directories a probe set actually opens —
     the observable pruning ratio (tests assert it ≪ 1)."""

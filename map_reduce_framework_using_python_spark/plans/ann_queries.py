@@ -234,3 +234,30 @@ def st_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         probe_hamming=2,
     )
+
+
+@query(
+    "ns_ivf_probe_batch",
+    oracle=None,  # centroids are trained driver state (k-means), not
+    # static SQL; pinned EXACTLY equal to per-query ivf_topk_indexed.
+    tags=("northstar", "similarity", "sketch", "index", "batch"),
+)
+def ns_ivf_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF cosine top-10 against the persisted index: per-query
+    centroid ranking via JVM array_sort over the 16 persisted centroid
+    literals, n_probe=4 nearest exploded into a broadcast (q_id,
+    centroid_id) probe table, equi-joined on the partition column —
+    one plan for the whole batch, corpus scanned once."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        ivf_probe_index_batch,
+    )
+
+    path = _ensure_ivf(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_probe_index_batch(
+        spark,
+        emb.filter((F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 18500)),
+        path,
+        k=10,
+        n_probe=4,
+    )

@@ -233,3 +233,35 @@ def test_extend_index_retrieves_across_batches(spark, tmp_path):
         if r["rn"] == 1
     }
     assert top.get(900002) == 900001
+
+
+def test_ivf_batch_probe_matches_per_query_indexed(spark, tmp_path):
+    """IVF twin of the LSH pin: each q_id's rows (in rn order) must be
+    EXACTLY the single-query ivf_topk_indexed answer."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_probe_index_batch,
+        ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf_idx")
+    build_ivf_index(emb, path, n_centroids=16, seed=42)
+    queries = emb.filter(F.col("vec_id").isin(list(_QIDS)))
+    rows = ivf_probe_index_batch(spark, queries, path, k=5, n_probe=4).collect()
+    assert {r["q_id"] for r in rows} == set(_QIDS)
+    for qid in _QIDS:
+        got = [
+            (r["vec_id"], r["label"], r["cosine"])
+            for r in sorted(
+                (r for r in rows if r["q_id"] == qid), key=lambda r: r["rn"]
+            )
+        ]
+        want = [
+            tuple(r)
+            for r in ivf_topk_indexed(
+                spark, path, _query_vec(emb, qid), k=5, n_probe=4, exclude_id=qid
+            ).collect()
+        ]
+        assert got == want
+        assert len(got) == 5
