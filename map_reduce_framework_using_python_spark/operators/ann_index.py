@@ -216,7 +216,17 @@ def append_to_lsh_index(batch: DataFrame, path: str) -> None:
     only valid with the planes it was built with — so appending
     commutes with building: build(corpus) + append(batch) holds
     exactly the rows of build(corpus ∪ batch) (bucketing is row-local;
-    pinned in tests/test_ann_batch.py)."""
+    pinned in tests/test_ann_batch.py).
+
+    Appending also DROPS the ``src`` source fingerprint from the meta
+    sidecar: the fingerprint asserts "this layout is exactly
+    build(source table)", which stops being true the moment a batch
+    lands — without this, the shared query cache (plans/ann_queries.py
+    ``_ensure``) would keep serving a mutated index as pristine. Ingest
+    loops own their index paths and never consult the fingerprint;
+    cache users rebuild on the next call."""
+    import json
+
     from map_reduce_framework_using_python_spark.operators.similarity import (
         lsh_bucket,
     )
@@ -230,6 +240,10 @@ def append_to_lsh_index(batch: DataFrame, path: str) -> None:
         .partitionBy("bucket")
         .parquet(path)
     )
+    if "src" in meta:
+        meta.pop("src")
+        with open(os.path.join(path, "_ann_meta.json"), "w") as fh:
+            json.dump(meta, fh)
 
 
 def lsh_probe_index_batch(

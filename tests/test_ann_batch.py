@@ -265,3 +265,28 @@ def test_ivf_batch_probe_matches_per_query_indexed(spark, tmp_path):
         ]
         assert got == want
         assert len(got) == 5
+
+
+def test_append_invalidates_source_fingerprint(tmp_path, spark):
+    """An appended index is no longer build(source): append must drop
+    the meta 'src' fingerprint so the shared query cache rebuilds
+    instead of serving a mutated layout as pristine."""
+    import json
+    import os
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        append_to_lsh_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "idx")
+    build_lsh_index(emb.filter(F.col("vec_id") < 50), path, n_planes=8, seed=42)
+    meta_path = os.path.join(path, "_ann_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["src"] = "some-source-fingerprint"
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    append_to_lsh_index(emb.filter(F.col("vec_id").between(50, 59)), path)
+    with open(meta_path) as fh:
+        assert "src" not in json.load(fh)
