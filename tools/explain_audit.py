@@ -108,6 +108,7 @@ AUDIT = (
     # table on bucket, and top-k via partial WindowGroupLimit before
     # the single q_id exchange
     "ns_ann_probe_batch",
+    "ns_ivf_probe_batch",
 )
 
 
