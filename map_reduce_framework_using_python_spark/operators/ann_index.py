@@ -246,6 +246,45 @@ def append_to_lsh_index(batch: DataFrame, path: str) -> None:
             json.dump(meta, fh)
 
 
+def compact_lsh_index(
+    spark: SparkSession,
+    path: str,
+    write_partitions: int = 8,
+) -> None:
+    """Rewrite the bucket layout into ONE file per bucket — the
+    small-file remedy for an index that has absorbed many streamed
+    appends (each :func:`append_to_lsh_index` lands one file per
+    touched bucket; a year of 5-minute ingest batches is ~10⁵ files
+    per bucket without this). Hash-clustering on ``bucket`` before the
+    partitioned write puts each bucket in exactly one task
+    (``write_partitions`` only caps write parallelism). Content and
+    meta are unchanged; the rewrite goes through a side directory and
+    a two-rename swap, with the same crash recovery as
+    ``dedup_index.compact_index``: a crash between the renames leaves
+    the previous copy intact at ``__old`` and is rolled back on the
+    next call."""
+    import shutil
+
+    tmp = path.rstrip("/") + "__compact"
+    old = path.rstrip("/") + "__old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)  # crashed mid-swap last time: roll back
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    meta = _read_meta(path)
+    (
+        spark.read.parquet(path)
+        .repartition(write_partitions, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    _write_meta(tmp, meta)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def lsh_probe_index_batch(
     spark: SparkSession,
     queries: DataFrame,

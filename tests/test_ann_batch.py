@@ -290,3 +290,81 @@ def test_append_invalidates_source_fingerprint(tmp_path, spark):
     append_to_lsh_index(emb.filter(F.col("vec_id").between(50, 59)), path)
     with open(meta_path) as fh:
         assert "src" not in json.load(fh)
+
+
+def test_compact_lsh_index_one_file_per_bucket(spark, tmp_path):
+    """After many appends, compaction leaves one parquet file per
+    bucket directory with content, meta, and probe answers unchanged."""
+    import os
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        append_to_lsh_index,
+        compact_lsh_index,
+        lsh_probe_index_batch,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "idx")
+    build_lsh_index(emb.filter(F.col("vec_id") % 4 == 0), path, n_planes=8, seed=42)
+    for rem in (1, 2, 3):
+        append_to_lsh_index(emb.filter(F.col("vec_id") % 4 == rem), path)
+
+    queries = emb.filter(F.col("vec_id").isin(list(_QIDS)))
+    before_rows = {
+        (r["vec_id"], r["bucket"]) for r in spark.read.parquet(path).collect()
+    }
+    before_probe = {
+        tuple(r)
+        for r in lsh_probe_index_batch(spark, queries, path, k=5).collect()
+    }
+    with open(os.path.join(path, "_ann_meta.json")) as fh:
+        before_meta = fh.read()
+
+    compact_lsh_index(spark, path)
+
+    for d in os.listdir(path):
+        if d.startswith("bucket="):
+            files = [
+                f for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, f"{d}: {len(files)} files"
+    after_rows = {
+        (r["vec_id"], r["bucket"]) for r in spark.read.parquet(path).collect()
+    }
+    assert after_rows == before_rows
+    after_probe = {
+        tuple(r)
+        for r in lsh_probe_index_batch(spark, queries, path, k=5).collect()
+    }
+    assert after_probe == before_probe
+    with open(os.path.join(path, "_ann_meta.json")) as fh:
+        assert fh.read() == before_meta
+
+
+def test_compact_lsh_index_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two renames leaves the live dir missing and
+    the previous copy at __old; the next call must roll back first."""
+    import os
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        compact_lsh_index,
+        lsh_probe_index_batch,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "idx")
+    build_lsh_index(emb, path, n_planes=8, seed=42)
+    queries = emb.filter(F.col("vec_id").isin(list(_QIDS)))
+    want = {
+        tuple(r)
+        for r in lsh_probe_index_batch(spark, queries, path, k=5).collect()
+    }
+    # simulate the crash window: live dir renamed away, new dir not yet in
+    os.rename(path, path + "__old")
+    compact_lsh_index(spark, path)
+    got = {
+        tuple(r)
+        for r in lsh_probe_index_batch(spark, queries, path, k=5).collect()
+    }
+    assert got == want
