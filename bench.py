@@ -79,6 +79,17 @@ R3_FLOOR: dict[str, float] = {
     "ns_repetition_signals": 0.456,
 }
 
+#: Round-4 per-query times (BENCH_r04.json) for queries that first
+#: appeared in the r4 headline — same 1.5× soft-floor contract, kept
+#: in a separate dict/output key so `regressions_vs_r3` stays
+#: comparable across rounds. (ns_bigram_lm_score's r4 number timed the
+#: broadcast-model plan; r5's registered default is the 100 TB-safe
+#: shuffle join, which is FASTER at sf0.1, so the floor still binds.)
+R4_FLOOR: dict[str, float] = {
+    "ns_int8_quantize": 0.094,
+    "ns_bigram_lm_score": 1.03,
+}
+
 
 def _skew_probe(spark, dst: str, reps: int) -> dict[str, float]:
     """Hot-key join wall clock, plain vs AQE-skew-split vs salted.
@@ -239,6 +250,18 @@ def main() -> None:
             print(
                 f"# REGRESSION {name}: {v['now']:.3f}s vs r3 {v['r3']:.3f}s "
                 f"({v['now'] / v['r3']:.2f}x)",
+                file=sys.stderr,
+            )
+        regressions_r4 = {
+            name: {"now": times[name], "r4": floor}
+            for name, floor in R4_FLOOR.items()
+            if name in times and times[name] > 1.5 * floor
+        }
+        result["regressions_vs_r4"] = regressions_r4
+        for name, v in regressions_r4.items():
+            print(
+                f"# REGRESSION {name}: {v['now']:.3f}s vs r4 {v['r4']:.3f}s "
+                f"({v['now'] / v['r4']:.2f}x)",
                 file=sys.stderr,
             )
 
