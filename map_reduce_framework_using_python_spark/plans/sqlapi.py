@@ -189,3 +189,75 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderstatus, n_orders, total_price
         |> ORDER BY o_orderstatus
     """)
+
+
+@query(
+    "q_sql_star_except",
+    oracle="""
+        SELECT * EXCLUDE (c_name, c_mktsegment) FROM customer
+    """,
+    tags=("sql", "projection"),
+)
+def q_sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT * EXCEPT (...)`` (Spark 4 star-except; DuckDB spells it
+    EXCLUDE) — wide-table hygiene at 100 TB: dropping the heavy text
+    columns by NAME keeps the scan's ReadSchema narrow without
+    enumerating the dozens of columns you keep. Raw column passthrough,
+    so nothing is rounded (plans/core.py rule)."""
+    _view(spark, sf_dir, "customer")
+    return spark.sql("SELECT * EXCEPT (c_name, c_mktsegment) FROM customer")
+
+
+@query(
+    "q_sql_lateral_alias",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_orderkey * 100 + l_linenumber AS line_code,
+               line_code % 7 AS line_bucket
+        FROM lineitem WHERE l_orderkey < 200
+    """,
+    tags=("sql", "projection"),
+)
+def q_sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+/DuckDB): a SELECT item
+    referencing an alias defined earlier in the SAME select list —
+    derived-column chains without nested subqueries or repeated
+    expressions. All-integer arithmetic, so both engines compute the
+    identical chain with no float grid in sight."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql("""
+        SELECT l_orderkey, l_linenumber,
+               l_orderkey * 100 + l_linenumber AS line_code,
+               line_code % 7 AS line_bucket
+        FROM lineitem WHERE l_orderkey < 200
+    """)
+
+
+@query(
+    "q_sql_parameterized",
+    oracle="""
+        SELECT n_name, count(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > 100.0
+        GROUP BY n_name
+    """,
+    tags=("sql", "api"),
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+ named parameter markers) with an
+    ``IDENTIFIER()`` clause (Spark 3.5+) resolving the table name from
+    a parameter — the injection-safe template API: values bind as
+    literals, identifiers bind as identifiers, and neither ever splices
+    into the SQL text. The oracle is simply the resolved query. The
+    acctbal predicate compares the STORED doubles exactly on both
+    engines (no derived float crosses rows)."""
+    _view(spark, sf_dir, "customer", "nation")
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n_cust
+        FROM IDENTIFIER(:tab) JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > :min_bal
+        GROUP BY n_name
+        """,
+        args={"tab": "customer", "min_bal": 100.0},
+    )
