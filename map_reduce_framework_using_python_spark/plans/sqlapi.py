@@ -261,3 +261,31 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tab": "customer", "min_bal": 100.0},
     )
+
+
+@query(
+    "q_sql_collation",
+    oracle="""
+        SELECT n_name, count(*) AS n_sup
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name COLLATE NOCASE IN ('nation_1', 'nation_7', 'nation_20')
+        GROUP BY n_name
+    """,
+    tags=("sql", "collation"),
+)
+def q_sql_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated string comparison (Spark 4 collation support): the
+    lowercase literals match the stored upper-case names under a
+    case-insensitive collation (``UNICODE_CI``; DuckDB spells it
+    ``COLLATE NOCASE``) — no ``lower()`` rewrite, so at scale the
+    optimizer keeps the ORIGINAL column for statistics and pruning
+    instead of wrapping every row in a function. ASCII-only values, so
+    the two engines' CI rules agree exactly; output passes the stored
+    names through unchanged."""
+    _view(spark, sf_dir, "supplier", "nation")
+    return spark.sql("""
+        SELECT n_name, count(*) AS n_sup
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name COLLATE UNICODE_CI IN ('nation_1', 'nation_7', 'nation_20')
+        GROUP BY n_name
+    """)
