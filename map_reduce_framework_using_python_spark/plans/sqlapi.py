@@ -289,3 +289,31 @@ def q_sql_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n_name COLLATE UNICODE_CI IN ('nation_1', 'nation_7', 'nation_20')
         GROUP BY n_name
     """)
+
+
+@query(
+    "q_sql_listagg",
+    oracle="""
+        SELECT n_name,
+               string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    tags=("sql", "aggregate"),
+)
+def q_sql_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``LISTAGG ... WITHIN GROUP (ORDER BY ...)`` (new in Spark
+    4.0; DuckDB spells it ``string_agg(..., ORDER BY)``) — the
+    SQL-standard sibling of the DSL's sorted collect_list
+    (q_collect_sorted). The explicit WITHIN GROUP order makes the
+    concatenation deterministic on both engines; group payloads are
+    supplier-name-sized, so the aggregate state stays bounded (listagg
+    over unbounded-cardinality groups is the thing to avoid at 100 TB,
+    same rule as collect_list)."""
+    _view(spark, sf_dir, "supplier", "nation")
+    return spark.sql("""
+        SELECT n_name,
+               listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name) AS suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """)
