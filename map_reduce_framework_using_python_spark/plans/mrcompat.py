@@ -40,3 +40,53 @@ def mr_wordcount_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     job = MRJob(spark, WORDCOUNT_MAPPER, WORDCOUNT_REDUCER, n_partitions=8)
     kv = job.run_to_kv_df(lines, key_name="word", value_name="n")
     return kv.select("word", F.col("n").cast("bigint").alias("n"))
+
+
+@query(
+    "st_mrtext_stream",
+    oracle="""
+        SELECT text FROM documents WHERE lang = 'de'
+    """,
+    tags=("mr_compat", "streaming"),
+)
+def st_mrtext_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the reference's DFS layout as micro-batches: the 'de'
+    document texts land as mrtext part files (the reference's WRITE,
+    op 1), then ``readStream.format("mrtext")`` drains them through
+    the Spark 4 Python streaming DataSource
+    (sources/mrfs.py:MRTextSimpleStreamReader) — offsets are manifest
+    positions, so the checkpoint gives exactly-once per part (resume
+    pinned in tests/test_mrfs.py). FULL oracle: the round trip must
+    reproduce exactly the filtered text column (documents are
+    single-line, so lines ⇔ rows); the part index is dropped from the
+    output because line→part placement follows the writer's physical
+    partitioning, which no ANSI engine can replay."""
+    import tempfile
+
+    from map_reduce_framework_using_python_spark.sources import mrfs
+    from map_reduce_framework_using_python_spark.streaming.windows import (
+        run_available_now,
+    )
+
+    mrfs.register(spark)
+    work = tempfile.mkdtemp(prefix="st_mrtext_")
+    dfs_dir = f"{work}/dfs"
+    (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "de")
+        .repartition(3)
+        .select(F.lit(0).alias("part"), F.col("text").alias("value"))
+        .write.format("mrtext")
+        .mode("append")
+        .save(dfs_dir)
+    )
+    stream = (
+        spark.readStream.format("mrtext")
+        .load(dfs_dir)
+        .select(F.col("value").alias("text"))
+    )
+    import uuid
+
+    return run_available_now(
+        stream, f"st_mrtext_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )

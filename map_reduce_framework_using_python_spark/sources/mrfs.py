@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
@@ -140,6 +141,56 @@ class MRTextWriter(DataSourceWriter):
                 os.remove(m.path)
 
 
+class MRTextSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Stream the DFS layout: one micro-batch per part file, manifest
+    order — the landing-directory contract. The reference's client
+    polls the master for new parts and maps each as it lands
+    (`client_v1.py:96-115` registers parts in index order); here the
+    offset IS the manifest position (``{"next_part": i}``), so Spark's
+    checkpoint gives exactly-once per part: a restart resumes at the
+    first unconsumed part, and ``readBetweenOffsets`` replays a
+    committed-but-unwritten batch deterministically from the same
+    files (part files are immutable once landed — the writer's
+    rename-on-commit guarantees no half-written part is ever visible).
+
+    Each ``read()`` consumes every part landed since the last offset
+    (one call per trigger — AvailableNow drains all current parts in
+    one batch; a continuous trigger batches whatever landed between
+    polls). Replay windows stay file-aligned either way; the per-batch
+    cost is one directory listing + the new files, never a rescan."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mrtext: path required (use .load(<dir>))")
+
+    def initialOffset(self) -> dict:
+        return {"next_part": 0}
+
+    def _rows(self, index: int, path: str) -> list[tuple]:
+        with open(path, encoding="utf-8") as fh:
+            return [(index, line.rstrip("\n")) for line in fh]
+
+    def read(self, start: dict):
+        # Spark's prefetch cache copy.copy()s the returned iterator, so
+        # it must be a list iterator (copyable), never a generator.
+        parts = _part_files(self.path)
+        i = start["next_part"]
+        if i >= len(parts):
+            return iter([]), start
+        out: list[tuple] = []
+        for j in range(i, len(parts)):
+            out.extend(self._rows(j, parts[j]))
+        return iter(out), {"next_part": len(parts)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        parts = _part_files(self.path)
+        out: list[tuple] = []
+        for i in range(start["next_part"], min(end["next_part"], len(parts))):
+            out.extend(self._rows(i, parts[i]))
+        return iter(out)
+
+
 class MRTextDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -153,6 +204,9 @@ class MRTextDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return MRTextWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema):
+        return MRTextSimpleStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -101,3 +101,60 @@ def test_overwrite_replaces_existing_parts(spark, tmp_path):
     assert sorted(os.listdir(dst)) == ["part_0"]
     back = spark.read.format("mrtext").load(dst)
     assert [r["value"] for r in back.collect()] == ["fresh"]
+
+
+def test_stream_one_microbatch_per_part(spark, tmp_path):
+    """readStream on the DFS layout: AvailableNow drains every part,
+    one micro-batch per part file, content identical to the batch
+    read (the streaming reader is an ACCESS-PATH change only)."""
+    src = str(tmp_path / "dfs")
+    _write_parts(src, [["a", "b"], ["c"], ["d", "e", "f"]])
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("mrtext")
+        .load(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["part"], r["value"]) for r in spark.read.parquet(out).collect()}
+    want = {
+        (r["part"], r["value"])
+        for r in spark.read.format("mrtext").load(src).collect()
+    }
+    assert got == want
+
+
+def test_stream_resumes_at_first_unconsumed_part(spark, tmp_path):
+    """Checkpointed offsets give exactly-once per part: after a drain,
+    a newly landed part is the ONLY thing the next drain emits."""
+    src = str(tmp_path / "dfs")
+    _write_parts(src, [["a"], ["b"]])
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("mrtext")
+            .load(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    with open(os.path.join(src, "part_2"), "w") as fh:
+        fh.write("late\n")
+    drain()
+    rows = sorted(
+        (r["part"], r["value"]) for r in spark.read.parquet(out).collect()
+    )
+    # every line exactly once — part_0/part_1 not re-emitted by drain 2
+    assert rows == [(0, "a"), (1, "b"), (2, "late")]
