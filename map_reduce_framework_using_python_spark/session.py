@@ -66,4 +66,17 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Register the custom Python data source at SESSION BUILD, not
+    # first use. The JVM resolves Python sources through the ACTIVE
+    # session of whatever thread serves the call, and streaming
+    # execution clones the session per query — a Py4J thread that
+    # inherited a clone made BEFORE a later registration resolves
+    # against the clone's (stale) manager and throws
+    # DATA_SOURCE_NOT_FOUND intermittently. Registering before any
+    # stream can run means every clone inherits the source.
+    if not getattr(spark, "_mrtext_registered", False):
+        from map_reduce_framework_using_python_spark.sources import mrfs
+
+        mrfs.register(spark)
+        spark._mrtext_registered = True
     return spark
