@@ -257,3 +257,74 @@ def ns_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns_lsh_cosine_topk / ns_lsh_topk_indexed (operators/similarity.py,
     operators/ann_index.py), pinned equal/recall-1.0 against this."""
     return embedding_near_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query(
+    "q_from_xml",
+    oracle="""
+        SELECT p_partkey, p_name, p_type
+        FROM part WHERE p_partkey % 11 = 0
+    """,
+    tags=("xml", "functions"),
+)
+def q_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_xml`` (native XML support, Spark 4.0): serialize each part
+    row to an XML fragment JVM-side, parse it back with a schema, and
+    return the parsed fields — the oracle is the ORIGINAL columns, so
+    the gate proves the XML round trip is lossless. The synthetic part
+    names/types carry no XML-special characters (verified), so no
+    escaping layer is needed; int fields re-enter exactly via the
+    schema cast."""
+    xml = F.concat(
+        F.lit("<p><k>"), F.col("p_partkey").cast("string"),
+        F.lit("</k><n>"), F.col("p_name"),
+        F.lit("</n><t>"), F.col("p_type"), F.lit("</t></p>"),
+    )
+    parsed = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 11 == 0)
+        .select(F.from_xml(xml, "k BIGINT, n STRING, t STRING").alias("x"))
+    )
+    return parsed.select(
+        F.col("x.k").alias("p_partkey"),
+        F.col("x.n").alias("p_name"),
+        F.col("x.t").alias("p_type"),
+    )
+
+
+@query(
+    "q_xml_roundtrip",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    tags=("xml", "scan", "sink"),
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML SOURCE + SINK (native in Spark 4): a slice of orders lands
+    as XML files (rowTag rows) and is read back with an explicit
+    schema; the oracle is the parquet truth, so the gate proves the
+    storage round trip is lossless. Exact-typed columns only — floats
+    through a TEXT format are the one lossy temptation this query
+    deliberately avoids (the parquet lane stays the production path;
+    XML is an interchange format)."""
+    import tempfile
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    sliced = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(*cols)
+    )
+    out = tempfile.mkdtemp(prefix="q_xml_") + "/orders_xml"
+    sliced.write.format("xml").option("rowTag", "order").save(out)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(
+            "o_orderkey BIGINT, o_custkey BIGINT,"
+            " o_orderstatus STRING, o_orderpriority STRING"
+        )
+        .load(out)
+        .select(*cols)
+    )
