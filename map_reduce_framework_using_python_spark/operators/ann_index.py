@@ -224,9 +224,14 @@ def append_to_lsh_index(batch: DataFrame, path: str) -> None:
     lands — without this, the shared query cache (plans/ann_queries.py
     ``_ensure``) would keep serving a mutated index as pristine. Ingest
     loops own their index paths and never consult the fingerprint;
-    cache users rebuild on the next call."""
-    import json
+    cache users rebuild on the next call.
 
+    Appends are AT-LEAST-ONCE under foreachBatch replay (a restart
+    between append and checkpoint commit re-appends the batch), so the
+    index may hold exact-duplicate rows; every probe dedups candidates
+    on (query, vector) before ranking (:func:`lsh_probe_index_batch`)
+    and :func:`compact_lsh_index` sheds the duplicate rows from
+    storage."""
     from map_reduce_framework_using_python_spark.operators.similarity import (
         lsh_bucket,
     )
@@ -240,10 +245,8 @@ def append_to_lsh_index(batch: DataFrame, path: str) -> None:
         .partitionBy("bucket")
         .parquet(path)
     )
-    if "src" in meta:
-        meta.pop("src")
-        with open(os.path.join(path, "_ann_meta.json"), "w") as fh:
-            json.dump(meta, fh)
+    meta.pop("src", None)
+    _write_meta(path, meta)
 
 
 def compact_lsh_index(
@@ -257,12 +260,21 @@ def compact_lsh_index(
     touched bucket; a year of 5-minute ingest batches is ~10⁵ files
     per bucket without this). Hash-clustering on ``bucket`` before the
     partitioned write puts each bucket in exactly one task
-    (``write_partitions`` only caps write parallelism). Content and
-    meta are unchanged; the rewrite goes through a side directory and
-    a two-rename swap, with the same crash recovery as
-    ``dedup_index.compact_index``: a crash between the renames leaves
-    the previous copy intact at ``__old`` and is rolled back on the
-    next call."""
+    (``write_partitions`` only caps write parallelism). Replay
+    artifacts (exact-duplicate rows from at-least-once appends) are
+    shed; the distinct row SET is unchanged. The rewrite goes through
+    a side directory and a two-rename swap, with the same crash
+    recovery as ``dedup_index.compact_index``: a crash between the
+    renames leaves the previous copy intact at ``__old`` and is rolled
+    back on the next call.
+
+    Compaction requires APPEND QUIESCENCE (run it between ingest
+    batches — in the foreachBatch loop that is any point outside the
+    probe callback): a file that lands after the snapshot read would
+    be silently dropped by the swap, so the swap is guarded — if the
+    data-file listing changed since the snapshot, the rewrite is
+    abandoned (tmp removed, live dir untouched) and a RuntimeError
+    tells the caller to quiesce appends first."""
     import shutil
 
     tmp = path.rstrip("/") + "__compact"
@@ -272,14 +284,32 @@ def compact_lsh_index(
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     meta = _read_meta(path)
+
+    def _data_files() -> set[str]:
+        out = set()
+        for d in os.listdir(path):
+            if d.startswith("bucket="):
+                for f in os.listdir(os.path.join(path, d)):
+                    if f.endswith(".parquet"):
+                        out.add(f"{d}/{f}")
+        return out
+
+    snapshot = _data_files()
     (
         spark.read.parquet(path)
+        .dropDuplicates()
         .repartition(write_partitions, "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(tmp)
     )
     _write_meta(tmp, meta)
+    if _data_files() != snapshot:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            "compact_lsh_index: index changed during compaction "
+            "(concurrent append?) — quiesce appends and re-run"
+        )
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
@@ -304,10 +334,16 @@ def lsh_probe_index_batch(
     planes (raw-sign :func:`~.similarity.lsh_bucket` — the function the
     index was BUILT with, so query and index hash identically), explodes
     the Hamming-ball XOR masks, and the tiny probe table is broadcast
-    into an equi-join on the index's PARTITION column — so the scan is
-    pruned to the union of all probed directories (dynamic pruning from
-    the broadcast side; the batch-side twin of the incremental-dedup
-    probe in operators/dedup_index.py). Per-query ordering matches
+    into an equi-join on the index's PARTITION column. The scan is
+    pruned STATICALLY: the batch's distinct probe buckets are collected
+    driver-side (probe-table-sized — one tiny job, this is a runtime
+    ingest op, not a lazy plan builder) and pushed as ``bucket IN
+    (...)`` PartitionFilters, so pruning never depends on whether
+    Catalyst's dynamic-pruning rule deems the broadcast side selective
+    — an unfiltered landing-dir batch prunes exactly like a filtered
+    one. Candidates dedup on (query, vector) before ranking, so
+    exact-duplicate index rows from replayed appends cannot displace a
+    true top-k neighbor. Per-query ordering matches
     :func:`lsh_topk_indexed` exactly (raw cosine desc, id tiebreak) —
     pinned equal in tests/test_ann_batch.py."""
     from pyspark.sql import Window
@@ -336,14 +372,22 @@ def lsh_probe_index_batch(
         .withColumn("bucket", F.col("_qbucket").bitwiseXOR(F.col("_mask")))
         .drop("_qbucket", "_mask")
     )
+    probed_buckets = [
+        r["bucket"] for r in probes.select("bucket").distinct().collect()
+    ]
     v = _as_double(F.col(vec_col))
-    idx = spark.read.parquet(path).select(
-        F.col(id_col), F.col(label_col), v.alias("v"), l2_norm(v).alias("vnorm"),
-        F.col("bucket"),
+    idx = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(probed_buckets))
+        .select(
+            F.col(id_col), F.col(label_col), v.alias("v"),
+            l2_norm(v).alias("vnorm"), F.col("bucket"),
+        )
     )
     cand = (
         idx.join(F.broadcast(probes), "bucket")
         .filter(F.col(id_col) != F.col("q_id"))
+        .dropDuplicates(["q_id", id_col])
         .withColumn(
             "cosine_raw",
             dot(F.col("v"), F.col("qv")) / (F.col("vnorm") * F.col("qnorm")),

@@ -107,20 +107,40 @@ def auc(scored_with_truth: DataFrame, score_col: str, truth_col: str) -> float:
     over the per-score table — which is bounded by the score grid
     (``score_quality`` emits the 1e-6 grid), never corpus-sized, and
     the cumsum itself is the two-pass bucketed shape, no single-task
-    window anywhere. One final aggregate pulls three scalars."""
+    window anywhere. One final aggregate pulls three scalars.
+
+    NULL-truth rows are EXCLUDED before ranking — an unlabeled row
+    must neither hold a rank nor join a class, or the rank-sum counts
+    (positive, unlabeled) pairs and the "AUC" can exceed 1 (the
+    replaced window implementation had exactly that latent bug). NaN
+    scores sort last (Spark double order), so their bucket is pinned
+    above every finite floor(s·16); a NULL score fails fast via the
+    bucketed_cumsum non-null contract."""
     from map_reduce_framework_using_python_spark.operators.ranks import (
         bucketed_cumsum,
     )
 
-    per_score = scored_with_truth.groupBy(F.col(score_col).alias("_s")).agg(
+    labeled = scored_with_truth.filter(F.col(truth_col).isNotNull())
+    per_score = labeled.groupBy(F.col(score_col).alias("_s")).agg(
         F.count("*").alias("_cnt"),
-        F.sum(F.col(truth_col).cast("int")).alias("_pos"),
+        F.sum(F.when(F.col(truth_col).cast("boolean"), 1).otherwise(0)).alias(
+            "_pos"
+        ),
+        F.sum(F.when(~F.col(truth_col).cast("boolean"), 1).otherwise(0)).alias(
+            "_neg"
+        ),
     )
     # floor(s*16) is monotone along s (negatives included) — the
-    # order-consistent bucket contract of bucketed_cumsum.
+    # order-consistent bucket contract of bucketed_cumsum. NaN sorts
+    # ABOVE every double in Spark's ordering, but floor(NaN*16) would
+    # land it in bucket 0 — pin it to a sentinel above any finite
+    # bucket instead so the contract holds.
+    bucket = F.when(F.isnan(F.col("_s")), F.lit(2**62).cast("long")).otherwise(
+        F.floor(F.col("_s") * 16)
+    )
     cum = bucketed_cumsum(
         per_score,
-        bucket=F.floor(F.col("_s") * 16),
+        bucket=bucket,
         order_by=[F.col("_s")],
         weight=F.col("_cnt"),
         cum_col="_cum",
@@ -129,7 +149,7 @@ def auc(scored_with_truth: DataFrame, score_col: str, truth_col: str) -> float:
     agg = cum.agg(
         F.sum(F.col("_pos") * avg_rank).alias("rp"),
         F.sum("_pos").alias("np"),
-        F.sum(F.col("_cnt") - F.col("_pos")).alias("nn"),
+        F.sum("_neg").alias("nn"),
     ).first()
     if not agg["np"] or not agg["nn"]:
         raise ValueError(

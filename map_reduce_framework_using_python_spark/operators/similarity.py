@@ -204,10 +204,19 @@ def lsh_bucket_grid(vec: Column, planes: list[list[float]]) -> Column:
 def hamming_masks(n_bits: int, radius: int) -> list[int]:
     """All XOR masks of Hamming weight ≤ ``radius`` over ``n_bits`` —
     ``bucket ^ mask`` enumerates the Hamming ball around ``bucket``.
-    Mask count is Σ C(n_bits, r), r ≤ radius (37 for 8 bits, r=2)."""
-    if n_bits > 20:
-        raise ValueError("hamming_masks enumerates 2^n_bits; use <= 20 bits")
-    return [m for m in range(1 << n_bits) if bin(m).count("1") <= radius]
+    Mask count is Σ C(n_bits, r), r ≤ radius (37 for 8 bits, r=2).
+    Built combinatorially (same shape as ``ann_index._hamming_ball``),
+    so wide-bucket indexes cost C(n, r) masks, never a 2^n sweep."""
+    from itertools import combinations
+
+    masks = []
+    for r in range(min(radius, n_bits) + 1):
+        for bits in combinations(range(n_bits), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
 
 
 def lsh_probe_batch(

@@ -11,10 +11,16 @@ outside the probe set, and nothing is re-derived at large.
 Sink contract is the ingest-lane standard: ``foreachBatch`` + parquet
 append + checkpoint = at-least-once appends of idempotent facts
 (a (q_id, vec_id) neighbor edge with its rank); readers dedup on the
-pair key. Correctness pin (tests/test_ann_batch.py): the drained
-stream equals the one-shot batch probe over the same vectors — every
-neighbor list depends only on (query vector, frozen index), so
-micro-batch boundaries cannot change any of them.
+pair key. INDEX appends under ``extend_index=True`` are also
+at-least-once — a replayed batch re-appends its vectors — which is
+why the probe dedups candidates on (query, vector) before ranking
+(exact-duplicate rows can never displace a true neighbor;
+``operators/ann_index.py:lsh_probe_index_batch``) and
+``compact_lsh_index`` sheds the duplicate rows from storage during
+the quiesce window. Correctness pin (tests/test_ann_batch.py): the
+drained stream equals the one-shot batch probe over the same vectors
+— every neighbor list depends only on (query vector, frozen index),
+so micro-batch boundaries cannot change any of them.
 """
 
 from __future__ import annotations

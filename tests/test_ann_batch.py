@@ -368,3 +368,57 @@ def test_compact_lsh_index_recovers_from_crashed_swap(spark, tmp_path):
         for r in lsh_probe_index_batch(spark, queries, path, k=5).collect()
     }
     assert got == want
+
+
+def test_replayed_append_cannot_displace_neighbors(spark, tmp_path):
+    """foreachBatch appends are at-least-once: a batch appended TWICE
+    (replay) must not change any probe answer — duplicates dedup on
+    (query, vector) before ranking, so the k-th true neighbor stays."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        append_to_lsh_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id").isin(list(_QIDS)))
+
+    clean = str(tmp_path / "clean")
+    build_lsh_index(half_a, clean, n_planes=8, seed=42)
+    append_to_lsh_index(half_b, clean)
+    replayed = str(tmp_path / "replayed")
+    build_lsh_index(half_a, replayed, n_planes=8, seed=42)
+    append_to_lsh_index(half_b, replayed)
+    append_to_lsh_index(half_b, replayed)  # the replay
+
+    want = {
+        tuple(r)
+        for r in lsh_probe_index_batch(spark, queries, clean, k=5).collect()
+    }
+    got_rows = lsh_probe_index_batch(spark, queries, replayed, k=5).collect()
+    got = {tuple(r) for r in got_rows}
+    assert got == want
+    pairs = [(r["q_id"], r["vec_id"]) for r in got_rows]
+    assert len(pairs) == len(set(pairs))  # no duplicate neighbor rows
+
+
+def test_auc_ignores_null_truth_and_ranks_nan_last(spark):
+    from map_reduce_framework_using_python_spark.operators.quality_model import (
+        auc,
+    )
+
+    # NULL-truth rows are excluded outright: AUC over the
+    # labeled 4 rows is the known 3/4 case from test_quality_model.
+    df = spark.createDataFrame(
+        [(0.9, True), (0.8, False), (0.7, True), (0.1, False),
+         (0.5, None), (0.95, None)],
+        "s double, y boolean",
+    )
+    assert abs(auc(df, "s", "y") - 0.75) < 1e-9
+    # NaN scores sort last (Spark double order): a NaN-scored positive
+    # outranks everything → perfect separation stays perfect.
+    nan = spark.createDataFrame(
+        [(float("nan"), True), (0.8, True), (0.2, False)],
+        "s double, y boolean",
+    )
+    assert abs(auc(nan, "s", "y") - 1.0) < 1e-9
