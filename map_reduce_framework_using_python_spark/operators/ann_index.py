@@ -229,9 +229,9 @@ def append_to_lsh_index(batch: DataFrame, path: str) -> None:
     Appends are AT-LEAST-ONCE under foreachBatch replay (a restart
     between append and checkpoint commit re-appends the batch), so the
     index may hold exact-duplicate rows; every probe dedups candidates
-    on (query, vector) before ranking (:func:`lsh_probe_index_batch`)
-    and :func:`compact_lsh_index` sheds the duplicate rows from
-    storage."""
+    on (query, vector) after scoring, keeping the max-cosine copy
+    (:func:`lsh_probe_index_batch`), and :func:`compact_lsh_index`
+    sheds the duplicate rows from storage."""
     from map_reduce_framework_using_python_spark.operators.similarity import (
         lsh_bucket,
     )
@@ -253,6 +253,7 @@ def compact_lsh_index(
     spark: SparkSession,
     path: str,
     write_partitions: int = 8,
+    _test_hook_pre_swap=None,
 ) -> None:
     """Rewrite the bucket layout into ONE file per bucket — the
     small-file remedy for an index that has absorbed many streamed
@@ -270,11 +271,21 @@ def compact_lsh_index(
 
     Compaction requires APPEND QUIESCENCE (run it between ingest
     batches — in the foreachBatch loop that is any point outside the
-    probe callback): a file that lands after the snapshot read would
-    be silently dropped by the swap, so the swap is guarded — if the
-    data-file listing changed since the snapshot, the rewrite is
-    abandoned (tmp removed, live dir untouched) and a RuntimeError
-    tells the caller to quiesce appends first."""
+    probe callback): a file that lands after the snapshot read would be
+    silently dropped by the swap. The guard is two-stage: the listing
+    is re-checked before the swap (abandon: tmp removed, live dir
+    untouched), and AGAIN after the live dir has been renamed aside —
+    a part file that slipped in between the first check and the rename
+    is caught there and the rename is rolled back, so the landed file
+    survives in the live dir. The quiescence requirement stays
+    authoritative: a writer racing the post-rename window itself (its
+    part file materializing mid-rename) is OS-undefined behavior no
+    listing can close — the guard narrows the window to the rename
+    syscalls, it does not license concurrent appends.
+
+    ``_test_hook_pre_swap`` is a test seam (tests/test_ann_batch.py)
+    invoked between the first listing check and the rename-aside —
+    exactly the window the second check exists for."""
     import shutil
 
     tmp = path.rstrip("/") + "__compact"
@@ -285,16 +296,16 @@ def compact_lsh_index(
     shutil.rmtree(old, ignore_errors=True)
     meta = _read_meta(path)
 
-    def _data_files() -> set[str]:
+    def _data_files(base: str) -> set[str]:
         out = set()
-        for d in os.listdir(path):
+        for d in os.listdir(base):
             if d.startswith("bucket="):
-                for f in os.listdir(os.path.join(path, d)):
+                for f in os.listdir(os.path.join(base, d)):
                     if f.endswith(".parquet"):
                         out.add(f"{d}/{f}")
         return out
 
-    snapshot = _data_files()
+    snapshot = _data_files(path)
     (
         spark.read.parquet(path)
         .dropDuplicates()
@@ -304,15 +315,47 @@ def compact_lsh_index(
         .parquet(tmp)
     )
     _write_meta(tmp, meta)
-    if _data_files() != snapshot:
+    if _data_files(path) != snapshot:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
             "compact_lsh_index: index changed during compaction "
             "(concurrent append?) — quiesce appends and re-run"
         )
+    if _test_hook_pre_swap is not None:
+        _test_hook_pre_swap()
     os.rename(path, old)
+    # Check-then-act closure: a part file that landed between the check
+    # above and the rename is now sitting in __old — detect it, roll the
+    # rename back (the landed file stays live), and abort the swap.
+    if _data_files(old) != snapshot:
+        os.rename(old, path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            "compact_lsh_index: append landed during the swap window — "
+            "rolled back; quiesce appends and re-run"
+        )
     os.rename(tmp, path)
     shutil.rmtree(old)
+
+
+def _dedup_max_cosine(scored: DataFrame, id_col: str, label_col: str) -> DataFrame:
+    """Collapse duplicate (q_id, id) candidate rows AFTER scoring,
+    keeping the max-cosine copy (tie → max label; struct max orders
+    field-wise, so the pick is deterministic). Exact-duplicate rows
+    from replayed at-least-once appends score identically — any copy is
+    THE copy; a re-appended id with a DIFFERENT vector (re-embedded
+    document) resolves to its best-scoring embedding instead of an
+    arbitrary one. Shared by the LSH and IVF batch probes so both dedup
+    identically. Costs the same single (q_id, id) exchange the previous
+    pre-scoring ``dropDuplicates`` paid."""
+    return scored.groupBy("q_id", id_col).agg(
+        F.max(F.struct(F.col("cosine_raw"), F.col(label_col))).alias("_m")
+    ).select(
+        "q_id",
+        F.col(id_col),
+        F.col(f"_m.{label_col}").alias(label_col),
+        F.col("_m.cosine_raw").alias("cosine_raw"),
+    )
 
 
 def lsh_probe_index_batch(
@@ -322,6 +365,8 @@ def lsh_probe_index_batch(
     k: int = 10,
     probe_hamming: int = 2,
     label_col: str = "label",
+    max_static_buckets: int = 1024,
+    exclude_query_ids: bool = False,
 ) -> DataFrame:
     """Batched multi-query probe of a persisted LSH index: every query
     vector in ``queries`` gets its k nearest indexed vectors in ONE
@@ -336,16 +381,31 @@ def lsh_probe_index_batch(
     the Hamming-ball XOR masks, and the tiny probe table is broadcast
     into an equi-join on the index's PARTITION column. The scan is
     pruned STATICALLY: the batch's distinct probe buckets are collected
-    driver-side (probe-table-sized — one tiny job, this is a runtime
-    ingest op, not a lazy plan builder) and pushed as ``bucket IN
-    (...)`` PartitionFilters, so pruning never depends on whether
-    Catalyst's dynamic-pruning rule deems the broadcast side selective
-    — an unfiltered landing-dir batch prunes exactly like a filtered
-    one. Candidates dedup on (query, vector) before ranking, so
-    exact-duplicate index rows from replayed appends cannot displace a
-    true top-k neighbor. Per-query ordering matches
-    :func:`lsh_topk_indexed` exactly (raw cosine desc, id tiebreak) —
-    pinned equal in tests/test_ann_batch.py."""
+    driver-side (one tiny job, capped — this is a runtime ingest op,
+    not a lazy plan builder) and pushed as ``bucket IN (...)``
+    PartitionFilters, so pruning never depends on whether Catalyst's
+    dynamic-pruning rule deems the broadcast side selective — an
+    unfiltered landing-dir batch prunes exactly like a filtered one.
+    When the batch's Hamming-ball union exceeds ``max_static_buckets``
+    distinct buckets (a huge batch, or many planes), the IN-list would
+    bloat planning for ever-diminishing pruning value, so the static
+    filter is SKIPPED and the equi-join alone (plus Catalyst's runtime
+    pruning) bounds the work — the filter is an access-path
+    optimization, never a correctness condition (equality across both
+    paths pinned in tests/test_ann_batch.py).
+
+    Candidates dedup on (query, vector) AFTER scoring, keeping the
+    max-cosine copy (ties broken by max label — deterministic), so
+    replayed at-least-once appends cannot displace a true top-k
+    neighbor even if an id is ever re-appended with a different vector
+    (re-embedded document): the best-scoring copy wins, never an
+    arbitrary one. ``exclude_query_ids=True`` additionally anti-joins
+    the index scan against the batch's own ids — the ingest loop
+    (streaming/ann_ingest.py) sets it under ``extend_index`` so a
+    replayed batch that already appended itself can never match itself.
+    Per-query ordering matches :func:`lsh_topk_indexed` exactly (raw
+    cosine desc, id tiebreak) — pinned equal in
+    tests/test_ann_batch.py."""
     from pyspark.sql import Window
 
     from map_reduce_framework_using_python_spark.operators.similarity import (
@@ -372,27 +432,37 @@ def lsh_probe_index_batch(
         .withColumn("bucket", F.col("_qbucket").bitwiseXOR(F.col("_mask")))
         .drop("_qbucket", "_mask")
     )
+    # Bounded driver collect: LIMIT cap+1 so a pathological batch can
+    # never materialize an unbounded IN-list (or driver row set) — the
+    # fallback path below costs pruning, not correctness.
     probed_buckets = [
-        r["bucket"] for r in probes.select("bucket").distinct().collect()
+        r["bucket"]
+        for r in probes.select("bucket")
+        .distinct()
+        .limit(max_static_buckets + 1)
+        .collect()
     ]
     v = _as_double(F.col(vec_col))
-    idx = (
-        spark.read.parquet(path)
-        .filter(F.col("bucket").isin(probed_buckets))
-        .select(
-            F.col(id_col), F.col(label_col), v.alias("v"),
-            l2_norm(v).alias("vnorm"), F.col("bucket"),
-        )
+    idx = spark.read.parquet(path)
+    if len(probed_buckets) <= max_static_buckets:
+        idx = idx.filter(F.col("bucket").isin(probed_buckets))
+    idx = idx.select(
+        F.col(id_col), F.col(label_col), v.alias("v"),
+        l2_norm(v).alias("vnorm"), F.col("bucket"),
     )
-    cand = (
+    if exclude_query_ids:
+        idx = idx.join(
+            F.broadcast(queries.select(F.col(id_col))), id_col, "left_anti"
+        )
+    scored = (
         idx.join(F.broadcast(probes), "bucket")
         .filter(F.col(id_col) != F.col("q_id"))
-        .dropDuplicates(["q_id", id_col])
         .withColumn(
             "cosine_raw",
             dot(F.col("v"), F.col("qv")) / (F.col("vnorm") * F.col("qnorm")),
         )
     )
+    cand = _dedup_max_cosine(scored, id_col, label_col)
     w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col(id_col))
     return (
         cand.withColumn("rn", F.row_number().over(w))
@@ -425,7 +495,11 @@ def ivf_probe_index_batch(
     list is meta-sized (16 literals), so this is constant work per
     query row — keeps the ``n_probe`` nearest, and explodes to a tiny
     (q_id, centroid_id) probe table that broadcasts into an equi-join
-    on the index's PARTITION column. Per-query ordering matches
+    on the index's PARTITION column. Candidates dedup on (query,
+    vector) after scoring keeping the max-cosine copy — the same
+    :func:`_dedup_max_cosine` the LSH probe applies, so duplicate index
+    rows (repeated source ids, or a future IVF append path) can never
+    occupy multiple top-k slots. Per-query ordering matches
     :func:`ivf_topk_indexed` exactly (raw cosine desc, id tiebreak) —
     pinned equal in tests/test_ann_batch.py."""
     from pyspark.sql import Window
@@ -474,7 +548,7 @@ def ivf_probe_index_batch(
         F.col(id_col), F.col(label_col), v.alias("v"), l2_norm(v).alias("vnorm"),
         F.col("centroid_id"),
     )
-    cand = (
+    scored = (
         idx.join(F.broadcast(probes), "centroid_id")
         .filter(F.col(id_col) != F.col("q_id"))
         .withColumn(
@@ -482,6 +556,7 @@ def ivf_probe_index_batch(
             dot(F.col("v"), F.col("qv")) / (F.col("vnorm") * F.col("qnorm")),
         )
     )
+    cand = _dedup_max_cosine(scored, id_col, label_col)
     w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col(id_col))
     return (
         cand.withColumn("rn", F.row_number().over(w))

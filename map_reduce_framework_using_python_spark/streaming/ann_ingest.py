@@ -13,14 +13,19 @@ append + checkpoint = at-least-once appends of idempotent facts
 (a (q_id, vec_id) neighbor edge with its rank); readers dedup on the
 pair key. INDEX appends under ``extend_index=True`` are also
 at-least-once — a replayed batch re-appends its vectors — which is
-why the probe dedups candidates on (query, vector) before ranking
-(exact-duplicate rows can never displace a true neighbor;
-``operators/ann_index.py:lsh_probe_index_batch``) and
-``compact_lsh_index`` sheds the duplicate rows from storage during
-the quiesce window. Correctness pin (tests/test_ann_batch.py): the
-drained stream equals the one-shot batch probe over the same vectors
-— every neighbor list depends only on (query vector, frozen index),
-so micro-batch boundaries cannot change any of them.
+why the probe dedups candidates on (query, vector) after scoring,
+keeping the max-cosine copy (exact-duplicate rows can never displace
+a true neighbor; ``operators/ann_index.py:lsh_probe_index_batch``),
+and ``compact_lsh_index`` sheds the duplicate rows from storage during
+the quiesce window. Under ``extend_index=True`` a crash between append
+and checkpoint commit replays a batch against an index that already
+holds the batch's own vectors — so the probe then anti-joins the index
+scan against the batch's ids (``exclude_query_ids``), making every
+neighbor list a function of (query vector, index-minus-this-batch):
+"a batch never matches itself" holds on the first run AND under
+replay. Correctness pin (tests/test_ann_batch.py): the drained stream
+equals the one-shot batch probe over the same vectors — micro-batch
+boundaries cannot change any neighbor list.
 """
 
 from __future__ import annotations
@@ -68,8 +73,11 @@ def probe_stream(
     each batch's vectors are APPENDED to the index
     (:func:`~.ann_index.append_to_lsh_index`), so batch N+1 retrieves
     against batches 1..N as well as the corpus — continuous similarity,
-    not just corpus lookup. Probe-then-append ordering means a batch
-    never matches itself (the screen_stream contract)."""
+    not just corpus lookup. Probe-then-append ordering plus the
+    ``exclude_query_ids`` anti-join means a batch never matches itself
+    — including a REPLAYED batch probing an index it already appended
+    itself to (the at-least-once crash window between append and
+    checkpoint commit)."""
     spark = batch_stream.sparkSession
 
     def probe(batch_df: DataFrame, batch_id: int) -> None:
@@ -78,7 +86,8 @@ def probe_stream(
         )
 
         lsh_probe_index_batch(
-            spark, batch_df, index_path, k=k, probe_hamming=probe_hamming
+            spark, batch_df, index_path, k=k, probe_hamming=probe_hamming,
+            exclude_query_ids=extend_index,
         ).write.mode("append").parquet(out_dir)
         if extend_index:
             append_to_lsh_index(batch_df, index_path)

@@ -402,6 +402,171 @@ def test_replayed_append_cannot_displace_neighbors(spark, tmp_path):
     assert len(pairs) == len(set(pairs))  # no duplicate neighbor rows
 
 
+def test_static_filter_fallback_matches_static_path(spark, tmp_path):
+    """The bucket IN-list is an access-path optimization only: forcing
+    the fallback (cap below the Hamming-ball size) must return exactly
+    the statically-pruned answer."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "idx")
+    build_lsh_index(emb, path, n_planes=8, seed=42)
+    queries = emb.filter(F.col("vec_id").isin(list(_QIDS)))
+    static = {
+        tuple(r)
+        for r in lsh_probe_index_batch(spark, queries, path, k=5).collect()
+    }
+    fallback = {
+        tuple(r)
+        for r in lsh_probe_index_batch(
+            spark, queries, path, k=5, max_static_buckets=1
+        ).collect()
+    }
+    assert fallback == static
+    assert fallback
+
+
+def test_large_batch_probe_is_bounded_and_exact(spark, tmp_path):
+    """A ≥10⁴-query batch: the driver-side bucket collect is capped
+    (LIMIT cap+1) and the join-only fallback answers identically to the
+    statically-pruned path — the large-ingest-batch cliff the static
+    IN-list would otherwise hit (huge batch × Hamming ball → unbounded
+    literal list in the plan)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "idx")
+    build_lsh_index(emb.filter(F.col("vec_id") < 500), path, n_planes=8, seed=42)
+    # 20 offset replicas of the 500-vector table = 10⁴ query vectors
+    # with distinct q_ids (offsets keep them out of the index id space).
+    replicas = [
+        emb.select(
+            (F.col("vec_id") + F.lit(1_000_000 * (i + 1))).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for i in range(20)
+    ]
+    queries = replicas[0]
+    for r in replicas[1:]:
+        queries = queries.unionByName(r)
+    assert queries.count() == 10_000
+    static = {
+        tuple(r)
+        for r in lsh_probe_index_batch(spark, queries, path, k=3).collect()
+    }
+    fallback = {
+        tuple(r)
+        for r in lsh_probe_index_batch(
+            spark, queries, path, k=3, max_static_buckets=1
+        ).collect()
+    }
+    assert fallback == static
+    assert len(static) >= 3 * 500  # every replica of every vector answered
+
+
+def test_replayed_extend_probe_excludes_own_batch(spark, tmp_path):
+    """extend_index replay determinism: a batch probing an index that
+    ALREADY holds its own vectors (crash between append and checkpoint
+    commit → foreachBatch replay) must answer exactly as against the
+    pristine index — exclude_query_ids anti-joins the batch's ids out
+    of the candidate set, so same-batch cross-matches cannot appear and
+    existing pairs' cosine/rn cannot shift."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        append_to_lsh_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+
+    pristine = str(tmp_path / "pristine")
+    build_lsh_index(corpus, pristine, n_planes=8, seed=42)
+    replayed = str(tmp_path / "replayed")
+    build_lsh_index(corpus, replayed, n_planes=8, seed=42)
+    append_to_lsh_index(batch, replayed)  # the batch already landed
+
+    want = {
+        tuple(r)
+        for r in lsh_probe_index_batch(
+            spark, batch, pristine, k=5, exclude_query_ids=True
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in lsh_probe_index_batch(
+            spark, batch, replayed, k=5, exclude_query_ids=True
+        ).collect()
+    }
+    assert got == want
+    assert want
+    # and without exclusion the replayed index DOES leak batch vectors
+    # (the bug the ADVICE described) — proving the anti-join is load-bearing
+    leaked = lsh_probe_index_batch(spark, batch, replayed, k=5)
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    assert any(r["vec_id"] in batch_ids for r in leaked.collect())
+
+
+def test_compact_rolls_back_when_append_lands_in_swap_window(spark, tmp_path):
+    """A part file landing between the pre-swap listing check and the
+    rename-aside must NOT be dropped: the post-rename re-check detects
+    it, rolls the live dir back (landed file intact), and raises."""
+    import os
+
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        append_to_lsh_index,
+        compact_lsh_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "idx")
+    build_lsh_index(emb.filter(F.col("vec_id") < 100), path, n_planes=8, seed=42)
+    late = emb.filter(F.col("vec_id").between(100, 109))
+
+    def racing_append() -> None:
+        append_to_lsh_index(late, path)
+
+    before = {(r["vec_id"]) for r in spark.read.parquet(path).select("vec_id").collect()}
+    with pytest.raises(RuntimeError, match="swap window"):
+        compact_lsh_index(spark, path, _test_hook_pre_swap=racing_append)
+    after = {(r["vec_id"]) for r in spark.read.parquet(path).select("vec_id").collect()}
+    assert after == before | {r["vec_id"] for r in late.select("vec_id").collect()}
+    assert not os.path.isdir(path + "__old")
+    assert not os.path.isdir(path + "__compact")
+
+
+def test_ivf_batch_probe_dedups_duplicate_index_rows(spark, tmp_path):
+    """Duplicate rows in an IVF layout (repeated source ids) must not
+    occupy multiple top-k slots: the probe's post-scoring (q_id, id)
+    max-cosine dedup keeps each neighbor once, so answers match the
+    duplicate-free index exactly."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_probe_index_batch,
+    )
+
+    import shutil
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    clean = str(tmp_path / "clean")
+    build_ivf_index(emb, clean, n_centroids=16, seed=42)
+    # Same layout + meta, every row twice (same centroids — only the
+    # row multiplicity differs, isolating the dedup behavior).
+    doubled = str(tmp_path / "doubled")
+    shutil.copytree(clean, doubled)
+    spark.read.parquet(clean).write.mode("append").partitionBy(
+        "centroid_id"
+    ).parquet(doubled)
+
+    queries = emb.filter(F.col("vec_id").isin(list(_QIDS)))
+    want = {
+        tuple(r)
+        for r in ivf_probe_index_batch(spark, queries, clean, k=5).collect()
+    }
+    got_rows = ivf_probe_index_batch(spark, queries, doubled, k=5).collect()
+    assert {tuple(r) for r in got_rows} == want
+    pairs = [(r["q_id"], r["vec_id"]) for r in got_rows]
+    assert len(pairs) == len(set(pairs))
+
+
 def test_auc_ignores_null_truth_and_ranks_nan_last(spark):
     from map_reduce_framework_using_python_spark.operators.quality_model import (
         auc,
