@@ -184,6 +184,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, exact-verified.
 
@@ -192,28 +193,60 @@ def minhash_lsh_pairs(
        = xxhash64 of the band's slice → docs agreeing on any band meet
        in a bucket (prob ≈ 1-(1-j^r)^bands for true Jaccard j);
     3. bucket self-join → candidate pairs (the only quadratic step, and
-       only within buckets);
+       only within buckets, and only for buckets of ≤ ``max_bucket``
+       docs — see below);
     4. exact Jaccard verification on candidates via collect_set arrays —
        output is a subset of :func:`ngram_jaccard_pairs` with identical
        schema (recall pinned by pytest).
+
+    **Hot-bucket bound (the 100 TB failure mode).** On boilerplate-heavy
+    web corpora a single (band, key) bucket can hold MILLIONS of
+    near-identical documents; all-pairs within it is O(|bucket|²)
+    output and an unbounded per-task id list. Any bucket that hot is a
+    duplicate CLUSTER by construction (its members agree on a whole
+    signature band), so buckets over ``max_bucket`` short-circuit to a
+    STAR: each member pairs with the bucket's min-id anchor only —
+    O(|bucket|) candidates that still exact-verify and still connect
+    the whole cluster for downstream ``ns_dup_clusters``/keep-best
+    (connected components only need a spanning set, not every edge).
+    Direct pairs between two non-anchor members of an oversize bucket
+    are emitted only if they also meet in a ≤``max_bucket`` bucket —
+    the documented recall trade for boundedness; at the default cap
+    this affects only buckets that are overwhelmingly true-duplicate
+    clusters. Per-bucket stats come from an aggregate-and-rejoin on the
+    bucket key (size + anchor), never ``collect_list``, so no task ever
+    materializes an oversize bucket in memory — the id lists that ARE
+    collected are capped at ``max_bucket`` elements.
     """
     buckets = band_table(
         minhash_signatures(df, text_col, id_col, n, num_hashes),
         id_col, num_hashes, bands,
     )
-    # Pair generation per bucket via groupBy + double explode: one
+    # Per-bucket size + min-id anchor via hash agg (spillable, bounded
+    # output: one row per bucket) joined back on the bucket key — both
+    # sides partition on (band, key), so the join reuses the exchange.
+    stats = buckets.groupBy("band", "key").agg(
+        F.count("*").alias("_bsize"), F.min(id_col).alias("_anchor")
+    )
+    sized = buckets.join(stats, ["band", "key"])
+    # Small buckets: pair generation via groupBy + double explode — one
     # exchange on the bucket key instead of a two-sided self-join
     # (which would shuffle the bucket table twice). Quadratic only
-    # within a bucket — the whole point of banding.
-    cand = (
-        buckets.groupBy("band", "key")
+    # within a bucket, and the collected list is ≤ max_bucket ids.
+    cand_small = (
+        sized.filter((F.col("_bsize") > 1) & (F.col("_bsize") <= max_bucket))
+        .groupBy("band", "key")
         .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
         .select(F.explode("ids").alias("doc_a"), F.col("ids"))
         .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
     )
+    # Oversize buckets: star edges to the min-id anchor, O(|bucket|).
+    cand_big = (
+        sized.filter((F.col("_bsize") > max_bucket) & (F.col(id_col) != F.col("_anchor")))
+        .select(F.col("_anchor").alias("doc_a"), F.col(id_col).alias("doc_b"))
+    )
+    cand = cand_small.union(cand_big).distinct()
     # Exact verification on the (small) candidate set. The expensive
     # shingle expression re-runs ONLY for docs that appear in a
     # candidate pair: a semi-join prunes the text scan first (AQE

@@ -69,6 +69,50 @@ def test_ml_backend_matches_custom(spark):
         assert abs(j - exact[k]) < 1e-9  # same exact-verification math
 
 
+def test_minhash_hot_bucket_short_circuits_to_anchor_star(spark):
+    """The 100 TB boilerplate failure mode: a bucket holding far more
+    docs than ``max_bucket`` (here 2000 identical template docs vs a
+    cap of 64) must complete with O(|bucket|) candidates — star edges
+    to the min-id anchor — never materializing the bucket's id list or
+    its O(n²) pairs. The star still exact-verifies (jaccard 1.0 here)
+    and still spans the whole duplicate cluster for downstream
+    connected-components."""
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(2000)]
+    rows += [(9001, "completely different text one two three four five"),
+             (9002, "completely different text one two three four five")]
+    df = _docs(spark, rows)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(df, max_bucket=64).collect()
+    }
+    # hot cluster: exactly the anchor star (0, i) for every member,
+    # all verified at jaccard 1.0
+    star = {(0, i) for i in range(1, 2000)}
+    small_pair = {(9001, 9002)}
+    assert set(pairs) == star | small_pair
+    assert all(abs(j - 1.0) < 1e-9 for j in pairs.values())
+
+
+def test_minhash_default_cap_leaves_small_corpus_untouched(spark):
+    """At the default max_bucket=1024 the synthetic corpus has no
+    oversize bucket, so the bounded operator emits exactly what an
+    uncapped run emits (recall vs exact stays pinned by
+    test_minhash_lsh_matches_exact_on_documents)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    capped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, num_hashes=64, bands=32).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=64, bands=32, max_bucket=1_000_000_000
+        ).collect()
+    }
+    assert capped == uncapped
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     df = _docs(
         spark,
