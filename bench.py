@@ -51,9 +51,12 @@ HEADLINE = (
     "ns_hash_embed",
     "ns_token_entropy",
     # round 5, part 7: DSIR importance weights (256-row broadcast
-    # model) and the CCNet terciles stacked on the shuffle-join LM
+    # model) and the CCNet stratification stacked on the shuffle-join
+    # LM — since round 6 the benched headline is the production
+    # histogram-threshold form; the exact NTILE form is the parity
+    # fixture (VERDICT r5 item 2)
     "ns_dsir_weights",
-    "ns_ccnet_buckets",
+    "ns_ccnet_buckets_scaled",
     # round 5, closing: batched multi-query ANN probe (broadcast
     # exploded Hamming-ball, one corpus scan, partial WindowGroupLimit)
     "ns_ann_probe_batch",

@@ -14,11 +14,14 @@ for each, `Readme.md:6`; here each is one declarative plan):
   log p_target(d) − log p_raw(d) = Σ_tokens log-ratio(bucket(token)).
   Documents whose token mix looks like the target get weights > 0 and
   survive the downstream weighted resample (ns_weighted_sample).
-- **CCNet perplexity buckets** (``ns_ccnet_buckets``): per-language
-  head/middle/tail terciles of the bigram-LM fluency score
-  (ns_bigram_lm_score) — the CCNet (Wenzek et al. 2020) quality
-  stratification that lets a pipeline keep "head" text and downsample
-  "tail" per language instead of applying one global threshold.
+- **CCNet perplexity buckets**: per-language head/middle/tail terciles
+  of the bigram-LM fluency score (ns_bigram_lm_score) — the CCNet
+  (Wenzek et al. 2020) quality stratification that lets a pipeline
+  keep "head" text and downsample "tail" per language instead of
+  applying one global threshold. Two forms: ``ns_ccnet_buckets_scaled``
+  (the gated production headline — histogram thresholds, windows only
+  over the bounded score grid) and ``ns_ccnet_buckets`` (the exact
+  NTILE parity fixture).
 - **BPE tokenizer training** (``ns_bpe_train``): learn the merge table
   itself (Sennrich et al. 2016) — not just apply one
   (ns_token_count_bpe). One corpus-sized pass builds the distinct
@@ -225,14 +228,14 @@ def ns_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of penalizing low-resource ones with a global bar.
 
     Composes the shuffle-join bigram LM (plans/pipeline6.py) with an
-    exact NTILE(3) windowed per language. The per-lang window is the
-    honest parity choice at test scale; at 100 TB a dominant language
-    makes a single window partition a straggler, and the production
-    form replaces the exact tercile with two approx-quantile thresholds
-    (`df.stat.approxQuantile` / KLL, plans/pipeline3.py) joined back as
-    a broadcast — same bucket semantics to within sketch error, zero
-    global sort. The mean score is aggregated from exact 1e-6-grid
-    integers, so both engines sum identical BIGINTs."""
+    exact NTILE(3) windowed per language. Since round 6 this is the
+    PARITY FIXTURE, not the production path: at 100 TB a dominant
+    language makes the single per-lang window partition a straggler,
+    and the gated/benched headline is :func:`ns_ccnet_buckets_scaled`,
+    whose windows run over the bounded score histogram instead and
+    which carries its own full DuckDB oracle. The mean score is
+    aggregated from exact 1e-6-grid integers, so both engines sum
+    identical BIGINTs."""
     lm = _bigram_lm(spark, sf_dir, "shuffle")
     d = t(spark, sf_dir, "documents").select("doc_id", "lang")
     j = lm.join(d, "doc_id")
@@ -565,39 +568,95 @@ def ns_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "ns_ccnet_buckets_approx",
-    oracle=None,  # sketch-thresholded — pinned against the exact
-    # NTILE terciles (ns_ccnet_buckets) in tests/test_pipeline7.py.
-    tags=("northstar", "pipeline", "quality", "lm", "sketch"),
+    "ns_ccnet_buckets_scaled",
+    oracle=f"""
+        WITH lm AS ({_BIGRAM_LM_ORACLE}),
+             s AS (SELECT lm.doc_id, d.lang,
+                          CAST(floor(avg_logp * 1000000.0 + 0.5) AS BIGINT) AS li6
+                   FROM lm JOIN documents d USING (doc_id)),
+             h AS (SELECT lang, li6, count(*) AS cnt FROM s GROUP BY 1, 2),
+             c AS (SELECT lang, li6, cnt,
+                          CAST(sum(cnt) OVER (PARTITION BY lang
+                                              ORDER BY li6 DESC) AS BIGINT) AS cum,
+                          CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+                   FROM h),
+             th AS (SELECT lang,
+                           max(CASE WHEN cum >= (n + 2) // 3 THEN li6 END)
+                               AS t_head,
+                           max(CASE WHEN cum >= (2 * n + 2) // 3 THEN li6 END)
+                               AS t_mid
+                    FROM c GROUP BY 1),
+             b AS (SELECT s.lang,
+                          CASE WHEN li6 >= t_head THEN 'head'
+                               WHEN li6 >= t_mid THEN 'middle'
+                               ELSE 'tail' END AS bucket,
+                          li6
+                   FROM s JOIN th USING (lang))
+        SELECT lang, bucket, count(*) AS n_docs,
+               floor(CAST(CAST(sum(li6) AS BIGINT) AS DOUBLE) / count(*) + 0.5)
+                   / 1000000.0 AS mean_logp
+        FROM b GROUP BY 1, 2
+    """,
+    tags=("northstar", "pipeline", "quality", "lm"),
 )
-def ns_ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production form of ns_ccnet_buckets: per-language tercile
-    THRESHOLDS from a distributed ``percentile_approx`` aggregate,
-    broadcast back onto the scored docs — zero per-language windows, so
-    a dominant language cannot produce a straggler partition (the skew
-    the exact twin's docstring warns about at 100 TB).
+def ns_ccnet_buckets_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of the CCNet stratification (the gated
+    headline since round 6; the exact-NTILE ``ns_ccnet_buckets`` is the
+    parity fixture): per-language tercile THRESHOLDS from the
+    score HISTOGRAM, assigned back via a broadcast join — no window
+    ever touches a corpus-sized table, so a dominant language cannot
+    produce a straggler partition at 100 TB.
 
-    Shape: the bigram-LM scoring plan, one (lang → [q⅓, q⅔]) hash agg
-    (map-side combinable KLL-style sketch, never a sort), a broadcast
-    join, and a final (lang, bucket) agg. Thresholding assigns boundary
-    TIES differently than rank-based NTILE — the pin asserts bucket
-    sizes within the tie classes of the exact terciles."""
+    Threshold semantics (deterministic, engine-portable — this is what
+    makes the form fully DuckDB-oracle-able where the earlier
+    ``percentile_approx`` sketch twin was not): with scores on the
+    1e-6 grid, t_head(lang) = the score at descending rank ⌈n/3⌉ and
+    t_mid = at rank ⌈2n/3⌉, both read off the cumulative histogram;
+    head = li6 ≥ t_head, middle = li6 ≥ t_mid, tail below. All docs
+    sharing a boundary score land in the same bucket (threshold
+    assignment), which is where it differs from rank-splitting NTILE —
+    by at most the boundary tie multiplicities (pinned in
+    tests/test_pipeline7.py).
+
+    Scale shape: the shuffle-join bigram LM, one (lang, li6) hash agg —
+    the histogram, whose size is bounded by the SCORE GRID
+    (range/1e-6), not the corpus — windows over that histogram only,
+    a ≤|langs|-row threshold table broadcast onto the scored docs, and
+    a final (lang, bucket) agg. The dominant-language window partition
+    is ≤ |distinct grid values|, corpus-size-independent. Rank
+    arithmetic ((n+2) DIV 3) and the cumulative sums are exact BIGINTs
+    on both engines; the histogram has one row per (lang, li6), so the
+    cumulative window has no ordering ties and RANGE/ROWS frames
+    agree."""
     lm = _bigram_lm(spark, sf_dir, "shuffle")
     d = t(spark, sf_dir, "documents").select("doc_id", "lang")
-    j = lm.join(d, "doc_id").select("lang", "avg_logp")
-    th = j.groupBy("lang").agg(
-        F.percentile_approx("avg_logp", F.array(F.lit(1 / 3), F.lit(2 / 3)), 10000)
-        .alias("q")
+    li6 = F.floor(F.col("avg_logp") * 1e6 + F.lit(0.5)).cast("bigint")
+    s = lm.join(d, "doc_id").select("lang", li6.alias("li6"))
+    h = s.groupBy("lang", "li6").agg(F.count("*").alias("cnt"))
+    c = h.select(
+        "lang",
+        "li6",
+        F.sum("cnt")
+        .over(Window.partitionBy("lang").orderBy(F.desc("li6")))
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n"),
     )
-    jt = j.join(F.broadcast(th), "lang")
+    th = c.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("cum") >= F.expr("(n + 2) DIV 3"), F.col("li6"))
+        ).alias("t_head"),
+        F.max(
+            F.when(F.col("cum") >= F.expr("(2 * n + 2) DIV 3"), F.col("li6"))
+        ).alias("t_mid"),
+    )
+    jt = s.join(F.broadcast(th), "lang")
     bucket = (
-        F.when(F.col("avg_logp") > F.col("q")[1], "head")
-        .when(F.col("avg_logp") > F.col("q")[0], "middle")
+        F.when(F.col("li6") >= F.col("t_head"), "head")
+        .when(F.col("li6") >= F.col("t_mid"), "middle")
         .otherwise("tail")
     )
-    li6 = F.floor(F.col("avg_logp") * 1e6 + F.lit(0.5)).cast("bigint")
     return (
-        jt.select("lang", bucket.alias("bucket"), li6.alias("li6"))
+        jt.select("lang", bucket.alias("bucket"), "li6")
         .groupBy("lang", "bucket")
         .agg(
             F.count("*").alias("n_docs"),

@@ -247,18 +247,20 @@ def test_corpus_drift_psi_is_nonnegative_per_source(spark):
         assert r["psi"] >= -1e-6, r
 
 
-def test_ccnet_approx_matches_exact_terciles_up_to_ties(spark):
-    """The sketch-thresholded production twin must reproduce the exact
-    NTILE tercile sizes up to boundary ties: per (lang, bucket), sizes
-    differ by at most the multiplicity of the tercile-boundary score
-    values (distinct scores → exact agreement)."""
+def test_ccnet_scaled_matches_exact_terciles_up_to_ties(spark):
+    """The histogram-thresholded production form must reproduce the
+    exact NTILE tercile sizes up to boundary ties: per (lang, bucket),
+    sizes differ by at most the multiplicity of the tercile-boundary
+    score values (distinct scores → exact agreement), because threshold
+    assignment keeps boundary tie classes whole where NTILE splits
+    them by doc_id."""
     exact = {
         (r["lang"], r["bucket"]): r["n_docs"]
         for r in REGISTRY["ns_ccnet_buckets"].fn(spark, SF_SMOKE).collect()
     }
     approx = {
         (r["lang"], r["bucket"]): r["n_docs"]
-        for r in REGISTRY["ns_ccnet_buckets_approx"].fn(spark, SF_SMOKE).collect()
+        for r in REGISTRY["ns_ccnet_buckets_scaled"].fn(spark, SF_SMOKE).collect()
     }
     assert set(a for a, _ in exact) == set(a for a, _ in approx)
     for lang in {k[0] for k in exact}:

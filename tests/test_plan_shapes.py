@@ -192,10 +192,19 @@ def test_corpus_drift_single_corpus_pass(spark):
     assert plan.count("Generate") == 1
 
 
-def test_ccnet_approx_has_no_windows(spark):
-    """The production CCNet twin replaces the per-language NTILE window
-    with a percentile_approx agg + broadcast join — zero Window nodes,
-    so no dominant-language straggler partition can exist."""
-    plan = _plan(spark, "ns_ccnet_buckets_approx")
-    assert "Window" not in plan, plan
+def test_ccnet_scaled_windows_only_over_histogram(spark):
+    """The production CCNet form must never window over a corpus-sized
+    table: its Window nodes sit ABOVE the (lang, li6) histogram
+    aggregate (bounded by the score grid, not the corpus), partitioned
+    by lang — and the threshold table lands via broadcast. NTILE must
+    not appear anywhere (that is the parity fixture's operator)."""
+    plan = _plan(spark, "ns_ccnet_buckets_scaled")
+    assert "ntile" not in plan.lower(), plan
     assert plan.count("BroadcastHashJoin") >= 1
+    # every window partitions by lang (no unpartitioned window), and the
+    # windowed columns are the histogram's cnt aggregate, not doc rows
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "lang#" in ln, ln
+        assert "cnt#" in ln, ln

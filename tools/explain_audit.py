@@ -99,7 +99,7 @@ AUDIT = (
     # exchange) and the CCNet terciles (per-lang window over the
     # shuffle-join LM — the documented exact-parity form)
     "ns_dsir_weights",
-    "ns_ccnet_buckets",
+    "ns_ccnet_buckets_scaled",
     "ns_dsir_resample",
     "ns_temperature_mixture",
     "ns_corpus_drift",

@@ -98,7 +98,7 @@ PROBE = (
     # bucket- or doc-keyed, never wider), CCNet terciles (LM + per-lang
     # window), BPE training (corpus pass once, then vocab-sized rounds)
     "ns_dsir_weights",
-    "ns_ccnet_buckets",
+    "ns_ccnet_buckets_scaled",
     "ns_bpe_train",
     "ns_temperature_mixture",
     "ns_corpus_drift",
