@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from map_reduce_framework_using_python_spark.plans import REGISTRY
 
-#: Last driver-green round per oracle query (CORRECTNESS_r01–r04.json:
+#: Last driver-green round per oracle query (CORRECTNESS_r01–r05.json:
 #: the latest round whose row was rows+schema+hash green).  The driver
 #: hash-checks only the first 50 oracle-bearing queries in ``queries()``
 #: order, and all 184 oracle queries have been green at least once — so
@@ -108,6 +108,31 @@ _LAST_VERIFIED: dict[str, int] = {
         "q_join_asof_nearest", "q_retention", "q_scd2_point_in_time",
         "q_sql_lateral_topk", "q_sql_recursive_months", "q_value_histogram",
     ), 4),
+    # round 5 (CORRECTNESS_r05.json) — the 50-query window: every row
+    # green. Later blocks overwrite earlier ones, so re-verified r1
+    # queries (the join lane, set ops, windows) move to tier 5 here.
+    # Round-6 note: ns_ccnet_buckets_scaled (new this round, replacing
+    # the rows-only percentile_approx twin with a full oracle) is
+    # deliberately ABSENT → unverified tier, so the r6 window leads
+    # with it.
+    **dict.fromkeys((
+        "st_mrtext_stream", "q_from_xml", "q_xml_roundtrip",
+        "ns_bigram_lm_score", "ns_bigram_lm_score_broadcast",
+        "ns_hash_embed", "ns_source_overlap", "ns_token_entropy",
+        "ns_dsir_weights", "ns_dsir_resample", "ns_ccnet_buckets",
+        "ns_temperature_mixture", "ns_corpus_drift", "st_dsir_gate",
+        "ns_ann_probe_batch", "ns_token_count_bpe", "q_sql_star_except",
+        "q_sql_lateral_alias", "q_sql_parameterized", "q_sql_collation",
+        "q_sql_listagg", "ns_semdedup_pairs", "q_cube", "q_rollup",
+        "q_grouping_sets", "q_pivot", "q03_global_topn", "q_union",
+        "q_intersect", "q_except", "q_string_funcs", "q_date_funcs",
+        "q_math_funcs", "q_scalar_subquery", "q17_small_quantity",
+        "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_full",
+        "q_join_semi", "q_join_anti", "q_join_range", "q_join_theta",
+        "q_join_asof", "q05_local_supplier", "q03_shipping_priority",
+        "q18_large_orders", "q10_returned_items", "q_window_rank",
+        "q_window_lag_lead",
+    ), 5),
 }
 
 
