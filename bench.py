@@ -93,6 +93,39 @@ R4_FLOOR: dict[str, float] = {
     "ns_bigram_lm_score": 1.03,
 }
 
+#: Round-5 per-query times (BENCH_r05.json) for queries that first
+#: appeared in the r5 headline — same 1.5× soft-floor contract.
+#: (ns_ccnet_buckets_scaled has no r5 number: it replaced the exact
+#: NTILE form as the benched headline in round 6; its first recorded
+#: round seeds the next floor.)
+R5_FLOOR: dict[str, float] = {
+    "ns_incremental_dedup": 0.889,
+    "ns_hash_embed": 0.573,
+    "ns_token_entropy": 0.439,
+    "ns_dsir_weights": 0.541,
+    "ns_ann_probe_batch": 1.47,
+}
+
+#: Round-5 scale10x per-query times (BENCH_r05.json "scale10x") — the
+#: same 1.5× soft floor extended to the 10×-replica section, so the
+#: bucketed/semdedup/index-probe rows can no longer regress silently
+#: (previously only headline queries had a floor).
+R5_SCALE_FLOOR: dict[str, float] = {
+    "q01_pricing_summary": 0.27,
+    "q05_local_supplier": 0.871,
+    "q05_local_supplier_smj": 1.023,
+    "q05_local_supplier_bucketed": 0.751,
+    "q18_large_orders": 1.047,
+    "q18_large_orders_bucketed": 0.401,
+    "ns_dedup_exact": 0.235,
+    "ns_minhash_lsh_pairs": 4.831,
+    "ns_bigram_lm_score": 1.524,
+    "ns_bigram_lm_score_broadcast": 1.416,
+    "ns_semdedup_scaled_sqrtk": 5.644,
+    "ns_semdedup_scaled_samplefit": 4.372,
+    "ns_incremental_dedup": 1.283,
+}
+
 
 def _skew_probe(spark, dst: str, reps: int) -> dict[str, float]:
     """Hot-key join wall clock, plain vs AQE-skew-split vs salted.
@@ -177,6 +210,63 @@ def _skew_probe(spark, dst: str, reps: int) -> dict[str, float]:
         conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
     for k, v in out.items():
         print(f"# scale10x_skew {k}: {v:.3f}s", file=sys.stderr)
+    return out
+
+
+def _dup_probe(spark, dst: str, reps: int) -> dict[str, float]:
+    """Hot-bucket LSH wall clock: MinHash-LSH over a boilerplate-heavy
+    corpus — the 10× documents replica with 30% of docs overwritten by
+    ONE template (≈15k identical docs). Every band bucket of the
+    template blows past max_bucket, so this row exercises the
+    round-6 anchor-star short-circuit; without it the same input
+    generates ~10⁸ candidate pairs from a single bucket. Built once,
+    fingerprint-guarded like the skew probe."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from map_reduce_framework_using_python_spark.sources.io import source_fingerprint
+
+    dup_path = os.path.join(dst, "dup_documents.parquet")
+    meta_path = os.path.join(dst, "dup_probe_meta.json")
+    src = source_fingerprint(os.path.join(dst, "documents.parquet"))
+    fresh = False
+    if os.path.isdir(dup_path) and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            fresh = json.load(fh).get("src") == src
+    if not fresh:
+        template = (
+            "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+            "eiusmod tempor incididunt ut labore et dolore magna aliqua ut "
+            "enim ad minim veniam quis nostrud exercitation ullamco laboris"
+        )
+        (
+            spark.read.parquet(os.path.join(dst, "documents.parquet"))
+            .withColumn(
+                "text",
+                F.when(F.col("doc_id") % 10 < 3, F.lit(template)).otherwise(
+                    F.col("text")
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(dup_path)
+        )
+        with open(meta_path, "w") as fh:
+            json.dump({"src": src}, fh)
+
+    best, n = float("inf"), 0
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        n = minhash_lsh_pairs(spark.read.parquet(dup_path)).count()
+        best = min(best, _time.perf_counter() - t0)
+    out = {"minhash_hot_bucket": round(best, 3), "pairs": n}
+    print(
+        f"# scale10x_dup minhash_hot_bucket: {best:.3f}s ({n} pairs)",
+        file=sys.stderr,
+    )
     return out
 
 
@@ -265,6 +355,18 @@ def main() -> None:
             print(
                 f"# REGRESSION {name}: {v['now']:.3f}s vs r4 {v['r4']:.3f}s "
                 f"({v['now'] / v['r4']:.2f}x)",
+                file=sys.stderr,
+            )
+        regressions_r5 = {
+            name: {"now": times[name], "r5": floor}
+            for name, floor in R5_FLOOR.items()
+            if name in times and times[name] > 1.5 * floor
+        }
+        result["regressions_vs_r5"] = regressions_r5
+        for name, v in regressions_r5.items():
+            print(
+                f"# REGRESSION {name}: {v['now']:.3f}s vs r5 {v['r5']:.3f}s "
+                f"({v['now'] / v['r5']:.2f}x)",
                 file=sys.stderr,
             )
 
@@ -372,6 +474,24 @@ def main() -> None:
             )
             result["scale10x"] = scale
             result["scale10x_lineitem_rows"] = replicas * 600_572
+            # Soft floor over the scale section too (r5 values; only
+            # meaningful at the default 10× the floor was recorded at).
+            if replicas == 10:
+                scale_reg = {
+                    name: {"now": scale[name], "r5": floor}
+                    for name, floor in R5_SCALE_FLOOR.items()
+                    if name in scale and scale[name] > 1.5 * floor
+                }
+                result["regressions_vs_r5_scale10x"] = scale_reg
+                for name, v in scale_reg.items():
+                    print(
+                        f"# REGRESSION scale10x {name}: {v['now']:.3f}s vs r5 "
+                        f"{v['r5']:.3f}s ({v['now'] / v['r5']:.2f}x)",
+                        file=sys.stderr,
+                    )
+
+            # Hot-bucket LSH guard: the boilerplate-heavy corpus row.
+            result["scale10x_dup"] = _dup_probe(spark, DST, reps)
 
             # Skew evidence with a wall clock (the reference's myHash
             # lesson, Worker/shuffler.py:6-10): a 90%-hot-key fact
@@ -384,6 +504,26 @@ def main() -> None:
             result["scale10x_skew"] = _skew_probe(spark, DST, reps)
         except Exception as exc:  # noqa: BLE001 — scale probe must never fail the bench
             result["scale10x_error"] = str(exc)[:200]
+
+    # Curation capstone at 50×: the composed end-to-end ingest pipeline
+    # (dedup screen + DSIR gate + drift, 3 sinks) against a 250k-doc
+    # corpus — index/model builds are one-off corpus cost, stream_drain
+    # is the recurring per-batch number. Skippable and never fatal.
+    cur_replicas = int(os.environ.get("SPARK_GRAFT_BENCH_CURATION", "50"))
+    if cur_replicas > 1:
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+            )
+            from curation_probe import run as curation_run
+
+            result[f"curation{cur_replicas}x"] = curation_run(spark, cur_replicas)
+            print(
+                f"# curation{cur_replicas}x: {result[f'curation{cur_replicas}x']}",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            result["curation_error"] = str(exc)[:200]
 
     print(json.dumps(result))
 

@@ -1,0 +1,147 @@
+"""End-to-end curation capstone at replica scale: the composed cost of
+the full ingest pipeline (near-dup screen + DSIR gate + PSI drift, three
+sinks — streaming/curation.py) over an N×-replicated sf0.1 ``documents``
+corpus.
+
+tools/scale_probe.py characterizes the individual operators; this probe
+answers the question the capstone's users actually ask — what does one
+ingest batch COST against a corpus N× bigger? Stages are timed
+separately because they amortize differently:
+
+- ``index_build`` / ``model_build``: one-off corpus-build cost (the
+  artifacts are frozen; a real deployment pays this once per corpus
+  refresh, not per batch);
+- ``stream_drain``: the recurring per-ingest cost — sketch the batch,
+  probe the fixed-width index, broadcast the 256-row model, write the
+  three sinks.
+
+Usage: python tools/curation_probe.py [replicas ...]   (default: 10 50)
+
+bench.py imports :func:`run` for its per-round ``curation50x`` row.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession, functions as F
+
+SRC = "/root/testdata/sf0.1"
+_OFFSET = 10_000_000  # doc_id step per replica (multiple of 16, so the
+# batch slice doc_id % 16 == 7 replicates into itself, never the corpus)
+
+
+def _docs_dir(replicas: int) -> str:
+    return f"/tmp/spark_graft_curation_{replicas}x"
+
+
+def build_docs(spark: SparkSession, replicas: int) -> str:
+    """Replicate sf0.1 ``documents`` ``replicas``× with doc_id offsets
+    (manifest-guarded, same reuse rule as scale_probe.build)."""
+    dst = _docs_dir(replicas)
+    out = os.path.join(dst, "documents.parquet")
+    manifest = os.path.join(dst, "_replicas.txt")
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            if fh.read().strip() == str(replicas) and os.path.isdir(out):
+                return dst
+        shutil.rmtree(dst, ignore_errors=True)
+    d = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    parts = [
+        d.withColumn("doc_id", F.col("doc_id") + F.lit(i * _OFFSET))
+        for i in range(replicas)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.write.mode("overwrite").parquet(out)
+    os.makedirs(dst, exist_ok=True)
+    with open(manifest, "w") as fh:
+        fh.write(str(replicas))
+    return dst
+
+
+def run(spark: SparkSession, replicas: int) -> dict:
+    """Build artifacts over the corpus slice, drain the batch slice
+    through curate_stream, return stage timings + verdict counts."""
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        build_minhash_index,
+    )
+    from map_reduce_framework_using_python_spark.operators.dsir import (
+        build_dsir_model,
+    )
+    from map_reduce_framework_using_python_spark.plans.northstar import (
+        _BATCH_MOD,
+        _BATCH_REM,
+    )
+    from map_reduce_framework_using_python_spark.streaming.curation import (
+        curate_stream,
+        read_metrics,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ingest import (
+        _DOCS_SCHEMA,
+    )
+
+    dst = build_docs(spark, replicas)
+    docs_path = os.path.join(dst, "documents.parquet")
+    d = spark.read.parquet(docs_path)
+    corpus = d.filter(F.col("doc_id") % _BATCH_MOD != _BATCH_REM)
+    run_root = os.path.join(dst, "run")
+    shutil.rmtree(run_root, ignore_errors=True)
+    index_path = os.path.join(run_root, "idx")
+    model_path = os.path.join(run_root, "model")
+
+    out: dict = {"replicas": replicas, "docs": d.count()}
+    t0 = time.perf_counter()
+    build_minhash_index(corpus, index_path, n=3, num_hashes=32, bands=16)
+    out["index_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    build_dsir_model(spark, corpus, F.col("lang") == "en", model_path)
+    out["model_build"] = round(time.perf_counter() - t0, 3)
+
+    stream = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .parquet(docs_path)
+        .filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM)
+    )
+    t0 = time.perf_counter()
+    curate_stream(
+        stream,
+        corpus,
+        index_path,
+        model_path,
+        out_root=os.path.join(run_root, "out"),
+        checkpoint_dir=os.path.join(run_root, "ckpt"),
+    )
+    out["stream_drain"] = round(time.perf_counter() - t0, 3)
+    m = (
+        read_metrics(spark, os.path.join(run_root, "out"))
+        .agg(
+            F.sum("n_in").alias("n_in"),
+            F.sum("n_duplicate").alias("n_duplicate"),
+            F.sum("n_low_quality").alias("n_low_quality"),
+            F.sum("n_curated").alias("n_curated"),
+        )
+        .collect()[0]
+    )
+    out.update({k: int(m[k]) for k in ("n_in", "n_duplicate", "n_low_quality", "n_curated")})
+    return out
+
+
+def main() -> None:
+    from map_reduce_framework_using_python_spark.session import get_spark
+
+    replica_list = [int(x) for x in sys.argv[1:]] or [10, 50]
+    spark = get_spark(app_name="curation_probe")
+    for replicas in replica_list:
+        print(json.dumps(run(spark, replicas)))
+
+
+if __name__ == "__main__":
+    main()
