@@ -286,6 +286,37 @@ def compact_lsh_index(
     ``_test_hook_pre_swap`` is a test seam (tests/test_ann_batch.py)
     invoked between the first listing check and the rename-aside —
     exactly the window the second check exists for."""
+    _compact_partitioned_index(
+        spark, path, "bucket", write_partitions, _test_hook_pre_swap,
+        "compact_lsh_index",
+    )
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    path: str,
+    write_partitions: int = 8,
+    _test_hook_pre_swap=None,
+) -> None:
+    """IVF twin of :func:`compact_lsh_index`: rewrite the
+    ``centroid_id`` layout into one file per centroid directory after
+    many streamed appends, shedding replay-duplicate rows. Same atomic
+    two-rename swap, crash recovery, and two-stage concurrent-append
+    guard; same APPEND QUIESCENCE requirement."""
+    _compact_partitioned_index(
+        spark, path, "centroid_id", write_partitions, _test_hook_pre_swap,
+        "compact_ivf_index",
+    )
+
+
+def _compact_partitioned_index(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    write_partitions: int,
+    _test_hook_pre_swap,
+    opname: str,
+) -> None:
     import shutil
 
     tmp = path.rstrip("/") + "__compact"
@@ -299,7 +330,7 @@ def compact_lsh_index(
     def _data_files(base: str) -> set[str]:
         out = set()
         for d in os.listdir(base):
-            if d.startswith("bucket="):
+            if d.startswith(f"{part_col}="):
                 for f in os.listdir(os.path.join(base, d)):
                     if f.endswith(".parquet"):
                         out.add(f"{d}/{f}")
@@ -309,16 +340,16 @@ def compact_lsh_index(
     (
         spark.read.parquet(path)
         .dropDuplicates()
-        .repartition(write_partitions, "bucket")
+        .repartition(write_partitions, part_col)
         .write.mode("overwrite")
-        .partitionBy("bucket")
+        .partitionBy(part_col)
         .parquet(tmp)
     )
     _write_meta(tmp, meta)
     if _data_files(path) != snapshot:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
-            "compact_lsh_index: index changed during compaction "
+            f"{opname}: index changed during compaction "
             "(concurrent append?) — quiesce appends and re-run"
         )
     if _test_hook_pre_swap is not None:
@@ -331,7 +362,7 @@ def compact_lsh_index(
         os.rename(old, path)
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
-            "compact_lsh_index: append landed during the swap window — "
+            f"{opname}: append landed during the swap window — "
             "rolled back; quiesce appends and re-run"
         )
     os.rename(tmp, path)
@@ -477,6 +508,67 @@ def lsh_probe_index_batch(
     )
 
 
+def _centroid_dist_structs(qv, centroids: list[list[float]]):
+    """(squared-distance, cid) structs for every persisted centroid —
+    sorts lexicographically: nearest first, lowest cid as the
+    deterministic tie-break (the JVM twin of the driver-side
+    ``sorted(range(k), key=dist)`` in :func:`ivf_topk_indexed`). The
+    centroid list is meta-sized, so this is constant work per row.
+    Shared by the batch probe (rank n_probe nearest) and the append
+    path (argmin assignment) so routing and storage always agree."""
+    return F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        qv,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def append_to_ivf_index(batch: DataFrame, path: str) -> None:
+    """Extend a persisted IVF index with ``batch``'s vectors — the IVF
+    twin of :func:`append_to_lsh_index`, closing the lifecycle
+    asymmetry between the two layouts.
+
+    Each vector is assigned its nearest PERSISTED centroid JVM-side
+    (:func:`_centroid_dist_structs` argmin — the quantizer is FROZEN at
+    build time; appending never refits, so probe routing for old and
+    new rows stays consistent forever) and appended into the matching
+    ``centroid_id=`` partition. Exact distance ties resolve to the
+    lowest cid, the same tie-break the probes use. The assignment
+    agrees with the build-time spark.ml ``model.transform`` except on
+    exact-tie distances (measure-zero for float embeddings); the
+    Python-argmin equivalence is pinned in tests/test_ann_batch.py.
+
+    Like the LSH append: the meta ``src`` fingerprint is dropped (the
+    layout is no longer build(source)), appends are at-least-once under
+    foreachBatch replay (probes dedup on (query, vector) after scoring;
+    :func:`compact_ivf_index` sheds duplicate rows from storage)."""
+    meta = _read_meta(path)
+    qv = _as_double(F.col(meta["vec_col"]))
+    nearest = F.element_at(
+        F.array_sort(_centroid_dist_structs(qv, meta["centroids"])), 1
+    )["cid"]
+    (
+        batch.withColumn("centroid_id", nearest)
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    meta.pop("src", None)
+    _write_meta(path, meta)
+
+
 def ivf_probe_index_batch(
     spark: SparkSession,
     queries: DataFrame,
@@ -512,26 +604,7 @@ def ivf_probe_index_batch(
     meta = _read_meta(path)
     centroids, id_col, vec_col = meta["centroids"], meta["id_col"], meta["vec_col"]
     qv = _as_double(F.col(vec_col))
-    # (squared-distance, cid) structs sort lexicographically: nearest
-    # first, cid as the deterministic tie-break — the JVM twin of the
-    # driver-side `sorted(range(k), key=dist)` in ivf_topk_indexed.
-    dist_structs = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qv"),
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
+    dist_structs = _centroid_dist_structs(F.col("qv"), centroids)
     probes = (
         queries.select(
             F.col(id_col).alias("q_id"),

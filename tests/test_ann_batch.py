@@ -567,6 +567,166 @@ def test_ivf_batch_probe_dedups_duplicate_index_rows(spark, tmp_path):
     assert len(pairs) == len(set(pairs))
 
 
+def test_ivf_append_assigns_with_frozen_centroids(spark, tmp_path):
+    """Appended vectors route to the nearest PERSISTED centroid (frozen
+    quantizer, lowest-cid tie-break) — checked against a driver-side
+    Python argmin over the same meta centroids, and the meta src
+    fingerprint is dropped like the LSH append."""
+    import json
+    import os
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1).limit(50)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(half_a, path, n_centroids=16, seed=42)
+    meta_path = os.path.join(path, "_ann_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["src"] = "fp"
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+
+    append_to_ivf_index(half_b, path)
+
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    assert "src" not in meta
+    centroids = meta["centroids"]
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    for row in half_b.collect():
+        v = [float(x) for x in row["embedding"]]
+        want = min(
+            range(len(centroids)),
+            key=lambda i: (sum((a - b) ** 2 for a, b in zip(v, centroids[i])), i),
+        )
+        assert got[row["vec_id"]] == want, row["vec_id"]
+
+
+def test_ivf_append_probe_finds_planted_neighbor(spark, tmp_path):
+    """Continuous-similarity semantics on the IVF path: a vector
+    appended after build must be retrievable as the top-1 neighbor of a
+    near-identical query."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_probe_index_batch,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, seed=42)
+    base = [10.0 if i % 2 == 0 else -10.0 for i in range(64)]
+    near = [x + (0.001 if i == 0 else 0.0) for i, x in enumerate(base)]
+    planted = spark.createDataFrame(
+        [(900001, base, 7)], "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    append_to_ivf_index(planted, path)
+    query = spark.createDataFrame(
+        [(900002, near, 7)], "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    rows = ivf_probe_index_batch(spark, query, path, k=3, n_probe=2).collect()
+    top = {r["q_id"]: r["vec_id"] for r in rows if r["rn"] == 1}
+    assert top.get(900002) == 900001
+
+
+def test_ivf_replayed_append_cannot_displace_neighbors(spark, tmp_path):
+    """An IVF batch appended twice (foreachBatch replay) must not change
+    any probe answer — the post-scoring max-cosine dedup keeps each
+    (query, vector) once."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_probe_index_batch,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id").isin(list(_QIDS)))
+
+    once = str(tmp_path / "once")
+    build_ivf_index(half_a, once, n_centroids=16, seed=42)
+    append_to_ivf_index(half_b, once)
+    twice = str(tmp_path / "twice")
+    build_ivf_index(half_a, twice, n_centroids=16, seed=42)
+    append_to_ivf_index(half_b, twice)
+    append_to_ivf_index(half_b, twice)  # the replay
+
+    want = {
+        tuple(r)
+        for r in ivf_probe_index_batch(spark, queries, once, k=5).collect()
+    }
+    got_rows = ivf_probe_index_batch(spark, queries, twice, k=5).collect()
+    assert {tuple(r) for r in got_rows} == want
+    pairs = [(r["q_id"], r["vec_id"]) for r in got_rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_compact_ivf_index_one_file_per_centroid(spark, tmp_path):
+    """IVF compaction: one parquet file per centroid directory, rows /
+    meta / probe answers unchanged, replay duplicates shed."""
+    import os
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_probe_index_batch,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), path, n_centroids=8, seed=42)
+    for rem in (1, 2, 2):  # second rem=2 = replay duplicate
+        append_to_ivf_index(emb.filter(F.col("vec_id") % 3 == rem), path)
+
+    queries = emb.filter(F.col("vec_id").isin(list(_QIDS)))
+    before_rows = {
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(path).select("vec_id", "centroid_id").collect()
+    }
+    before_probe = {
+        tuple(r)
+        for r in ivf_probe_index_batch(spark, queries, path, k=5).collect()
+    }
+    with open(os.path.join(path, "_ann_meta.json")) as fh:
+        before_meta = fh.read()
+
+    compact_ivf_index(spark, path)
+
+    for d in os.listdir(path):
+        if d.startswith("centroid_id="):
+            files = [
+                f for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, f"{d}: {len(files)} files"
+    after_rows = {
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(path).select("vec_id", "centroid_id").collect()
+    }
+    assert after_rows == before_rows
+    after_probe = {
+        tuple(r)
+        for r in ivf_probe_index_batch(spark, queries, path, k=5).collect()
+    }
+    assert after_probe == before_probe
+    with open(os.path.join(path, "_ann_meta.json")) as fh:
+        assert fh.read() == before_meta
+
+
 def test_auc_ignores_null_truth_and_ranks_nan_last(spark):
     from map_reduce_framework_using_python_spark.operators.quality_model import (
         auc,
