@@ -21,10 +21,12 @@ from map_reduce_framework_using_python_spark.plans import REGISTRY
 #: Last driver-green round per oracle query (CORRECTNESS_r01–r05.json:
 #: the latest round whose row was rows+schema+hash green).  The driver
 #: hash-checks only the first 50 oracle-bearing queries in ``queries()``
-#: order, and all 184 oracle queries have been green at least once — so
-#: from round 5 on the window is a REGRESSION BACKSTOP that cycles the
-#: STALEST greens first: never-verified (new or reworked this round)
-#: queries lead, then ascending last-verified round, oldest first.
+#: order; after round 5 all 203 then-registered oracle queries have been
+#: green at least once (204 as of round 6 — ns_ccnet_buckets_scaled is
+#: the one not-yet-verified oracle) — so the window is a REGRESSION
+#: BACKSTOP that cycles the STALEST greens first: never-verified (new
+#: or reworked this round) queries lead, then ascending last-verified
+#: round, oldest first.
 #: Maintain by bumping a query's round here when a new CORRECTNESS file
 #: lands, and REMOVING a query (→ unverified tier) whenever its output
 #: surface changes (e.g. q_window_ntile's round-3 rewrite, or round 5's

@@ -213,22 +213,37 @@ def minhash_lsh_pairs(
     are emitted only if they also meet in a ≤``max_bucket`` bucket —
     the documented recall trade for boundedness; at the default cap
     this affects only buckets that are overwhelmingly true-duplicate
-    clusters. Per-bucket stats come from an aggregate-and-rejoin on the
-    bucket key (size + anchor), never ``collect_list``, so no task ever
-    materializes an oversize bucket in memory — the id lists that ARE
-    collected are capped at ``max_bucket`` elements.
+    clusters. Per-bucket stats (size + anchor) come from an unordered
+    window over the single bucket-key exchange — sort-based and
+    spillable, never ``collect_list`` — so no task ever materializes an
+    oversize bucket in memory; the id lists that ARE collected are
+    capped at ``max_bucket`` elements.
     """
+    from pyspark.sql import Window
+
     buckets = band_table(
         minhash_signatures(df, text_col, id_col, n, num_hashes),
         id_col, num_hashes, bands,
     )
-    # Per-bucket size + min-id anchor via hash agg (spillable, bounded
-    # output: one row per bucket) joined back on the bucket key — both
-    # sides partition on (band, key), so the join reuses the exchange.
-    stats = buckets.groupBy("band", "key").agg(
-        F.count("*").alias("_bsize"), F.min(id_col).alias("_anchor")
+    # Per-bucket size + min-id anchor via an unordered window over the
+    # ONE (band, key) exchange — sort-based and spillable, so even a
+    # multi-million-row hot bucket never has to fit in task memory the
+    # way a collect_list would. Both candidate branches below hang off
+    # this same exchange subtree (identical by construction → Spark's
+    # ReuseExchange materializes the signature pipeline once), and the
+    # small-bucket groupBy's distribution requirement is already
+    # satisfied by the window's partitioning, so no second bucket-key
+    # shuffle exists anywhere. (A groupBy-stats + join-back variant was
+    # measured to plan the scan+shingle+signature pipeline 3× because
+    # the two exchange shapes differ and reuse cannot fire.)
+    wb = Window.partitionBy("band", "key")
+    sized = buckets.select(
+        F.col(id_col),
+        F.col("band"),
+        F.col("key"),
+        F.count("*").over(wb).alias("_bsize"),
+        F.min(id_col).over(wb).alias("_anchor"),
     )
-    sized = buckets.join(stats, ["band", "key"])
     # Small buckets: pair generation via groupBy + double explode — one
     # exchange on the bucket key instead of a two-sided self-join
     # (which would shuffle the bucket table twice). Quadratic only

@@ -68,8 +68,18 @@ def test_tooling_query_lists_resolve_in_registry():
     for src, names in (
         ("bench.HEADLINE", bench.HEADLINE),
         ("bench.R3_FLOOR", bench.R3_FLOOR),
+        ("bench.R4_FLOOR", bench.R4_FLOOR),
+        ("bench.R5_FLOOR", bench.R5_FLOOR),
         ("scale_probe.PROBE", probe.PROBE),
         ("explain_audit.AUDIT", audit.AUDIT),
     ):
         unknown = [n for n in names if n not in REGISTRY]
         assert not unknown, f"{src} references unknown queries: {unknown}"
+    # R5_SCALE_FLOOR mixes registry queries with bench-local operator
+    # rows (semdedup scaled twins) — only the registry-named keys must
+    # resolve.
+    unknown = [
+        n for n in bench.R5_SCALE_FLOOR
+        if not n.startswith("ns_semdedup_scaled") and n not in REGISTRY
+    ]
+    assert not unknown, f"bench.R5_SCALE_FLOOR unknown queries: {unknown}"
