@@ -576,6 +576,7 @@ def ivf_probe_index_batch(
     k: int = 10,
     n_probe: int = 4,
     label_col: str = "label",
+    exclude_query_ids: bool = False,
 ) -> DataFrame:
     """Batched multi-query probe of a persisted IVF index — the IVF twin
     of :func:`lsh_probe_index_batch`: ``(q_id, vec_id, label, cosine,
@@ -590,10 +591,15 @@ def ivf_probe_index_batch(
     on the index's PARTITION column. Candidates dedup on (query,
     vector) after scoring keeping the max-cosine copy — the same
     :func:`_dedup_max_cosine` the LSH probe applies, so duplicate index
-    rows (repeated source ids, or a future IVF append path) can never
-    occupy multiple top-k slots. Per-query ordering matches
-    :func:`ivf_topk_indexed` exactly (raw cosine desc, id tiebreak) —
-    pinned equal in tests/test_ann_batch.py."""
+    rows (repeated source ids, or replayed :func:`append_to_ivf_index`
+    batches) can never occupy multiple top-k slots.
+    ``exclude_query_ids=True`` anti-joins the index scan against the
+    batch's own ids — the IVF ingest loop sets it under
+    ``extend_index`` so a crash-replayed batch that already appended
+    itself never matches itself (same contract as the LSH probe).
+    Per-query ordering matches :func:`ivf_topk_indexed` exactly (raw
+    cosine desc, id tiebreak) — pinned equal in
+    tests/test_ann_batch.py."""
     from pyspark.sql import Window
 
     from map_reduce_framework_using_python_spark.operators.similarity import (
@@ -621,6 +627,10 @@ def ivf_probe_index_batch(
         F.col(id_col), F.col(label_col), v.alias("v"), l2_norm(v).alias("vnorm"),
         F.col("centroid_id"),
     )
+    if exclude_query_ids:
+        idx = idx.join(
+            F.broadcast(queries.select(F.col(id_col))), id_col, "left_anti"
+        )
     scored = (
         idx.join(F.broadcast(probes), "centroid_id")
         .filter(F.col(id_col) != F.col("q_id"))

@@ -261,3 +261,35 @@ def ns_ivf_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_probe=4,
     )
+
+
+@query(
+    "st_ann_ingest_ivf",
+    oracle=None,
+    tags=("streaming", "similarity", "index", "rows_only"),
+)
+def st_ann_ingest_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF twin of st_ann_ingest: the same replayed corpus slice
+    (vec_id ≡ 5 mod 13) arrives as micro-batches and is probed per
+    batch against the PERSISTED IVF index — per-batch cost is (rank
+    the 16 persisted centroids per query, JVM-side) + (scan the probed
+    centroid directories). Rows-only for the driver (centroids are
+    trained k-means state, not static SQL); pinned equal to the
+    one-shot ivf_probe_index_batch in tests/test_ann_batch.py."""
+    import tempfile
+
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        ivf_probe_stream,
+        read_embeddings_stream,
+    )
+
+    path = _ensure_ivf(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="st_ann_ingest_ivf_")
+    return ivf_probe_stream(
+        read_embeddings_stream(spark, sf_dir).filter(F.col("vec_id") % 13 == 5),
+        path,
+        out_dir=f"{work}/neighbors",
+        checkpoint_dir=f"{work}/ckpt",
+        k=5,
+        n_probe=4,
+    )

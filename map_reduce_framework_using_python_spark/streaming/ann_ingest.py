@@ -106,3 +106,55 @@ def probe_stream(
         .parquet(out_dir)
         .dropDuplicates(["q_id", "vec_id"])
     )
+
+
+def ivf_probe_stream(
+    batch_stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    n_probe: int = 4,
+    extend_index: bool = False,
+) -> DataFrame:
+    """IVF twin of :func:`probe_stream` — same sink/replay contract,
+    same ``(q_id, vec_id, label, cosine, rn)`` read-back, against a
+    persisted IVF index (``operators/ann_index.py``). With
+    ``extend_index=True`` each probed batch is appended via the
+    frozen-quantizer :func:`~.ann_index.append_to_ivf_index` (the
+    coarse quantizer is never refit mid-stream — routing stays
+    consistent across the whole ingest history), and the probe
+    anti-joins the batch's own ids (``exclude_query_ids``) so a
+    crash-replayed batch never matches itself."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        ivf_probe_index_batch,
+    )
+
+    spark = batch_stream.sparkSession
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        from map_reduce_framework_using_python_spark.operators.ann_index import (
+            append_to_ivf_index,
+        )
+
+        ivf_probe_index_batch(
+            spark, batch_df, index_path, k=k, n_probe=n_probe,
+            exclude_query_ids=extend_index,
+        ).write.mode("append").parquet(out_dir)
+        if extend_index:
+            append_to_ivf_index(batch_df, index_path)
+
+    q = (
+        batch_stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], _NEIGHBORS_SCHEMA)
+    return (
+        spark.read.schema(_NEIGHBORS_SCHEMA)
+        .parquet(out_dir)
+        .dropDuplicates(["q_id", "vec_id"])
+    )

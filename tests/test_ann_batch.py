@@ -235,6 +235,130 @@ def test_extend_index_retrieves_across_batches(spark, tmp_path):
     assert top.get(900002) == 900001
 
 
+def test_ivf_probe_stream_equals_one_shot_batch(spark, tmp_path):
+    """IVF twin of the LSH stream pin: drained stream == one-shot batch
+    probe over the same vectors."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_probe_index_batch,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        ivf_probe_stream,
+        read_embeddings_stream,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf_idx")
+    build_ivf_index(emb, path, n_centroids=16, seed=42)
+    pred = F.col("vec_id") % 13 == 5
+    streamed = ivf_probe_stream(
+        read_embeddings_stream(spark, SF_SMOKE).filter(pred),
+        path,
+        out_dir=str(tmp_path / "neighbors"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=5,
+        n_probe=4,
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    want = {
+        tuple(r)
+        for r in ivf_probe_index_batch(
+            spark, emb.filter(pred), path, k=5, n_probe=4
+        ).collect()
+    }
+    assert got == want
+    assert got
+
+
+def test_ivf_extend_index_retrieves_across_batches(spark, tmp_path):
+    """With extend_index=True on the IVF stream, batch 2 retrieves
+    batch 1's appended vector (frozen-quantizer continuous
+    similarity)."""
+    import os
+    import time
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        build_ivf_index,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        _EMB_SCHEMA,
+        ivf_probe_stream,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(100)
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb, path, n_centroids=8, seed=42)
+
+    base = [10.0 if i % 2 == 0 else -10.0 for i in range(64)]
+    near = [x + (0.001 if i == 0 else 0.0) for i, x in enumerate(base)]
+    land = tmp_path / "landing"
+    land.mkdir()
+    now = time.time()
+    for name, row, ts in (
+        ("b1.parquet", (900001, base, 7), now - 60),
+        ("b2.parquet", (900002, near, 7), now),
+    ):
+        d = tmp_path / f"_w_{name}"
+        spark.createDataFrame([row], _EMB_SCHEMA).coalesce(1).write.parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        os.rename(str(d / part), str(land / name))
+        os.utime(str(land / name), (ts, ts))
+    stream = (
+        spark.readStream.schema(_EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    got = ivf_probe_stream(
+        stream,
+        path,
+        out_dir=str(tmp_path / "out" / "neighbors"),
+        checkpoint_dir=str(tmp_path / "out" / "ckpt"),
+        k=5,
+        n_probe=4,
+        extend_index=True,
+    )
+    top = {r["q_id"]: r["vec_id"] for r in got.collect() if r["rn"] == 1}
+    assert top.get(900002) == 900001
+
+
+def test_ivf_replayed_extend_probe_excludes_own_batch(spark, tmp_path):
+    """IVF twin of the LSH replay-determinism pin: a batch probing an
+    index that already holds its own vectors answers exactly as against
+    the pristine index when exclude_query_ids is on."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_probe_index_batch,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+
+    pristine = str(tmp_path / "pristine")
+    build_ivf_index(corpus, pristine, n_centroids=16, seed=42)
+    replayed = str(tmp_path / "replayed")
+    import shutil
+
+    shutil.copytree(pristine, replayed)  # same centroids, same layout
+    append_to_ivf_index(batch, replayed)
+
+    want = {
+        tuple(r)
+        for r in ivf_probe_index_batch(
+            spark, batch, pristine, k=5, exclude_query_ids=True
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in ivf_probe_index_batch(
+            spark, batch, replayed, k=5, exclude_query_ids=True
+        ).collect()
+    }
+    assert got == want
+    assert want
+
+
 def test_ivf_batch_probe_matches_per_query_indexed(spark, tmp_path):
     """IVF twin of the LSH pin: each q_id's rows (in rn order) must be
     EXACTLY the single-query ivf_topk_indexed answer."""
