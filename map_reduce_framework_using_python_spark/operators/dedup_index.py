@@ -162,6 +162,7 @@ def incremental_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
+    witness_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs between ``batch`` and the corpus indexed at
     ``path``: ``(batch_doc, corpus_doc, jaccard)`` with exact word-
@@ -173,6 +174,21 @@ def incremental_dedup_pairs(
     index was built from — verification recomputes shingles from its
     text (at true scale you would ALSO persist the shingle digests;
     here the candidate-pruned text scan keeps the index minimal).
+
+    **witness_cap — the ingest-path hot-bucket bound.** A boilerplate
+    corpus puts millions of near-identical docs in one persisted
+    bucket; a batch doc colliding with it generates O(|bucket|)
+    candidate pairs and text verifications, the same blowup
+    :func:`.dedup.minhash_lsh_pairs` bounds with ``max_bucket``. With
+    ``witness_cap=K``, each persisted bucket is represented by its K
+    min-id members (a windowed rank over the index scan — sort-based,
+    spillable, batch-independent), bounding candidates at
+    O(|batch| × bands × K). The cap is sound for SCREENING by the same
+    cluster-by-construction argument as the one-shot bound: a bucket
+    that hot is a near-duplicate cluster, so any representative
+    verifies against a batch doc that truly duplicates the cluster.
+    ``None`` (the default) keeps the exact pinned contract — every
+    collision pair, equal to ``minhash_lsh_pairs(batch ∪ corpus)``.
     """
     meta = read_meta(path)
     # Explicit schema: an index built over an EMPTY corpus has no band
@@ -180,6 +196,15 @@ def incremental_dedup_pairs(
     idx = spark.read.schema(f"{meta['id_col']} BIGINT, key BIGINT, band INT").parquet(
         os.path.join(path, "buckets")
     )
+    if witness_cap is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "key").orderBy(F.col(meta["id_col"]))
+        idx = (
+            idx.withColumn("_rk", F.row_number().over(wb))
+            .filter(F.col("_rk") <= witness_cap)
+            .drop("_rk")
+        )
     probe = band_table(
         minhash_signatures(batch, text_col, id_col, meta["n"], meta["num_hashes"]),
         id_col, meta["num_hashes"], meta["bands"],

@@ -59,13 +59,23 @@ def curate_batch(
     index_path: str,
     model_path: str,
     threshold: float = 0.6,
+    witness_cap: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One-shot curation of a document frame: returns (curated,
     rejected, metrics-without-batch_id). The streaming path calls this
-    per micro-batch; tests call it directly as the ground truth."""
+    per micro-batch; tests call it directly as the ground truth.
+
+    ``witness_cap`` (None = exact) passes through to the dedup screen —
+    the screen only needs ONE verified corpus witness per batch doc, so
+    a boilerplate-hot persisted bucket can be represented by its
+    ``witness_cap`` min-id members without changing any verdict on a
+    true duplicate (operators/dedup_index.py). Set it in 100 TB
+    deployments; the pinned drained==one-shot contract holds for any
+    value because both paths share it."""
     dups = (
         incremental_dedup_pairs(
-            spark, batch, corpus, index_path, threshold=threshold
+            spark, batch, corpus, index_path, threshold=threshold,
+            witness_cap=witness_cap,
         )
         .select(F.col("batch_doc").alias("doc_id"))
         .distinct()
@@ -110,6 +120,7 @@ def curate_stream(
     out_root: str,
     checkpoint_dir: str,
     threshold: float = 0.6,
+    witness_cap: int | None = None,
 ) -> DataFrame:
     """Drain ``batch_stream`` (AvailableNow) through the full curation
     pass and return the curated read-back. Sinks are at-least-once
@@ -119,7 +130,8 @@ def curate_stream(
 
     def curate(batch_df: DataFrame, batch_id: int) -> None:
         curated, rejected, metrics = curate_batch(
-            spark, batch_df, corpus, index_path, model_path, threshold=threshold
+            spark, batch_df, corpus, index_path, model_path,
+            threshold=threshold, witness_cap=witness_cap,
         )
         curated.write.mode("append").parquet(os.path.join(out_root, "curated"))
         rejected.write.mode("append").parquet(os.path.join(out_root, "rejected"))

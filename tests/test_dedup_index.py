@@ -54,6 +54,66 @@ def test_incremental_equals_oneshot_cross_pairs(spark, tmp_path):
     assert inc  # the split must actually produce near-dup pairs to pin
 
 
+def test_witness_cap_above_bucket_sizes_is_exact(spark, tmp_path):
+    """A cap larger than every bucket keeps the exact pinned answer —
+    the capped probe is the SAME operator until a bucket overflows."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    batch, corpus = _split(docs)
+    path = build_minhash_index(
+        corpus, str(tmp_path / "idx"), n=3, num_hashes=32, bands=16
+    )
+    exact = {
+        tuple(r)
+        for r in incremental_dedup_pairs(
+            spark, batch, corpus, path, threshold=0.6
+        ).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in incremental_dedup_pairs(
+            spark, batch, corpus, path, threshold=0.6, witness_cap=1_000_000
+        ).collect()
+    }
+    assert capped == exact
+    assert exact
+
+
+def test_witness_cap_bounds_hot_bucket_and_still_screens(spark, tmp_path):
+    """Ingest-path hot-bucket bound: a corpus with 500 identical
+    template docs probed by template batch docs. With witness_cap=4
+    every batch template doc is still flagged (any representative of a
+    duplicate-cluster bucket verifies at jaccard 1.0), but candidates
+    per batch doc are bounded by bands × cap — not |bucket|."""
+    template = "the same boilerplate sentence repeated across the whole corpus"
+    corpus = spark.createDataFrame(
+        [(i, template) for i in range(2, 502)]
+        + [(600, "a genuinely unique document with its own words")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(1001, template), (1002, template),
+         (1003, "nothing like anything indexed here at all ok")],
+        ["doc_id", "text"],
+    )
+    path = build_minhash_index(
+        corpus, str(tmp_path / "idx"), n=3, num_hashes=32, bands=16
+    )
+    rows = incremental_dedup_pairs(
+        spark, batch, corpus, path, threshold=0.6, witness_cap=4
+    ).collect()
+    by_batch: dict[int, set[int]] = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_doc"], set()).add(r["corpus_doc"])
+        assert abs(r["jaccard"] - 1.0) < 1e-9
+    # both template batch docs flagged, the unique one clean
+    assert set(by_batch) == {1001, 1002}
+    for witnesses in by_batch.values():
+        # bounded: at most cap distinct witnesses (all bands share the
+        # same 4 min-id representatives for an identical-doc cluster)
+        assert 1 <= len(witnesses) <= 4
+        assert witnesses <= set(range(2, 6))  # the min-id representatives
+
+
 def test_index_persists_params_and_layout(spark, tmp_path):
     docs = load_table(spark, SF_SMOKE, "documents").limit(200)
     path = build_minhash_index(docs, str(tmp_path / "idx"), num_hashes=32, bands=16)
