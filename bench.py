@@ -405,6 +405,13 @@ def main() -> None:
                 "ns_minhash_lsh_pairs",
                 "ns_bigram_lm_score",
                 "ns_bigram_lm_score_broadcast",
+                # round 6: CCNet production (histogram thresholds) vs
+                # exact NTILE fixture on the same data — a standing
+                # measurement of the structural trade (the scaled form
+                # pays a small constant; its window is grid-bounded
+                # instead of corpus-bounded)
+                "ns_ccnet_buckets_scaled",
+                "ns_ccnet_buckets",
             ):
                 scale[name], n = best_of(name, DST)
                 print(f"# scale10x {name}: {scale[name]:.3f}s ({n} rows)", file=sys.stderr)

@@ -136,3 +136,54 @@ def test_hash_embed_invariants(spark, texts):
             for r in fn(spark, d).collect()
         }
         assert respread == again
+
+
+_DOC_WORDS = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+)
+_DOCS = st.lists(
+    st.lists(_DOC_WORDS, min_size=3, max_size=8).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@prop
+@given(texts=_DOCS, cap=st.sampled_from([2, 4, 1_000_000]))
+def test_minhash_lsh_subset_of_exact_at_any_cap(spark, texts, cap):
+    """For ANY max_bucket (tiny caps force the anchor-star path on a
+    tiny word alphabet that collides constantly), every emitted pair
+    must be a true exact-Jaccard pair at the threshold — the
+    verification step makes false positives impossible regardless of
+    how candidates were generated — and the anchor-star short-circuit
+    may only reduce recall, never invent pairs."""
+    from map_reduce_framework_using_python_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=2, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            df, n=2, num_hashes=16, bands=8, threshold=0.5, max_bucket=cap
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert abs(j - exact[pair]) < 1e-9
+    # identical-text pairs always collide on every band; with an
+    # uncapped run they must all be recovered (banding prob = 1)
+    if cap == 1_000_000:
+        by_text: dict[str, list[int]] = {}
+        for i, t in enumerate(texts):
+            by_text.setdefault(t, []).append(i)
+        for ids in by_text.values():
+            for x in ids:
+                for y in ids:
+                    if x < y:
+                        assert (x, y) in lsh
