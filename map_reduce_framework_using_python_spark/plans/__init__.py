@@ -45,5 +45,6 @@ from map_reduce_framework_using_python_spark.plans import partitioned  # noqa: E
 from map_reduce_framework_using_python_spark.plans import quality  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import stats2  # noqa: E402,F401
 from map_reduce_framework_using_python_spark.plans import pipeline7  # noqa: E402,F401
+from map_reduce_framework_using_python_spark.plans import pipeline8  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "get_query", "query"]

@@ -567,9 +567,11 @@ def ns_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ns_ccnet_buckets_scaled",
-    oracle=f"""
+#: The CCNet threshold-assignment as a reusable oracle fragment: a full
+#: SELECT producing (doc_id, lang, li6, bucket) — consumed by
+#: ns_ccnet_buckets_scaled (aggregate) and ns_ccnet_sample (realize the
+#: stratified cut, plans/pipeline8.py).
+_CCNET_ASSIGN_ORACLE = f"""
         WITH lm AS ({_BIGRAM_LM_ORACLE}),
              s AS (SELECT lm.doc_id, d.lang,
                           CAST(floor(avg_logp * 1000000.0 + 0.5) AS BIGINT) AS li6
@@ -585,13 +587,55 @@ def ns_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                AS t_head,
                            max(CASE WHEN cum >= (2 * n + 2) // 3 THEN li6 END)
                                AS t_mid
-                    FROM c GROUP BY 1),
-             b AS (SELECT s.lang,
-                          CASE WHEN li6 >= t_head THEN 'head'
-                               WHEN li6 >= t_mid THEN 'middle'
-                               ELSE 'tail' END AS bucket,
-                          li6
-                   FROM s JOIN th USING (lang))
+                    FROM c GROUP BY 1)
+        SELECT s.doc_id, s.lang, li6,
+               CASE WHEN li6 >= t_head THEN 'head'
+                    WHEN li6 >= t_mid THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM s JOIN th USING (lang)
+"""
+
+
+def _ccnet_scaled_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared builder: (doc_id, lang, li6, bucket) under the
+    histogram-threshold assignment — the Spark twin of
+    :data:`_CCNET_ASSIGN_ORACLE`. See ns_ccnet_buckets_scaled for the
+    scale rationale."""
+    lm = _bigram_lm(spark, sf_dir, "shuffle")
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    li6 = F.floor(F.col("avg_logp") * 1e6 + F.lit(0.5)).cast("bigint")
+    s = lm.join(d, "doc_id").select("doc_id", "lang", li6.alias("li6"))
+    h = s.groupBy("lang", "li6").agg(F.count("*").alias("cnt"))
+    c = h.select(
+        "lang",
+        "li6",
+        F.sum("cnt")
+        .over(Window.partitionBy("lang").orderBy(F.desc("li6")))
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n"),
+    )
+    th = c.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("cum") >= F.expr("(n + 2) DIV 3"), F.col("li6"))
+        ).alias("t_head"),
+        F.max(
+            F.when(F.col("cum") >= F.expr("(2 * n + 2) DIV 3"), F.col("li6"))
+        ).alias("t_mid"),
+    )
+    bucket = (
+        F.when(F.col("li6") >= F.col("t_head"), "head")
+        .when(F.col("li6") >= F.col("t_mid"), "middle")
+        .otherwise("tail")
+    )
+    return s.join(F.broadcast(th), "lang").select(
+        "doc_id", "lang", "li6", bucket.alias("bucket")
+    )
+
+
+@query(
+    "ns_ccnet_buckets_scaled",
+    oracle=f"""
+        WITH b AS ({_CCNET_ASSIGN_ORACLE})
         SELECT lang, bucket, count(*) AS n_docs,
                floor(CAST(CAST(sum(li6) AS BIGINT) AS DOUBLE) / count(*) + 0.5)
                    / 1000000.0 AS mean_logp
@@ -628,35 +672,8 @@ def ns_ccnet_buckets_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines; the histogram has one row per (lang, li6), so the
     cumulative window has no ordering ties and RANGE/ROWS frames
     agree."""
-    lm = _bigram_lm(spark, sf_dir, "shuffle")
-    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
-    li6 = F.floor(F.col("avg_logp") * 1e6 + F.lit(0.5)).cast("bigint")
-    s = lm.join(d, "doc_id").select("lang", li6.alias("li6"))
-    h = s.groupBy("lang", "li6").agg(F.count("*").alias("cnt"))
-    c = h.select(
-        "lang",
-        "li6",
-        F.sum("cnt")
-        .over(Window.partitionBy("lang").orderBy(F.desc("li6")))
-        .alias("cum"),
-        F.sum("cnt").over(Window.partitionBy("lang")).alias("n"),
-    )
-    th = c.groupBy("lang").agg(
-        F.max(
-            F.when(F.col("cum") >= F.expr("(n + 2) DIV 3"), F.col("li6"))
-        ).alias("t_head"),
-        F.max(
-            F.when(F.col("cum") >= F.expr("(2 * n + 2) DIV 3"), F.col("li6"))
-        ).alias("t_mid"),
-    )
-    jt = s.join(F.broadcast(th), "lang")
-    bucket = (
-        F.when(F.col("li6") >= F.col("t_head"), "head")
-        .when(F.col("li6") >= F.col("t_mid"), "middle")
-        .otherwise("tail")
-    )
     return (
-        jt.select("lang", bucket.alias("bucket"), "li6")
+        _ccnet_scaled_assign(spark, sf_dir)
         .groupBy("lang", "bucket")
         .agg(
             F.count("*").alias("n_docs"),

@@ -1,0 +1,189 @@
+"""Training-pipeline operators, part 8: paragraph-level exact dedup and
+the CCNet stratified-sampling realization.
+
+Two curation ops from published pipeline practice (the reference's
+users would chain mapper/reducer jobs over ``documents`` for each,
+`Readme.md:6`; here each is one declarative plan):
+
+- **Paragraph dedup stats** (``ns_paragraph_dedup``): RefinedWeb /
+  MassiveText-style exact dedup at sub-document granularity. Documents
+  are windowed into non-overlapping 10-word "paragraphs" (the synthetic
+  corpus has no punctuation, so fixed word windows are the honest
+  paragraph analogue — the real-text form swaps the splitter, nothing
+  else), each paragraph is fingerprinted, and every document reports
+  how much of it is boilerplate: paragraph instances whose text occurs
+  ≥2 times anywhere in the corpus. The per-doc duplicate fraction is
+  the standard removal / down-weighting signal between document-level
+  exact dedup (ns_dedup_exact — misses partial copies) and span dedup
+  (ns_span_dedup — finds them at token granularity but costs more).
+- **CCNet sample** (``ns_ccnet_sample``): the step AFTER
+  ns_ccnet_buckets_scaled stratifies — realize the cut ("keep head,
+  sample middle at 1/2, tail at 1/10") with hash-derived randomness so
+  the sample reproduces on any engine / retry / partitioning (the same
+  no-``rand()`` rule as ns_weighted_sample and the DSIR resample).
+
+Determinism rules (plans/core.py): fractions land half-up on the 1e-6
+grid; sampling uses md5-derived integers compared against exact integer
+thresholds, so no float boundary can disagree across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.plans.core import query, t
+from map_reduce_framework_using_python_spark.plans.pipeline7 import (
+    _CCNET_ASSIGN_ORACLE,
+    _ccnet_scaled_assign,
+)
+
+#: Paragraph window: non-overlapping 10-word chunks.
+_PARA_WORDS = 10
+
+
+@query(
+    "ns_paragraph_dedup",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+                   FROM documents),
+             p AS (SELECT doc_id,
+                          md5(array_to_string(
+                              list_slice(ws, g * {_PARA_WORDS} + 1,
+                                         g * {_PARA_WORDS} + {_PARA_WORDS}),
+                              ' ')) AS h
+                   FROM w,
+                        LATERAL unnest(generate_series(
+                            0, (len(ws) + {_PARA_WORDS - 1}) // {_PARA_WORDS} - 1
+                        )) t(g)),
+             c AS (SELECT h, count(*) AS cnt FROM p GROUP BY 1)
+        SELECT doc_id,
+               count(*) AS n_paras,
+               CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup,
+               floor(CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+        FROM p JOIN c USING (h)
+        GROUP BY 1
+    """,
+    tags=("northstar", "pipeline", "dedup", "paragraph"),
+)
+def ns_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document paragraph-duplication stats: window each document
+    into non-overlapping 10-word paragraphs, fingerprint them, and
+    report (n_paras, n_dup, dup_frac) where a paragraph instance is a
+    duplicate iff its exact text occurs ≥2 times corpus-wide — the
+    RefinedWeb-style boilerplate signal a curation pass thresholds on
+    ("drop docs that are mostly template") or feeds into span removal.
+
+    Scale shape: paragraphs leave the scan stage as 128-bit digests
+    only (never text); the digest frequency table is a map-side
+    combinable hash agg; the count lands back on the instance stream
+    via a shuffle-hash join on the digest (the frequency table is
+    corpus-paragraph-cardinality — vocabulary-class, far too big to
+    broadcast, exactly the bigram-LM model-join reasoning in
+    plans/pipeline6.py); the only other exchange is the per-doc final
+    agg of (bigint, bigint). No windows, no driver state."""
+    return paragraph_dedup_stats(t(spark, sf_dir, "documents"))
+
+
+def paragraph_dedup_stats(d: DataFrame) -> DataFrame:
+    """Operator body over an arbitrary (doc_id, text, …) frame — the
+    registry query binds it to the ``documents`` table; unit tests
+    drive it with planted frames (tests/test_pipeline8.py)."""
+    ws = F.split(F.trim(F.col("text")), " +")
+    n_chunks = F.expr(f"(size(ws) + {_PARA_WORDS - 1}) DIV {_PARA_WORDS}")
+    p = (
+        d.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("g"),
+            F.col("ws"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(f"slice(ws, g * {_PARA_WORDS} + 1, {_PARA_WORDS})"),
+                )
+            ).alias("h"),
+        )
+    )
+    c = p.groupBy("h").agg(F.count("*").alias("cnt"))
+    dup = (F.col("cnt") >= 2).cast("long")
+    return (
+        p.join(c.hint("shuffle_hash"), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(dup).alias("n_dup"),
+            (
+                F.floor(
+                    F.sum(dup).cast("double") / F.count("*") * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+#: Keep thresholds on the 32-bit md5-prefix grid (h ∈ [0, 2^32)):
+#: head keeps everything, middle keeps h < 2^31 (rate 1/2), tail keeps
+#: h < floor(2^32/10) (rate 1/10). Exact integer comparisons — no float
+#: boundary to disagree across engines.
+_CCNET_KEEP = {"head": 1 << 32, "middle": 1 << 31, "tail": (1 << 32) // 10}
+
+
+@query(
+    "ns_ccnet_sample",
+    oracle=f"""
+        WITH b AS ({_CCNET_ASSIGN_ORACLE}),
+             k AS (SELECT lang, bucket,
+                          CAST(concat('0x', substr(md5(concat('ccn',
+                               CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+                   FROM b)
+        SELECT lang, bucket, count(*) AS n_docs,
+               CAST(sum(CASE
+                   WHEN bucket = 'head' AND h < {_CCNET_KEEP['head']} THEN 1
+                   WHEN bucket = 'middle' AND h < {_CCNET_KEEP['middle']} THEN 1
+                   WHEN bucket = 'tail' AND h < {_CCNET_KEEP['tail']} THEN 1
+                   ELSE 0 END) AS BIGINT) AS n_kept
+        FROM k GROUP BY 1, 2
+    """,
+    tags=("northstar", "pipeline", "quality", "lm", "sampling"),
+)
+def ns_ccnet_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realize the CCNet cut over the production stratification: keep
+    all of head, sample middle at 1/2 and tail at 1/10, reporting per
+    (lang, bucket) volume and kept count. The keep decision is
+    md5-derived per doc_id against exact integer thresholds on the
+    32-bit prefix grid — reproducible across engines, retries, and
+    partitionings (no ``rand()``), which is what lets the driver
+    hash-gate a SAMPLING operator at all.
+
+    Scale shape: ns_ccnet_buckets_scaled's assignment plan (histogram
+    thresholds, no corpus-sized window) plus one map-side keep flag and
+    a (lang, bucket) hash agg — the cut itself adds zero exchanges
+    beyond the final 15-row aggregate. The doc-level kept SET is the
+    same frame pre-aggregation (drop the groupBy to materialize it)."""
+    b = _ccnet_scaled_assign(spark, sf_dir)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ccn"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    keep = (
+        F.when((F.col("bucket") == "head") & (h < _CCNET_KEEP["head"]), 1)
+        .when((F.col("bucket") == "middle") & (h < _CCNET_KEEP["middle"]), 1)
+        .when((F.col("bucket") == "tail") & (h < _CCNET_KEEP["tail"]), 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"), F.sum(keep).alias("n_kept")
+    )

@@ -1,0 +1,97 @@
+"""Pins for the part-8 pipeline ops: paragraph-level exact dedup stats
+and the CCNet stratified-sampling realization (both also under the full
+DuckDB oracle gate at sf0.001/0.01/0.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+from map_reduce_framework_using_python_spark.plans.pipeline8 import (
+    _CCNET_KEEP,
+    _PARA_WORDS,
+    paragraph_dedup_stats,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _words(n: int, tag: str) -> str:
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+def test_paragraph_dedup_planted_shared_paragraph(spark):
+    """Two docs sharing exactly one 10-word paragraph: that instance is
+    a duplicate in BOTH docs; everything else is unique."""
+    shared = _words(_PARA_WORDS, "s")
+    a = shared + " " + _words(_PARA_WORDS, "a")   # paras: [shared, a...]
+    b = shared + " " + _words(_PARA_WORDS, "b")
+    c = _words(2 * _PARA_WORDS, "c")
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in paragraph_dedup_stats(df).collect()}
+    assert out[1]["n_paras"] == 2 and out[1]["n_dup"] == 1
+    assert out[2]["n_paras"] == 2 and out[2]["n_dup"] == 1
+    assert out[3]["n_paras"] == 2 and out[3]["n_dup"] == 0
+    assert abs(out[1]["dup_frac"] - 0.5) < 1e-9
+    assert out[3]["dup_frac"] == 0.0
+
+
+def test_paragraph_dedup_within_doc_repeat_counts(spark):
+    """A paragraph repeated INSIDE one document is boilerplate too —
+    both instances count as duplicates (global occurrence ≥ 2)."""
+    p = _words(_PARA_WORDS, "x")
+    df = spark.createDataFrame([(1, p + " " + p)], ["doc_id", "text"])
+    row = paragraph_dedup_stats(df).collect()[0]
+    assert row["n_paras"] == 2 and row["n_dup"] == 2
+    assert abs(row["dup_frac"] - 1.0) < 1e-9
+
+
+def test_paragraph_dedup_short_tail_paragraph(spark):
+    """A final short window (fewer than 10 words) is still a paragraph
+    — coverage is every word exactly once, no window dropped."""
+    df = spark.createDataFrame([(1, _words(25, "w"))], ["doc_id", "text"])
+    row = paragraph_dedup_stats(df).collect()[0]
+    assert row["n_paras"] == 3  # 10 + 10 + 5
+    assert row["n_dup"] == 0
+
+
+def test_paragraph_dedup_covers_every_document(spark):
+    out = REGISTRY["ns_paragraph_dedup"].fn(spark, SF_SMOKE)
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert out.count() == n_docs
+    for r in out.collect():
+        assert 0 <= r["n_dup"] <= r["n_paras"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
+
+
+def test_ccnet_sample_realizes_the_stratified_cut(spark):
+    """head keeps everything; middle/tail keep fractions statistically
+    near 1/2 and 1/10; counts per (lang, bucket) agree with the
+    stratification query; repeated runs are bit-identical (hash-derived
+    randomness, no rand())."""
+    rows = REGISTRY["ns_ccnet_sample"].fn(spark, SF_SMOKE).collect()
+    strat = {
+        (r["lang"], r["bucket"]): r["n_docs"]
+        for r in REGISTRY["ns_ccnet_buckets_scaled"].fn(spark, SF_SMOKE).collect()
+    }
+    assert {(r["lang"], r["bucket"]) for r in rows} == set(strat)
+    mids, tails = [0, 0], [0, 0]
+    for r in rows:
+        assert r["n_docs"] == strat[(r["lang"], r["bucket"])]
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        if r["bucket"] == "head":
+            assert r["n_kept"] == r["n_docs"]
+        elif r["bucket"] == "middle":
+            mids[0] += r["n_kept"]; mids[1] += r["n_docs"]
+        else:
+            tails[0] += r["n_kept"]; tails[1] += r["n_docs"]
+    # aggregate rates across languages: loose 3-sigma-ish bands
+    assert 0.3 <= mids[0] / mids[1] <= 0.7
+    assert tails[0] / tails[1] <= 0.3
+    again = REGISTRY["ns_ccnet_sample"].fn(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_ccnet_keep_thresholds_are_exact_integers():
+    assert _CCNET_KEEP["head"] == 2**32
+    assert _CCNET_KEEP["middle"] * 2 == 2**32
+    assert _CCNET_KEEP["tail"] == (2**32) // 10
