@@ -106,6 +106,11 @@ PROBE = (
     # id-bounded (fixed 14 queries), so replicas scale the CORPUS only:
     # expected growth is candidates-per-bucket, ~linear
     "ns_ann_probe_batch",
+    # round 6: sub-document boilerplate stats (digest-only shuffles,
+    # shuffle-hash frequency join) and the realized CCNet cut (rides
+    # the histogram-threshold assignment; the cut adds zero exchanges)
+    "ns_paragraph_dedup",
+    "ns_ccnet_sample",
 )
 
 
