@@ -128,6 +128,103 @@ def paragraph_dedup_stats(d: DataFrame) -> DataFrame:
     )
 
 
+#: Composite instance key for the keep-first rule: doc_id·10⁹ + g is an
+#: exact BIGINT on both engines (g < 10⁹ always — documents are far
+#: smaller; at real scale with >9·10⁹ doc ids this becomes a struct
+#: min, same semantics). min over it = lexicographic first occurrence.
+_INST_KEY = 1_000_000_000
+
+
+@query(
+    "ns_paragraph_dedup_apply",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+                   FROM documents),
+             p AS (SELECT doc_id, g,
+                          md5(array_to_string(
+                              list_slice(ws, g * {_PARA_WORDS} + 1,
+                                         g * {_PARA_WORDS} + {_PARA_WORDS}),
+                              ' ')) AS h
+                   FROM w,
+                        LATERAL unnest(generate_series(
+                            0, (len(ws) + {_PARA_WORDS - 1}) // {_PARA_WORDS} - 1
+                        )) t(g)),
+             k AS (SELECT h, min(doc_id * {_INST_KEY} + g) AS kk
+                   FROM p GROUP BY 1),
+             kept AS (SELECT p.doc_id, p.g
+                      FROM p JOIN k USING (h)
+                      WHERE p.doc_id * {_INST_KEY} + p.g = kk)
+        SELECT w.doc_id,
+               count(*) AS n_kept,
+               string_agg(array_to_string(
+                   list_slice(ws, g * {_PARA_WORDS} + 1,
+                              g * {_PARA_WORDS} + {_PARA_WORDS}), ' '),
+                   ' ' ORDER BY g) AS clean_text
+        FROM kept JOIN w ON kept.doc_id = w.doc_id
+        GROUP BY 1
+    """,
+    tags=("northstar", "pipeline", "dedup", "paragraph"),
+)
+def ns_paragraph_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of paragraph dedup (Lee et al. / RefinedWeb
+    convention): every duplicated paragraph keeps exactly its corpus-
+    wide FIRST occurrence (min (doc_id, position) instance) and every
+    later instance is removed; each document comes back as
+    (doc_id, n_kept, clean_text) — the rewritten corpus. Documents
+    whose every paragraph first occurred elsewhere vanish entirely
+    (fully-boilerplate docs), which is the intended removal semantics.
+
+    Scale shape: the keep/remove DECISION flows digests-only — instance
+    rows are (doc_id, position, digest), the keeper table is a digest-
+    keyed min aggregate (map-side combinable), and the decision join is
+    shuffle-hash on the digest. Document TEXT is touched exactly once
+    more: the per-doc kept-position arrays (ints, document-bounded)
+    join back to ``documents`` on doc_id and the clean text is rebuilt
+    MAP-SIDE from the source row by slicing — the corpus text crosses
+    one doc_id exchange, which is the floor for an op whose output IS a
+    rewritten corpus. First-occurrence choice uses the exact composite
+    BIGINT key, so both engines keep identical instances."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), " +")
+    n_chunks = F.expr(f"(size(ws) + {_PARA_WORDS - 1}) DIV {_PARA_WORDS}")
+    inst = (
+        d.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("g"),
+            F.col("ws"),
+        )
+        .select(
+            "doc_id",
+            "g",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(f"slice(ws, g * {_PARA_WORDS} + 1, {_PARA_WORDS})"),
+                )
+            ).alias("h"),
+        )
+    )
+    ikey = F.col("doc_id") * _INST_KEY + F.col("g")
+    keeper = inst.groupBy("h").agg(F.min(ikey).alias("kk"))
+    keptg = (
+        inst.join(keeper.hint("shuffle_hash"), "h")
+        .filter(ikey == F.col("kk"))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("g")).alias("ks"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    clean = F.expr(
+        f"concat_ws(' ', transform(ks, g -> concat_ws(' ', "
+        f"slice(split(trim(text), ' +'), g * {_PARA_WORDS} + 1, {_PARA_WORDS}))))"
+    )
+    return d.join(keptg, "doc_id").select(
+        "doc_id", "n_kept", clean.alias("clean_text")
+    )
+
+
 #: Keep thresholds on the 32-bit md5-prefix grid (h ∈ [0, 2^32)):
 #: head keeps everything, middle keeps h < 2^31 (rate 1/2), tail keeps
 #: h < floor(2^32/10) (rate 1/10). Exact integer comparisons — no float

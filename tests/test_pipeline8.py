@@ -63,6 +63,60 @@ def test_paragraph_dedup_covers_every_document(spark):
         assert 0.0 <= r["dup_frac"] <= 1.0
 
 
+def test_paragraph_dedup_apply_keeps_first_occurrence(spark, tmp_path):
+    """Planted corpus: doc 1 = [S, A], doc 2 = [S, B], doc 3 = [S] —
+    S's first occurrence is (doc 1, g=0), so doc 1 keeps [S, A], doc 2
+    keeps only [B], and doc 3 (pure boilerplate) vanishes."""
+    import os
+
+    shared = _words(_PARA_WORDS, "s")
+    a, b = _words(_PARA_WORDS, "a"), _words(_PARA_WORDS, "b")
+    df = spark.createDataFrame(
+        [(1, shared + " " + a, "en", "src1", 1),
+         (2, shared + " " + b, "en", "src1", 1),
+         (3, shared, "en", "src1", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = {
+        r["doc_id"]: (r["n_kept"], r["clean_text"])
+        for r in REGISTRY["ns_paragraph_dedup_apply"].fn(spark, sf_dir).collect()
+    }
+    assert out == {1: (2, shared + " " + a), 2: (1, b)}
+
+
+def test_paragraph_dedup_apply_is_identity_without_duplicates(spark):
+    """On the synthetic corpus, docs with dup_frac == 0 must round-trip
+    byte-identically (word-normalized), and kept counts always equal
+    n_paras − n_dup_removed consistency with the stats op."""
+    stats = {
+        r["doc_id"]: r
+        for r in REGISTRY["ns_paragraph_dedup"].fn(spark, SF_SMOKE).collect()
+    }
+    applied = {
+        r["doc_id"]: r
+        for r in REGISTRY["ns_paragraph_dedup_apply"].fn(spark, SF_SMOKE).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    import re
+
+    for doc_id, s in stats.items():
+        if s["n_dup"] == 0:
+            # no paragraph of this doc duplicates anything → everything kept
+            assert applied[doc_id]["n_kept"] == s["n_paras"]
+            norm = " ".join(re.split(r" +", docs[doc_id].strip()))
+            assert applied[doc_id]["clean_text"] == norm
+        else:
+            # a dup instance may still be the kept FIRST occurrence, so
+            # only the bound holds: kept ≥ paras − dups, kept ≤ paras
+            n_kept = applied[doc_id]["n_kept"] if doc_id in applied else 0
+            assert s["n_paras"] - s["n_dup"] <= n_kept <= s["n_paras"]
+
+
 def test_ccnet_sample_realizes_the_stratified_cut(spark):
     """head keeps everything; middle/tail keep fractions statistically
     near 1/2 and 1/10; counts per (lang, bucket) agree with the
