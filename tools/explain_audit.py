@@ -108,6 +108,12 @@ AUDIT = (
     # table on bucket, and top-k via partial WindowGroupLimit before
     # the single q_id exchange
     "ns_ann_probe_batch",
+    # round 6: paragraph dedup (digest-only decision flow; the apply
+    # form pays exactly one doc_id exchange of text to rebuild output)
+    # and the realized CCNet cut over the histogram-threshold assignment
+    "ns_paragraph_dedup",
+    "ns_paragraph_dedup_apply",
+    "ns_ccnet_sample",
     "ns_ivf_probe_batch",
 )
 
