@@ -60,6 +60,9 @@ HEADLINE = (
     # round 5, closing: batched multi-query ANN probe (broadcast
     # exploded Hamming-ball, one corpus scan, partial WindowGroupLimit)
     "ns_ann_probe_batch",
+    # round 6: sub-document boilerplate stats — the digest-frequency
+    # shuffle-hash join is a new heavy data-path shape worth tracking
+    "ns_paragraph_dedup",
 )
 
 #: Round-3 per-query times (BENCH_r03.json, sf0.1) — the soft regression
