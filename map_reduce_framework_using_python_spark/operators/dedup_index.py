@@ -118,6 +118,50 @@ def append_to_index(
     )
 
 
+def prune_index_witnesses(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    cap: int,
+    write_partitions: int = 8,
+) -> str:
+    """Materialize the witness cap as a DERIVED index layout: rewrite
+    ``path``'s buckets into ``out_path`` keeping only each (band, key)
+    bucket's ``cap`` min-id rows, so steady-state probes get the
+    hot-bucket bound FOR FREE instead of paying the windowed rank over
+    the full index scan on every micro-batch
+    (:func:`incremental_dedup_pairs` ``witness_cap``). One maintenance
+    pass (sort-based window, spillable), amortized across every later
+    ingest — the same build-once/probe-many economics as the index
+    itself.
+
+    The pruned layout is a separate artifact, not an in-place edit: the
+    exact index stays authoritative for exact probes and future
+    appends; re-run pruning after appends to refresh (meta carries
+    ``witness_cap`` so a capped layout can never masquerade as exact).
+    Equivalence (pinned in tests/test_dedup_index.py):
+    ``probe(pruned)`` == ``probe(full, witness_cap=cap)`` for any
+    batch."""
+    from pyspark.sql import Window
+
+    meta = read_meta(path)
+    idx = spark.read.schema(f"{meta['id_col']} BIGINT, key BIGINT, band INT").parquet(
+        os.path.join(path, "buckets")
+    )
+    wb = Window.partitionBy("band", "key").orderBy(F.col(meta["id_col"]))
+    (
+        idx.withColumn("_rk", F.row_number().over(wb))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+        .repartition(write_partitions, "band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(os.path.join(out_path, "buckets"))
+    )
+    _write_meta(out_path, {**meta, "witness_cap": cap})
+    return out_path
+
+
 def compact_index(spark: SparkSession, path: str, write_partitions: int = 8) -> None:
     """Rewrite the bucket layout into ONE file per band — the
     small-file remedy for an index that has absorbed many streamed

@@ -114,6 +114,51 @@ def test_witness_cap_bounds_hot_bucket_and_still_screens(spark, tmp_path):
         assert witnesses <= set(range(2, 6))  # the min-id representatives
 
 
+def test_pruned_index_probe_equals_capped_probe(spark, tmp_path):
+    """probe(pruned layout) == probe(full layout, witness_cap=K) — the
+    materialized cap and the per-probe cap are the same operator; the
+    pruned meta records the cap so it can't masquerade as exact."""
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        prune_index_witnesses,
+    )
+
+    template = "the same boilerplate sentence repeated across the whole corpus"
+    corpus = spark.createDataFrame(
+        [(i, template) for i in range(2, 302)]
+        + [(600, "a genuinely unique document with its own words")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(1001, template), (1002, "nothing like anything indexed at all ok")],
+        ["doc_id", "text"],
+    )
+    full = build_minhash_index(
+        corpus, str(tmp_path / "full"), n=3, num_hashes=32, bands=16
+    )
+    pruned = prune_index_witnesses(spark, full, str(tmp_path / "pruned"), cap=4)
+    want = {
+        tuple(r)
+        for r in incremental_dedup_pairs(
+            spark, batch, corpus, full, threshold=0.6, witness_cap=4
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in incremental_dedup_pairs(
+            spark, batch, corpus, pruned, threshold=0.6
+        ).collect()
+    }
+    assert got == want
+    assert want  # the template batch doc must be flagged
+    assert read_meta(pruned)["witness_cap"] == 4
+    # pruned layout is physically bounded: ≤ cap rows per (band, key)
+    rows = spark.read.parquet(str(tmp_path / "pruned" / "buckets"))
+    over = (
+        rows.groupBy("band", "key").count().filter(F.col("count") > 4).count()
+    )
+    assert over == 0
+
+
 def test_index_persists_params_and_layout(spark, tmp_path):
     docs = load_table(spark, SF_SMOKE, "documents").limit(200)
     path = build_minhash_index(docs, str(tmp_path / "idx"), num_hashes=32, bands=16)
