@@ -316,13 +316,41 @@ def _compact_partitioned_index(
     write_partitions: int,
     _test_hook_pre_swap,
     opname: str,
+    _test_hook_post_aside=None,
 ) -> None:
     import shutil
 
     tmp = path.rstrip("/") + "__compact"
     old = path.rstrip("/") + "__old"
-    if not os.path.isdir(path) and os.path.isdir(old):
-        os.rename(old, path)  # crashed mid-swap last time: roll back
+    sentinel = "_swap_pending"
+
+    def _merge_tree(src: str, dst: str) -> None:
+        # Fold every file under src into dst (same relative layout).
+        # Parquet part names are UUID-unique, so collisions are
+        # practically impossible; if one ever occurs the src copy wins
+        # under a disambiguated name rather than silently vanishing.
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            out_dir = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(out_dir, exist_ok=True)
+            for f in files:
+                target = os.path.join(out_dir, f)
+                if os.path.exists(target):
+                    target = os.path.join(out_dir, "racer-" + f)
+                os.rename(os.path.join(root, f), target)
+
+    if os.path.isdir(old) and os.path.exists(os.path.join(old, sentinel)):
+        # A previous swap never finished cleanly: __old (sentinel-marked)
+        # is a COMPLETE pre-compaction copy. Fold any files a racing
+        # appender landed in a recreated live dir into it, then restore
+        # it — never delete the only complete copy.
+        if os.path.isdir(path):
+            _merge_tree(path, old)
+            shutil.rmtree(path)
+        os.remove(os.path.join(old, sentinel))
+        os.rename(old, path)
+    elif not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)  # pre-sentinel crash shape: roll back
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     meta = _read_meta(path)
@@ -354,18 +382,42 @@ def _compact_partitioned_index(
         )
     if _test_hook_pre_swap is not None:
         _test_hook_pre_swap()
+    # Sentinel travels with the aside copy: if anything below fails (or
+    # the process dies), the next call knows __old is the complete copy
+    # and restores it instead of deleting it.
+    open(os.path.join(path, sentinel), "w").close()
     os.rename(path, old)
     # Check-then-act closure: a part file that landed between the check
     # above and the rename is now sitting in __old — detect it, roll the
     # rename back (the landed file stays live), and abort the swap.
     if _data_files(old) != snapshot:
         os.rename(old, path)
+        os.remove(os.path.join(path, sentinel))
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
             f"{opname}: append landed during the swap window — "
             "rolled back; quiesce appends and re-run"
         )
-    os.rename(tmp, path)
+    if _test_hook_post_aside is not None:
+        _test_hook_post_aside()
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # A racing appender RECREATED the live dir after the
+        # rename-aside (its meta was read before the swap), so the
+        # final rename hit a non-empty target. Fold the racer's files
+        # into the complete copy, restore it, abort — data from both
+        # sides survives; only the compaction is abandoned.
+        _merge_tree(path, old)
+        shutil.rmtree(path, ignore_errors=True)
+        os.remove(os.path.join(old, sentinel))
+        os.rename(old, path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"{opname}: live dir was recreated during the swap window — "
+            "rolled back with the racer's files preserved; quiesce "
+            "appends and re-run"
+        )
     shutil.rmtree(old)
 
 

@@ -22,10 +22,14 @@ the text scan prunes to near-nothing.
 
 Equivalence contract (pinned in tests/test_dedup_index.py): probing a
 batch against an index of the corpus returns EXACTLY the batch↔corpus
-pairs of ``minhash_lsh_pairs(batch ∪ corpus)`` — same bands, same
-seeded hashes, same exact-Jaccard verification; the index changes the
-access path, never the answer (the same contract as
-:mod:`.ann_index`).
+pairs of the uncapped ``minhash_lsh_pairs(batch ∪ corpus)`` — same
+bands, same seeded hashes, same exact-Jaccard verification; the index
+changes the access path, never the answer (the same contract as
+:mod:`.ann_index`). Note the one-shot operator's own hot-bucket bound
+(``max_bucket``, default 1024) short-circuits oversize buckets to
+anchor stars, so the literal equality holds against
+``max_bucket=∞`` (or whenever no combined bucket exceeds the cap,
+which is the pinned test regime).
 
 Reference parity note: the reference (a 741-LoC HTTP MapReduce
 skeleton) has no dedup or persisted index; this is part of the
@@ -144,6 +148,14 @@ def prune_index_witnesses(
     batch."""
     from pyspark.sql import Window
 
+    if os.path.abspath(out_path) == os.path.abspath(path) or (
+        os.path.abspath(out_path).startswith(os.path.abspath(path) + os.sep)
+    ):
+        raise ValueError(
+            "prune_index_witnesses: out_path must be a separate location — "
+            "an in-place prune would overwrite the buckets the lazy read is "
+            "still scanning and destroy the exact index"
+        )
     meta = read_meta(path)
     idx = spark.read.schema(f"{meta['id_col']} BIGINT, key BIGINT, band INT").parquet(
         os.path.join(path, "buckets")
@@ -227,12 +239,18 @@ def incremental_dedup_pairs(
     ``witness_cap=K``, each persisted bucket is represented by its K
     min-id members (a windowed rank over the index scan — sort-based,
     spillable, batch-independent), bounding candidates at
-    O(|batch| × bands × K). The cap is sound for SCREENING by the same
-    cluster-by-construction argument as the one-shot bound: a bucket
-    that hot is a near-duplicate cluster, so any representative
-    verifies against a batch doc that truly duplicates the cluster.
-    ``None`` (the default) keeps the exact pinned contract — every
-    collision pair, equal to ``minhash_lsh_pairs(batch ∪ corpus)``.
+    O(|batch| × bands × K). Screening soundness is probabilistic, not
+    absolute: a bucket certifies agreement on one band's r hashes, so
+    with small r an oversize bucket can mix low-similarity colliders,
+    and a batch doc whose only true near-duplicate ranks above the K
+    witnesses in EVERY shared bucket would be missed. In the regime the
+    cap targets (oversize buckets = boilerplate clusters) any witness
+    verifies; size r (num_hashes/bands) and K so that holds, or keep
+    ``None`` for exactness. ``None`` (the default) emits every verified
+    collision pair — equal to the batch↔corpus pairs of the UNCAPPED
+    one-shot operator (``minhash_lsh_pairs`` with ``max_bucket`` above
+    every bucket size; the one-shot default caps at 1024, so the two
+    coincide exactly when no combined bucket exceeds that).
     """
     meta = read_meta(path)
     # Explicit schema: an index built over an EMPTY corpus has no band

@@ -77,13 +77,14 @@ def ns_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("drop docs that are mostly template") or feeds into span removal.
 
     Scale shape: paragraphs leave the scan stage as 128-bit digests
-    only (never text); the digest frequency table is a map-side
-    combinable hash agg; the count lands back on the instance stream
-    via a shuffle-hash join on the digest (the frequency table is
-    corpus-paragraph-cardinality — vocabulary-class, far too big to
-    broadcast, exactly the bigram-LM model-join reasoning in
-    plans/pipeline6.py); the only other exchange is the per-doc final
-    agg of (bigint, bigint). No windows, no driver state."""
+    only (never text); each instance learns its global frequency from
+    an unordered window over the ONE digest exchange — sort-based and
+    spillable, and a single derivation of the scan+split+md5 pipeline,
+    where a groupBy-frequency + join-back would plan that pipeline
+    twice because the two exchange payloads differ and ReuseExchange
+    cannot fire (the exact trap operators/dedup.py documents and
+    measured). The only other exchange is the per-doc final agg of
+    (bigint, bigint). No driver state."""
     return paragraph_dedup_stats(t(spark, sf_dir, "documents"))
 
 
@@ -110,17 +111,19 @@ def paragraph_dedup_stats(d: DataFrame) -> DataFrame:
             ).alias("h"),
         )
     )
-    c = p.groupBy("h").agg(F.count("*").alias("cnt"))
-    dup = (F.col("cnt") >= 2).cast("long")
+    from pyspark.sql import Window
+
+    cnt = F.count("*").over(Window.partitionBy("h"))
+    dup = (cnt >= 2).cast("long")
     return (
-        p.join(c.hint("shuffle_hash"), "h")
+        p.select("doc_id", dup.alias("dup"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_paras"),
-            F.sum(dup).alias("n_dup"),
+            F.sum("dup").alias("n_dup"),
             (
                 F.floor(
-                    F.sum(dup).cast("double") / F.count("*") * 1e6 + F.lit(0.5)
+                    F.sum("dup").cast("double") / F.count("*") * 1e6 + F.lit(0.5)
                 )
                 / 1e6
             ).alias("dup_frac"),
@@ -175,9 +178,11 @@ def ns_paragraph_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fully-boilerplate docs), which is the intended removal semantics.
 
     Scale shape: the keep/remove DECISION flows digests-only — instance
-    rows are (doc_id, position, digest), the keeper table is a digest-
-    keyed min aggregate (map-side combinable), and the decision join is
-    shuffle-hash on the digest. Document TEXT is touched exactly once
+    rows are (doc_id, position, digest), and the first-occurrence key
+    comes from an unordered min window over the single digest exchange
+    (one derivation of the scan pipeline — see paragraph_dedup_stats
+    for why a keeper-table join-back would plan it twice). Document
+    TEXT is touched exactly once
     more: the per-doc kept-position arrays (ints, document-bounded)
     join back to ``documents`` on doc_id and the clean text is rebuilt
     MAP-SIDE from the source row by slicing — the corpus text crosses
@@ -205,11 +210,17 @@ def ns_paragraph_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
+    from pyspark.sql import Window
+
+    # First-occurrence key via an unordered window over the ONE digest
+    # exchange — single derivation of the scan+split+md5 pipeline (a
+    # groupBy-min + join-back would plan it twice; see
+    # paragraph_dedup_stats / operators/dedup.py for the measurement).
     ikey = F.col("doc_id") * _INST_KEY + F.col("g")
-    keeper = inst.groupBy("h").agg(F.min(ikey).alias("kk"))
+    kk = F.min(ikey).over(Window.partitionBy("h"))
     keptg = (
-        inst.join(keeper.hint("shuffle_hash"), "h")
-        .filter(ikey == F.col("kk"))
+        inst.withColumn("_kk", kk)
+        .filter(ikey == F.col("_kk"))
         .groupBy("doc_id")
         .agg(
             F.sort_array(F.collect_list("g")).alias("ks"),

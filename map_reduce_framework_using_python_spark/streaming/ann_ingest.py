@@ -92,6 +92,21 @@ def probe_stream(
         if extend_index:
             append_to_lsh_index(batch_df, index_path)
 
+    return _drain_probe_stream(batch_stream, probe, out_dir, checkpoint_dir)
+
+
+def _drain_probe_stream(
+    batch_stream: DataFrame,
+    probe,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Shared sink/replay contract for both index layouts: drain the
+    AvailableNow stream through ``probe`` per micro-batch, then read
+    the neighbor sink back deduped on the (q_id, vec_id) pair key —
+    one copy of the trigger/checkpoint/empty-sink/read-back wiring so
+    the LSH and IVF loops can never drift apart."""
+    spark = batch_stream.sparkSession
     q = (
         batch_stream.writeStream.foreachBatch(probe)
         .option("checkpointLocation", checkpoint_dir)
@@ -144,17 +159,4 @@ def ivf_probe_stream(
         if extend_index:
             append_to_ivf_index(batch_df, index_path)
 
-    q = (
-        batch_stream.writeStream.foreachBatch(probe)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if not os.path.isdir(out_dir):
-        return spark.createDataFrame([], _NEIGHBORS_SCHEMA)
-    return (
-        spark.read.schema(_NEIGHBORS_SCHEMA)
-        .parquet(out_dir)
-        .dropDuplicates(["q_id", "vec_id"])
-    )
+    return _drain_probe_stream(batch_stream, probe, out_dir, checkpoint_dir)

@@ -657,6 +657,71 @@ def test_compact_rolls_back_when_append_lands_in_swap_window(spark, tmp_path):
     assert not os.path.isdir(path + "__compact")
 
 
+def test_compact_survives_live_dir_recreated_during_swap(spark, tmp_path):
+    """The destructive edge of the swap race: an appender that read the
+    index meta BEFORE the swap recreates the live dir after the
+    rename-aside. The final rename must not ENOTEMPTY-crash into a
+    state where the next call deletes the only complete copy — instead
+    the racer's files are folded into the complete copy, the live dir
+    is restored, and a RuntimeError reports the abort."""
+    import json
+    import os
+    import shutil
+
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        _compact_partitioned_index,
+        lsh_probe_index_batch,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "idx")
+    build_lsh_index(emb.filter(F.col("vec_id") < 100), path, n_planes=8, seed=42)
+    before = {
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    }
+
+    # Pre-write the racer's append as parquet, to be dropped into a
+    # recreated live dir inside the swap window (simulating an appender
+    # whose lsh_bucket write lands after the rename-aside).
+    racer_src = str(tmp_path / "racer_src")
+    (
+        emb.filter(F.col("vec_id").between(100, 109))
+        .withColumn("bucket", F.lit(3))
+        .coalesce(1)
+        .write.partitionBy("bucket")
+        .parquet(racer_src)
+    )
+
+    def racer_recreates_live_dir() -> None:
+        os.makedirs(os.path.join(path, "bucket=3"), exist_ok=True)
+        src_dir = os.path.join(racer_src, "bucket=3")
+        part = next(p for p in os.listdir(src_dir) if p.endswith(".parquet"))
+        shutil.copy(
+            os.path.join(src_dir, part),
+            os.path.join(path, "bucket=3", "racer-part.parquet"),
+        )
+
+    with pytest.raises(RuntimeError, match="recreated during the swap"):
+        _compact_partitioned_index(
+            spark, path, "bucket", 8, None, "compact_lsh_index",
+            _test_hook_post_aside=racer_recreates_live_dir,
+        )
+
+    after = {
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    }
+    assert after == before | set(range(100, 110))  # nothing lost, racer kept
+    assert not os.path.isdir(path + "__old")
+    assert not os.path.isdir(path + "__compact")
+    with open(os.path.join(path, "_ann_meta.json")) as fh:
+        json.load(fh)  # meta intact
+    # and the restored index still probes
+    queries = emb.filter(F.col("vec_id").isin(list(_QIDS)))
+    assert lsh_probe_index_batch(spark, queries, path, k=3).count() > 0
+
+
 def test_ivf_batch_probe_dedups_duplicate_index_rows(spark, tmp_path):
     """Duplicate rows in an IVF layout (repeated source ids) must not
     occupy multiple top-k slots: the probe's post-scoring (q_id, id)
