@@ -192,6 +192,25 @@ def test_corpus_drift_single_corpus_pass(spark):
     assert plan.count("Generate") == 1
 
 
+def test_paragraph_dedup_single_corpus_scan(spark):
+    """The stats op derives instance frequency from a window over the
+    ONE digest exchange — a groupBy+join-back regression would plan the
+    scan+split+md5 pipeline twice (ReuseExchange can't fire across
+    differing exchange payloads; measured in round 6)."""
+    plan = _plan(spark, "ns_paragraph_dedup")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_paragraph_dedup_apply_two_scans_is_the_floor(spark):
+    """The apply op pays exactly two corpus passes: the digest instance
+    pipeline and the doc_id rebuild join (the output IS rewritten text,
+    so one more text pass is the floor). Three scans = the keeper-table
+    re-derivation came back."""
+    plan = _plan(spark, "ns_paragraph_dedup_apply")
+    assert plan.count("Scan parquet") == 2, plan
+
+
 def test_ccnet_scaled_windows_only_over_histogram(spark):
     """The production CCNet form must never window over a corpus-sized
     table: its Window nodes sit ABOVE the (lang, li6) histogram
