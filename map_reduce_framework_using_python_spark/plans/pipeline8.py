@@ -295,3 +295,93 @@ def ns_ccnet_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("lang", "bucket").agg(
         F.count("*").alias("n_docs"), F.sum(keep).alias("n_kept")
     )
+
+
+#: Token budget for the epoch plan, in corpus-epochs: a training run of
+#: B = 2× the corpus's total tokens (the knob a real run sets from its
+#: compute budget; fixed here so the oracle is static SQL).
+_EPOCH_BUDGET = 2.0
+
+
+@query(
+    "ns_epoch_plan",
+    oracle=f"""
+        WITH tokc AS (SELECT source,
+                             len(string_split_regex(trim(text), ' +')) AS nt
+                      FROM documents),
+             s AS (SELECT source, count(*) AS n_docs,
+                          CAST(sum(nt) AS BIGINT) AS a
+                   FROM tokc GROUP BY 1),
+             sh AS (SELECT source, n_docs, a,
+                           CAST(a AS DOUBLE)
+                               / CAST(sum(a) OVER () AS BIGINT) AS share,
+                           CAST(sum(a) OVER () AS BIGINT) AS t
+                    FROM s),
+             w AS (SELECT source, n_docs, a, share, t,
+                          CAST(floor(sqrt(share) * 1000000000.0 + 0.5)
+                               AS BIGINT) AS w9
+                   FROM sh),
+             p AS (SELECT source, n_docs, a, share, t,
+                          CAST(w9 AS DOUBLE)
+                              / CAST(sum(w9) OVER () AS BIGINT) AS pt
+                   FROM w)
+        SELECT source, n_docs, a AS tokens,
+               floor(share * 1000000.0 + 0.5) / 1000000.0 AS share,
+               floor(pt * 1000000.0 + 0.5) / 1000000.0 AS p_target,
+               floor(pt * {_EPOCH_BUDGET} * t / a * 1000000.0 + 0.5)
+                   / 1000000.0 AS epochs
+        FROM p
+    """,
+    tags=("northstar", "pipeline", "mixture", "sampling"),
+)
+def ns_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data recipe a training run actually consumes: per-source
+    TOKEN-weighted epoch counts under a temperature-flattened mixture
+    (τ = 0.5, Conneau & Lample 2019) and a fixed token budget
+    (B = 2 corpus-epochs). ``epochs_s = p_s · B / available_s`` — a
+    minority source comes out > B (repeat it), a dominant one < B
+    (subsample it); ns_mixture_upsample / ns_stratified_sample realize
+    the plan downstream. Closes the mixture loop: where
+    ns_temperature_mixture reports relative sampling RATES over
+    character mass, this emits absolute epoch counts over TOKENS — the
+    unit budgets are set in.
+
+    Determinism (the ns_temperature_mixture discipline): token counts
+    cross rows as BIGINTs; τ = 0.5 uses IEEE-correctly-rounded sqrt;
+    the weight normalization crosses rows as 1e-9-grid BIGINTs; the
+    epoch expression evaluates left-associated on identical bits on
+    both engines and lands half-up on the 1e-6 grid. All windows run
+    over the ≤|sources|-row aggregate — the only corpus-sized work is
+    one map-side token count feeding a hash agg."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.size(F.split(F.trim(F.col("text")), " +")).alias("nt")
+    )
+    s = tok.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("nt").alias("a")
+    )
+    wall = Window.partitionBy()
+    sh = s.select(
+        "source",
+        "n_docs",
+        "a",
+        (F.col("a").cast("double") / F.sum("a").over(wall)).alias("share"),
+        F.sum("a").over(wall).alias("t"),
+    )
+    w9 = F.floor(F.sqrt(F.col("share")) * 1e9 + F.lit(0.5)).cast("bigint")
+    w = sh.withColumn("w9", w9)
+    pt = F.col("w9").cast("double") / F.sum("w9").over(wall)
+    p = w.withColumn("pt", pt)
+    from map_reduce_framework_using_python_spark.plans.core import half_up
+
+    epochs = F.col("pt") * F.lit(_EPOCH_BUDGET) * F.col("t") / F.col("a")
+    return p.select(
+        "source",
+        "n_docs",
+        F.col("a").alias("tokens"),
+        half_up(F.col("share"), 6).alias("share"),
+        half_up(F.col("pt"), 6).alias("p_target"),
+        half_up(epochs, 6).alias("epochs"),
+    )

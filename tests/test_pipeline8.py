@@ -145,6 +145,26 @@ def test_ccnet_sample_realizes_the_stratified_cut(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
 
 
+def test_epoch_plan_budget_and_flattening_invariants(spark):
+    """The plan must (a) spend the whole budget: Σ epochs_s·tokens_s ≈
+    B = 2·Σ tokens (within per-source rounding), (b) flatten without
+    inverting: smaller sources get MORE epochs, ordering preserved,
+    and (c) boost minorities above the budget's uniform 2.0 while
+    dominant sources fall below it."""
+    rows = REGISTRY["ns_epoch_plan"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    total = sum(r["tokens"] for r in rows)
+    spent = sum(r["epochs"] * r["tokens"] for r in rows)
+    assert abs(spent - 2.0 * total) < 1e-4 * total
+    by_tokens = sorted(rows, key=lambda r: r["tokens"])
+    ep = [r["epochs"] for r in by_tokens]
+    assert ep == sorted(ep, reverse=True)  # fewer tokens → more epochs
+    assert by_tokens[0]["epochs"] > 2.0    # minority repeated beyond budget
+    assert by_tokens[-1]["epochs"] < 2.0   # majority subsampled
+    for r in rows:
+        assert r["epochs"] > 0
+
+
 def test_ccnet_keep_thresholds_are_exact_integers():
     assert _CCNET_KEEP["head"] == 2**32
     assert _CCNET_KEEP["middle"] * 2 == 2**32
