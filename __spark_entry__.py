@@ -22,10 +22,11 @@ from map_reduce_framework_using_python_spark.plans import REGISTRY
 #: the latest round whose row was rows+schema+hash green).  The driver
 #: hash-checks only the first 50 oracle-bearing queries in ``queries()``
 #: order; after round 5 all 203 then-registered oracle queries have been
-#: green at least once (207 as of round 6 — the four round-6 additions
+#: green at least once (208 as of round 6 — the five round-6 additions
 #: ns_ccnet_buckets_scaled, ns_paragraph_dedup, ns_paragraph_dedup_apply,
-#: and ns_ccnet_sample are the not-yet-driver-verified oracles and lead
-#: the window) — so the window is a REGRESSION BACKSTOP that cycles the
+#: ns_ccnet_sample, and ns_epoch_plan are the not-yet-driver-verified
+#: oracles and lead the window) — so the window is a REGRESSION BACKSTOP
+#: that cycles the
 #: STALEST greens first: never-verified (new or reworked this round)
 #: queries lead, then ascending last-verified round, oldest first.
 #: Maintain by bumping a query's round here when a new CORRECTNESS file
