@@ -325,18 +325,27 @@ def _compact_partitioned_index(
     sentinel = "_swap_pending"
 
     def _merge_tree(src: str, dst: str) -> None:
-        # Fold every file under src into dst (same relative layout).
-        # Parquet part names are UUID-unique, so collisions are
+        # Fold every DATA file under src into dst (same relative
+        # layout). Hidden/metadata files (_SUCCESS, _ann_meta.json,
+        # .crc …) are SKIPPED — dst already carries its own authoritative
+        # copies, and a disambiguation-renamed metadata file would stop
+        # being underscore-hidden and poison every later parquet read.
+        # Parquet part names are UUID-unique, so data collisions are
         # practically impossible; if one ever occurs the src copy wins
-        # under a disambiguated name rather than silently vanishing.
+        # under a uniquified (still .parquet-suffixed) name rather than
+        # silently vanishing — the rename loops until the name is free.
         for root, _dirs, files in os.walk(src):
             rel = os.path.relpath(root, src)
             out_dir = dst if rel == "." else os.path.join(dst, rel)
             os.makedirs(out_dir, exist_ok=True)
             for f in files:
+                if f.startswith(("_", ".")):
+                    continue
                 target = os.path.join(out_dir, f)
-                if os.path.exists(target):
-                    target = os.path.join(out_dir, "racer-" + f)
+                i = 0
+                while os.path.exists(target):
+                    i += 1
+                    target = os.path.join(out_dir, f"racer{i}-{f}")
                 os.rename(os.path.join(root, f), target)
 
     if os.path.isdir(old) and os.path.exists(os.path.join(old, sentinel)):
@@ -418,6 +427,16 @@ def _compact_partitioned_index(
             "rolled back with the racer's files preserved; quiesce "
             "appends and re-run"
         )
+    # The swap is COMMITTED: retire the sentinel BEFORE deleting the
+    # aside copy, so a crash during the (possibly long) rmtree reads as
+    # the benign "old without sentinel" cleanup shape — not as a failed
+    # swap whose recovery would merge the stale pre-compaction copy
+    # back over the committed one. A crash in the two-syscall window
+    # between the rename above and this remove still takes the recovery
+    # branch and re-merges the stale copy — duplicate rows, which the
+    # probes dedup and the next compaction sheds; at no ordering can a
+    # crash here LOSE rows, which is the invariant that matters.
+    os.remove(os.path.join(old, sentinel))
     shutil.rmtree(old)
 
 

@@ -695,6 +695,11 @@ def test_compact_survives_live_dir_recreated_during_swap(spark, tmp_path):
     )
 
     def racer_recreates_live_dir() -> None:
+        # Shape of a REAL Spark append: data part file + top-level
+        # _SUCCESS + the meta sidecar append_to_lsh_index rewrites —
+        # the recovery must fold in the data and SKIP the metadata
+        # (a disambiguation-renamed _SUCCESS would stop being hidden
+        # and poison every later parquet read).
         os.makedirs(os.path.join(path, "bucket=3"), exist_ok=True)
         src_dir = os.path.join(racer_src, "bucket=3")
         part = next(p for p in os.listdir(src_dir) if p.endswith(".parquet"))
@@ -702,6 +707,9 @@ def test_compact_survives_live_dir_recreated_during_swap(spark, tmp_path):
             os.path.join(src_dir, part),
             os.path.join(path, "bucket=3", "racer-part.parquet"),
         )
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+        with open(os.path.join(path, "_ann_meta.json"), "w") as fh:
+            fh.write("{}")  # the racer's own meta rewrite
 
     with pytest.raises(RuntimeError, match="recreated during the swap"):
         _compact_partitioned_index(
@@ -716,7 +724,15 @@ def test_compact_survives_live_dir_recreated_during_swap(spark, tmp_path):
     assert not os.path.isdir(path + "__old")
     assert not os.path.isdir(path + "__compact")
     with open(os.path.join(path, "_ann_meta.json")) as fh:
-        json.load(fh)  # meta intact
+        meta = json.load(fh)
+    assert "planes" in meta  # the ORIGINAL meta survived, not the racer's
+    # no disambiguation-renamed metadata file anywhere (would read as
+    # fake parquet data and poison the scan)
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            assert not (f.startswith("racer") and "_" in f.split("-", 1)[-1][:1]), f
+            if not f.startswith(("_", ".")):
+                assert f.endswith(".parquet"), f
     # and the restored index still probes
     queries = emb.filter(F.col("vec_id").isin(list(_QIDS)))
     assert lsh_probe_index_batch(spark, queries, path, k=3).count() > 0
