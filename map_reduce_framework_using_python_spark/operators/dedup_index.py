@@ -183,18 +183,50 @@ def compact_index(spark: SparkSession, path: str, write_partitions: int = 8) -> 
     band in exactly one task (``write_partitions`` only caps write
     parallelism), so each band directory comes out as a single file.
     Content is unchanged; the rewrite goes through a side directory and
-    a two-rename swap. A crash between the renames leaves the live dir
-    missing but the previous copy intact at ``__old`` — recovered here
-    on the next call (and the stale ``__compact``/``__old`` leftovers
-    of any earlier crash are cleared before rewriting)."""
+    a two-rename swap with the same crash/race hardening as the ANN
+    compactor (operators/ann_index.py): a ``_swap_pending`` sentinel
+    travels with the aside copy so recovery always RESTORES the
+    complete copy (folding in any data files a racing appender landed
+    in a recreated live dir) instead of deleting it, and a live dir
+    recreated inside the swap window aborts with a RuntimeError after
+    rolling back with the racer's files preserved. Appends should
+    still be quiesced — the guard makes every crash ordering lose no
+    rows (worst case: duplicate rows, which the next compaction
+    sheds), it does not license concurrency."""
     import shutil
 
     meta = read_meta(path)
     buckets = os.path.join(path, "buckets")
     tmp = buckets + "__compact"
     old = buckets + "__old"
-    if not os.path.isdir(buckets) and os.path.isdir(old):
-        os.rename(old, buckets)  # crashed mid-swap last time: roll back
+    sentinel = "_swap_pending"
+
+    def _merge_tree(src: str, dst: str) -> None:
+        # Fold data files from src into dst, skipping hidden/metadata
+        # files and uniquifying on (unlikely) collisions — the same
+        # rules as ann_index._compact_partitioned_index.
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            out_dir = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(out_dir, exist_ok=True)
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                target = os.path.join(out_dir, f)
+                i = 0
+                while os.path.exists(target):
+                    i += 1
+                    target = os.path.join(out_dir, f"racer{i}-{f}")
+                os.rename(os.path.join(root, f), target)
+
+    if os.path.isdir(old) and os.path.exists(os.path.join(old, sentinel)):
+        if os.path.isdir(buckets):
+            _merge_tree(buckets, old)
+            shutil.rmtree(buckets)
+        os.remove(os.path.join(old, sentinel))
+        os.rename(old, buckets)
+    elif not os.path.isdir(buckets) and os.path.isdir(old):
+        os.rename(old, buckets)  # pre-sentinel crash shape: roll back
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     (
@@ -205,8 +237,22 @@ def compact_index(spark: SparkSession, path: str, write_partitions: int = 8) -> 
         .partitionBy("band")
         .parquet(tmp)
     )
+    open(os.path.join(buckets, sentinel), "w").close()
     os.rename(buckets, old)
-    os.rename(tmp, buckets)
+    try:
+        os.rename(tmp, buckets)
+    except OSError:
+        _merge_tree(buckets, old)
+        shutil.rmtree(buckets, ignore_errors=True)
+        os.remove(os.path.join(old, sentinel))
+        os.rename(old, buckets)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            "compact_index: live buckets dir was recreated during the swap "
+            "window — rolled back with the racer's files preserved; "
+            "quiesce appends and re-run"
+        )
+    os.remove(os.path.join(old, sentinel))
     shutil.rmtree(old)
 
 

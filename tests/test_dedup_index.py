@@ -231,6 +231,77 @@ def test_compact_index_single_file_per_band_same_rows(spark, tmp_path):
         assert len(files) <= 1
 
 
+def test_compact_index_survives_racer_recreating_buckets(spark, tmp_path):
+    """Racer-recreated live dir during the dedup-index compaction swap:
+    the final rename must abort with rollback (racer's data folded in,
+    metadata skipped) — never leave a state whose next-call cleanup
+    deletes the only complete copy."""
+    import os
+    import shutil
+
+    import pytest
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(80)
+    path = build_minhash_index(docs, str(tmp_path / "idx"), num_hashes=32, bands=16)
+    buckets = str(tmp_path / "idx" / "buckets")
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(buckets).select("doc_id", "band", "key").collect()
+    }
+    # Craft the racer's append content up front (one band-3 part file).
+    racer_src = str(tmp_path / "racer")
+    spark.createDataFrame(
+        [(999_001, 12345, 3)], "doc_id BIGINT, key BIGINT, band INT"
+    ).coalesce(1).write.partitionBy("band").parquet(racer_src)
+
+    real_rename = os.rename
+    fired = {"done": False}
+
+    def racing_rename(src, dst):
+        # Intercept ONLY the rename-aside (buckets -> buckets__old):
+        # recreate the live dir right after it, like an appender whose
+        # write lands mid-swap.
+        real_rename(src, dst)
+        if not fired["done"] and dst.endswith("__old"):
+            fired["done"] = True
+            os.makedirs(os.path.join(buckets, "band=3"), exist_ok=True)
+            part = next(
+                p
+                for p in os.listdir(os.path.join(racer_src, "band=3"))
+                if p.endswith(".parquet")
+            )
+            shutil.copy(
+                os.path.join(racer_src, "band=3", part),
+                os.path.join(buckets, "band=3", "racer-part.parquet"),
+            )
+            open(os.path.join(buckets, "_SUCCESS"), "w").close()
+
+    import map_reduce_framework_using_python_spark.operators.dedup_index as di
+
+    orig = di.os.rename
+    di.os.rename = racing_rename
+    try:
+        with pytest.raises(RuntimeError, match="recreated during the swap"):
+            compact_index(spark, path)
+    finally:
+        di.os.rename = orig
+
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(buckets).select("doc_id", "band", "key").collect()
+    }
+    assert after == before | {(999_001, 3, 12345)}  # nothing lost, racer kept
+    assert not os.path.isdir(buckets + "__old")
+    assert not os.path.isdir(buckets + "__compact")
+    # a later quiesced compaction completes and sheds nothing
+    compact_index(spark, path)
+    final = {
+        tuple(r)
+        for r in spark.read.parquet(buckets).select("doc_id", "band", "key").collect()
+    }
+    assert final == after
+
+
 def test_compact_index_recovers_from_crashed_swap(spark, tmp_path):
     """A crash between the two swap renames leaves buckets missing and
     the previous copy at __old; the next compaction must roll back and
