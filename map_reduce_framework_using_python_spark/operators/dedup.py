@@ -185,6 +185,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.6,
     max_bucket: int = 1024,
+    anchor_k: int = 1,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, exact-verified.
 
@@ -213,7 +214,16 @@ def minhash_lsh_pairs(
     are emitted only if they also meet in a ≤``max_bucket`` bucket —
     the documented recall trade for boundedness; at the default cap
     this affects only buckets that are overwhelmingly true-duplicate
-    clusters. Per-bucket stats (size + anchor) come from an unordered
+    clusters. Note the star routes the bucket's connectivity through
+    the anchor: a member whose exact-Jaccard against the anchor falls
+    below ``threshold`` (possible when small r lets low-similarity
+    colliders share a hot bucket) loses all of this bucket's pairs even
+    if it has true near-duplicates among the other members.
+    ``anchor_k`` > 1 blunts that cliff: star edges are emitted from the
+    K min-id anchors instead of one — still O(K·|bucket|) candidates,
+    and a single non-duplicate anchor can no longer sever the cluster
+    (any of the K verifying connects the member). Default 1 keeps the
+    minimal spanning star. Per-bucket stats (size + anchor) come from an unordered
     window over the single bucket-key exchange — sort-based and
     spillable, never ``collect_list`` — so no task ever materializes an
     oversize bucket in memory; the id lists that ARE collected are
@@ -257,10 +267,31 @@ def minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
     # Oversize buckets: star edges to the min-id anchor, O(|bucket|).
-    cand_big = (
-        sized.filter((F.col("_bsize") > max_bucket) & (F.col(id_col) != F.col("_anchor")))
-        .select(F.col("_anchor").alias("doc_a"), F.col(id_col).alias("doc_b"))
-    )
+    if anchor_k <= 1:
+        cand_big = (
+            sized.filter((F.col("_bsize") > max_bucket) & (F.col(id_col) != F.col("_anchor")))
+            .select(F.col("_anchor").alias("doc_a"), F.col(id_col).alias("doc_b"))
+        )
+    else:
+        # K-anchor star: edges from the K min-id members (row_number
+        # over the SAME bucket-key partitioning — no new exchange) to
+        # every member, O(K·|bucket|). The anchors side is K rows per
+        # oversize bucket; the join is co-partitioned on (band, key)
+        # with the member side (AQE broadcasts it when the oversize
+        # bucket count is small, the common case).
+        wbo = Window.partitionBy("band", "key").orderBy(F.col(id_col))
+        big = sized.filter(F.col("_bsize") > max_bucket)
+        anchors = (
+            big.withColumn("_rn", F.row_number().over(wbo))
+            .filter(F.col("_rn") <= anchor_k)
+            .select("band", "key", F.col(id_col).alias("doc_a"))
+        )
+        cand_big = (
+            big.select("band", "key", F.col(id_col).alias("doc_b"))
+            .join(anchors, ["band", "key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
     cand = cand_small.union(cand_big).distinct()
     # Exact verification on the (small) candidate set. The expensive
     # shingle expression re-runs ONLY for docs that appear in a

@@ -182,17 +182,31 @@ def compact_index(spark: SparkSession, path: str, write_partitions: int = 8) -> 
     Hash-clustering on ``band`` before the partitioned write puts each
     band in exactly one task (``write_partitions`` only caps write
     parallelism), so each band directory comes out as a single file.
-    Content is unchanged; the rewrite goes through a side directory and
-    a two-rename swap with the same crash/race hardening as the ANN
-    compactor (operators/ann_index.py): a ``_swap_pending`` sentinel
-    travels with the aside copy so recovery always RESTORES the
-    complete copy (folding in any data files a racing appender landed
-    in a recreated live dir) instead of deleting it, and a live dir
-    recreated inside the swap window aborts with a RuntimeError after
-    rolling back with the racer's files preserved. Appends should
-    still be quiesced — the guard makes every crash ordering lose no
-    rows (worst case: duplicate rows, which the next compaction
-    sheds), it does not license concurrency."""
+    Content is SET-equivalent, not byte-identical: the rewrite applies
+    ``dropDuplicates`` so exact duplicate rows left behind by a
+    crash-recovery re-merge (or a replayed at-least-once append) are
+    shed here rather than persisting forever — probe answers were
+    already duplicate-immune via the candidate ``.distinct()``; this
+    makes the storage heal too. The rewrite goes through a side
+    directory and a two-rename swap with the same crash/race hardening
+    as the ANN compactor (ann_index._compact_partitioned_index): a
+    ``_data_files`` snapshot taken before the rewrite is re-checked
+    after the rewrite AND after the rename-aside, so a part file
+    appended anywhere in the compaction window is detected and the
+    swap aborted (rolled back, appended file kept live) instead of the
+    file travelling into ``buckets__old`` and dying with it; a
+    ``_swap_pending`` sentinel travels with the aside copy so recovery
+    always RESTORES the complete copy (folding in any data files a
+    racing appender landed in a recreated live dir) instead of
+    deleting it; and a live dir recreated inside the swap window
+    aborts with a RuntimeError after rolling back with the racer's
+    files preserved. A ``_swap_committed`` marker riding the final
+    rename makes a crash in the retire sequence self-describing, so
+    recovery deletes the stale aside copy instead of re-merging it —
+    no crash ordering loses OR duplicates rows (replayed at-least-once
+    appends can still leave exact duplicates, which the next
+    compaction's dropDuplicates sheds). Appends should still be
+    quiesced — the guards do not license concurrency."""
     import shutil
 
     meta = read_meta(path)
@@ -200,6 +214,20 @@ def compact_index(spark: SparkSession, path: str, write_partitions: int = 8) -> 
     tmp = buckets + "__compact"
     old = buckets + "__old"
     sentinel = "_swap_pending"
+    # Commit marker (same protocol as ann_index._compact_partitioned_index):
+    # written into tmp just before the final rename so a crash in the
+    # retire sequence reads as "committed, retire interrupted" and the
+    # stale aside copy is deleted instead of re-merged as duplicates.
+    committed = "_swap_committed"
+
+    def _data_files(base: str) -> set[str]:
+        out = set()
+        for d in os.listdir(base):
+            if d.startswith("band="):
+                for f in os.listdir(os.path.join(base, d)):
+                    if f.endswith(".parquet"):
+                        out.add(f"{d}/{f}")
+        return out
 
     def _merge_tree(src: str, dst: str) -> None:
         # Fold data files from src into dst, skipping hidden/metadata
@@ -220,25 +248,54 @@ def compact_index(spark: SparkSession, path: str, write_partitions: int = 8) -> 
                 os.rename(os.path.join(root, f), target)
 
     if os.path.isdir(old) and os.path.exists(os.path.join(old, sentinel)):
-        if os.path.isdir(buckets):
-            _merge_tree(buckets, old)
-            shutil.rmtree(buckets)
-        os.remove(os.path.join(old, sentinel))
-        os.rename(old, buckets)
+        if os.path.isdir(buckets) and os.path.exists(os.path.join(buckets, committed)):
+            # Final rename committed; crash hit the retire window —
+            # the aside copy is stale, drop it (re-merging would
+            # duplicate every row).
+            shutil.rmtree(old)
+            os.remove(os.path.join(buckets, committed))
+        else:
+            if os.path.isdir(buckets):
+                _merge_tree(buckets, old)
+                shutil.rmtree(buckets)
+            os.remove(os.path.join(old, sentinel))
+            os.rename(old, buckets)
     elif not os.path.isdir(buckets) and os.path.isdir(old):
         os.rename(old, buckets)  # pre-sentinel crash shape: roll back
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(os.path.join(buckets, committed)):
+        os.remove(os.path.join(buckets, committed))  # stray marker: benign
+    snapshot = _data_files(buckets)
     (
         spark.read.schema(f"{meta['id_col']} BIGINT, key BIGINT, band INT")
         .parquet(buckets)
+        .dropDuplicates()
         .repartition(write_partitions, "band")
         .write.mode("overwrite")
         .partitionBy("band")
         .parquet(tmp)
     )
+    if _data_files(buckets) != snapshot:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            "compact_index: index changed during compaction "
+            "(concurrent append?) — quiesce appends and re-run"
+        )
     open(os.path.join(buckets, sentinel), "w").close()
     os.rename(buckets, old)
+    # Check-then-act closure: a part file that landed between the check
+    # above and the rename-aside is now sitting in __old — detect it,
+    # roll the rename back (the landed file stays live), abort.
+    if _data_files(old) != snapshot:
+        os.rename(old, buckets)
+        os.remove(os.path.join(buckets, sentinel))
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            "compact_index: append landed during the swap window — "
+            "rolled back; quiesce appends and re-run"
+        )
+    open(os.path.join(tmp, committed), "w").close()
     try:
         os.rename(tmp, buckets)
     except OSError:
@@ -252,8 +309,11 @@ def compact_index(spark: SparkSession, path: str, write_partitions: int = 8) -> 
             "window — rolled back with the racer's files preserved; "
             "quiesce appends and re-run"
         )
+    # Retire order mirrors the ANN compactor: sentinel, aside copy,
+    # marker — a crash at any point recovers without re-merging.
     os.remove(os.path.join(old, sentinel))
     shutil.rmtree(old)
+    os.remove(os.path.join(buckets, committed))
 
 
 def incremental_dedup_pairs(

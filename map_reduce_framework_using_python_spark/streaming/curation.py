@@ -68,10 +68,16 @@ def curate_batch(
     ``witness_cap`` (None = exact) passes through to the dedup screen —
     the screen only needs ONE verified corpus witness per batch doc, so
     a boilerplate-hot persisted bucket can be represented by its
-    ``witness_cap`` min-id members without changing any verdict on a
-    true duplicate (operators/dedup_index.py). Set it in 100 TB
-    deployments; the pinned drained==one-shot contract holds for any
-    value because both paths share it."""
+    ``witness_cap`` min-id members. The verdict guarantee is
+    PROBABILISTIC, not absolute (operators/dedup_index.py): a bucket
+    certifies agreement on one band's r hashes, so a batch doc whose
+    only true near-duplicate ranks above the K witnesses in EVERY
+    shared bucket is missed. In the regime the cap targets — oversize
+    buckets are true boilerplate clusters — any witness verifies and
+    verdicts are preserved; size r (num_hashes/bands) and K per the
+    dedup_index guidance rather than defaulting to a tiny cap. Set it
+    in 100 TB deployments; the pinned drained==one-shot contract holds
+    for any value because both paths share it."""
     dups = (
         incremental_dedup_pairs(
             spark, batch, corpus, index_path, threshold=threshold,

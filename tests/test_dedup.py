@@ -94,6 +94,23 @@ def test_minhash_hot_bucket_short_circuits_to_anchor_star(spark):
     assert all(abs(j - 1.0) < 1e-9 for j in pairs.values())
 
 
+def test_minhash_hot_bucket_k_anchor_star(spark):
+    """``anchor_k=3`` on the same hot bucket emits star edges from the
+    THREE min-id anchors — O(K·|bucket|) candidates — so a single
+    non-duplicate anchor can no longer sever the cluster. On an
+    all-identical bucket the result is exactly the union of the three
+    stars (anchor pairs included once, doc_a < doc_b)."""
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(500)]
+    df = _docs(spark, rows)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(df, max_bucket=64, anchor_k=3).collect()
+    }
+    expect = {(a, i) for a in (0, 1, 2) for i in range(500) if a < i}
+    assert pairs == expect
+
+
 def test_minhash_default_cap_leaves_small_corpus_untouched(spark):
     """At the default max_bucket=1024 the synthetic corpus has no
     oversize bucket, so the bounded operator emits exactly what an

@@ -323,3 +323,133 @@ def test_compact_index_recovers_from_crashed_swap(spark, tmp_path):
     }
     assert after == before
     assert not os.path.exists(buckets + "__old")
+
+
+def test_compact_index_detects_append_landed_before_aside(spark, tmp_path):
+    """ADVICE r6 (medium): a part file appended between the compaction
+    read and the rename-aside must NOT travel into buckets__old and die
+    with it. The ported two-stage snapshot guard detects the extra file
+    after the rename-aside, rolls the rename back (appended file stays
+    live), and aborts with the quiesce message — row loss impossible."""
+    import os
+    import shutil
+
+    import pytest
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(80)
+    path = build_minhash_index(docs, str(tmp_path / "idx"), num_hashes=32, bands=16)
+    buckets = str(tmp_path / "idx" / "buckets")
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(buckets).select("doc_id", "band", "key").collect()
+    }
+    racer_src = str(tmp_path / "racer")
+    spark.createDataFrame(
+        [(888_001, 54321, 5)], "doc_id BIGINT, key BIGINT, band INT"
+    ).coalesce(1).write.partitionBy("band").parquet(racer_src)
+    part = next(
+        p for p in os.listdir(os.path.join(racer_src, "band=5"))
+        if p.endswith(".parquet")
+    )
+
+    real_rename = os.rename
+    fired = {"done": False}
+
+    def appending_rename(src, dst):
+        # Drop the appended file into the LIVE dir just before the
+        # rename-aside fires — the classic lost-append window.
+        if not fired["done"] and dst.endswith("__old"):
+            fired["done"] = True
+            shutil.copy(
+                os.path.join(racer_src, "band=5", part),
+                os.path.join(src, "band=5", "appended-part.parquet"),
+            )
+        real_rename(src, dst)
+
+    import map_reduce_framework_using_python_spark.operators.dedup_index as di
+
+    orig = di.os.rename
+    di.os.rename = appending_rename
+    try:
+        with pytest.raises(RuntimeError, match="append landed during the swap"):
+            compact_index(spark, path)
+    finally:
+        di.os.rename = orig
+
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(buckets).select("doc_id", "band", "key").collect()
+    }
+    assert after == before | {(888_001, 5, 54321)}  # appended row survived, live
+    assert not os.path.isdir(buckets + "__old")
+    assert not os.path.isdir(buckets + "__compact")
+    # a later quiesced compaction completes with the appended row kept
+    compact_index(spark, path)
+    final = {
+        tuple(r)
+        for r in spark.read.parquet(buckets).select("doc_id", "band", "key").collect()
+    }
+    assert final == after
+
+
+def test_compact_index_sheds_duplicate_rows(spark, tmp_path):
+    """ADVICE r6 (low): compact_index now applies dropDuplicates, so
+    exact duplicate rows left by a recovery re-merge (simulated here by
+    appending the same batch twice) are shed by compaction — storage
+    heals as the docstring claims, and the row SET is unchanged."""
+    import glob
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(80)
+    batch, corpus = _split(docs)
+    path = build_minhash_index(corpus, str(tmp_path / "idx"), num_hashes=32, bands=16)
+    append_to_index(batch, path)
+    append_to_index(batch, path)  # exact duplicate rows
+    buckets = str(tmp_path / "idx" / "buckets")
+    df = spark.read.parquet(buckets)
+    assert df.count() > df.distinct().count()
+    before_set = {tuple(r) for r in df.select("doc_id", "band", "key").collect()}
+    compact_index(spark, path)
+    after_df = spark.read.parquet(buckets)
+    assert after_df.count() == after_df.distinct().count()  # healed
+    after_set = {
+        tuple(r) for r in after_df.select("doc_id", "band", "key").collect()
+    }
+    assert after_set == before_set
+    for b in range(16):
+        assert len(glob.glob(f"{buckets}/band={b}/*.parquet")) <= 1
+
+
+def test_compact_index_committed_crash_does_not_remerge(spark, tmp_path):
+    """VERDICT r6 item 7: a crash in the retire window (after the final
+    rename, before the sentinel removal) used to re-merge the stale
+    aside copy — duplicate rows. The _swap_committed marker makes the
+    state self-describing: recovery deletes the stale copy and keeps
+    the committed one, byte-identical, no duplicates."""
+    import glob
+    import os
+    import shutil
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(80)
+    path = build_minhash_index(docs, str(tmp_path / "idx"), num_hashes=32, bands=16)
+    buckets = str(tmp_path / "idx" / "buckets")
+    compact_index(spark, path)  # a clean compacted state to start from
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(buckets).select("doc_id", "band", "key").collect()
+    }
+    # Craft the exact crash state: buckets = committed compacted copy
+    # (marker present), __old = stale complete copy (sentinel present).
+    shutil.copytree(buckets, buckets + "__old")
+    open(os.path.join(buckets + "__old", "_swap_pending"), "w").close()
+    open(os.path.join(buckets, "_swap_committed"), "w").close()
+    compact_index(spark, path)
+    after_df = spark.read.parquet(buckets)
+    after = {
+        tuple(r) for r in after_df.select("doc_id", "band", "key").collect()
+    }
+    assert after == before
+    assert after_df.count() == len(before)  # NO duplicate rows
+    assert not os.path.isdir(buckets + "__old")
+    assert not os.path.exists(os.path.join(buckets, "_swap_committed"))
+    for b in range(16):
+        assert len(glob.glob(f"{buckets}/band={b}/*.parquet")) <= 1
