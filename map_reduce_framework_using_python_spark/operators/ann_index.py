@@ -76,7 +76,7 @@ def build_lsh_index(
     dim = len(df.select(vec_col).head()[0])
     planes = hyperplanes(dim, n_planes, seed)
     (
-        df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        df.withColumn("bucket", lsh_bucket(vec_col, planes))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
@@ -175,6 +175,49 @@ def build_ivf_index(
     return path
 
 
+def build_ivf_index_lloyd(
+    df: DataFrame,
+    path: str,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """IVF index whose coarse quantizer is the DETERMINISTIC Lloyd run
+    from operators/clustering.py (k-smallest-id init, half-up 1e-6
+    centroid rounding per iteration) instead of spark.ml KMeans.
+
+    Same layout and meta contract as :func:`build_ivf_index` — every
+    probe works unchanged — but the centroids are exactly reproducible
+    as a SQL CTE chain (plans/clustering_queries._kmeans_ctes), which
+    is what lets a probe against THIS index carry a full DuckDB oracle
+    (ns_ivf_probe_batch) where the spark.ml build can only be
+    rows-only. Assignment ties resolve to the lowest cluster id on
+    both engines (struct min)."""
+    from map_reduce_framework_using_python_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    _, centroids = kmeans_fit(df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
+    (
+        assign_clusters(
+            df.withColumn("_v", _as_double(F.col(vec_col))), centroids, vec_col="_v"
+        )
+        .drop("_v")
+        .withColumnRenamed("cluster", "centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    _write_meta(
+        path,
+        {"kind": "ivf", "n_centroids": k, "quantizer": f"lloyd{k}x{n_iter}",
+         "centroids": centroids, "vec_col": vec_col, "id_col": id_col},
+    )
+    return path
+
+
 def ivf_topk_indexed(
     spark: SparkSession,
     path: str,
@@ -239,7 +282,7 @@ def append_to_lsh_index(batch: DataFrame, path: str) -> None:
     meta = _read_meta(path)
     (
         batch.withColumn(
-            "bucket", lsh_bucket(F.col(meta["vec_col"]), meta["planes"])
+            "bucket", lsh_bucket(meta["vec_col"], meta["planes"])
         )
         .write.mode("append")
         .partitionBy("bucket")
@@ -323,10 +366,17 @@ def _compact_partitioned_index(
     tmp = path.rstrip("/") + "__compact"
     old = path.rstrip("/") + "__old"
     sentinel = "_swap_pending"
+    # Written into tmp just before the final rename, so a committed
+    # swap is self-describing: recovery that finds the marker in the
+    # LIVE dir alongside a sentinel-marked __old knows the crash hit
+    # the post-commit retire window and deletes the stale aside copy
+    # instead of re-merging it (which would duplicate every row).
+    committed = "_swap_committed"
 
-    def _merge_tree(src: str, dst: str) -> None:
+    def _merge_tree(src: str, dst: str) -> int:
         # Fold every DATA file under src into dst (same relative
-        # layout). Hidden/metadata files (_SUCCESS, _ann_meta.json,
+        # layout), returning how many were moved. Hidden/metadata files
+        # (_SUCCESS, _ann_meta.json,
         # .crc …) are SKIPPED — dst already carries its own authoritative
         # copies, and a disambiguation-renamed metadata file would stop
         # being underscore-hidden and poison every later parquet read.
@@ -334,6 +384,7 @@ def _compact_partitioned_index(
         # practically impossible; if one ever occurs the src copy wins
         # under a uniquified (still .parquet-suffixed) name rather than
         # silently vanishing — the rename loops until the name is free.
+        moved = 0
         for root, _dirs, files in os.walk(src):
             rel = os.path.relpath(root, src)
             out_dir = dst if rel == "." else os.path.join(dst, rel)
@@ -347,21 +398,50 @@ def _compact_partitioned_index(
                     i += 1
                     target = os.path.join(out_dir, f"racer{i}-{f}")
                 os.rename(os.path.join(root, f), target)
+                moved += 1
+        return moved
+
+    def _drop_src_fingerprint(base: str) -> None:
+        # Folding a racer's appended rows into a restored copy makes it
+        # no longer a pristine build(source): drop the 'src'
+        # fingerprint exactly as append_to_lsh_index/append_to_ivf_index
+        # do, so callers that trust src for cache reuse
+        # (ann_queries._ensure_*) rebuild instead of replaying a stale
+        # cache over appended data.
+        m = _read_meta(base)
+        if m.pop("src", None) is not None:
+            _write_meta(base, m)
 
     if os.path.isdir(old) and os.path.exists(os.path.join(old, sentinel)):
-        # A previous swap never finished cleanly: __old (sentinel-marked)
-        # is a COMPLETE pre-compaction copy. Fold any files a racing
-        # appender landed in a recreated live dir into it, then restore
-        # it — never delete the only complete copy.
-        if os.path.isdir(path):
-            _merge_tree(path, old)
-            shutil.rmtree(path)
-        os.remove(os.path.join(old, sentinel))
-        os.rename(old, path)
+        if os.path.isdir(path) and os.path.exists(os.path.join(path, committed)):
+            # The final rename COMMITTED and the crash hit the retire
+            # window (sentinel not yet removed / __old not yet deleted):
+            # the live dir is the compacted copy, __old is stale — drop
+            # it; re-merging it would duplicate every row.
+            shutil.rmtree(old)
+            os.remove(os.path.join(path, committed))
+        else:
+            # A previous swap never finished cleanly: __old
+            # (sentinel-marked) is a COMPLETE pre-compaction copy. Fold
+            # any files a racing appender landed in a recreated live
+            # dir into it, then restore it — never delete the only
+            # complete copy.
+            folded = 0
+            if os.path.isdir(path):
+                folded = _merge_tree(path, old)
+                shutil.rmtree(path)
+            os.remove(os.path.join(old, sentinel))
+            os.rename(old, path)
+            if folded:
+                _drop_src_fingerprint(path)
     elif not os.path.isdir(path) and os.path.isdir(old):
         os.rename(old, path)  # pre-sentinel crash shape: roll back
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(os.path.join(path, committed)):
+        # Stray marker from a crash after the retire completed but
+        # before the marker removal — benign; clear it.
+        os.remove(os.path.join(path, committed))
     meta = _read_meta(path)
 
     def _data_files(base: str) -> set[str]:
@@ -409,6 +489,13 @@ def _compact_partitioned_index(
         )
     if _test_hook_post_aside is not None:
         _test_hook_post_aside()
+    # The marker travels INTO the live dir with the rename below, so a
+    # crash anywhere after the rename leaves a self-describing
+    # committed state (see the recovery branch at the top). Written
+    # before the rename, a crash in between is still safe: path is
+    # absent, so recovery takes the restore branch and the marked tmp
+    # is discarded by the next run's pre-clean.
+    open(os.path.join(tmp, committed), "w").close()
     try:
         os.rename(tmp, path)
     except OSError:
@@ -417,27 +504,30 @@ def _compact_partitioned_index(
         # final rename hit a non-empty target. Fold the racer's files
         # into the complete copy, restore it, abort — data from both
         # sides survives; only the compaction is abandoned.
-        _merge_tree(path, old)
+        folded = _merge_tree(path, old)
         shutil.rmtree(path, ignore_errors=True)
         os.remove(os.path.join(old, sentinel))
         os.rename(old, path)
+        if folded:
+            _drop_src_fingerprint(path)
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
             f"{opname}: live dir was recreated during the swap window — "
             "rolled back with the racer's files preserved; quiesce "
             "appends and re-run"
         )
-    # The swap is COMMITTED: retire the sentinel BEFORE deleting the
-    # aside copy, so a crash during the (possibly long) rmtree reads as
-    # the benign "old without sentinel" cleanup shape — not as a failed
-    # swap whose recovery would merge the stale pre-compaction copy
-    # back over the committed one. A crash in the two-syscall window
-    # between the rename above and this remove still takes the recovery
-    # branch and re-merges the stale copy — duplicate rows, which the
-    # probes dedup and the next compaction sheds; at no ordering can a
-    # crash here LOSE rows, which is the invariant that matters.
+    # The swap is COMMITTED, and the live dir carries the commit
+    # marker: a crash anywhere in this retire sequence is recovered
+    # exactly (the marker + sentinel pair reads as "committed, retire
+    # interrupted" → the stale aside copy is deleted, never re-merged —
+    # the duplicate-re-merge window the pre-marker design accepted is
+    # closed). Retire order: sentinel first (so a crash during the
+    # possibly long rmtree reads as the benign no-sentinel cleanup
+    # shape), aside copy second, marker last (a stray marker is cleared
+    # by the next run's pre-clean).
     os.remove(os.path.join(old, sentinel))
     shutil.rmtree(old)
+    os.remove(os.path.join(path, committed))
 
 
 def _dedup_max_cosine(scored: DataFrame, id_col: str, label_col: str) -> DataFrame:
@@ -526,7 +616,7 @@ def lsh_probe_index_batch(
             F.col(id_col).alias("q_id"),
             qv.alias("qv"),
             l2_norm(qv).alias("qnorm"),
-            lsh_bucket(F.col(vec_col), planes).alias("_qbucket"),
+            lsh_bucket(vec_col, planes).alias("_qbucket"),
             F.explode(
                 F.array(*[F.lit(m).cast("long") for m in masks])
             ).alias("_mask"),
@@ -648,10 +738,18 @@ def ivf_probe_index_batch(
     n_probe: int = 4,
     label_col: str = "label",
     exclude_query_ids: bool = False,
+    grid_order: bool = False,
 ) -> DataFrame:
     """Batched multi-query probe of a persisted IVF index — the IVF twin
     of :func:`lsh_probe_index_batch`: ``(q_id, vec_id, label, cosine,
     rn)`` for every query vector in ONE plan.
+
+    ``grid_order=True`` ranks by the half-up-1e-6-QUANTIZED cosine
+    (ties → id) and emits that quantized value, the same discipline as
+    the LSH batch probe — required for DuckDB hash-gating, where both
+    engines must agree on ordering at last-ulp cosine ties. Default
+    False keeps raw-cosine ordering, pinned equal to
+    :func:`ivf_topk_indexed`.
 
     Per-query centroid selection stays fully JVM-side (no driver loop
     over queries): each query ranks the persisted centroids by squared
@@ -711,6 +809,22 @@ def ivf_probe_index_batch(
         )
     )
     cand = _dedup_max_cosine(scored, id_col, label_col)
+    if grid_order:
+        cand = cand.withColumn(
+            "_qcos", F.floor(F.col("cosine_raw") * 1e6 + F.lit(0.5)).cast("long")
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("_qcos").desc(), F.col(id_col))
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(
+                "q_id",
+                F.col(id_col),
+                F.col(label_col),
+                (F.col("_qcos") / 1e6).alias("cosine"),
+                "rn",
+            )
+        )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col(id_col))
     return (
         cand.withColumn("rn", F.row_number().over(w))

@@ -494,6 +494,80 @@ def test_compact_lsh_index_recovers_from_crashed_swap(spark, tmp_path):
     assert got == want
 
 
+def test_crashed_swap_recovery_drops_src_when_racer_folded(spark, tmp_path):
+    """Sentinel crash recovery that folds a racer's appended data files
+    into the restored copy must drop the 'src' fingerprint (ADVICE r6):
+    the restored index is no longer a pristine build(source), so a
+    cache-reuse caller (ann_queries._ensure_*) must not match it. A
+    recovery with NOTHING to fold keeps the meta verbatim."""
+    import json
+    import os
+    import shutil
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        compact_lsh_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "idx")
+    build_lsh_index(emb.filter(F.col("vec_id") < 100), path, n_planes=8, seed=42)
+    with open(os.path.join(path, "_ann_meta.json")) as fh:
+        m = json.load(fh)
+    m["src"] = "pristine-build-fingerprint"
+    with open(os.path.join(path, "_ann_meta.json"), "w") as fh:
+        json.dump(m, fh)
+    before = {
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    }
+    # Shape of a crash mid-swap with a racer append after it: __old is
+    # the complete sentinel-marked copy; a recreated live dir holds one
+    # appended part file.
+    racer_src = str(tmp_path / "racer_src")
+    (
+        emb.filter(F.col("vec_id").between(100, 104))
+        .withColumn("bucket", F.lit(3))
+        .coalesce(1)
+        .write.partitionBy("bucket")
+        .parquet(racer_src)
+    )
+    os.rename(path, path + "__old")
+    open(os.path.join(path + "__old", "_swap_pending"), "w").close()
+    os.makedirs(os.path.join(path, "bucket=3"))
+    part = next(
+        p
+        for p in os.listdir(os.path.join(racer_src, "bucket=3"))
+        if p.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(racer_src, "bucket=3", part),
+        os.path.join(path, "bucket=3", "racer-part.parquet"),
+    )
+    compact_lsh_index(spark, path)  # recovers, folds, then compacts
+    after = {
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    }
+    assert after == before | set(range(100, 105))
+    with open(os.path.join(path, "_ann_meta.json")) as fh:
+        meta = json.load(fh)
+    assert "src" not in meta  # folded racer rows → fingerprint dropped
+    assert "planes" in meta
+
+    # Control: sentinel recovery with NO recreated live dir keeps src.
+    path2 = str(tmp_path / "idx2")
+    build_lsh_index(emb.filter(F.col("vec_id") < 100), path2, n_planes=8, seed=42)
+    with open(os.path.join(path2, "_ann_meta.json")) as fh:
+        m2 = json.load(fh)
+    m2["src"] = "pristine-build-fingerprint"
+    with open(os.path.join(path2, "_ann_meta.json"), "w") as fh:
+        json.dump(m2, fh)
+    os.rename(path2, path2 + "__old")
+    open(os.path.join(path2 + "__old", "_swap_pending"), "w").close()
+    compact_lsh_index(spark, path2)
+    with open(os.path.join(path2, "_ann_meta.json")) as fh:
+        meta2 = json.load(fh)
+    assert meta2.get("src") == "pristine-build-fingerprint"
+
+
 def test_replayed_append_cannot_displace_neighbors(spark, tmp_path):
     """foreachBatch appends are at-least-once: a batch appended TWICE
     (replay) must not change any probe answer — duplicates dedup on
@@ -678,6 +752,14 @@ def test_compact_survives_live_dir_recreated_during_swap(spark, tmp_path):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     path = str(tmp_path / "idx")
     build_lsh_index(emb.filter(F.col("vec_id") < 100), path, n_planes=8, seed=42)
+    # Simulate a cache-reuse fingerprint from ann_queries._ensure_*:
+    # after the racer's rows are folded in, the restored meta must NOT
+    # carry it (ADVICE r6 — an appended-to index is not build(src)).
+    with open(os.path.join(path, "_ann_meta.json")) as fh:
+        _m = json.load(fh)
+    _m["src"] = "pristine-build-fingerprint"
+    with open(os.path.join(path, "_ann_meta.json"), "w") as fh:
+        json.dump(_m, fh)
     before = {
         r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
     }
@@ -726,6 +808,7 @@ def test_compact_survives_live_dir_recreated_during_swap(spark, tmp_path):
     with open(os.path.join(path, "_ann_meta.json")) as fh:
         meta = json.load(fh)
     assert "planes" in meta  # the ORIGINAL meta survived, not the racer's
+    assert "src" not in meta  # folded-in racer rows → fingerprint dropped
     # no disambiguation-renamed metadata file anywhere (would read as
     # fake parquet data and poison the scan)
     for root, _dirs, files in os.walk(path):
@@ -952,3 +1035,66 @@ def test_auc_ignores_null_truth_and_ranks_nan_last(spark):
         "s double, y boolean",
     )
     assert abs(auc(nan, "s", "y") - 1.0) < 1e-9
+
+
+def test_ann_compact_committed_crash_does_not_remerge(spark, tmp_path):
+    """VERDICT r6 item 7, ANN side: crash between the final rename and
+    the sentinel retire leaves (live dir + _swap_committed, __old +
+    _swap_pending). Recovery must keep the committed copy and DELETE
+    the stale aside copy — count unchanged, no duplicate rows."""
+    import os
+    import shutil
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        compact_lsh_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "idx")
+    build_lsh_index(emb.filter(F.col("vec_id") < 100), path, n_planes=8, seed=42)
+    compact_lsh_index(spark, path)
+    before_count = spark.read.parquet(path).count()
+    before = {
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    }
+    shutil.copytree(path, path + "__old")
+    open(os.path.join(path + "__old", "_swap_pending"), "w").close()
+    open(os.path.join(path, "_swap_committed"), "w").close()
+    compact_lsh_index(spark, path)
+    after_df = spark.read.parquet(path)
+    assert {r["vec_id"] for r in after_df.select("vec_id").collect()} == before
+    assert after_df.count() == before_count  # no re-merge duplicates
+    assert not os.path.isdir(path + "__old")
+    assert not os.path.exists(os.path.join(path, "_swap_committed"))
+
+
+def test_lloyd_ivf_index_matches_kmeans_fit_assignments(spark, tmp_path):
+    """build_ivf_index_lloyd must persist EXACTLY the deterministic
+    Lloyd model: per-vector partition assignments equal kmeans_fit's
+    (same k/iterations/init), and the persisted centroid meta equals
+    the fit's rounded centroids — the property the ns_ivf_probe_batch
+    DuckDB oracle (which replays the chain in SQL) stands on."""
+    import json
+    import os
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        build_ivf_index_lloyd,
+    )
+    from map_reduce_framework_using_python_spark.operators.clustering import (
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "lloyd_idx")
+    build_ivf_index_lloyd(emb, path, k=8, n_iter=2)
+    assigned, centroids = kmeans_fit(emb, k=8, n_iter=2)
+    want = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in spark.read.parquet(path).select("vec_id", "centroid_id").collect()
+    }
+    assert got == want
+    with open(os.path.join(path, "_ann_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["centroids"] == centroids
+    assert meta["quantizer"] == "lloyd8x2"
