@@ -162,8 +162,52 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rs.randn(n_planes, dim).tolist()
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id of a vector under the given hyperplanes."""
+def _dstr(x: float) -> str:
+    """Exact-round-trip SQL double literal: ``repr`` emits the shortest
+    decimal that parses back to the identical IEEE double, and Spark's
+    ``…D`` literal parse is correctly rounded — so the parsed plan
+    carries the same bits the Column-API ``F.lit`` path carried."""
+    return repr(float(x)) + "D"
+
+
+def _plane_dot_sql(vec_sql: str, p: list[float]) -> str:
+    """SQL text of :func:`dot`(_as_double(vec), plane-literal) — parses
+    to the IDENTICAL Catalyst expression (ZipWith + Aggregate fold with
+    0.0 init), so results are bit-equal to the Column-built form."""
+    arr = "array(" + ",".join(_dstr(x) for x in p) + ")"
+    return (
+        f"aggregate(zip_with(transform({vec_sql}, x -> CAST(x AS DOUBLE)), {arr}, "
+        f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _bucket_expr(vec_sql: str, planes: list[list[float]], grid: bool) -> Column:
+    """Whole sign-pattern bucket as ONE ``F.expr`` string.
+
+    Building this via the Column API costs ~0.7 s of DRIVER-side Python
+    per call (8 planes × 64 per-element ``F.lit`` + per-plane lambda
+    conversion) — measured as the dominant wall-clock of the batched
+    ANN probe at bench scale, and the root cause of round 6's phantom
+    "regression cluster" (plan-BUILD time is single-core Python, so it
+    swings with box load while execution doesn't). One server-side
+    parse of generated SQL is ~300× cheaper and optimizes to the same
+    physical plan (pinned bit-equal in tests/test_similarity.py)."""
+    parts = []
+    for i, p in enumerate(planes):
+        d = _plane_dot_sql(vec_sql, p)
+        cond = f"floor({d} * 1000000.0D + 0.5D) >= 0" if grid else f"{d} >= 0"
+        parts.append(f"(CASE WHEN {cond} THEN {1 << i}L ELSE 0L END)")
+    return F.expr("(" + " | ".join(parts) + ")")
+
+
+def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id of a vector under the given hyperplanes.
+
+    Pass the COLUMN NAME (str) to get the fast generated-SQL build
+    (the hot paths do); a Column is accepted for computed inputs and
+    builds the same expression through the Column API."""
+    if isinstance(vec, str):
+        return _bucket_expr(f"`{vec}`", planes, grid=False)
     bucket = F.lit(0).cast("long")
     v = _as_double(vec)
     for i, p in enumerate(planes):
@@ -176,7 +220,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
-def lsh_bucket_grid(vec: Column, planes: list[list[float]]) -> Column:
+def lsh_bucket_grid(vec: Column | str, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket with the sign taken on the 1e-6 grid:
     bit i = (floor(dot(v, plane_i)·1e6 + 0.5) >= 0).
 
@@ -187,7 +231,10 @@ def lsh_bucket_grid(vec: Column, planes: list[list[float]]) -> Column:
     cannot flip a bucket bit (the repo determinism rule —
     plans/core.py). The persisted index layouts keep the raw form they
     were built with; this grid form is for inline, oracle-gated
-    probing."""
+    probing. Pass the column NAME for the fast generated-SQL build
+    (see :func:`_bucket_expr`)."""
+    if isinstance(vec, str):
+        return _bucket_expr(f"`{vec}`", planes, grid=True)
     bucket = F.lit(0).cast("long")
     v = _as_double(vec)
     for i, p in enumerate(planes):
@@ -261,7 +308,7 @@ def lsh_probe_batch(
         F.col(id_col).alias("q_id"),
         qv.alias("qv"),
         l2_norm(qv).alias("qnorm"),
-        lsh_bucket_grid(F.col(vec_col), planes).alias("_qbucket"),
+        lsh_bucket_grid(vec_col, planes).alias("_qbucket"),
     )
     probes = (
         qb.select(
@@ -283,7 +330,7 @@ def lsh_probe_batch(
             F.col(label_col),
             v.alias("v"),
             l2_norm(v).alias("vnorm"),
-            lsh_bucket_grid(F.col(vec_col), planes).alias("bucket"),
+            lsh_bucket_grid(vec_col, planes).alias("bucket"),
         )
         .join(F.broadcast(probes), "bucket")
         .filter(F.col(id_col) != F.col("q_id"))
@@ -337,7 +384,7 @@ def lsh_cosine_topk(
             qbits |= 1 << i
     candidates = df.filter(F.col(id_col) != query_vec_id).filter(
         F.bit_count(
-            lsh_bucket(F.col(vec_col), planes).bitwiseXOR(F.lit(qbits).cast("long"))
+            lsh_bucket(vec_col, planes).bitwiseXOR(F.lit(qbits).cast("long"))
         )
         <= probe_hamming
     )

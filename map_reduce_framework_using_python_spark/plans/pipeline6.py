@@ -455,28 +455,45 @@ def ns_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — then half_up-quantized to 1e-6. The 16 components are
     emitted as typed scalar columns (e0..e15): scalars hash
     identically everywhere, and 16 is plenty for blocking-grade
-    similarity while keeping the oracle a finite column list."""
+    similarity while keeping the oracle a finite column list.
+
+    Build note (r7): the 16 agg branches and 16 normalized components
+    are generated-SQL ``F.expr`` strings, not Column-API trees — the
+    Column build cost ~0.35 s of driver-side Python per call (the bulk
+    of this query's bench wall-clock, misread in round 6 as an
+    execution regression; see operators/similarity._bucket_expr for
+    the same fix on the ANN probe). Values are pinned identical."""
     d = t(spark, sf_dir, "documents")
     tok = (
         d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok"))
         .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            F.expr(
+                "pmod(CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT), "
+                f"{_FH_DIM})"
+            ).alias("bucket"),
+            F.expr(
+                "CASE WHEN pmod(CAST(conv(substring(md5(tok), 9, 8), 16, 10) "
+                "AS BIGINT), 2) = 0 THEN 1 ELSE -1 END"
+            ).alias("sgn"),
+        )
     )
-    h1 = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-    h2 = F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("long")
-    bucket = F.pmod(h1, F.lit(_FH_DIM))
-    sgn = F.when(F.pmod(h2, F.lit(2)) == 0, F.lit(1)).otherwise(F.lit(-1))
     sums = tok.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         *[
-            F.sum(F.when(bucket == i, sgn).otherwise(F.lit(0))).alias(f"s{i}")
+            F.expr(f"sum(CASE WHEN bucket = {i} THEN sgn ELSE 0 END)").alias(f"s{i}")
             for i in range(_FH_DIM)
         ],
     )
-    nrm = F.sqrt(sum(F.col(f"s{i}") * F.col(f"s{i}") for i in range(_FH_DIM)))
+    # ``floor(x * 1e6 + 0.5) / 1e6`` is plans/core.half_up verbatim.
+    nrm_sql = "sqrt(" + " + ".join(f"s{i} * s{i}" for i in range(_FH_DIM)) + ")"
     comps = [
-        F.when(nrm > 0, half_up(F.col(f"s{i}") / nrm, 6))
-        .otherwise(F.lit(0.0))
-        .alias(f"e{i}")
+        F.expr(
+            f"CASE WHEN {nrm_sql} > 0 THEN "
+            f"floor(s{i} / {nrm_sql} * 1000000.0 + 0.5) / 1000000.0 "
+            "ELSE 0.0D END"
+        ).alias(f"e{i}")
         for i in range(_FH_DIM)
     ]
     return sums.select("doc_id", "n_tokens", *comps)

@@ -81,3 +81,60 @@ def test_lsh_results_are_subset_of_corpus(spark):
     res = lsh_cosine_topk(emb, query_vec_id=0, k=10).collect()
     assert len(res) <= 10
     assert all(r["vec_id"] != 0 for r in res)
+
+
+def test_bucket_expr_bit_equal_to_column_path(spark):
+    """The generated-SQL bucket build (fast path, r7: kills the ~0.7 s
+    driver-side Column construction that round 6 misread as an
+    execution regression) must be BIT-equal to the Column-API path for
+    both the raw-sign and grid forms — same planes, same fold order,
+    same literals after repr round-trip."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket,
+        lsh_bucket_grid,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    planes = hyperplanes(64, 8, seed=42)
+    for fn in (lsh_bucket, lsh_bucket_grid):
+        got = [
+            (r[0], r[1])
+            for r in emb.select(
+                "vec_id", fn("embedding", planes)
+            ).orderBy("vec_id").collect()
+        ]
+        want = [
+            (r[0], r[1])
+            for r in emb.select(
+                "vec_id", fn(F.col("embedding"), planes)
+            ).orderBy("vec_id").collect()
+        ]
+        assert got == want
+    # and the underlying grid dots themselves are bit-equal, not just
+    # the coarse sign pattern
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        _as_double,
+        _plane_dot_sql,
+        dot,
+    )
+
+    p0 = planes[0]
+    sqld = [
+        r[1]
+        for r in emb.select("vec_id", F.expr(_plane_dot_sql("`embedding`", p0)))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    cold = [
+        r[1]
+        for r in emb.select(
+            "vec_id",
+            dot(_as_double(F.col("embedding")), F.array(*[F.lit(x) for x in p0])),
+        )
+        .orderBy("vec_id")
+        .collect()
+    ]
+    assert sqld == cold
