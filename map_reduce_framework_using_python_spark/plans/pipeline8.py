@@ -1,7 +1,8 @@
-"""Training-pipeline operators, part 8: paragraph-level exact dedup and
-the CCNet stratified-sampling realization.
+"""Training-pipeline operators, part 8: paragraph-level exact dedup,
+the CCNet stratified-sampling realization, and the epoch-plan
+realization.
 
-Two curation ops from published pipeline practice (the reference's
+Curation ops from published pipeline practice (the reference's
 users would chain mapper/reducer jobs over ``documents`` for each,
 `Readme.md:6`; here each is one declarative plan):
 
@@ -384,4 +385,134 @@ def ns_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_up(F.col("share"), 6).alias("share"),
         half_up(F.col("pt"), 6).alias("p_target"),
         half_up(epochs, 6).alias("epochs"),
+    )
+
+
+#: The epoch-plan CTE chain shared by the realize oracle: per-source
+#: gridded epoch counts e6 = floor(epochs · 1e6 + 0.5) as BIGINT —
+#: exactly the ns_epoch_plan 'epochs' column before the /1e6.
+_EPOCH_E6_ORACLE = f"""
+        tokc AS (SELECT doc_id, source,
+                        len(string_split_regex(trim(text), ' +')) AS nt
+                 FROM documents),
+        s AS (SELECT source, CAST(sum(nt) AS BIGINT) AS a
+              FROM tokc GROUP BY 1),
+        sh AS (SELECT source, a,
+                      CAST(a AS DOUBLE)
+                          / CAST(sum(a) OVER () AS BIGINT) AS share,
+                      CAST(sum(a) OVER () AS BIGINT) AS t
+               FROM s),
+        w AS (SELECT source, a, share, t,
+                     CAST(floor(sqrt(share) * 1000000000.0 + 0.5)
+                          AS BIGINT) AS w9
+              FROM sh),
+        p AS (SELECT source, a, t,
+                     CAST(w9 AS DOUBLE)
+                         / CAST(sum(w9) OVER () AS BIGINT) AS pt
+              FROM w),
+        e AS (SELECT source,
+                     CAST(floor(pt * {_EPOCH_BUDGET} * t / a
+                                * 1000000.0 + 0.5) AS BIGINT) AS e6
+              FROM p)
+"""
+
+#: 2^32 — the md5-prefix grid the remainder-selection hash lives on.
+_H32 = 1 << 32
+
+
+@query(
+    "ns_epoch_realize",
+    oracle=f"""
+        WITH {_EPOCH_E6_ORACLE},
+             docs AS (SELECT tokc.doc_id, tokc.source, tokc.nt,
+                             CAST(concat('0x', substr(md5(concat('epo',
+                                  CAST(tokc.doc_id AS VARCHAR))), 1, 8))
+                                  AS BIGINT) AS h
+                      FROM tokc),
+             rep AS (SELECT d.doc_id, d.source, d.nt,
+                            (e6 // 1000000)
+                            + CASE WHEN d.h * 1000000
+                                        < (e6 % 1000000) * {_H32}
+                                   THEN 1 ELSE 0 END AS n_rep
+                     FROM docs d JOIN e USING (source))
+        SELECT doc_id, source,
+               CAST(g AS BIGINT) AS replica,
+               CAST(nt AS BIGINT) AS n_tokens
+        FROM rep, LATERAL unnest(generate_series(0, n_rep - 1)) u(g)
+        WHERE n_rep > 0
+    """,
+    tags=("northstar", "pipeline", "mixture", "sampling"),
+)
+def ns_epoch_realize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZE the ns_epoch_plan recipe as a training stream: each
+    document of source s appears floor(e_s) times in full (replica
+    0..floor-1) plus one md5-hash-selected extra copy realizing the
+    fractional remainder (P[extra] = frac(e_s), no ``rand()`` — the
+    ns_ccnet_sample reproducibility discipline), so per-source expected
+    token mass equals the plan's e_s · available_s and the 2-corpus-
+    epoch budget is spent where the τ=0.5 mixture says. This is the gap
+    ns_mixture_upsample (integer weights only) left open: a plan that
+    says "1.73 epochs of source A" now has an operator that emits
+    exactly that stream — (doc_id, source, replica, n_tokens) rows a
+    trainer shuffles and consumes.
+
+    Determinism: the fractional remainder lives on the 1e-6 grid the
+    plan already rounds to (e6 = floor(epochs·1e6 + 0.5) as BIGINT);
+    the keep test ``h·10⁶ < (e6 mod 10⁶)·2³²`` is exact 64-bit integer
+    arithmetic on both engines (h < 2³² ⇒ products < 2⁶³). Epoch floats
+    match ns_epoch_plan's column bit-for-bit (same left-associated
+    expression).
+
+    Scale shape: the plan side is the ≤|sources|-row aggregate
+    (broadcast); the realize pass is one map-side join + explode of a
+    bounded sequence (⌈e_s⌉ ≤ budget/min-share — single digits in
+    practice) — no shuffle beyond the plan aggregate, output streams
+    straight to the sink. Replication happens at the PLAN level; rows
+    are never driver-materialized."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.col("text")), " +")).alias("nt"),
+    )
+    s = tok.groupBy("source").agg(F.sum("nt").alias("a"))
+    wall = Window.partitionBy()
+    sh = s.select(
+        "source",
+        "a",
+        (F.col("a").cast("double") / F.sum("a").over(wall)).alias("share"),
+        F.sum("a").over(wall).alias("t"),
+    )
+    w = sh.withColumn(
+        "w9", F.floor(F.sqrt(F.col("share")) * 1e9 + F.lit(0.5)).cast("bigint")
+    )
+    p = w.withColumn("pt", F.col("w9").cast("double") / F.sum("w9").over(wall))
+    e6 = F.floor(
+        F.col("pt") * F.lit(_EPOCH_BUDGET) * F.col("t") / F.col("a") * 1e6
+        + F.lit(0.5)
+    ).cast("bigint")
+    plan = p.select("source", e6.alias("e6"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("epo"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    n_rep = F.expr("e6 DIV 1000000") + F.when(
+        h * F.lit(1_000_000) < (F.col("e6") % 1_000_000) * F.lit(_H32), 1
+    ).otherwise(0)
+    return (
+        tok.join(F.broadcast(plan), "source")
+        .withColumn("n_rep", n_rep)
+        .filter(F.col("n_rep") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_rep") - 1)).alias(
+                "replica"
+            ),
+            F.col("nt").cast("bigint").alias("n_tokens"),
+        )
     )

@@ -169,3 +169,42 @@ def test_ccnet_keep_thresholds_are_exact_integers():
     assert _CCNET_KEEP["head"] == 2**32
     assert _CCNET_KEEP["middle"] * 2 == 2**32
     assert _CCNET_KEEP["tail"] == (2**32) // 10
+
+
+def test_epoch_realize_matches_plan_budget_and_structure(spark):
+    """The realized stream must implement the plan exactly: per source,
+    every doc appears floor(e_s) times plus a deterministic hash-
+    selected extra (replicas are 0..n_rep-1, no gaps), and the realized
+    token mass tracks e_s · tokens_s (binomial remainder selection —
+    tolerance scales with the remainder mass). Re-running produces the
+    identical stream (no rand())."""
+    plan = {r["source"]: r for r in REGISTRY["ns_epoch_plan"].fn(spark, SF_SMOKE).collect()}
+    rows = REGISTRY["ns_epoch_realize"].fn(spark, SF_SMOKE).collect()
+    again = REGISTRY["ns_epoch_realize"].fn(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[(r["source"], r["doc_id"])].append(r["replica"])
+    for (src, _doc), reps in per_doc.items():
+        e = plan[src]["epochs"]
+        full = int(e * 1_000_000 + 1e-9) // 1_000_000
+        assert sorted(reps) in (list(range(full)), list(range(full + 1)))
+
+    tok_by_src = defaultdict(int)
+    for r in rows:
+        tok_by_src[r["source"]] += r["n_tokens"]
+    import math
+
+    for src, p in plan.items():
+        want = p["epochs"] * p["tokens"]
+        frac = p["epochs"] - int(p["epochs"])
+        # selection noise only lives in the fractional remainder: the
+        # extra-copy count is Binomial(n_docs, frac) — bound at 4σ in
+        # token units plus one doc of grid slack
+        avg = p["tokens"] / p["n_docs"]
+        sigma = math.sqrt(max(frac * (1.0 - frac) * p["n_docs"], 0.0))
+        slack = 4.0 * sigma * avg + avg
+        assert abs(tok_by_src[src] - want) <= slack, (src, tok_by_src[src], want)

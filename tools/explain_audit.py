@@ -115,6 +115,9 @@ AUDIT = (
     "ns_paragraph_dedup_apply",
     "ns_ccnet_sample",
     "ns_ivf_probe_batch",
+    # round 7: epoch-plan realization — one broadcast of the
+    # ≤|sources|-row plan, map-side explode, no corpus shuffle
+    "ns_epoch_realize",
 )
 
 
