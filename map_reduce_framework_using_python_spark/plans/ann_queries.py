@@ -80,6 +80,19 @@ def _ensure_ivf(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def _ensure_ivf_lloyd(spark: SparkSession, sf_dir: str) -> str:
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        build_ivf_index_lloyd,
+    )
+
+    return _ensure(
+        spark, sf_dir, "ivf_lloyd8x2",
+        lambda p: build_ivf_index_lloyd(
+            t(spark, sf_dir, "embeddings"), p, k=8, n_iter=2
+        ),
+    )
+
+
 def _qvec(spark: SparkSession, sf_dir: str, vid: int = 0) -> list[float]:
     row = (
         t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vid).head()
@@ -236,23 +249,75 @@ def st_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_probe_batch_oracle() -> str:
+    """Full DuckDB oracle for the Lloyd-quantizer IVF batch probe: the
+    deterministic k-means CTE chain (the SAME chain ns_kmeans_sizes is
+    gated on) reproduces the index's centroids AND its per-vector
+    assignments; per-query centroid ranking, n_probe pruning, and the
+    grid-quantized cosine top-k are then plain SQL."""
+    from map_reduce_framework_using_python_spark.plans.clustering_queries import (
+        _kmeans_ctes,
+        _sqdist_sql,
+    )
+
+    k_cl, n_iter, dim = 8, 2, 64
+    ctes = _kmeans_ctes(k_cl, n_iter, dim)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+        q AS (SELECT vec_id AS q_id, v AS qv FROM v
+              WHERE vec_id % 37 = 0 AND vec_id < 18500),
+        pr AS (SELECT q_id, qv, cluster FROM (
+                   SELECT q.q_id, q.qv, c.cluster,
+                          row_number() OVER (
+                              PARTITION BY q.q_id
+                              ORDER BY {_sqdist_sql("q.qv", "c.cent")}, c.cluster
+                          ) AS cr
+                   FROM q CROSS JOIN cent{n_iter} c)
+               WHERE cr <= 4),
+        cand AS (SELECT pr.q_id, a.vec_id,
+                        floor(list_cosine_similarity(a.v, pr.qv)
+                              * 1000000.0 + 0.5) AS qcos
+                 FROM pr JOIN a{n_iter} a ON a.cluster = pr.cluster
+                                         AND a.vec_id <> pr.q_id),
+        r AS (SELECT q_id, vec_id, qcos,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY qcos DESC, vec_id) AS rn
+              FROM cand)
+        SELECT r.q_id, r.vec_id, e.label, qcos / 1000000.0 AS cosine,
+               CAST(rn AS INTEGER) AS rn
+        FROM r JOIN embeddings e ON e.vec_id = r.vec_id
+        WHERE rn <= 10
+    """
+    )
+
+
 @query(
     "ns_ivf_probe_batch",
-    oracle=None,  # centroids are trained driver state (k-means), not
-    # static SQL; pinned EXACTLY equal to per-query ivf_topk_indexed.
+    oracle=_ivf_probe_batch_oracle(),
     tags=("northstar", "similarity", "sketch", "index", "batch"),
 )
 def ns_ivf_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched IVF cosine top-10 against the persisted index: per-query
-    centroid ranking via JVM array_sort over the 16 persisted centroid
-    literals, n_probe=4 nearest exploded into a broadcast (q_id,
-    centroid_id) probe table, equi-joined on the partition column —
-    one plan for the whole batch, corpus scanned once."""
+    """Batched IVF cosine top-10 against a PERSISTED index whose coarse
+    quantizer is the deterministic Lloyd run (k=8, 2 iterations,
+    k-smallest-id init, half-up 1e-6 centroid rounding — exactly
+    ns_kmeans_sizes' model): per-query centroid ranking via JVM
+    array_sort over the 8 persisted centroid literals, the 4 nearest
+    exploded into a broadcast (q_id, centroid_id) probe table,
+    equi-joined on the partition column — one plan for the whole batch,
+    corpus scanned once, cosine ordering on the 1e-6 grid.
+
+    Promoted from rows-only to a FULL DuckDB oracle in r7 (VERDICT r6
+    item 4): the Lloyd quantizer is SQL-reproducible as a CTE chain, so
+    the oracle replays centroid training, index assignment, probe
+    routing, and the top-k — the whole lifecycle, not just the probe.
+    The spark.ml-quantizer build path stays available
+    (operators/ann_index.build_ivf_index) and keeps its pytest pins."""
     from map_reduce_framework_using_python_spark.operators.ann_index import (
         ivf_probe_index_batch,
     )
 
-    path = _ensure_ivf(spark, sf_dir)
+    path = _ensure_ivf_lloyd(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings")
     return ivf_probe_index_batch(
         spark,
@@ -260,6 +325,7 @@ def ns_ivf_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
         k=10,
         n_probe=4,
+        grid_order=True,
     )
 
 
