@@ -137,6 +137,27 @@ _LAST_VERIFIED: dict[str, int] = {
         "q18_large_orders", "q10_returned_items", "q_window_rank",
         "q_window_lag_lead",
     ), 5),
+    # round 6 (CORRECTNESS_r06.json) — all 50 rows green: the five
+    # round-6 additions plus the stalest r1/r2 cohort re-verified.
+    **dict.fromkeys((
+        "mr_wordcount_pipe", "ns_ccnet_buckets_scaled", "ns_ccnet_sample",
+        "ns_cosine_topk", "ns_dedup_exact", "ns_embedding_near_pairs",
+        "ns_embedding_norms", "ns_epoch_plan", "ns_fingerprint",
+        "ns_lang_stats", "ns_language_id", "ns_ngram_jaccard_pairs",
+        "ns_paragraph_dedup", "ns_paragraph_dedup_apply",
+        "ns_quality_scores", "ns_token_stats", "ns_wordcount",
+        "q04_priority_exists", "q14_promo_share", "q19_disjunctive",
+        "q_binary_funcs", "q_date_spine", "q_event_dedup",
+        "q_event_session_native", "q_event_sessionize",
+        "q_event_window_sliding", "q_event_window_tumbling", "q_except_all",
+        "q_explode_udtf", "q_from_json", "q_intersect_all", "q_json_extract",
+        "q_map_funcs", "q_percentile", "q_topk_per_group",
+        "q_udaf_weighted_avg", "q_udf_scalar_pandas", "q_udtf_grouped_map",
+        "q_union_byname", "q_unpivot", "q_variant_extract",
+        "q_window_first_last", "q_window_range_frame", "q_window_running",
+        "st_session_window", "st_sliding_window", "st_stateful_totals",
+        "st_stream_join", "st_stream_static_enrich", "st_tumbling_window",
+    ), 6),
 }
 
 
