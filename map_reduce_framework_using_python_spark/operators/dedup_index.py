@@ -413,3 +413,292 @@ def incremental_dedup_pairs(
         .filter(jac >= threshold)
         .select("batch_doc", "corpus_doc", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-digest index (r7, VERDICT r6 item 2): the ingest-path twin
+# of plans/pipeline8.paragraph_dedup_stats. Boilerplate arrives
+# incrementally in a real 100 TB ingest; re-running the one-shot
+# paragraph pass over the whole corpus per batch is the cost the
+# MinHash index already kills for near-dup — this kills it for
+# paragraph-level EXACT dedup. Layout mirrors the band-partitioned
+# bucket table:
+#
+#     <path>/digests/pb=<b>/*.parquet   # (doc_id, g, h) per instance
+#     <path>/_dedup_meta.json           # kind/para_words/buckets/id_col
+#
+# Rows are (doc_id, position, md5-digest) — fixed width, never text.
+# Storing instance rows (not just the digest set) is what makes a
+# crash-REPLAYED batch safe: the probe anti-joins the index against the
+# batch's own doc ids, so a batch that already appended itself never
+# counts its own paragraphs as prior occurrences (the ann_ingest
+# exclude-own-ids contract).
+
+#: Paragraph window length in words — must match the one-shot operator
+#: (plans/pipeline8._PARA_WORDS) for the screened verdicts to compose.
+PARA_WORDS = 10
+
+#: Composite instance key base (doc_id·10⁹ + g), same exactness note as
+#: plans/pipeline8._INST_KEY.
+_PINST_KEY = 1_000_000_000
+
+
+def _paragraph_instances(
+    d: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    para_words: int = PARA_WORDS,
+) -> DataFrame:
+    """(doc_id, g, h) per non-overlapping ``para_words``-word window —
+    the exact digesting of plans/pipeline8.paragraph_dedup_stats (md5
+    over the space-joined slice), shared so index and one-shot verdicts
+    always agree."""
+    ws = F.split(F.trim(F.col(text_col)), " +")
+    n_chunks = F.expr(f"(size(ws) + {para_words - 1}) DIV {para_words}")
+    return (
+        d.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("g"),
+            F.col("ws"),
+        )
+        .select(
+            "doc_id",
+            "g",
+            F.md5(
+                F.concat_ws(
+                    " ", F.expr(f"slice(ws, g * {para_words} + 1, {para_words})")
+                )
+            ).alias("h"),
+        )
+    )
+
+
+def _pb(col: str, buckets: int):
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(buckets)).cast("int")
+
+
+def build_paragraph_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_words: int = PARA_WORDS,
+    buckets: int = 16,
+) -> str:
+    """Digest ``corpus`` once and persist its paragraph-instance table,
+    hash-partitioned on the digest into ``buckets`` directories (a
+    probe scans only directories its batch digests hash into when the
+    reader pushes the partition filter; at minimum the layout bounds
+    file counts per append)."""
+    inst = _paragraph_instances(corpus, text_col, id_col, para_words)
+    (
+        inst.withColumn("pb", _pb("h", buckets))
+        .write.mode("overwrite")
+        .partitionBy("pb")
+        .parquet(os.path.join(path, "digests"))
+    )
+    _write_meta(
+        path,
+        {"kind": "paragraph", "para_words": para_words, "buckets": buckets,
+         "id_col": id_col},
+    )
+    return path
+
+
+def append_paragraphs_to_index(
+    batch: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Extend the index with ``batch``'s paragraph instances (parquet
+    append into the same pb partitions) — the post-screen step of the
+    ingest loop. Appending commutes with building (instance rows are
+    row-local), pinned like the MinHash twin."""
+    meta = read_meta(path)
+    if meta.get("kind") != "paragraph":
+        raise ValueError(f"not a paragraph index: {meta.get('kind')!r}")
+    if meta["id_col"] != id_col:
+        raise ValueError(f"index id_col {meta['id_col']!r} != {id_col!r}")
+    inst = _paragraph_instances(batch, text_col, id_col, meta["para_words"])
+    (
+        inst.withColumn("pb", _pb("h", meta["buckets"]))
+        .write.mode("append")
+        .partitionBy("pb")
+        .parquet(os.path.join(path, "digests"))
+    )
+
+
+def incremental_paragraph_stats(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exclude_own: bool = True,
+) -> DataFrame:
+    """Per-batch-document paragraph-duplication stats against the
+    indexed corpus: ``(doc_id, n_paras, n_dup, dup_frac)`` where a
+    batch paragraph instance is a duplicate iff its digest occurs ≥2
+    times across (indexed corpus ∪ batch) — EXACTLY the one-shot
+    ``paragraph_dedup_stats(corpus ∪ batch)`` verdict restricted to
+    batch docs (pinned in tests/test_paragraph_ingest.py), because
+    (count_index ≥ 1) OR (count_batch ≥ 2) ⇔ total ≥ 2.
+
+    Scale shape (the incremental_dedup_pairs discipline): only the
+    batch is digested; the corpus contributes one scan of the
+    fixed-width instance table, semi-pruned map-side by the BROADCAST
+    batch digest set, so per-batch cost is O(index scan) + O(batch).
+    Within-batch counts come from one batch-sized window exchange on
+    the digest. ``exclude_own=True`` anti-joins the index against the
+    batch's own doc ids first (broadcast, map-side), so a crash-
+    replayed batch that already appended itself never self-matches —
+    REQUIRED under extend-index streaming; only turn it off for a
+    corpus known to be disjoint from every batch (saves nothing, so
+    don't)."""
+    from pyspark.sql import Window
+
+    meta = read_meta(path)
+    if meta.get("kind") != "paragraph":
+        raise ValueError(f"not a paragraph index: {meta.get('kind')!r}")
+    inst = _paragraph_instances(batch, text_col, id_col, meta["para_words"])
+    idx = spark.read.schema("doc_id BIGINT, g BIGINT, h STRING, pb INT").parquet(
+        os.path.join(path, "digests")
+    )
+    if exclude_own:
+        idx = idx.join(
+            F.broadcast(batch.select(F.col(id_col).alias("doc_id")).distinct()),
+            "doc_id",
+            "left_anti",
+        )
+    bat_h = inst.select("h").distinct()
+    hits = (
+        idx.join(F.broadcast(bat_h), "h")
+        .select("h")
+        .distinct()
+        .withColumn("_in_idx", F.lit(True))
+    )
+    wb = Window.partitionBy("h")
+    flagged = (
+        inst.withColumn("_bc", F.count("*").over(wb))
+        .join(F.broadcast(hits), "h", "left")
+        .withColumn(
+            "_dup",
+            (F.coalesce(F.col("_in_idx"), F.lit(False)) | (F.col("_bc") >= 2))
+            .cast("long"),
+        )
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum("_dup").alias("n_dup"),
+            (
+                F.floor(
+                    F.sum("_dup").cast("double") / F.count("*") * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def compact_paragraph_index(
+    spark: SparkSession, path: str, write_partitions: int = 8
+) -> None:
+    """One file per pb directory + exact-duplicate shedding for the
+    paragraph layout — same small-file remedy, same two-rename swap
+    with sentinel + commit marker + the two-stage append-window guard
+    as :func:`compact_index` (a replayed append's rows are exact
+    duplicates by construction — instance rows are deterministic — so
+    dropDuplicates is the correct heal here too)."""
+    import shutil
+
+    meta = read_meta(path)
+    if meta.get("kind") != "paragraph":
+        raise ValueError(f"not a paragraph index: {meta.get('kind')!r}")
+    live = os.path.join(path, "digests")
+    tmp = live + "__compact"
+    old = live + "__old"
+    sentinel = "_swap_pending"
+    committed = "_swap_committed"
+
+    def _data_files(base: str) -> set[str]:
+        out = set()
+        for d in os.listdir(base):
+            if d.startswith("pb="):
+                for f in os.listdir(os.path.join(base, d)):
+                    if f.endswith(".parquet"):
+                        out.add(f"{d}/{f}")
+        return out
+
+    def _merge_tree(src: str, dst: str) -> None:
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            out_dir = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(out_dir, exist_ok=True)
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                target = os.path.join(out_dir, f)
+                i = 0
+                while os.path.exists(target):
+                    i += 1
+                    target = os.path.join(out_dir, f"racer{i}-{f}")
+                os.rename(os.path.join(root, f), target)
+
+    if os.path.isdir(old) and os.path.exists(os.path.join(old, sentinel)):
+        if os.path.isdir(live) and os.path.exists(os.path.join(live, committed)):
+            shutil.rmtree(old)
+            os.remove(os.path.join(live, committed))
+        else:
+            if os.path.isdir(live):
+                _merge_tree(live, old)
+                shutil.rmtree(live)
+            os.remove(os.path.join(old, sentinel))
+            os.rename(old, live)
+    elif not os.path.isdir(live) and os.path.isdir(old):
+        os.rename(old, live)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(os.path.join(live, committed)):
+        os.remove(os.path.join(live, committed))
+    snapshot = _data_files(live)
+    (
+        spark.read.schema("doc_id BIGINT, g BIGINT, h STRING, pb INT")
+        .parquet(live)
+        .dropDuplicates()
+        .repartition(write_partitions, "pb")
+        .write.mode("overwrite")
+        .partitionBy("pb")
+        .parquet(tmp)
+    )
+    if _data_files(live) != snapshot:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            "compact_paragraph_index: index changed during compaction "
+            "(concurrent append?) — quiesce appends and re-run"
+        )
+    open(os.path.join(live, sentinel), "w").close()
+    os.rename(live, old)
+    if _data_files(old) != snapshot:
+        os.rename(old, live)
+        os.remove(os.path.join(live, sentinel))
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            "compact_paragraph_index: append landed during the swap window "
+            "— rolled back; quiesce appends and re-run"
+        )
+    open(os.path.join(tmp, committed), "w").close()
+    try:
+        os.rename(tmp, live)
+    except OSError:
+        _merge_tree(live, old)
+        shutil.rmtree(live, ignore_errors=True)
+        os.remove(os.path.join(old, sentinel))
+        os.rename(old, live)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            "compact_paragraph_index: live digests dir was recreated during "
+            "the swap window — rolled back with the racer's files preserved; "
+            "quiesce appends and re-run"
+        )
+    os.remove(os.path.join(old, sentinel))
+    shutil.rmtree(old)
+    os.remove(os.path.join(live, committed))

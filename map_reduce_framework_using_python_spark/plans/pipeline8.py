@@ -516,3 +516,138 @@ def ns_epoch_realize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nt").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+#: Batch/corpus split for the paragraph ingest screen (the
+#: ns_incremental_dedup convention): every 16th doc arrives as the
+#: ingest batch, the rest are the already-indexed corpus.
+_PBATCH_MOD, _PBATCH_REM = 16, 7
+
+
+def _ensure_paragraph_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the corpus paragraph-digest index under /tmp,
+    guarded by a source fingerprint of documents.parquet (the
+    refresh-hazard rule every derived layout follows)."""
+    import json
+    import os
+
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        build_paragraph_index,
+    )
+    from map_reduce_framework_using_python_spark.sources.io import source_fingerprint
+
+    root = os.environ.get("SPARK_GRAFT_DEDUP_INDEX_ROOT", "/tmp/spark_graft_dedup")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    path = os.path.join(root, tag, f"para{_PARA_WORDS}")
+    meta_path = os.path.join(path, "_dedup_meta.json")
+    src = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if json.load(fh).get("src") == src:
+                return path
+    corpus = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _PBATCH_MOD != _PBATCH_REM
+    )
+    build_paragraph_index(corpus, path, para_words=_PARA_WORDS)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["src"] = src
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    return path
+
+
+@query(
+    "ns_paragraph_screen",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+                   FROM documents),
+             p AS (SELECT doc_id,
+                          md5(array_to_string(
+                              list_slice(ws, g * {_PARA_WORDS} + 1,
+                                         g * {_PARA_WORDS} + {_PARA_WORDS}),
+                              ' ')) AS h
+                   FROM w,
+                        LATERAL unnest(generate_series(
+                            0, (len(ws) + {_PARA_WORDS - 1}) // {_PARA_WORDS} - 1
+                        )) t(g)),
+             c AS (SELECT h, count(*) AS cnt FROM p GROUP BY 1)
+        SELECT doc_id,
+               count(*) AS n_paras,
+               CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup,
+               floor(CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+        FROM p JOIN c USING (h)
+        WHERE doc_id % {_PBATCH_MOD} = {_PBATCH_REM}
+        GROUP BY 1
+    """,
+    tags=("northstar", "pipeline", "dedup", "paragraph", "index"),
+)
+def ns_paragraph_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-dedup stats for an ARRIVING batch (doc_id ≡ 7 mod 16)
+    against the PERSISTED paragraph-digest index of the rest of the
+    corpus — the ingest path for paragraph-level exact dedup: the
+    corpus text is never re-digested; the probe scans only the
+    fixed-width instance table, semi-pruned map-side by the broadcast
+    batch digest set, plus one batch-sized window for within-batch
+    counts. The verdict is EXACTLY the one-shot
+    ns_paragraph_dedup(corpus ∪ batch) restricted to batch docs —
+    (count_index ≥ 1) OR (count_batch ≥ 2) ⇔ total ≥ 2 — which is what
+    the oracle states directly (same CTEs as ns_paragraph_dedup, batch
+    filter before the per-doc GROUP BY)."""
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        incremental_paragraph_stats,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    path = _ensure_paragraph_index(spark, sf_dir)
+    return incremental_paragraph_stats(
+        spark, d.filter(F.col("doc_id") % _PBATCH_MOD == _PBATCH_REM), path
+    )
+
+
+@query(
+    "st_paragraph_dedup",
+    oracle=None,
+    tags=("streaming", "pipeline", "dedup", "paragraph", "index", "rows_only"),
+)
+def st_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ns_paragraph_screen: the batch docs arrive as
+    a file-source stream and each micro-batch is screened against the
+    paragraph-digest index via foreachBatch, then appended to it
+    (extend_index), so later batches dedup against earlier ones as
+    well as the corpus. Rows-only for the driver (the drained single-
+    batch result equals ns_paragraph_screen, and the multi-batch
+    first-occurrence semantics are pinned in
+    tests/test_paragraph_ingest.py). The index is rebuilt in a scratch
+    dir per run — extend_index appends must not poison the shared
+    fingerprint-cached layout."""
+    import os
+    import tempfile
+
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        build_paragraph_index,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ingest import (
+        paragraph_screen_stream,
+        read_documents_stream,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="st_para_dedup_")
+    path = os.path.join(work, "idx")
+    build_paragraph_index(
+        d.filter(F.col("doc_id") % _PBATCH_MOD != _PBATCH_REM), path,
+        para_words=_PARA_WORDS,
+    )
+    out = paragraph_screen_stream(
+        read_documents_stream(spark, sf_dir).filter(
+            F.col("doc_id") % _PBATCH_MOD == _PBATCH_REM
+        ),
+        path,
+        out_dir=os.path.join(work, "stats"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        extend_index=True,
+    )
+    return out

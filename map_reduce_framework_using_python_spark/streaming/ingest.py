@@ -103,3 +103,62 @@ def screen_stream(
         .select("batch_doc", "corpus_doc", "jaccard")
         .distinct()
     )
+
+
+_PSTATS_SCHEMA = "doc_id BIGINT, n_paras BIGINT, n_dup BIGINT, dup_frac DOUBLE"
+
+
+def paragraph_screen_stream(
+    batch_stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    extend_index: bool = True,
+) -> DataFrame:
+    """Paragraph-level exact-dedup screen on ingest: drain
+    ``batch_stream`` (AvailableNow) through the paragraph-digest index
+    probe and return every batch document's
+    ``(doc_id, n_paras, n_dup, dup_frac)``.
+
+    Per micro-batch: :func:`~..operators.dedup_index
+    .incremental_paragraph_stats` (index scan semi-pruned by the
+    broadcast batch digest set; the batch's own doc ids are anti-joined
+    out of the index first, so a crash-REPLAYED batch that already
+    appended itself never self-matches), then — under ``extend_index``
+    — :func:`append_paragraphs_to_index`, so batch N+1's paragraphs
+    dedup against batches 1..N as well as the corpus. Screen-then-
+    append ordering means FIRST occurrences stay clean and every later
+    cross-batch instance is flagged (pinned in
+    tests/test_paragraph_ingest.py: drained == the one-shot
+    paragraph_dedup_stats over (corpus ∪ batches ≤ i) restricted to
+    batch-i docs, for every i).
+
+    Sink contract: parquet append + checkpoint (at-least-once); stats
+    rows are idempotent per (doc_id), so readers dedup on it."""
+    spark = batch_stream.sparkSession
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        from map_reduce_framework_using_python_spark.operators.dedup_index import (
+            append_paragraphs_to_index,
+            incremental_paragraph_stats,
+        )
+
+        stats = incremental_paragraph_stats(spark, batch_df, index_path)
+        stats.write.mode("append").parquet(out_dir)
+        if extend_index:
+            append_paragraphs_to_index(batch_df, index_path)
+
+    q = (
+        batch_stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], _PSTATS_SCHEMA)
+    return (
+        spark.read.schema(_PSTATS_SCHEMA).parquet(out_dir)
+        .select("doc_id", "n_paras", "n_dup", "dup_frac")
+        .dropDuplicates(["doc_id"])
+    )

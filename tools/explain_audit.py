@@ -118,6 +118,9 @@ AUDIT = (
     # round 7: epoch-plan realization — one broadcast of the
     # ≤|sources|-row plan, map-side explode, no corpus shuffle
     "ns_epoch_realize",
+    # round 7: paragraph ingest screen — index scan semi-pruned by the
+    # broadcast batch digest set; one batch-sized window exchange
+    "ns_paragraph_screen",
 )
 
 
