@@ -325,6 +325,115 @@ def bpe_train(words: DataFrame, rounds: int = _BPE_ROUNDS) -> list[tuple[int, st
     return merges
 
 
+def bpe_train_batched(
+    words: DataFrame, rounds: int = _BPE_ROUNDS, batch_size: int = 4
+) -> list[tuple[int, str, str, int]]:
+    """Batched BPE training (VERDICT r6 item 5): accept up to
+    ``batch_size`` COMPATIBLE merges per distributed round, cutting the
+    driver round-trips (and barrier jobs) ~batch_size× — the standard
+    move that makes a 50k-merge production vocabulary ~12k jobs instead
+    of 50k. :func:`bpe_train` stays as the exact 1-per-round parity
+    fixture (the CCNet scaled/exact precedent).
+
+    Compatibility (the exactness condition): within a round, pairs are
+    taken in (count desc, pair) order and accepted greedily iff their
+    symbols are disjoint from every already-accepted pair's symbols and
+    merged tokens. Merging a pair only touches adjacencies containing
+    its own symbols, so a DISJOINT pair's count is invariant under it —
+    the sequential trainer would therefore pick the same pairs with the
+    same counts in the same order, and the batch equals ``batch_size``
+    sequential rounds EXCEPT when a mid-round merge CREATES a new pair
+    (x, ab) whose count would out-rank a later batch member; sequential
+    would then interleave it. That window is the documented
+    approximation (tests pin exact equality on a corpus where it is
+    empty, and standard practice accepts it at scale — Sennrich-style
+    trainers batch exactly this way). The first candidate is always
+    accepted, so progress is guaranteed.
+
+    Apply stays one Spark job per round: the accepted merges compose as
+    a chain of the same greedy left-to-right JVM folds, in acceptance
+    order, inside one ``localCheckpoint``-ed pass."""
+    cur = words.withColumn("syms", F.split("w", "")).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < rounds:
+        n = F.size("syms")
+        pairs = cur.filter(n > 1).select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, n - 1),
+                    F.expr("slice(syms, 2, size(syms) - 1)"),
+                    lambda x, y: F.concat(x, F.lit("\x01"), y),
+                )
+            ).alias("p"),
+        )
+        want = min(batch_size, rounds - len(merges))
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "p")
+            .limit(batch_size * 4)  # slack for conflict skips
+            .collect()
+        )
+        if not top:
+            break
+        accepted: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for row in top:
+            if len(accepted) >= want:
+                break
+            a, b = row["p"].split("\x01")
+            if {a, b, a + b} & used:
+                continue
+            accepted.append((a, b, int(row["c"])))
+            used |= {a, b, a + b}
+        def _merge_fold(a: str, b: str, ab: str):
+            return lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        for a, b, c in accepted:
+            merges.append((len(merges) + 1, a, b, c))
+            cur = cur.withColumn(
+                "syms",
+                F.aggregate(
+                    "syms",
+                    F.array().cast("array<string>"),
+                    _merge_fold(a, b, a + b),
+                ),
+            )
+        cur = cur.localCheckpoint()
+    return merges
+
+
+@query(
+    "ns_bpe_train_batched",
+    oracle=None,  # iterative argmax loop — no ANSI-SQL twin; pinned
+    # equal to the sequential trainer on a compatible corpus and to
+    # itself across batch sizes in tests/test_pipeline7.py.
+    tags=("northstar", "pipeline", "tokenizer", "rows_only"),
+)
+def ns_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched-round BPE training (up to 4 compatible merges per
+    distributed round — 8 merges in ~2 jobs instead of 8): the
+    production path for vocabulary-scale training; see
+    :func:`bpe_train_batched` for the exactness condition."""
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.trim("text"), " +")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merges = bpe_train_batched(words)
+    return spark.createDataFrame(
+        [(r, a, b, a + b, c) for r, a, b, c in merges],
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
 @query(
     "ns_bpe_train",
     oracle=None,  # iterative argmax loop — no ANSI-SQL twin; pinned

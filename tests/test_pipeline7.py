@@ -270,3 +270,65 @@ def test_ccnet_scaled_matches_exact_terciles_up_to_ties(spark):
         for b in ("head", "middle", "tail"):
             # ±2: at most the two boundary tie classes can migrate
             assert abs(exact[(lang, b)] - approx.get((lang, b), 0)) <= 2, (lang, b)
+
+
+def test_bpe_batched_equals_sequential_on_disjoint_corpus(spark):
+    """On a vocabulary whose top pairs are pairwise symbol-disjoint and
+    where no merge creates a higher-count pair, the batched trainer
+    must equal the sequential one exactly — ranks, pairs, counts (the
+    exactness condition bpe_train_batched documents)."""
+    from map_reduce_framework_using_python_spark.plans.pipeline7 import (
+        bpe_train_batched,
+    )
+
+    # Each top pair is a complete 2-char word: merging one produces a
+    # single-symbol word, so no merge can create a new pair at all.
+    rows = [("ab", 40), ("cd", 30), ("ef", 20), ("gh", 10)]
+    words = spark.createDataFrame(rows, "w string, cnt long")
+    seq = bpe_train(words, rounds=4)
+    bat = bpe_train_batched(words, rounds=4, batch_size=4)
+    assert bat == seq
+    assert [m[1] + m[2] for m in bat] == ["ab", "cd", "ef", "gh"]
+
+
+def test_bpe_batched_skips_conflicting_pairs_within_a_round(spark):
+    """Overlapping pairs must not co-apply in one round: with pairs
+    (a,b):50 (b,q):50 (b,c):30 (c,q):30, the round accepts (a,b),
+    skips the two b-sharing pairs, and accepts the disjoint (c,q) —
+    and each accepted pair's recorded count is its true pre-round
+    count (disjoint ⇒ invariant under the co-applied merge)."""
+    from map_reduce_framework_using_python_spark.plans.pipeline7 import (
+        bpe_train_batched,
+    )
+
+    rows = [("abq", 50), ("bcq", 30)]
+    words = spark.createDataFrame(rows, "w string, cnt long")
+    bat = bpe_train_batched(words, rounds=2, batch_size=4)
+    assert bat[0] == (1, "a", "b", 50)
+    assert bat[1] == (2, "c", "q", 30)
+
+
+def test_bpe_batched_registry_query_contract(spark):
+    """The batched table's guaranteed invariants on the real corpus:
+    8 merges ranked 1..8; the first merge equals the sequential
+    argmax; within each batch_size=4 round the accepted pairs are
+    pairwise compatible (disjoint symbols + merged tokens) with
+    non-increasing counts. (Full equality with the sequential table is
+    NOT guaranteed — a mid-round merge can create a pair the
+    sequential trainer would interleave; pinned exactly on the
+    no-new-pair corpus above.)"""
+    seq = [tuple(r) for r in REGISTRY["ns_bpe_train"].fn(spark, SF_SMOKE).collect()]
+    bat = [
+        tuple(r)
+        for r in REGISTRY["ns_bpe_train_batched"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert [m[0] for m in bat] == list(range(1, 9))
+    assert bat[0] == seq[0]  # round-leading argmax is exact
+    for start in (0, 4):
+        group = bat[start:start + 4]
+        counts = [m[4] for m in group]
+        assert counts == sorted(counts, reverse=True)
+        used: set[str] = set()
+        for _rank, a, b, _merged, _c in group:
+            assert not ({a, b, a + b} & used)
+            used |= {a, b, a + b}
