@@ -535,6 +535,27 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             result["curation_error"] = str(exc)[:200]
 
+    # Curation at 100× (500k docs) against the witness-capped PRUNED
+    # index layout — the steady-state 100 TB configuration; the `prune`
+    # stage amortizes like the build. Skippable and never fatal.
+    cur100 = int(os.environ.get("SPARK_GRAFT_BENCH_CURATION_100X", "100"))
+    if cur100 > 1:
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+            )
+            from curation_probe import run as curation_run
+
+            result[f"curation{cur100}x_pruned"] = curation_run(
+                spark, cur100, prune_cap=8
+            )
+            print(
+                f"# curation{cur100}x_pruned: {result[f'curation{cur100}x_pruned']}",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            result["curation100x_error"] = str(exc)[:200]
+
     print(json.dumps(result))
 
 
