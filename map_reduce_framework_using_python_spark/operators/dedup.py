@@ -145,8 +145,13 @@ def minhash_signatures(
     transforms, recomputing it 64× — measured slower.)
     """
     sh = _shingle_table(df, text_col, id_col, n)
+    # Generated-SQL agg expressions (one JVM parse each) — the
+    # Column-API form cost ~0.3 s of driver-side plan-build per call at
+    # num_hashes=64 (the similarity._bucket_expr lesson); the int seed
+    # literal parses to the same IntegerType F.lit(i) carried, so the
+    # hashes are bit-identical (pinned by every LSH recall test).
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.expr(f"min(xxhash64({i}, shingle))").alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*mins)

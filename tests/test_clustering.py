@@ -167,3 +167,60 @@ def test_semdedup_sample_fit_stays_sound(spark):
     assert sampled  # the sample-fit buckets must still find pairs
     assert all(r["cosine"] >= 0.4 for r in sampled)
     assert {(r["vec_a"], r["vec_b"], r["cosine"]) for r in sampled} <= brute
+
+
+def test_assign_clusters_sql_build_bit_equal_to_column_path(spark):
+    """The generated-SQL assignment (r7 fast build) must be BIT-equal
+    to the Column-API _sqdist form — same fold order, same repr
+    round-tripped centroid literals, same struct-min tie-break."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators.clustering import (
+        _sqdist,
+    )
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        _as_double,
+        hyperplanes,
+    )
+    from map_reduce_framework_using_python_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    cents = hyperplanes(64, 8, seed=7)  # arbitrary full-precision doubles
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(vecs, cents).collect()
+    }
+    scored = F.array(
+        *[
+            F.struct(_sqdist(F.col("v"), c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(cents)
+        ]
+    )
+    want = {
+        r["vec_id"]: r["cluster"]
+        for r in vecs.withColumn("cluster", F.array_min(scored)["c"]).collect()
+    }
+    assert got == want
+    # and the raw distances themselves agree bit-for-bit on centroid 0
+    dd = [
+        (r["vec_id"], r[1])
+        for r in vecs.select(
+            "vec_id", _sqdist(F.col("v"), cents[0])
+        ).orderBy("vec_id").collect()
+    ]
+    from map_reduce_framework_using_python_spark.operators.similarity import _dstr
+
+    arr = "array(" + ",".join(_dstr(x) for x in cents[0]) + ")"
+    ds = [
+        (r["vec_id"], r[1])
+        for r in vecs.select(
+            "vec_id",
+            F.expr(
+                f"aggregate(zip_with(`v`, {arr}, (x, y) -> (x - y) * (x - y)), "
+                "0.0D, (acc, x) -> acc + x)"
+            ),
+        ).orderBy("vec_id").collect()
+    ]
+    assert ds == dd
