@@ -702,3 +702,83 @@ def compact_paragraph_index(
     os.remove(os.path.join(old, sentinel))
     shutil.rmtree(old)
     os.remove(os.path.join(live, committed))
+
+
+def incremental_paragraph_apply(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exclude_own: bool = True,
+) -> DataFrame:
+    """The APPLY step on ingest: rewrite each batch document keeping a
+    paragraph instance iff it is the corpus-wide FIRST occurrence of
+    its text — min composite key (doc_id·10⁹ + position) across
+    (indexed corpus ∪ batch), the exact
+    plans/pipeline8.ns_paragraph_dedup_apply rule — and return
+    ``(doc_id, n_kept, clean_text)``; batch docs whose every paragraph
+    first occurred elsewhere vanish (fully-boilerplate removal).
+
+    Verdict equivalence (oracle-gated as ns_paragraph_screen_apply):
+    equals the one-shot apply over (corpus ∪ batch) restricted to batch
+    docs, because an instance's keep test only compares its key with
+    the global min — min(index_min(h), batch_min(h)) here — and index
+    rows carry exactly (doc_id, position, digest). Note the ingest
+    fixed point: batch docs' ids must sort AFTER already-indexed ids
+    for "first" to mean "arrived first" (true for monotone ingest ids;
+    with arbitrary ids the rule is still exactly the one-shot min-key
+    rule, just not temporal).
+
+    Scale shape: the keep DECISION flows digests-only — the index scan
+    is semi-pruned map-side by the broadcast batch digest set and
+    aggregated to one min-key row per matched digest (tiny, broadcast
+    back); batch text is touched once more to rebuild clean_text
+    map-side from the kept positions, the same floor as the one-shot
+    apply."""
+    from pyspark.sql import Window
+
+    meta = read_meta(path)
+    if meta.get("kind") != "paragraph":
+        raise ValueError(f"not a paragraph index: {meta.get('kind')!r}")
+    pw = meta["para_words"]
+    inst = _paragraph_instances(batch, text_col, id_col, pw)
+    idx = spark.read.schema("doc_id BIGINT, g BIGINT, h STRING, pb INT").parquet(
+        os.path.join(path, "digests")
+    )
+    if exclude_own:
+        idx = idx.join(
+            F.broadcast(batch.select(F.col(id_col).alias("doc_id")).distinct()),
+            "doc_id",
+            "left_anti",
+        )
+    bat_h = inst.select("h").distinct()
+    idx_min = (
+        idx.join(F.broadcast(bat_h), "h")
+        .groupBy("h")
+        .agg(F.min(F.col("doc_id") * _PINST_KEY + F.col("g")).alias("_imin"))
+    )
+    ikey = F.col("doc_id") * _PINST_KEY + F.col("g")
+    wb = Window.partitionBy("h")
+    keptg = (
+        inst.withColumn("_bmin", F.min(ikey).over(wb))
+        .join(F.broadcast(idx_min), "h", "left")
+        .filter(
+            (ikey == F.col("_bmin"))
+            & (F.col("_imin").isNull() | (ikey < F.col("_imin")))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("g")).alias("ks"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    clean = F.expr(
+        f"concat_ws(' ', transform(ks, g -> concat_ws(' ', "
+        f"slice(split(trim({text_col}), ' +'), g * {pw} + 1, {pw}))))"
+    )
+    return (
+        batch.withColumnRenamed(id_col, "doc_id")
+        .join(keptg, "doc_id")
+        .select("doc_id", "n_kept", clean.alias("clean_text"))
+    )

@@ -651,3 +651,54 @@ def st_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         extend_index=True,
     )
     return out
+
+
+@query(
+    "ns_paragraph_screen_apply",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+                   FROM documents),
+             p AS (SELECT doc_id, g,
+                          md5(array_to_string(
+                              list_slice(ws, g * {_PARA_WORDS} + 1,
+                                         g * {_PARA_WORDS} + {_PARA_WORDS}),
+                              ' ')) AS h
+                   FROM w,
+                        LATERAL unnest(generate_series(
+                            0, (len(ws) + {_PARA_WORDS - 1}) // {_PARA_WORDS} - 1
+                        )) t(g)),
+             k AS (SELECT h, min(doc_id * {_INST_KEY} + g) AS kk
+                   FROM p GROUP BY 1),
+             kept AS (SELECT p.doc_id, p.g
+                      FROM p JOIN k USING (h)
+                      WHERE p.doc_id * {_INST_KEY} + p.g = kk)
+        SELECT w.doc_id,
+               count(*) AS n_kept,
+               string_agg(array_to_string(
+                   list_slice(ws, g * {_PARA_WORDS} + 1,
+                              g * {_PARA_WORDS} + {_PARA_WORDS}), ' '),
+                   ' ' ORDER BY g) AS clean_text
+        FROM kept JOIN w ON kept.doc_id = w.doc_id
+        WHERE w.doc_id % {_PBATCH_MOD} = {_PBATCH_REM}
+        GROUP BY 1
+    """,
+    tags=("northstar", "pipeline", "dedup", "paragraph", "index"),
+)
+def ns_paragraph_screen_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step on ingest: rewrite the arriving batch (doc_id ≡ 7
+    mod 16) keeping only corpus-wide FIRST occurrences, against the
+    persisted paragraph-digest index of the rest of the corpus — the
+    one-shot ns_paragraph_dedup_apply verdict restricted to batch docs
+    (which is the oracle, verbatim, with the batch filter), computed
+    without re-digesting the corpus: the index scan is semi-pruned
+    map-side by the broadcast batch digest set and reduced to one
+    min-key row per matched digest."""
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        incremental_paragraph_apply,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    path = _ensure_paragraph_index(spark, sf_dir)
+    return incremental_paragraph_apply(
+        spark, d.filter(F.col("doc_id") % _PBATCH_MOD == _PBATCH_REM), path
+    )

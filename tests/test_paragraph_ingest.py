@@ -196,3 +196,37 @@ def test_compact_paragraph_index_committed_crash_does_not_remerge(spark, tmp_pat
     assert spark.read.parquet(live).count() == before
     assert not os.path.isdir(live + "__old")
     assert not os.path.exists(os.path.join(live, "_swap_committed"))
+
+
+def test_incremental_apply_equals_oneshot_restricted(spark, tmp_path):
+    """Apply on ingest: incremental_paragraph_apply(batch, index(corpus))
+    == the one-shot first-occurrence rewrite over (corpus ∪ batch)
+    restricted to batch docs — and a replayed batch (already appended)
+    rewrites identically thanks to the own-id exclusion."""
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        incremental_paragraph_apply,
+    )
+    from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    batch, corpus = _split(docs)
+    path = build_paragraph_index(corpus, str(tmp_path / "idx"))
+    got = {
+        r["doc_id"]: (r["n_kept"], r["clean_text"])
+        for r in incremental_paragraph_apply(spark, batch, path).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_kept"], r["clean_text"])
+        for r in REGISTRY["ns_paragraph_dedup_apply"]
+        .fn(spark, SF_SMOKE)
+        .join(batch.select("doc_id"), "doc_id", "semi")
+        .collect()
+    }
+    assert got == want
+    assert got
+    append_paragraphs_to_index(batch, path)  # crash-replay shape
+    again = {
+        r["doc_id"]: (r["n_kept"], r["clean_text"])
+        for r in incremental_paragraph_apply(spark, batch, path).collect()
+    }
+    assert again == got
