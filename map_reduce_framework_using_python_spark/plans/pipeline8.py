@@ -702,3 +702,89 @@ def ns_paragraph_screen_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_paragraph_apply(
         spark, d.filter(F.col("doc_id") % _PBATCH_MOD == _PBATCH_REM), path
     )
+
+
+#: Shard token budget for the packing realization — sized so the
+#: sf0.01 oracle run yields O(10–100) shards.
+_SHARD_TOKENS = 10_000
+
+
+@query(
+    "ns_epoch_shards",
+    oracle=f"""
+        WITH {_EPOCH_E6_ORACLE},
+             docs AS (SELECT tokc.doc_id, tokc.source, tokc.nt,
+                             CAST(concat('0x', substr(md5(concat('epo',
+                                  CAST(tokc.doc_id AS VARCHAR))), 1, 8))
+                                  AS BIGINT) AS h
+                      FROM tokc),
+             rep AS (SELECT d.doc_id, d.source, d.nt,
+                            (e6 // 1000000)
+                            + CASE WHEN d.h * 1000000
+                                        < (e6 % 1000000) * {_H32}
+                                   THEN 1 ELSE 0 END AS n_rep
+                     FROM docs d JOIN e USING (source)),
+             r AS (SELECT doc_id, nt, CAST(g AS BIGINT) AS replica
+                   FROM rep, LATERAL unnest(generate_series(0, n_rep - 1)) u(g)
+                   WHERE n_rep > 0),
+             o AS (SELECT doc_id, replica, nt,
+                          md5(concat('shrd', CAST(doc_id AS VARCHAR), ':',
+                                     CAST(replica AS VARCHAR))) AS hk
+                   FROM r),
+             c AS (SELECT doc_id, replica, nt,
+                          sum(nt) OVER (ORDER BY hk, doc_id, replica
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum
+                   FROM o)
+        SELECT doc_id, replica,
+               CAST(nt AS BIGINT) AS n_tokens,
+               CAST((cum - nt) // {_SHARD_TOKENS} AS BIGINT) AS shard_id
+        FROM c
+    """,
+    tags=("northstar", "pipeline", "mixture", "sampling"),
+)
+def ns_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the REALIZED epoch stream (ns_epoch_realize) into fixed
+    token-budget training shards: copies are laid out in the seeded
+    deterministic shuffle order (md5 over (doc_id, replica) — the
+    ns_seeded_shuffle discipline, so every engine/retry packs the same
+    shards), the global running token sum assigns each copy to
+    ``shard_id = exclusive_prefix DIV {_SHARD_TOKENS}`` (a copy
+    straddling a boundary belongs to the shard it starts in), and the
+    output is the shard manifest a trainer's data loader reads.
+
+    Scale shape: the global running sum is
+    operators/ranks.bucketed_cumsum — per-bucket windows over the md5
+    prefix's 256 order-consistent, perfectly balanced buckets plus a
+    broadcast prefix-sum over bucket totals; NO single-partition
+    window anywhere. Composed on top of the realize plan's broadcast
+    join + map-side explode, the whole pipeline is one corpus scan for
+    the plan aggregate and one for the stream."""
+    from map_reduce_framework_using_python_spark.operators.ranks import (
+        bucketed_cumsum,
+    )
+
+    realized = ns_epoch_realize(spark, sf_dir)
+    key = F.md5(
+        F.concat(
+            F.lit("shrd"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("replica").cast("string"),
+        )
+    )
+    cum = bucketed_cumsum(
+        realized.withColumn("_key", key),
+        bucket=F.substring(F.col("_key"), 1, 2),
+        order_by=[F.col("_key"), F.col("doc_id"), F.col("replica")],
+        weight=F.col("n_tokens"),
+        cum_col="_cum",
+    )
+    return cum.select(
+        "doc_id",
+        "replica",
+        "n_tokens",
+        F.expr(f"CAST((_cum - n_tokens) DIV {_SHARD_TOKENS} AS BIGINT)").alias(
+            "shard_id"
+        ),
+    )

@@ -208,3 +208,32 @@ def test_epoch_realize_matches_plan_budget_and_structure(spark):
         sigma = math.sqrt(max(frac * (1.0 - frac) * p["n_docs"], 0.0))
         slack = 4.0 * sigma * avg + avg
         assert abs(tok_by_src[src] - want) <= slack, (src, tok_by_src[src], want)
+
+
+def test_epoch_shards_pack_the_realized_stream(spark):
+    """Shard manifest invariants: ids are contiguous from 0; total
+    tokens equal the realized stream's; every shard except the last
+    holds ≥ the budget minus one straddling copy and < budget + max
+    copy size (the exclusive-prefix DIV rule); reruns are identical."""
+    from map_reduce_framework_using_python_spark.plans.pipeline8 import (
+        _SHARD_TOKENS,
+    )
+
+    rows = REGISTRY["ns_epoch_shards"].fn(spark, SF_SMOKE).collect()
+    again = REGISTRY["ns_epoch_shards"].fn(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    realized_tokens = sum(
+        r["n_tokens"] for r in REGISTRY["ns_epoch_realize"].fn(spark, SF_SMOKE).collect()
+    )
+    assert sum(r["n_tokens"] for r in rows) == realized_tokens
+
+    from collections import defaultdict
+
+    per_shard = defaultdict(int)
+    max_nt = max(r["n_tokens"] for r in rows)
+    for r in rows:
+        per_shard[r["shard_id"]] += r["n_tokens"]
+    ids = sorted(per_shard)
+    assert ids == list(range(len(ids)))
+    for sid in ids[:-1]:
+        assert _SHARD_TOKENS - max_nt < per_shard[sid] < _SHARD_TOKENS + max_nt

@@ -121,6 +121,9 @@ AUDIT = (
     # round 7: paragraph ingest screen — index scan semi-pruned by the
     # broadcast batch digest set; one batch-sized window exchange
     "ns_paragraph_screen",
+    # round 7: shard packing — bucketed global cumsum (NO unpartitioned
+    # window) over the realized epoch stream
+    "ns_epoch_shards",
 )
 
 
