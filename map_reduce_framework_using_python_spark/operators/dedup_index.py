@@ -782,3 +782,58 @@ def incremental_paragraph_apply(
         .join(keptg, "doc_id")
         .select("doc_id", "n_kept", clean.alias("clean_text"))
     )
+
+
+def prune_paragraph_index(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    cap: int,
+    write_partitions: int = 8,
+) -> str:
+    """Materialize a witness-capped DERIVED paragraph-index layout:
+    keep each digest's ``cap`` min-composite-key instance rows (the
+    prune_index_witnesses economics — one sort-based maintenance pass,
+    amortized over every later ingest). For a boilerplate-heavy corpus
+    this shrinks the instance table toward the DISTINCT-digest count,
+    which is the whole storage story at 100 TB.
+
+    Losslessness: the screen needs digest EXISTENCE and the apply needs
+    the digest's GLOBAL MIN key — both preserved by keeping min-key
+    rows, so probes against the pruned layout equal the full index
+    EXACTLY whenever the batch's ids are disjoint from the indexed
+    corpus (pinned). The probabilistic edge is ``exclude_own`` under
+    crash-replay: a replayed batch's own rows are anti-joined out, and
+    if ALL ``cap`` kept witnesses of a digest came from that batch
+    while pruned-away occurrences did not, the screen under-reports —
+    size ``cap`` ≥ the replay batch multiplicity you tolerate (the
+    MinHash witness_cap sizing rule; ``cap`` ≥ 2 already covers the
+    common single-replay case). Meta carries ``witness_cap`` so a
+    capped layout can never masquerade as exact; append to the EXACT
+    index and re-prune to refresh."""
+    from pyspark.sql import Window
+
+    if os.path.abspath(out_path) == os.path.abspath(path) or (
+        os.path.abspath(out_path).startswith(os.path.abspath(path) + os.sep)
+    ):
+        raise ValueError(
+            "prune_paragraph_index: out_path must be a separate location"
+        )
+    meta = read_meta(path)
+    if meta.get("kind") != "paragraph":
+        raise ValueError(f"not a paragraph index: {meta.get('kind')!r}")
+    idx = spark.read.schema("doc_id BIGINT, g BIGINT, h STRING, pb INT").parquet(
+        os.path.join(path, "digests")
+    )
+    wb = Window.partitionBy("h").orderBy(F.col("doc_id") * _PINST_KEY + F.col("g"))
+    (
+        idx.withColumn("_rk", F.row_number().over(wb))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+        .repartition(write_partitions, "pb")
+        .write.mode("overwrite")
+        .partitionBy("pb")
+        .parquet(os.path.join(out_path, "digests"))
+    )
+    _write_meta(out_path, {**meta, "witness_cap": cap})
+    return out_path

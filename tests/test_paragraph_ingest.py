@@ -230,3 +230,48 @@ def test_incremental_apply_equals_oneshot_restricted(spark, tmp_path):
         for r in incremental_paragraph_apply(spark, batch, path).collect()
     }
     assert again == got
+
+
+def test_pruned_paragraph_index_probes_equal_full(spark, tmp_path):
+    """Witness-capped pruned layout: screen AND apply against the
+    pruned index equal the full index exactly for a disjoint batch
+    (existence + global-min preserved by min-key rows), while the
+    stored row count shrinks on a corpus with repeated paragraphs."""
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        incremental_paragraph_apply,
+        prune_paragraph_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    batch, corpus = _split(docs)
+    # plant heavy boilerplate in the corpus so the cap actually bites
+    para = "zz " * 9 + "zz"
+    boiler = spark.createDataFrame(
+        [(800000 + i, para, "en", "srcB", len(para)) for i in range(20)],
+        _DOCS_SCHEMA,
+    )
+    corpus = corpus.unionByName(boiler)
+    full = build_paragraph_index(corpus, str(tmp_path / "full"))
+    pruned = prune_paragraph_index(
+        spark, full, str(tmp_path / "pruned"), cap=2
+    )
+    n_full = spark.read.parquet(f"{full}/digests").count()
+    n_pruned = spark.read.parquet(f"{pruned}/digests").count()
+    assert n_pruned < n_full  # the boilerplate cluster collapsed
+    s_full = _stats_rows(incremental_paragraph_stats(spark, batch, full))
+    s_pruned = _stats_rows(incremental_paragraph_stats(spark, batch, pruned))
+    assert s_pruned == s_full
+    a_full = {
+        r["doc_id"]: (r["n_kept"], r["clean_text"])
+        for r in incremental_paragraph_apply(spark, batch, full).collect()
+    }
+    a_pruned = {
+        r["doc_id"]: (r["n_kept"], r["clean_text"])
+        for r in incremental_paragraph_apply(spark, batch, pruned).collect()
+    }
+    assert a_pruned == a_full
+    assert read_meta(pruned)["witness_cap"] == 2
+    import pytest
+
+    with pytest.raises(ValueError, match="separate location"):
+        prune_paragraph_index(spark, full, full + "/digests__x", cap=2)
