@@ -554,7 +554,7 @@ def main() -> None:
                 file=sys.stderr,
             )
         except Exception as exc:  # noqa: BLE001
-            result["curation100x_error"] = str(exc)[:200]
+            result[f"curation{cur100}x_pruned_error"] = str(exc)[:200]
 
     print(json.dumps(result))
 

@@ -62,6 +62,18 @@ def read_meta(path: str) -> dict:
         return json.load(fh)
 
 
+def _drop_src_fingerprint(path: str) -> None:
+    """A mutated index is no longer a pristine build(source): drop the
+    'src' fingerprint cache-reuse callers key on
+    (northstar._ensure_dedup_index, pipeline8._ensure_paragraph_index),
+    so they rebuild instead of serving the mutated layout as
+    build(corpus) — the same invariant the ANN appends/recovery keep
+    (ann_index.append_to_lsh_index et al.)."""
+    meta = read_meta(path)
+    if meta.pop("src", None) is not None:
+        _write_meta(path, meta)
+
+
 def build_minhash_index(
     corpus: DataFrame,
     path: str,
@@ -120,6 +132,7 @@ def append_to_index(
     buckets.write.mode("append").partitionBy("band").parquet(
         os.path.join(path, "buckets")
     )
+    _drop_src_fingerprint(path)
 
 
 def prune_index_witnesses(
@@ -174,65 +187,60 @@ def prune_index_witnesses(
     return out_path
 
 
-def compact_index(spark: SparkSession, path: str, write_partitions: int = 8) -> None:
-    """Rewrite the bucket layout into ONE file per band — the
-    small-file remedy for an index that has absorbed many streamed
-    micro-batch appends (each append lands one file per touched band;
-    a year of 5-minute batches is ~10⁵ files per band without this).
-    Hash-clustering on ``band`` before the partitioned write puts each
-    band in exactly one task (``write_partitions`` only caps write
-    parallelism), so each band directory comes out as a single file.
-    Content is SET-equivalent, not byte-identical: the rewrite applies
-    ``dropDuplicates`` so exact duplicate rows left behind by a
-    crash-recovery re-merge (or a replayed at-least-once append) are
-    shed here rather than persisting forever — probe answers were
-    already duplicate-immune via the candidate ``.distinct()``; this
-    makes the storage heal too. The rewrite goes through a side
-    directory and a two-rename swap with the same crash/race hardening
-    as the ANN compactor (ann_index._compact_partitioned_index): a
-    ``_data_files`` snapshot taken before the rewrite is re-checked
-    after the rewrite AND after the rename-aside, so a part file
-    appended anywhere in the compaction window is detected and the
-    swap aborted (rolled back, appended file kept live) instead of the
-    file travelling into ``buckets__old`` and dying with it; a
-    ``_swap_pending`` sentinel travels with the aside copy so recovery
-    always RESTORES the complete copy (folding in any data files a
-    racing appender landed in a recreated live dir) instead of
-    deleting it; and a live dir recreated inside the swap window
-    aborts with a RuntimeError after rolling back with the racer's
-    files preserved. A ``_swap_committed`` marker riding the final
-    rename makes a crash in the retire sequence self-describing, so
-    recovery deletes the stale aside copy instead of re-merging it —
-    no crash ordering loses OR duplicates rows (replayed at-least-once
-    appends can still leave exact duplicates, which the next
-    compaction's dropDuplicates sheds). Appends should still be
-    quiesced — the guards do not license concurrency."""
+def _swap_compact(
+    spark: SparkSession,
+    index_path: str,
+    live: str,
+    part_col: str,
+    schema: str,
+    write_partitions: int,
+    opname: str,
+) -> None:
+    """The shared compaction swap machine (one copy, not three — the
+    round-7 review caught the ANN/bucket/paragraph copies drifting):
+    rewrite ``live``'s ``part_col``-partitioned layout into one file
+    per partition via a side directory and a two-rename swap with the
+    full crash/race protocol:
+
+    - a ``_data_files`` snapshot taken before the rewrite is re-checked
+      after the rewrite AND after the rename-aside, so a part file
+      appended anywhere in the window aborts the swap (rolled back,
+      appended file kept live) instead of dying in ``__old``;
+    - a ``_swap_pending`` sentinel travels with the aside copy so
+      recovery always RESTORES the complete copy (folding in any data
+      files a racing appender landed in a recreated live dir — and
+      dropping the 'src' cache fingerprint when it does, since the
+      restored index is no longer build(corpus));
+    - a ``_swap_committed`` marker riding the final rename makes a
+      crash in the retire sequence self-describing, so recovery deletes
+      the stale aside copy instead of re-merging it — no crash ordering
+      loses OR duplicates rows;
+    - the rewrite applies ``dropDuplicates`` so exact duplicates from
+      replayed at-least-once appends or a pre-marker re-merge heal.
+
+    Appends should still be quiesced — the guards do not license
+    concurrency."""
     import shutil
 
-    meta = read_meta(path)
-    buckets = os.path.join(path, "buckets")
-    tmp = buckets + "__compact"
-    old = buckets + "__old"
+    tmp = live + "__compact"
+    old = live + "__old"
     sentinel = "_swap_pending"
-    # Commit marker (same protocol as ann_index._compact_partitioned_index):
-    # written into tmp just before the final rename so a crash in the
-    # retire sequence reads as "committed, retire interrupted" and the
-    # stale aside copy is deleted instead of re-merged as duplicates.
     committed = "_swap_committed"
 
     def _data_files(base: str) -> set[str]:
         out = set()
         for d in os.listdir(base):
-            if d.startswith("band="):
+            if d.startswith(f"{part_col}="):
                 for f in os.listdir(os.path.join(base, d)):
                     if f.endswith(".parquet"):
                         out.add(f"{d}/{f}")
         return out
 
-    def _merge_tree(src: str, dst: str) -> None:
-        # Fold data files from src into dst, skipping hidden/metadata
-        # files and uniquifying on (unlikely) collisions — the same
-        # rules as ann_index._compact_partitioned_index.
+    def _merge_tree(src: str, dst: str) -> int:
+        # Fold data files from src into dst (count returned), skipping
+        # hidden/metadata files and uniquifying on (unlikely)
+        # collisions — the ann_index._compact_partitioned_index rules.
+        moved = 0
         for root, _dirs, files in os.walk(src):
             rel = os.path.relpath(root, src)
             out_dir = dst if rel == "." else os.path.join(dst, rel)
@@ -246,66 +254,73 @@ def compact_index(spark: SparkSession, path: str, write_partitions: int = 8) -> 
                     i += 1
                     target = os.path.join(out_dir, f"racer{i}-{f}")
                 os.rename(os.path.join(root, f), target)
+                moved += 1
+        return moved
 
     if os.path.isdir(old) and os.path.exists(os.path.join(old, sentinel)):
-        if os.path.isdir(buckets) and os.path.exists(os.path.join(buckets, committed)):
-            # Final rename committed; crash hit the retire window —
-            # the aside copy is stale, drop it (re-merging would
-            # duplicate every row).
+        if os.path.isdir(live) and os.path.exists(os.path.join(live, committed)):
+            # Final rename committed; crash hit the retire window — the
+            # aside copy is stale, drop it (re-merging would duplicate
+            # every row).
             shutil.rmtree(old)
-            os.remove(os.path.join(buckets, committed))
+            os.remove(os.path.join(live, committed))
         else:
-            if os.path.isdir(buckets):
-                _merge_tree(buckets, old)
-                shutil.rmtree(buckets)
+            folded = 0
+            if os.path.isdir(live):
+                folded = _merge_tree(live, old)
+                shutil.rmtree(live)
             os.remove(os.path.join(old, sentinel))
-            os.rename(old, buckets)
-    elif not os.path.isdir(buckets) and os.path.isdir(old):
-        os.rename(old, buckets)  # pre-sentinel crash shape: roll back
+            os.rename(old, live)
+            if folded:
+                _drop_src_fingerprint(index_path)
+    elif not os.path.isdir(live) and os.path.isdir(old):
+        os.rename(old, live)  # pre-sentinel crash shape: roll back
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(os.path.join(buckets, committed)):
-        os.remove(os.path.join(buckets, committed))  # stray marker: benign
-    snapshot = _data_files(buckets)
+    if os.path.exists(os.path.join(live, committed)):
+        os.remove(os.path.join(live, committed))  # stray marker: benign
+    snapshot = _data_files(live)
     (
-        spark.read.schema(f"{meta['id_col']} BIGINT, key BIGINT, band INT")
-        .parquet(buckets)
+        spark.read.schema(schema)
+        .parquet(live)
         .dropDuplicates()
-        .repartition(write_partitions, "band")
+        .repartition(write_partitions, part_col)
         .write.mode("overwrite")
-        .partitionBy("band")
+        .partitionBy(part_col)
         .parquet(tmp)
     )
-    if _data_files(buckets) != snapshot:
+    if _data_files(live) != snapshot:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
-            "compact_index: index changed during compaction "
+            f"{opname}: index changed during compaction "
             "(concurrent append?) — quiesce appends and re-run"
         )
-    open(os.path.join(buckets, sentinel), "w").close()
-    os.rename(buckets, old)
+    open(os.path.join(live, sentinel), "w").close()
+    os.rename(live, old)
     # Check-then-act closure: a part file that landed between the check
     # above and the rename-aside is now sitting in __old — detect it,
     # roll the rename back (the landed file stays live), abort.
     if _data_files(old) != snapshot:
-        os.rename(old, buckets)
-        os.remove(os.path.join(buckets, sentinel))
+        os.rename(old, live)
+        os.remove(os.path.join(live, sentinel))
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
-            "compact_index: append landed during the swap window — "
+            f"{opname}: append landed during the swap window — "
             "rolled back; quiesce appends and re-run"
         )
     open(os.path.join(tmp, committed), "w").close()
     try:
-        os.rename(tmp, buckets)
+        os.rename(tmp, live)
     except OSError:
-        _merge_tree(buckets, old)
-        shutil.rmtree(buckets, ignore_errors=True)
+        folded = _merge_tree(live, old)
+        shutil.rmtree(live, ignore_errors=True)
         os.remove(os.path.join(old, sentinel))
-        os.rename(old, buckets)
+        os.rename(old, live)
+        if folded:
+            _drop_src_fingerprint(index_path)
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
-            "compact_index: live buckets dir was recreated during the swap "
+            f"{opname}: live dir was recreated during the swap "
             "window — rolled back with the racer's files preserved; "
             "quiesce appends and re-run"
         )
@@ -313,7 +328,29 @@ def compact_index(spark: SparkSession, path: str, write_partitions: int = 8) -> 
     # marker — a crash at any point recovers without re-merging.
     os.remove(os.path.join(old, sentinel))
     shutil.rmtree(old)
-    os.remove(os.path.join(buckets, committed))
+    os.remove(os.path.join(live, committed))
+
+
+def compact_index(spark: SparkSession, path: str, write_partitions: int = 8) -> None:
+    """Rewrite the bucket layout into ONE file per band — the
+    small-file remedy for an index that has absorbed many streamed
+    micro-batch appends (each append lands one file per touched band;
+    a year of 5-minute batches is ~10⁵ files per band without this).
+    Hash-clustering on ``band`` before the partitioned write puts each
+    band in exactly one task (``write_partitions`` only caps write
+    parallelism), so each band directory comes out as a single file.
+    Content is SET-equivalent, not byte-identical (dropDuplicates).
+    Crash/race protocol: see :func:`_swap_compact`."""
+    meta = read_meta(path)
+    _swap_compact(
+        spark,
+        path,
+        os.path.join(path, "buckets"),
+        "band",
+        f"{meta['id_col']} BIGINT, key BIGINT, band INT",
+        write_partitions,
+        "compact_index",
+    )
 
 
 def incremental_dedup_pairs(
@@ -523,6 +560,7 @@ def append_paragraphs_to_index(
         .partitionBy("pb")
         .parquet(os.path.join(path, "digests"))
     )
+    _drop_src_fingerprint(path)
 
 
 def incremental_paragraph_stats(
@@ -603,105 +641,21 @@ def compact_paragraph_index(
     spark: SparkSession, path: str, write_partitions: int = 8
 ) -> None:
     """One file per pb directory + exact-duplicate shedding for the
-    paragraph layout — same small-file remedy, same two-rename swap
-    with sentinel + commit marker + the two-stage append-window guard
-    as :func:`compact_index` (a replayed append's rows are exact
-    duplicates by construction — instance rows are deterministic — so
-    dropDuplicates is the correct heal here too)."""
-    import shutil
-
+    paragraph layout (a replayed append's instance rows are exact
+    duplicates by construction, so dropDuplicates is the correct heal).
+    Crash/race protocol: see :func:`_swap_compact`."""
     meta = read_meta(path)
     if meta.get("kind") != "paragraph":
         raise ValueError(f"not a paragraph index: {meta.get('kind')!r}")
-    live = os.path.join(path, "digests")
-    tmp = live + "__compact"
-    old = live + "__old"
-    sentinel = "_swap_pending"
-    committed = "_swap_committed"
-
-    def _data_files(base: str) -> set[str]:
-        out = set()
-        for d in os.listdir(base):
-            if d.startswith("pb="):
-                for f in os.listdir(os.path.join(base, d)):
-                    if f.endswith(".parquet"):
-                        out.add(f"{d}/{f}")
-        return out
-
-    def _merge_tree(src: str, dst: str) -> None:
-        for root, _dirs, files in os.walk(src):
-            rel = os.path.relpath(root, src)
-            out_dir = dst if rel == "." else os.path.join(dst, rel)
-            os.makedirs(out_dir, exist_ok=True)
-            for f in files:
-                if f.startswith(("_", ".")):
-                    continue
-                target = os.path.join(out_dir, f)
-                i = 0
-                while os.path.exists(target):
-                    i += 1
-                    target = os.path.join(out_dir, f"racer{i}-{f}")
-                os.rename(os.path.join(root, f), target)
-
-    if os.path.isdir(old) and os.path.exists(os.path.join(old, sentinel)):
-        if os.path.isdir(live) and os.path.exists(os.path.join(live, committed)):
-            shutil.rmtree(old)
-            os.remove(os.path.join(live, committed))
-        else:
-            if os.path.isdir(live):
-                _merge_tree(live, old)
-                shutil.rmtree(live)
-            os.remove(os.path.join(old, sentinel))
-            os.rename(old, live)
-    elif not os.path.isdir(live) and os.path.isdir(old):
-        os.rename(old, live)
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(os.path.join(live, committed)):
-        os.remove(os.path.join(live, committed))
-    snapshot = _data_files(live)
-    (
-        spark.read.schema("doc_id BIGINT, g BIGINT, h STRING, pb INT")
-        .parquet(live)
-        .dropDuplicates()
-        .repartition(write_partitions, "pb")
-        .write.mode("overwrite")
-        .partitionBy("pb")
-        .parquet(tmp)
+    _swap_compact(
+        spark,
+        path,
+        os.path.join(path, "digests"),
+        "pb",
+        "doc_id BIGINT, g BIGINT, h STRING, pb INT",
+        write_partitions,
+        "compact_paragraph_index",
     )
-    if _data_files(live) != snapshot:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise RuntimeError(
-            "compact_paragraph_index: index changed during compaction "
-            "(concurrent append?) — quiesce appends and re-run"
-        )
-    open(os.path.join(live, sentinel), "w").close()
-    os.rename(live, old)
-    if _data_files(old) != snapshot:
-        os.rename(old, live)
-        os.remove(os.path.join(live, sentinel))
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise RuntimeError(
-            "compact_paragraph_index: append landed during the swap window "
-            "— rolled back; quiesce appends and re-run"
-        )
-    open(os.path.join(tmp, committed), "w").close()
-    try:
-        os.rename(tmp, live)
-    except OSError:
-        _merge_tree(live, old)
-        shutil.rmtree(live, ignore_errors=True)
-        os.remove(os.path.join(old, sentinel))
-        os.rename(old, live)
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise RuntimeError(
-            "compact_paragraph_index: live digests dir was recreated during "
-            "the swap window — rolled back with the racer's files preserved; "
-            "quiesce appends and re-run"
-        )
-    os.remove(os.path.join(old, sentinel))
-    shutil.rmtree(old)
-    os.remove(os.path.join(live, committed))
 
 
 def incremental_paragraph_apply(

@@ -33,14 +33,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_framework_using_python_spark.operators.dedup_index import (
+    _paragraph_instances,
+    _PINST_KEY,
+    PARA_WORDS,
+)
 from map_reduce_framework_using_python_spark.plans.core import query, t
 from map_reduce_framework_using_python_spark.plans.pipeline7 import (
     _CCNET_ASSIGN_ORACLE,
     _ccnet_scaled_assign,
 )
 
-#: Paragraph window: non-overlapping 10-word chunks.
-_PARA_WORDS = 10
+#: Paragraph window: non-overlapping 10-word chunks — the ONE canonical
+#: constant lives with the shared digesting helper in
+#: operators/dedup_index (r7 review: four hand-synchronized sites
+#: collapsed to one).
+_PARA_WORDS = PARA_WORDS
 
 
 @query(
@@ -93,25 +101,7 @@ def paragraph_dedup_stats(d: DataFrame) -> DataFrame:
     """Operator body over an arbitrary (doc_id, text, …) frame — the
     registry query binds it to the ``documents`` table; unit tests
     drive it with planted frames (tests/test_pipeline8.py)."""
-    ws = F.split(F.trim(F.col("text")), " +")
-    n_chunks = F.expr(f"(size(ws) + {_PARA_WORDS - 1}) DIV {_PARA_WORDS}")
-    p = (
-        d.select("doc_id", ws.alias("ws"))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("g"),
-            F.col("ws"),
-        )
-        .select(
-            "doc_id",
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.expr(f"slice(ws, g * {_PARA_WORDS} + 1, {_PARA_WORDS})"),
-                )
-            ).alias("h"),
-        )
-    )
+    p = _paragraph_instances(d).select("doc_id", "h")
     from pyspark.sql import Window
 
     cnt = F.count("*").over(Window.partitionBy("h"))
@@ -136,7 +126,7 @@ def paragraph_dedup_stats(d: DataFrame) -> DataFrame:
 #: exact BIGINT on both engines (g < 10⁹ always — documents are far
 #: smaller; at real scale with >9·10⁹ doc ids this becomes a struct
 #: min, same semantics). min over it = lexicographic first occurrence.
-_INST_KEY = 1_000_000_000
+_INST_KEY = _PINST_KEY
 
 
 @query(
@@ -191,26 +181,7 @@ def ns_paragraph_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten corpus. First-occurrence choice uses the exact composite
     BIGINT key, so both engines keep identical instances."""
     d = t(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), " +")
-    n_chunks = F.expr(f"(size(ws) + {_PARA_WORDS - 1}) DIV {_PARA_WORDS}")
-    inst = (
-        d.select("doc_id", ws.alias("ws"))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("g"),
-            F.col("ws"),
-        )
-        .select(
-            "doc_id",
-            "g",
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.expr(f"slice(ws, g * {_PARA_WORDS} + 1, {_PARA_WORDS})"),
-                )
-            ).alias("h"),
-        )
-    )
+    inst = _paragraph_instances(d)
     from pyspark.sql import Window
 
     # First-occurrence key via an unordered window over the ONE digest
@@ -354,6 +325,25 @@ def ns_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines and lands half-up on the 1e-6 grid. All windows run
     over the ≤|sources|-row aggregate — the only corpus-sized work is
     one map-side token count feeding a hash agg."""
+    from map_reduce_framework_using_python_spark.plans.core import half_up
+
+    p = _epoch_plan_frame(spark, sf_dir)
+    epochs = F.col("pt") * F.lit(_EPOCH_BUDGET) * F.col("t") / F.col("a")
+    return p.select(
+        "source",
+        "n_docs",
+        F.col("a").alias("tokens"),
+        half_up(F.col("share"), 6).alias("share"),
+        half_up(F.col("pt"), 6).alias("p_target"),
+        half_up(epochs, 6).alias("epochs"),
+    )
+
+
+def _epoch_plan_frame(spark: SparkSession, sf_dir: str):
+    """The shared τ=0.5 epoch-plan expression chain — ONE copy (r7
+    review: ns_epoch_realize used to duplicate it while claiming
+    bit-for-bit equality): (source, n_docs, a, share, t, w9, pt), each
+    column built exactly as documented in ns_epoch_plan."""
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
@@ -371,21 +361,10 @@ def ns_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a").cast("double") / F.sum("a").over(wall)).alias("share"),
         F.sum("a").over(wall).alias("t"),
     )
-    w9 = F.floor(F.sqrt(F.col("share")) * 1e9 + F.lit(0.5)).cast("bigint")
-    w = sh.withColumn("w9", w9)
-    pt = F.col("w9").cast("double") / F.sum("w9").over(wall)
-    p = w.withColumn("pt", pt)
-    from map_reduce_framework_using_python_spark.plans.core import half_up
-
-    epochs = F.col("pt") * F.lit(_EPOCH_BUDGET) * F.col("t") / F.col("a")
-    return p.select(
-        "source",
-        "n_docs",
-        F.col("a").alias("tokens"),
-        half_up(F.col("share"), 6).alias("share"),
-        half_up(F.col("pt"), 6).alias("p_target"),
-        half_up(epochs, 6).alias("epochs"),
+    w = sh.withColumn(
+        "w9", F.floor(F.sqrt(F.col("share")) * 1e9 + F.lit(0.5)).cast("bigint")
     )
+    return w.withColumn("pt", F.col("w9").cast("double") / F.sum("w9").over(wall))
 
 
 #: The epoch-plan CTE chain shared by the realize oracle: per-source
@@ -469,30 +448,16 @@ def ns_epoch_realize(spark: SparkSession, sf_dir: str) -> DataFrame:
     practice) — no shuffle beyond the plan aggregate, output streams
     straight to the sink. Replication happens at the PLAN level; rows
     are never driver-materialized."""
-    from pyspark.sql import Window
-
     d = t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", "source",
         F.size(F.split(F.trim(F.col("text")), " +")).alias("nt"),
     )
-    s = tok.groupBy("source").agg(F.sum("nt").alias("a"))
-    wall = Window.partitionBy()
-    sh = s.select(
-        "source",
-        "a",
-        (F.col("a").cast("double") / F.sum("a").over(wall)).alias("share"),
-        F.sum("a").over(wall).alias("t"),
-    )
-    w = sh.withColumn(
-        "w9", F.floor(F.sqrt(F.col("share")) * 1e9 + F.lit(0.5)).cast("bigint")
-    )
-    p = w.withColumn("pt", F.col("w9").cast("double") / F.sum("w9").over(wall))
     e6 = F.floor(
         F.col("pt") * F.lit(_EPOCH_BUDGET) * F.col("t") / F.col("a") * 1e6
         + F.lit(0.5)
     ).cast("bigint")
-    plan = p.select("source", e6.alias("e6"))
+    plan = _epoch_plan_frame(spark, sf_dir).select("source", e6.alias("e6"))
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("epo"), F.col("doc_id").cast("string"))), 1, 8

@@ -453,3 +453,79 @@ def test_compact_index_committed_crash_does_not_remerge(spark, tmp_path):
     assert not os.path.exists(os.path.join(buckets, "_swap_committed"))
     for b in range(16):
         assert len(glob.glob(f"{buckets}/band={b}/*.parquet")) <= 1
+
+
+def test_appends_and_recovery_folds_drop_src_fingerprint(spark, tmp_path):
+    """ADVICE-style r7 review fix: any mutation of a dedup index —
+    append_to_index, append_paragraphs_to_index, or a compaction
+    recovery that folds a racer's files — must drop the 'src'
+    cache-reuse fingerprint so fingerprint-keyed callers
+    (_ensure_dedup_index / _ensure_paragraph_index) rebuild instead of
+    serving the mutated layout as build(corpus). A clean compaction
+    keeps it (content is set-equivalent)."""
+    import json
+    import os
+    import shutil
+
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        append_paragraphs_to_index,
+        build_paragraph_index,
+        compact_paragraph_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(80)
+    batch, corpus = _split(docs)
+
+    def set_src(path):
+        mp = os.path.join(path, "_dedup_meta.json")
+        with open(mp) as fh:
+            m = json.load(fh)
+        m["src"] = "fingerprint"
+        with open(mp, "w") as fh:
+            json.dump(m, fh)
+
+    def src_of(path):
+        with open(os.path.join(path, "_dedup_meta.json")) as fh:
+            return json.load(fh).get("src")
+
+    # MinHash append drops src
+    mh = build_minhash_index(corpus, str(tmp_path / "mh"), num_hashes=32, bands=16)
+    set_src(mh)
+    append_to_index(batch, mh)
+    assert src_of(mh) is None
+
+    # Paragraph append drops src
+    pa = build_paragraph_index(corpus, str(tmp_path / "pa"))
+    set_src(pa)
+    append_paragraphs_to_index(batch, pa)
+    assert src_of(pa) is None
+
+    # Clean compaction KEEPS src (set-equivalent rewrite)
+    set_src(pa)
+    compact_paragraph_index(spark, pa)
+    assert src_of(pa) == "fingerprint"
+
+    # Crashed-swap recovery with a folded racer file drops src
+    live = os.path.join(pa, "digests")
+    racer_src = str(tmp_path / "racer")
+    spark.createDataFrame(
+        [(777_001, 3, "aa" * 16, 5)], "doc_id BIGINT, g BIGINT, h STRING, pb INT"
+    ).coalesce(1).write.partitionBy("pb").parquet(racer_src)
+    os.rename(live, live + "__old")
+    open(os.path.join(live + "__old", "_swap_pending"), "w").close()
+    os.makedirs(os.path.join(live, "pb=5"))
+    part = next(
+        f for f in os.listdir(os.path.join(racer_src, "pb=5"))
+        if f.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(racer_src, "pb=5", part),
+        os.path.join(live, "pb=5", "racer-part.parquet"),
+    )
+    compact_paragraph_index(spark, pa)  # recovers, folds racer, compacts
+    assert src_of(pa) is None
+    rows = {
+        tuple(r)
+        for r in spark.read.parquet(live).select("doc_id", "g", "h").collect()
+    }
+    assert (777_001, 3, "aa" * 16) in rows  # racer's row survived
