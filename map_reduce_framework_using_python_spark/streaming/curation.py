@@ -47,8 +47,8 @@ from map_reduce_framework_using_python_spark.operators.dsir import (
 _CURATED_SCHEMA = "doc_id BIGINT, n_tokens BIGINT, log_weight DOUBLE"
 _REJECTED_SCHEMA = "doc_id BIGINT, reason STRING"
 _METRICS_SCHEMA = (
-    "batch_id BIGINT, n_in BIGINT, n_duplicate BIGINT, n_low_quality BIGINT,"
-    " n_curated BIGINT, psi DOUBLE"
+    "batch_id BIGINT, n_in BIGINT, n_duplicate BIGINT, n_boilerplate BIGINT,"
+    " n_low_quality BIGINT, n_curated BIGINT, psi DOUBLE"
 )
 
 
@@ -60,6 +60,8 @@ def curate_batch(
     model_path: str,
     threshold: float = 0.6,
     witness_cap: int | None = None,
+    paragraph_index_path: str | None = None,
+    max_dup_frac: float = 0.3,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One-shot curation of a document frame: returns (curated,
     rejected, metrics-without-batch_id). The streaming path calls this
@@ -77,7 +79,14 @@ def curate_batch(
     verdicts are preserved; size r (num_hashes/bands) and K per the
     dedup_index guidance rather than defaulting to a tiny cap. Set it
     in 100 TB deployments; the pinned drained==one-shot contract holds
-    for any value because both paths share it."""
+    for any value because both paths share it.
+
+    ``paragraph_index_path`` (r7) adds the sub-document leg: docs whose
+    paragraph duplicate fraction against the paragraph-digest index
+    (operators/dedup_index.incremental_paragraph_stats) exceeds
+    ``max_dup_frac`` are rejected as ``boilerplate`` — the RefinedWeb
+    "mostly template" removal the document-level screen cannot see.
+    Reason precedence: duplicate > boilerplate > low_quality."""
     dups = (
         incremental_dedup_pairs(
             spark, batch, corpus, index_path, threshold=threshold,
@@ -96,22 +105,43 @@ def curate_batch(
     dup_flagged = scored.join(
         dups.withColumn("_dup", F.lit(True)), "doc_id", "left"
     ).withColumn("_dup", F.coalesce(F.col("_dup"), F.lit(False)))
-    curated = dup_flagged.filter(~F.col("_dup") & F.col("keep")).select(
+    if paragraph_index_path is not None:
+        from map_reduce_framework_using_python_spark.operators.dedup_index import (
+            incremental_paragraph_stats,
+        )
+
+        boiler = (
+            incremental_paragraph_stats(spark, batch, paragraph_index_path)
+            .filter(F.col("dup_frac") > max_dup_frac)
+            .select("doc_id")
+            .withColumn("_boiler", F.lit(True))
+        )
+        dup_flagged = dup_flagged.join(boiler, "doc_id", "left").withColumn(
+            "_boiler", F.coalesce(F.col("_boiler"), F.lit(False))
+        )
+    else:
+        dup_flagged = dup_flagged.withColumn("_boiler", F.lit(False))
+    ok = ~F.col("_dup") & ~F.col("_boiler")
+    curated = dup_flagged.filter(ok & F.col("keep")).select(
         "doc_id", "n_tokens", "log_weight"
     )
-    rejected = dup_flagged.filter(F.col("_dup") | ~F.col("keep")).select(
+    rejected = dup_flagged.filter(~ok | ~F.col("keep")).select(
         "doc_id",
-        F.when(F.col("_dup"), "duplicate").otherwise("low_quality").alias("reason"),
+        F.when(F.col("_dup"), "duplicate")
+        .when(F.col("_boiler"), "boilerplate")
+        .otherwise("low_quality")
+        .alias("reason"),
     )
     psi = psi_vs_counts(batch, load_bucket_counts(spark, model_path))
     metrics = (
         dup_flagged.agg(
             F.count("*").alias("n_in"),
             F.sum(F.col("_dup").cast("long")).alias("n_duplicate"),
-            F.sum((~F.col("_dup") & ~F.col("keep")).cast("long")).alias(
-                "n_low_quality"
+            F.sum((~F.col("_dup") & F.col("_boiler")).cast("long")).alias(
+                "n_boilerplate"
             ),
-            F.sum((~F.col("_dup") & F.col("keep")).cast("long")).alias("n_curated"),
+            F.sum((ok & ~F.col("keep")).cast("long")).alias("n_low_quality"),
+            F.sum((ok & F.col("keep")).cast("long")).alias("n_curated"),
         )
         .crossJoin(psi.select("psi"))
     )
@@ -127,6 +157,8 @@ def curate_stream(
     checkpoint_dir: str,
     threshold: float = 0.6,
     witness_cap: int | None = None,
+    paragraph_index_path: str | None = None,
+    max_dup_frac: float = 0.3,
 ) -> DataFrame:
     """Drain ``batch_stream`` (AvailableNow) through the full curation
     pass and return the curated read-back. Sinks are at-least-once
@@ -138,6 +170,8 @@ def curate_stream(
         curated, rejected, metrics = curate_batch(
             spark, batch_df, corpus, index_path, model_path,
             threshold=threshold, witness_cap=witness_cap,
+            paragraph_index_path=paragraph_index_path,
+            max_dup_frac=max_dup_frac,
         )
         curated.write.mode("append").parquet(os.path.join(out_root, "curated"))
         rejected.write.mode("append").parquet(os.path.join(out_root, "rejected"))
@@ -145,6 +179,7 @@ def curate_stream(
             F.lit(batch_id).cast("bigint").alias("batch_id"),
             "n_in",
             "n_duplicate",
+            "n_boilerplate",
             "n_low_quality",
             "n_curated",
             "psi",

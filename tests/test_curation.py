@@ -119,3 +119,76 @@ def test_duplicate_takes_precedence_over_low_quality(spark):
         )
         ledger = {r["doc_id"]: r["reason"] for r in rejected.collect()}
         assert ledger.get(999_999) == "duplicate"
+
+
+def test_paragraph_leg_rejects_boilerplate_with_precedence(spark):
+    """With a paragraph-digest index supplied, docs whose dup_frac
+    against the corpus exceeds max_dup_frac reject as 'boilerplate';
+    document-level duplicates keep precedence over it; metrics
+    partition n_in across the four verdicts; the streaming path drains
+    to the identical composition."""
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        build_paragraph_index,
+        incremental_paragraph_stats,
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        corpus, batch, index_path, model_path = _artifacts(spark, root)
+        para_path = os.path.join(root, "pidx")
+        build_paragraph_index(corpus, para_path)
+        # threshold=0.99 keeps the near-dup screen to exact copies: the
+        # synthetic corpus's partially-boilerplate docs are ALSO ~0.96
+        # doc-level near-dups (measured), so at the default threshold
+        # 'duplicate' precedence absorbs them all and the paragraph leg
+        # would be untested
+        curated, rejected, metrics = curate_batch(
+            spark, batch, corpus, index_path, model_path, threshold=0.99,
+            paragraph_index_path=para_path, max_dup_frac=0.3,
+        )
+        rej = {r["doc_id"]: r["reason"] for r in rejected.collect()}
+        cur_ids = {r["doc_id"] for r in curated.collect()}
+        m = metrics.collect()[0]
+        assert m["n_in"] == (
+            m["n_duplicate"] + m["n_boilerplate"] + m["n_low_quality"]
+            + m["n_curated"]
+        )
+        assert m["n_curated"] == len(cur_ids)
+        assert m["n_boilerplate"] == sum(
+            1 for v in rej.values() if v == "boilerplate"
+        )
+        # ground truth for the boilerplate verdict + precedence
+        pstats = {
+            r["doc_id"]: r["dup_frac"]
+            for r in incremental_paragraph_stats(spark, batch, para_path).collect()
+        }
+        dup_ids = {d for d, v in rej.items() if v == "duplicate"}
+        for doc_id, frac in pstats.items():
+            if frac > 0.3 and doc_id not in dup_ids:
+                assert rej.get(doc_id) == "boilerplate", (doc_id, frac)
+            elif doc_id in cur_ids or rej.get(doc_id) == "low_quality":
+                assert frac <= 0.3
+        assert m["n_boilerplate"] > 0  # the leg actually fires on this corpus
+
+        # streaming drain equals the one-shot composition
+        out_root = os.path.join(root, "out")
+        streamed = curate_stream(
+            read_documents_stream(spark, SF_SMOKE).filter(
+                F.col("doc_id") % _BATCH_MOD == _BATCH_REM
+            ),
+            corpus,
+            index_path,
+            model_path,
+            out_root=out_root,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            threshold=0.99,
+            paragraph_index_path=para_path,
+            max_dup_frac=0.3,
+        )
+        assert {tuple(r) for r in streamed.collect()} == {
+            tuple(r) for r in curated.collect()
+        }
+        rej_stream = {
+            r["doc_id"]: r["reason"]
+            for r in read_rejected(spark, out_root).collect()
+        }
+        assert rej_stream == rej

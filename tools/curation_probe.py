@@ -139,12 +139,16 @@ def run(spark: SparkSession, replicas: int, prune_cap: int | None = None) -> dic
         .agg(
             F.sum("n_in").alias("n_in"),
             F.sum("n_duplicate").alias("n_duplicate"),
+            F.sum("n_boilerplate").alias("n_boilerplate"),
             F.sum("n_low_quality").alias("n_low_quality"),
             F.sum("n_curated").alias("n_curated"),
         )
         .collect()[0]
     )
-    out.update({k: int(m[k]) for k in ("n_in", "n_duplicate", "n_low_quality", "n_curated")})
+    out.update({
+        k: int(m[k])
+        for k in ("n_in", "n_duplicate", "n_boilerplate", "n_low_quality", "n_curated")
+    })
     return out
 
 
