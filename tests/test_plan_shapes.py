@@ -227,3 +227,58 @@ def test_ccnet_scaled_windows_only_over_histogram(spark):
     for ln in win_lines:
         assert "lang#" in ln, ln
         assert "cnt#" in ln, ln
+
+
+def test_epoch_realize_broadcast_plan_no_corpus_shuffle(spark):
+    """The realize pass must be: corpus scan → BROADCAST join with the
+    ≤|sources|-row plan aggregate → map-side explode. A sort-merge join
+    or a corpus-keyed exchange above the stream-side scan means the
+    plan aggregate stopped broadcasting."""
+    plan = _plan(spark, "ns_epoch_realize")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange hashpartitioning(doc_id" not in plan, plan
+
+
+def test_epoch_shards_windows_are_bucket_partitioned(spark):
+    """The shard packer's global cumsum must stay the bucketed two-pass
+    form: every Window hash-partitions on the cumsum bucket — an
+    unpartitioned Window is the 100 TB straggler this exists to
+    avoid."""
+    plan = _plan(spark, "ns_epoch_shards")
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines, plan
+    cumsum_wins = [ln for ln in win_lines if "_cs_" in ln]
+    assert cumsum_wins, plan
+    for ln in cumsum_wins:
+        assert "_cs_bucket" in ln, ln
+    # the only other windows are the epoch-plan normalizations over the
+    # ≤|sources|-row aggregate (documented single-partition-by-design)
+    for ln in win_lines:
+        if "_cs_" not in ln:
+            assert "w9#" in ln or "sum(a#" in ln or "sum(nt#" in ln, ln
+
+
+def test_paragraph_screen_index_scan_never_shuffles(spark):
+    """The ingest screen's persisted-index scan must reach its joins
+    purely map-side (broadcast batch ids anti-join + broadcast digest
+    set equi-join): no Exchange may partition on the index's digest or
+    doc column, and no sort-merge join may appear anywhere."""
+    plan = _plan(spark, "ns_paragraph_screen")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # the only windows are the batch-side within-batch counts on h
+    for ln in plan.splitlines():
+        if "Window [" in ln:
+            assert "h#" in ln, ln
+
+
+def test_ivf_probe_batch_single_index_scan_broadcast_probe(spark):
+    """The batched IVF probe: ONE scan of the persisted index layout
+    equi-joined against the broadcast (q_id, centroid_id) probe table;
+    top-k via a q_id-partitioned window (partial WindowGroupLimit
+    before the exchange)."""
+    plan = _plan(spark, "ns_ivf_probe_batch")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
