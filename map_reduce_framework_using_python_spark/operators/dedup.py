@@ -145,16 +145,21 @@ def minhash_signatures(
     transforms, recomputing it 64× — measured slower.)
     """
     sh = _shingle_table(df, text_col, id_col, n)
-    # Generated-SQL agg expressions (one JVM parse each) — the
-    # Column-API form cost ~0.3 s of driver-side plan-build per call at
-    # num_hashes=64 (the similarity._bucket_expr lesson); the int seed
-    # literal parses to the same IntegerType F.lit(i) carried, so the
+    # ONE generated-SQL struct-of-aggregates (a single server parse) —
+    # 64 per-column Column/expr calls cost ~0.25 s of driver-side
+    # plan-build per call in py4j round trips alone (the
+    # similarity._bucket_expr lesson); the struct is expanded right
+    # after the agg, so the plan gains only a Project. The int seed
+    # literal parses to the IntegerType F.lit(i) carried before, so the
     # hashes are bit-identical (pinned by every LSH recall test).
-    mins = [
-        F.expr(f"min(xxhash64({i}, shingle))").alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*mins)
+    cols = ", ".join(
+        f"min(xxhash64({i}, shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    return (
+        sh.groupBy(id_col)
+        .agg(F.expr(f"struct({cols})").alias("_s"))
+        .select(id_col, "_s.*")
+    )
 
 
 def band_table(
@@ -170,14 +175,16 @@ def band_table(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    band_rows = []
+    # One generated-SQL explode(array(named_struct(...))) — same plan
+    # and values as the Column-built form, ~10× cheaper to BUILD (the
+    # minhash_signatures note above).
+    items = []
     for b in range(bands):
-        cols = [F.col(f"h{i}") for i in range(b * r, (b + 1) * r)]
-        band_rows.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("key"))
-        )
+        cols = ", ".join(f"h{i}" for i in range(b * r, (b + 1) * r))
+        items.append(f"named_struct('band', {b}, 'key', xxhash64({cols}))")
     return sig.select(
-        F.col(id_col), F.explode(F.array(*band_rows)).alias("bk")
+        F.col(id_col),
+        F.expr("explode(array(" + ",".join(items) + "))").alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
