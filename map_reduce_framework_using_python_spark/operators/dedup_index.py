@@ -362,10 +362,20 @@ def incremental_dedup_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.6,
     witness_cap: int | None = None,
+    exclude_own: bool = True,
 ) -> DataFrame:
     """Near-dup pairs between ``batch`` and the corpus indexed at
     ``path``: ``(batch_doc, corpus_doc, jaccard)`` with exact word-
     shingle Jaccard ≥ ``threshold`` among LSH band collisions.
+
+    ``exclude_own=True`` (default) anti-joins the index against the
+    batch's own doc ids before probing (broadcast, map-side) — the
+    same replay guard as the ANN and paragraph lanes: a crash-REPLAYED
+    batch that already appended itself under ``extend_index`` must not
+    collide with its own band buckets and report every doc a duplicate
+    of itself. Also required whenever batch ids can legitimately recur
+    in the corpus (re-delivered feeds). Costs one broadcast of the
+    batch id set; disjoint batch/corpus make it a no-op.
 
     Only the batch is sketched; the corpus contributes its persisted
     buckets (scan of the fixed-width index) and, for verification, the
@@ -401,6 +411,12 @@ def incremental_dedup_pairs(
     idx = spark.read.schema(f"{meta['id_col']} BIGINT, key BIGINT, band INT").parquet(
         os.path.join(path, "buckets")
     )
+    if exclude_own:
+        idx = idx.join(
+            F.broadcast(batch.select(F.col(id_col)).distinct()),
+            id_col,
+            "left_anti",
+        )
     if witness_cap is not None:
         from pyspark.sql import Window
 

@@ -77,6 +77,20 @@ def _ts_unit(path: str) -> str:
 _TS_TO_MICROS = {"ns": "ts div 1000", "us": "ts", "ms": "ts * 1000", "s": "ts * 1000000"}
 
 
+def _ts_micros_expr(path: str) -> str:
+    """SQL expression normalizing events.ts to µs per the footer unit —
+    the ONE resolver both the batch loader and the streaming reader use
+    (r7 review: the streaming copy had dropped the explanatory
+    ValueError wrapping)."""
+    unit = _ts_unit(path)
+    try:
+        return _TS_TO_MICROS[unit]
+    except KeyError:
+        raise ValueError(
+            f"unsupported events.ts timestamp unit {unit!r} in {path!r}"
+        ) from None
+
+
 def _footer_mtime(path: str) -> float:
     """Modification time keying the schema cache (dir → newest file)."""
     if os.path.isdir(path):
@@ -123,13 +137,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table. Parquet → pushdown/pruning apply."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        unit = _ts_unit(path)
-        try:
-            micros = _TS_TO_MICROS[unit]
-        except KeyError:
-            raise ValueError(
-                f"unsupported events.ts timestamp unit {unit!r} in {path!r}"
-            ) from None
+        micros = _ts_micros_expr(path)
         return (
             spark.read.schema(_EVENTS_RAW_SCHEMA)
             .parquet(path)

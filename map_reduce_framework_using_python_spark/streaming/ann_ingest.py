@@ -52,6 +52,7 @@ def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(_EMB_SCHEMA)
         .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxFilesPerTrigger", 1)
         .parquet(sf_dir)
     )
 

@@ -35,6 +35,27 @@ def _pointer(root: str) -> str:
     return os.path.join(root, "_CURRENT")
 
 
+def _recover_dangling(root: str) -> None:
+    """Restore any version directory stranded mid-swap: a ``v<N>__old``
+    with no ``v<N>`` means the two-rename publish crashed between its
+    renames — the ``__old`` copy is the complete committed version the
+    pointer may still name. Called by every entry point that reads the
+    table, so a crash is healed by the NEXT reader or writer, not only
+    by a replay of the same batch id (a fresh checkpoint renumbers
+    batches and would otherwise never revisit the stranded name).
+    Single-writer discipline applies, as with the index compactors —
+    recovery must not run concurrently with a live swap."""
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return
+    for d in names:
+        if d.endswith("__old") and os.path.isdir(os.path.join(root, d)):
+            base = d[: -len("__old")]
+            if not os.path.exists(os.path.join(root, base)):
+                os.rename(os.path.join(root, d), os.path.join(root, base))
+
+
 def current_version(root: str) -> str | None:
     """Directory of the live table version, or None before first commit."""
     try:
@@ -62,6 +83,7 @@ def init_table(df: DataFrame, root: str) -> str:
 
 
 def read_table(spark: SparkSession, root: str) -> DataFrame:
+    _recover_dangling(root)
     cur = current_version(root)
     if cur is None:
         raise FileNotFoundError(f"no committed version under {root}")
@@ -70,9 +92,18 @@ def read_table(spark: SparkSession, root: str) -> DataFrame:
 
 def list_versions(root: str) -> list[str]:
     """Committed version directories, oldest first (``vinit`` before
-    numbered batches)."""
-    vs = [d for d in os.listdir(root) if d.startswith("v") and
-          os.path.isdir(os.path.join(root, d))]
+    numbered batches). Swap-transient names (``v5__old``/``v5__tmp``)
+    are excluded — they used to crash the int parse exactly when the
+    table needed post-crash inspection (r7 streaming review)."""
+    import re
+
+    _recover_dangling(root)
+    vs = [
+        d
+        for d in os.listdir(root)
+        if (d == "vinit" or re.fullmatch(r"v\d+", d))
+        and os.path.isdir(os.path.join(root, d))
+    ]
     return sorted(vs, key=lambda v: (-1 if v == "vinit" else int(v[1:])))
 
 
@@ -155,13 +186,13 @@ def apply_cdc_stream(
         dst = os.path.join(root, rel)
         tmp = dst + "__tmp"
         old = dst + "__old"
-        # Recover a swap that crashed between its two renames (dst
-        # missing, previous copy stranded at old — possibly the LIVE
+        # Recover ANY swap that crashed between its two renames (dst
+        # missing, previous copy stranded at __old — possibly the LIVE
         # version the pointer still names) BEFORE reading the table or
-        # clearing side dirs: rmtree'ing old first would delete the
-        # only copy, and read_table would fail on the dangling pointer.
-        if not os.path.exists(dst) and os.path.isdir(old):
-            os.rename(old, dst)
+        # clearing side dirs. Not just THIS rel's dirs: under a fresh
+        # checkpoint the batch ids renumber, so the stranded name may
+        # never be revisited by its own batch id again.
+        _recover_dangling(root)
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
 

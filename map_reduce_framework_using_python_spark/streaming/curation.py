@@ -102,6 +102,19 @@ def curate_batch(
         load_dsir_model(spark, model_path),
         tau=model_meta(model_path).get("tau", 0.0),
     )
+    # The gate scores docs via an inner join on covered model buckets —
+    # a doc with NO scoreable token (empty text, or every token in a
+    # bucket absent from the model) produces no scored row and would
+    # silently vanish from curated AND rejected (r7 streaming review).
+    # Re-anchor on the batch id set: unscorable docs gate to keep=False
+    # (n_tokens 0, log_weight null) and land in rejected/low_quality,
+    # preserving the curated ∪ rejected == batch partition.
+    scored = (
+        batch.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
+        .withColumn("keep", F.coalesce(F.col("keep"), F.lit(False)))
+    )
     dup_flagged = scored.join(
         dups.withColumn("_dup", F.lit(True)), "doc_id", "left"
     ).withColumn("_dup", F.coalesce(F.col("_dup"), F.lit(False)))
@@ -121,6 +134,12 @@ def curate_batch(
         )
     else:
         dup_flagged = dup_flagged.withColumn("_boiler", F.lit(False))
+    # The three outputs below all derive from this frame; persisted
+    # (lazily) so the dedup text verification, DSIR scoring, and
+    # paragraph screen run ONCE per batch instead of once per sink
+    # action (r7 streaming review measured 3×; the ContextCleaner
+    # reclaims it when the outputs are dereferenced).
+    dup_flagged = dup_flagged.persist()
     ok = ~F.col("_dup") & ~F.col("_boiler")
     curated = dup_flagged.filter(ok & F.col("keep")).select(
         "doc_id", "n_tokens", "log_weight"
@@ -143,7 +162,12 @@ def curate_batch(
             F.sum((ok & ~F.col("keep")).cast("long")).alias("n_low_quality"),
             F.sum((ok & F.col("keep")).cast("long")).alias("n_curated"),
         )
-        .crossJoin(psi.select("psi"))
+        # LEFT join on TRUE, not crossJoin: psi_vs_counts returns zero
+        # rows for an EMPTY batch (its n_tokens>0 filter), and a cross
+        # join would annihilate the metrics row exactly when the
+        # accounting gap matters (r7 streaming review) — the row
+        # survives with psi NULL instead.
+        .join(psi.select("psi"), F.lit(True), "left")
     )
     return curated, rejected, metrics
 

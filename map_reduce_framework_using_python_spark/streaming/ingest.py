@@ -33,11 +33,16 @@ _PAIRS_SCHEMA = "batch_doc BIGINT, corpus_doc BIGINT, jaccard DOUBLE"
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``documents`` as a file-source stream (one file → one AvailableNow
-    micro-batch; a real deployment points this at the landing dir)."""
+    """``documents`` as a file-source stream — ONE file per AvailableNow
+    micro-batch (``maxFilesPerTrigger=1``, r7 review: without it every
+    landing file coalesces into a single batch and the extend-index
+    screen never sees cross-file duplicates, since intra-batch dedup is
+    documented out of scope). A real deployment points this at the
+    landing dir."""
     return (
         spark.readStream.schema(_DOCS_SCHEMA)
         .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
         .parquet(sf_dir)
     )
 

@@ -17,8 +17,7 @@ import os
 
 from map_reduce_framework_using_python_spark.sources.io import (
     _EVENTS_RAW_SCHEMA,
-    _TS_TO_MICROS,
-    _ts_unit,
+    _ts_micros_expr,
 )
 
 
@@ -31,7 +30,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch loader this keeps ``ts`` as TIMESTAMP_LTZ — the session is
     pinned to UTC, so values align with the NTZ batch twin.
     """
-    micros = _TS_TO_MICROS[_ts_unit(os.path.join(sf_dir, "events.parquet"))]
+    micros = _ts_micros_expr(os.path.join(sf_dir, "events.parquet"))
     return (
         spark.readStream.schema(_EVENTS_RAW_SCHEMA)
         # file source needs a directory; glob-filter to the events table

@@ -192,3 +192,40 @@ def test_paragraph_leg_rejects_boilerplate_with_precedence(spark):
             for r in read_rejected(spark, out_root).collect()
         }
         assert rej_stream == rej
+
+
+def test_unscorable_and_empty_batches_stay_accounted(spark):
+    """r7 streaming review: a doc the DSIR gate cannot score (empty
+    text → no token rows) must land in rejected/low_quality instead of
+    vanishing, keeping curated ∪ rejected == batch; and an EMPTY batch
+    still emits its metrics row (psi NULL) instead of being annihilated
+    by the old crossJoin against the zero-row PSI frame."""
+    with tempfile.TemporaryDirectory() as root:
+        corpus, batch, index_path, model_path = _artifacts(spark, root)
+        ghost = spark.createDataFrame(
+            [(990001, "", "en", "srcA", 0),
+             (990002, "   ", "en", "srcA", 3)],
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+        )
+        batch2 = batch.unionByName(ghost)
+        curated, rejected, metrics = curate_batch(
+            spark, batch2, corpus, index_path, model_path
+        )
+        cur_ids = {r["doc_id"] for r in curated.collect()}
+        rej = {r["doc_id"]: r["reason"] for r in rejected.collect()}
+        all_ids = {r["doc_id"] for r in batch2.select("doc_id").collect()}
+        assert cur_ids | set(rej) == all_ids
+        assert not (cur_ids & set(rej))
+        assert rej[990001] == "low_quality"
+        assert rej[990002] == "low_quality"
+        m = metrics.collect()[0]
+        assert m["n_in"] == len(all_ids)
+
+        empty = batch2.filter(F.lit(False))
+        _c, _r, m_empty = curate_batch(
+            spark, empty, corpus, index_path, model_path
+        )
+        rows = m_empty.collect()
+        assert len(rows) == 1
+        assert rows[0]["n_in"] == 0
+        assert rows[0]["psi"] is None

@@ -228,3 +228,38 @@ def test_cdc_recovers_mid_swap_crash(spark, tmp_path):
     assert {tuple(r) for r in read_table(spark, root).collect()} == rows_good
     assert not os.path.exists(live + "__old")
     assert not os.path.exists(live + "__tmp")
+
+
+def test_versions_survive_swap_transient_dirs_and_heal(spark, tmp_path):
+    """r7 streaming review: v5__old / v5__tmp must not crash
+    list_versions (the old int parse did, exactly when a crashed table
+    needed inspection), and a dangling v5__old with no v5 — the
+    mid-swap crash shape, possibly the LIVE version — is healed by ANY
+    reader (read_table / list_versions), not only a replay of the same
+    batch id."""
+    import os
+    import shutil
+
+    from map_reduce_framework_using_python_spark.streaming.cdc import (
+        init_table,
+        list_versions,
+        read_table,
+    )
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    init_table(df, root)
+    # commit a numbered version by hand (the publish path's end state)
+    df.write.parquet(os.path.join(root, "v5"))
+    with open(os.path.join(root, "_CURRENT"), "w") as fh:
+        fh.write("v5")
+    # swap-transient litter alongside the live version
+    os.makedirs(os.path.join(root, "v6__tmp"))
+    assert list_versions(root) == ["vinit", "v5"]  # no crash, no transients
+    # the mid-swap crash: live version renamed aside, new one never landed
+    os.rename(os.path.join(root, "v5"), os.path.join(root, "v5__old"))
+    got = {tuple(r) for r in read_table(spark, root).collect()}  # heals
+    assert got == {(1, "a"), (2, "b")}
+    assert os.path.isdir(os.path.join(root, "v5"))
+    assert not os.path.isdir(os.path.join(root, "v5__old"))
+    shutil.rmtree(os.path.join(root, "v6__tmp"))

@@ -112,3 +112,43 @@ def test_extend_index_dedups_across_batches(spark, tmp_path):
     # doc2 (batch 2) must have been caught against doc1 (batch 1),
     # which is in no corpus — only the extended index knows it.
     assert (900002, 900001) in pairs
+
+
+def test_replayed_batch_does_not_self_match_minhash(spark, tmp_path):
+    """r7 streaming review: the MinHash lane now carries the same
+    exclude-own-ids replay guard as the ANN and paragraph lanes. A
+    batch that ALREADY appended itself (crash between the extend-index
+    append and the checkpoint commit) must screen identically to the
+    first attempt — no (d, d) self-pairs, no intra-batch cross-pairs
+    from its own replayed band buckets."""
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        append_to_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    batch = docs.filter(F.col("doc_id") % MOD == REM)
+    corpus = docs.filter(F.col("doc_id") % MOD != REM)
+    path = build_minhash_index(
+        corpus, str(tmp_path / "idx"), n=3, num_hashes=32, bands=16
+    )
+    before = {
+        tuple(r)
+        for r in incremental_dedup_pairs(spark, batch, corpus, path).collect()
+    }
+    append_to_index(batch, path)  # the crash-replay shape
+    seen = corpus.unionByName(batch)  # seen/ side store holds the batch too
+    after = {
+        tuple(r)
+        for r in incremental_dedup_pairs(spark, batch, seen, path).collect()
+    }
+    assert after == before
+    assert not any(a == b for a, b, _j in after)
+    # control: WITHOUT the exclusion every batch doc self-pairs at 1.0
+    naive = {
+        (r["batch_doc"], r["corpus_doc"])
+        for r in incremental_dedup_pairs(
+            spark, batch, seen, path, exclude_own=False
+        ).collect()
+    }
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert {(d, d) for d in batch_ids} <= naive
