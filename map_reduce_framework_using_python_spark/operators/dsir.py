@@ -48,9 +48,18 @@ def _buckets(docs: DataFrame, extra: list[str] | None = None) -> DataFrame:
     """(doc_id[, extra...], b): one row per token occurrence, carrying
     only the 2-hex-char bucket id — raw text never leaves the scan."""
     cols = ["doc_id", *(extra or [])]
-    return docs.select(
-        *cols, F.explode(F.split(F.trim(F.col("text")), " +")).alias("w")
-    ).select(*cols, F.substring(F.md5("w"), 1, 2).alias("b"))
+    return (
+        docs.select(
+            *cols, F.explode(F.split(F.trim(F.col("text")), " +")).alias("w")
+        )
+        # split('', ' +') returns [''] on BOTH engines — without this
+        # filter an empty/whitespace-only doc contributes one phantom
+        # ''-token (bucket md5('')[0:2] = 'd4') to every model, PSI,
+        # and score (r7 review). The oracle twins carry the matching
+        # w <> '' filter.
+        .filter(F.col("w") != "")
+        .select(*cols, F.substring(F.md5("w"), 1, 2).alias("b"))
+    )
 
 
 def bucket_counts(docs: DataFrame, is_target: Column) -> DataFrame:
@@ -119,7 +128,9 @@ def dsir_score(docs: DataFrame, model: DataFrame) -> DataFrame:
     )
 
 
-def dsir_gate(docs: DataFrame, model: DataFrame, tau: float = 0.0) -> DataFrame:
+def dsir_gate(
+    docs: DataFrame, model: DataFrame, tau: float = 0.0, unscored: str = "drop"
+) -> DataFrame:
     """Score + keep verdict: keep ⇔ the MEAN per-token log-ratio is
     ≥ ``tau``. With the default tau=0 the document must look at least
     as target-like as not — an exact BIGINT comparison (Σ li ≥ 0), so
@@ -132,9 +143,20 @@ def dsir_gate(docs: DataFrame, model: DataFrame, tau: float = 0.0) -> DataFrame:
     gate on the corpus's own score distribution instead of the
     absolute axis. build_dsir_model freezes the corpus median
     per-token ratio as meta['tau'] for exactly this use; the verdict
-    stays exact-integer (Σ li ≥ round(tau·GRID)·n_tokens)."""
+    stays exact-integer (Σ li ≥ round(tau·GRID)·n_tokens).
+
+    ``unscored`` — what happens to a doc the gate CANNOT score (empty
+    text, or every token in a bucket absent from the model, so the
+    inner join on covered buckets yields no rows): ``"drop"`` (default,
+    the oracle twin's behavior — the doc produces no verdict row) or
+    ``"reject"`` (emit ``keep=False`` with n_tokens=0 and a NULL
+    log_weight — what a PIPELINE caller wants, so no doc ever silently
+    vanishes between curated and rejected; r7 review moved this here
+    from a caller-side bandaid so every gate consumer shares it)."""
+    if unscored not in ("drop", "reject"):
+        raise ValueError(f"unscored must be 'drop' or 'reject': {unscored!r}")
     tau_grid = int(round(tau * LOG_GRID))
-    return (
+    scored = (
         _buckets(docs)
         .join(F.broadcast(model), "b")
         .groupBy("doc_id")
@@ -146,6 +168,14 @@ def dsir_gate(docs: DataFrame, model: DataFrame, tau: float = 0.0) -> DataFrame:
             ).alias("log_weight"),
             (F.sum("li") >= F.lit(tau_grid) * F.count("*")).alias("keep"),
         )
+    )
+    if unscored == "drop":
+        return scored
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
+        .withColumn("keep", F.coalesce(F.col("keep"), F.lit(False)))
     )
 
 

@@ -42,9 +42,12 @@ def connected_components(
     that appear in no edge are by definition not in the output (callers
     left-join and coalesce to the node's own id).
     """
+    # Checkpointed: the union+distinct shuffle is the heaviest input
+    # and is re-read twice per round (nbr_min join + next round) — the
+    # same doctrine pagerank below applies to its static inputs.
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
@@ -67,6 +70,17 @@ def connected_components(
         labels = updated.select("node", F.col("new_label").alias("label"))
         if n_changed == 0:
             break
+    else:
+        # Exhausting max_iter with changes still in flight means the
+        # labels have NOT converged (a component with diameter >
+        # max_iter would come back split into several "components" —
+        # silently wrong dedup clusters, r7 review). Fail loudly.
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} "
+            "iterations (component diameter exceeds max_iter) — raise "
+            "max_iter, or switch to the doubling/large-star variant "
+            "for graphs this deep"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -44,8 +44,18 @@ def scd2_apply(
     ``dim`` columns: key, attributes…, valid_from, valid_to (null when
     open), is_current. ``updates`` columns: key, attributes…,
     valid_from.
+
+    Multiple updates for one key in a single batch CHAIN correctly
+    (r7 review — the old left join fanned every dim row out once per
+    update): the current dim row closes at the EARLIEST update's
+    valid_from, each update closes at the next update's valid_from
+    (window lead per key), and only the latest stays current.
     """
-    upd_keys = updates.select(key, F.col(effective_col).alias("_new_from"))
+    from pyspark.sql import Window
+
+    upd_keys = updates.groupBy(key).agg(
+        F.min(effective_col).alias("_new_from")
+    )
     closed = (
         dim.join(F.broadcast(upd_keys), key, "left")
         .withColumn(
@@ -62,9 +72,10 @@ def scd2_apply(
         )
         .drop("_new_from")
     )
-    fresh = updates.withColumn(end_col, F.lit(None).cast("timestamp")).withColumn(
-        current_col, F.lit(True)
-    )
+    w = Window.partitionBy(key).orderBy(F.col(effective_col))
+    fresh = updates.withColumn(
+        end_col, F.lead(effective_col).over(w).cast("timestamp")
+    ).withColumn(current_col, F.col(end_col).isNull())
     return closed.unionByName(fresh.select(*closed.columns))
 
 

@@ -70,14 +70,28 @@ def salted_agg(
     )
     finals = []
     for name, a in aggs.items():
-        fn = a._jc.toString().split("(")[0].lower().lstrip('"')
+        expr_str = a._jc.toString()
+        # EXACT function-name match, not prefix (r7 review):
+        # count(DISTINCT v) would slip a startswith('count') guard and
+        # double-count values appearing under multiple salts; min_by /
+        # max_by would slip startswith('min') and return the carried
+        # value at the per-salt extremum, not the global one. DISTINCT
+        # anywhere is non-decomposable over salts by construction.
+        fn = expr_str.split("(")[0].lower().lstrip('"')
         col = F.col(f"_p_{name}")
-        if fn.startswith("count") or fn.startswith("sum"):
+        if "distinct" in expr_str.lower():
+            raise ValueError(
+                f"salted_agg: aggregate for {name!r} uses DISTINCT, "
+                "which does not decompose over salts (the same value "
+                "can appear under several salts) — de-salt first or "
+                "use approx_count_distinct partials"
+            )
+        if fn in ("count", "sum"):
             # partial counts re-aggregate by SUM; partial sums likewise
             finals.append(F.sum(col).alias(name))
-        elif fn.startswith("min"):
+        elif fn == "min":
             finals.append(F.min(col).alias(name))
-        elif fn.startswith("max"):
+        elif fn == "max":
             finals.append(F.max(col).alias(name))
         else:
             raise ValueError(
@@ -101,7 +115,22 @@ def salted_join(
 
     Prefer ``broadcast(small)`` when the small side fits (no salting
     needed at all); this is for mid-sized dimension tables that don't.
+
+    Only ``inner`` and ``left`` (big-side-preserving) joins are
+    supported: the small side is REPLICATED once per salt, so an outer
+    form that preserves it would emit every unmatched small row
+    ``n_salts`` times (r7 review). Right/full-outer skew joins need a
+    different construction (unsalted anti-join union) — raise rather
+    than return duplicated rows.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "semi",
+                   "leftsemi", "left_semi", "anti", "leftanti", "left_anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched "
+            "small-side rows n_salts times (the small side is "
+            "replicated per salt); only big-side-preserving joins are "
+            "supported"
+        )
     big_s = salted(big, n_salts)
     salt_values = small.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("_salt")

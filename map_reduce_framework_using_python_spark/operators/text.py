@@ -37,6 +37,16 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 
 
 def tokens(text_col: str = "text"):
+    """Bare single-space tokenizer — DELIBERATELY simpler than the
+    DSIR/paragraph lane's ``split(trim(text), ' +')`` (+ empty-token
+    filter): these quality/stat features are defined over the raw
+    whitespace structure and their DuckDB oracles
+    (``string_split(text, ' ')``) encode exactly this. Consequence,
+    shared by both engines: runs of spaces or empty text yield
+    empty-string tokens (n_tokens counts them). Do NOT "fix" one side
+    without the other three oracle twins (ns_token_stats,
+    ns_quality_scores, ns_language_id); for normalized token counts use
+    the DSIR tokenizer."""
     return F.split(F.col(text_col), " ")
 
 
@@ -105,7 +115,11 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 PII_RULES: tuple[tuple[str, str, str], ...] = (
     ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    ("phone", r"\+?\d{1,3}[ -]\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    # optional country-code prefix (r7 review: the old mandatory prefix
+    # let bare NANP numbers like 555-123-4567 through the compliance
+    # pass); SSN's 3-2-4 shape is consumed by the prior rule, and
+    # IPv4's dotted shape never matches the dashed groups.
+    ("phone", r"(?:\+?\d{1,3}[ -])?\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 )
 

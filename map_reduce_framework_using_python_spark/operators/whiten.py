@@ -81,6 +81,12 @@ def zca_matrix(cov: np.ndarray, eps: float = DEFAULT_EPS) -> np.ndarray:
     """W = U·diag(1/√(λ+eps))·Uᵀ — symmetric whitening (driver-side
     d×d eig; deterministic for a given covariance)."""
     lam, u = np.linalg.eigh(cov)
+    # eigh on a cancellation-noisy covariance (E[xxT] - mu muT) can
+    # return slightly NEGATIVE eigenvalues; below -eps the sqrt would
+    # be NaN and the whole whitening matrix with it (r7 review) —
+    # floor at zero so eps alone sets the scale of degenerate
+    # directions.
+    lam = np.maximum(lam, 0.0)
     return (u * (1.0 / np.sqrt(lam + eps))) @ u.T
 
 

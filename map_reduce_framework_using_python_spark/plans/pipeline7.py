@@ -75,7 +75,8 @@ _DSIR_ORACLE = f"""
         WITH tokd AS (SELECT doc_id, lang,
                              unnest(string_split_regex(trim(text), ' +')) AS w
                       FROM documents),
-             tok AS (SELECT doc_id, substr(md5(w), 1, 2) AS b, lang FROM tokd),
+             tok AS (SELECT doc_id, substr(md5(w), 1, 2) AS b, lang
+                     FROM tokd WHERE w <> ''),
              m AS (SELECT b, count(*) AS n_r,
                           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t
                    FROM tok GROUP BY 1),
@@ -501,7 +502,8 @@ _DSIR_GATE_ORACLE = f"""
          tokc AS (SELECT substr(md5(w), 1, 2) AS b, lang
                   FROM (SELECT lang,
                                unnest(string_split_regex(trim(text), ' +')) AS w
-                        FROM corpus)),
+                        FROM corpus)
+                  WHERE w <> ''),
          m AS (SELECT b, count(*) AS n_r,
                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t
                FROM tokc GROUP BY 1),
@@ -515,7 +517,8 @@ _DSIR_GATE_ORACLE = f"""
          tokb AS (SELECT doc_id, substr(md5(w), 1, 2) AS b
                   FROM (SELECT doc_id,
                                unnest(string_split_regex(trim(text), ' +')) AS w
-                        FROM batch))
+                        FROM batch)
+                  WHERE w <> '')
     SELECT doc_id, count(*) AS n_tokens,
            floor(CAST(CAST(sum(li) AS BIGINT) AS DOUBLE) / {_LOG_GRID}
                  * 1000000.0 + 0.5) / 1000000.0 AS log_weight,
@@ -601,7 +604,8 @@ def ns_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH tok AS (SELECT source, substr(md5(w), 1, 2) AS b
                      FROM (SELECT source,
                                   unnest(string_split_regex(trim(text), ' +')) AS w
-                           FROM documents)),
+                           FROM documents)
+                     WHERE w <> ''),
              c AS (SELECT source, b, count(*) AS n FROM tok GROUP BY 1, 2),
              base AS (SELECT source, b, n,
                              CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS ns,

@@ -97,23 +97,16 @@ def curate_batch(
     )
     # Gate at the model's frozen operating point (the corpus median
     # per-token ratio calibrated at build time), not the absolute axis.
+    # unscored="reject": a doc the gate cannot score (empty text /
+    # uncovered buckets) gates to keep=False instead of silently
+    # vanishing between curated and rejected — the partition invariant
+    # lives in the OPERATOR now (operators/dsir.dsir_gate), shared by
+    # every gate consumer.
     scored = dsir_gate(
         batch,
         load_dsir_model(spark, model_path),
         tau=model_meta(model_path).get("tau", 0.0),
-    )
-    # The gate scores docs via an inner join on covered model buckets —
-    # a doc with NO scoreable token (empty text, or every token in a
-    # bucket absent from the model) produces no scored row and would
-    # silently vanish from curated AND rejected (r7 streaming review).
-    # Re-anchor on the batch id set: unscorable docs gate to keep=False
-    # (n_tokens 0, log_weight null) and land in rejected/low_quality,
-    # preserving the curated ∪ rejected == batch partition.
-    scored = (
-        batch.select("doc_id")
-        .join(scored, "doc_id", "left")
-        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
-        .withColumn("keep", F.coalesce(F.col("keep"), F.lit(False)))
+        unscored="reject",
     )
     dup_flagged = scored.join(
         dups.withColumn("_dup", F.lit(True)), "doc_id", "left"

@@ -62,7 +62,9 @@ def gate_stream(
     model = load_dsir_model(spark, model_path)
 
     def score(batch_df: DataFrame, batch_id: int) -> None:
-        dsir_gate(batch_df, model).write.mode("append").parquet(out_dir)
+        dsir_gate(batch_df, model, unscored="reject").write.mode(
+            "append"
+        ).parquet(out_dir)
 
     q = (
         batch_stream.writeStream.foreachBatch(score)

@@ -145,3 +145,18 @@ def test_pagerank_deterministic_across_runs(spark):
     a = sorted(_ranks(pagerank(edges)).items())
     b = sorted(_ranks(pagerank(edges)).items())
     assert a == b
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """r7 review: a component whose diameter exceeds max_iter must FAIL
+    loudly, not return silently split labels (which dedup_clusters
+    would read as several distinct duplicate groups)."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(8)]  # path graph, diameter 8
+    edges = spark.createDataFrame(chain, "src INT, dst INT")
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(edges, max_iter=3)
+    # enough rounds: one component labeled by the min id
+    ok = connected_components(edges, max_iter=10)
+    assert {r["component"] for r in ok.collect()} == {0}

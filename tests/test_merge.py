@@ -59,3 +59,34 @@ def test_changes_between(spark):
     after = spark.createDataFrame([(2, "B"), (3, "c"), (4, "d")], ["id", "v"])
     out = {r["id"]: r["change_type"] for r in changes_between(before, after, "id").collect()}
     assert out == {1: "delete", 2: "update", 4: "insert"}  # 3 unchanged → absent
+
+def test_scd2_two_updates_one_key_chain_without_fanout(spark):
+    """r7 review: two updates for one key in a batch must CHAIN (first
+    closes the current row and is itself closed by the second; only the
+    second stays current) — the old per-update left join duplicated
+    every dim row of that key."""
+    from datetime import datetime
+
+    dim = spark.createDataFrame(
+        [(1, "a", datetime(2020, 1, 1), None, True),
+         (2, "z", datetime(2020, 1, 1), None, True)],
+        "k INT, attr STRING, valid_from TIMESTAMP, valid_to TIMESTAMP,"
+        " is_current BOOLEAN",
+    )
+    updates = spark.createDataFrame(
+        [(1, "b", datetime(2021, 1, 1)), (1, "c", datetime(2022, 1, 1))],
+        "k INT, attr STRING, valid_from TIMESTAMP",
+    )
+    out = scd2_apply(dim, updates, "k")
+    rows = sorted(
+        ((r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in out.collect()),
+        key=lambda x: (x[0], x[2]),
+    )
+    assert len(rows) == 4  # no fan-out: 2 dim rows + 2 chained updates
+    k1 = [r for r in rows if r[0] == 1]
+    assert k1[0][1] == "a" and k1[0][3] == datetime(2021, 1, 1) and not k1[0][4]
+    assert k1[1][1] == "b" and k1[1][3] == datetime(2022, 1, 1) and not k1[1][4]
+    assert k1[2][1] == "c" and k1[2][3] is None and k1[2][4]
+    k2 = [r for r in rows if r[0] == 2]
+    assert k2 == [(2, "z", datetime(2020, 1, 1), None, True)]

@@ -95,7 +95,9 @@ def test_gate_stream_equals_one_shot_batch(spark):
             out_dir=os.path.join(d, "out"),
             checkpoint_dir=os.path.join(d, "ckpt"),
         )
-        one_shot = dsir_gate(batch, load_dsir_model(spark, model_path))
+        one_shot = dsir_gate(
+            batch, load_dsir_model(spark, model_path), unscored="reject"
+        )
         assert sorted(tuple(r) for r in streamed.collect()) == sorted(
             tuple(r) for r in one_shot.collect()
         )

@@ -91,3 +91,23 @@ def test_redact_pii_no_shuffle(spark):
     df = spark.createDataFrame([(1, "x")], "id long, text string")
     plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_redact_pii_bare_nanp_phone(spark):
+    """r7 review: a bare NANP 3-3-4 phone with no country code must be
+    redacted too (the old pattern required a prefix group); SSN and
+    IPv4 shapes stay with their own rules."""
+    from map_reduce_framework_using_python_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "call 555-123-4567 today"),
+        (2, "intl +44 555-123-4567 and bare 555-123-4567"),
+        (3, "ssn 123-45-6789 stays ssn; ip 10.0.0.1 stays ip"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in redact_pii(df).collect()}
+    assert got[1].n_phone == 1
+    assert got[1].redacted == "call <PHONE> today"
+    assert got[2].n_phone == 2
+    assert got[2].redacted == "intl <PHONE> and bare <PHONE>"
+    assert (got[3].n_ssn, got[3].n_phone, got[3].n_ipv4) == (1, 0, 1)
