@@ -753,3 +753,45 @@ def ns_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard_id"
         ),
     )
+
+
+@query(
+    "st_paragraph_apply",
+    oracle=None,
+    tags=("streaming", "pipeline", "dedup", "paragraph", "index", "rows_only"),
+)
+def st_paragraph_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ns_paragraph_screen_apply: the batch docs
+    arrive as a file-source stream and each micro-batch is REWRITTEN
+    against the paragraph-digest index (first-occurrence-wins), then
+    appended to it, so later batches lose paragraphs first seen in
+    earlier ones. Rows-only (single-batch drained result equals
+    ns_paragraph_screen_apply; the multi-batch fold is pinned in
+    tests/test_paragraph_ingest.py)."""
+    import os
+    import tempfile
+
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        build_paragraph_index,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ingest import (
+        paragraph_apply_stream,
+        read_documents_stream,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="st_para_apply_")
+    path = os.path.join(work, "idx")
+    build_paragraph_index(
+        d.filter(F.col("doc_id") % _PBATCH_MOD != _PBATCH_REM), path,
+        para_words=_PARA_WORDS,
+    )
+    return paragraph_apply_stream(
+        read_documents_stream(spark, sf_dir).filter(
+            F.col("doc_id") % _PBATCH_MOD == _PBATCH_REM
+        ),
+        path,
+        out_dir=os.path.join(work, "clean"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        extend_index=True,
+    )

@@ -167,3 +167,51 @@ def paragraph_screen_stream(
         .select("doc_id", "n_paras", "n_dup", "dup_frac")
         .dropDuplicates(["doc_id"])
     )
+
+
+_PAPPLY_SCHEMA = "doc_id BIGINT, n_kept BIGINT, clean_text STRING"
+
+
+def paragraph_apply_stream(
+    batch_stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    extend_index: bool = True,
+) -> DataFrame:
+    """APPLY-on-ingest twin of :func:`paragraph_screen_stream`: drain
+    the stream rewriting each batch document to keep only paragraphs
+    whose FIRST occurrence (min composite key across indexed corpus ∪
+    batch) is their own — ``(doc_id, n_kept, clean_text)``; fully-
+    boilerplate docs vanish. Screen-then-append ordering makes the
+    rule temporal across micro-batches: a paragraph first seen in
+    batch 1 survives there and is removed from every later batch
+    (pinned against the sequential one-shot fold in
+    tests/test_paragraph_ingest.py). The own-id exclusion makes a
+    crash-replayed batch rewrite identically."""
+    spark = batch_stream.sparkSession
+
+    def rewrite(batch_df: DataFrame, batch_id: int) -> None:
+        from map_reduce_framework_using_python_spark.operators.dedup_index import (
+            append_paragraphs_to_index,
+            incremental_paragraph_apply,
+        )
+
+        out = incremental_paragraph_apply(spark, batch_df, index_path)
+        out.write.mode("append").parquet(out_dir)
+        if extend_index:
+            append_paragraphs_to_index(batch_df, index_path)
+
+    q = (
+        batch_stream.writeStream.foreachBatch(rewrite)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], _PAPPLY_SCHEMA)
+    return (
+        spark.read.schema(_PAPPLY_SCHEMA).parquet(out_dir)
+        .dropDuplicates(["doc_id"])
+    )

@@ -275,3 +275,55 @@ def test_pruned_paragraph_index_probes_equal_full(spark, tmp_path):
 
     with pytest.raises(ValueError, match="separate location"):
         prune_paragraph_index(spark, full, full + "/digests__x", cap=2)
+
+
+def test_apply_stream_first_occurrence_wins_across_batches(spark, tmp_path):
+    """Streaming APPLY: a paragraph first seen in batch 1 survives
+    there and is removed from batch 2 (extend_index), and each drained
+    batch's rewrite equals the one-shot apply over (corpus ∪ batches
+    ≤ i) restricted to that batch — the sequential fold."""
+    import os
+    import time
+
+    from map_reduce_framework_using_python_spark.streaming.ingest import (
+        paragraph_apply_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % MOD != REM).limit(50)
+    path = build_paragraph_index(corpus, str(tmp_path / "idx"))
+    para_a = "aq bq cq dq eq fq gq hq iq jq"
+    para_b = "kq lq mq nq oq pq qq rq sq tq"
+    b1_text = para_a
+    b2_text = para_a + " " + para_b
+    land = tmp_path / "landing"
+    land.mkdir()
+    now = time.time()
+    for name, row, ts in (
+        ("b1.parquet", (900001, b1_text, "en", "srcA", len(b1_text)), now - 60),
+        ("b2.parquet", (900002, b2_text, "en", "srcA", len(b2_text)), now),
+    ):
+        d = tmp_path / f"_w_{name}"
+        spark.createDataFrame([row], _DOCS_SCHEMA).coalesce(1).write.parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        os.rename(d / part, land / name)
+        os.utime(land / name, (ts, ts))
+    stream = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    got = {
+        r["doc_id"]: (r["n_kept"], r["clean_text"])
+        for r in paragraph_apply_stream(
+            stream,
+            path,
+            out_dir=str(tmp_path / "out" / "clean"),
+            checkpoint_dir=str(tmp_path / "out" / "ckpt"),
+            extend_index=True,
+        ).collect()
+    }
+    # batch 1: first occurrence of A → kept verbatim
+    assert got[900001] == (1, para_a)
+    # batch 2: A first seen in batch 1 → removed; only B survives
+    assert got[900002] == (1, para_b)
