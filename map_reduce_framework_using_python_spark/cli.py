@@ -61,10 +61,24 @@ def cmd_write(path: str, root: str = DEFAULT_ROOT, n_partitions: int = DEFAULT_P
 def cmd_read(name: str, outdir: str, root: str = DEFAULT_ROOT) -> str:
     """READ: gather a stored file's partitions into one local file
     (reference §3.2 — the push-server/barrier/merge, as one coalesced
-    write)."""
+    write) IN PART ORDER, so WRITE→READ returns the original file
+    byte-identically like the reference's manifest-ordered merge
+    (``client_v1.py:164-176``; r7 review — ``spark.read.text`` packs
+    partitions by file size, not part order). ``sc.union`` preserves
+    per-RDD partition order and ``coalesce(1)`` concatenates parent
+    partitions in index order, so the explicit per-part union IS the
+    ordered merge."""
     entry = FileCatalog(root).lookup(name)
     spark = _spark()
-    df = spark.read.text(entry["path"])
+    sc = spark.sparkContext
+    part_files = sorted(
+        os.path.join(entry["path"], f)
+        for f in os.listdir(entry["path"])
+        if f.startswith("part-")
+    )
+    rdd = sc.union([sc.textFile(p) for p in part_files])
+    # explicit schema: toDF would fail to infer on an all-empty file
+    df = spark.createDataFrame(rdd.map(lambda line: (line,)), "value string")
     tmp = os.path.join(outdir, f"_{name}_gather")
     df.coalesce(1).write.mode("overwrite").text(tmp)
     os.makedirs(outdir, exist_ok=True)

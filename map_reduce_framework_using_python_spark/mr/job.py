@@ -64,6 +64,14 @@ class MRJob:
         self.spark = spark
         self.n_partitions = n_partitions
         self._job_dir = tempfile.mkdtemp(prefix="mrjob_")
+        # The dir must outlive lazy job execution (local mode pipes the
+        # absolute path), so it is reclaimed at interpreter exit rather
+        # than per-job — a long-lived driver running many jobs no
+        # longer leaks one dir per job forever (r7 review).
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, self._job_dir, ignore_errors=True)
         # Unique basenames per job: SparkContext.addFile dedups/conflicts
         # on basename, and one session runs many jobs (the reference
         # reuses ``mapper.py`` per job dir, ``worker_v1.py:105-108``, but
@@ -84,8 +92,13 @@ class MRJob:
 
     def _cmd(self, name: str) -> str:
         # local[N]: executors share the driver filesystem → absolute job
-        # dir path. Cluster deploys would pipe the bare addFile name
-        # (resolved from the task working dir); gated on the master URL.
+        # dir path. Cluster deploys pipe the bare addFile name, which
+        # resolves from the task working dir on YARN/Kubernetes (both
+        # localize spark.files into the container CWD). Spark
+        # STANDALONE does not localize into the CWD — there, ship the
+        # sources via --files or resolve through SparkFiles in a
+        # bootstrap; documented limitation, not silently wrong (the
+        # pipe fails loudly with checkCode=True).
         if self.spark.sparkContext.master.startswith("local"):
             return f"{sys.executable} {os.path.join(self._job_dir, name)}"
         return f"python3 {name}"

@@ -77,18 +77,30 @@ def _ts_unit(path: str) -> str:
 _TS_TO_MICROS = {"ns": "ts div 1000", "us": "ts", "ms": "ts * 1000", "s": "ts * 1000000"}
 
 
+#: Resolved µs expression per (path, footer mtime) — the same economics
+#: as _SCHEMA_CACHE below: without it every plan build touching events
+#: pays a fresh pyarrow footer open/parse (r7 review).
+_TS_EXPR_CACHE: dict[tuple[str, float], str] = {}
+
+
 def _ts_micros_expr(path: str) -> str:
     """SQL expression normalizing events.ts to µs per the footer unit —
     the ONE resolver both the batch loader and the streaming reader use
     (r7 review: the streaming copy had dropped the explanatory
-    ValueError wrapping)."""
+    ValueError wrapping). Cached per (path, footer mtime)."""
+    key = (path, _footer_mtime(path))
+    cached = _TS_EXPR_CACHE.get(key)
+    if cached is not None:
+        return cached
     unit = _ts_unit(path)
     try:
-        return _TS_TO_MICROS[unit]
+        expr = _TS_TO_MICROS[unit]
     except KeyError:
         raise ValueError(
             f"unsupported events.ts timestamp unit {unit!r} in {path!r}"
         ) from None
+    _TS_EXPR_CACHE[key] = expr
+    return expr
 
 
 def _footer_mtime(path: str) -> float:
@@ -191,16 +203,43 @@ def write_text(
     (``client_v1.py:102-109``) holds: with explicit ``n_partitions`` the
     RDD text sink writes exactly N part files even when rows < N (the
     DataFrame writer would skip empty partitions).
-    """
+
+    The explicit-``n_partitions`` split is CONTIGUOUS in line order —
+    part i holds lines [i·ceil(n/N), …), exactly the reference's
+    ``split.bylinecount`` layout (``client_v1.py:103-115``) — so a
+    WRITE→READ roundtrip returns the file byte-identically (r7 review:
+    the old ``repartition`` round-robin silently permuted lines, which
+    the reference never does). Costs one extra count job per write, as
+    the reference's client also pays (it counts lines to size parts).
+    Only ``mode='overwrite'`` is supported on this branch — the RDD
+    text sink has no append/ignore semantics, so anything else raises
+    instead of crashing mid-write or silently overwriting."""
     if single_file:
         df.coalesce(1).write.mode(mode).text(path)
         return
     if n_partitions is not None:
-        if mode == "overwrite":
-            import shutil
+        if mode != "overwrite":
+            raise ValueError(
+                "write_text(n_partitions=...) supports only mode='overwrite' "
+                f"(got {mode!r}): the partitioned RDD text sink cannot "
+                "append or ignore"
+            )
+        import math
+        import shutil
 
-            shutil.rmtree(path, ignore_errors=True)
-        df.rdd.map(lambda row: row[0]).repartition(n_partitions).saveAsTextFile(path)
+        shutil.rmtree(path, ignore_errors=True)
+        rdd = df.rdd.map(lambda row: row[0])
+        n = rdd.count()
+        per = max(1, math.ceil(n / n_partitions))
+        (
+            rdd.zipWithIndex()
+            .map(lambda t: ((t[1] // per, t[1]), t[0]))
+            .repartitionAndSortWithinPartitions(
+                numPartitions=n_partitions, partitionFunc=lambda k: k[0]
+            )
+            .map(lambda t: t[1])
+            .saveAsTextFile(path)
+        )
         return
     df.write.mode(mode).text(path)
 

@@ -103,9 +103,18 @@ class MRTextWriter(DataSourceWriter):
     def write(self, iterator):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f"_tmp_part_{pid}")
+        # Attempt id in the tmp name (r7 review): speculative/zombie
+        # attempts of one task must not interleave writes into a shared
+        # file — each attempt owns its own tmp; only the attempt whose
+        # commit message the driver receives is renamed in, and commit
+        # sweeps the losers (plus any orphans from attempts that died
+        # before messaging).
+        tmp = os.path.join(
+            self.path, f"_tmp_part_{pid}_a{ctx.attemptNumber()}"
+        )
         with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
                 # rows arrive with the writer schema; last field is the line
@@ -130,10 +139,16 @@ class MRTextWriter(DataSourceWriter):
         # padding invariant: every task committed a file, even empty ones;
         # numeric sort on the task id (lexicographic would put 10 < 2)
         def _pid(m):
-            return int(m.path.rsplit("_", 1)[-1])
+            # _tmp_part_<pid>_a<attempt> → pid
+            return int(os.path.basename(m.path).split("_a")[0].rsplit("_", 1)[-1])
 
         for i, m in enumerate(sorted(messages, key=_pid)):
             os.replace(m.path, os.path.join(self.path, f"part_{start + i}"))
+        # Sweep losing/zombie attempts and orphans from attempts that
+        # died before returning a commit message — they are invisible
+        # to abort() and used to accumulate in the data dir forever.
+        for stale in glob.glob(os.path.join(self.path, "_tmp_part_*")):
+            os.remove(stale)
 
     def abort(self, messages):
         for m in messages:

@@ -54,11 +54,32 @@ def ensure_bucketed_facts(
     One shuffle per table, once ever — amortized over every subsequent
     join/agg on the key. Sorted within buckets so SMJ needs no sort
     either. Returns {logical table → warehouse table name}.
+
+    Guarded by a SOURCE fingerprint sidecar (r7 review): catalog
+    existence alone let a mid-session testdata regeneration serve stale
+    bucketed rows while load_table served fresh ones — the one derived
+    layout without the refresh-hazard rule every other layout follows
+    (ann_queries._ensure et al.). A fingerprint mismatch rebuilds.
     """
+    import json
+
+    from map_reduce_framework_using_python_spark.sources.io import (
+        source_fingerprint,
+    )
+
     out = {}
     for table, key in FACT_KEYS.items():
         name = bucketed_name(sf_dir, table)
-        if not spark.catalog.tableExists(name):
+        src = source_fingerprint(os.path.join(sf_dir, f"{table}.parquet"))
+        fp_path = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+            f"_{name.lower()}_src.json",
+        )
+        fresh = False
+        if os.path.exists(fp_path):
+            with open(fp_path) as fh:
+                fresh = json.load(fh) == src
+        if not (spark.catalog.tableExists(name) and fresh):
             # The default in-memory catalog forgets managed tables across
             # sessions while their warehouse directories persist — clear
             # a stale location before re-creating (it's a derived cache).
@@ -77,6 +98,9 @@ def ensure_bucketed_facts(
                 .sortBy(key)
                 .saveAsTable(name)
             )
+            os.makedirs(os.path.dirname(fp_path), exist_ok=True)
+            with open(fp_path, "w") as fh:
+                json.dump(src, fh)
         out[table] = name
     return out
 

@@ -62,3 +62,31 @@ def test_write_mapreduce_read_lifecycle(spark, tmp_path):
 def test_read_missing_file_raises(tmp_path):
     with pytest.raises(KeyError, match="not in catalog"):
         cmd_read("ghost.txt", str(tmp_path), root=str(tmp_path / "dfs2"))
+
+
+def test_write_read_roundtrip_is_byte_identical(tmp_path, spark):
+    """Reference parity (r7 review): WRITE splits contiguously by line
+    count and READ merges in part order, so the roundtrip returns the
+    file with lines in the ORIGINAL order — the identity contract the
+    reference's client keeps (client_v1.py:103-115, 164-176). The old
+    repartition/size-packed path permuted lines and only sorted()
+    comparisons hid it."""
+    from map_reduce_framework_using_python_spark.cli import cmd_read, cmd_write
+
+    src = tmp_path / "ordered.txt"
+    lines = [f"line-{i:03d}" for i in range(40)]
+    src.write_text("\n".join(lines) + "\n")
+    root = str(tmp_path / "dfs")
+    cmd_write(str(src), root=root, n_partitions=6)
+    out = cmd_read("ordered.txt", str(tmp_path / "out"), root=root)
+    assert open(out).read().splitlines() == lines
+    # and the contiguous-split layout: part 0 holds the FIRST lines
+    import os
+
+    from map_reduce_framework_using_python_spark.catalog import FileCatalog
+
+    path = FileCatalog(root).lookup("ordered.txt")["path"]
+    parts = sorted(f for f in os.listdir(path) if f.startswith("part-"))
+    assert len(parts) == 6
+    first = open(os.path.join(path, parts[0])).read().splitlines()
+    assert first == lines[: len(first)]
