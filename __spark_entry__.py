@@ -32,7 +32,13 @@ from map_reduce_framework_using_python_spark.plans import REGISTRY
 #: Maintain by bumping a query's round here when a new CORRECTNESS file
 #: lands, and REMOVING a query (→ unverified tier) whenever its output
 #: surface changes (e.g. q_window_ntile's round-3 rewrite, or round 5's
-#: ns_semdedup_pairs cosine-quantization change).
+#: ns_semdedup_pairs cosine-quantization change). Round-7 removals
+#: (plans or oracles changed by the review fixes — values verified
+#: unchanged locally, but the driver should re-earn the green):
+#: ns_dsir_weights, ns_dsir_resample, ns_corpus_drift, st_dsir_gate
+#: (phantom-''-token filter both sides), q_scd2_point_in_time
+#: (scd2 multi-update chaining), ns_pii_redact (optional phone
+#: country code, oracle generated from the same constant).
 _LAST_VERIFIED: dict[str, int] = {
     # round 1 (CORRECTNESS_r01.json) — stalest tier, re-check first
     **dict.fromkeys((
@@ -70,7 +76,7 @@ _LAST_VERIFIED: dict[str, int] = {
     # round 3 (CORRECTNESS_r03.json)
     **dict.fromkeys((
         "ns_bigram_rarity", "ns_bm25_topk", "ns_kmeans_sizes",
-        "ns_pagerank_events", "ns_phrase_search", "ns_pii_redact",
+        "ns_pagerank_events", "ns_phrase_search",
         "ns_repetition_signals", "ns_span_dedup",
         "q05_local_supplier_bucketed", "q08_market_share",
         "q09_product_profit", "q11_important_stock",
@@ -109,7 +115,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "q_agg_stats", "q_case_expr", "q_count_distinct", "q_distinct",
         "q_distinct_subset", "q_equidepth_histogram", "q_funnel",
         "q_funnel_latency", "q_gap_fill", "q_having", "q_join_asof_forward",
-        "q_join_asof_nearest", "q_retention", "q_scd2_point_in_time",
+        "q_join_asof_nearest", "q_retention",
         "q_sql_lateral_topk", "q_sql_recursive_months", "q_value_histogram",
     ), 4),
     # round 5 (CORRECTNESS_r05.json) — the 50-query window: every row
@@ -123,8 +129,8 @@ _LAST_VERIFIED: dict[str, int] = {
         "st_mrtext_stream", "q_from_xml", "q_xml_roundtrip",
         "ns_bigram_lm_score", "ns_bigram_lm_score_broadcast",
         "ns_hash_embed", "ns_source_overlap", "ns_token_entropy",
-        "ns_dsir_weights", "ns_dsir_resample", "ns_ccnet_buckets",
-        "ns_temperature_mixture", "ns_corpus_drift", "st_dsir_gate",
+        "ns_ccnet_buckets",
+        "ns_temperature_mixture",
         "ns_ann_probe_batch", "ns_token_count_bpe", "q_sql_star_except",
         "q_sql_lateral_alias", "q_sql_parameterized", "q_sql_collation",
         "q_sql_listagg", "ns_semdedup_pairs", "q_cube", "q_rollup",
