@@ -44,14 +44,44 @@ def range_join_candidates(
     different treatment.
 
     Returns all columns of both inputs; callers aggregate or project.
+
+    Bucket math (r7 review): for INTEGRAL keys with an integral
+    tolerance the bucket is exact long floor-division — the double
+    ``floor(key/width)`` form loses integer precision above 2^53
+    (epoch NANOSECONDS sit at ~1.7e18 with a 256 ns ulp), where a
+    key rounding across a bucket edge silently drops true pairs from
+    the ±1-bucket candidate set. Fractional keys/tolerances keep the
+    double form, which is exact for the sub-2^53 magnitudes they
+    imply.
     """
+    from pyspark.sql import types as T
+
+    def _integral(df: DataFrame, key: Column) -> bool:
+        dt = df.select(key.alias("_k")).schema[0].dataType
+        return isinstance(
+            dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        )
+
     width = float(tolerance)
-    lb = F.floor(left_key / width).cast("long")
-    rb = F.floor(right_key / width).cast("long")
-    l_tag = left.withColumn("_rj_lkey", left_key).withColumn(
-        "_rj_b", F.explode(F.array(lb - 1, lb, lb + 1))
+    use_int = (
+        float(tolerance) == int(tolerance)
+        and int(tolerance) > 0
+        and _integral(left, left_key)
+        and _integral(right, right_key)
     )
-    r_tag = right.withColumn("_rj_rkey", right_key).withColumn("_rj_b", rb)
+    l_tag = left.withColumn("_rj_lkey", left_key)
+    r_tag = right.withColumn("_rj_rkey", right_key)
+    if use_int:
+        w = int(tolerance)
+        # (k - pmod(k, w)) is exactly divisible, so truncating DIV is
+        # floor division — exact over the whole long range.
+        lb = F.expr(f"(_rj_lkey - pmod(_rj_lkey, {w})) DIV {w}")
+        rb = F.expr(f"(_rj_rkey - pmod(_rj_rkey, {w})) DIV {w}")
+    else:
+        lb = F.floor(F.col("_rj_lkey") / width).cast("long")
+        rb = F.floor(F.col("_rj_rkey") / width).cast("long")
+    l_tag = l_tag.withColumn("_rj_b", F.explode(F.array(lb - 1, lb, lb + 1)))
+    r_tag = r_tag.withColumn("_rj_b", rb)
     exact = F.abs(F.col("_rj_lkey") - F.col("_rj_rkey")) <= tolerance
     return (
         l_tag.join(r_tag, ["_rj_b"])

@@ -161,7 +161,7 @@ _ATTR_TOL_DAYS = 3
 )
 def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch marketing attribution: every purchase is credited to
-    the user's most recent click no older than {tol} days; revenue is
+    the user's most recent click no older than _ATTR_TOL_DAYS (3) days; revenue is
     rolled up by the credited click's calendar day (NULL day = organic /
     out-of-window purchases).
 
@@ -590,7 +590,7 @@ _EWMA_NUM, _EWMA_DEN = _ewma_terms()
 )
 def q_rolling_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average of ``value`` per user
-    timeline, truncated to the last {K} events with dyadic weights
+    timeline, truncated to the last _EWMA_K (8) events with dyadic weights
     2^(K-1-i) (α = 1/2 kernel — the weights beyond 8 lags are < 1% and
     the truncation makes the operator a fixed-frame window instead of
     an unbounded recurrence).

@@ -21,6 +21,34 @@ from map_reduce_framework_using_python_spark.operators.ranks import bucketed_ran
 from map_reduce_framework_using_python_spark.plans.core import query, t
 
 
+def _funnel_stages(e):
+    """The ONE copy of the view→click→purchase stage pipeline (r7
+    review: q_funnel and q_funnel_latency carried byte-identical
+    copies whose tie semantics could drift apart): per-user first-view
+    t1, first click ≥ t1 as t2, first purchase ≥ t2 as t3 — each stage
+    a user_id-keyed min aggregate joined to the previous."""
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return s1, s2, s3
+
+
 @query(
     "q_funnel",
     oracle="""
@@ -48,25 +76,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, no data movement)."""
     e = t(spark, sf_dir, "events")
 
-    s1 = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    s2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") >= F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") >= F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
+    s1, s2, s3 = _funnel_stages(e)
     return (
         s1.agg(F.count("*").alias("n_view"))
         .crossJoin(s2.agg(F.count("*").alias("n_click_after_view")))
@@ -177,25 +187,7 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     → broadcast prefix-sum offsets) instead of a single-partition
     window."""
     e = t(spark, sf_dir, "events")
-    s1 = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    s2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") >= F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") >= F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
+    s1, s2, s3 = _funnel_stages(e)
     lat = s3.join(s1, "user_id").select(
         (
             F.unix_micros(F.col("t3").cast("timestamp"))

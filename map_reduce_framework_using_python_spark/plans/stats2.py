@@ -25,9 +25,19 @@ from map_reduce_framework_using_python_spark.plans.core import query, t
 # Spearman rank correlation
 # ---------------------------------------------------------------------------
 
+#: Shared by the Spark plan and the DuckDB oracle, so the arithmetic
+#: can never drift between engines. Products are taken in DOUBLE, not
+#: DECIMAL(38,0) (r7 review): n·sxx overflows 38 digits for groups
+#: beyond ~2e9 rows (n ≈ 2e11 at 100 TB ⇒ 4n⁴ ≈ 1e46) and would
+#: silently NULL the statistic; the SUMS stay exact decimals, and the
+#: correctly-rounded double products are bit-identical on both engines.
 _RHO_EXPR = (
-    "round(CAST(n * sxy - sx * sy AS DOUBLE) / "
-    "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)"
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+    "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
 )
 
 
@@ -143,12 +153,12 @@ _PPS_K = 25
                    FROM w)
         SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum
         FROM c
-        WHERE cum // (total // {_PPS_K}) > (cum - n_chars) // (total // {_PPS_K})
+        WHERE cum // greatest(total // {_PPS_K}, 1) > (cum - n_chars) // greatest(total // {_PPS_K}, 1)
     """,
     tags=("pipeline", "sampling", "northstar"),
 )
 def ns_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Systematic PPS sample of ~{k} documents, inclusion probability
+    """Systematic PPS sample of ~_PPS_K (25) documents, inclusion probability
     proportional to ``n_chars``: order by a content-hash key (stable,
     engine-shared pseudo-random order), take the running weight sum,
     and select every document whose weight interval crosses a stride
@@ -176,8 +186,12 @@ def ns_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.crossJoin(F.broadcast(total))
         .filter(
-            F.expr(f"cum div (total div {_PPS_K})")
-            > F.expr(f"(cum - n_chars) div (total div {_PPS_K})")
+            # greatest(...,1): a corpus with < K total chars makes the
+            # stride 0 — Spark's div-by-0 NULLs (silently empty sample)
+            # while DuckDB's // raises; both sides guard identically
+            # (r7 review), degenerating to "every doc sampled".
+            F.expr(f"cum div greatest(total div {_PPS_K}, 1)")
+            > F.expr(f"(cum - n_chars) div greatest(total div {_PPS_K}, 1)")
         )
         .select("doc_id", "n_chars", "cum")
     )

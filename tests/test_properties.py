@@ -187,3 +187,27 @@ def test_minhash_lsh_subset_of_exact_at_any_cap(spark, texts, cap):
                 for y in ids:
                     if x < y:
                         assert (x, y) in lsh
+
+
+def test_range_join_exact_buckets_beyond_double_precision(spark):
+    """r7 review: integral keys above 2^53 must bucket exactly — the
+    double floor(key/width) path can shift a bucket and silently drop
+    a within-tolerance pair. Plant epoch-nanosecond-scale keys 999
+    apart (tolerance 1000) near a bucket edge."""
+    from map_reduce_framework_using_python_spark.operators.rangejoin import (
+        range_join_candidates,
+    )
+    from pyspark.sql import functions as F
+
+    base = 1_700_000_000_000_000_000  # ~2^60.6, ulp = 256
+    rows_l = [(1, base + 120), (2, base + 5_000_000)]
+    rows_r = [(10, base + 120 + 999), (20, base + 999_999_999)]
+    left = spark.createDataFrame(rows_l, "lid INT, lts BIGINT")
+    right = spark.createDataFrame(rows_r, "rid INT, rts BIGINT")
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join_candidates(
+            left, right, F.col("lts"), F.col("rts"), tolerance=1000
+        ).collect()
+    }
+    assert got == {(1, 10)}  # the 999-apart pair survives; nothing else
