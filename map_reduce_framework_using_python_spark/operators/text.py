@@ -50,6 +50,23 @@ def tokens(text_col: str = "text"):
     return F.split(F.col(text_col), " ")
 
 
+def word_bigrams(ws, sep: str = "\x01"):
+    """Adjacent-word bigrams of a token-array column via the SAFE
+    zip_with/slice idiom — the ONE copy (r7 review: three divergent
+    constructions existed, and the sequence/element_at variant crashed
+    on single-token documents because sequence(1, 0) descends).
+    ``slice(ws, 1, n-1)`` zipped with ``slice(ws, 2, n-1)`` is empty
+    for n ≤ 1, so token-poor docs yield no bigrams instead of an
+    ANSI element_at error. Callers choose the separator their oracle
+    encodes (DSIR/repetition use '\\x01'; rarity uses ' ')."""
+    n = F.size(ws)
+    return F.zip_with(
+        F.slice(ws, F.lit(1), n - 1),
+        F.slice(ws, F.lit(2), n - 1),
+        lambda x, y: F.concat(x, F.lit(sep), y),
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document token counts (whitespace tokenizer)."""
     toks = tokens(text_col)

@@ -63,6 +63,12 @@ def q_event_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour"), "event_type")
+        # round(sum(double), 2) is SAFE here, unlike money sums
+        # (plans/core.py): events.value sits exactly on the 2-dp grid
+        # (verified corpus-wide), so every window's EXACT sum is a grid
+        # point 0.005 away from any rounding boundary — float
+        # accumulation error (~n·ulp ≈ 1e-5 at this scale) can never
+        # flip the rounded value on either engine.
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
             F.col("window.start").alias("window_start"),
@@ -155,15 +161,20 @@ def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         g AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
                           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS is_new
             FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         s AS (
+            -- event_id tiebreak matches g's window order (r7 review):
+            -- without it, tied microsecond timestamps let the running
+            -- sum order diverge from the flag-assignment order and
+            -- split a session nondeterministically
             SELECT user_id, ts,
-                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   sum(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
             FROM g)
         SELECT min(ts) AS session_start,

@@ -51,7 +51,12 @@ def ns_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     would write the substring column instead)."""
     d = t(spark, sf_dir, "documents")
     return (
-        d.select(
+        # n_chars >= 1 guard (r7 review): Spark's sequence(1, 0, 400)
+        # throws 'Illegal sequence boundaries' where the oracle's
+        # generate_series(1, 0, 400) is simply empty — filter empty
+        # docs out first so both engines emit no chunks for them.
+        d.filter(F.col("n_chars") >= 1)
+        .select(
             "doc_id",
             "text",
             F.explode(

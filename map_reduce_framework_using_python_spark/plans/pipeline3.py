@@ -64,11 +64,11 @@ def ns_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.split(F.trim(F.col("text")), " +")
     wdf = d.select("doc_id", ws.alias("ws"))
     nw = F.size(F.col("ws"))
-    bigrams = F.zip_with(
-        F.slice(F.col("ws"), F.lit(1), nw - 1),
-        F.slice(F.col("ws"), F.lit(2), nw - 1),
-        lambda x, y: F.concat(x, F.lit("\x01"), y),
+    from map_reduce_framework_using_python_spark.operators.text import (
+        word_bigrams,
     )
+
+    bigrams = word_bigrams(F.col("ws"))
     per_row = wdf.select(
         "doc_id",
         nw.alias("n_words"),
@@ -317,9 +317,20 @@ def ns_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_lo, u_hi, v_lo, v_hi = (float(bounds[i]) for i in range(4))
     n = int(bounds[4])
 
+    import hashlib
+
+    # Key the cache dir on the FULL sf_dir, not just its basename (r7
+    # review): two checkouts both named .../sf0.001 would thrash the
+    # layout cache on every alternation (correctness survives via the
+    # manifest's sf_dir check — this fixes the permanent rebuild).
+    tag = (
+        os.path.basename(sf_dir.rstrip("/"))
+        + "-"
+        + hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    )
     root = os.path.join(
         os.environ.get("SPARK_GRAFT_ZORDER_ROOT", "/tmp/spark_graft_zorder"),
-        os.path.basename(sf_dir.rstrip("/")),
+        tag,
     )
     zpath, spath = os.path.join(root, "zorder"), os.path.join(root, "sort_v")
     from map_reduce_framework_using_python_spark.sources.io import source_fingerprint
@@ -336,8 +347,11 @@ def ns_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     have = None
     if os.path.exists(manifest):
-        with open(manifest) as fh:
-            have = json.load(fh)
+        try:
+            with open(manifest) as fh:
+                have = json.load(fh)
+        except (ValueError, OSError):
+            have = None  # truncated/corrupt manifest = stale, rebuild
     if have != want:
         opts = {"parquet.block.size": 64 * 1024}
         write_zordered(
@@ -353,8 +367,13 @@ def ns_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             w = w.option(k, v)
         w.parquet(spath)
         os.makedirs(root, exist_ok=True)
-        with open(manifest, "w") as fh:
+        # temp + atomic replace: a crash mid-dump must not leave a
+        # truncated manifest (the read side treats corrupt as stale,
+        # but a clean swap never creates the window at all)
+        tmpm = manifest + ".tmp"
+        with open(tmpm, "w") as fh:
             json.dump(want, fh)
+        os.replace(tmpm, manifest)
 
     # The dense low-value band (events.value is skewed low, so the
     # bottom 30% of the RANGE holds most of the rows — a value-only

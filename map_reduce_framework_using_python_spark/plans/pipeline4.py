@@ -295,16 +295,22 @@ def ns_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc bigram stream keys on the bigram string (one shuffle
     each side); the final per-doc aggregate is map-side combinable.
     """
+    from map_reduce_framework_using_python_spark.operators.text import (
+        word_bigrams,
+    )
+
     d = t(spark, sf_dir, "documents")
+    # Safe zip_with/slice bigrams (r7 review): the old
+    # sequence/element_at form evaluated sequence(1, 0) as the
+    # DESCENDING [1, 0] on a single-token doc and crashed with an ANSI
+    # element_at(arr, 0) error where the oracle's generate_series(1, 0)
+    # is simply empty. Tokenizer and ' ' separator unchanged — they
+    # are what this query's oracle encodes.
     bigrams = d.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> concat(element_at(split(text, ' '), i), ' ',"
-                "             element_at(split(text, ' '), i + 1)))"
-            )
-        ).alias("bigram"),
+        F.explode(word_bigrams(F.split(F.col("text"), " "), sep=" ")).alias(
+            "bigram"
+        ),
     )
     freq = bigrams.groupBy("bigram").agg(F.count("*").alias("corpus_freq"))
     return (

@@ -136,11 +136,11 @@ def _bigram_lm(spark: SparkSession, sf_dir: str, model_join: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     ws = F.split(F.trim(F.col("text")), " +")
     nw = F.size(F.col("ws"))
-    bigrams = F.zip_with(
-        F.slice(F.col("ws"), F.lit(1), nw - 1),
-        F.slice(F.col("ws"), F.lit(2), nw - 1),
-        lambda x, y: F.concat(x, F.lit("\x01"), y),
+    from map_reduce_framework_using_python_spark.operators.text import (
+        word_bigrams,
     )
+
+    bigrams = word_bigrams(F.col("ws"))
     bg = (
         d.select("doc_id", ws.alias("ws"))
         .filter(nw > 1)
@@ -265,7 +265,10 @@ def ns_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + 1
     ) / F.lit(_WS_DEN)
-    key_raw = F.log(uni) / F.col("n_chars")
+    # nullif (r7 review): ANSI divide-by-zero would abort the whole
+    # top-k on one zero-length doc, where the oracle's ln(u)/0 is NULL
+    # and simply sorts last — NULL/NULL agree on both engines.
+    key_raw = F.log(uni) / F.nullif(F.col("n_chars"), F.lit(0))
     return (
         d.select("doc_id", "n_chars", key_raw.alias("_kr"))
         .orderBy(F.col("_kr").desc(), "doc_id")
