@@ -38,14 +38,18 @@ from map_reduce_framework_using_python_spark.plans import REGISTRY
 #: ns_dsir_weights, ns_dsir_resample, ns_corpus_drift, st_dsir_gate
 #: (phantom-''-token filter both sides), q_scd2_point_in_time
 #: (scd2 multi-update chaining), ns_pii_redact (optional phone
-#: country code, oracle generated from the same constant).
+#: country code, oracle generated from the same constant),
+#: ns_bigram_rarity (safe bigram helper — the old form crashed on
+#: 1-token docs), q_event_session_native (oracle tiebreak),
+#: ns_chunk_documents / ns_weighted_sample (empty-doc guards),
+#: q_spearman (double rho products), ns_pps_sample (stride guard).
 _LAST_VERIFIED: dict[str, int] = {
     # round 1 (CORRECTNESS_r01.json) — stalest tier, re-check first
     **dict.fromkeys((
         "ns_dedup_exact", "q03_global_topn", "q03_shipping_priority",
         "q05_local_supplier", "q10_returned_items", "q17_small_quantity",
         "q18_large_orders", "q_cube", "q_date_funcs", "q_event_dedup",
-        "q_event_session_native", "q_event_sessionize",
+        "q_event_sessionize",
         "q_event_window_sliding", "q_event_window_tumbling", "q_except",
         "q_grouping_sets", "q_intersect", "q_join_anti", "q_join_asof",
         "q_join_broadcast", "q_join_full", "q_join_inner", "q_join_left",
@@ -75,7 +79,7 @@ _LAST_VERIFIED: dict[str, int] = {
     ), 2),
     # round 3 (CORRECTNESS_r03.json)
     **dict.fromkeys((
-        "ns_bigram_rarity", "ns_bm25_topk", "ns_kmeans_sizes",
+        "ns_bm25_topk", "ns_kmeans_sizes",
         "ns_pagerank_events", "ns_phrase_search",
         "ns_repetition_signals", "ns_span_dedup",
         "q05_local_supplier_bucketed", "q08_market_share",
@@ -88,7 +92,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "q_mad_outliers", "q_mode_by_group", "q_null_handling",
         "q_ohlc_bars", "q_predicates_misc", "q_profile_stats",
         "q_regression_stats", "q_rolling_ewma", "q_session_dynamic_gap",
-        "q_skew_salted", "q_spearman", "q_sql_group_by_all",
+        "q_skew_salted", "q_sql_group_by_all",
         "q_sql_pipe_syntax", "q_sql_udf", "q_time_weighted_avg",
         "q_triangle_count", "q_try_arithmetic", "q_wau_rolling",
         "q_window_count_distinct", "q_window_ntile", "st_stream_join_left",
@@ -101,14 +105,14 @@ _LAST_VERIFIED: dict[str, int] = {
     # merge-table BPE replaced the regex approximation — values
     # changed).
     **dict.fromkeys((
-        "ns_chunk_documents", "ns_corpus_build", "ns_corpus_report",
+        "ns_corpus_build", "ns_corpus_report",
         "ns_decontaminate", "ns_dedup_keep_best", "ns_dup_clusters",
         "ns_event_transitions", "ns_fuzzy_match", "ns_hash_sample",
-        "ns_int8_quantize", "ns_mixture_upsample", "ns_pps_sample",
+        "ns_int8_quantize", "ns_mixture_upsample",
         "ns_quality_filter", "ns_seeded_shuffle", "ns_sequence_packing",
         "ns_shingle_containment", "ns_source_gini", "ns_stratified_sample",
         "ns_text_normalize", "ns_tfidf",
-        "ns_train_val_test", "ns_weighted_sample", "ns_word_cooccurrence",
+        "ns_train_val_test", "ns_word_cooccurrence",
         "q00_scan_count", "q01_pricing_summary", "q02_filter_project",
         "q05_local_supplier_smj", "q06_forecast_revenue",
         "q12_priority_by_returnflag", "q18_large_orders_bucketed",
@@ -154,7 +158,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "ns_quality_scores", "ns_token_stats", "ns_wordcount",
         "q04_priority_exists", "q14_promo_share", "q19_disjunctive",
         "q_binary_funcs", "q_date_spine", "q_event_dedup",
-        "q_event_session_native", "q_event_sessionize",
+        "q_event_sessionize",
         "q_event_window_sliding", "q_event_window_tumbling", "q_except_all",
         "q_explode_udtf", "q_from_json", "q_intersect_all", "q_json_extract",
         "q_map_funcs", "q_percentile", "q_topk_per_group",
