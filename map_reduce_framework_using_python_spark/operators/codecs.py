@@ -31,8 +31,16 @@ import zlib
 
 import numpy as np
 
-#: Fixed feature width shared with multimodal.FEATURE_DIM.
+#: Fixed feature width — multimodal.FEATURE_DIM imports this, and every
+#: decoder returns through :func:`_features`, so the array<double> width
+#: contract downstream joins/ANN rely on cannot drift silently.
 N_FEATURES = 8
+
+
+def _features(vals: list[float]) -> list[float]:
+    if len(vals) != N_FEATURES:
+        raise ValueError(f"decoder produced {len(vals)} features, expected {N_FEATURES}")
+    return vals
 
 
 # --------------------------------------------------------------------------
@@ -64,7 +72,13 @@ def decode_wav(content: bytes) -> list[float]:
         cid = content[pos : pos + 4]
         (size,) = struct.unpack_from("<I", content, pos + 4)
         body = content[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            # A declared size past EOF means a truncated upload — it must
+            # read as "bad blob", not featurize as a valid short clip.
+            raise ValueError(f"truncated WAV chunk {cid!r}: {len(body)} of {size} bytes")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"short fmt chunk ({size} bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -74,13 +88,15 @@ def decode_wav(content: bytes) -> list[float]:
     audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if sample_rate == 0 or n_channels == 0:
+        raise ValueError("zero sample_rate/n_channels in fmt chunk")
     x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     if n_channels > 1:
         x = x[: len(x) - len(x) % n_channels].reshape(-1, n_channels).mean(axis=1)
     if len(x) == 0:
         raise ValueError("empty data chunk")
     zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
-    return [
+    return _features([
         float(sample_rate),
         float(n_channels),
         float(bits),
@@ -89,7 +105,7 @@ def decode_wav(content: bytes) -> list[float]:
         float(np.max(np.abs(x))),
         zcr,
         float(np.mean(np.abs(x))),
-    ]
+    ])
 
 
 # --------------------------------------------------------------------------
@@ -210,6 +226,10 @@ def _decode_png_strict(content: bytes) -> list[float]:
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
         )
+    if w == 0 or h == 0:
+        # h=0 would divide by zero in the aspect ratio; w=0 would emit
+        # NaN channel means with decode_ok=True — both are bad blobs.
+        raise ValueError(f"degenerate PNG dimensions {w}x{h}")
     raw = zlib.decompress(bytes(idat))
     stride = w * channels
     if len(raw) != h * (stride + 1):
@@ -226,15 +246,21 @@ def _decode_png_strict(content: bytes) -> list[float]:
             recon = line
         elif ftype == 2:  # Up — vectorized
             recon = (line + prior) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+        elif ftype == 1:
+            # Sub: recon[x] = line[x] + recon[x-bpp], which per byte lane
+            # is a running sum — cumsum mod 256 (int64 cumsum can't
+            # overflow at image strides), vectorized instead of the
+            # O(h*w*channels) interpreted loop real photos would hit.
+            recon = np.empty(stride, dtype=np.int64)
+            for lane in range(bpp):
+                recon[lane::bpp] = np.cumsum(line[lane::bpp], dtype=np.int64) & 0xFF
+        elif ftype in (3, 4):  # Average/Paeth — sequential in x
             recon = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
                 left = recon[x - bpp] if x >= bpp else 0
                 up = int(prior[x])
                 ul = int(img[y - 1, x - bpp]) if (y > 0 and x >= bpp) else 0
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (left + up) // 2
                 else:
                     pred = _paeth(int(left), up, ul)
@@ -248,7 +274,7 @@ def _decode_png_strict(content: bytes) -> list[float]:
     else:
         rgb = pix[:, :, :3]  # alpha (if any) excluded from color means
     means = rgb.mean(axis=(0, 1)) / 255.0
-    return [
+    return _features([
         float(w),
         float(h),
         255.0,
@@ -257,7 +283,7 @@ def _decode_png_strict(content: bytes) -> list[float]:
         float(means[2]),
         float(means.mean()),
         w / h,
-    ]
+    ])
 
 
 def decode_ppm(content: bytes) -> list[float]:
@@ -285,13 +311,15 @@ def decode_ppm(content: bytes) -> list[float]:
     w, h, maxval = fields
     if maxval <= 0 or maxval > 255:
         raise ValueError(f"unsupported maxval {maxval}")
+    if w == 0 or h == 0:
+        raise ValueError(f"degenerate PPM dimensions {w}x{h}")
     need = w * h * 3
     raster = content[pos : pos + need]
     if len(raster) != need:
         raise ValueError(f"raster truncated: {len(raster)} of {need} bytes")
     pix = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
     means = pix.mean(axis=(0, 1)) / maxval
-    return [
+    return _features([
         float(w),
         float(h),
         float(maxval),
@@ -300,7 +328,7 @@ def decode_ppm(content: bytes) -> list[float]:
         float(means[2]),
         float(means.mean()),
         w / h,
-    ]
+    ])
 
 
 # --------------------------------------------------------------------------
@@ -435,9 +463,15 @@ def _decode_mp4_strict(content: bytes) -> list[float]:
     if e - s < 4:
         raise ValueError("truncated mvhd")
     version = content[s]
+    # Bounds-check against the BOX end, not the buffer end: a short mvhd
+    # must raise, never silently read the following sibling box's bytes.
     if version == 1:
+        if e - s < 4 + 16 + 12:
+            raise ValueError("truncated mvhd (v1)")
         timescale, duration = struct.unpack_from(">IQ", content, s + 4 + 16)
     else:
+        if e - s < 4 + 8 + 8:
+            raise ValueError("truncated mvhd (v0)")
         timescale, duration = struct.unpack_from(">II", content, s + 4 + 8)
     if timescale == 0:
         raise ValueError("mvhd timescale is zero")
@@ -470,6 +504,11 @@ def _decode_mp4_strict(content: bytes) -> list[float]:
                 # v0: 4+4*5 then 8+2*4+36 to width; v1: 64-bit times
                 off = tks + (4 + 8 + 8 + 4 + 4 + 8 if tkv == 1 else 4 + 4 * 5)
                 off += 8 + 2 * 4 + 36
+                if off + 8 > tke:
+                    # Short tkhd: the width read would land inside the
+                    # NEXT sibling box and return garbage with
+                    # decode_ok=True. Bounds-check against the box end.
+                    raise ValueError("truncated tkhd (no width/height)")
                 w_fx, h_fx = struct.unpack_from(">II", content, off)
                 width, height = w_fx / 65536.0, h_fx / 65536.0
             if mdia is not None:
@@ -480,7 +519,7 @@ def _decode_mp4_strict(content: bytes) -> list[float]:
                     n_entries = struct.unpack_from(">I", content, stsd[0] + 4)[0]
                     if n_entries > 0:
                         (vcodec,) = struct.unpack_from(">I", content, stsd[0] + 12)
-    return [
+    return _features([
         duration / timescale,
         float(timescale),
         float(n_tracks),
@@ -489,7 +528,7 @@ def _decode_mp4_strict(content: bytes) -> list[float]:
         float(vcodec),
         1.0 if has_video else 0.0,
         1.0 if has_audio else 0.0,
-    ]
+    ])
 
 
 # --------------------------------------------------------------------------
@@ -507,7 +546,7 @@ def decode_text(content: bytes) -> list[float]:
     arr = np.frombuffer(content, dtype=np.uint8)
     n = float(len(arr))
     is_alpha = ((arr >= 65) & (arr <= 90)) | ((arr >= 97) & (arr <= 122))
-    return [
+    return _features([
         n,
         float(np.count_nonzero(arr == 10) + (0 if content.endswith(b"\n") else 1)),
         float(len(content.split())),
@@ -516,4 +555,4 @@ def decode_text(content: bytes) -> list[float]:
         float(np.count_nonzero((arr >= 48) & (arr <= 57)) / n),
         float(np.count_nonzero((arr == 32) | (arr == 9) | (arr == 10) | (arr == 13)) / n),
         float(arr.mean()),
-    ]
+    ])

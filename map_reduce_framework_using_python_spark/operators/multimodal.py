@@ -39,12 +39,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_framework_using_python_spark.operators.codecs import (
+    N_FEATURES as FEATURE_DIM,
+)
+
 #: Schema contract for a multimodal asset table.
 ASSET_SCHEMA = (
     "asset_id long, media_type string, n_bytes long, content binary"
 )
-
-FEATURE_DIM = 8
 
 FEATURES_SCHEMA = (
     "asset_id long, media_type string, n_bytes long, "
@@ -155,6 +157,13 @@ def extract_features(assets: DataFrame, batch_size: int | None = None) -> DataFr
         for pdf in batches:
             feats, oks = [], []
             for content, mt in zip(pdf["content"], pdf["media_type"]):
+                if content is None:
+                    # NULL content is allowed by ASSET_SCHEMA and routine
+                    # in a real crawl table; bytes(None) would TypeError
+                    # past the catch below and kill the task.
+                    feats.append(None)
+                    oks.append(False)
+                    continue
                 try:
                     feats.append(_decode(bytes(content), mt))
                     oks.append(True)
@@ -184,9 +193,13 @@ def frame_sample_plan(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     100 TB corpus plans its sampling without touching a single blob;
     only the sampled offsets would be handed to a frame decoder (the
     pyav plug-in seam — the container parser yields the metadata)."""
-    return assets.filter(F.col("media_type") == "video/mp4").select(
+    # n_bytes > 0: an empty blob must plan ZERO offsets — greatest(-1, 0)
+    # would otherwise emit a phantom offset 0 into a blob with no bytes.
+    return assets.filter(
+        (F.col("media_type") == "video/mp4") & (F.col("n_bytes") > 0)
+    ).select(
         "asset_id",
         F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("n_bytes") - 1, F.lit(0)), F.lit(every_n_bytes))
+            F.sequence(F.lit(0), F.col("n_bytes") - 1, F.lit(every_n_bytes))
         ).alias("frame_offset"),
     )

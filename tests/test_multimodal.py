@@ -451,3 +451,136 @@ def test_mp4_v1_and_largesize_boxes():
     assert feats[0] == 2.0          # 1200 / 600
     assert feats[1] == 600.0
     assert feats[2] == 0.0          # no tracks in this minimal file
+
+
+def _wav_bytes(sample_rate=8000, n_samples=4, data_size=None, fmt_size=16):
+    """Hand-rolled RIFF/PCM16 WAV with optionally lying chunk sizes."""
+    data = struct.pack(f"<{n_samples}h", *([1000] * n_samples))
+    declared = len(data) if data_size is None else data_size
+    fmt_body = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)[
+        :fmt_size
+    ]
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", fmt_size)
+        + fmt_body
+        + b"data"
+        + struct.pack("<I", declared)
+        + data
+    )
+
+
+def test_wav_rejects_zero_rate_truncation_and_short_fmt():
+    """r7 codecs review: every malformed-header shape must surface as
+    ValueError (decode_ok=false), never ZeroDivisionError/struct.error
+    escaping extract_features' catch, and a chunk whose declared size
+    exceeds the bytes present must NOT featurize as a valid short clip."""
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.codecs import decode_wav
+
+    assert len(decode_wav(_wav_bytes())) == FEATURE_DIM  # control: valid
+    with pytest.raises(ValueError):
+        decode_wav(_wav_bytes(sample_rate=0))            # ZeroDivision guard
+    with pytest.raises(ValueError):
+        decode_wav(_wav_bytes(data_size=1000))           # truncated data chunk
+    with pytest.raises(ValueError):
+        decode_wav(_wav_bytes(fmt_size=8))               # short fmt chunk
+
+
+def test_image_decoders_reject_degenerate_dimensions():
+    """r7 codecs review: h=0 divided by zero in the aspect ratio (task
+    death); w=0 produced NaN means with decode_ok=True. Both PNG and
+    PPM now reject degenerate dimensions as ValueError."""
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.codecs import (
+        _png_chunk,
+        decode_png,
+        decode_ppm,
+    )
+
+    for w, h in ((4, 0), (0, 4)):
+        with pytest.raises(ValueError):
+            decode_ppm(f"P6\n{w} {h}\n255\n".encode())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(h * (3 * w + 1))))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_png(png)
+
+
+def test_mp4_short_tkhd_raises_instead_of_reading_sibling_bytes():
+    """r7 codecs review: a tkhd shorter than the width/height offset
+    must raise, not silently read the next sibling box's bytes as
+    dimensions with decode_ok=True."""
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.codecs import (
+        _box,
+        decode_mp4,
+        synth_mp4,
+    )
+
+    good = synth_mp4(5)
+    feats = decode_mp4(good)
+    assert feats[3] > 0  # control: real width parsed
+    # Rebuild trak with a 40-byte tkhd followed by a decoy sibling box
+    # whose bytes would be misread as width/height by an unbounded read.
+    short_tkhd = _box(b"tkhd", b"\x00" * 40)
+    decoy = _box(b"free", b"\xff" * 80)
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"\x00")
+    mdia = _box(b"mdia", hdlr)
+    trak = _box(b"trak", short_tkhd + decoy + mdia)
+    mvhd_at = good.find(b"mvhd") - 4
+    mvhd_size = struct.unpack_from(">I", good, mvhd_at)[0]
+    mvhd = good[mvhd_at : mvhd_at + mvhd_size]
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    with pytest.raises(ValueError):
+        decode_mp4(ftyp + moov)
+
+
+def test_null_content_flagged_not_fatal(spark):
+    """r7 codecs review: a NULL content cell (allowed by ASSET_SCHEMA,
+    routine in a crawl table) must flag decode_ok=false, not raise
+    TypeError from bytes(None) and kill the task."""
+    rows = spark.createDataFrame(
+        [(1, "text/plain", 0, None), (2, "text/plain", 2, bytearray(b"ok"))],
+        "asset_id long, media_type string, n_bytes long, content binary",
+    )
+    out = {r["asset_id"]: r for r in extract_features(rows).collect()}
+    assert out[1]["decode_ok"] is False and out[1]["feature"] is None
+    assert out[2]["decode_ok"] is True
+
+
+def test_frame_plan_empty_video_has_zero_rows(spark):
+    """r7 codecs review: n_bytes=0 videos must plan ZERO offsets, not a
+    phantom frame_offset 0 into a blob with no bytes."""
+    assets = spark.createDataFrame(
+        [(1, "video/mp4", 0, None), (2, "video/mp4", 130, bytearray(b"x" * 130))],
+        "asset_id long, media_type string, n_bytes long, content binary",
+    )
+    plan = frame_sample_plan(assets, every_n_bytes=64).collect()
+    ids = {r["asset_id"] for r in plan}
+    assert ids == {2}
+    assert sorted(r["frame_offset"] for r in plan) == [0, 64, 128]
+
+
+def test_feature_width_contract_single_source_of_truth():
+    """r7 codecs review: FEATURE_DIM IS codecs.N_FEATURES (one constant),
+    and every decoder returns through the width-asserting funnel."""
+    from map_reduce_framework_using_python_spark.operators import codecs
+
+    assert FEATURE_DIM == codecs.N_FEATURES
+    import pytest
+
+    with pytest.raises(ValueError):
+        codecs._features([1.0] * (codecs.N_FEATURES - 1))
