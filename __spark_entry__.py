@@ -43,19 +43,23 @@ from map_reduce_framework_using_python_spark.plans import REGISTRY
 #: 1-token docs), q_event_session_native (oracle tiebreak),
 #: ns_chunk_documents / ns_weighted_sample (empty-doc guards),
 #: q_spearman (double rho products), ns_pps_sample (stride guard).
+#: Round-7 core-SQL review removals (same rule): q_agg_stats
+#: (exact-moment stddev), q_having (decimal HAVING boundary),
+#: q_grouping_sets (template-bound DataFrame, no temp view),
+#: q_math_funcs (price_ln at 2 dp), q_scalar_subquery (exact avg),
+#: q_window_ntile (half_up pct/cume), q05/q03/q10 (customer
+#: broadcast hint removed — plan changed, values identical).
 _LAST_VERIFIED: dict[str, int] = {
     # round 1 (CORRECTNESS_r01.json) — stalest tier, re-check first
     **dict.fromkeys((
-        "ns_dedup_exact", "q03_global_topn", "q03_shipping_priority",
-        "q05_local_supplier", "q10_returned_items", "q17_small_quantity",
+        "ns_dedup_exact", "q03_global_topn", "q17_small_quantity",
         "q18_large_orders", "q_cube", "q_date_funcs", "q_event_dedup",
         "q_event_sessionize",
         "q_event_window_sliding", "q_event_window_tumbling", "q_except",
-        "q_grouping_sets", "q_intersect", "q_join_anti", "q_join_asof",
+        "q_intersect", "q_join_anti", "q_join_asof",
         "q_join_broadcast", "q_join_full", "q_join_inner", "q_join_left",
         "q_join_range", "q_join_semi", "q_join_theta", "q_json_extract",
-        "q_math_funcs", "q_pivot", "q_rollup", "q_scalar_subquery",
-        "q_string_funcs", "q_topk_per_group", "q_union",
+        "q_pivot", "q_rollup", "q_string_funcs", "q_topk_per_group", "q_union",
         "q_window_first_last", "q_window_lag_lead", "q_window_range_frame",
         "q_window_rank", "q_window_running",
     ), 1),
@@ -95,7 +99,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "q_skew_salted", "q_sql_group_by_all",
         "q_sql_pipe_syntax", "q_sql_udf", "q_time_weighted_avg",
         "q_triangle_count", "q_try_arithmetic", "q_wau_rolling",
-        "q_window_count_distinct", "q_window_ntile", "st_stream_join_left",
+        "q_window_count_distinct", "st_stream_join_left",
     ), 3),
     # round 4 (CORRECTNESS_r04.json) — freshest tier, re-check last.
     # Dropped to re-earn green after round-5 output/plan changes:
@@ -116,9 +120,9 @@ _LAST_VERIFIED: dict[str, int] = {
         "q00_scan_count", "q01_pricing_summary", "q02_filter_project",
         "q05_local_supplier_smj", "q06_forecast_revenue",
         "q12_priority_by_returnflag", "q18_large_orders_bucketed",
-        "q_agg_stats", "q_case_expr", "q_count_distinct", "q_distinct",
+        "q_case_expr", "q_count_distinct", "q_distinct",
         "q_distinct_subset", "q_equidepth_histogram", "q_funnel",
-        "q_funnel_latency", "q_gap_fill", "q_having", "q_join_asof_forward",
+        "q_funnel_latency", "q_gap_fill", "q_join_asof_forward",
         "q_join_asof_nearest", "q_retention",
         "q_sql_lateral_topk", "q_sql_recursive_months", "q_value_histogram",
     ), 4),
@@ -138,13 +142,12 @@ _LAST_VERIFIED: dict[str, int] = {
         "ns_ann_probe_batch", "ns_token_count_bpe", "q_sql_star_except",
         "q_sql_lateral_alias", "q_sql_parameterized", "q_sql_collation",
         "q_sql_listagg", "ns_semdedup_pairs", "q_cube", "q_rollup",
-        "q_grouping_sets", "q_pivot", "q03_global_topn", "q_union",
+        "q_pivot", "q03_global_topn", "q_union",
         "q_intersect", "q_except", "q_string_funcs", "q_date_funcs",
-        "q_math_funcs", "q_scalar_subquery", "q17_small_quantity",
+        "q17_small_quantity",
         "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_full",
         "q_join_semi", "q_join_anti", "q_join_range", "q_join_theta",
-        "q_join_asof", "q05_local_supplier", "q03_shipping_priority",
-        "q18_large_orders", "q10_returned_items", "q_window_rank",
+        "q_join_asof", "q18_large_orders", "q_window_rank",
         "q_window_lag_lead",
     ), 5),
     # round 6 (CORRECTNESS_r06.json) — all 50 rows green: the five

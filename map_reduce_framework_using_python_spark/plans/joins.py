@@ -6,8 +6,12 @@ pattern — mappers emit ``(key, tag+payload)`` from both inputs, the
 reducer pairs tags per key (SURVEY.md §2.B); a broadcast join is
 impossible there (no distributed cache). Here every variant is a
 declarative join and Catalyst picks broadcast-hash / shuffled-hash /
-sort-merge per side sizes; at 100 TB the dims (region/nation/customer/
-supplier/part) stay broadcast while only fact-fact joins shuffle.
+sort-merge per side sizes; at 100 TB the BOUNDED dims (region, nation,
+supplier) stay broadcast, while corpus-sized tables (customer, part —
+billions of rows at that scale) carry no forced hint: Catalyst
+broadcasts them below the threshold and shuffles them above, so the
+same plan code survives the scale-up (q_join_broadcast keeps its hint
+deliberately — it demonstrates the explicit map-side join).
 """
 
 from __future__ import annotations
@@ -270,9 +274,12 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "star", "agg"),
 )
 def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style 6-table star join. All dims broadcast; lineitem —
-    the only 100 TB-scale table — shuffles exactly once (on l_orderkey
-    for the orders join)."""
+    """TPC-H Q5-style 6-table star join. Bounded dims (supplier, nation,
+    region) carry broadcast hints; customer does NOT — it grows with the
+    corpus (~15B rows at 100 TB), so a forced broadcast would OOM; the
+    hint-free join lets Catalyst broadcast it at small SFs and shuffle
+    it at scale (r7 core-SQL review). lineitem — the 100 TB-scale table
+    — shuffles exactly once (on l_orderkey for the orders join)."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -284,7 +291,7 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
@@ -328,7 +335,9 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # No broadcast hint on customer: it scales with the corpus —
+        # Catalyst auto-broadcasts it below the threshold, shuffles above.
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             half_up(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias("revenue")
@@ -388,7 +397,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # Same rationale as q05: customer is corpus-sized, no forced hint.
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             half_up(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias("revenue")

@@ -151,14 +151,26 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(DISTINCT l_partkey) AS n_parts,
                min(l_extendedprice) AS min_price,
                max(l_extendedprice) AS max_price,
-               round(stddev_samp(l_extendedprice), 2) AS sd_price
+               floor(sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                           - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                          / (CAST(count(*) AS DOUBLE) - 1)) * 100 + 0.5) / 100 AS sd_price
         FROM lineitem
         GROUP BY l_returnflag
     """,
     tags=("agg",),
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """min/max/count/count-distinct/stddev in one pass."""
+    """min/max/count/count-distinct/stddev in one pass.
+
+    sd_price is computed from EXACT decimal moments (sum(x), sum(x²) on
+    the 1e-4 grid) cast to double, then the identical IEEE expression on
+    both engines — native stddev_samp accumulates doubles in
+    engine-specific order, so its pre-round bits differ in the last ulps
+    and round(...,2) can flip at a .xx5 boundary (r7 core-SQL review)."""
+    x = dec("l_extendedprice")
+    nd = F.count("*").cast("double")
+    s1 = F.sum(x).cast("double")
+    s2 = F.sum(x * x).cast("double")
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
@@ -167,7 +179,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").alias("n_parts"),
             F.min("l_extendedprice").alias("min_price"),
             F.max("l_extendedprice").alias("max_price"),
-            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            half_up(F.sqrt((s2 - s1 * s1 / nd) / (nd - 1))).alias("sd_price"),
         )
     )
 
@@ -179,19 +191,24 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_orders
         FROM orders
         GROUP BY o_custkey
-        HAVING sum(o_totalprice) > 3000000
+        HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) > 3000000
     """,
     tags=("agg", "having"),
 )
 def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Post-aggregation filter (MR: a second reducer pass)."""
+    """Post-aggregation filter (MR: a second reducer pass).
+
+    The HAVING boundary compares an EXACT decimal sum — a double sum's
+    order-dependent last-ulp error could straddle the on-grid 3,000,000
+    threshold differently per engine (r7 core-SQL review). total_spent
+    itself is safe as a plain 2-dp round (2-dp-grid sum, NOTES lesson 2)."""
     return (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
             F.count("*").alias("n_orders"),
-            F.sum("o_totalprice").alias("_raw"),
+            F.sum(dec("o_totalprice")).alias("_raw"),
         )
         .filter(F.col("_raw") > 3000000)
         .drop("_raw")
@@ -340,15 +357,19 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "grouping_sets"),
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS via Spark SQL."""
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    """Explicit GROUPING SETS via Spark SQL. The DataFrame binds through
+    the ``{li}`` template (Spark 3.4+), not a session-global temp view —
+    a view named ``lineitem`` would race with sqlapi's registrations for
+    a different sf_dir and leak for the session lifetime (r7 core-SQL
+    review)."""
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty, count(*) AS n
-        FROM lineitem
+        FROM {li}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        """
+        """,
+        li=t(spark, sf_dir, "lineitem"),
     )
 
 
@@ -530,7 +551,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(abs(l_discount - 0.05), 4) AS disc_dev,
                CAST(l_quantity * l_quantity AS DOUBLE) AS qty_sq,
                round(sqrt(l_extendedprice), 6) AS price_sqrt,
-               round(ln(l_extendedprice), 6) AS price_ln,
+               floor(ln(l_extendedprice) * 100 + 0.5) / 100 AS price_ln,
                CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
                CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
                l_orderkey % 7 AS key_mod
@@ -549,7 +570,11 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
         (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
         F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
-        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        # ln at 2 dp, not 6: IEEE sqrt is correctly rounded (bit-identical
+        # across engines, safe at 6 dp) but log is not — JVM Math.log and
+        # libm can differ by 1 ulp, so a fine-grained round can straddle a
+        # boundary (~1e-3/run exposure at 6 dp, ~1e-7 at 2 dp).
+        half_up(F.log("l_extendedprice")).alias("price_ln"),
         F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
         F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
@@ -566,15 +591,22 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.9 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM orders)
     """,
     tags=("subquery",),
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery: single-row agg broadcast-joined
-    against the fact side (no driver round-trip)."""
+    against the fact side (no driver round-trip). The average comes from
+    an EXACT decimal sum divided in double — a native avg(double) is
+    order-dependent in its last ulp, so boundary rows at exactly
+    1.9*avg could flip between engines (r7 core-SQL review)."""
     o = t(spark, sf_dir, "orders")
-    avg_all = o.agg(F.avg("o_totalprice").alias("_avg_price"))
+    avg_all = o.agg(
+        (F.sum(dec("o_totalprice")).cast("double") / F.count("*").cast("double")).alias(
+            "_avg_price"
+        )
+    )
     return (
         o.crossJoin(F.broadcast(avg_all))
         .filter(F.col("o_totalprice") > 1.9 * F.col("_avg_price"))

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_framework_using_python_spark.operators.ranks import bucketed_rank, ntile_from_rank
-from map_reduce_framework_using_python_spark.plans.core import query, t
+from map_reduce_framework_using_python_spark.plans.core import half_up, query, t
 
 
 @query(
@@ -135,8 +135,8 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderkey,
                ntile(4) OVER w AS quartile,
-               round(percent_rank() OVER w, 6) AS pct_rank,
-               round(cume_dist() OVER w, 6) AS cume
+               floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+               floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
         FROM orders
         WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
     """,
@@ -160,11 +160,15 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_col="_n",
     )
     rn, n = F.col("_rn"), F.col("_n")
+    # half_up, not round(): the rank quotients are identical doubles on
+    # both engines (exact int division), but round()'s tie handling is
+    # engine-divergent when the quotient terminates at exactly 6 dp
+    # (r7 core-SQL review — half_up is pure IEEE ops on identical bits).
     return ranked.select(
         "o_orderkey",
         ntile_from_rank(rn, n, 4).alias("quartile"),
-        F.round((rn - 1) / (n - 1), 6).alias("pct_rank"),
-        F.round(rn / n, 6).alias("cume"),
+        half_up((rn - 1) / (n - 1), 6).alias("pct_rank"),
+        half_up(rn / n, 6).alias("cume"),
     )
 
 
