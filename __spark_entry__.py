@@ -49,6 +49,10 @@ from map_reduce_framework_using_python_spark.plans import REGISTRY
 #: q_math_funcs (price_ln at 2 dp), q_scalar_subquery (exact avg),
 #: q_window_ntile (half_up pct/cume), q05/q03/q10 (customer
 #: broadcast hint removed — plan changed, values identical).
+#: Round-7 TPC-H review removals: q11_important_stock (exact
+#: threshold decimal), q20_part_promotion (rollup from the finer
+#: aggregate — one lineitem scan), q21_sole_supplier (the EXISTS
+#: half is now genuinely constraining — output changed).
 _LAST_VERIFIED: dict[str, int] = {
     # round 1 (CORRECTNESS_r01.json) — stalest tier, re-check first
     **dict.fromkeys((
@@ -70,8 +74,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "ns_language_id", "ns_ngram_jaccard_pairs", "ns_quality_scores",
         "ns_token_stats", "ns_wordcount", "q02_min_cost_supplier",
         "q04_priority_exists", "q07_nation_volume", "q14_promo_share",
-        "q15_top_supplier", "q19_disjunctive", "q21_sole_supplier",
-        "q22_idle_customers", "q_array_ops", "q_binary_funcs", "q_bool_agg",
+        "q15_top_supplier", "q19_disjunctive", "q22_idle_customers", "q_array_ops", "q_binary_funcs", "q_bool_agg",
         "q_collect_sorted", "q_cross_join", "q_date_spine", "q_except_all",
         "q_explode_outer", "q_explode_udtf", "q_from_json",
         "q_intersect_all", "q_map_funcs", "q_percentile", "q_python_udtf",
@@ -87,9 +90,8 @@ _LAST_VERIFIED: dict[str, int] = {
         "ns_pagerank_events", "ns_phrase_search",
         "ns_repetition_signals", "ns_span_dedup",
         "q05_local_supplier_bucketed", "q08_market_share",
-        "q09_product_profit", "q11_important_stock",
-        "q13_customer_distribution", "q16_parts_supplier_count",
-        "q20_part_promotion", "q_argmax_struct", "q_assoc_rules",
+        "q09_product_profit", "q13_customer_distribution", "q16_parts_supplier_count",
+        "q_argmax_struct", "q_assoc_rules",
         "q_attribution_last_touch", "q_bfs_distance", "q_corr_stats",
         "q_data_quality", "q_dpp_partitioned", "q_fuzzy_match",
         "q_incremental_agg", "q_join_range_bigbig", "q_kcore",

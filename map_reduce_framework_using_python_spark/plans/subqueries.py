@@ -98,7 +98,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM supplier s
         JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
         WHERE EXISTS (SELECT 1 FROM lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey)
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_returnflag = 'R')
           AND NOT EXISTS (SELECT 1 FROM lineitem l3
                           WHERE l3.l_orderkey = l1.l_orderkey
                             AND l3.l_suppkey <> l1.l_suppkey)
@@ -108,17 +109,24 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-style correlated EXISTS + NOT EXISTS against the same
-    fact table: orders served by exactly one supplier, counted per
-    supplier. Decorrelated form: per-order distinct-supplier count == 1,
-    computed once and joined — no per-row rescans."""
+    fact table: orders served by exactly one supplier AND containing a
+    returned line, counted per supplier. The EXISTS is genuinely
+    constraining (TPC-H Q21's late-receipt predicate has no synthetic
+    column, so the returned-line predicate stands in) — the prior form's
+    EXISTS was a tautology satisfied by l2 = l1, so only the anti half
+    was exercised (r7 TPC-H review). Decorrelated form: per-order
+    distinct-supplier count == 1 plus a semi join on returned orders —
+    no per-row rescans."""
     li = t(spark, sf_dir, "lineitem")
     per_order = li.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supps")
     )
     sole = per_order.filter(F.col("n_supps") == 1).select("l_orderkey")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    sole_returned = sole.join(returned, "l_orderkey", "left_semi")
     s = t(spark, sf_dir, "supplier")
     return (
-        li.join(sole, "l_orderkey")
+        li.join(sole_returned, "l_orderkey")
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.countDistinct("l_orderkey").alias("n_sole_orders"))

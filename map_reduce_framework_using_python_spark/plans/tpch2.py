@@ -140,7 +140,7 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1)
         SELECT l_partkey, floor(CAST(val AS DOUBLE) * 100 + 0.5) / 100 AS stock_value
         FROM v
-        WHERE val > (SELECT sum(val) * CAST(0.001 AS DECIMAL(4,3)) FROM v)
+        WHERE val > (SELECT CAST(sum(val) AS DECIMAL(28,4)) * CAST(0.001 AS DECIMAL(4,3)) FROM v)
     """,
     tags=("subquery", "scalar", "agg", "tpch"),
 )
@@ -149,7 +149,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shipped qty × retail price, one nation's suppliers) exceeds a
     fraction of the global total — grouped agg + global-scalar
     threshold. The comparison stays in exact DECIMAL on both engines;
-    only the reported value is rounded."""
+    only the reported value is rounded. The total is cast to
+    DECIMAL(28,4) BEFORE the 0.001 multiply: decimal(38,4) × decimal(4,3)
+    needs (43,7), which Spark's allowPrecisionLoss half-up rounds to
+    (38,6) while DuckDB keeps exact — (28,4) × (4,3) = (33,7) is exact
+    on both (r7 TPC-H review, divergence reproduced live)."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -162,7 +166,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec("l_quantity") * dec("p_retailprice")).alias("val"))
     )
     total = v.agg(
-        (F.sum("val") * F.lit(0.001).cast("decimal(4,3)")).alias("threshold")
+        (F.sum("val").cast("decimal(28,4)") * F.lit(0.001).cast("decimal(4,3)")).alias(
+            "threshold"
+        )
     )
     return (
         v.crossJoin(F.broadcast(total))
@@ -299,9 +305,15 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
     small = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-    part_total = small.groupBy("l_partkey").agg(F.sum("l_quantity").alias("total_qty"))
     supp_part = small.groupBy("l_suppkey", "l_partkey").agg(
         F.sum("l_quantity").alias("supp_qty")
+    )
+    # Roll part totals up FROM the finer aggregate — aggregating `small`
+    # twice would scan lineitem and re-run the part join twice (Spark
+    # does not dedupe shared lineage). Integer-valued quantities sum
+    # exactly in any order, so the rollup is value-identical.
+    part_total = supp_part.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("total_qty")
     )
     s = t(spark, sf_dir, "supplier")
     dominant = supp_part.join(part_total, "l_partkey").filter(
