@@ -53,6 +53,8 @@ from map_reduce_framework_using_python_spark.plans import REGISTRY
 #: threshold decimal), q20_part_promotion (rollup from the finer
 #: aggregate — one lineitem scan), q21_sole_supplier (the EXISTS
 #: half is now genuinely constraining — output changed).
+#: Round-7 functions/similarity review removal: ns_token_count_bpe
+#: (oracle gained the empty-word CASE guard — values identical).
 _LAST_VERIFIED: dict[str, int] = {
     # round 1 (CORRECTNESS_r01.json) — stalest tier, re-check first
     **dict.fromkeys((
@@ -141,7 +143,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "ns_hash_embed", "ns_source_overlap", "ns_token_entropy",
         "ns_ccnet_buckets",
         "ns_temperature_mixture",
-        "ns_ann_probe_batch", "ns_token_count_bpe", "q_sql_star_except",
+        "ns_ann_probe_batch", "q_sql_star_except",
         "q_sql_lateral_alias", "q_sql_parameterized", "q_sql_collation",
         "q_sql_listagg", "ns_semdedup_pairs", "q_cube", "q_rollup",
         "q_pivot", "q03_global_topn", "q_union",

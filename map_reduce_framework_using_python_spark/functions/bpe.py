@@ -104,4 +104,11 @@ def oracle_encode_sql(col: str = "w") -> str:
     expr = f"'  ' || regexp_replace({col}, '(.)', '\\1  ', 'g')"
     for a, b in MERGES:
         expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
-    return f"array_length(string_split_regex(trim({expr}), ' +'))"
+    # Guard the empty word: string_split_regex('', ' +') is [''] in
+    # DuckDB (length 1) while len(bpe_encode('')) = 0. Unreachable from
+    # PRETOKEN_RE today, but the oracle must match the kernel on every
+    # input a future pre-tokenizer could feed it (r7 functions review).
+    return (
+        f"CASE WHEN {col} = '' THEN 0 "
+        f"ELSE array_length(string_split_regex(trim({expr}), ' +')) END"
+    )

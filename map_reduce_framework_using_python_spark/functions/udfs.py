@@ -11,12 +11,16 @@ breaks sessionless imports).
 
 from __future__ import annotations
 
-from functools import cache
-
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+
+
+def _schema_plus(df: DataFrame, extra: str) -> str:
+    """Input schema as DDL plus one appended column — the shared output
+    contract of the mapInArrow/applyInPandas rungs."""
+    return ", ".join(f"{n} {t}" for n, t in df.dtypes) + f", {extra}"
 
 
 def discounted_price_builtin(price: Column, discount: Column) -> Column:
@@ -26,8 +30,12 @@ def discounted_price_builtin(price: Column, discount: Column) -> Column:
     return price * (1 - discount)
 
 
-@cache
 def _discounted_price_pandas():
+    # Built per call, not @cache'd: a cached UserDefinedFunction pins its
+    # JVM handle to the first SparkSession and breaks after a session
+    # stop/recreate (notebooks, multi-session test runs). Construction is
+    # driver-side wrapping only — the JVM registration happens lazily at
+    # first use either way.
     @pandas_udf("double")
     def discounted(price: pd.Series, discount: pd.Series) -> pd.Series:
         return price * (1 - discount)
@@ -42,7 +50,6 @@ def discounted_price_pandas(price, discount) -> Column:
     return _discounted_price_pandas()(price, discount)
 
 
-@cache
 def _discounted_price_rowudf():
     @F.udf("double")
     def discounted(price, discount):
@@ -59,7 +66,6 @@ def discounted_price_rowudf(price, discount) -> Column:
     return _discounted_price_rowudf()(price, discount)
 
 
-@cache
 def _weighted_avg_price():
     @pandas_udf("double")
     def weighted(price: pd.Series, qty: pd.Series) -> float:
@@ -103,8 +109,7 @@ def discounted_price_arrow(df: DataFrame) -> DataFrame:
                 [*b.columns, disc], names=[*b.schema.names, "disc_price"]
             )
 
-    schema = ", ".join(f"{n} {t}" for n, t in df.dtypes) + ", disc_price double"
-    return df.mapInArrow(batches, schema=schema)
+    return df.mapInArrow(batches, schema=_schema_plus(df, "disc_price double"))
 
 
 def zscore_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
@@ -118,7 +123,6 @@ def zscore_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame
         pdf["zscore"] = 0.0 if std == 0 else (pdf[value_col] - mean) / std
         return pdf
 
-    out_schema = ", ".join(
-        f"{name} {dtype}" for name, dtype in df.dtypes
-    ) + ", zscore double"
-    return df.groupBy(group_col).applyInPandas(add_z, schema=out_schema)
+    return df.groupBy(group_col).applyInPandas(
+        add_z, schema=_schema_plus(df, "zscore double")
+    )

@@ -56,6 +56,17 @@ def cosine_scores(df: DataFrame, query: list[float], vec_col: str = "embedding")
     return df.withColumn("cosine_raw", dot(v, qlit) / (l2_norm(v) * F.lit(qnorm)))
 
 
+def _topk_tail(scored: DataFrame, k: int, id_col: str, label_col: str) -> DataFrame:
+    """Shared top-k tail: order by raw cosine (id tiebreak), limit,
+    round for the reported value. One definition so the brute-force,
+    IVF, and LSH paths cannot drift apart on tie-break or rounding."""
+    return (
+        scored.orderBy(F.col("cosine_raw").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, label_col, F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
 def cosine_topk_bruteforce(
     df: DataFrame,
     query_vec_id: int,
@@ -67,11 +78,7 @@ def cosine_topk_bruteforce(
     """Exact cosine top-k against the stored vector ``query_vec_id``."""
     q = _query_vector(df, vec_col, id_col, query_vec_id)
     scored = cosine_scores(df.filter(F.col(id_col) != query_vec_id), q, vec_col)
-    return (
-        scored.orderBy(F.col("cosine_raw").desc(), F.col(id_col))
-        .limit(k)
-        .select(id_col, label_col, F.round("cosine_raw", 6).alias("cosine"))
-    )
+    return _topk_tail(scored, k, id_col, label_col)
 
 
 def embedding_near_pairs(
@@ -142,16 +149,8 @@ def ivf_topk(
     candidates = assigned.filter(
         F.col("centroid_id").isin(probe) & (F.col(id_col) != query_vec_id)
     )
-    qlit = F.array(*[F.lit(x) for x in q])
-    qnorm = math.sqrt(sum(x * x for x in q))
-    scored = candidates.withColumn(
-        "cosine_raw", dot(F.col("v"), qlit) / (l2_norm(F.col("v")) * F.lit(qnorm))
-    )
-    return (
-        scored.orderBy(F.col("cosine_raw").desc(), F.col(id_col))
-        .limit(k)
-        .select(id_col, label_col, F.round("cosine_raw", 6).alias("cosine"))
-    )
+    scored = cosine_scores(candidates, q, vec_col="v")
+    return _topk_tail(scored, k, id_col, label_col)
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -181,6 +180,13 @@ def _plane_dot_sql(vec_sql: str, p: list[float]) -> str:
     )
 
 
+def _quoted(name: str) -> str:
+    """Backtick-quote a column name for generated SQL (embedded backticks
+    double, per the Spark identifier grammar) — so the fast string path
+    accepts every name the Column path does."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _bucket_expr(vec_sql: str, planes: list[list[float]], grid: bool) -> Column:
     """Whole sign-pattern bucket as ONE ``F.expr`` string.
 
@@ -192,12 +198,37 @@ def _bucket_expr(vec_sql: str, planes: list[list[float]], grid: bool) -> Column:
     swings with box load while execution doesn't). One server-side
     parse of generated SQL is ~300× cheaper and optimizes to the same
     physical plan (pinned bit-equal in tests/test_similarity.py)."""
+    if not planes:
+        return F.lit(0).cast("long")  # match the Column path, not expr("()")
+    for p in planes:
+        if not all(math.isfinite(x) for x in p):
+            # repr(nan/inf)+"D" is not a parseable Spark literal; planes
+            # are model parameters and must be finite.
+            raise ValueError("hyperplane contains a non-finite value")
     parts = []
     for i, p in enumerate(planes):
         d = _plane_dot_sql(vec_sql, p)
         cond = f"floor({d} * 1000000.0D + 0.5D) >= 0" if grid else f"{d} >= 0"
         parts.append(f"(CASE WHEN {cond} THEN {1 << i}L ELSE 0L END)")
     return F.expr("(" + " | ".join(parts) + ")")
+
+
+def _bucket_column(vec: Column, planes: list[list[float]], grid: bool) -> Column:
+    """Column-API twin of :func:`_bucket_expr` — one loop body for both
+    the raw and grid forms, so the documented twin relationship cannot
+    drift through divergent edits."""
+    bucket = F.lit(0).cast("long")
+    v = _as_double(vec)
+    for i, p in enumerate(planes):
+        plit = F.array(*[F.lit(x) for x in p])
+        d = dot(v, plit)
+        sign_src = F.floor(d * 1e6 + F.lit(0.5)) if grid else d
+        bucket = bucket.bitwiseOR(
+            F.when(
+                sign_src >= 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
 
 
 def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
@@ -207,17 +238,8 @@ def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     (the hot paths do); a Column is accepted for computed inputs and
     builds the same expression through the Column API."""
     if isinstance(vec, str):
-        return _bucket_expr(f"`{vec}`", planes, grid=False)
-    bucket = F.lit(0).cast("long")
-    v = _as_double(vec)
-    for i, p in enumerate(planes):
-        plit = F.array(*[F.lit(x) for x in p])
-        bucket = bucket.bitwiseOR(
-            F.when(dot(v, plit) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return bucket
+        return _bucket_expr(_quoted(vec), planes, grid=False)
+    return _bucket_column(vec, planes, grid=False)
 
 
 def lsh_bucket_grid(vec: Column | str, planes: list[list[float]]) -> Column:
@@ -234,18 +256,8 @@ def lsh_bucket_grid(vec: Column | str, planes: list[list[float]]) -> Column:
     probing. Pass the column NAME for the fast generated-SQL build
     (see :func:`_bucket_expr`)."""
     if isinstance(vec, str):
-        return _bucket_expr(f"`{vec}`", planes, grid=True)
-    bucket = F.lit(0).cast("long")
-    v = _as_double(vec)
-    for i, p in enumerate(planes):
-        plit = F.array(*[F.lit(x) for x in p])
-        grid = F.floor(dot(v, plit) * 1e6 + F.lit(0.5))
-        bucket = bucket.bitwiseOR(
-            F.when(grid >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return bucket
+        return _bucket_expr(_quoted(vec), planes, grid=True)
+    return _bucket_column(vec, planes, grid=True)
 
 
 def hamming_masks(n_bits: int, radius: int) -> list[int]:
@@ -277,9 +289,16 @@ def lsh_probe_batch(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    emit_misses: bool = False,
 ) -> DataFrame:
     """Batched multi-query LSH cosine top-k: every query vector gets its
     k approximate nearest corpus vectors in ONE plan.
+
+    A query whose whole Hamming ball matches no corpus bucket has zero
+    candidates. By default it emits zero rows (the natural top-k-of-
+    empty); pass ``emit_misses=True`` to emit one all-NULL row per such
+    query instead, so a consumer iterating per query can distinguish
+    "no candidates" from "query absent from the batch" (r7 review).
 
     The single-query variants (:func:`lsh_cosine_topk`,
     ``ann_index.lsh_topk_indexed``) enumerate the probe set driver-side
@@ -347,7 +366,7 @@ def lsh_probe_batch(
     from pyspark.sql import Window
 
     w = Window.partitionBy("q_id").orderBy(F.col("_qcos").desc(), F.col(id_col))
-    return (
+    hits = (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(
@@ -357,6 +376,16 @@ def lsh_probe_batch(
             (F.col("_qcos") / 1e6).alias("cosine"),
             "rn",
         )
+    )
+    if not emit_misses:
+        return hits
+    # Left join from the full query set: bucket-miss queries surface as
+    # one all-NULL row. The hit side is at most B*k rows, so this costs
+    # one small join, never a second corpus scan.
+    return (
+        queries.select(F.col(id_col).alias("q_id"))
+        .join(hits, "q_id", "left")
+        .select("q_id", id_col, label_col, "cosine", "rn")
     )
 
 
@@ -389,8 +418,4 @@ def lsh_cosine_topk(
         <= probe_hamming
     )
     scored = cosine_scores(candidates, q, vec_col)
-    return (
-        scored.orderBy(F.col("cosine_raw").desc(), F.col(id_col))
-        .limit(k)
-        .select(id_col, label_col, F.round("cosine_raw", 6).alias("cosine"))
-    )
+    return _topk_tail(scored, k, id_col, label_col)

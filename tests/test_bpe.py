@@ -66,3 +66,23 @@ def test_duckdb_chain_matches_python():
     ).fetchall()
     for w, n in rows:
         assert n == len(bpe_encode(w)), (w, n, bpe_encode(w))
+
+
+def test_oracle_sql_empty_word_is_zero():
+    """r7 functions review: DuckDB string_split_regex('', ' +') is ['']
+    (length 1) while bpe_encode('') is [] — the oracle SQL must guard
+    the empty word so the parity holds on every input, not just
+    PRETOKEN_RE outputs."""
+    import duckdb
+
+    from map_reduce_framework_using_python_spark.functions.bpe import (
+        bpe_encode,
+        oracle_encode_sql,
+    )
+
+    con = duckdb.connect()
+    for w in ["", "a", "the", "zzz"]:
+        got = con.execute(
+            f"SELECT {oracle_encode_sql('w')} FROM (SELECT ? AS w)", [w]
+        ).fetchone()[0]
+        assert got == len(bpe_encode(w)), w

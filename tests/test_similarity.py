@@ -138,3 +138,91 @@ def test_bucket_expr_bit_equal_to_column_path(spark):
         .collect()
     ]
     assert sqld == cold
+
+
+def test_sql_and_column_bucket_paths_agree_on_edges(spark):
+    """r7 functions/similarity review: the fast generated-SQL build and
+    the Column build must agree on edge inputs — empty planes (lit 0,
+    not an unparseable '()'), and a backticked column name must quote
+    through the string path. Non-finite plane values raise up front."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket,
+        lsh_bucket_grid,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(5)
+    # empty planes: both paths give bucket 0 for every row
+    got = emb.select(lsh_bucket("embedding", []).alias("b")).collect()
+    want = emb.select(lsh_bucket(F.col("embedding"), []).alias("b")).collect()
+    assert [r["b"] for r in got] == [r["b"] for r in want] == [0] * 5
+    # backtick in the column name survives the string fast path (same
+    # data under a plain name is the expected value — F.col would itself
+    # need manual escaping for such a name)
+    planes = hyperplanes(64, 4, seed=7)
+    weird = emb.select("vec_id", F.col("embedding").alias("e`mb"))
+    got = [
+        r[1]
+        for r in weird.select("vec_id", lsh_bucket("e`mb", planes))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    want = [
+        r[1]
+        for r in emb.select("vec_id", lsh_bucket("embedding", planes))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    assert got == want
+    # non-finite plane values are rejected at build time, not parse time
+    bad = [[float("nan")] * 64]
+    with pytest.raises(ValueError):
+        lsh_bucket("embedding", bad)
+    with pytest.raises(ValueError):
+        lsh_bucket_grid("embedding", bad)
+
+
+def test_probe_batch_emit_misses_surfaces_empty_queries(spark):
+    """r7 functions/similarity review: a query whose Hamming ball hits
+    no corpus bucket silently vanished from lsh_probe_batch output;
+    emit_misses=True must surface it as one all-NULL row while hit
+    queries are unchanged."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        lsh_probe_batch,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    # One real query + one adversarial all-(-1000) vector far from every
+    # corpus bucket under radius-0 probing.
+    real = emb.filter(F.col("vec_id") == 7).select("vec_id", "embedding")
+    alien = spark.createDataFrame(
+        [(999999, [-1000.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    queries = real.unionByName(alien)
+    base = lsh_probe_batch(
+        corpus, queries, dim=64, k=3, probe_hamming=0, id_col="vec_id"
+    )
+    with_misses = lsh_probe_batch(
+        corpus, queries, dim=64, k=3, probe_hamming=0, id_col="vec_id",
+        emit_misses=True,
+    )
+    base_rows = base.collect()
+    m_rows = with_misses.collect()
+    base_qids = {r["q_id"] for r in base_rows}
+    m_qids = {r["q_id"] for r in m_rows}
+    assert 999999 in m_qids  # surfaced
+    if 999999 not in base_qids:  # the designed scenario: silent drop
+        null_rows = [r for r in m_rows if r["q_id"] == 999999]
+        assert len(null_rows) == 1 and null_rows[0]["vec_id"] is None
+    # hit queries identical between the two forms
+    assert sorted(
+        (r["q_id"], r["vec_id"], r["rn"]) for r in base_rows
+    ) == sorted(
+        (r["q_id"], r["vec_id"], r["rn"]) for r in m_rows if r["vec_id"] is not None
+    )
