@@ -55,6 +55,10 @@ from map_reduce_framework_using_python_spark.plans import REGISTRY
 #: half is now genuinely constraining — output changed).
 #: Round-7 functions/similarity review removal: ns_token_count_bpe
 #: (oracle gained the empty-word CASE guard — values identical).
+#: Round-7 dedup-lane review removals: ns_ngram_jaccard_pairs,
+#: ns_source_overlap (word_shingles now backtick-quotes its column),
+#: ns_paragraph_dedup_apply (clean-text rewrite shared with the
+#: incremental apply) — values verified identical at sf0.01.
 _LAST_VERIFIED: dict[str, int] = {
     # round 1 (CORRECTNESS_r01.json) — stalest tier, re-check first
     **dict.fromkeys((
@@ -73,7 +77,7 @@ _LAST_VERIFIED: dict[str, int] = {
     **dict.fromkeys((
         "mr_wordcount_pipe", "ns_cosine_topk", "ns_embedding_near_pairs",
         "ns_embedding_norms", "ns_fingerprint", "ns_lang_stats",
-        "ns_language_id", "ns_ngram_jaccard_pairs", "ns_quality_scores",
+        "ns_language_id", "ns_quality_scores",
         "ns_token_stats", "ns_wordcount", "q02_min_cost_supplier",
         "q04_priority_exists", "q07_nation_volume", "q14_promo_share",
         "q15_top_supplier", "q19_disjunctive", "q22_idle_customers", "q_array_ops", "q_binary_funcs", "q_bool_agg",
@@ -140,7 +144,7 @@ _LAST_VERIFIED: dict[str, int] = {
     **dict.fromkeys((
         "st_mrtext_stream", "q_from_xml", "q_xml_roundtrip",
         "ns_bigram_lm_score", "ns_bigram_lm_score_broadcast",
-        "ns_hash_embed", "ns_source_overlap", "ns_token_entropy",
+        "ns_hash_embed", "ns_token_entropy",
         "ns_ccnet_buckets",
         "ns_temperature_mixture",
         "ns_ann_probe_batch", "q_sql_star_except",
@@ -160,9 +164,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "mr_wordcount_pipe", "ns_ccnet_buckets_scaled", "ns_ccnet_sample",
         "ns_cosine_topk", "ns_dedup_exact", "ns_embedding_near_pairs",
         "ns_embedding_norms", "ns_epoch_plan", "ns_fingerprint",
-        "ns_lang_stats", "ns_language_id", "ns_ngram_jaccard_pairs",
-        "ns_paragraph_dedup", "ns_paragraph_dedup_apply",
-        "ns_quality_scores", "ns_token_stats", "ns_wordcount",
+        "ns_lang_stats", "ns_language_id", "ns_paragraph_dedup", "ns_quality_scores", "ns_token_stats", "ns_wordcount",
         "q04_priority_exists", "q14_promo_share", "q19_disjunctive",
         "q_binary_funcs", "q_date_spine", "q_event_dedup",
         "q_event_sessionize",

@@ -93,6 +93,13 @@ def kmeans_fit(
     """
     vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     init_rows = vecs.orderBy(id_col).limit(k).collect()  # k rows: model init, not data movement
+    if len(init_rows) < k:
+        # Degenerate inputs fail loudly, not with a bare IndexError
+        # (empty) or a silent fewer-than-k fit (r7 dedup review; the
+        # repo's empty-frame convention for the dedup operators).
+        raise ValueError(
+            f"kmeans_fit: needs at least k={k} rows, got {len(init_rows)}"
+        )
     centroids = [[_round6(x) for x in r["v"]] for r in init_rows]
     dim = len(centroids[0])
 

@@ -40,13 +40,27 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (JVM higher-order
     fns: split → sequence → slice → concat_ws). Empty array when the
     document has fewer than ``n`` tokens."""
-    toks = f"split({text_col}, ' ')"
+    # Backtick-quote the identifier (embedded backticks double) so names
+    # needing quoting resolve instead of breaking the generated SQL —
+    # the clustering.assign_clusters convention (r7 dedup review).
+    quoted = "`" + text_col.replace("`", "``") + "`"
+    toks = f"split({quoted}, ' ')"
     return F.expr(
         f"CASE WHEN size({toks}) >= {n} THEN "
         f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
         f"i -> concat_ws(' ', slice({toks}, i + 1, {n})))) "
         f"ELSE array() END"
     )
+
+
+def shingle_jaccard(sh_a: str, sh_b: str) -> Column:
+    """Exact Jaccard of two shingle-array columns — the ONE definition
+    of the verification expression shared by the one-shot operator and
+    the persisted-index probe (their equivalence contract requires both
+    sides to verify identically; r7 dedup review collapsed the copies)."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(sh_a) + F.size(sh_b) - inter
+    return inter / union
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -328,9 +342,7 @@ def minhash_lsh_pairs(
     )
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter / union
+    jac = shingle_jaccard("sh_a", "sh_b")
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -376,8 +388,17 @@ def simhash_pairs(
 
     Pigeonhole blocking: with 4 16-bit chunks, any pair within Hamming
     distance 3 agrees on ≥1 chunk, so the join on (chunk_idx, chunk_val)
-    finds all of them without an all-pairs scan.
+    finds all of them without an all-pairs scan. That completeness bound
+    is ``chunks - 1 = 3``: at distance 4 a pair can differ by one bit in
+    EVERY chunk and never meet, so larger radii are rejected rather than
+    silently losing recall (r7 dedup review).
     """
+    if max_hamming > 3:
+        raise ValueError(
+            f"simhash_pairs: max_hamming={max_hamming} exceeds the 4-chunk "
+            "pigeonhole completeness bound (3); results would silently "
+            "miss pairs differing by one bit per chunk"
+        )
     fps = simhash_fingerprints(df, text_col, id_col)
     chunks = fps.select(
         F.col(id_col),

@@ -47,8 +47,24 @@ from pyspark.sql import functions as F
 from map_reduce_framework_using_python_spark.operators.dedup import (
     band_table,
     minhash_signatures,
+    shingle_jaccard,
     word_shingles,
 )
+
+
+def _require_bigint_id(df: DataFrame, id_col: str, what: str) -> None:
+    """Fail at BUILD time when the id column is not BIGINT — every index
+    reader uses a fixed BIGINT schema, so a string-id index would build
+    fine and only die at first probe with an opaque parquet conversion
+    error far from the cause (r7 dedup review)."""
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type is None:
+        raise ValueError(f"{what}: id column {id_col!r} not in {df.columns}")
+    if id_type != "bigint":
+        raise ValueError(
+            f"{what}: id column {id_col!r} must be BIGINT (got {id_type}) — "
+            "the persisted index schema is fixed-width BIGINT"
+        )
 
 
 def _write_meta(path: str, meta: dict) -> None:
@@ -93,6 +109,7 @@ def build_minhash_index(
     summarizes; the parameters are persisted so probes hash with the
     exact same bands forever (an index is only valid with its params).
     """
+    _require_bigint_id(corpus, id_col, "build_minhash_index")
     buckets = band_table(
         minhash_signatures(corpus, text_col, id_col, n, num_hashes),
         id_col, num_hashes, bands,
@@ -125,6 +142,11 @@ def append_to_index(
     meta = read_meta(path)
     if meta["id_col"] != id_col:
         raise ValueError(f"index id_col {meta['id_col']!r} != {id_col!r}")
+    if "witness_cap" in meta:
+        raise ValueError(
+            "append_to_index: target is a witness-capped DERIVED layout — "
+            "append to the exact index and re-run prune_index_witnesses"
+        )
     buckets = band_table(
         minhash_signatures(batch, text_col, id_col, meta["n"], meta["num_hashes"]),
         id_col, meta["num_hashes"], meta["bands"],
@@ -155,10 +177,18 @@ def prune_index_witnesses(
     The pruned layout is a separate artifact, not an in-place edit: the
     exact index stays authoritative for exact probes and future
     appends; re-run pruning after appends to refresh (meta carries
-    ``witness_cap`` so a capped layout can never masquerade as exact).
+    ``witness_cap`` — and drops the pristine-build ``src`` fingerprint —
+    so a capped layout can never masquerade as exact, and
+    :func:`append_to_index` refuses to extend it).
     Equivalence (pinned in tests/test_dedup_index.py):
-    ``probe(pruned)`` == ``probe(full, witness_cap=cap)`` for any
-    batch."""
+    ``probe(pruned)`` == ``probe(full, witness_cap=cap)`` whenever the
+    batch's ids are DISJOINT from the indexed corpus. Under
+    ``exclude_own=True`` with overlapping ids (a crash-replayed batch
+    that already appended itself) the equality can break: the full
+    layout promotes post-anti-join survivors into the top ``cap``,
+    while the pruned layout has already discarded them — the same
+    probabilistic edge :func:`prune_paragraph_index` documents; size
+    ``cap`` ≥ the replay multiplicity you tolerate."""
     from pyspark.sql import Window
 
     if os.path.abspath(out_path) == os.path.abspath(path) or (
@@ -183,7 +213,12 @@ def prune_index_witnesses(
         .partitionBy("band")
         .parquet(os.path.join(out_path, "buckets"))
     )
-    _write_meta(out_path, {**meta, "witness_cap": cap})
+    # The derived layout is NOT a pristine build(source): drop the 'src'
+    # fingerprint so ensure-style callers can never serve the capped
+    # layout as exact (the _drop_src_fingerprint invariant every other
+    # mutation path keeps).
+    pruned_meta = {k: v for k, v in meta.items() if k != "src"}
+    _write_meta(out_path, {**pruned_meta, "witness_cap": cap})
     return out_path
 
 
@@ -406,6 +441,17 @@ def incremental_dedup_pairs(
     coincide exactly when no combined bucket exceeds that).
     """
     meta = read_meta(path)
+    if meta["id_col"] != id_col:
+        # Same fail-fast diagnosis as append_to_index — otherwise the
+        # mismatch surfaces as an opaque unresolved-column error
+        # mid-plan (r7 dedup review).
+        raise ValueError(f"index id_col {meta['id_col']!r} != {id_col!r}")
+    stored_cap = meta.get("witness_cap")
+    if stored_cap is not None and witness_cap is not None and witness_cap > stored_cap:
+        raise ValueError(
+            f"witness_cap={witness_cap} cannot be honored by a layout "
+            f"pruned at cap={stored_cap} — probe the exact index instead"
+        )
     # Explicit schema: an index built over an EMPTY corpus has no band
     # directories, and schema inference would fail on the bare dir.
     idx = spark.read.schema(f"{meta['id_col']} BIGINT, key BIGINT, band INT").parquet(
@@ -457,9 +503,7 @@ def incremental_dedup_pairs(
         F.col(id_col).alias("batch_doc"),
         word_shingles(text_col, meta["n"]).alias("sh_a"),
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter / union
+    jac = shingle_jaccard("sh_a", "sh_b")
     return (
         cand.join(F.broadcast(batch_sets), "batch_doc")
         .join(corpus_sets, "corpus_doc")
@@ -529,6 +573,18 @@ def _pb(col: str, buckets: int):
     return F.pmod(F.xxhash64(F.col(col)), F.lit(buckets)).cast("int")
 
 
+def paragraph_clean_expr(text_col: str, para_words: int):
+    """Rebuild a document from its kept paragraph positions ``ks`` —
+    the ONE definition of the apply-side rewrite shared by the one-shot
+    (plans/pipeline8.ns_paragraph_dedup_apply) and the incremental
+    apply, so the two rewrites can never drift (r7 dedup review)."""
+    quoted = "`" + text_col.replace("`", "``") + "`"
+    return F.expr(
+        f"concat_ws(' ', transform(ks, g -> concat_ws(' ', "
+        f"slice(split(trim({quoted}), ' +'), g * {para_words} + 1, {para_words}))))"
+    )
+
+
 def build_paragraph_index(
     corpus: DataFrame,
     path: str,
@@ -542,6 +598,7 @@ def build_paragraph_index(
     probe scans only directories its batch digests hash into when the
     reader pushes the partition filter; at minimum the layout bounds
     file counts per append)."""
+    _require_bigint_id(corpus, id_col, "build_paragraph_index")
     inst = _paragraph_instances(corpus, text_col, id_col, para_words)
     (
         inst.withColumn("pb", _pb("h", buckets))
@@ -569,6 +626,11 @@ def append_paragraphs_to_index(
         raise ValueError(f"not a paragraph index: {meta.get('kind')!r}")
     if meta["id_col"] != id_col:
         raise ValueError(f"index id_col {meta['id_col']!r} != {id_col!r}")
+    if "witness_cap" in meta:
+        raise ValueError(
+            "append_paragraphs_to_index: target is a witness-capped DERIVED "
+            "layout — append to the exact index and re-run prune_paragraph_index"
+        )
     inst = _paragraph_instances(batch, text_col, id_col, meta["para_words"])
     (
         inst.withColumn("pb", _pb("h", meta["buckets"]))
@@ -743,10 +805,7 @@ def incremental_paragraph_apply(
             F.count("*").alias("n_kept"),
         )
     )
-    clean = F.expr(
-        f"concat_ws(' ', transform(ks, g -> concat_ws(' ', "
-        f"slice(split(trim({text_col}), ' +'), g * {pw} + 1, {pw}))))"
-    )
+    clean = paragraph_clean_expr(text_col, pw)
     return (
         batch.withColumnRenamed(id_col, "doc_id")
         .join(keptg, "doc_id")
@@ -805,5 +864,8 @@ def prune_paragraph_index(
         .partitionBy("pb")
         .parquet(os.path.join(out_path, "digests"))
     )
-    _write_meta(out_path, {**meta, "witness_cap": cap})
+    # Derived layout: drop the pristine-build fingerprint (same
+    # invariant as prune_index_witnesses).
+    pruned_meta = {k: v for k, v in meta.items() if k != "src"}
+    _write_meta(out_path, {**pruned_meta, "witness_cap": cap})
     return out_path

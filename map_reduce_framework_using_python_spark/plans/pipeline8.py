@@ -37,6 +37,7 @@ from map_reduce_framework_using_python_spark.operators.dedup_index import (
     _paragraph_instances,
     _PINST_KEY,
     PARA_WORDS,
+    paragraph_clean_expr,
 )
 from map_reduce_framework_using_python_spark.plans.core import query, t
 from map_reduce_framework_using_python_spark.plans.pipeline7 import (
@@ -199,10 +200,7 @@ def ns_paragraph_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_kept"),
         )
     )
-    clean = F.expr(
-        f"concat_ws(' ', transform(ks, g -> concat_ws(' ', "
-        f"slice(split(trim(text), ' +'), g * {_PARA_WORDS} + 1, {_PARA_WORDS}))))"
-    )
+    clean = paragraph_clean_expr("text", _PARA_WORDS)
     return d.join(keptg, "doc_id").select(
         "doc_id", "n_kept", clean.alias("clean_text")
     )

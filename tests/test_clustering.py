@@ -224,3 +224,21 @@ def test_assign_clusters_sql_build_bit_equal_to_column_path(spark):
         ).orderBy("vec_id").collect()
     ]
     assert ds == dd
+
+
+def test_kmeans_fit_rejects_degenerate_inputs(spark):
+    """r7 dedup review: empty input raised a bare IndexError and n < k
+    silently fit fewer clusters — both now raise a clear ValueError."""
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.clustering import kmeans_fit
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_fit(empty, k=4)
+    three = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_fit(three, k=8)

@@ -142,3 +142,29 @@ def test_simhash_identical_docs_distance_zero(spark):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(df).collect()}
     assert pairs.get((1, 2)) == 0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_rejects_radius_beyond_pigeonhole_bound(spark):
+    """r7 dedup review: 4-chunk blocking is only complete to Hamming 3;
+    larger radii must raise instead of silently losing recall."""
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.dedup import simhash_pairs
+    from map_reduce_framework_using_python_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, max_hamming=4)
+
+
+def test_word_shingles_quotes_identifiers(spark):
+    """r7 dedup review: a column name needing quoting must resolve in
+    the generated shingle SQL (the assign_clusters convention)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame([("a b c d",)], "`doc text` string")
+    got = df.select(word_shingles("doc text", 2).alias("sh")).head()["sh"]
+    assert got == ["a b", "b c", "c d"]

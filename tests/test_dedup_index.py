@@ -529,3 +529,79 @@ def test_appends_and_recovery_folds_drop_src_fingerprint(spark, tmp_path):
         for r in spark.read.parquet(live).select("doc_id", "g", "h").collect()
     }
     assert (777_001, 3, "aa" * 16) in rows  # racer's row survived
+
+
+def test_pruned_layout_guards(spark, tmp_path):
+    """r7 dedup review: a witness-capped DERIVED layout must (a) not
+    carry the pristine-build 'src' fingerprint, (b) refuse appends, and
+    (c) refuse probes asking for a larger cap than it stores."""
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        append_to_index,
+        build_minhash_index,
+        incremental_dedup_pairs,
+        prune_index_witnesses,
+        read_meta,
+        _write_meta,
+    )
+    from map_reduce_framework_using_python_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    corpus = load_table(spark, SF_SMOKE, "documents").limit(50)
+    full = str(tmp_path / "full")
+    pruned = str(tmp_path / "pruned")
+    build_minhash_index(corpus, full)
+    # simulate an ensure-style cache fingerprint on the exact index
+    _write_meta(full, {**read_meta(full), "src": "fingerprint"})
+    prune_index_witnesses(spark, full, pruned, cap=2)
+    meta = read_meta(pruned)
+    assert "src" not in meta and meta["witness_cap"] == 2
+    batch = corpus.limit(3)
+    with pytest.raises(ValueError, match="DERIVED layout"):
+        append_to_index(batch, pruned)
+    with pytest.raises(ValueError, match="cannot be honored"):
+        incremental_dedup_pairs(spark, batch, corpus, pruned, witness_cap=5)
+    # cap <= stored cap IS honorable: top-K of the stored top-C rows
+    incremental_dedup_pairs(spark, batch, corpus, pruned, witness_cap=1).count()
+
+
+def test_build_rejects_non_bigint_ids(spark, tmp_path):
+    """r7 dedup review: a string-id index would build fine and die at
+    first probe with an opaque parquet error — builds now fail fast."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        build_minhash_index,
+        build_paragraph_index,
+    )
+
+    bad = spark.createDataFrame(
+        [("a", "some text here")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="BIGINT"):
+        build_minhash_index(bad, str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="BIGINT"):
+        build_paragraph_index(bad, str(tmp_path / "y"))
+
+
+def test_probe_id_col_mismatch_diagnosed(spark, tmp_path):
+    """r7 dedup review: a probe under the wrong id_col raises the same
+    clear ValueError as append, not an unresolved-column mid-plan."""
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        build_minhash_index,
+        incremental_dedup_pairs,
+    )
+    from map_reduce_framework_using_python_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    corpus = load_table(spark, SF_SMOKE, "documents").limit(20)
+    path = str(tmp_path / "idx")
+    build_minhash_index(corpus, path)
+    with pytest.raises(ValueError, match="id_col"):
+        incremental_dedup_pairs(
+            spark, corpus.limit(2), corpus, path, id_col="other_id"
+        )
