@@ -59,6 +59,9 @@ from map_reduce_framework_using_python_spark.plans import REGISTRY
 #: ns_source_overlap (word_shingles now backtick-quotes its column),
 #: ns_paragraph_dedup_apply (clean-text rewrite shared with the
 #: incremental apply) — values verified identical at sf0.01.
+#: Round-7 ANN review removals: ns_ann_probe_batch (probe table now
+#: persisted before the static-bucket collect), ns_ivf_probe_batch
+#: (static centroid partition filter) — values identical at sf0.01.
 _LAST_VERIFIED: dict[str, int] = {
     # round 1 (CORRECTNESS_r01.json) — stalest tier, re-check first
     **dict.fromkeys((
@@ -147,7 +150,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "ns_hash_embed", "ns_token_entropy",
         "ns_ccnet_buckets",
         "ns_temperature_mixture",
-        "ns_ann_probe_batch", "q_sql_star_except",
+        "q_sql_star_except",
         "q_sql_lateral_alias", "q_sql_parameterized", "q_sql_collation",
         "q_sql_listagg", "ns_semdedup_pairs", "q_cube", "q_rollup",
         "q_pivot", "q03_global_topn", "q_union",

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_framework_using_python_spark.operators.similarity import (
     _as_double,
+    _topk_tail,
     cosine_scores,
     hyperplanes,
     lsh_bucket,
@@ -73,7 +74,14 @@ def build_lsh_index(
     so queries hash identically forever (an index is only valid with
     the planes it was built with).
     """
-    dim = len(df.select(vec_col).head()[0])
+    first = df.select(vec_col).head()
+    if first is None or first[0] is None:
+        # Degenerate inputs fail loudly, not with a bare TypeError
+        # (the kmeans_fit convention, r7 review).
+        raise ValueError(
+            f"build_lsh_index: cannot infer dim — empty corpus or NULL {vec_col!r}"
+        )
+    dim = len(first[0])
     planes = hyperplanes(dim, n_planes, seed)
     (
         df.withColumn("bucket", lsh_bucket(vec_col, planes))
@@ -124,6 +132,11 @@ def lsh_topk_indexed(
     """
     meta = _read_meta(path)
     planes, id_col = meta["planes"], meta["id_col"]
+    if len(query) != len(planes[0]):
+        # zip() would silently truncate and hash a garbage bucket.
+        raise ValueError(
+            f"query dim {len(query)} != index dim {len(planes[0])}"
+        )
     qbits = 0
     for i, p in enumerate(planes):
         if sum(x * y for x, y in zip(query, p)) >= 0:
@@ -133,11 +146,7 @@ def lsh_topk_indexed(
     if exclude_id is not None:
         corpus = corpus.filter(F.col(id_col) != exclude_id)
     scored = cosine_scores(corpus, query, meta["vec_col"])
-    return (
-        scored.orderBy(F.col("cosine_raw").desc(), F.col(id_col))
-        .limit(k)
-        .select(id_col, label_col, F.round("cosine_raw", 6).alias("cosine"))
-    )
+    return _topk_tail(scored, k, id_col, label_col)
 
 
 def build_ivf_index(
@@ -232,6 +241,10 @@ def ivf_topk_indexed(
     ``centroid_id IN (n_probe nearest)`` on the partition column."""
     meta = _read_meta(path)
     centroids, id_col = meta["centroids"], meta["id_col"]
+    if len(query) != len(centroids[0]):
+        raise ValueError(
+            f"query dim {len(query)} != index dim {len(centroids[0])}"
+        )
     by_dist = sorted(
         range(len(centroids)),
         key=lambda i: sum((a - b) ** 2 for a, b in zip(query, centroids[i])),
@@ -241,11 +254,7 @@ def ivf_topk_indexed(
     if exclude_id is not None:
         corpus = corpus.filter(F.col(id_col) != exclude_id)
     scored = cosine_scores(corpus, query, meta["vec_col"])
-    return (
-        scored.orderBy(F.col("cosine_raw").desc(), F.col(id_col))
-        .limit(k)
-        .select(id_col, label_col, F.round("cosine_raw", 6).alias("cosine"))
-    )
+    return _topk_tail(scored, k, id_col, label_col)
 
 
 def append_to_lsh_index(batch: DataFrame, path: str) -> None:
@@ -275,11 +284,14 @@ def append_to_lsh_index(batch: DataFrame, path: str) -> None:
     on (query, vector) after scoring, keeping the max-cosine copy
     (:func:`lsh_probe_index_batch`), and :func:`compact_lsh_index`
     sheds the duplicate rows from storage."""
-    from map_reduce_framework_using_python_spark.operators.similarity import (
-        lsh_bucket,
-    )
-
     meta = _read_meta(path)
+    # Drop the pristine-build fingerprint BEFORE the append: a crash (or
+    # a concurrent _ensure read) between the parquet append and a
+    # post-hoc meta rewrite would leave a mutated index still claiming
+    # pristine (r7 ANN review). Dropping first fails safe — if the
+    # append then dies, the only cost is one cache rebuild.
+    if meta.pop("src", None) is not None:
+        _write_meta(path, meta)
     (
         batch.withColumn(
             "bucket", lsh_bucket(meta["vec_col"], meta["planes"])
@@ -288,8 +300,6 @@ def append_to_lsh_index(batch: DataFrame, path: str) -> None:
         .partitionBy("bucket")
         .parquet(path)
     )
-    meta.pop("src", None)
-    _write_meta(path, meta)
 
 
 def compact_lsh_index(
@@ -624,6 +634,12 @@ def lsh_probe_index_batch(
         .withColumn("bucket", F.col("_qbucket").bitwiseXOR(F.col("_mask")))
         .drop("_qbucket", "_mask")
     )
+    # Persist the probe table BEFORE the static collect: the collect and
+    # the join below would otherwise evaluate `queries` twice, and a
+    # non-deterministic query lineage could desynchronize the IN-filter
+    # from the join, silently dropping candidates — the persist makes
+    # the filter a pure access-path optimization again (r7 ANN review).
+    probes = probes.persist()
     # Bounded driver collect: LIMIT cap+1 so a pathological batch can
     # never materialize an unbounded IN-list (or driver row set) — the
     # fallback path below costs pruning, not correctness.
@@ -716,6 +732,10 @@ def append_to_ivf_index(batch: DataFrame, path: str) -> None:
     foreachBatch replay (probes dedup on (query, vector) after scoring;
     :func:`compact_ivf_index` sheds duplicate rows from storage)."""
     meta = _read_meta(path)
+    # src drops BEFORE the append — same crash-window rationale as
+    # append_to_lsh_index.
+    if meta.pop("src", None) is not None:
+        _write_meta(path, meta)
     qv = _as_double(F.col(meta["vec_col"]))
     nearest = F.element_at(
         F.array_sort(_centroid_dist_structs(qv, meta["centroids"])), 1
@@ -726,8 +746,6 @@ def append_to_ivf_index(batch: DataFrame, path: str) -> None:
         .partitionBy("centroid_id")
         .parquet(path)
     )
-    meta.pop("src", None)
-    _write_meta(path, meta)
 
 
 def ivf_probe_index_batch(
@@ -791,8 +809,20 @@ def ivf_probe_index_batch(
         )
         .select("q_id", "qv", "qnorm", F.col("_probe.cid").alias("centroid_id"))
     )
+    # Static partition filter, like the LSH twin: DPP's pruningHasBenefit
+    # heuristic can decline to fire on an unfiltered probe side, and then
+    # every micro-batch scans ALL centroid directories. The distinct
+    # probed-centroid set is bounded by the meta-sized centroid count, so
+    # the collect is trivially cheap; the persist keeps the collect and
+    # the join on ONE evaluation of `queries` (r7 ANN review).
+    probes = probes.persist()
+    probed_cids = [
+        r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
+    ]
     v = _as_double(F.col(vec_col))
-    idx = spark.read.parquet(path).select(
+    idx = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(probed_cids)
+    ).select(
         F.col(id_col), F.col(label_col), v.alias("v"), l2_norm(v).alias("vnorm"),
         F.col("centroid_id"),
     )

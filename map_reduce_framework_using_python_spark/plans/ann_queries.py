@@ -33,11 +33,19 @@ from map_reduce_framework_using_python_spark.plans.core import query, t
 
 
 def _index_path(sf_dir: str, kind: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    # Key on the FULL normalized path, not the basename: two corpora
+    # named .../a/sf0.1 and .../b/sf0.1 would otherwise share one cache
+    # slot and thrash rebuilds on every alternating call (r7 ANN
+    # review). The basename stays in the tag for readability.
+    import hashlib
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    digest = hashlib.md5(norm.encode()).hexdigest()[:10]
+    tag = f"{os.path.basename(norm) or 'default'}-{digest}"
     return os.path.join(INDEX_ROOT, tag, kind)
 
 
-def _ensure(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
+def _ensure(sf_dir: str, kind: str, build) -> str:
     """Build-or-reuse a storage-backed index, guarded by a SOURCE
     fingerprint in the meta file: a regenerated embeddings.parquet
     (even same-cardinality) invalidates the index — the same
@@ -64,7 +72,7 @@ def _ensure(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
 
 def _ensure_lsh(spark: SparkSession, sf_dir: str) -> str:
     return _ensure(
-        spark, sf_dir, "lsh8_seed42",
+        sf_dir, "lsh8_seed42",
         lambda p: build_lsh_index(
             t(spark, sf_dir, "embeddings"), p, n_planes=8, seed=42
         ),
@@ -73,7 +81,7 @@ def _ensure_lsh(spark: SparkSession, sf_dir: str) -> str:
 
 def _ensure_ivf(spark: SparkSession, sf_dir: str) -> str:
     return _ensure(
-        spark, sf_dir, "ivf16_seed42",
+        sf_dir, "ivf16_seed42",
         lambda p: build_ivf_index(
             t(spark, sf_dir, "embeddings"), p, n_centroids=16, seed=42
         ),
@@ -86,18 +94,38 @@ def _ensure_ivf_lloyd(spark: SparkSession, sf_dir: str) -> str:
     )
 
     return _ensure(
-        spark, sf_dir, "ivf_lloyd8x2",
+        sf_dir, "ivf_lloyd8x2",
         lambda p: build_ivf_index_lloyd(
             t(spark, sf_dir, "embeddings"), p, k=8, n_iter=2
         ),
     )
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Per-invocation work dir (sink + checkpoint), reclaimed at process
+    exit — repeated sweep/bench runs otherwise accumulate unbounded
+    /tmp usage (r7 ANN review). Not reclaimed earlier because the
+    returned result frame may still read its parquet sink lazily."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _qvec(spark: SparkSession, sf_dir: str, vid: int = 0) -> list[float]:
-    row = (
-        t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vid).head()
+    # Delegate to the similarity helper: it raises a descriptive
+    # ValueError when the id is absent instead of a bare TypeError on
+    # row[...] (r7 ANN review).
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        _query_vector,
     )
-    return [float(x) for x in row["embedding"]]
+
+    return _query_vector(
+        t(spark, sf_dir, "embeddings"), "embedding", "vec_id", vid
+    )
 
 
 @query("ns_lsh_topk_indexed", oracle=None, tags=("northstar", "similarity", "sketch", "index"))
@@ -230,15 +258,13 @@ def st_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible at the index layer); pinned equal to the one-shot
     batch probe and to per-query ``lsh_topk_indexed`` in
     tests/test_ann_batch.py."""
-    import tempfile
-
     from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
         probe_stream,
         read_embeddings_stream,
     )
 
     path = _ensure_lsh(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="st_ann_ingest_")
+    work = _scratch_dir("st_ann_ingest_")
     return probe_stream(
         read_embeddings_stream(spark, sf_dir).filter(F.col("vec_id") % 13 == 5),
         path,
@@ -342,15 +368,13 @@ def st_ann_ingest_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid directories). Rows-only for the driver (centroids are
     trained k-means state, not static SQL); pinned equal to the
     one-shot ivf_probe_index_batch in tests/test_ann_batch.py."""
-    import tempfile
-
     from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
         ivf_probe_stream,
         read_embeddings_stream,
     )
 
     path = _ensure_ivf(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="st_ann_ingest_ivf_")
+    work = _scratch_dir("st_ann_ingest_ivf_")
     return ivf_probe_stream(
         read_embeddings_stream(spark, sf_dir).filter(F.col("vec_id") % 13 == 5),
         path,

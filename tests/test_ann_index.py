@@ -115,3 +115,51 @@ def test_ivf_indexed_scan_is_partition_pruned(spark, tmp_path):
     )[:4]
     # 4 probed cells of however many non-empty centroid dirs exist.
     assert scan_fraction(path, probe, "centroid_id") <= 4 / 10
+
+
+def test_r7_ann_review_guards(spark, tmp_path):
+    """r7 ANN review pins: (a) empty-corpus build fails loudly, (b) a
+    wrong-dimension query raises instead of zip-truncating to garbage,
+    (c) the src fingerprint is dropped BEFORE the append write (a crash
+    mid-append must not leave a mutated index claiming pristine), and
+    (d) the index cache key distinguishes same-basename corpora."""
+    import json
+    import os
+
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        build_lsh_index,
+        append_to_lsh_index,
+        ivf_topk_indexed,
+        lsh_topk_indexed,
+        build_ivf_index_lloyd,
+    )
+    from map_reduce_framework_using_python_spark.plans.ann_queries import _index_path
+    from map_reduce_framework_using_python_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_lsh_index(empty, str(tmp_path / "e"))
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    lsh_path = build_lsh_index(emb.limit(60), str(tmp_path / "lsh"))
+    with pytest.raises(ValueError, match="dim"):
+        lsh_topk_indexed(spark, lsh_path, [1.0] * 32)
+    ivf_path = build_ivf_index_lloyd(emb.limit(60), str(tmp_path / "ivf"), k=4, n_iter=1)
+    with pytest.raises(ValueError, match="dim"):
+        ivf_topk_indexed(spark, ivf_path, [1.0] * 32)
+
+    # (c) src drops even when the append itself fails mid-way
+    meta_path = os.path.join(lsh_path, "_ann_meta.json")
+    meta = json.load(open(meta_path))
+    meta["src"] = "pristine-fingerprint"
+    json.dump(meta, open(meta_path, "w"))
+    bad_batch = spark.createDataFrame([(1,)], "vec_id long")  # no embedding col
+    with pytest.raises(Exception):
+        append_to_lsh_index(bad_batch, lsh_path)
+    assert "src" not in json.load(open(meta_path))
+
+    # (d) same basename, different parents → different cache slots
+    assert _index_path("/tmp/a/sf0.1", "lsh") != _index_path("/tmp/b/sf0.1", "lsh")
