@@ -62,6 +62,10 @@ from map_reduce_framework_using_python_spark.plans import REGISTRY
 #: Round-7 ANN review removals: ns_ann_probe_batch (probe table now
 #: persisted before the static-bucket collect), ns_ivf_probe_batch
 #: (static centroid partition filter) — values identical at sf0.01.
+#: Round-7 pipeline review removals: q_session_dynamic_gap (oracle
+#: session boundary now strictly ts > prev_end, matching Spark's
+#: session_window merge rule — latent divergence), ns_span_dedup
+#: (single-scan window-flag form; values identical at sf0.01).
 _LAST_VERIFIED: dict[str, int] = {
     # round 1 (CORRECTNESS_r01.json) — stalest tier, re-check first
     **dict.fromkeys((
@@ -97,8 +101,7 @@ _LAST_VERIFIED: dict[str, int] = {
     **dict.fromkeys((
         "ns_bm25_topk", "ns_kmeans_sizes",
         "ns_pagerank_events", "ns_phrase_search",
-        "ns_repetition_signals", "ns_span_dedup",
-        "q05_local_supplier_bucketed", "q08_market_share",
+        "ns_repetition_signals", "q05_local_supplier_bucketed", "q08_market_share",
         "q09_product_profit", "q13_customer_distribution", "q16_parts_supplier_count",
         "q_argmax_struct", "q_assoc_rules",
         "q_attribution_last_touch", "q_bfs_distance", "q_corr_stats",
@@ -106,8 +109,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "q_incremental_agg", "q_join_range_bigbig", "q_kcore",
         "q_mad_outliers", "q_mode_by_group", "q_null_handling",
         "q_ohlc_bars", "q_predicates_misc", "q_profile_stats",
-        "q_regression_stats", "q_rolling_ewma", "q_session_dynamic_gap",
-        "q_skew_salted", "q_sql_group_by_all",
+        "q_regression_stats", "q_rolling_ewma", "q_skew_salted", "q_sql_group_by_all",
         "q_sql_pipe_syntax", "q_sql_udf", "q_time_weighted_avg",
         "q_triangle_count", "q_try_arithmetic", "q_wau_rolling",
         "q_window_count_distinct", "st_stream_join_left",

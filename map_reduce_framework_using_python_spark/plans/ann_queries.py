@@ -33,41 +33,32 @@ from map_reduce_framework_using_python_spark.plans.core import query, t
 
 
 def _index_path(sf_dir: str, kind: str) -> str:
-    # Key on the FULL normalized path, not the basename: two corpora
-    # named .../a/sf0.1 and .../b/sf0.1 would otherwise share one cache
-    # slot and thrash rebuilds on every alternating call (r7 ANN
-    # review). The basename stays in the tag for readability.
-    import hashlib
+    from map_reduce_framework_using_python_spark.sources.io import layout_cache_tag
 
-    norm = os.path.normpath(os.path.abspath(sf_dir))
-    digest = hashlib.md5(norm.encode()).hexdigest()[:10]
-    tag = f"{os.path.basename(norm) or 'default'}-{digest}"
-    return os.path.join(INDEX_ROOT, tag, kind)
+    # Full-path tag (shared helper): same-basename corpora must not
+    # collide on one cache slot (r7 ANN review).
+    return os.path.join(INDEX_ROOT, layout_cache_tag(sf_dir), kind)
 
 
 def _ensure(sf_dir: str, kind: str, build) -> str:
     """Build-or-reuse a storage-backed index, guarded by a SOURCE
     fingerprint in the meta file: a regenerated embeddings.parquet
     (even same-cardinality) invalidates the index — the same
-    refresh-hazard rule as the partitioned/Z-order layouts."""
-    import json
+    refresh-hazard rule as the partitioned/Z-order layouts. The
+    corrupt-manifest/atomic-write rules live in the shared
+    sources.io.ensure_fingerprinted_layout (r7 review: three drifted
+    hand-rolled copies collapsed to one)."""
+    from map_reduce_framework_using_python_spark.sources.io import (
+        ensure_fingerprinted_layout,
+        source_fingerprint,
+    )
 
-    from map_reduce_framework_using_python_spark.sources.io import source_fingerprint
-
-    path = _index_path(sf_dir, kind)
-    meta_path = os.path.join(path, "_ann_meta.json")
-    src = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            if json.load(fh).get("src") == src:
-                return path
-    build(path)
-    with open(meta_path) as fh:
-        meta = json.load(fh)
-    meta["src"] = src
-    with open(meta_path, "w") as fh:
-        json.dump(meta, fh)
-    return path
+    return ensure_fingerprinted_layout(
+        _index_path(sf_dir, kind),
+        "_ann_meta.json",
+        source_fingerprint(os.path.join(sf_dir, "embeddings.parquet")),
+        build,
+    )
 
 
 def _ensure_lsh(spark: SparkSession, sf_dir: str) -> str:

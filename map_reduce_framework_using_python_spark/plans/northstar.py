@@ -118,35 +118,37 @@ _BATCH_MOD, _BATCH_REM = 16, 7
 
 def _ensure_dedup_index(spark: SparkSession, sf_dir: str) -> str:
     """Build-or-reuse the corpus MinHash index under /tmp, guarded by a
-    source fingerprint of documents.parquet — the same refresh-hazard
-    rule as every derived layout (ann_queries._ensure)."""
-    import json
+    source fingerprint of documents.parquet — via the SHARED
+    build-or-reuse machinery (sources.io.ensure_fingerprinted_layout:
+    corrupt meta = stale rebuild, atomic fingerprint write, full-path
+    cache tag — the r7 review found this copy had drifted behind the
+    ann_queries/zorder twins on all three rules)."""
     import os
 
     from map_reduce_framework_using_python_spark.operators.dedup_index import (
         build_minhash_index,
     )
-    from map_reduce_framework_using_python_spark.sources.io import source_fingerprint
+    from map_reduce_framework_using_python_spark.sources.io import (
+        ensure_fingerprinted_layout,
+        layout_cache_tag,
+        source_fingerprint,
+    )
 
     root = os.environ.get("SPARK_GRAFT_DEDUP_INDEX_ROOT", "/tmp/spark_graft_dedup")
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    path = os.path.join(root, tag, "mh32b16")
-    meta_path = os.path.join(path, "_dedup_meta.json")
-    src = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            if json.load(fh).get("src") == src:
-                return path
-    corpus = t(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % _BATCH_MOD != _BATCH_REM
+    path = os.path.join(root, layout_cache_tag(sf_dir), "mh32b16")
+
+    def build(p: str) -> None:
+        corpus = t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % _BATCH_MOD != _BATCH_REM
+        )
+        build_minhash_index(corpus, p, n=3, num_hashes=32, bands=16)
+
+    return ensure_fingerprinted_layout(
+        path,
+        "_dedup_meta.json",
+        source_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+        build,
     )
-    build_minhash_index(corpus, path, n=3, num_hashes=32, bands=16)
-    with open(meta_path) as fh:
-        meta = json.load(fh)
-    meta["src"] = src
-    with open(meta_path, "w") as fh:
-        json.dump(meta, fh)
-    return path
 
 
 @query("ns_incremental_dedup", oracle=None, tags=("northstar", "dedup", "sketch", "index"))

@@ -207,26 +207,45 @@ def ns_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ns_cms_word_freq", oracle=None, tags=("agg", "sketch", "rows_only"))
 def ns_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch word frequencies — the third leg of the sketch
-    stool (distinct → HLL/theta, quantiles → KLL, FREQUENCIES → CMS).
-    The sketch is built distributed (the ``count_min_sketch`` aggregate
-    merges per-partition sketches; one binary blob reaches the driver);
-    querying it is a driver-side lookup of a BOUNDED probe list —
-    model-state, not data. CMS guarantees
+    stool (distinct → HLL/theta, quantiles → KLL, FREQUENCIES → CMS),
+    built as a LAZY DataFrame plan: per depth row i ∈ [0, D), every
+    word increments cell (i, xxhash64(i, w) mod W); a probe's estimate
+    is the min of its D cells. This is the CMS update/query rule
+    verbatim, expressed as explode → groupBy — fully distributed,
+    bounded state (D×W ≤ 13.6k counter rows), and the plan BUILD
+    launches no job (the r7 pipeline review caught the previous form
+    running the whole sketch aggregate at build time through a
+    driver-side JVM decode, violating the lazy-build contract that
+    every non-streaming registry entry honors). CMS guarantees
     est ≥ exact and est ≤ exact + ε·N w.h.p.; tests/test_sketches.py
     pins both bounds against exact counts. At 100 TB this answers "how
     often does token X appear" from one pass + kilobytes of state."""
+    D, W = 5, 2719  # depth ceil(ln 1/(1-0.99)); width ceil(e/0.001)
     d = t(spark, sf_dir, "documents")
     words = d.select(F.explode(F.split(F.trim(F.col("text")), " +")).alias("w"))
-    row = words.agg(
-        F.count_min_sketch("w", F.lit(0.001), F.lit(0.99), F.lit(42)).alias("sk")
-    ).first()
-    jvm = spark._jvm
-    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        jvm.java.io.ByteArrayInputStream(bytes(row["sk"]))
+    cells = words.select(
+        F.explode(F.array(*[F.lit(i) for i in range(D)])).alias("i"), "w"
+    ).select("i", F.pmod(F.xxhash64("i", "w"), F.lit(W)).alias("b"))
+    # Persisted lazily: the counter table feeds both the probe join and
+    # the total (Σcount / D) — without it the corpus aggregation runs
+    # twice. It is ≤ D×W rows, trivially cached.
+    counters = cells.groupBy("i", "b").agg(F.count("*").alias("c")).persist()
+    total = counters.agg(
+        (F.coalesce(F.sum("c"), F.lit(0)) / D).cast("long").alias("n_total")
     )
     probes = ["data", "table", "row", "spark", "query"]
-    rows = [(w, int(cms.estimateCount(w)), int(cms.totalCount())) for w in probes]
-    return spark.createDataFrame(rows, "word string, est_count long, n_total long")
+    probe_cells = (
+        spark.createDataFrame([(w,) for w in probes], "word string")
+        .select("word", F.explode(F.array(*[F.lit(i) for i in range(D)])).alias("i"))
+        .select("word", "i", F.pmod(F.xxhash64("i", "word"), F.lit(W)).alias("b"))
+    )
+    return (
+        probe_cells.join(counters, ["i", "b"], "left")
+        .groupBy("word")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
+        .crossJoin(F.broadcast(total))
+        .select("word", "est_count", "n_total")
+    )
 
 
 @query(
@@ -246,7 +265,7 @@ def ns_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM e),
         s AS (
             SELECT user_id, ts, gap,
-                   sum(CASE WHEN prev_end IS NULL OR ts >= prev_end
+                   sum(CASE WHEN prev_end IS NULL OR ts > prev_end
                             THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING
@@ -263,6 +282,11 @@ def ns_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-gap session windows: the gap is an EXPRESSION of the row
+
+    Oracle boundary note (r7 pipeline review): Spark's session_window
+    MERGES an event that starts exactly at the previous session's end,
+    so the oracle's new-session test is strictly ``ts > prev_end`` —
+    ``>=`` diverged on same-user events exactly gap-width apart.
     ('error' events close their session after 5 min, everything else
     30 min) — native ``session_window(ts, gap_expr)``, the Spark 3.2+
     surface the fixed-gap q_event_session_native can't reach. The
@@ -300,7 +324,6 @@ def ns_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction (pinned in tests/test_zorder.py on synthetic data; this
     query puts the same evidence on the driver's surface for real
     data). Layout build is write-time cost, amortized like bucketing."""
-    import json
     import os
 
     from map_reduce_framework_using_python_spark.operators.zorder import (
@@ -317,24 +340,20 @@ def ns_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_lo, u_hi, v_lo, v_hi = (float(bounds[i]) for i in range(4))
     n = int(bounds[4])
 
-    import hashlib
-
-    # Key the cache dir on the FULL sf_dir, not just its basename (r7
-    # review): two checkouts both named .../sf0.001 would thrash the
-    # layout cache on every alternation (correctness survives via the
-    # manifest's sf_dir check — this fixes the permanent rebuild).
-    tag = (
-        os.path.basename(sf_dir.rstrip("/"))
-        + "-"
-        + hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    from map_reduce_framework_using_python_spark.sources.io import (
+        layout_cache_tag,
+        read_json_guarded,
+        source_fingerprint,
+        write_json_atomic,
     )
+
+    # Full-path tag via the shared helper: two checkouts both named
+    # .../sf0.001 must not thrash one cache slot (r7 review).
     root = os.path.join(
         os.environ.get("SPARK_GRAFT_ZORDER_ROOT", "/tmp/spark_graft_zorder"),
-        tag,
+        layout_cache_tag(sf_dir),
     )
     zpath, spath = os.path.join(root, "zorder"), os.path.join(root, "sort_v")
-    from map_reduce_framework_using_python_spark.sources.io import source_fingerprint
-
     manifest = os.path.join(root, "_manifest.json")
     # Value bounds + source fingerprint, not just row count: a
     # same-cardinality testdata refresh must invalidate the layout
@@ -345,13 +364,8 @@ def ns_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bounds": [u_lo, u_hi, v_lo, v_hi],
         "src": source_fingerprint(os.path.join(sf_dir, "events.parquet")),
     }
-    have = None
-    if os.path.exists(manifest):
-        try:
-            with open(manifest) as fh:
-                have = json.load(fh)
-        except (ValueError, OSError):
-            have = None  # truncated/corrupt manifest = stale, rebuild
+    # Corrupt/truncated manifest = stale (shared read rule).
+    have = read_json_guarded(manifest)
     if have != want:
         opts = {"parquet.block.size": 64 * 1024}
         write_zordered(
@@ -366,14 +380,7 @@ def ns_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in opts.items():
             w = w.option(k, v)
         w.parquet(spath)
-        os.makedirs(root, exist_ok=True)
-        # temp + atomic replace: a crash mid-dump must not leave a
-        # truncated manifest (the read side treats corrupt as stale,
-        # but a clean swap never creates the window at all)
-        tmpm = manifest + ".tmp"
-        with open(tmpm, "w") as fh:
-            json.dump(want, fh)
-        os.replace(tmpm, manifest)
+        write_json_atomic(manifest, want)
 
     # The dense low-value band (events.value is skewed low, so the
     # bottom 30% of the RANGE holds most of the rows — a value-only

@@ -72,6 +72,14 @@ def ns_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's ``list_slice(a, g, g+W-1)``; documents shorter than W
     tokens contribute their single truncated span, so every document
     appears in the output (n_dup_spans = 0 when clean).
+
+    Scale shape (r7 pipeline review — the prior groupBy+join-back form
+    planned THREE corpus scans): one scan, one digest exchange. The
+    duplicate flag is ``min(doc_id) ≠ max(doc_id)`` over an unordered
+    window on the digest — "appears in ≥2 distinct docs" without a
+    count(DISTINCT), which windows can't do — then one doc_id exchange
+    aggregates the per-doc stats (the paragraph_dedup_stats pattern,
+    plan-shape-pinned at 1 scan).
     """
     d = t(spark, sf_dir, "documents")
     sp = (
@@ -98,18 +106,14 @@ def ns_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    dup = (
-        sp.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy("h")
+    flagged = sp.withColumn(
+        "_dup",
+        (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).cast("long"),
     )
-    tot = sp.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
-    hit = sp.join(dup, "h").groupBy("doc_id").agg(
-        F.count("*").alias("n_dup_spans")
-    )
-    return tot.join(hit, "doc_id", "left").select(
-        "doc_id",
-        "n_spans",
-        F.coalesce("n_dup_spans", F.lit(0).cast("bigint")).alias("n_dup_spans"),
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("_dup").alias("n_dup_spans"),
     )

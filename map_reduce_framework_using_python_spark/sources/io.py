@@ -145,6 +145,70 @@ def source_fingerprint(path: str) -> dict:
     }
 
 
+# --------------------------------------------------------------------------
+# Shared build-or-reuse machinery for derived layouts (ANN indexes,
+# dedup indexes, Z-order, partitioned events). One definition of the
+# robustness rules — corrupt manifest = stale, atomic fingerprint
+# writes, full-path cache tags — because the r7 review found three
+# hand-rolled copies that had already drifted (only one tolerated
+# corrupt manifests; two keyed the cache on a colliding basename).
+# --------------------------------------------------------------------------
+
+
+def layout_cache_tag(sf_dir: str) -> str:
+    """Cache-dir tag for a derived layout of ``sf_dir``: readable
+    basename + md5 of the FULL normalized path, so two corpora that
+    share a basename (.../a/sf0.1 vs .../b/sf0.1) never collide on one
+    cache slot and thrash rebuilds."""
+    import hashlib
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    digest = hashlib.md5(norm.encode()).hexdigest()[:10]
+    return f"{os.path.basename(norm) or 'default'}-{digest}"
+
+
+def read_json_guarded(path: str) -> dict | None:
+    """Manifest read that treats missing/truncated/corrupt as stale
+    (None) — a crash mid-write must mean 'rebuild', never a permanent
+    JSONDecodeError on every later call."""
+    import json
+
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def write_json_atomic(path: str, obj: dict) -> None:
+    """temp + os.replace: a crash mid-dump must not leave a truncated
+    manifest (the read side treats corrupt as stale, but a clean swap
+    never creates the window at all)."""
+    import json
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, path)
+
+
+def ensure_fingerprinted_layout(path: str, meta_name: str, src: dict, build) -> str:
+    """Build-or-reuse a derived layout whose builder writes its own
+    ``meta_name`` JSON sidecar under ``path``: reuse when the stored
+    ``src`` fingerprint matches, else run ``build(path)`` and stamp the
+    fingerprint into the sidecar atomically."""
+    meta_path = os.path.join(path, meta_name)
+    have = read_json_guarded(meta_path)
+    if have is not None and have.get("src") == src:
+        return path
+    build(path)
+    meta = read_json_guarded(meta_path) or {}
+    meta["src"] = src
+    write_json_atomic(meta_path, meta)
+    return path
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table. Parquet → pushdown/pruning apply."""
     path = os.path.join(sf_dir, f"{name}.parquet")

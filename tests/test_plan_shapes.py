@@ -282,3 +282,30 @@ def test_ivf_probe_batch_single_index_scan_broadcast_probe(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_span_dedup_single_corpus_scan(spark):
+    """r7 pipeline review: the prior groupBy+join-back form planned the
+    scan+explode+md5 pipeline THREE times; the window-flag form derives
+    the dup flag from the ONE digest exchange (ns_paragraph_dedup
+    pattern)."""
+    plan = _plan(spark, "ns_span_dedup")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cms_word_freq_builds_lazily(spark):
+    """r7 pipeline review: building the CMS query must launch no Spark
+    job (the registry lazy-build contract) — the prior form ran the
+    whole sketch aggregate at build time through a driver-side JVM
+    decode."""
+    from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    jobs_before = spark.sparkContext.uiWebUrl  # touch nothing heavy
+    df = REGISTRY["ns_cms_word_freq"].fn(spark, SF_SMOKE)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before  # no job ran during the build
+    out = {r["word"]: r["est_count"] for r in df.collect()}
+    assert set(out) == {"data", "table", "row", "spark", "query"}
