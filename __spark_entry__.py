@@ -66,6 +66,13 @@ from map_reduce_framework_using_python_spark.plans import REGISTRY
 #: session boundary now strictly ts > prev_end, matching Spark's
 #: session_window merge rule — latent divergence), ns_span_dedup
 #: (single-scan window-flag form; values identical at sf0.01).
+#: Round-7 funnel/extras/quality review removals (values identical at
+#: both SFs): q_time_weighted_avg (decimal multiply, no int64
+#: overflow), q_try_arithmetic (try_cast matches TRY_CAST), q_window_pct
+#: (grouped bucketed-rank form), q_equidepth_histogram (bucket width 5),
+#: q_funnel/q_funnel_latency (shared oracle CTE), q_join_asof/_forward/
+#: _nearest (shared asof_match composition), q_data_quality
+#: (expectations builders).
 _LAST_VERIFIED: dict[str, int] = {
     # round 1 (CORRECTNESS_r01.json) — stalest tier, re-check first
     **dict.fromkeys((
@@ -73,8 +80,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "q18_large_orders", "q_cube", "q_date_funcs", "q_event_dedup",
         "q_event_sessionize",
         "q_event_window_sliding", "q_event_window_tumbling", "q_except",
-        "q_intersect", "q_join_anti", "q_join_asof",
-        "q_join_broadcast", "q_join_full", "q_join_inner", "q_join_left",
+        "q_intersect", "q_join_anti", "q_join_broadcast", "q_join_full", "q_join_inner", "q_join_left",
         "q_join_range", "q_join_semi", "q_join_theta", "q_json_extract",
         "q_pivot", "q_rollup", "q_string_funcs", "q_topk_per_group", "q_union",
         "q_window_first_last", "q_window_lag_lead", "q_window_range_frame",
@@ -93,8 +99,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "q_intersect_all", "q_map_funcs", "q_percentile", "q_python_udtf",
         "q_regexp_funcs", "q_udaf_weighted_avg", "q_udf_scalar_pandas",
         "q_udtf_grouped_map", "q_union_byname", "q_unpivot",
-        "q_variant_extract", "q_window_nth", "q_window_pct",
-        "st_session_window", "st_sliding_window", "st_stateful_totals",
+        "q_variant_extract", "q_window_nth", "st_session_window", "st_sliding_window", "st_stateful_totals",
         "st_stream_join", "st_stream_static_enrich", "st_tumbling_window",
     ), 2),
     # round 3 (CORRECTNESS_r03.json)
@@ -105,13 +110,12 @@ _LAST_VERIFIED: dict[str, int] = {
         "q09_product_profit", "q13_customer_distribution", "q16_parts_supplier_count",
         "q_argmax_struct", "q_assoc_rules",
         "q_attribution_last_touch", "q_bfs_distance", "q_corr_stats",
-        "q_data_quality", "q_dpp_partitioned", "q_fuzzy_match",
+        "q_dpp_partitioned", "q_fuzzy_match",
         "q_incremental_agg", "q_join_range_bigbig", "q_kcore",
         "q_mad_outliers", "q_mode_by_group", "q_null_handling",
         "q_ohlc_bars", "q_predicates_misc", "q_profile_stats",
         "q_regression_stats", "q_rolling_ewma", "q_skew_salted", "q_sql_group_by_all",
-        "q_sql_pipe_syntax", "q_sql_udf", "q_time_weighted_avg",
-        "q_triangle_count", "q_try_arithmetic", "q_wau_rolling",
+        "q_sql_pipe_syntax", "q_sql_udf", "q_triangle_count", "q_wau_rolling",
         "q_window_count_distinct", "st_stream_join_left",
     ), 3),
     # round 4 (CORRECTNESS_r04.json) — freshest tier, re-check last.
@@ -134,9 +138,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "q05_local_supplier_smj", "q06_forecast_revenue",
         "q12_priority_by_returnflag", "q18_large_orders_bucketed",
         "q_case_expr", "q_count_distinct", "q_distinct",
-        "q_distinct_subset", "q_equidepth_histogram", "q_funnel",
-        "q_funnel_latency", "q_gap_fill", "q_join_asof_forward",
-        "q_join_asof_nearest", "q_retention",
+        "q_distinct_subset", "q_gap_fill", "q_retention",
         "q_sql_lateral_topk", "q_sql_recursive_months", "q_value_histogram",
     ), 4),
     # round 5 (CORRECTNESS_r05.json) — the 50-query window: every row
@@ -160,7 +162,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "q17_small_quantity",
         "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_full",
         "q_join_semi", "q_join_anti", "q_join_range", "q_join_theta",
-        "q_join_asof", "q18_large_orders", "q_window_rank",
+        "q18_large_orders", "q_window_rank",
         "q_window_lag_lead",
     ), 5),
     # round 6 (CORRECTNESS_r06.json) — all 50 rows green: the five

@@ -97,19 +97,35 @@ def q_window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist over a deterministic (price, key)
-    ordering. Both are exact rationals of integer rank/count computed
-    identically per engine, so no rounding is needed — raw double
-    passthrough. Same single-shuffle window shape as q_window_rank."""
-    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("o_totalprice", "o_orderkey")
+    ordering — WITHOUT a PARTITION BY o_orderpriority window:
+    o_orderpriority has 5 values, so the native window funnels each
+    heavy group through ONE task at scale (the few-heavy-groups
+    pathology operators/ranks.py exists for; r7 review). The grouped
+    bucketed-rank composition splits each group across price buckets;
+    the order is TOTAL (price, key), so every row is its own peer group
+    and percent_rank = (rn-1)/(n-1), cume_dist = rn/n exactly — exact
+    rationals of integer rank/count, identical per engine, raw double
+    passthrough (single-row groups pin percent_rank to 0, the SQL
+    definition)."""
+    from map_reduce_framework_using_python_spark.operators.ranks import (
+        bucketed_rank_grouped,
     )
-    return o.select(
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    ranked = bucketed_rank_grouped(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        group_cols=["o_orderpriority"],
+        bucket=F.floor(F.col("o_totalprice") / 10000),
+        order_by=[F.col("o_totalprice"), F.col("o_orderkey")],
+        rank_col="_rn",
+        total_col="_n",
+    )
+    rn, n = F.col("_rn"), F.col("_n")
+    return ranked.select(
         "o_orderkey",
         "o_orderpriority",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0)).alias("pct_rank"),
+        (rn / n).alias("cume"),
     )
 
 
@@ -186,8 +202,13 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     kill a stage), and try_divide's divide-by-zero → NULL. The oracle
     mirrors with TRY_CAST/nullif."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    # try_cast, not try_to_number('999'): the format form rejects
+    # signs/whitespace that TRY_CAST (both engines) accepts, so the two
+    # sides would diverge the moment text starts with e.g. '-12'
+    # (r7 review — today both sides are NULL on every row, so the
+    # format mismatch was latent).
     return d.select(
         "doc_id",
-        F.try_to_number(F.substring("text", 1, 3), F.lit("999")).cast("int").alias("maybe_int"),
+        F.substring("text", 1, 3).try_cast("int").alias("maybe_int"),
         F.try_divide(F.col("n_chars").cast("double"), F.col("doc_id") % 7).alias("safe_div"),
     )

@@ -21,6 +21,82 @@ from map_reduce_framework_using_python_spark.operators.ranks import bucketed_ran
 from map_reduce_framework_using_python_spark.plans.core import query, t
 
 
+#: The ONE copy of the stage-pipeline ORACLE CTEs (r7 review: q_funnel
+#: and q_funnel_latency carried byte-identical SQL copies — the same
+#: drift hazard _funnel_stages fixed on the Spark side).
+_FUNNEL_STAGES_SQL = """
+        WITH s1 AS (SELECT user_id, min(ts) AS t1
+                    FROM events WHERE event_type = 'view' GROUP BY 1),
+             s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                    FROM events e JOIN s1 ON e.user_id = s1.user_id
+                    WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+             s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                    FROM events e JOIN s2 ON e.user_id = s2.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)"""
+
+
+def asof_match(
+    point: DataFrame,
+    lookup: DataFrame,
+    key: str,
+    ts_col: str,
+    match_col: str,
+    direction: str,
+) -> DataFrame:
+    """The ONE as-of-join composition (r7 review: three hand-rolled
+    union-tag copies had already drifted on the tag's timestamp type):
+    union-tag both sides, one (key, ts, tag) window, running
+    first/last(ignorenulls).
+
+    ``direction='backward'`` matches each point row to the lookup
+    side's latest ``ts_col`` at-or-before it; ``'forward'`` to the
+    earliest at-or-after. Ties at equal ts MATCH in both directions
+    (the tag makes the lookup row sort on the inclusive side). Returns
+    every point row with all its columns plus ``match_col`` (NULL when
+    no match exists). One shuffle on ``key``; no pairwise blow-up."""
+    from pyspark.sql import Window
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    ts_type = dict(lookup.dtypes)[ts_col]
+    point_types = dict(point.dtypes)
+    pt_tag = 1 if direction == "backward" else 0
+    tagged = point.select(
+        *point.columns,
+        F.lit(pt_tag).alias("_is_pt"),
+        F.lit(None).cast(ts_type).alias(match_col),
+    ).unionByName(
+        lookup.select(
+            *[
+                F.col(c) if c in (key, ts_col)
+                else F.lit(None).cast(point_types[c]).alias(c)
+                for c in point.columns
+            ],
+            F.lit(1 - pt_tag).alias("_is_pt"),
+            F.col(ts_col).alias(match_col),
+        )
+    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy(key)
+            .orderBy(ts_col, "_is_pt")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last(match_col, ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(key)
+            .orderBy(ts_col, "_is_pt")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        matched = F.first(match_col, ignorenulls=True).over(w)
+    return (
+        tagged.withColumn(match_col, matched)
+        .filter(F.col("_is_pt") == pt_tag)
+        .drop("_is_pt")
+    )
+
+
 def _funnel_stages(e):
     """The ONE copy of the view→click→purchase stage pipeline (r7
     review: q_funnel and q_funnel_latency carried byte-identical
@@ -51,15 +127,7 @@ def _funnel_stages(e):
 
 @query(
     "q_funnel",
-    oracle="""
-        WITH s1 AS (SELECT user_id, min(ts) AS t1
-                    FROM events WHERE event_type = 'view' GROUP BY 1),
-             s2 AS (SELECT e.user_id, min(e.ts) AS t2
-                    FROM events e JOIN s1 ON e.user_id = s1.user_id
-                    WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
-             s3 AS (SELECT e.user_id, min(e.ts) AS t3
-                    FROM events e JOIN s2 ON e.user_id = s2.user_id
-                    WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+    oracle=_FUNNEL_STAGES_SQL + """
         SELECT (SELECT count(*) FROM s1) AS n_view,
                (SELECT count(*) FROM s2) AS n_click_after_view,
                (SELECT count(*) FROM s3) AS n_purchase_after_click
@@ -153,15 +221,7 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_funnel_latency",
-    oracle="""
-        WITH s1 AS (SELECT user_id, min(ts) AS t1
-                    FROM events WHERE event_type = 'view' GROUP BY 1),
-             s2 AS (SELECT e.user_id, min(e.ts) AS t2
-                    FROM events e JOIN s1 ON e.user_id = s1.user_id
-                    WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
-             s3 AS (SELECT e.user_id, min(e.ts) AS t3
-                    FROM events e JOIN s2 ON e.user_id = s2.user_id
-                    WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1),
+    oracle=_FUNNEL_STAGES_SQL + """,
              lat AS (SELECT s3.user_id,
                             date_diff('microsecond', CAST(s1.t1 AS TIMESTAMP),
                                       CAST(s3.t3 AS TIMESTAMP)) AS us
@@ -238,35 +298,21 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
     )
-    clicks = e.filter(F.col("event_type") == "click")
-    purchases = e.filter(F.col("event_type") == "purchase")
-    tagged = clicks.select(
-        "event_id", "user_id", "ts", F.lit(0).alias("is_p"),
-        F.lit(None).cast("timestamp").alias("p_ts"),
-    ).unionByName(
-        purchases.select(
-            "event_id", "user_id", "ts", F.lit(1).alias("is_p"),
-            F.col("ts").alias("p_ts"),
-        )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
     )
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_p")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    matched = asof_match(
+        clicks, purchases, key="user_id", ts_col="ts",
+        match_col="next_p", direction="forward",
     )
-    return (
-        tagged.withColumn("next_p", F.first("p_ts", ignorenulls=True).over(w))
-        .filter(F.col("is_p") == 0)
-        .select(
-            "event_id",
-            "ts",
-            F.when(
-                F.col("next_p") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"),
-                F.col("next_p"),
-            ).alias("next_purchase_ts"),
-        )
+    return matched.select(
+        "event_id",
+        "ts",
+        F.when(
+            F.col("next_p") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+            F.col("next_p"),
+        ).alias("next_purchase_ts"),
     )
 
 
@@ -376,13 +422,17 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The global ntile runs over the full events table, so it uses the
     bucketed-rank composition (operators/ranks.py): fixed-width value
-    buckets (width 25, order-consistent) → per-bucket row_number →
-    broadcast offsets → ntile recomputed from (rank, n). No
-    single-partition window anywhere in the plan."""
+    buckets (width 5 → ~100 over this value domain; r7 review — width
+    25 capped the window at ~20 tasks, a data-bounded parallelism
+    ceiling; the bucket must stay a monotone function of the sort key,
+    so distinct-key count over the width is the inherent bound — size
+    the width to the cluster) → per-bucket row_number → broadcast
+    offsets → ntile recomputed from (rank, n). No single-partition
+    window anywhere in the plan."""
     e = t(spark, sf_dir, "events")
     ranked = bucketed_rank(
         e.select("value", "event_id"),
-        bucket=F.floor(F.col("value") / 25),
+        bucket=F.floor(F.col("value") / 5),
         order_by=[F.col("value"), F.col("event_id")],
         rank_col="_rn",
         total_col="_n",

@@ -232,27 +232,17 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — one shuffle, no pairwise blow-up (vs. the naive
     join-then-max which is O(purchases × clicks) per user).
     """
+    from map_reduce_framework_using_python_spark.plans.funnel import asof_match
+
     e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
-    purchases = e.filter(F.col("event_type") == "purchase")
-    clicks = e.filter(F.col("event_type") == "click")
-    tagged = purchases.select(
-        "event_id", "user_id", "ts", F.lit(1).alias("is_p"), F.lit(None).cast("timestamp_ntz").alias("click_ts")
-    ).unionByName(
-        clicks.select(
-            "event_id", "user_id", "ts", F.lit(0).alias("is_p"), F.col("ts").alias("click_ts")
-        )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
     )
-    # Clicks sort before purchases at equal ts (is_p 0 < 1) ⇒ "at or before".
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_p")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        tagged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
-        .filter(F.col("is_p") == 1)
-        .select("event_id", "ts", "last_click_ts")
-    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_match(
+        purchases, clicks, key="user_id", ts_col="ts",
+        match_col="last_click_ts", direction="backward",
+    ).select("event_id", "ts", "last_click_ts")
 
 
 @query(

@@ -72,7 +72,8 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY ts, event_id)) AS dur_us
             FROM events)
         SELECT user_id,
-               floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * dur_us)
+               floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS DECIMAL(19,0))
+                              * CAST(dur_us AS DECIMAL(19,0)))
                           AS DOUBLE)
                      / CAST(sum(dur_us) AS DOUBLE) / 100 * 10000 + 0.5) / 10000
                    AS tw_avg
@@ -101,8 +102,13 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.lead(ts_ltz).over(w)) - F.unix_micros(ts_ltz)
     ).alias("dur_us")
     x = e.select("user_id", "value", dur).filter(F.col("dur_us").isNotNull())
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-    weighted = (cents * F.col("dur_us")).cast("decimal(38,0)")
+    # Multiply IN decimal, not int64-then-cast: a large gap (years in
+    # µs) times cents can exceed 2^63, which aborts under ANSI mode —
+    # the post-hoc decimal cast protected nothing (r7 review).
+    # (19,0)×(19,0) needs precision 38/39, exact on both engines for
+    # any value this data can hold.
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("decimal(19,0)")
+    weighted = cents * F.col("dur_us").cast("decimal(19,0)")
     return x.groupBy("user_id").agg(
         half_up(
             F.sum(weighted).cast("double")

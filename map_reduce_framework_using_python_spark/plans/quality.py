@@ -133,29 +133,30 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson #10) and a contract check that can only ever print zeros
     proves nothing.
     """
+    # Compose the SAME Column builders the eager suite uses
+    # (operators/expectations.py) instead of re-implementing
+    # "violation" locally — two definitions were free to drift
+    # (r7 review); now the claim of expectations semantics is
+    # mechanically true.
+    from map_reduce_framework_using_python_spark.operators.expectations import (
+        _viol,
+        _viol_skip_nulls,
+    )
+
     l = t(spark, sf_dir, "lineitem")
-
-    def viol(cond, col):
-        return (
-            F.sum(
-                F.when(F.col(col).isNotNull() & ~cond, 1).otherwise(0)
-            )
-            .cast("bigint")
-        )
-
     scalar = l.agg(
-        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+        _viol(F.col("l_orderkey").isNotNull())
         .cast("bigint")
         .alias("not_null_l_orderkey"),
-        viol(F.col("l_quantity").between(1, 50), "l_quantity").alias(
-            "in_range_l_quantity"
-        ),
-        viol(F.col("l_discount").between(0.0, 0.1), "l_discount").alias(
-            "in_range_l_discount"
-        ),
-        viol(F.col("l_returnflag").isin("A", "N", "R"), "l_returnflag").alias(
-            "in_set_l_returnflag"
-        ),
+        _viol_skip_nulls(F.col("l_quantity").between(1, 50), "l_quantity")
+        .cast("bigint")
+        .alias("in_range_l_quantity"),
+        _viol_skip_nulls(F.col("l_discount").between(0.0, 0.1), "l_discount")
+        .cast("bigint")
+        .alias("in_range_l_discount"),
+        _viol_skip_nulls(F.col("l_returnflag").isin("A", "N", "R"), "l_returnflag")
+        .cast("bigint")
+        .alias("in_set_l_returnflag"),
     ).select(
         F.expr(
             "stack(4, 'not_null_l_orderkey', not_null_l_orderkey, "

@@ -16,8 +16,6 @@ portability layer, so the same text runs on any ANSI engine.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from map_reduce_framework_using_python_spark.plans.core import query, t
@@ -140,6 +138,8 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1e-4 tie grid — plans/core.py lesson), so the DECIMAL sum is
     exact on both engines and needs no final rounding. Arrow-batched
     (pandas) under the hood; same partial+final agg around it."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

@@ -109,15 +109,20 @@ def test_range_bigbig_is_equi_join_not_nested_loop(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["q_window_ntile", "q_equidepth_histogram", "ns_seeded_shuffle", "q_funnel_latency"],
+    ["q_window_ntile", "q_equidepth_histogram", "ns_seeded_shuffle", "q_funnel_latency",
+     "q_window_pct"],
 )
 def test_no_single_partition_window_anywhere(spark, name):
     plan = _plan(spark, name)
     for ln in plan.splitlines():
         if "Window [" in ln:
             assert "windowspecdefinition(" in ln or "_rk_bucket" in ln, ln
-    # The real assertion: no empty window partition spec.
-    assert "Window [" not in plan or "_rk_bucket" in plan, plan
+    # The real assertion: no empty window partition spec — every window
+    # rides a bucketed composition (_rk_bucket global / _rg_bucket
+    # grouped, operators/ranks.py).
+    assert (
+        "Window [" not in plan or "_rk_bucket" in plan or "_rg_bucket" in plan
+    ), plan
 
 
 @pytest.mark.parametrize(
