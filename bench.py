@@ -17,6 +17,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# tools/ on the path once for the scale/curation probe imports below
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
 
 from map_reduce_framework_using_python_spark.plans import REGISTRY
 from map_reduce_framework_using_python_spark.session import get_spark
@@ -144,21 +146,29 @@ def _skew_probe(spark, dst: str, reps: int) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     from map_reduce_framework_using_python_spark.operators.skew import salted_join
-    from map_reduce_framework_using_python_spark.sources.io import load_table
-
-    from map_reduce_framework_using_python_spark.sources.io import source_fingerprint
+    from map_reduce_framework_using_python_spark.sources.io import (
+        load_table,
+        read_json_guarded,
+        source_fingerprint,
+        write_json_atomic,
+    )
 
     fact_path = os.path.join(dst, "skew_fact.parquet")
     dim_path = os.path.join(dst, "skew_dim.parquet")
     # Same refresh-hazard guard as the ANN/Z-order/partitioned layouts:
     # reuse only if the probe tables were derived from THIS lineitem —
     # a regenerated replica dir must not serve stale probe tables.
+    # Shared read/write helpers: a truncated meta is STALE, not a
+    # JSONDecodeError that kills the scale section (r7 tools review).
     meta_path = os.path.join(dst, "skew_probe_meta.json")
     src = source_fingerprint(os.path.join(dst, "lineitem.parquet"))
-    fresh = False
-    if os.path.isdir(fact_path) and os.path.isdir(dim_path) and os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            fresh = json.load(fh).get("src") == src
+    have = read_json_guarded(meta_path)
+    fresh = (
+        os.path.isdir(fact_path)
+        and os.path.isdir(dim_path)
+        and have is not None
+        and have.get("src") == src
+    )
     if not fresh:
         li = load_table(spark, dst, "lineitem")
         fact = li.select(
@@ -176,8 +186,7 @@ def _skew_probe(spark, dst: str, reps: int) -> dict[str, float]:
             .write.mode("overwrite")
             .parquet(dim_path)
         )
-        with open(meta_path, "w") as fh:
-            json.dump({"src": src}, fh)
+        write_json_atomic(meta_path, {"src": src})
 
     def run(mode: str) -> None:
         f = spark.read.parquet(fact_path)
@@ -231,15 +240,17 @@ def _dup_probe(spark, dst: str, reps: int) -> dict[str, float]:
     from map_reduce_framework_using_python_spark.operators.dedup import (
         minhash_lsh_pairs,
     )
-    from map_reduce_framework_using_python_spark.sources.io import source_fingerprint
+    from map_reduce_framework_using_python_spark.sources.io import (
+        read_json_guarded,
+        source_fingerprint,
+        write_json_atomic,
+    )
 
     dup_path = os.path.join(dst, "dup_documents.parquet")
     meta_path = os.path.join(dst, "dup_probe_meta.json")
     src = source_fingerprint(os.path.join(dst, "documents.parquet"))
-    fresh = False
-    if os.path.isdir(dup_path) and os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            fresh = json.load(fh).get("src") == src
+    have = read_json_guarded(meta_path)
+    fresh = os.path.isdir(dup_path) and have is not None and have.get("src") == src
     if not fresh:
         template = (
             "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
@@ -257,8 +268,7 @@ def _dup_probe(spark, dst: str, reps: int) -> dict[str, float]:
             .write.mode("overwrite")
             .parquet(dup_path)
         )
-        with open(meta_path, "w") as fh:
-            json.dump({"src": src}, fh)
+        write_json_atomic(meta_path, {"src": src})
 
     best, n = float("inf"), 0
     for _ in range(reps):
@@ -287,9 +297,13 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+    # count(), not collect(): when the sf0.001 warm set is absent the
+    # warm-up runs at the TARGET SF, and collecting full result sets
+    # (e.g. the MinHash pair list) onto the driver could OOM the bench
+    # (r7 tools review). count() primes codegen/workers identically.
     for name in ("q00_scan_count", *HEADLINE):
         try:
-            REGISTRY[name].fn(spark, warm_dir).collect()
+            REGISTRY[name].fn(spark, warm_dir).count()
         except Exception:  # noqa: BLE001 — warm-up must never fail the bench
             pass
     # Prime the target-SF files themselves (parquet footers + page
@@ -380,7 +394,6 @@ def main() -> None:
     replicas = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "10"))
     if replicas > 1:
         try:
-            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
             from scale_probe import DST, build
 
             build(spark, replicas)
@@ -522,9 +535,6 @@ def main() -> None:
     cur_replicas = int(os.environ.get("SPARK_GRAFT_BENCH_CURATION", "50"))
     if cur_replicas > 1:
         try:
-            sys.path.insert(
-                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
-            )
             from curation_probe import run as curation_run
 
             result[f"curation{cur_replicas}x"] = curation_run(spark, cur_replicas)
@@ -541,9 +551,6 @@ def main() -> None:
     cur100 = int(os.environ.get("SPARK_GRAFT_BENCH_CURATION_100X", "100"))
     if cur100 > 1:
         try:
-            sys.path.insert(
-                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
-            )
             from curation_probe import run as curation_run
 
             result[f"curation{cur100}x_pruned"] = curation_run(

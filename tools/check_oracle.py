@@ -10,6 +10,7 @@ a round ends. Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -28,12 +29,21 @@ from map_reduce_framework_using_python_spark.sources.io import TABLES  # noqa: E
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    unknown = only - set(REGISTRY)
+    if unknown:
+        # A typo'd name must not make the gate pass vacuously with
+        # "0 pass, 0 fail" and exit 0 (r7 tools review).
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     spark = get_spark(app_name="check_oracle")
     con = duckdb.connect()
     for name in TABLES:
-        con.sql(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
-        )
+        src = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(src):
+            # Spark-written datasets are DIRECTORIES of part files;
+            # DuckDB needs the glob form for those (r7 tools review).
+            src = f"{src}/*.parquet"
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     n_pass = n_fail = n_skip = 0
     for name, q in REGISTRY.items():
         if only and name not in only:

@@ -42,16 +42,29 @@ def _docs_dir(replicas: int) -> str:
 
 
 def build_docs(spark: SparkSession, replicas: int) -> str:
-    """Replicate sf0.1 ``documents`` ``replicas``× with doc_id offsets
-    (manifest-guarded, same reuse rule as scale_probe.build)."""
+    """Replicate sf0.1 ``documents`` ``replicas``× with doc_id offsets.
+    Manifest carries the SOURCE fingerprint (r7 tools review: the old
+    replica-count check was dead — the dir path already encodes the
+    count — so a regenerated sf0.1 silently served stale replicas),
+    and completeness rides Spark's _SUCCESS marker."""
+    from map_reduce_framework_using_python_spark.sources.io import (
+        read_json_guarded,
+        source_fingerprint,
+        write_json_atomic,
+    )
+
     dst = _docs_dir(replicas)
     out = os.path.join(dst, "documents.parquet")
-    manifest = os.path.join(dst, "_replicas.txt")
-    if os.path.exists(manifest):
-        with open(manifest) as fh:
-            if fh.read().strip() == str(replicas) and os.path.isdir(out):
-                return dst
-        shutil.rmtree(dst, ignore_errors=True)
+    manifest = os.path.join(dst, "_manifest.json")
+    want = {
+        "replicas": replicas,
+        "src": source_fingerprint(os.path.join(SRC, "documents.parquet")),
+    }
+    if read_json_guarded(manifest) == want and os.path.exists(
+        os.path.join(out, "_SUCCESS")
+    ):
+        return dst
+    shutil.rmtree(dst, ignore_errors=True)
     d = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
     parts = [
         d.withColumn("doc_id", F.col("doc_id") + F.lit(i * _OFFSET))
@@ -61,9 +74,7 @@ def build_docs(spark: SparkSession, replicas: int) -> str:
     for p in parts[1:]:
         df = df.unionByName(p)
     df.write.mode("overwrite").parquet(out)
-    os.makedirs(dst, exist_ok=True)
-    with open(manifest, "w") as fh:
-        fh.write(str(replicas))
+    write_json_atomic(manifest, want)
     return dst
 
 

@@ -148,11 +148,24 @@ def audit(name: str, spark, sf_dir: str) -> str:
     if n_bhj or n_smj:
         checks.append(f"- joins: {n_bhj} broadcast-hash, {n_smj} sort-merge")
     part_filters = re.findall(r"PartitionFilters: \[([^\]]+)\]", formatted)
-    real_pf = [p for p in part_filters if p.strip() and "isnotnull" != p.strip()]
+    # "Real" pruning = at least one per-entry predicate that is not a
+    # bare isnotnull(col) (r7 tools review: the old whole-capture
+    # equality never matched real filter text, so the guard was dead).
+    real_pf = [
+        p
+        for p in part_filters
+        if any(
+            e.strip() and not re.fullmatch(r"isnotnull\([^)]*\)", e.strip())
+            for e in p.split(",")
+        )
+    ]
     if real_pf:
         checks.append(f"- partition pruning: `PartitionFilters: [{real_pf[0][:90]}]`")
-    n_exchange = tree.count("Exchange")
-    checks.append(f"- shuffles (Exchange nodes): {n_exchange}")
+    # Count only SHUFFLE exchanges: "Exchange" also substring-matches
+    # BroadcastExchange/ReusedExchange, which inflated the committed
+    # shuffle evidence for every broadcast join (r7 tools review).
+    n_exchange = len(re.findall(r"(?<![A-Za-z])Exchange \(\d+\)", tree))
+    checks.append(f"- shuffles (shuffle Exchange nodes): {n_exchange}")
     if "HashAggregate" in full:
         checks.append("- partial+final hash aggregation (map-side combine)")
     if "TakeOrderedAndProject" in full:

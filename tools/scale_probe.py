@@ -115,21 +115,33 @@ PROBE = (
 
 
 def build(spark, replicas: int) -> None:
-    # A cached dataset is only reusable at the SAME replica count — a
-    # manifest guards against silently probing stale data (round-1's
-    # 50× leftovers made a "10×" bench section measure 50×).
-    manifest = os.path.join(DST, "_replicas.txt")
-    cached = None
-    if os.path.exists(manifest):
-        with open(manifest) as fh:
-            cached = fh.read().strip()
-    if cached != str(replicas) and os.path.exists(DST):
+    # A cached dataset is only reusable for the SAME replica count AND
+    # the same SOURCE testdata — a manifest guards against silently
+    # probing stale data (round-1's 50× leftovers made a "10×" bench
+    # section measure 50×; r7 tools review added the source
+    # fingerprint: a regenerated same-cardinality sf0.1 must rebuild).
+    from map_reduce_framework_using_python_spark.sources.io import (
+        read_json_guarded,
+        source_fingerprint,
+        write_json_atomic,
+    )
+
+    manifest = os.path.join(DST, "_replicas.json")
+    want = {
+        "replicas": replicas,
+        "src": {n: source_fingerprint(os.path.join(SRC, f"{n}.parquet"))
+                for n in TABLES},
+    }
+    if read_json_guarded(manifest) != want and os.path.exists(DST):
         import shutil
 
         shutil.rmtree(DST)
     for name in TABLES:
         out = os.path.join(DST, f"{name}.parquet")
-        if os.path.exists(out):
+        # _SUCCESS marks a COMPLETE Spark write: a directory left by an
+        # interrupted incremental write must rebuild, not serve partial
+        # part files (r7 tools review).
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
             continue
         df = load_table(spark, SRC, name)
         if name in OFFSETS:
@@ -144,9 +156,7 @@ def build(spark, replicas: int) -> None:
                 df = df.unionByName(p)
         df.write.mode("overwrite").parquet(out)
         print(f"built {name}: {spark.read.parquet(out).count()} rows", file=sys.stderr)
-    os.makedirs(DST, exist_ok=True)
-    with open(os.path.join(DST, "_replicas.txt"), "w") as fh:
-        fh.write(str(replicas))
+    write_json_atomic(manifest, want)
 
 
 def main() -> None:
