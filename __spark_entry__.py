@@ -73,6 +73,11 @@ from map_reduce_framework_using_python_spark.plans import REGISTRY
 #: q_funnel/q_funnel_latency (shared oracle CTE), q_join_asof/_forward/
 #: _nearest (shared asof_match composition), q_data_quality
 #: (expectations builders).
+#: Round-7 shared-operators review removals (values identical at
+#: sf0.01): ns_bigram_lm_score(+_broadcast)/ns_repetition_signals
+#: (word_bigrams n=0 guard), ns_pagerank_events (zero-weight edges
+#: dropped before the division); ns_pii_redact/ns_bigram_rarity/
+#: q_scd2_point_in_time were already in the unverified tier.
 _LAST_VERIFIED: dict[str, int] = {
     # round 1 (CORRECTNESS_r01.json) — stalest tier, re-check first
     **dict.fromkeys((
@@ -105,8 +110,8 @@ _LAST_VERIFIED: dict[str, int] = {
     # round 3 (CORRECTNESS_r03.json)
     **dict.fromkeys((
         "ns_bm25_topk", "ns_kmeans_sizes",
-        "ns_pagerank_events", "ns_phrase_search",
-        "ns_repetition_signals", "q05_local_supplier_bucketed", "q08_market_share",
+        "ns_phrase_search",
+        "q05_local_supplier_bucketed", "q08_market_share",
         "q09_product_profit", "q13_customer_distribution", "q16_parts_supplier_count",
         "q_argmax_struct", "q_assoc_rules",
         "q_attribution_last_touch", "q_bfs_distance", "q_corr_stats",
@@ -150,7 +155,6 @@ _LAST_VERIFIED: dict[str, int] = {
     # with it.
     **dict.fromkeys((
         "st_mrtext_stream", "q_from_xml", "q_xml_roundtrip",
-        "ns_bigram_lm_score", "ns_bigram_lm_score_broadcast",
         "ns_hash_embed", "ns_token_entropy",
         "ns_ccnet_buckets",
         "ns_temperature_mixture",

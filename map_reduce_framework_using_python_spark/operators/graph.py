@@ -137,15 +137,21 @@ def pagerank(
     they are re-read 2·iters times.
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
-    ).localCheckpoint()
+    # Zero-weight edges carry no mass and would put ow=0 sources into
+    # outw: the per-edge division then hits DIVIDE_BY_ZERO under ANSI
+    # mode, and the dangling-mass test (membership in outw) would miss
+    # them (r7 review). Dropped BEFORE nodes are derived so an all-zero
+    # source is treated as dangling — unless it also appears as a dst.
+    all_nodes = edges.select(F.col(src).alias("node")).union(
+        edges.select(F.col(dst).alias("node"))
+    )
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+        .filter(F.col("w") != 0)
+        .localCheckpoint()
+    )
     outw = e.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    ).localCheckpoint()
+    nodes = all_nodes.distinct().localCheckpoint()
     cnt = nodes.agg(F.count("*").alias("n"))
 
     m = float(10**round_scale)

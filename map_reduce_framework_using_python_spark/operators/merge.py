@@ -49,7 +49,14 @@ def scd2_apply(
     (r7 review — the old left join fanned every dim row out once per
     update): the current dim row closes at the EARLIEST update's
     valid_from, each update closes at the next update's valid_from
-    (window lead per key), and only the latest stays current.
+    (window lead per key), and only the latest stays current. Two
+    updates with the SAME (key, valid_from) have no defined history
+    order — the chain window breaks the tie deterministically over the
+    remaining columns (lexicographic), so output is stable run-to-run;
+    semantically simultaneous updates should be deduplicated upstream.
+    The new rows' ``end_col`` takes the DIM's existing end-column type
+    (a hard-coded timestamp cast coerced date-typed dimensions and
+    drifted their schema on every apply — r7 review).
     """
     from pyspark.sql import Window
 
@@ -72,18 +79,27 @@ def scd2_apply(
         )
         .drop("_new_from")
     )
-    w = Window.partitionBy(key).orderBy(F.col(effective_col))
+    tiebreak = [c for c in updates.columns if c not in (key, effective_col)]
+    w = Window.partitionBy(key).orderBy(F.col(effective_col), *tiebreak)
+    end_type = dict(dim.dtypes)[end_col]
     fresh = updates.withColumn(
-        end_col, F.lead(effective_col).over(w).cast("timestamp")
+        end_col, F.lead(effective_col).over(w).cast(end_type)
     ).withColumn(current_col, F.col(end_col).isNull())
     return closed.unionByName(fresh.select(*closed.columns))
 
 
 def changes_between(before: DataFrame, after: DataFrame, key: str) -> DataFrame:
     """CDC diff of two snapshots: one row per changed key with
-    change_type ∈ {insert, delete, update}."""
-    b = before.alias("b")
-    a = after.alias("a")
+    change_type ∈ {insert, delete, update}.
+
+    Side presence is tested via explicit marker columns, never the key
+    VALUE being NULL — a NULL-key row in one snapshot would otherwise
+    classify backwards (a before-only NULL-key row looked like an
+    insert; r7 review). NULL keys never equi-match (SQL semantics), so
+    a NULL-key row in both snapshots reports one insert and one delete.
+    """
+    b = before.withColumn("_b_present", F.lit(True)).alias("b")
+    a = after.withColumn("_a_present", F.lit(True)).alias("a")
     joined = b.join(a, F.col(f"b.{key}") == F.col(f"a.{key}"), "full")
     non_key = [c for c in before.columns if c != key]
     differs: Column = F.lit(False)
@@ -93,8 +109,8 @@ def changes_between(before: DataFrame, after: DataFrame, key: str) -> DataFrame:
         )
     return joined.select(
         F.coalesce(F.col(f"b.{key}"), F.col(f"a.{key}")).alias(key),
-        F.when(F.col(f"b.{key}").isNull(), "insert")
-        .when(F.col(f"a.{key}").isNull(), "delete")
+        F.when(F.col("_b_present").isNull(), "insert")
+        .when(F.col("_a_present").isNull(), "delete")
         .when(differs, "update")
         .alias("change_type"),
     ).filter(F.col("change_type").isNotNull())

@@ -125,6 +125,11 @@ def bucketed_rank_grouped(
     order-consistent along ``order_by`` within every group, ``order_by``
     a total order, sort keys non-null (fail-fast).
     """
+    if not group_cols:
+        raise ValueError(
+            "bucketed_rank_grouped: group_cols must be non-empty — "
+            "use bucketed_rank for a global rank"
+        )
     b = df.withColumn(
         "_rg_bucket",
         F.coalesce(

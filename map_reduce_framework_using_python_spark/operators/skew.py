@@ -79,7 +79,22 @@ def salted_agg(
         # anywhere is non-decomposable over salts by construction.
         fn = expr_str.split("(")[0].lower().lstrip('"')
         col = F.col(f"_p_{name}")
-        if "distinct" in expr_str.lower():
+        # DISTINCT detection must be STRUCTURAL: Spark 4 renders
+        # count_distinct(v) as plain 'count(v)' (no DISTINCT in
+        # toString at all), so any string check misses it — read the
+        # ColumnNode's isDistinct flag; the keyword-token regex remains
+        # as the fallback for F.expr('count(DISTINCT x)') columns. A
+        # column merely NAMED 'distinct_ratio' passes both (r7 review).
+        import re as _re
+
+        is_distinct = False
+        try:
+            node = a._jc.node()
+            if node.getClass().getSimpleName() == "UnresolvedFunction":
+                is_distinct = bool(node.isDistinct())
+        except Exception:  # noqa: BLE001 — structural probe only
+            pass
+        if is_distinct or _re.search(r"\(\s*distinct\b", expr_str, _re.IGNORECASE):
             raise ValueError(
                 f"salted_agg: aggregate for {name!r} uses DISTINCT, "
                 "which does not decompose over salts (the same value "
@@ -116,12 +131,12 @@ def salted_join(
     Prefer ``broadcast(small)`` when the small side fits (no salting
     needed at all); this is for mid-sized dimension tables that don't.
 
-    Only ``inner`` and ``left`` (big-side-preserving) joins are
-    supported: the small side is REPLICATED once per salt, so an outer
-    form that preserves it would emit every unmatched small row
-    ``n_salts`` times (r7 review). Right/full-outer skew joins need a
-    different construction (unsalted anti-join union) — raise rather
-    than return duplicated rows.
+    Big-side-preserving joins only — ``inner``, ``left``, and the
+    semi/anti family (all correct under salting because none of them
+    PRESERVES the replicated small side): the small side is replicated
+    once per salt, so right/full-outer forms would emit every unmatched
+    small row ``n_salts`` times (r7 review) — raise rather than return
+    duplicated rows; use an unsalted anti-join union for those.
     """
     if how not in ("inner", "left", "leftouter", "left_outer", "semi",
                    "leftsemi", "left_semi", "anti", "leftanti", "left_anti"):

@@ -59,10 +59,13 @@ def word_bigrams(ws, sep: str = "\x01"):
     for n ≤ 1, so token-poor docs yield no bigrams instead of an
     ANSI element_at error. Callers choose the separator their oracle
     encodes (DSIR/repetition use '\\x01'; rarity uses ' ')."""
-    n = F.size(ws)
+    # greatest(n-1, 0): n=0 (an EMPTY token array, e.g. the DSIR
+    # tokenizer on whitespace-only text) would pass slice a length of
+    # -1 and throw — the n<=1 safety claim must cover n=0 (r7 review).
+    m = F.greatest(F.size(ws) - 1, F.lit(0))
     return F.zip_with(
-        F.slice(ws, F.lit(1), n - 1),
-        F.slice(ws, F.lit(2), n - 1),
+        F.slice(ws, F.lit(1), m),
+        F.slice(ws, F.lit(2), m),
         lambda x, y: F.concat(x, F.lit(sep), y),
     )
 
@@ -136,7 +139,12 @@ PII_RULES: tuple[tuple[str, str, str], ...] = (
     # let bare NANP numbers like 555-123-4567 through the compliance
     # pass); SSN's 3-2-4 shape is consumed by the prior rule, and
     # IPv4's dotted shape never matches the dashed groups.
-    ("phone", r"(?:\+?\d{1,3}[ -])?\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    # \+?\b...: the match start is boundary-anchored (RE2-safe — no
+    # lookbehind), so the suffix of a longer digit run can no longer be
+    # consumed as a "phone" leaving stray digits behind (r7 review:
+    # 'card 5555-123-4567' redacted to 'card 5<PHONE>'); the optional
+    # '+' sits before the boundary so '+1 ...' still redacts whole.
+    ("phone", r"\+?\b(?:\d{1,3}[ -])?\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 )
 

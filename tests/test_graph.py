@@ -160,3 +160,18 @@ def test_connected_components_raises_on_non_convergence(spark):
     # enough rounds: one component labeled by the min id
     ok = connected_components(edges, max_iter=10)
     assert {r["component"] for r in ok.collect()} == {0}
+
+
+def test_pagerank_zero_weight_edges_are_dangling(spark):
+    """r7 operators review: a source whose only out-edge has weight 0
+    divided by zero under ANSI mode (task death) — zero-weight edges
+    now drop, making such a node dangling, and ranks still sum to 1."""
+    from map_reduce_framework_using_python_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 0.0), ("b", "a", 1.0)], "src string, dst string, w double"
+    )
+    ranks = {r["node"]: r["r"] for r in
+             pagerank(edges, src="src", dst="dst", weight="w", iters=3).collect()}
+    assert set(ranks) == {"a", "b"}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4

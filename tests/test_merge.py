@@ -90,3 +90,47 @@ def test_scd2_two_updates_one_key_chain_without_fanout(spark):
     assert k1[2][1] == "c" and k1[2][3] is None and k1[2][4]
     k2 = [r for r in rows if r[0] == 2]
     assert k2 == [(2, "z", datetime(2020, 1, 1), None, True)]
+
+
+def test_scd2_same_instant_updates_deterministic_and_end_type(spark):
+    """r7 operators review: two updates with equal (key, valid_from)
+    had unspecified lead() order — the chain now tiebreaks over the
+    remaining columns; and end_col takes the DIM's type instead of a
+    hard-coded timestamp cast."""
+    from map_reduce_framework_using_python_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "x", "2024-01-01", None, True)],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(1, "zz", "2024-02-01"), (1, "aa", "2024-02-01")],
+        "k long, attr string, valid_from string",
+    )
+    outs = [
+        sorted(
+            (r["attr"], r["is_current"])
+            for r in scd2_apply(dim, upd, key="k").collect()
+        )
+        for _ in range(3)
+    ]
+    assert outs[0] == outs[1] == outs[2]  # deterministic under ties
+    current = [a for a, cur in outs[0] if cur]
+    assert current == ["zz"]  # lexicographic tiebreak: 'zz' sorts last
+    # end_col keeps the dim's string type (no timestamp coercion)
+    out_df = scd2_apply(dim, upd, key="k")
+    assert dict(out_df.dtypes)["valid_to"] == "string"
+
+
+def test_changes_between_null_keys_classify_correctly(spark):
+    """r7 operators review: presence was tested via the key VALUE being
+    NULL, so a before-only NULL-key row reported 'insert' — marker
+    columns now classify it as the delete it is."""
+    from map_reduce_framework_using_python_spark.operators.merge import (
+        changes_between,
+    )
+
+    before = spark.createDataFrame([(None, "gone"), (1, "same")], "k long, v string")
+    after = spark.createDataFrame([(1, "same")], "k long, v string")
+    out = [(r["k"], r["change_type"]) for r in changes_between(before, after, "k").collect()]
+    assert out == [(None, "delete")]

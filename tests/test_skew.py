@@ -120,3 +120,26 @@ def test_salting_bounds_max_partition_skew(spark):
     }
     exact = df.filter("k = 'hot'").agg(F.sum("v"), F.count("*")).collect()[0]
     assert got["hot"] == (exact[0], exact[1])
+
+
+def test_salted_agg_allows_columns_named_distinct(spark):
+    """r7 operators review: the DISTINCT guard matched the whole
+    rendered expression as a substring, so a column NAMED
+    'distinct_ratio' (which quality_scores emits) was falsely
+    rejected — the keyword-token check must accept it and still
+    reject real DISTINCT aggregates."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], "k string, distinct_ratio double"
+    )
+    out = {
+        r["k"]: r["s"]
+        for r in salted_agg(df, "k", {"s": F.sum("distinct_ratio")}).collect()
+    }
+    assert out == {"a": 3.0, "b": 3.0}
+    with pytest.raises(ValueError, match="DISTINCT"):
+        salted_agg(df, "k", {"n": F.count_distinct("distinct_ratio")})

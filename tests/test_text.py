@@ -111,3 +111,36 @@ def test_redact_pii_bare_nanp_phone(spark):
     assert got[2].n_phone == 2
     assert got[2].redacted == "intl <PHONE> and bare <PHONE>"
     assert (got[3].n_ssn, got[3].n_phone, got[3].n_ipv4) == (1, 0, 1)
+
+
+def test_word_bigrams_empty_array_and_phone_boundaries(spark):
+    """r7 operators review: (a) an EMPTY token array passed slice a
+    length of -1 (crash) — now yields zero bigrams; (b) the phone rule
+    no longer consumes the suffix of a longer digit run while still
+    redacting bare and country-coded numbers whole."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators.text import (
+        redact_pii,
+        word_bigrams,
+    )
+
+    df = spark.createDataFrame([([],), (["a"],), (["a", "b"],)], "ws array<string>")
+    got = [r["bg"] for r in df.select(word_bigrams(F.col("ws"), " ").alias("bg")).collect()]
+    assert got == [[], [], ["a b"]]
+
+    texts = spark.createDataFrame(
+        [
+            (1, "call 555-123-4567 now"),
+            (2, "tel +1 202-555-0042 ok"),
+            (3, "card 5555-123-4567 ok"),      # digit-run suffix: NOT a phone
+            (4, "num 555-123-45678 ok"),       # digit-run trailing: NOT a phone
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(texts).collect()}
+    assert out[1]["n_phone"] == 1 and "<PHONE>" in out[1]["redacted"]
+    assert out[2]["n_phone"] == 1 and "+<PHONE>" not in out[2]["redacted"]
+    assert "<PHONE>" in out[2]["redacted"]
+    assert out[3]["n_phone"] == 0 and out[3]["redacted"] == "card 5555-123-4567 ok"
+    assert out[4]["n_phone"] == 0
