@@ -78,6 +78,12 @@ from map_reduce_framework_using_python_spark.plans import REGISTRY
 #: (word_bigrams n=0 guard), ns_pagerank_events (zero-weight edges
 #: dropped before the division); ns_pii_redact/ns_bigram_rarity/
 #: q_scd2_point_in_time were already in the unverified tier.
+#: Round-7 pipeline-lane-2 review removals (values identical at both
+#: SFs): ns_seeded_shuffle (shuffle_rank stays BIGINT — int cast
+#: overflowed past 2^31 docs), ns_dup_clusters/ns_dedup_keep_best
+#: (shared _dup_pair_graph + oracle fragment), ns_semdedup_pairs
+#: (shared persisted pairing block — one scan, not two);
+#: ns_corpus_drift (empty-token filter) was already unverified.
 _LAST_VERIFIED: dict[str, int] = {
     # round 1 (CORRECTNESS_r01.json) — stalest tier, re-check first
     **dict.fromkeys((
@@ -132,10 +138,9 @@ _LAST_VERIFIED: dict[str, int] = {
     # changed).
     **dict.fromkeys((
         "ns_corpus_build", "ns_corpus_report",
-        "ns_decontaminate", "ns_dedup_keep_best", "ns_dup_clusters",
-        "ns_event_transitions", "ns_fuzzy_match", "ns_hash_sample",
+        "ns_decontaminate", "ns_event_transitions", "ns_fuzzy_match", "ns_hash_sample",
         "ns_int8_quantize", "ns_mixture_upsample",
-        "ns_quality_filter", "ns_seeded_shuffle", "ns_sequence_packing",
+        "ns_quality_filter", "ns_sequence_packing",
         "ns_shingle_containment", "ns_source_gini", "ns_stratified_sample",
         "ns_text_normalize", "ns_tfidf",
         "ns_train_val_test", "ns_word_cooccurrence",
@@ -160,7 +165,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "ns_temperature_mixture",
         "q_sql_star_except",
         "q_sql_lateral_alias", "q_sql_parameterized", "q_sql_collation",
-        "q_sql_listagg", "ns_semdedup_pairs", "q_cube", "q_rollup",
+        "q_sql_listagg", "q_cube", "q_rollup",
         "q_pivot", "q03_global_topn", "q_union",
         "q_intersect", "q_except", "q_string_funcs", "q_date_funcs",
         "q17_small_quantity",

@@ -189,12 +189,30 @@ def semdedup_pairs_scaled(
         assigned = model.transform(feats).select(
             F.col(id_col), "v", F.col("prediction").alias("cluster")
         )
-    # Per-vector norm computed ONCE before the join (numerically
-    # identical to computing it per pair — same expression over the
-    # same doubles — but the O(d) fold runs n times instead of twice
-    # per candidate pair). Persisted lazily: both join sides read the
-    # assignment, and without the persist the KMeans transform scan
-    # would run twice.
+    return cluster_cosine_pairs(assigned, threshold, id_col=id_col)
+
+
+def cluster_cosine_pairs(
+    assigned: DataFrame, threshold: float, id_col: str = "vec_id"
+) -> DataFrame:
+    """Within-cluster cosine pairs over an ``(id, v, cluster)`` frame —
+    the ONE copy of the SemDeDup pairing block (r7 review: the
+    registered query and the scaled operator carried duplicates, and
+    only the operator persisted the assignment).
+
+    Per-vector norm computed ONCE before the join (numerically
+    identical to computing it per pair — same expression over the same
+    doubles — but the O(d) fold runs n times instead of twice per
+    candidate pair). Persisted lazily: both join sides read the
+    assignment, and without the persist the full scan + assignment
+    expression would run twice. The half_up 1e-6 quantize-then-
+    threshold rule is part of the operator's contract (the oracle grid,
+    plans/core.py)."""
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        dot,
+        l2_norm,
+    )
+
     assigned = assigned.withColumn("nrm", l2_norm(F.col("v"))).persist()
     a = assigned.select(
         "cluster", F.col(id_col).alias("vec_a"), F.col("v").alias("va"),
@@ -205,9 +223,6 @@ def semdedup_pairs_scaled(
         F.col("nrm").alias("nb"),
     )
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    # Same half_up 1e-6 quantize-then-threshold rule as the registered
-    # query (plans/clustering_queries.py): the grid is part of the
-    # operator's contract, not an oracle artifact.
     quant = F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return (
         a.join(b, "cluster")

@@ -142,31 +142,16 @@ def ns_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM expressions; pytest pins recall against the exact all-pairs
     ground truth restricted to co-clustered pairs (= 1.0 by
     construction)."""
+    from map_reduce_framework_using_python_spark.operators.clustering import (
+        cluster_cosine_pairs,
+    )
+
     assigned, _ = kmeans_fit(t(spark, sf_dir, "embeddings"), k=_K, n_iter=_N_ITER)
-    # Per-vector norm before the join: numerically identical to a
-    # per-pair l2_norm (same expression over the same doubles, so the
-    # oracle hash is unchanged) but the O(d) fold runs n times, not
-    # twice per candidate pair (measured 40% off the scaled twin).
-    assigned = assigned.withColumn("nrm", l2_norm(F.col("v")))
-    a = assigned.select(
-        "cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = assigned.select(
-        "cluster", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    # half_up-quantize FIRST, threshold the quantized value — the same
-    # floor(x*1e6+0.5)/1e6 grid the oracle computes, so the 0.4 cut and
-    # the emitted cosine are bit-identical across engines.
-    return (
-        a.join(b, "cluster")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", half_up(cos, 6))
-        .filter(F.col("cosine") >= _SEM_THR)
-        .select("cluster", "vec_a", "vec_b", "cosine")
-    )
+    # Shared pairing block (r7 review): the operator persists the
+    # assignment, so the scan + k×64-term argmin run ONCE — the
+    # un-persisted self-join here evaluated them twice. The half_up
+    # 1e-6 quantize-then-threshold grid lives in the operator.
+    return cluster_cosine_pairs(assigned, _SEM_THR, id_col="vec_id")
 
 
 @query("ns_whiten_embeddings", oracle=None, tags=("northstar", "embedding", "rows_only"))

@@ -263,6 +263,36 @@ def ns_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 8
 
 
+def _bpe_pair_table(cur: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair table (cnt, p) of a (cnt, syms) frame — the
+    ONE copy of the pair-explode expression both BPE trainers count
+    over (r7 review: the sequential and batched trainers carried
+    byte-identical blocks whose drift would hollow out the pinned
+    sequential==batched equality)."""
+    n = F.size("syms")
+    return cur.filter(n > 1).select(
+        "cnt",
+        F.explode(
+            F.zip_with(
+                F.slice("syms", 1, n - 1),
+                F.expr("slice(syms, 2, size(syms) - 1)"),
+                lambda x, y: F.concat(x, F.lit("\x01"), y),
+            )
+        ).alias("p"),
+    )
+
+
+def _bpe_merge_fold(a: str, b: str, ab: str):
+    """Greedy left-to-right merge fold for one accepted pair — shared
+    by both trainers (see :func:`_bpe_pair_table`)."""
+    return lambda acc, s: F.when(
+        (F.size(acc) > 0)
+        & (F.element_at(acc, -1) == F.lit(a))
+        & (s == F.lit(b)),
+        F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))),
+    ).otherwise(F.concat(acc, F.array(s)))
+
+
 def bpe_train(words: DataFrame, rounds: int = _BPE_ROUNDS) -> list[tuple[int, str, str, int]]:
     """Learn a BPE merge table from a (w, cnt) vocabulary DataFrame.
 
@@ -289,17 +319,7 @@ def bpe_train(words: DataFrame, rounds: int = _BPE_ROUNDS) -> list[tuple[int, st
     cur = words.withColumn("syms", F.split("w", "")).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
-        n = F.size("syms")
-        pairs = cur.filter(n > 1).select(
-            "cnt",
-            F.explode(
-                F.zip_with(
-                    F.slice("syms", 1, n - 1),
-                    F.expr("slice(syms, 2, size(syms) - 1)"),
-                    lambda x, y: F.concat(x, F.lit("\x01"), y),
-                )
-            ).alias("p"),
-        )
+        pairs = _bpe_pair_table(cur)
         top = (
             pairs.groupBy("p")
             .agg(F.sum("cnt").alias("c"))
@@ -311,16 +331,8 @@ def bpe_train(words: DataFrame, rounds: int = _BPE_ROUNDS) -> list[tuple[int, st
             break
         a, b = top[0]["p"].split("\x01")
         merges.append((r, a, b, int(top[0]["c"])))
-        ab = a + b
         merged = F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (s == F.lit(b)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))),
-            ).otherwise(F.concat(acc, F.array(s))),
+            "syms", F.array().cast("array<string>"), _bpe_merge_fold(a, b, a + b)
         )
         cur = cur.withColumn("syms", merged).localCheckpoint()
     return merges
@@ -357,17 +369,7 @@ def bpe_train_batched(
     cur = words.withColumn("syms", F.split("w", "")).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     while len(merges) < rounds:
-        n = F.size("syms")
-        pairs = cur.filter(n > 1).select(
-            "cnt",
-            F.explode(
-                F.zip_with(
-                    F.slice("syms", 1, n - 1),
-                    F.expr("slice(syms, 2, size(syms) - 1)"),
-                    lambda x, y: F.concat(x, F.lit("\x01"), y),
-                )
-            ).alias("p"),
-        )
+        pairs = _bpe_pair_table(cur)
         want = min(batch_size, rounds - len(merges))
         top = (
             pairs.groupBy("p")
@@ -388,14 +390,6 @@ def bpe_train_batched(
                 continue
             accepted.append((a, b, int(row["c"])))
             used |= {a, b, a + b}
-        def _merge_fold(a: str, b: str, ab: str):
-            return lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (s == F.lit(b)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))),
-            ).otherwise(F.concat(acc, F.array(s)))
-
         for a, b, c in accepted:
             merges.append((len(merges) + 1, a, b, c))
             cur = cur.withColumn(
@@ -403,7 +397,7 @@ def bpe_train_batched(
                 F.aggregate(
                     "syms",
                     F.array().cast("array<string>"),
-                    _merge_fold(a, b, a + b),
+                    _bpe_merge_fold(a, b, a + b),
                 ),
             )
         cur = cur.localCheckpoint()
@@ -477,9 +471,12 @@ def _ensure_dsir_model(spark: SparkSession, sf_dir: str) -> str:
     )
     from map_reduce_framework_using_python_spark.sources.io import source_fingerprint
 
+    from map_reduce_framework_using_python_spark.sources.io import layout_cache_tag
+
     root = os.environ.get("SPARK_GRAFT_DSIR_MODEL_ROOT", "/tmp/spark_graft_dsir")
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    path = os.path.join(root, tag, "b256")
+    # Full-path tag (shared helper): same-basename corpora must not
+    # thrash one model slot (r7 review).
+    path = os.path.join(root, layout_cache_tag(sf_dir), "b256")
     src = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     from map_reduce_framework_using_python_spark.operators.dsir import LAYOUT_VERSION
 
@@ -650,6 +647,12 @@ def ns_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         t(spark, sf_dir, "documents")
         .select("source", F.explode(F.split(F.trim(F.col("text")), " +")).alias("w"))
+        # w <> '': the oracle filters empty tokens; without the twin
+        # filter a whitespace-only document hashes a phantom '' token
+        # into its source's buckets and every PSI term shifts (the
+        # dsir._buckets rule — r7 pipeline review, latent on current
+        # fixtures which carry no empty docs).
+        .filter(F.col("w") != "")
         .select("source", F.substring(F.md5("w"), 1, 2).alias("b"))
     )
     c = tok.groupBy("source", "b").agg(F.count("*").alias("n"))

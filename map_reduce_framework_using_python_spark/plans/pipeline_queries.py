@@ -201,7 +201,11 @@ def ns_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="shuffle_rank",
         total_col="_n",
     )
-    return ranked.select("doc_id", F.col("shuffle_rank").cast("int").alias("shuffle_rank"))
+    # shuffle_rank stays BIGINT: an int cast overflows (ANSI abort) past
+    # 2^31 documents — the very scale this query advertises; the oracle's
+    # row_number() is BIGINT and int/bigint share a type family in the
+    # parity gate (r7 pipeline review).
+    return ranked.select("doc_id", F.col("shuffle_rank").alias("shuffle_rank"))
 
 
 @query(
@@ -232,10 +236,12 @@ def ns_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ns_dup_clusters",
-    oracle="""
-        WITH RECURSIVE
+
+#: The ONE copy of the duplicate-candidate GRAPH (r7 pipeline review:
+#: ns_dup_clusters and ns_dedup_keep_best carried byte-identical Spark
+#: blocks AND oracle CTE text): prefix/suffix 100-char md5 keying,
+#: union, self-join, distinct — and its recursive-CTE oracle twin.
+_DUP_GRAPH_CTES = """
         keyed AS (
             SELECT doc_id, md5(substring(text, 1, 100)) AS k FROM documents
             UNION ALL
@@ -249,7 +255,31 @@ def ns_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT src, src FROM sym
             UNION
             SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.node),
-        comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
+        comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)"""
+
+
+def _dup_pair_graph(d):
+    """Candidate duplicate pairs: docs sharing a 100-char prefix or
+    suffix hash (the Spark twin of :data:`_DUP_GRAPH_CTES`)."""
+    prefix = F.md5(F.substring("text", 1, 100))
+    suffix = F.md5(F.expr("substring(text, greatest(length(text) - 99, 1), 100)"))
+    keyed = d.select("doc_id", prefix.alias("k")).unionAll(
+        d.select("doc_id", suffix.alias("k"))
+    )
+    a = keyed.select(F.col("doc_id").alias("doc_a"), "k")
+    b = keyed.select(F.col("doc_id").alias("doc_b"), "k")
+    return (
+        a.join(b, "k")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@query(
+    "ns_dup_clusters",
+    oracle="""\
+        WITH RECURSIVE""" + _DUP_GRAPH_CTES + """
         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
     """,
@@ -266,19 +296,7 @@ def ns_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_framework_using_python_spark.operators.graph import dedup_clusters
 
     d = t(spark, sf_dir, "documents")
-    prefix = F.md5(F.substring("text", 1, 100))
-    suffix = F.md5(F.expr("substring(text, greatest(length(text) - 99, 1), 100)"))
-    keyed = d.select("doc_id", prefix.alias("k")).unionAll(
-        d.select("doc_id", suffix.alias("k"))
-    )
-    a = keyed.select(F.col("doc_id").alias("doc_a"), "k")
-    b = keyed.select(F.col("doc_id").alias("doc_b"), "k")
-    pairs = (
-        a.join(b, "k")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    pairs = _dup_pair_graph(d)
     return dedup_clusters(pairs, d, id_col="doc_id")
 
 
@@ -392,8 +410,6 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     resample-and-fill primitive every metrics pipeline needs; the spine
     is JVM ``sequence``/``explode`` — planned, never materialized on
     the driver."""
-    from pyspark.sql import Window
-
     ev = t(spark, sf_dir, "events").filter(
         (F.col("ts") >= F.lit("2024-01-01").cast("timestamp_ntz"))
         & (F.col("ts") < F.lit("2024-01-02").cast("timestamp_ntz"))
@@ -413,11 +429,6 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("h")
             )
         )
-    )
-    w = (
-        Window.partitionBy(hours.event_type)
-        .orderBy(hours.h)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     joined = hours.join(
         hourly,
@@ -439,22 +450,8 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ns_dedup_keep_best",
-    oracle="""
-        WITH RECURSIVE
-        keyed AS (
-            SELECT doc_id, md5(substring(text, 1, 100)) AS k FROM documents
-            UNION ALL
-            SELECT doc_id, md5(substring(text, greatest(length(text) - 99, 1), 100)) AS k
-            FROM documents),
-        edges AS (
-            SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-            FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id),
-        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-        walk(node, label) AS (
-            SELECT src, src FROM sym
-            UNION
-            SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.node),
-        comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+    oracle="""\
+        WITH RECURSIVE""" + _DUP_GRAPH_CTES + """,
         clustered AS (
             SELECT d.doc_id, d.n_chars, coalesce(c.component, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
@@ -477,19 +474,7 @@ def ns_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_framework_using_python_spark.operators.graph import dedup_clusters
 
     d = t(spark, sf_dir, "documents")
-    prefix = F.md5(F.substring("text", 1, 100))
-    suffix = F.md5(F.expr("substring(text, greatest(length(text) - 99, 1), 100)"))
-    keyed = d.select("doc_id", prefix.alias("k")).unionAll(
-        d.select("doc_id", suffix.alias("k"))
-    )
-    a = keyed.select(F.col("doc_id").alias("doc_a"), "k")
-    b = keyed.select(F.col("doc_id").alias("doc_b"), "k")
-    pairs = (
-        a.join(b, "k")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    pairs = _dup_pair_graph(d)
     clustered = dedup_clusters(pairs, d, id_col="doc_id").join(
         d.select("doc_id", "n_chars"), "doc_id"
     )

@@ -16,6 +16,12 @@ portability layer, so the same text runs on any ANSI engine.
 
 from __future__ import annotations
 
+# pandas must be MODULE-level: with future-annotations the pandas_udf
+# type hints are strings that resolve against this module's globals at
+# decoration time — a function-local import leaves 'pd.Series'
+# unresolvable and the UDF rejects its own signature (caught by the
+# round-closing sweep after the r7 review deferred it).
+import pandas as pd  # noqa: F401
 from pyspark.sql import DataFrame, SparkSession
 
 from map_reduce_framework_using_python_spark.plans.core import query, t
@@ -139,7 +145,6 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact on both engines and needs no final rounding. Arrow-batched
     (pandas) under the hood; same partial+final agg around it."""
     import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
