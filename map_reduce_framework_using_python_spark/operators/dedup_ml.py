@@ -63,9 +63,14 @@ def minhash_lsh_pairs_ml(
             F.col(f"datasetB.sh_set").alias("sh_b"),
         )
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter / union
+    # The shared verification expression (operators/dedup.py) — the
+    # third backend must verify identically to the one-shot operator
+    # and the persisted-index probe (r7 review).
+    from map_reduce_framework_using_python_spark.operators.dedup import (
+        shingle_jaccard,
+    )
+
+    jac = shingle_jaccard("sh_a", "sh_b")
     return (
         cand.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))

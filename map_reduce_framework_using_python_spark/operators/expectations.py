@@ -53,31 +53,40 @@ class Expectations:
     def __init__(self, df: DataFrame):
         self._df = df
         self._aggs: list[Column] = []
+        self._agg_names: set[str] = set()
         self._uniques: list[tuple[str, list[str]]] = []
 
-    def not_null(self, col: str) -> "Expectations":
-        self._aggs.append(
-            _viol(F.col(col).isNotNull()).alias(f"not_null_{col}")
-        )
+    def _add(self, name: str, agg: Column) -> "Expectations":
+        # Duplicate rule names fail FAST: two rules of one type on one
+        # column would alias identically, and Row.asDict() keeps only
+        # the last — the earlier rule's count silently vanishes and
+        # enforce() can pass a violated contract (r7 review).
+        if name in self._agg_names:
+            raise ValueError(
+                f"duplicate expectation {name!r} — two rules of the same "
+                "type on one column would shadow each other's counts"
+            )
+        self._agg_names.add(name)
+        self._aggs.append(agg.alias(name))
         return self
+
+    def not_null(self, col: str) -> "Expectations":
+        return self._add(f"not_null_{col}", _viol(F.col(col).isNotNull()))
 
     def in_range(self, col: str, lo, hi) -> "Expectations":
-        self._aggs.append(
-            _viol_skip_nulls(F.col(col).between(lo, hi), col).alias(f"in_range_{col}")
+        return self._add(
+            f"in_range_{col}", _viol_skip_nulls(F.col(col).between(lo, hi), col)
         )
-        return self
 
     def in_set(self, col: str, values) -> "Expectations":
-        self._aggs.append(
-            _viol_skip_nulls(F.col(col).isin(list(values)), col).alias(f"in_set_{col}")
+        return self._add(
+            f"in_set_{col}", _viol_skip_nulls(F.col(col).isin(list(values)), col)
         )
-        return self
 
     def matches(self, col: str, regex: str) -> "Expectations":
-        self._aggs.append(
-            _viol_skip_nulls(F.col(col).rlike(regex), col).alias(f"matches_{col}")
+        return self._add(
+            f"matches_{col}", _viol_skip_nulls(F.col(col).rlike(regex), col)
         )
-        return self
 
     def unique(self, *cols: str) -> "Expectations":
         self._uniques.append((f"unique_{'_'.join(cols)}", list(cols)))

@@ -34,9 +34,20 @@ N_FEATURES = 256
 def _featurize(docs: DataFrame, label: Column | None = None):
     from pyspark.ml.feature import HashingTF
 
-    cols = ["doc_id", F.split(F.trim(F.col("text")), " +").alias("toks")]
+    # array_remove '': split('', ' +') yields [''] for empty/whitespace
+    # docs, which would hash a phantom feature into murmur3('')'s
+    # bucket — the dsir._buckets w != '' rule, propagated to the
+    # declared twin (r7 operators-2 review).
+    toks = F.array_remove(F.split(F.trim(F.col("text")), " +"), "")
+    cols = ["doc_id", toks.alias("toks")]
     if label is not None:
-        cols.append(label.cast("double").alias("label"))
+        # NULL weak labels (e.g. lang IS NULL under lang == 'en') map to
+        # not-positive, matching dsir.bucket_counts' when/otherwise —
+        # a NULL label would otherwise kill LogisticRegression.fit with
+        # an opaque executor error.
+        cols.append(
+            F.when(label, F.lit(1.0)).otherwise(F.lit(0.0)).alias("label")
+        )
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=N_FEATURES)
     return tf.transform(docs.select(*cols))
 
@@ -120,15 +131,16 @@ def auc(scored_with_truth: DataFrame, score_col: str, truth_col: str) -> float:
         bucketed_cumsum,
     )
 
-    labeled = scored_with_truth.filter(F.col(truth_col).isNotNull())
+    # Classify and filter on try_cast: a truth value that is not a
+    # valid boolean (e.g. the string 'unknown') must neither throw
+    # (ANSI cast) nor pass an isNotNull filter to hold a rank while
+    # joining neither class — that inflated the AUC (r7 review).
+    truth = F.col(truth_col).try_cast("boolean")
+    labeled = scored_with_truth.filter(truth.isNotNull())
     per_score = labeled.groupBy(F.col(score_col).alias("_s")).agg(
         F.count("*").alias("_cnt"),
-        F.sum(F.when(F.col(truth_col).cast("boolean"), 1).otherwise(0)).alias(
-            "_pos"
-        ),
-        F.sum(F.when(~F.col(truth_col).cast("boolean"), 1).otherwise(0)).alias(
-            "_neg"
-        ),
+        F.sum(F.when(truth, 1).otherwise(0)).alias("_pos"),
+        F.sum(F.when(~truth, 1).otherwise(0)).alias("_neg"),
     )
     # floor(s*16) is monotone along s (negatives included) — the
     # order-consistent bucket contract of bucketed_cumsum. NaN sorts

@@ -60,16 +60,16 @@ def embedding_moments(
                 }
             )
 
-    first = df.select(vec_col).head()
-    if first is None:
-        raise ValueError("embedding_moments: no vectors")
-    d = len(first[0])
     rows = df.select(vec_col).mapInPandas(
         partials, schema="n long, s array<double>, ss array<double>"
     ).collect()  # O(partitions) partial rows: model state, not data
     n = sum(r["n"] for r in rows)
     if n == 0:
         raise ValueError("embedding_moments: no vectors")
+    # d derives from the collected partials — a head() probe would be a
+    # whole extra Spark job just to learn the width (r7 review; the
+    # docstring promises ONE distributed pass).
+    d = len(rows[0]["s"])
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     ss = np.sum([np.asarray(r["ss"]).reshape(d, d) for r in rows], axis=0)
     mean = s / n

@@ -68,3 +68,18 @@ def test_value_rules_skip_nulls_not_null_catches_them(spark):
         "matches_s": 1,    # 'zz' only; NULL passes
         "not_null_v": 1,   # NULL caught where it belongs
     }
+
+
+def test_duplicate_rule_fails_fast(spark):
+    """r7 operators-2 review: two rules of one type on one column
+    aliased identically and Row.asDict kept only the last — the gate
+    could fail open. Duplicates now raise at build time."""
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.expectations import expect
+    from map_reduce_framework_using_python_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    with pytest.raises(ValueError, match="duplicate expectation"):
+        expect(l).matches("l_returnflag", "A").matches("l_returnflag", "B")

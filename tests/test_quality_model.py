@@ -95,3 +95,34 @@ def test_auc_helper_is_correct_on_known_cases(spark):
         "s double, y boolean",
     )
     assert abs(auc(tied, "s", "y") - 0.5) < 1e-9
+
+
+def test_featurize_and_auc_guards(spark):
+    """r7 operators-2 review pins: (a) empty/whitespace docs contribute
+    no phantom '' feature and NULL weak labels train as not-positive
+    instead of killing fit; (b) auc excludes truth values that cast to
+    NULL boolean instead of letting them hold ranks."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators.quality_model import (
+        auc,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "good clean text here", "en"), (2, "   ", None),
+         (3, "spam spam spam", "xx"), (4, "more good text", "en")],
+        "doc_id long, text string, lang string",
+    )
+    model = train_quality_classifier(docs, F.col("lang") == "en")  # NULL lang ok
+    scored = score_quality(docs, model)
+    assert scored.count() == 4
+    truthy = scored.withColumn(
+        "truth",
+        F.when(F.col("doc_id") == 1, "true")
+        .when(F.col("doc_id") == 3, "false")
+        .otherwise("unknown"),  # casts to NULL boolean: must not rank
+    )
+    a = auc(truthy, score_col="p_quality", truth_col="truth")
+    assert 0.0 <= a <= 1.0
