@@ -84,6 +84,13 @@ from map_reduce_framework_using_python_spark.plans import REGISTRY
 #: (shared _dup_pair_graph + oracle fragment), ns_semdedup_pairs
 #: (shared persisted pairing block — one scan, not two);
 #: ns_corpus_drift (empty-token filter) was already unverified.
+#: Round-7 remaining-query-files review removals (values identical at
+#: both SFs): mr_wordcount_pipe (mapper tokenizes single-space + the
+#: comma-reserved-delimiter exclusion, oracle twin filter),
+#: st_mrtext_stream (scratch reclaimed at exit), q05 bucketed/smj
+#: twins (customer hint removed, the r7 rule), q_python_udtf (empty
+#: text emits ('',1) like both engines' split), q_dpp_partitioned
+#: (shared dir-safe source fingerprint).
 _LAST_VERIFIED: dict[str, int] = {
     # round 1 (CORRECTNESS_r01.json) — stalest tier, re-check first
     **dict.fromkeys((
@@ -99,7 +106,7 @@ _LAST_VERIFIED: dict[str, int] = {
     ), 1),
     # round 2 (CORRECTNESS_r02.json)
     **dict.fromkeys((
-        "mr_wordcount_pipe", "ns_cosine_topk", "ns_embedding_near_pairs",
+        "ns_cosine_topk", "ns_embedding_near_pairs",
         "ns_embedding_norms", "ns_fingerprint", "ns_lang_stats",
         "ns_language_id", "ns_quality_scores",
         "ns_token_stats", "ns_wordcount", "q02_min_cost_supplier",
@@ -107,8 +114,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "q15_top_supplier", "q19_disjunctive", "q22_idle_customers", "q_array_ops", "q_binary_funcs", "q_bool_agg",
         "q_collect_sorted", "q_cross_join", "q_date_spine", "q_except_all",
         "q_explode_outer", "q_explode_udtf", "q_from_json",
-        "q_intersect_all", "q_map_funcs", "q_percentile", "q_python_udtf",
-        "q_regexp_funcs", "q_udaf_weighted_avg", "q_udf_scalar_pandas",
+        "q_intersect_all", "q_map_funcs", "q_percentile", "q_regexp_funcs", "q_udaf_weighted_avg", "q_udf_scalar_pandas",
         "q_udtf_grouped_map", "q_union_byname", "q_unpivot",
         "q_variant_extract", "q_window_nth", "st_session_window", "st_sliding_window", "st_stateful_totals",
         "st_stream_join", "st_stream_static_enrich", "st_tumbling_window",
@@ -117,11 +123,11 @@ _LAST_VERIFIED: dict[str, int] = {
     **dict.fromkeys((
         "ns_bm25_topk", "ns_kmeans_sizes",
         "ns_phrase_search",
-        "q05_local_supplier_bucketed", "q08_market_share",
+        "q08_market_share",
         "q09_product_profit", "q13_customer_distribution", "q16_parts_supplier_count",
         "q_argmax_struct", "q_assoc_rules",
         "q_attribution_last_touch", "q_bfs_distance", "q_corr_stats",
-        "q_dpp_partitioned", "q_fuzzy_match",
+        "q_fuzzy_match",
         "q_incremental_agg", "q_join_range_bigbig", "q_kcore",
         "q_mad_outliers", "q_mode_by_group", "q_null_handling",
         "q_ohlc_bars", "q_predicates_misc", "q_profile_stats",
@@ -145,7 +151,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "ns_text_normalize", "ns_tfidf",
         "ns_train_val_test", "ns_word_cooccurrence",
         "q00_scan_count", "q01_pricing_summary", "q02_filter_project",
-        "q05_local_supplier_smj", "q06_forecast_revenue",
+        "q06_forecast_revenue",
         "q12_priority_by_returnflag", "q18_large_orders_bucketed",
         "q_case_expr", "q_count_distinct", "q_distinct",
         "q_distinct_subset", "q_gap_fill", "q_retention",
@@ -159,7 +165,7 @@ _LAST_VERIFIED: dict[str, int] = {
     # deliberately ABSENT → unverified tier, so the r6 window leads
     # with it.
     **dict.fromkeys((
-        "st_mrtext_stream", "q_from_xml", "q_xml_roundtrip",
+        "q_from_xml", "q_xml_roundtrip",
         "ns_hash_embed", "ns_token_entropy",
         "ns_ccnet_buckets",
         "ns_temperature_mixture",
@@ -177,7 +183,7 @@ _LAST_VERIFIED: dict[str, int] = {
     # round 6 (CORRECTNESS_r06.json) — all 50 rows green: the five
     # round-6 additions plus the stalest r1/r2 cohort re-verified.
     **dict.fromkeys((
-        "mr_wordcount_pipe", "ns_ccnet_buckets_scaled", "ns_ccnet_sample",
+        "ns_ccnet_buckets_scaled", "ns_ccnet_sample",
         "ns_cosine_topk", "ns_dedup_exact", "ns_embedding_near_pairs",
         "ns_embedding_norms", "ns_epoch_plan", "ns_fingerprint",
         "ns_lang_stats", "ns_language_id", "ns_paragraph_dedup", "ns_quality_scores", "ns_token_stats", "ns_wordcount",

@@ -127,7 +127,9 @@ class MRJob:
 
     def run_to_kv_df(self, lines: RDD | DataFrame, key_name: str = "key", value_name: str = "value") -> DataFrame:
         """Run and split output on the first comma into a typed 2-column
-        DataFrame (the reference's untyped ``(key, value)`` contract)."""
+        DataFrame (the reference's untyped ``(key, value)`` contract:
+        the FIRST comma field is the key, so keys must not contain
+        commas — values may)."""
         out = self.run(lines).map(
             lambda line: tuple(line.split(",", 1)) if "," in line else (line, None)
         )
@@ -145,11 +147,19 @@ class MRJob:
 #: Canonical word-count job — the reference's smoke test
 #: (``Worker/worker_v1.py:109``), Hadoop-streaming protocol with
 #: comma-separated kv lines.
+#: Tokenization is single-space split + drop-empties, matching the
+#: DuckDB oracle's string_split(lower(text), ' ') ... WHERE word <> ''
+#: exactly — whitespace-class split() silently diverged on tab-bearing
+#: text (r7 review; latent on the tabless fixtures). Comma-bearing
+#: tokens are EXCLUDED on both sides: the reference kv format reserves
+#: ',' as the key delimiter, so such a token would corrupt the
+#: reducer's count parse ('int("bar,1")' job abort) — the oracle
+#: carries the matching word NOT LIKE '%,%' filter.
 WORDCOUNT_MAPPER = """\
 import sys
 for line in sys.stdin:
-    for w in line.strip().lower().split():
-        if w:
+    for w in line.rstrip("\\n").lower().split(" "):
+        if w and "," not in w:
             print(f"{w},1")
 """
 

@@ -28,8 +28,10 @@ from map_reduce_framework_using_python_spark.sources.warehouse import bucketed_t
        tags=("join", "star", "agg", "bucketed"))
 def q05_local_supplier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 over bucketed facts: the lineitem↔orders edge is a
-    zero-Exchange SortMergeJoin over co-located buckets; dims broadcast
-    as before."""
+    zero-Exchange SortMergeJoin over co-located buckets; the BOUNDED
+    dims broadcast, while customer — corpus-sized at 100 TB — carries
+    no forced hint (the same r7 rule as the scan-based twin; Catalyst
+    still auto-broadcasts it at test SFs)."""
     c = t(spark, sf_dir, "customer")
     o = bucketed_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -41,7 +43,8 @@ def q05_local_supplier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.hint("merge").join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # No forced broadcast on corpus-sized customer (r7 rule).
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
@@ -78,7 +81,8 @@ def q05_local_supplier_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.hint("merge").join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # No forced broadcast on corpus-sized customer (r7 rule).
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),

@@ -27,7 +27,7 @@ from map_reduce_framework_using_python_spark.plans.core import query, t
     oracle="""
         SELECT word, count(*) AS n
         FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
-        WHERE word <> ''
+        WHERE word <> '' AND word NOT LIKE '%,%'
         GROUP BY word
     """,
     tags=("mr_compat", "pipe"),
@@ -61,15 +61,18 @@ def st_mrtext_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-line, so lines ⇔ rows); the part index is dropped from the
     output because line→part placement follows the writer's physical
     partitioning, which no ANSI engine can replay."""
-    import tempfile
-
+    from map_reduce_framework_using_python_spark.plans.ann_queries import (
+        _scratch_dir,
+    )
     from map_reduce_framework_using_python_spark.sources import mrfs
     from map_reduce_framework_using_python_spark.streaming.windows import (
         run_available_now,
     )
 
     mrfs.register(spark)
-    work = tempfile.mkdtemp(prefix="st_mrtext_")
+    # atexit-reclaimed scratch (r7 review: one full 'de'-corpus copy
+    # leaked to /tmp per invocation).
+    work = _scratch_dir("st_mrtext_")
     dfs_dir = f"{work}/dfs"
     (
         t(spark, sf_dir, "documents")

@@ -41,31 +41,19 @@ def events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = os.path.join(root, "events_by_day")
     manifest = os.path.join(root, "_manifest.json")
-    # Source-generation fingerprint from the parquet footer — free
-    # metadata, no Spark job on the validation-only path. Row count
-    # alone is too weak (a regenerated testdata file with the same
-    # cardinality but different values would serve a stale layout), so
-    # the fingerprint also pins file size, mtime, writer, row-group
-    # count, and the ts column's min/max statistics.
-    import pyarrow.parquet as pq
+    # Source-generation fingerprint via the SHARED helper (r7 review:
+    # this file hand-rolled a weaker variant whose pq.ParquetFile(src)
+    # crashed when events.parquet is a DIRECTORY of part files — a
+    # layout sources/io.py explicitly supports). source_fingerprint
+    # pins bytes + mtime + footer row count; no Spark job runs.
+    from map_reduce_framework_using_python_spark.sources.io import (
+        source_fingerprint,
+    )
 
     src = os.path.join(sf_dir, "events.parquet")
-    meta = pq.ParquetFile(src).metadata
-    ts_stats = None
-    if meta.num_row_groups:
-        rg = meta.row_group(0)
-        for i in range(rg.num_columns):
-            col = rg.column(i)
-            if col.path_in_schema == "ts" and col.statistics is not None:
-                ts_stats = [str(col.statistics.min), str(col.statistics.max)]
     want = {
         "sf_dir": sf_dir,
-        "rows": meta.num_rows,
-        "bytes": os.path.getsize(src),
-        "mtime": os.path.getmtime(src),
-        "created_by": meta.created_by,
-        "row_groups": meta.num_row_groups,
-        "ts_stats": ts_stats,
+        "src": source_fingerprint(src),
     }
     have = None
     if os.path.exists(manifest):

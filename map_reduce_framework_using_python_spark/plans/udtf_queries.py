@@ -15,12 +15,16 @@ from map_reduce_framework_using_python_spark.plans.core import query, t
 @udtf(returnType="word string, pos int")
 class SplitWordsUDTF:
     """Tokenize with 1-based positions; the reference's mapper emitting
-    multiple output lines per input line."""
+    multiple output lines per input line. Guard NULL only — an EMPTY
+    string must emit ('', 1) exactly like both engines' split(' ') of
+    '' (r7 review: the old truthiness guard silently diverged from the
+    oracle on empty text)."""
 
     def eval(self, text: str):  # noqa: D102
-        if text:
-            for i, w in enumerate(text.split(" "), start=1):
-                yield (w, i)
+        if text is None:
+            return
+        for i, w in enumerate(text.split(" "), start=1):
+            yield (w, i)
 
 
 @query(
