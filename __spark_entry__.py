@@ -199,6 +199,34 @@ _LAST_VERIFIED: dict[str, int] = {
         "st_session_window", "st_sliding_window", "st_stateful_totals",
         "st_stream_join", "st_stream_static_enrich", "st_tumbling_window",
     ), 6),
+    # round 7 (CORRECTNESS_r07.json) — all 50 rows green: exactly the
+    # queries whose plan/oracle/output changed during the r7 review
+    # program. The 10 round-7 additions past this window
+    # (ns_epoch_realize, ns_epoch_shards, ns_paragraph_dedup_apply,
+    # ns_paragraph_screen, ns_paragraph_screen_apply, ns_pps_sample,
+    # ns_span_dedup, q_data_quality, q_dpp_partitioned, q_spearman)
+    # stay ABSENT → unverified tier, leading the round-8 window.
+    **dict.fromkeys((
+        "mr_wordcount_pipe", "ns_ann_probe_batch", "ns_bigram_lm_score",
+        "ns_bigram_lm_score_broadcast", "ns_bigram_rarity",
+        "ns_chunk_documents", "ns_corpus_drift", "ns_dedup_keep_best",
+        "ns_dsir_resample", "ns_dsir_weights", "ns_dup_clusters",
+        "ns_ivf_probe_batch", "ns_ngram_jaccard_pairs",
+        "ns_pagerank_events", "ns_pii_redact", "ns_repetition_signals",
+        "ns_seeded_shuffle", "ns_semdedup_pairs", "ns_source_overlap",
+        "ns_token_count_bpe", "ns_weighted_sample",
+        "q03_shipping_priority", "q05_local_supplier",
+        "q05_local_supplier_bucketed", "q05_local_supplier_smj",
+        "q10_returned_items", "q11_important_stock", "q20_part_promotion",
+        "q21_sole_supplier", "q_agg_stats", "q_equidepth_histogram",
+        "q_event_session_native", "q_funnel", "q_funnel_latency",
+        "q_grouping_sets", "q_having", "q_join_asof",
+        "q_join_asof_forward", "q_join_asof_nearest", "q_math_funcs",
+        "q_python_udtf", "q_scalar_subquery", "q_scd2_point_in_time",
+        "q_session_dynamic_gap", "q_time_weighted_avg", "q_try_arithmetic",
+        "q_window_ntile", "q_window_pct", "st_dsir_gate",
+        "st_mrtext_stream",
+    ), 7),
 }
 
 

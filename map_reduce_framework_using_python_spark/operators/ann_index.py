@@ -639,6 +639,11 @@ def lsh_probe_index_batch(
     # non-deterministic query lineage could desynchronize the IN-filter
     # from the join, silently dropping candidates — the persist makes
     # the filter a pure access-path optimization again (r7 ANN review).
+    # No matching unpersist: the RETURNED plan still reads `probes`, so
+    # an eager unpersist would recompute the lineage at action time and
+    # reintroduce the desync. Default storage is MEMORY_AND_DISK; the
+    # ContextCleaner reclaims the blocks once the caller drops the
+    # returned frame (the curate_batch-documented pattern, r8 advice).
     probes = probes.persist()
     # Bounded driver collect: LIMIT cap+1 so a pathological batch can
     # never materialize an unbounded IN-list (or driver row set) — the
@@ -709,6 +714,71 @@ def _centroid_dist_structs(qv, centroids: list[list[float]]):
             )
             for i, c in enumerate(centroids)
         ]
+    )
+
+
+#: Centroid counts up to this use the literal array-of-structs ranking
+#: (zero extra shuffle); above it the probe switches to the broadcast
+#: centroid-table join, whose PLAN SIZE is k-independent. At 100 TB
+#: k ≈ √n is thousands, and a k×d literal array embedded in the plan
+#: recreates the wide-literal plan-build pathology round 7 root-caused
+#: (per-element expression trees dominate latency long before
+#: execution starts) — the join form ships centroids as DATA.
+MAX_LITERAL_CENTROIDS = 64
+
+
+def _centroid_frame(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
+    """The persisted centroid table as a k-row DataFrame (cid, cvec) —
+    data, not plan literals, so broadcast cost is k·d doubles on the
+    wire and the plan itself stays constant-size in k."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid long, cvec array<double>",
+    )
+
+
+def _nearest_centroids_join(
+    spark: SparkSession,
+    qframe: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int,
+) -> DataFrame:
+    """(q_id, centroid_id) pairs for each query's ``n_probe`` nearest
+    persisted centroids, via a broadcast join against the centroid
+    TABLE — the k-independent twin of the literal
+    :func:`_centroid_dist_structs` ranking (r8: VERDICT design note 3).
+
+    Shape: the k-row centroid frame broadcasts into a cross join, the
+    query VECTOR is dropped before the rank shuffle (only skinny
+    (q_id, cid, dist) rows move — shuffling |Q|·k copies of a d-dim
+    array would dwarf the ranking itself), and a per-query window keeps
+    the ``n_probe`` nearest. Ordering is (dist asc, cid asc) — exactly
+    the lexicographic struct sort of the literal path — and the
+    distance is the SAME zip_with/aggregate fold, so the two forms are
+    bit-equal (pinned in tests/test_ann_batch.py)."""
+    from pyspark.sql import Window
+
+    cent = _centroid_frame(spark, centroids)
+    dists = (
+        qframe.select("q_id", "qv")
+        .join(F.broadcast(cent))
+        .select(
+            "q_id",
+            "cid",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    return (
+        dists.withColumn("_crn", F.row_number().over(w))
+        .filter(F.col("_crn") <= n_probe)
+        .select("q_id", F.col("cid").alias("centroid_id"))
     )
 
 
@@ -797,24 +867,39 @@ def ivf_probe_index_batch(
     meta = _read_meta(path)
     centroids, id_col, vec_col = meta["centroids"], meta["id_col"], meta["vec_col"]
     qv = _as_double(F.col(vec_col))
-    dist_structs = _centroid_dist_structs(F.col("qv"), centroids)
-    probes = (
-        queries.select(
-            F.col(id_col).alias("q_id"),
-            qv.alias("qv"),
-            l2_norm(qv).alias("qnorm"),
-        )
-        .withColumn(
-            "_probe", F.explode(F.slice(F.array_sort(dist_structs), 1, n_probe))
-        )
-        .select("q_id", "qv", "qnorm", F.col("_probe.cid").alias("centroid_id"))
+    qbase = queries.select(
+        F.col(id_col).alias("q_id"),
+        qv.alias("qv"),
+        l2_norm(qv).alias("qnorm"),
     )
+    if len(centroids) <= MAX_LITERAL_CENTROIDS:
+        # Small-k fast path: per-row literal array_sort, no extra
+        # shuffle and no second pass over the query frame.
+        dist_structs = _centroid_dist_structs(F.col("qv"), centroids)
+        probes = qbase.withColumn(
+            "_probe", F.explode(F.slice(F.array_sort(dist_structs), 1, n_probe))
+        ).select("q_id", "qv", "qnorm", F.col("_probe.cid").alias("centroid_id"))
+    else:
+        # k-independent path: broadcast centroid-table join (r8; see
+        # MAX_LITERAL_CENTROIDS). qbase persists because TWO plans read
+        # it below (the distance ranking and the qv/qnorm join-back) —
+        # a non-deterministic query lineage must not desync them; same
+        # ContextCleaner-reclaim contract as `probes`.
+        qbase = qbase.persist()
+        sel = _nearest_centroids_join(spark, qbase, centroids, n_probe)
+        probes = qbase.join(sel, "q_id").select(
+            "q_id", "qv", "qnorm", "centroid_id"
+        )
     # Static partition filter, like the LSH twin: DPP's pruningHasBenefit
     # heuristic can decline to fire on an unfiltered probe side, and then
     # every micro-batch scans ALL centroid directories. The distinct
     # probed-centroid set is bounded by the meta-sized centroid count, so
     # the collect is trivially cheap; the persist keeps the collect and
-    # the join on ONE evaluation of `queries` (r7 ANN review).
+    # the join on ONE evaluation of `queries` (r7 ANN review). No
+    # matching unpersist, deliberately: the returned plan reads `probes`,
+    # so eager unpersist would recompute the lineage at action time and
+    # reintroduce the desync; MEMORY_AND_DISK blocks are reclaimed by
+    # the ContextCleaner once the caller drops the frame (r8 advice).
     probes = probes.persist()
     probed_cids = [
         r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()

@@ -68,9 +68,13 @@ def _require_bigint_id(df: DataFrame, id_col: str, what: str) -> None:
 
 
 def _write_meta(path: str, meta: dict) -> None:
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "_dedup_meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    # temp + os.replace via the shared helper: _drop_src_fingerprint runs
+    # on every first append / compaction recovery, and a crash mid-dump
+    # must not truncate the meta (which would make every later
+    # read_meta/probe/append raise instead of recover — r7 advice).
+    from map_reduce_framework_using_python_spark.sources.io import write_json_atomic
+
+    write_json_atomic(os.path.join(path, "_dedup_meta.json"), meta)
 
 
 def read_meta(path: str) -> dict:

@@ -88,13 +88,43 @@ def salted_agg(
         import re as _re
 
         is_distinct = False
+        probe_ok = False
         try:
             node = a._jc.node()
             if node.getClass().getSimpleName() == "UnresolvedFunction":
                 is_distinct = bool(node.isDistinct())
+                probe_ok = True
         except Exception:  # noqa: BLE001 — structural probe only
             pass
-        if is_distinct or _re.search(r"\(\s*distinct\b", expr_str, _re.IGNORECASE):
+        if not probe_ok:
+            # Classic (non-Connect) Column: the JVM expression tree
+            # carries the same flag on UnresolvedFunction.
+            try:
+                jexpr = a._jc.expr()
+                if jexpr.getClass().getSimpleName() == "UnresolvedFunction":
+                    is_distinct = bool(jexpr.isDistinct())
+                    probe_ok = True
+            except Exception:  # noqa: BLE001 — structural probe only
+                pass
+        regex_hit = bool(_re.search(r"\(\s*distinct\b", expr_str, _re.IGNORECASE))
+        if not probe_ok and not regex_hit and fn in ("count", "sum"):
+            # The regex fallback alone can't be trusted here: on builds
+            # whose toString omits the DISTINCT keyword (the Spark 4
+            # rendering above), count_distinct(v) reads as plain
+            # count(v) and would silently DOUBLE-COUNT values appearing
+            # under multiple salts. An indeterminate probe on a
+            # DISTINCT-sensitive aggregate is therefore an error, not a
+            # fallback (r8 advice). min/max are DISTINCT-insensitive
+            # (min(DISTINCT x) == min(x)) and stay on the regex path.
+            raise ValueError(
+                f"salted_agg: cannot structurally verify that the "
+                f"aggregate for {name!r} ({fn!r}) is non-DISTINCT on "
+                "this Spark build (no ColumnNode.node()/expr() probe); "
+                "a DISTINCT aggregate would silently double-count "
+                "across salts — pass the aggregate via F.expr(...) with "
+                "an explicit function text, or de-salt first"
+            )
+        if is_distinct or regex_hit:
             raise ValueError(
                 f"salted_agg: aggregate for {name!r} uses DISTINCT, "
                 "which does not decompose over salts (the same value "

@@ -489,35 +489,38 @@ _PBATCH_MOD, _PBATCH_REM = 16, 7
 
 def _ensure_paragraph_index(spark: SparkSession, sf_dir: str) -> str:
     """Build-or-reuse the corpus paragraph-digest index under /tmp,
-    guarded by a source fingerprint of documents.parquet (the
-    refresh-hazard rule every derived layout follows)."""
-    import json
+    guarded by a source fingerprint of documents.parquet — via the
+    SHARED build-or-reuse machinery (sources.io.ensure_fingerprinted_layout:
+    corrupt meta = stale rebuild, atomic fingerprint write, full-path
+    cache tag), mirroring northstar._ensure_dedup_index; the r7 advice
+    pass found this copy still hand-rolled all three rules (colliding
+    basename tag, unguarded json.load, non-atomic meta rewrite)."""
     import os
 
     from map_reduce_framework_using_python_spark.operators.dedup_index import (
         build_paragraph_index,
     )
-    from map_reduce_framework_using_python_spark.sources.io import source_fingerprint
+    from map_reduce_framework_using_python_spark.sources.io import (
+        ensure_fingerprinted_layout,
+        layout_cache_tag,
+        source_fingerprint,
+    )
 
     root = os.environ.get("SPARK_GRAFT_DEDUP_INDEX_ROOT", "/tmp/spark_graft_dedup")
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    path = os.path.join(root, tag, f"para{_PARA_WORDS}")
-    meta_path = os.path.join(path, "_dedup_meta.json")
-    src = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            if json.load(fh).get("src") == src:
-                return path
-    corpus = t(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % _PBATCH_MOD != _PBATCH_REM
+    path = os.path.join(root, layout_cache_tag(sf_dir), f"para{_PARA_WORDS}")
+
+    def build(p: str) -> None:
+        corpus = t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % _PBATCH_MOD != _PBATCH_REM
+        )
+        build_paragraph_index(corpus, p, para_words=_PARA_WORDS)
+
+    return ensure_fingerprinted_layout(
+        path,
+        "_dedup_meta.json",
+        source_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+        build,
     )
-    build_paragraph_index(corpus, path, para_words=_PARA_WORDS)
-    with open(meta_path) as fh:
-        meta = json.load(fh)
-    meta["src"] = src
-    with open(meta_path, "w") as fh:
-        json.dump(meta, fh)
-    return path
 
 
 @query(

@@ -1098,3 +1098,36 @@ def test_lloyd_ivf_index_matches_kmeans_fit_assignments(spark, tmp_path):
         meta = json.load(fh)
     assert meta["centroids"] == centroids
     assert meta["quantizer"] == "lloyd8x2"
+
+
+def test_ivf_centroid_join_path_equals_literal_path(spark, tmp_path, monkeypatch):
+    """The k-independent broadcast centroid-table ranking must be
+    BIT-EQUAL to the literal array_sort ranking it replaces at scale
+    (r8: at k≈√n thousands of centroid literals in the plan recreate
+    the r7 wide-literal plan-build pathology; the join ships them as
+    data). Same zip_with fold, same (dist, cid) ordering — so forcing
+    the join path via MAX_LITERAL_CENTROIDS=0 must reproduce every
+    (q_id, vec_id, label, cosine, rn) row, both orderings."""
+    from map_reduce_framework_using_python_spark.operators import ann_index
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf_idx")
+    ann_index.build_ivf_index(emb, path, n_centroids=16, seed=42)
+    queries = emb.filter(F.col("vec_id").isin(list(_QIDS)))
+    for grid_order in (False, True):
+        literal = {
+            tuple(r)
+            for r in ann_index.ivf_probe_index_batch(
+                spark, queries, path, k=5, n_probe=4, grid_order=grid_order
+            ).collect()
+        }
+        monkeypatch.setattr(ann_index, "MAX_LITERAL_CENTROIDS", 0)
+        joined = {
+            tuple(r)
+            for r in ann_index.ivf_probe_index_batch(
+                spark, queries, path, k=5, n_probe=4, grid_order=grid_order
+            ).collect()
+        }
+        monkeypatch.undo()
+        assert joined == literal
+        assert literal
