@@ -580,6 +580,28 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             result[f"curation{cur100}x_pruned_error"] = str(exc)[:200]
 
+    # Curation with the PARAGRAPH leg active at 10× (r8: the standing
+    # rows above run it off — paragraph_index_path defaults None — so
+    # n_boilerplate was 0 and the sub-document screen had no scale
+    # evidence). Batch = original slice + 200 injected template-heavy
+    # docs (tools/curation_probe._inject_boilerplate); the row proves
+    # the leg fires (n_boilerplate ≥ 200) without a drain blow-up.
+    cur_para = int(os.environ.get("SPARK_GRAFT_BENCH_CURATION_PARA", "10"))
+    if cur_para > 1:
+        try:
+            from curation_probe import run as curation_run
+
+            result[f"curation{cur_para}x_paragraph"] = curation_run(
+                spark, cur_para, paragraph=True
+            )
+            print(
+                f"# curation{cur_para}x_paragraph: "
+                f"{result[f'curation{cur_para}x_paragraph']}",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            result[f"curation{cur_para}x_paragraph_error"] = str(exc)[:200]
+
     print(json.dumps(result))
 
 

@@ -211,7 +211,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.6,
     max_bucket: int = 1024,
-    anchor_k: int = 1,
+    anchor_k: int = 3,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, exact-verified.
 
@@ -248,8 +248,14 @@ def minhash_lsh_pairs(
     ``anchor_k`` > 1 blunts that cliff: star edges are emitted from the
     K min-id anchors instead of one — still O(K·|bucket|) candidates,
     and a single non-duplicate anchor can no longer sever the cluster
-    (any of the K verifying connects the member). Default 1 keeps the
-    minimal spanning star. Per-bucket stats (size + anchor) come from an unordered
+    (any of the K verifying connects the member). The default is 3,
+    set from a planted-collider measurement (r8): with a
+    signature-equal low-Jaccard doc as the bucket's min id, ``k=1``
+    severed a 20-doc duplicate cluster COMPLETELY (0/190 true pairs)
+    while ``k=3`` restored full connectivity
+    (tests/test_dedup.py::test_anchor_star_collider_severs_at_k1_and_k3_rescues);
+    the 3× candidate cost applies only inside oversize buckets. Pass 1
+    for the minimal spanning star. Per-bucket stats (size + anchor) come from an unordered
     window over the single bucket-key exchange — sort-based and
     spillable, never ``collect_list`` — so no task ever materializes an
     oversize bucket in memory; the id lists that ARE collected are

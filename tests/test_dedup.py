@@ -76,7 +76,9 @@ def test_minhash_hot_bucket_short_circuits_to_anchor_star(spark):
     to the min-id anchor — never materializing the bucket's id list or
     its O(n²) pairs. The star still exact-verifies (jaccard 1.0 here)
     and still spans the whole duplicate cluster for downstream
-    connected-components."""
+    connected-components. ``anchor_k=1`` passed explicitly: this pins
+    the MINIMAL star bound (the default is 3 as of r8 — see the
+    planted-collider test below)."""
     template = "the quick brown fox jumps over the lazy dog again and again"
     rows = [(i, template) for i in range(2000)]
     rows += [(9001, "completely different text one two three four five"),
@@ -84,7 +86,7 @@ def test_minhash_hot_bucket_short_circuits_to_anchor_star(spark):
     df = _docs(spark, rows)
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in minhash_lsh_pairs(df, max_bucket=64).collect()
+        for r in minhash_lsh_pairs(df, max_bucket=64, anchor_k=1).collect()
     }
     # hot cluster: exactly the anchor star (0, i) for every member,
     # all verified at jaccard 1.0
@@ -168,3 +170,92 @@ def test_word_shingles_quotes_identifiers(spark):
     df = spark.createDataFrame([("a b c d",)], "`doc text` string")
     got = df.select(word_shingles("doc text", 2).alias("sh")).head()["sh"]
     assert got == ["a b", "b c", "c d"]
+
+
+def _collider_for(spark, base_text: str, num_hashes: int = 2):
+    """Craft a LOW-Jaccard doc whose full MinHash signature equals
+    ``base_text``'s: concatenate the per-hash-function ARGMIN shingles
+    (they force each min to tie) plus junk words, retrying junk seeds
+    until no bridge/junk shingle hashes below a base minimum. Returns
+    (collider_text, jaccard_vs_base). Deterministic: xxhash64 is seeded,
+    so the first clean junk seed is always the same."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators.dedup import (
+        minhash_signatures,
+        word_shingles,
+    )
+
+    base = spark.createDataFrame([(0, base_text)], ["doc_id", "text"])
+    sh = base.select(F.explode(word_shingles("text", 3)).alias("shingle"))
+    argmins = [
+        sh.select(F.expr(f"min_by(shingle, xxhash64({i}, shingle))")).head()[0]
+        for i in range(num_hashes)
+    ]
+    want = tuple(
+        minhash_signatures(base, num_hashes=num_hashes).head()[f"h{i}"]
+        for i in range(num_hashes)
+    )
+    for seed in range(40):
+        # Seed-dependent separators BETWEEN the argmin 3-grams too, so
+        # every bridge shingle varies per retry (a fixed bridge hashing
+        # below a base minimum would otherwise fail all seeds).
+        text = f" zz{seed}s ".join(argmins) + " " + " ".join(
+            f"zz{seed}x{j}" for j in range(4)
+        )
+        cand = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+        got = tuple(
+            minhash_signatures(cand, num_hashes=num_hashes).head()[f"h{i}"]
+            for i in range(num_hashes)
+        )
+        if got == want:
+            both = spark.createDataFrame(
+                [(0, base_text), (1, text)], ["doc_id", "text"]
+            )
+            jac = (
+                ngram_jaccard_pairs(both, threshold=0.0).head()["jaccard"]
+                if ngram_jaccard_pairs(both, threshold=0.0).count()
+                else 0.0
+            )
+            return text, jac
+    raise AssertionError("no clean collider found in 40 junk seeds")
+
+
+def test_anchor_star_collider_severs_at_k1_and_k3_rescues(spark):
+    """The documented anchor-star recall cliff, planted (r8: VERDICT
+    item 6). A hot bucket whose MIN-ID member is a low-similarity
+    collider (signature-equal to the cluster — small r makes this real
+    on boilerplate corpora — but exact-Jaccard far below threshold):
+
+    - ``anchor_k=1``: every star edge routes through the collider,
+      every one fails verification, the WHOLE 20-doc duplicate cluster
+      is severed — 0 of its 190 true pairs survive.
+    - ``anchor_k=3``: anchors 2 and 3 are genuine members; their star
+      edges verify, the cluster reconnects (37 spanning pairs, full
+      single-component connectivity for downstream dup-clusters).
+
+    bands=1 makes the poisoned bucket the ONLY meeting place — the
+    adversarial worst case; with more bands a clean bucket can rescue a
+    pair, but nothing guarantees one. This measurement is why the
+    operator default is now ``anchor_k=3``."""
+    base_text = " ".join(f"w{i:03d}" for i in range(120))
+    collider, jac = _collider_for(spark, base_text, num_hashes=2)
+    assert jac < 0.1  # genuinely low-similarity
+    rows = [(0, collider)] + [(1000 + i, base_text) for i in range(20)]
+    df = _docs(spark, rows)
+
+    def pairs(anchor_k):
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(
+                df, n=3, num_hashes=2, bands=1, threshold=0.5,
+                max_bucket=8, anchor_k=anchor_k,
+            ).collect()
+        }
+
+    assert pairs(1) == set()  # the cliff: cluster fully severed
+    k3 = pairs(3)
+    expect = {(1000, 1000 + i) for i in range(1, 20)} | {
+        (1001, 1000 + i) for i in range(2, 20)
+    }
+    assert k3 == expect  # genuine anchors reconnect every member

@@ -78,7 +78,44 @@ def build_docs(spark: SparkSession, replicas: int) -> str:
     return dst
 
 
-def run(spark: SparkSession, replicas: int, prune_cap: int | None = None) -> dict:
+def _inject_boilerplate(
+    spark: SparkSession, corpus, dst: str, n_inject: int
+) -> None:
+    """Write ``n_inject`` synthetic template-heavy batch docs: each is a
+    concatenation of the 10-word prefixes (= one PARA_WORDS paragraph
+    each) of 8 DISTINCT corpus docs — paragraph dup_frac 1.0 against
+    the indexed corpus, but doc-level 3-gram MinHash similarity to any
+    SINGLE corpus doc far below the 0.6 near-dup threshold. That's the
+    RefinedWeb 'mostly template' page the document-level screen cannot
+    see and the paragraph leg exists for. Ids ≡ 7 (mod 16) in a range
+    no replica reaches, so they ride the batch slice and never collide."""
+    from pyspark.sql import functions as F
+
+    base = [
+        r["text"].split()[:10]
+        for r in corpus.filter(F.length("text") > 120)
+        .orderBy("doc_id")
+        .limit(64)
+        .select("text")
+        .collect()
+    ]
+    rows = []
+    for i in range(n_inject):
+        paras = [" ".join(base[(i + j) % len(base)]) for j in range(8)]
+        text = " ".join(paras)
+        rows.append((900_000_007 + 16 * i, text, "en", "inject", len(text)))
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).coalesce(1).write.mode("overwrite").parquet(dst)
+
+
+def run(
+    spark: SparkSession,
+    replicas: int,
+    prune_cap: int | None = None,
+    paragraph: bool = False,
+    n_inject: int = 200,
+) -> dict:
     """Build artifacts over the corpus slice, drain the batch slice
     through curate_stream, return stage timings + verdict counts.
 
@@ -87,7 +124,16 @@ def run(spark: SparkSession, replicas: int, prune_cap: int | None = None) -> dic
     drains against it — the steady-state 100 TB configuration, where
     the per-ingest hot-bucket bound is paid once in maintenance instead
     of per micro-batch. Timed as its own stage (``prune``): it
-    amortizes like the build, not like the drain."""
+    amortizes like the build, not like the drain.
+
+    ``paragraph`` (r8: VERDICT item 4 — the standing bench rows showed
+    n_boilerplate=0 because the leg defaults off) builds the corpus
+    paragraph-digest index (own stage, ``paragraph_index_build`` —
+    corpus-build cost like the MinHash index), injects ``n_inject``
+    template-heavy docs into the batch (:func:`_inject_boilerplate`),
+    and drains with ``paragraph_index_path`` set, so the row measures
+    the drain WITH the sub-document leg active and a nonzero
+    n_boilerplate proves it fired."""
     from map_reduce_framework_using_python_spark.operators.dedup_index import (
         build_minhash_index,
         prune_index_witnesses,
@@ -130,11 +176,33 @@ def run(spark: SparkSession, replicas: int, prune_cap: int | None = None) -> dic
     build_dsir_model(spark, corpus, F.col("lang") == "en", model_path)
     out["model_build"] = round(time.perf_counter() - t0, 3)
 
-    stream = (
-        spark.readStream.schema(_DOCS_SCHEMA)
-        .parquet(docs_path)
-        .filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM)
-    )
+    para_path = None
+    stream = spark.readStream.schema(_DOCS_SCHEMA).parquet(docs_path)
+    if paragraph:
+        from map_reduce_framework_using_python_spark.operators.dedup_index import (
+            build_paragraph_index,
+        )
+
+        para_path = os.path.join(run_root, "pidx")
+        t0 = time.perf_counter()
+        build_paragraph_index(corpus, para_path)
+        out["paragraph_index_build"] = round(time.perf_counter() - t0, 3)
+        inject_dir = os.path.join(run_root, "inject")
+        _inject_boilerplate(spark, corpus, inject_dir, n_inject)
+        stream = stream.unionByName(
+            spark.readStream.schema(_DOCS_SCHEMA).parquet(inject_dir)
+        )
+        # Replica clones of a batch doc land at doc_id + i·OFFSET ≡ 7
+        # (mod 16) — in the BATCH, not the corpus — and the paragraph
+        # verdict counts within-batch occurrences, so an unrestricted
+        # batch would flag EVERY doc boilerplate (measured: 3040/3330
+        # at 10×), a replica artifact. The paragraph row therefore
+        # drains the ORIGINAL batch slice (+ the injected docs); corpus
+        # scale still lives where the row measures it — in the indexes.
+        stream = stream.filter(
+            (F.col("doc_id") < _OFFSET) | (F.col("doc_id") >= 900_000_000)
+        )
+    stream = stream.filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM)
     t0 = time.perf_counter()
     curate_stream(
         stream,
@@ -143,6 +211,7 @@ def run(spark: SparkSession, replicas: int, prune_cap: int | None = None) -> dic
         model_path,
         out_root=os.path.join(run_root, "out"),
         checkpoint_dir=os.path.join(run_root, "ckpt"),
+        paragraph_index_path=para_path,
     )
     out["stream_drain"] = round(time.perf_counter() - t0, 3)
     m = (
@@ -166,10 +235,12 @@ def run(spark: SparkSession, replicas: int, prune_cap: int | None = None) -> dic
 def main() -> None:
     from map_reduce_framework_using_python_spark.session import get_spark
 
-    replica_list = [int(x) for x in sys.argv[1:]] or [10, 50]
+    args = [a for a in sys.argv[1:] if a != "--paragraph"]
+    paragraph = "--paragraph" in sys.argv[1:]
+    replica_list = [int(x) for x in args] or [10, 50]
     spark = get_spark(app_name="curation_probe")
     for replicas in replica_list:
-        print(json.dumps(run(spark, replicas)))
+        print(json.dumps(run(spark, replicas, paragraph=paragraph)))
 
 
 if __name__ == "__main__":
