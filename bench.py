@@ -65,6 +65,10 @@ HEADLINE = (
     # round 6: sub-document boilerplate stats — the digest-frequency
     # shuffle-hash join is a new heavy data-path shape worth tracking
     "ns_paragraph_dedup",
+    # round 8: the end-to-end training capstone (screen → cut → plan →
+    # realize → pack in ONE plan, corpus scans confined to the cached
+    # curated-table build) — the composed cost is the number users pay
+    "ns_training_capstone",
 )
 
 #: Round-3 per-query times (BENCH_r03.json, sf0.1) — the soft regression

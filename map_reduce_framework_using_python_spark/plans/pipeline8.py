@@ -130,33 +130,43 @@ def paragraph_dedup_stats(d: DataFrame) -> DataFrame:
 _INST_KEY = _PINST_KEY
 
 
+#: The paragraph-apply CTE chain as a reusable oracle fragment ending
+#: in ``cleaned(doc_id, n_kept, clean_text)`` — consumed by
+#: ns_paragraph_dedup_apply (directly) and the training capstone
+#: (as its screening stage). Text is byte-identical to the r7 oracle.
+_PARA_APPLY_CTES = f"""
+        w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+              FROM documents),
+        p AS (SELECT doc_id, g,
+                     md5(array_to_string(
+                         list_slice(ws, g * {_PARA_WORDS} + 1,
+                                    g * {_PARA_WORDS} + {_PARA_WORDS}),
+                         ' ')) AS h
+              FROM w,
+                   LATERAL unnest(generate_series(
+                       0, (len(ws) + {_PARA_WORDS - 1}) // {_PARA_WORDS} - 1
+                   )) t(g)),
+        k AS (SELECT h, min(doc_id * {_INST_KEY} + g) AS kk
+              FROM p GROUP BY 1),
+        kept AS (SELECT p.doc_id, p.g
+                 FROM p JOIN k USING (h)
+                 WHERE p.doc_id * {_INST_KEY} + p.g = kk),
+        cleaned AS (SELECT w.doc_id,
+                           count(*) AS n_kept,
+                           string_agg(array_to_string(
+                               list_slice(ws, g * {_PARA_WORDS} + 1,
+                                          g * {_PARA_WORDS} + {_PARA_WORDS}),
+                               ' '), ' ' ORDER BY g) AS clean_text
+                    FROM kept JOIN w ON kept.doc_id = w.doc_id
+                    GROUP BY 1)
+"""
+
+
 @query(
     "ns_paragraph_dedup_apply",
     oracle=f"""
-        WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
-                   FROM documents),
-             p AS (SELECT doc_id, g,
-                          md5(array_to_string(
-                              list_slice(ws, g * {_PARA_WORDS} + 1,
-                                         g * {_PARA_WORDS} + {_PARA_WORDS}),
-                              ' ')) AS h
-                   FROM w,
-                        LATERAL unnest(generate_series(
-                            0, (len(ws) + {_PARA_WORDS - 1}) // {_PARA_WORDS} - 1
-                        )) t(g)),
-             k AS (SELECT h, min(doc_id * {_INST_KEY} + g) AS kk
-                   FROM p GROUP BY 1),
-             kept AS (SELECT p.doc_id, p.g
-                      FROM p JOIN k USING (h)
-                      WHERE p.doc_id * {_INST_KEY} + p.g = kk)
-        SELECT w.doc_id,
-               count(*) AS n_kept,
-               string_agg(array_to_string(
-                   list_slice(ws, g * {_PARA_WORDS} + 1,
-                              g * {_PARA_WORDS} + {_PARA_WORDS}), ' '),
-                   ' ' ORDER BY g) AS clean_text
-        FROM kept JOIN w ON kept.doc_id = w.doc_id
-        GROUP BY 1
+        WITH {_PARA_APPLY_CTES}
+        SELECT doc_id, n_kept, clean_text FROM cleaned
     """,
     tags=("northstar", "pipeline", "dedup", "paragraph"),
 )
@@ -181,7 +191,17 @@ def ns_paragraph_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     one doc_id exchange, which is the floor for an op whose output IS a
     rewritten corpus. First-occurrence choice uses the exact composite
     BIGINT key, so both engines keep identical instances."""
-    d = t(spark, sf_dir, "documents")
+    return _paragraph_apply_frame(t(spark, sf_dir, "documents"))
+
+
+def _paragraph_apply_frame(
+    d: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """Operator body of ns_paragraph_dedup_apply over an arbitrary
+    (doc_id, text, …) frame — factored (r8) so the training capstone
+    can run the screening stage over the same base scan its later
+    stages derive from. ``passthrough`` carries extra source columns
+    (e.g. ``source``) onto the cleaned output unchanged."""
     inst = _paragraph_instances(d)
     from pyspark.sql import Window
 
@@ -202,7 +222,7 @@ def ns_paragraph_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = paragraph_clean_expr("text", _PARA_WORDS)
     return d.join(keptg, "doc_id").select(
-        "doc_id", "n_kept", clean.alias("clean_text")
+        "doc_id", *passthrough, "n_kept", clean.alias("clean_text")
     )
 
 
@@ -338,16 +358,24 @@ def ns_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _epoch_plan_frame(spark: SparkSession, sf_dir: str):
+    """The τ=0.5 epoch plan over the full ``documents`` corpus — binds
+    :func:`_epoch_plan_from_tok` to the registry tables."""
+    d = t(spark, sf_dir, "documents")
+    return _epoch_plan_from_tok(
+        d.select("source", F.size(F.split(F.trim(F.col("text")), " +")).alias("nt"))
+    )
+
+
+def _epoch_plan_from_tok(tok: DataFrame):
     """The shared τ=0.5 epoch-plan expression chain — ONE copy (r7
     review: ns_epoch_realize used to duplicate it while claiming
-    bit-for-bit equality): (source, n_docs, a, share, t, w9, pt), each
-    column built exactly as documented in ns_epoch_plan."""
+    bit-for-bit equality; r8 lifted it to frame level for the training
+    capstone, which plans over its CURATED token table):
+    (source, n_docs, a, share, t, w9, pt), each column built exactly as
+    documented in ns_epoch_plan. ``tok`` is one (source, nt, …) row per
+    document."""
     from pyspark.sql import Window
 
-    d = t(spark, sf_dir, "documents")
-    tok = d.select(
-        "source", F.size(F.split(F.trim(F.col("text")), " +")).alias("nt")
-    )
     s = tok.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("nt").alias("a")
     )
@@ -367,11 +395,11 @@ def _epoch_plan_frame(spark: SparkSession, sf_dir: str):
 
 #: The epoch-plan CTE chain shared by the realize oracle: per-source
 #: gridded epoch counts e6 = floor(epochs · 1e6 + 0.5) as BIGINT —
-#: exactly the ns_epoch_plan 'epochs' column before the /1e6.
-_EPOCH_E6_ORACLE = f"""
-        tokc AS (SELECT doc_id, source,
-                        len(string_split_regex(trim(text), ' +')) AS nt
-                 FROM documents),
+#: exactly the ns_epoch_plan 'epochs' column before the /1e6. Split
+#: (r8) into the documents-bound tokc head and the tokc-generic TAIL so
+#: the training capstone can run the same chain over its CURATED token
+#: table.
+_EPOCH_E6_TAIL = f"""
         s AS (SELECT source, CAST(sum(nt) AS BIGINT) AS a
               FROM tokc GROUP BY 1),
         sh AS (SELECT source, a,
@@ -379,18 +407,25 @@ _EPOCH_E6_ORACLE = f"""
                           / CAST(sum(a) OVER () AS BIGINT) AS share,
                       CAST(sum(a) OVER () AS BIGINT) AS t
                FROM s),
-        w AS (SELECT source, a, share, t,
+        ew AS (SELECT source, a, share, t,
                      CAST(floor(sqrt(share) * 1000000000.0 + 0.5)
                           AS BIGINT) AS w9
               FROM sh),
-        p AS (SELECT source, a, t,
+        ep AS (SELECT source, a, t,
                      CAST(w9 AS DOUBLE)
                          / CAST(sum(w9) OVER () AS BIGINT) AS pt
-              FROM w),
+              FROM ew),
         e AS (SELECT source,
                      CAST(floor(pt * {_EPOCH_BUDGET} * t / a
                                 * 1000000.0 + 0.5) AS BIGINT) AS e6
-              FROM p)
+              FROM ep)
+"""
+
+_EPOCH_E6_ORACLE = f"""
+        tokc AS (SELECT doc_id, source,
+                        len(string_split_regex(trim(text), ' +')) AS nt
+                 FROM documents),
+        {_EPOCH_E6_TAIL}
 """
 
 #: 2^32 — the md5-prefix grid the remainder-selection hash lives on.
@@ -451,11 +486,26 @@ def ns_epoch_realize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         F.size(F.split(F.trim(F.col("text")), " +")).alias("nt"),
     )
+    plan = _epoch_plan_frame(spark, sf_dir)
+    return _realize_stream(tok, _plan_e6(plan))
+
+
+def _plan_e6(plan: DataFrame) -> DataFrame:
+    """(source, e6) from an epoch-plan frame: the gridded BIGINT epoch
+    count e6 = floor(epochs·1e6 + 0.5) the realize pass consumes —
+    exactly the ns_epoch_plan 'epochs' column before the /1e6."""
     e6 = F.floor(
         F.col("pt") * F.lit(_EPOCH_BUDGET) * F.col("t") / F.col("a") * 1e6
         + F.lit(0.5)
     ).cast("bigint")
-    plan = _epoch_plan_frame(spark, sf_dir).select("source", e6.alias("e6"))
+    return plan.select("source", e6.alias("e6"))
+
+
+def _realize_stream(tok: DataFrame, plan_e6: DataFrame) -> DataFrame:
+    """The realize pass of ns_epoch_realize over an arbitrary
+    (doc_id, source, nt) token table and a (source, e6) plan — factored
+    (r8) so the training capstone realizes its CURATED corpus with the
+    identical hash-remainder selection and broadcast-plan shape."""
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("epo"), F.col("doc_id").cast("string"))), 1, 8
@@ -467,7 +517,7 @@ def ns_epoch_realize(spark: SparkSession, sf_dir: str) -> DataFrame:
         h * F.lit(1_000_000) < (F.col("e6") % 1_000_000) * F.lit(_H32), 1
     ).otherwise(0)
     return (
-        tok.join(F.broadcast(plan), "source")
+        tok.join(F.broadcast(plan_e6), "source")
         .withColumn("n_rep", n_rep)
         .filter(F.col("n_rep") > 0)
         .select(
@@ -675,37 +725,50 @@ def ns_paragraph_screen_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARD_TOKENS = 10_000
 
 
-@query(
-    "ns_epoch_shards",
-    oracle=f"""
-        WITH {_EPOCH_E6_ORACLE},
-             docs AS (SELECT tokc.doc_id, tokc.source, tokc.nt,
-                             CAST(concat('0x', substr(md5(concat('epo',
-                                  CAST(tokc.doc_id AS VARCHAR))), 1, 8))
-                                  AS BIGINT) AS h
-                      FROM tokc),
-             rep AS (SELECT d.doc_id, d.source, d.nt,
-                            (e6 // 1000000)
-                            + CASE WHEN d.h * 1000000
-                                        < (e6 % 1000000) * {_H32}
-                                   THEN 1 ELSE 0 END AS n_rep
-                     FROM docs d JOIN e USING (source)),
-             r AS (SELECT doc_id, nt, CAST(g AS BIGINT) AS replica
-                   FROM rep, LATERAL unnest(generate_series(0, n_rep - 1)) u(g)
-                   WHERE n_rep > 0),
-             o AS (SELECT doc_id, replica, nt,
-                          md5(concat('shrd', CAST(doc_id AS VARCHAR), ':',
-                                     CAST(replica AS VARCHAR))) AS hk
-                   FROM r),
-             c AS (SELECT doc_id, replica, nt,
-                          sum(nt) OVER (ORDER BY hk, doc_id, replica
-                                        ROWS BETWEEN UNBOUNDED PRECEDING
-                                        AND CURRENT ROW) AS cum
-                   FROM o)
+#: Realize + pack CTE chain over a ``tokc``/``e`` pair already in
+#: scope, ending in ``c`` (the running token sum) — shared by
+#: ns_epoch_shards and the training capstone (r8). Text byte-identical
+#: to the r7 shards oracle.
+_REALIZE_SHARD_CTES = f"""
+        docs AS (SELECT tokc.doc_id, tokc.source, tokc.nt,
+                        CAST(concat('0x', substr(md5(concat('epo',
+                             CAST(tokc.doc_id AS VARCHAR))), 1, 8))
+                             AS BIGINT) AS h
+                 FROM tokc),
+        rep AS (SELECT d.doc_id, d.source, d.nt,
+                       (e6 // 1000000)
+                       + CASE WHEN d.h * 1000000
+                                   < (e6 % 1000000) * {_H32}
+                              THEN 1 ELSE 0 END AS n_rep
+                FROM docs d JOIN e USING (source)),
+        r AS (SELECT doc_id, nt, CAST(g AS BIGINT) AS replica
+              FROM rep, LATERAL unnest(generate_series(0, n_rep - 1)) u(g)
+              WHERE n_rep > 0),
+        o AS (SELECT doc_id, replica, nt,
+                     md5(concat('shrd', CAST(doc_id AS VARCHAR), ':',
+                                CAST(replica AS VARCHAR))) AS hk
+              FROM r),
+        c AS (SELECT doc_id, replica, nt,
+                     sum(nt) OVER (ORDER BY hk, doc_id, replica
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+              FROM o)
+"""
+
+_SHARDS_SELECT = f"""
         SELECT doc_id, replica,
                CAST(nt AS BIGINT) AS n_tokens,
                CAST((cum - nt) // {_SHARD_TOKENS} AS BIGINT) AS shard_id
         FROM c
+"""
+
+
+@query(
+    "ns_epoch_shards",
+    oracle=f"""
+        WITH {_EPOCH_E6_ORACLE},
+             {_REALIZE_SHARD_CTES}
+        {_SHARDS_SELECT}
     """,
     tags=("northstar", "pipeline", "mixture", "sampling"),
 )
@@ -726,11 +789,18 @@ def ns_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     window anywhere. Composed on top of the realize plan's broadcast
     join + map-side explode, the whole pipeline is one corpus scan for
     the plan aggregate and one for the stream."""
+    return _pack_shards(ns_epoch_realize(spark, sf_dir))
+
+
+def _pack_shards(realized: DataFrame) -> DataFrame:
+    """The packing pass of ns_epoch_shards over an arbitrary realized
+    (doc_id, …, replica, n_tokens) stream — factored (r8) so the
+    training capstone packs its curated realize output with the
+    identical seeded layout order and bucketed global cumsum."""
     from map_reduce_framework_using_python_spark.operators.ranks import (
         bucketed_cumsum,
     )
 
-    realized = ns_epoch_realize(spark, sf_dir)
     key = F.md5(
         F.concat(
             F.lit("shrd"),
@@ -795,4 +865,91 @@ def st_paragraph_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir=os.path.join(work, "clean"),
         checkpoint_dir=os.path.join(work, "ckpt"),
         extend_index=True,
+    )
+
+
+@query(
+    "ns_training_capstone",
+    oracle=f"""
+        WITH {_PARA_APPLY_CTES},
+             b AS ({_CCNET_ASSIGN_ORACLE}),
+             ccnk AS (SELECT doc_id FROM (
+                          SELECT b.doc_id, b.bucket,
+                                 CAST(concat('0x', substr(md5(concat('ccn',
+                                      CAST(b.doc_id AS VARCHAR))), 1, 8))
+                                      AS BIGINT) AS h
+                          FROM b)
+                      WHERE (bucket = 'head' AND h < {_CCNET_KEEP['head']})
+                         OR (bucket = 'middle' AND h < {_CCNET_KEEP['middle']})
+                         OR (bucket = 'tail' AND h < {_CCNET_KEEP['tail']})),
+             tokc AS (SELECT c.doc_id, d.source,
+                             len(string_split_regex(trim(c.clean_text), ' +'))
+                                 AS nt
+                      FROM cleaned c
+                      JOIN ccnk USING (doc_id)
+                      JOIN documents d USING (doc_id)),
+             {_EPOCH_E6_TAIL},
+             {_REALIZE_SHARD_CTES}
+        {_SHARDS_SELECT}
+    """,
+    tags=("northstar", "pipeline", "capstone", "dedup", "quality",
+          "mixture", "sampling"),
+)
+def ns_training_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline in ONE declarative plan (r8:
+    VERDICT item 8): paragraph-dedup APPLY (rewrite every doc keeping
+    each paragraph's corpus-wide first occurrence; fully-boilerplate
+    docs vanish) → CCNet stratified CUT (keep head, sample middle 1/2 /
+    tail 1/10, md5-derived — over the histogram-threshold assignment)
+    → τ=0.5 epoch PLAN + REALIZE over the CURATED token counts (the
+    mixture is planned on what survives curation, not the raw corpus)
+    → seeded-shuffle SHARD PACKING — emitting the shard manifest
+    (doc_id, replica, n_tokens, shard_id) a trainer's loader reads.
+    Every stage is individually oracle-gated elsewhere
+    (ns_paragraph_dedup_apply, ns_ccnet_sample, ns_epoch_realize,
+    ns_epoch_shards); this query proves they COMPOSE — the oracle is
+    assembled from the same shared CTE fragments the stage oracles use.
+
+    Scale shape — the composition claim (plan-shape pinned in
+    tests/test_pipeline8.py): the corpus text is scanned by the
+    screening stage (paragraph digests + the doc_id join-back that
+    rebuilds clean text) and the scoring stage (bigram LM + lang
+    lookup) ONLY. The mixture, realize, and packing stages ride the
+    narrow curated token table — persisted (lazily) because two plans
+    consume it: the ≤|sources|-row epoch aggregate and the realize
+    join (the r7 persist discipline; ContextCleaner reclaims it) — and
+    add ZERO additional corpus scans: the realize is a broadcast-plan
+    map-side explode and the packing is the bucketed cumsum, exactly
+    the standalone stages' shapes."""
+    # Two consumers (epoch aggregate + realize join) — without the
+    # persist Catalyst derives the whole screen+cut pipeline twice.
+    tokc = _capstone_tokc(spark, sf_dir).persist()
+    return _pack_shards(_realize_stream(tokc, _plan_e6(_epoch_plan_from_tok(tokc))))
+
+
+def _capstone_tokc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone's CURATED token table (doc_id, source, nt): the
+    paragraph-apply screen composed with the CCNet stratified cut.
+    Factored so the plan-shape pin can count this subtree's corpus
+    scans in isolation (tests/test_pipeline8.py)."""
+    d = t(spark, sf_dir, "documents")
+    clean = _paragraph_apply_frame(d, passthrough=("source",))
+    b = _ccnet_scaled_assign(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ccn"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keep = (
+        ((F.col("bucket") == "head") & (h < _CCNET_KEEP["head"]))
+        | ((F.col("bucket") == "middle") & (h < _CCNET_KEEP["middle"]))
+        | ((F.col("bucket") == "tail") & (h < _CCNET_KEEP["tail"]))
+    )
+    kept_ids = b.filter(keep).select("doc_id")
+    return clean.join(kept_ids, "doc_id").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("clean_text")), " +")).alias("nt"),
     )

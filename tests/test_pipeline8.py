@@ -237,3 +237,35 @@ def test_epoch_shards_pack_the_realized_stream(spark):
     assert ids == list(range(len(ids)))
     for sid in ids[:-1]:
         assert _SHARD_TOKENS - max_nt < per_shard[sid] < _SHARD_TOKENS + max_nt
+
+
+def test_capstone_corpus_scans_confined_to_curated_table_build(spark):
+    """The training capstone's composition claim (r8): ALL corpus
+    FileScans live inside the persisted curated-token-table subtree
+    (screen + cut); the mixture plan, realize, and shard-packing stages
+    consume it through InMemoryTableScan and add ZERO corpus scans.
+    Plan text reprints the cached child once per InMemoryTableScan, so
+    the capstone's textual FileScan count must be EXACTLY
+    n_cache_reads × the tokc subtree's own scan count — any scan
+    outside the cache (a stage regressing to re-reading documents)
+    breaks the equality."""
+    from map_reduce_framework_using_python_spark.plans.pipeline8 import (
+        _capstone_tokc,
+    )
+    from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+
+    tokc_plan = (
+        _capstone_tokc(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    )
+    cap_plan = (
+        REGISTRY["ns_training_capstone"]
+        .fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    tokc_scans = tokc_plan.count("FileScan parquet")
+    n_cache_reads = cap_plan.count("InMemoryTableScan")
+    assert tokc_scans > 0
+    assert n_cache_reads > 0, cap_plan  # the curated table IS cached
+    assert cap_plan.count("FileScan parquet") == n_cache_reads * tokc_scans
