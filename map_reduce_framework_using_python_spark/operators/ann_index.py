@@ -806,16 +806,42 @@ def append_to_ivf_index(batch: DataFrame, path: str) -> None:
     # append_to_lsh_index.
     if meta.pop("src", None) is not None:
         _write_meta(path, meta)
+    centroids = meta["centroids"]
     qv = _as_double(F.col(meta["vec_col"]))
-    nearest = F.element_at(
-        F.array_sort(_centroid_dist_structs(qv, meta["centroids"])), 1
-    )["cid"]
-    (
-        batch.withColumn("centroid_id", nearest)
-        .write.mode("append")
-        .partitionBy("centroid_id")
-        .parquet(path)
-    )
+    if len(centroids) <= MAX_LITERAL_CENTROIDS:
+        nearest = F.element_at(
+            F.array_sort(_centroid_dist_structs(qv, centroids)), 1
+        )["cid"]
+        assigned = batch.withColumn("centroid_id", nearest)
+    else:
+        # k-independent assignment, the probe's r8 rule applied to the
+        # append: argmin = n_probe=1 of the broadcast centroid-table
+        # ranking (identical fold + (dist, cid) order ⇒ identical
+        # assignment; pinned in tests/test_ann_batch.py). The batch is
+        # read twice (ranking + join-back), so it persists across the
+        # write — a non-deterministic batch lineage must not rank one
+        # evaluation and store another (the probe-persist rule); unlike
+        # the probes, the action completes INSIDE this function, so the
+        # persist is released right here instead of via ContextCleaner.
+        id_col = meta["id_col"]
+        batch = batch.persist()
+        qframe = batch.select(F.col(id_col).alias("q_id"), qv.alias("qv"))
+        sel = _nearest_centroids_join(
+            batch.sparkSession, qframe, centroids, n_probe=1
+        )
+        assigned = batch.join(
+            sel.withColumnRenamed("q_id", id_col), id_col
+        )
+    try:
+        (
+            assigned
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(path)
+        )
+    finally:
+        if len(centroids) > MAX_LITERAL_CENTROIDS:
+            batch.unpersist()
 
 
 def ivf_probe_index_batch(
