@@ -135,6 +135,92 @@ R5_SCALE_FLOOR: dict[str, float] = {
     "ns_incremental_dedup": 1.283,
 }
 
+#: Round-8 per-query times (BENCH_r08.json) — floors for headline
+#: queries that had none (first benched after r5's floor snapshot).
+R8_FLOOR: dict[str, float] = {
+    "ns_ccnet_buckets_scaled": 1.275,
+    "ns_paragraph_dedup": 0.222,
+    "ns_training_capstone": 1.496,
+}
+
+#: Round-8 scale10x floors for rows recorded since r5 (the ccnet pair
+#: joined the section in r6 with no floor). ns_training_capstone and
+#: the IVF k=256 probe first record in r9 and seed the next snapshot.
+R8_SCALE_FLOOR: dict[str, float] = {
+    "ns_ccnet_buckets_scaled": 1.715,
+    "ns_ccnet_buckets": 1.254,
+}
+
+
+def _ivf_probe(spark, dst: str, reps: int) -> dict[str, float]:
+    """IVF batch probe at k=256 centroids — the standing guard for the
+    r8 k-independence fix (operators/ann_index.py: centroid ranking
+    switches from literal expression trees to a broadcast join against
+    the k-row centroid table above MAX_LITERAL_CENTROIDS=64).
+
+    tools/ivf_k256_probe.py proved the design once (k=256: literal form
+    13.0 s plan-build vs 1.6 s join form); the equality pin guards
+    correctness but nothing guarded the LATENCY — this row does. Index
+    over the 10× embeddings replica (vectors rolled per replica so
+    k-means sees distinct points), built once and fingerprint-guarded
+    like the skew probe; the recurring numbers are plan-build (call →
+    DataFrame, the r7 measurement discipline) and execution of a
+    64-query batch.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators import ann_index
+    from map_reduce_framework_using_python_spark.sources.io import (
+        read_json_guarded,
+        source_fingerprint,
+        write_json_atomic,
+    )
+
+    idx_path = os.path.join(dst, "ivf256_index")
+    meta_path = os.path.join(dst, "ivf256_probe_meta.json")
+    src = source_fingerprint(os.path.join(dst, "embeddings.parquet"))
+    have = read_json_guarded(meta_path)
+    out: dict[str, float] = {}
+    emb = spark.read.parquet(os.path.join(dst, "embeddings.parquet"))
+    if not (have is not None and have.get("src") == src):
+        # Replicated embeddings are identical coordinates at offset ids;
+        # roll each replica's vector by its replica index so the k=256
+        # fit sees distinct points instead of 2k points duplicated 10×.
+        r = (F.col("vec_id") / 10_000_000).cast("int")
+        rolled = emb.select(
+            "vec_id",
+            F.concat(
+                F.slice(F.col("embedding"), (r % 64) + 1, 64),
+                F.slice(F.col("embedding"), 1, r % 64),
+            ).alias("embedding"),
+            "label",
+        )
+        t0 = _time.perf_counter()
+        ann_index.build_ivf_index(rolled, idx_path, n_centroids=256, seed=42)
+        out["index_build"] = round(_time.perf_counter() - t0, 3)
+        write_json_atomic(meta_path, {"src": src})
+    queries = emb.filter(F.col("vec_id") < 64)
+    best_plan, best_exec = float("inf"), float("inf")
+    n = 0
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        df = ann_index.ivf_probe_index_batch(spark, queries, idx_path, k=10, n_probe=8)
+        best_plan = min(best_plan, _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        n = df.count()
+        best_exec = min(best_exec, _time.perf_counter() - t0)
+    out["probe_plan_build"] = round(best_plan, 3)
+    out["probe_exec"] = round(best_exec, 3)
+    out["rows"] = n
+    print(
+        f"# scale10x_ivf256 plan_build={out['probe_plan_build']:.3f}s "
+        f"exec={out['probe_exec']:.3f}s ({n} rows)",
+        file=sys.stderr,
+    )
+    return out
+
 
 def _skew_probe(spark, dst: str, reps: int) -> dict[str, float]:
     """Hot-key join wall clock, plain vs AQE-skew-split vs salted.
@@ -390,6 +476,18 @@ def main() -> None:
                 f"({v['now'] / v['r5']:.2f}x)",
                 file=sys.stderr,
             )
+        regressions_r8 = {
+            name: {"now": times[name], "r8": floor}
+            for name, floor in R8_FLOOR.items()
+            if name in times and times[name] > 1.5 * floor
+        }
+        result["regressions_vs_r8"] = regressions_r8
+        for name, v in regressions_r8.items():
+            print(
+                f"# REGRESSION {name}: {v['now']:.3f}s vs r8 {v['r8']:.3f}s "
+                f"({v['now'] / v['r8']:.2f}x)",
+                file=sys.stderr,
+            )
 
     # Scale section: replicate sf0.1 10× (~6M lineitem rows, cached in
     # /tmp) and time the shuffle-heavy joins scan-based vs bucketed —
@@ -432,6 +530,11 @@ def main() -> None:
                 # instead of corpus-bounded)
                 "ns_ccnet_buckets_scaled",
                 "ns_ccnet_buckets",
+                # round 9: the end-to-end training capstone at 10× — every
+                # stage has its own scale row; this one proves the
+                # COMPOSITION (screen → cut → plan → realize → pack in one
+                # plan) holds off sf0.1 with no superlinear surprise
+                "ns_training_capstone",
             ):
                 scale[name], n = best_of(name, DST)
                 print(f"# scale10x {name}: {scale[name]:.3f}s ({n} rows)", file=sys.stderr)
@@ -533,9 +636,26 @@ def main() -> None:
                         f"{v['r5']:.3f}s ({v['now'] / v['r5']:.2f}x)",
                         file=sys.stderr,
                     )
+                scale_reg8 = {
+                    name: {"now": scale[name], "r8": floor}
+                    for name, floor in R8_SCALE_FLOOR.items()
+                    if name in scale and scale[name] > 1.5 * floor
+                }
+                result["regressions_vs_r8_scale10x"] = scale_reg8
+                for name, v in scale_reg8.items():
+                    print(
+                        f"# REGRESSION scale10x {name}: {v['now']:.3f}s vs r8 "
+                        f"{v['r8']:.3f}s ({v['now'] / v['r8']:.2f}x)",
+                        file=sys.stderr,
+                    )
 
             # Hot-bucket LSH guard: the boilerplate-heavy corpus row.
             result["scale10x_dup"] = _dup_probe(spark, DST, reps)
+
+            # IVF k=256 join-form guard: the plan-build number is the
+            # one the r8 fix bounded (k-independent); its first r9
+            # record seeds the floor.
+            result["scale10x_ivf256"] = _ivf_probe(spark, DST, reps)
 
             # Skew evidence with a wall clock (the reference's myHash
             # lesson, Worker/shuffler.py:6-10): a 90%-hot-key fact
@@ -605,6 +725,26 @@ def main() -> None:
             )
         except Exception as exc:  # noqa: BLE001
             result[f"curation{cur_para}x_paragraph_error"] = str(exc)[:200]
+
+    # Paragraph leg at 100× against the pruned layout (r9: the 10× row
+    # above proves the leg fires; this one measures the sub-document
+    # screen's index-probe cost at the SAME corpus scale as the
+    # dedup/DSIR legs — hold its drain against curation100x_pruned's).
+    cur100p = int(os.environ.get("SPARK_GRAFT_BENCH_CURATION_100X_PARA", "100"))
+    if cur100p > 1:
+        try:
+            from curation_probe import run as curation_run
+
+            result[f"curation{cur100p}x_pruned_paragraph"] = curation_run(
+                spark, cur100p, prune_cap=8, paragraph=True
+            )
+            print(
+                f"# curation{cur100p}x_pruned_paragraph: "
+                f"{result[f'curation{cur100p}x_pruned_paragraph']}",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            result[f"curation{cur100p}x_pruned_paragraph_error"] = str(exc)[:200]
 
     print(json.dumps(result))
 

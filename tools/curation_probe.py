@@ -79,7 +79,7 @@ def build_docs(spark: SparkSession, replicas: int) -> str:
 
 
 def _inject_boilerplate(
-    spark: SparkSession, corpus, dst: str, n_inject: int
+    spark: SparkSession, corpus, dst: str, n_inject: int, base_id: int
 ) -> None:
     """Write ``n_inject`` synthetic template-heavy batch docs: each is a
     concatenation of the 10-word prefixes (= one PARA_WORDS paragraph
@@ -87,10 +87,15 @@ def _inject_boilerplate(
     the indexed corpus, but doc-level 3-gram MinHash similarity to any
     SINGLE corpus doc far below the 0.6 near-dup threshold. That's the
     RefinedWeb 'mostly template' page the document-level screen cannot
-    see and the paragraph leg exists for. Ids ≡ 7 (mod 16) in a range
-    no replica reaches, so they ride the batch slice and never collide."""
+    see and the paragraph leg exists for. Ids ≡ 7 (mod 16) starting at
+    ``base_id`` — the CALLER must put that above the replica span (r9:
+    the old fixed 900M base collided with replicas 90–99 at 100×,
+    leaking 3130 replica clones into the batch and flagging the whole
+    row boilerplate — the exact within-batch artifact the slice filter
+    exists to exclude)."""
     from pyspark.sql import functions as F
 
+    assert base_id % 16 == 0, "base_id must be ≡ 0 (mod 16) so +7 rides the slice"
     base = [
         r["text"].split()[:10]
         for r in corpus.filter(F.length("text") > 120)
@@ -103,7 +108,7 @@ def _inject_boilerplate(
     for i in range(n_inject):
         paras = [" ".join(base[(i + j) % len(base)]) for j in range(8)]
         text = " ".join(paras)
-        rows.append((900_000_007 + 16 * i, text, "en", "inject", len(text)))
+        rows.append((base_id + 7 + 16 * i, text, "en", "inject", len(text)))
     spark.createDataFrame(
         rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
     ).coalesce(1).write.mode("overwrite").parquet(dst)
@@ -188,7 +193,11 @@ def run(
         build_paragraph_index(corpus, para_path)
         out["paragraph_index_build"] = round(time.perf_counter() - t0, 3)
         inject_dir = os.path.join(run_root, "inject")
-        _inject_boilerplate(spark, corpus, inject_dir, n_inject)
+        # Inject base: one _OFFSET stride past the last replica, so the
+        # range stays clear of ANY replica count (the old fixed 900M
+        # base was inside replicas 90–99's span at 100×).
+        inject_base = _OFFSET * (replicas + 1)
+        _inject_boilerplate(spark, corpus, inject_dir, n_inject, inject_base)
         stream = stream.unionByName(
             spark.readStream.schema(_DOCS_SCHEMA).parquet(inject_dir)
         )
@@ -200,7 +209,7 @@ def run(
         # drains the ORIGINAL batch slice (+ the injected docs); corpus
         # scale still lives where the row measures it — in the indexes.
         stream = stream.filter(
-            (F.col("doc_id") < _OFFSET) | (F.col("doc_id") >= 900_000_000)
+            (F.col("doc_id") < _OFFSET) | (F.col("doc_id") >= inject_base)
         )
     stream = stream.filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM)
     t0 = time.perf_counter()

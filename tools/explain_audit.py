@@ -124,6 +124,11 @@ AUDIT = (
     # round 7: shard packing — bucketed global cumsum (NO unpartitioned
     # window) over the realized epoch stream
     "ns_epoch_shards",
+    # round 9: the end-to-end training capstone — the heaviest headline
+    # query; the plan must show the curated token table cached once
+    # (InMemoryTableScan), all corpus FileScans inside that subtree,
+    # and no corpus-sized exchange past the screen stage
+    "ns_training_capstone",
 )
 
 
@@ -164,8 +169,19 @@ def audit(name: str, spark, sf_dir: str) -> str:
     # Count only SHUFFLE exchanges: "Exchange" also substring-matches
     # BroadcastExchange/ReusedExchange, which inflated the committed
     # shuffle evidence for every broadcast join (r7 tools review).
-    n_exchange = len(re.findall(r"(?<![A-Za-z])Exchange \(\d+\)", tree))
-    checks.append(f"- shuffles (shuffle Exchange nodes): {n_exchange}")
+    # DISTINCT node ids: the formatted tree re-prints a cached
+    # InMemoryRelation subtree at every InMemoryTableScan read, so a
+    # raw match count would bill the cached subtree's exchanges once
+    # per consumer (r9: surfaced by the capstone's 6-reader cache).
+    n_exchange = len(set(re.findall(r"(?<![A-Za-z])Exchange \((\d+)\)", tree)))
+    checks.append(f"- shuffles (distinct shuffle Exchange nodes): {n_exchange}")
+    n_imts = len(set(re.findall(r"InMemoryTableScan \((\d+)\)", tree)))
+    if n_imts:
+        n_scans = len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree)))
+        checks.append(
+            f"- cache reuse: {n_imts} distinct InMemoryTableScan read(s), "
+            f"{n_scans} distinct parquet FileScan(s)"
+        )
     if "HashAggregate" in full:
         checks.append("- partial+final hash aggregation (map-side combine)")
     if "TakeOrderedAndProject" in full:
