@@ -398,6 +398,78 @@ def ns_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Semantic-decontamination flag threshold on the 1e-6 cosine grid
+#: (0.30 ≈ p75–p90 of the synthetic corpus's max-cosine distribution —
+#: both classes non-empty at every driver SF).
+_SEMDECON_TAU6 = 300_000
+
+
+@query(
+    "ns_semantic_decontaminate",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+             bench AS (SELECT v FROM e WHERE vec_id % 16 = 7),
+             corp AS (SELECT * FROM e WHERE vec_id % 16 <> 7),
+             mx AS (SELECT c.vec_id, c.label,
+                           max(list_cosine_similarity(c.v, b.v)) AS m
+                    FROM corp c CROSS JOIN bench b GROUP BY 1, 2)
+        SELECT vec_id, label,
+               floor(m * 1000000.0 + 0.5) / 1000000.0 AS max_cosine,
+               CAST(floor(m * 1000000.0 + 0.5) AS BIGINT)
+                   >= {_SEMDECON_TAU6} AS contaminated
+        FROM mx
+    """,
+    tags=("northstar", "pipeline", "decontamination", "similarity"),
+)
+def ns_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: flag training vectors whose max cosine
+    against the held-out benchmark slice (vec_id % 16 == 7, the batch-
+    slice convention) clears τ=0.30 — the embedding-space complement of
+    the n-gram screens (ns_decontaminate catches verbatim/near-verbatim
+    leaks; this catches paraphrased eval items that share no shingle,
+    the screen Phi/LLaMA-class reports run alongside exact matching).
+    Emits the full decision table (vec_id, label, max_cosine,
+    contaminated) — thresholding IS the drop rule, graded like
+    ns_shingle_containment.
+
+    Scale shape: the benchmark side is a benchmark SUITE, not the
+    corpus — fixed-size, broadcast (the ns_decontaminate digest-set
+    architecture; NOT plan literals, the r8 IVF lesson: a broadcast
+    join keeps the plan O(1) in |bench|). Corpus vectors score
+    map-side against the broadcast (JVM zip_with/aggregate fold, no
+    UDF), and the partial max-aggregate collapses each vector to ONE
+    narrow row before the only exchange (vec_id, label, max) — corpus
+    embeddings never shuffle. Flag and report ride the 1e-6 grid so
+    both engines decide boundary cases identically."""
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        _as_double,
+        dot,
+        l2_norm,
+    )
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    bench = (
+        e.filter(F.col("vec_id") % 16 == 7)
+        .select(F.col("v").alias("bv"), l2_norm(F.col("v")).alias("bn"))
+    )
+    corp = e.filter(F.col("vec_id") % 16 != 7).select(
+        "vec_id", "label", "v", l2_norm(F.col("v")).alias("cn")
+    )
+    cos = dot(F.col("v"), F.col("bv")) / (F.col("cn") * F.col("bn"))
+    m6 = F.floor(F.max(cos) * 1e6 + F.lit(0.5)).cast("bigint")
+    return (
+        corp.crossJoin(F.broadcast(bench))
+        .groupBy("vec_id", "label")
+        .agg(
+            (m6.cast("double") / 1e6).alias("max_cosine"),
+            (m6 >= _SEMDECON_TAU6).alias("contaminated"),
+        )
+    )
+
+
 #: Feature-hashing embedder dimensionality (small enough for a 16-column
 #: oracle; the Spark side generalizes to any power of two).
 _FH_DIM = 16

@@ -308,6 +308,33 @@ def test_bpe_batched_skips_conflicting_pairs_within_a_round(spark):
     assert bat[1] == (2, "c", "q", 30)
 
 
+def test_bpe_synthetic_curve_corpus_does_not_saturate(spark):
+    """The r9 bench-curve corpus (tools/bpe_curve.synthetic_words):
+    deterministic (pure JVM md5 expressions — identical across runs),
+    all-distinct words of 16–32 chars over a 16-letter alphabet, and
+    deep enough that merge rounds do NOT exhaust — the property the 10×
+    document corpus lacks (saturates at ~88 merges), which is why the
+    r8 production-merge-count curve had to extrapolate."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    from bpe_curve import synthetic_words
+
+    from map_reduce_framework_using_python_spark.plans.pipeline7 import (
+        bpe_train_batched,
+    )
+
+    w = synthetic_words(spark, 200)
+    rows = sorted((r["w"], r["cnt"]) for r in w.collect())
+    rows2 = sorted((r["w"], r["cnt"]) for r in synthetic_words(spark, 200).collect())
+    assert rows == rows2  # deterministic
+    assert len({x for x, _ in rows}) == 200  # all distinct
+    assert all(16 <= len(x) <= 32 for x, _ in rows)
+    merges = bpe_train_batched(w, rounds=16, batch_size=4)
+    assert len(merges) == 16  # no saturation at the test depth
+    assert [m[0] for m in merges] == list(range(1, 17))
+
+
 def test_bpe_batched_registry_query_contract(spark):
     """The batched table's guaranteed invariants on the real corpus:
     8 merges ranked 1..8; the first merge equals the sequential

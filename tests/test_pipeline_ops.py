@@ -85,3 +85,29 @@ def test_seeded_shuffle_scales_via_range_partitioning(spark):
     got = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["p"], r["_k"]))]
     want = [r["doc_id"] for r in sorted(rows, key=lambda r: r["_k"])]
     assert got == want
+
+
+def test_semantic_decontaminate_flag_and_slices(spark):
+    """ns_semantic_decontaminate: covers exactly the non-benchmark
+    vectors, the flag is the thresholded max_cosine (grid arithmetic,
+    no drift between the column and the verdict), both classes are
+    non-empty at the chosen tau, and the plan keeps the benchmark on
+    the broadcast side (no cartesian, no bench-sized shuffle)."""
+    from map_reduce_framework_using_python_spark.plans.pipeline6 import (
+        _SEMDECON_TAU6,
+    )
+
+    df = REGISTRY["ns_semantic_decontaminate"].fn(spark, SF_SMOKE)
+    rows = df.collect()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corp_ids = {r["vec_id"] for r in emb.filter(F.col("vec_id") % 16 != 7).collect()}
+    assert {r["vec_id"] for r in rows} == corp_ids
+    for r in rows:
+        assert r["contaminated"] == (
+            round(r["max_cosine"] * 1e6) >= _SEMDECON_TAU6
+        ), r
+    flags = {r["contaminated"] for r in rows}
+    assert flags == {True, False}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
