@@ -339,7 +339,7 @@ def bpe_train(words: DataFrame, rounds: int = _BPE_ROUNDS) -> list[tuple[int, st
 
 
 def bpe_train_batched(
-    words: DataFrame, rounds: int = _BPE_ROUNDS, batch_size: int = 4
+    words: DataFrame, rounds: int = _BPE_ROUNDS, batch_size: int = 8
 ) -> list[tuple[int, str, str, int]]:
     """Batched BPE training (VERDICT r6 item 5): accept up to
     ``batch_size`` COMPATIBLE merges per distributed round, cutting the
@@ -365,7 +365,15 @@ def bpe_train_batched(
 
     Apply stays one Spark job per round: the accepted merges compose as
     a chain of the same greedy left-to-right JVM folds, in acceptance
-    order, inside one ``localCheckpoint``-ed pass."""
+    order, inside one ``localCheckpoint``-ed pass.
+
+    ``batch_size`` default 8 (r9, from the NON-saturating curve —
+    tools/bpe_curve.py --synthetic, NOTES.md): at both 256 and 512
+    merges batch=8 beats batch=4 on wall AND merge-set fidelity vs the
+    exact trainer (256: 45.0 s/81% vs 48.6 s/75%; 512: 75.9 s/77% vs
+    102.5 s/68%), while batch=16 craters fidelity (62% at 256). The r8
+    batch=4 pick came from the saturating 88-merge corpus, where the
+    sizes tied on wall and 4 had the edge on fidelity."""
     cur = words.withColumn("syms", F.split("w", "")).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     while len(merges) < rounds:
@@ -412,10 +420,11 @@ def bpe_train_batched(
     tags=("northstar", "pipeline", "tokenizer", "rows_only"),
 )
 def ns_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched-round BPE training (up to 4 compatible merges per
-    distributed round — 8 merges in ~2 jobs instead of 8): the
-    production path for vocabulary-scale training; see
-    :func:`bpe_train_batched` for the exactness condition."""
+    """Batched-round BPE training (up to 8 compatible merges per
+    distributed round — the 8-merge demo table in ~1 job instead of 8):
+    the production path for vocabulary-scale training; see
+    :func:`bpe_train_batched` for the exactness condition and the r9
+    curve behind the batch-size default."""
     d = t(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split(F.trim("text"), " +")).alias("w"))

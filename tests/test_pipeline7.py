@@ -338,12 +338,13 @@ def test_bpe_synthetic_curve_corpus_does_not_saturate(spark):
 def test_bpe_batched_registry_query_contract(spark):
     """The batched table's guaranteed invariants on the real corpus:
     8 merges ranked 1..8; the first merge equals the sequential
-    argmax; within each batch_size=4 round the accepted pairs are
-    pairwise compatible (disjoint symbols + merged tokens) with
-    non-increasing counts. (Full equality with the sequential table is
-    NOT guaranteed — a mid-round merge can create a pair the
-    sequential trainer would interleave; pinned exactly on the
-    no-new-pair corpus above.)"""
+    argmax; within the single batch_size=8 round (the r9 default — the
+    non-saturating curve moved it from 4, see bpe_train_batched) the
+    accepted pairs are pairwise compatible (disjoint symbols + merged
+    tokens) with non-increasing counts. (Full equality with the
+    sequential table is NOT guaranteed — a mid-round merge can create
+    a pair the sequential trainer would interleave; pinned exactly on
+    the no-new-pair corpus above.)"""
     seq = [tuple(r) for r in REGISTRY["ns_bpe_train"].fn(spark, SF_SMOKE).collect()]
     bat = [
         tuple(r)
@@ -351,11 +352,16 @@ def test_bpe_batched_registry_query_contract(spark):
     ]
     assert [m[0] for m in bat] == list(range(1, 9))
     assert bat[0] == seq[0]  # round-leading argmax is exact
-    for start in (0, 4):
-        group = bat[start:start + 4]
-        counts = [m[4] for m in group]
-        assert counts == sorted(counts, reverse=True)
-        used: set[str] = set()
-        for _rank, a, b, _merged, _c in group:
-            assert not ({a, b, a + b} & used)
-            used |= {a, b, a + b}
+    # Round boundaries aren't observable from the table (conflict skips
+    # can close a round early, and a new round re-sorts), so the
+    # structural pin is boundary-free: every merge rule must be
+    # producible (symbols are single chars or earlier merges — the
+    # well-formedness that makes the table APPLICABLE) and no merged
+    # token repeats. Per-round compatibility/count order is pinned with
+    # explicit boundaries in the two bpe_train_batched unit tests above.
+    producible: set[str] = set()
+    for _rank, a, b, merged, _c in bat:
+        for sym in (a, b):
+            assert len(sym) == 1 or sym in producible, (a, b, sym)
+        assert merged == a + b and merged not in producible
+        producible.add(merged)
