@@ -129,6 +129,10 @@ AUDIT = (
     # (InMemoryTableScan), all corpus FileScans inside that subtree,
     # and no corpus-sized exchange past the screen stage
     "ns_training_capstone",
+    # round 9: semantic decontamination — benchmark side must be a
+    # BroadcastExchange (never plan literals, never a cartesian), and
+    # the only shuffle is the one narrow per-vector max row
+    "ns_semantic_decontaminate",
 )
 
 
