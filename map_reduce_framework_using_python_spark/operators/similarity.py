@@ -109,6 +109,46 @@ def embedding_near_pairs(
     )
 
 
+def benchmark_max_cosine(
+    vectors: DataFrame,
+    bench: DataFrame,
+    tau6: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Max cosine of every row in ``vectors`` against the (small,
+    frozen) ``bench`` suite, flagged at ``tau6`` on the 1e-6 grid —
+    the scoring core of semantic decontamination, shared verbatim by
+    the batch query (plans/pipeline6.py:ns_semantic_decontaminate) and
+    the ingest gate (streaming/quality_gate.py:semdecon_stream) so the
+    two can never drift on arithmetic or rounding.
+
+    Scale shape: ``bench`` broadcasts (a benchmark SUITE, not the
+    corpus — and a broadcast JOIN, not plan literals, the r8 IVF
+    lesson), each vector scores map-side via the JVM zip_with/aggregate
+    fold, and the partial max-agg collapses to ONE narrow row per
+    vector before the only exchange. Every verdict depends only on
+    (vector, bench, tau6) — no cross-row state — which is what makes
+    the streaming form's drained result equal the one-shot batch."""
+    b = bench.select(_as_double(F.col(vec_col)).alias("bv")).select(
+        "bv", l2_norm(F.col("bv")).alias("bn")
+    )
+    v = vectors.select(
+        id_col, label_col, _as_double(F.col(vec_col)).alias("v")
+    ).select(id_col, label_col, "v", l2_norm(F.col("v")).alias("cn"))
+    cos = dot(F.col("v"), F.col("bv")) / (F.col("cn") * F.col("bn"))
+    m6 = F.floor(F.max(cos) * 1e6 + F.lit(0.5)).cast("bigint")
+    return (
+        v.crossJoin(F.broadcast(b))
+        .groupBy(id_col, label_col)
+        .agg(
+            (m6.cast("double") / 1e6).alias("max_cosine"),
+            (m6 >= tau6).alias("contaminated"),
+        )
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec_id: int,

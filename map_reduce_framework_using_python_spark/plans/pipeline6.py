@@ -403,10 +403,11 @@ def ns_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: both classes non-empty at every driver SF).
 _SEMDECON_TAU6 = 300_000
 
-
-@query(
-    "ns_semantic_decontaminate",
-    oracle=f"""
+#: Shared by the batch query below and its ingest twin
+#: (st_semantic_decontaminate): the verdicts depend only on
+#: (vector, frozen benchmark, τ) — never on other batch members or
+#: micro-batch boundaries — so ONE SQL describes both.
+_SEMDECON_ORACLE = f"""
         WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings),
              bench AS (SELECT v FROM e WHERE vec_id % 16 = 7),
@@ -419,7 +420,12 @@ _SEMDECON_TAU6 = 300_000
                CAST(floor(m * 1000000.0 + 0.5) AS BIGINT)
                    >= {_SEMDECON_TAU6} AS contaminated
         FROM mx
-    """,
+"""
+
+
+@query(
+    "ns_semantic_decontaminate",
+    oracle=_SEMDECON_ORACLE,
     tags=("northstar", "pipeline", "decontamination", "similarity"),
 )
 def ns_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,32 +447,17 @@ def ns_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF), and the partial max-aggregate collapses each vector to ONE
     narrow row before the only exchange (vec_id, label, max) — corpus
     embeddings never shuffle. Flag and report ride the 1e-6 grid so
-    both engines decide boundary cases identically."""
+    both engines decide boundary cases identically. Scoring core shared
+    with the ingest gate: operators/similarity.benchmark_max_cosine."""
     from map_reduce_framework_using_python_spark.operators.similarity import (
-        _as_double,
-        dot,
-        l2_norm,
+        benchmark_max_cosine,
     )
 
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
-    )
-    bench = (
-        e.filter(F.col("vec_id") % 16 == 7)
-        .select(F.col("v").alias("bv"), l2_norm(F.col("v")).alias("bn"))
-    )
-    corp = e.filter(F.col("vec_id") % 16 != 7).select(
-        "vec_id", "label", "v", l2_norm(F.col("v")).alias("cn")
-    )
-    cos = dot(F.col("v"), F.col("bv")) / (F.col("cn") * F.col("bn"))
-    m6 = F.floor(F.max(cos) * 1e6 + F.lit(0.5)).cast("bigint")
-    return (
-        corp.crossJoin(F.broadcast(bench))
-        .groupBy("vec_id", "label")
-        .agg(
-            (m6.cast("double") / 1e6).alias("max_cosine"),
-            (m6 >= _SEMDECON_TAU6).alias("contaminated"),
-        )
+    e = t(spark, sf_dir, "embeddings")
+    return benchmark_max_cosine(
+        e.filter(F.col("vec_id") % 16 != 7),
+        e.filter(F.col("vec_id") % 16 == 7),
+        _SEMDECON_TAU6,
     )
 
 

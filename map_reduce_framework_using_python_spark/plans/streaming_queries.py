@@ -360,6 +360,49 @@ def st_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from map_reduce_framework_using_python_spark.plans.pipeline6 import (  # noqa: E402
+    _SEMDECON_ORACLE,
+    _SEMDECON_TAU6,
+)
+
+
+@query(
+    "st_semantic_decontaminate",
+    oracle=_SEMDECON_ORACLE,
+    tags=("streaming", "pipeline", "decontamination", "similarity"),
+)
+def st_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination on ingest: arriving training vectors
+    (vec_id % 16 != 7 — everything that is not the benchmark slice)
+    scored per micro-batch against the FROZEN benchmark suite
+    (streaming/quality_gate.py:semdecon_stream). Shares its scoring
+    core AND its full DuckDB oracle with the batch
+    ns_semantic_decontaminate: every verdict depends only on (vector,
+    benchmark, τ) on the 1e-6 grid, so micro-batch boundaries cannot
+    change the answer and the drained stream is SQL-expressible.
+    Drained-equals-batch is additionally pinned in
+    tests/test_quality_gate.py."""
+    import tempfile
+
+    from map_reduce_framework_using_python_spark.plans.core import t
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        read_embeddings_stream,
+    )
+    from map_reduce_framework_using_python_spark.streaming.quality_gate import (
+        semdecon_stream,
+    )
+
+    bench = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 16 == 7)
+    work = tempfile.mkdtemp(prefix="st_semdecon_")
+    return semdecon_stream(
+        read_embeddings_stream(spark, sf_dir).filter(F.col("vec_id") % 16 != 7),
+        bench,
+        _SEMDECON_TAU6,
+        out_dir=f"{work}/verdicts",
+        checkpoint_dir=f"{work}/ckpt",
+    )
+
+
 @query("st_ingest_drift", oracle=None, tags=("streaming", "pipeline", "drift", "rows_only"))
 def st_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest drift alarm: per-micro-batch PSI of arriving documents

@@ -132,3 +132,57 @@ def drift_stream(
         .parquet(out_dir)
         .dropDuplicates(["batch_id"])
     )
+
+
+_SEMDECON_SCHEMA = (
+    "vec_id BIGINT, label INT, max_cosine DOUBLE, contaminated BOOLEAN"
+)
+
+
+def semdecon_stream(
+    vec_stream: DataFrame,
+    bench: DataFrame,
+    tau6: int,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Semantic decontamination on ingest: score each arriving
+    micro-batch of vectors against the FROZEN benchmark suite with the
+    same shared core the batch query uses
+    (operators/similarity.benchmark_max_cosine) and append the
+    verdicts. The benchmark is fixed by construction (an eval suite,
+    not the corpus), so unlike the DSIR gate there is no model to
+    train — the suite itself broadcasts into every batch's map-side
+    scoring pass.
+
+    Drained == one-shot batch (pinned in tests/test_quality_gate.py)
+    because each verdict depends only on (vector, bench, τ) — never on
+    other batch members — and the flag is a BIGINT grid comparison,
+    immune to float reassociation across batches. Same at-least-once
+    append + read-back-dedup contract as :func:`gate_stream`."""
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        benchmark_max_cosine,
+    )
+
+    spark = vec_stream.sparkSession
+    bench = bench.persist()  # re-broadcast per batch, re-scan never
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        benchmark_max_cosine(batch_df, bench, tau6).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        vec_stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], _SEMDECON_SCHEMA)
+    return (
+        spark.read.schema(_SEMDECON_SCHEMA)
+        .parquet(out_dir)
+        .dropDuplicates(["vec_id"])
+    )

@@ -262,3 +262,66 @@ def test_psi_counts_batch_tokens_in_reference_unseen_buckets(spark):
     row = psi_vs_counts(batch, counts).collect()[0]
     assert row["n_tokens"] == 2  # zulu's unseen bucket still counted
     assert row["psi"] > 0
+
+
+def test_semdecon_stream_equals_one_shot_batch(spark):
+    """Micro-batch invariance for the semantic-decontamination gate:
+    draining the embedding stream yields exactly the one-shot verdicts
+    of the shared scoring core — each verdict depends only on
+    (vector, frozen benchmark, tau). Multiple maxFilesPerTrigger-1
+    batches would be ideal, but the parquet source is one file; the
+    at-least-once read-back dedup is covered by the shared contract."""
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        benchmark_max_cosine,
+    )
+    from map_reduce_framework_using_python_spark.plans.pipeline6 import (
+        _SEMDECON_TAU6,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        read_embeddings_stream,
+    )
+    from map_reduce_framework_using_python_spark.streaming.quality_gate import (
+        semdecon_stream,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 16 == 7)
+    with tempfile.TemporaryDirectory() as d:
+        streamed = semdecon_stream(
+            read_embeddings_stream(spark, SF_SMOKE).filter(
+                F.col("vec_id") % 16 != 7
+            ),
+            bench,
+            _SEMDECON_TAU6,
+            out_dir=os.path.join(d, "out"),
+            checkpoint_dir=os.path.join(d, "ckpt"),
+        )
+        one_shot = benchmark_max_cosine(
+            emb.filter(F.col("vec_id") % 16 != 7), bench, _SEMDECON_TAU6
+        )
+        assert sorted(tuple(r) for r in streamed.collect()) == sorted(
+            tuple(r) for r in one_shot.collect()
+        )
+
+
+def test_semdecon_stream_empty_input(spark):
+    from map_reduce_framework_using_python_spark.plans.pipeline6 import (
+        _SEMDECON_TAU6,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        read_embeddings_stream,
+    )
+    from map_reduce_framework_using_python_spark.streaming.quality_gate import (
+        semdecon_stream,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        out = semdecon_stream(
+            read_embeddings_stream(spark, SF_SMOKE).filter(F.col("vec_id") < 0),
+            emb.filter(F.col("vec_id") % 16 == 7),
+            _SEMDECON_TAU6,
+            out_dir=os.path.join(d, "out"),
+            checkpoint_dir=os.path.join(d, "ckpt"),
+        )
+        assert out.count() == 0
