@@ -115,7 +115,7 @@ def benchmark_max_cosine(
     tau6: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    label_col: str = "label",
+    label_col: str | None = "label",
 ) -> DataFrame:
     """Max cosine of every row in ``vectors`` against the (small,
     frozen) ``bench`` suite, flagged at ``tau6`` on the 1e-6 grid —
@@ -131,22 +131,87 @@ def benchmark_max_cosine(
     vector before the only exchange. Every verdict depends only on
     (vector, bench, tau6) — no cross-row state — which is what makes
     the streaming form's drained result equal the one-shot batch."""
+    keys = [id_col] if label_col is None else [id_col, label_col]
     b = bench.select(_as_double(F.col(vec_col)).alias("bv")).select(
         "bv", l2_norm(F.col("bv")).alias("bn")
     )
     v = vectors.select(
-        id_col, label_col, _as_double(F.col(vec_col)).alias("v")
-    ).select(id_col, label_col, "v", l2_norm(F.col("v")).alias("cn"))
+        *keys, _as_double(F.col(vec_col)).alias("v")
+    ).select(*keys, "v", l2_norm(F.col("v")).alias("cn"))
     cos = dot(F.col("v"), F.col("bv")) / (F.col("cn") * F.col("bn"))
     m6 = F.floor(F.max(cos) * 1e6 + F.lit(0.5)).cast("bigint")
     return (
         v.crossJoin(F.broadcast(b))
-        .groupBy(id_col, label_col)
+        .groupBy(*keys)
         .agg(
             (m6.cast("double") / 1e6).alias("max_cosine"),
             (m6 >= tau6).alias("contaminated"),
         )
     )
+
+
+def hash_embed_array(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+) -> DataFrame:
+    """Feature-hashing text embedder emitting ``(id, emb array<double>)``
+    — the array-valued twin of the scalar-column ns_hash_embed query
+    (plans/pipeline6.py), same md5 bucket/sign/L2-normalize/1e-6-grid
+    arithmetic, shared by the semantic-decontamination curation leg's
+    build and probe sides so they can never drift. Docs with no tokens
+    emit nothing (they cannot be scored — callers treat absence as
+    unscorable). Generated-SQL aggregate branches, not Column trees
+    (the ns_hash_embed r7 plan-build lesson)."""
+    tok = (
+        df.select(
+            id_col, F.explode(F.split(F.trim(F.col(text_col)), " +")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            id_col,
+            F.expr(
+                "pmod(CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT), "
+                f"{dim})"
+            ).alias("bucket"),
+            F.expr(
+                "CASE WHEN pmod(CAST(conv(substring(md5(tok), 9, 8), 16, 10) "
+                "AS BIGINT), 2) = 0 THEN 1 ELSE -1 END"
+            ).alias("sgn"),
+        )
+    )
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.expr(f"sum(CASE WHEN bucket = {i} THEN sgn ELSE 0 END)").alias(f"s{i}")
+            for i in range(dim)
+        ]
+    )
+    nrm_sql = "sqrt(" + " + ".join(f"s{i} * s{i}" for i in range(dim)) + ")"
+    comps = ", ".join(
+        f"CASE WHEN {nrm_sql} > 0 THEN "
+        f"floor(s{i} / {nrm_sql} * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END"
+        for i in range(dim)
+    )
+    return sums.select(id_col, F.expr(f"array({comps})").alias("emb"))
+
+
+def build_semdecon_bench(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+) -> str:
+    """Persist the FROZEN benchmark embedding table for the semantic
+    decontamination curation leg: hash-embed the benchmark documents
+    once at corpus-build time and write ``(doc_id, emb)`` parquet — a
+    fixed-size artifact like the MinHash index and the DSIR model; the
+    per-ingest cost never re-reads the benchmark text."""
+    hash_embed_array(docs, text_col, id_col, dim).write.mode("overwrite").parquet(
+        path
+    )
+    return path
 
 
 def ivf_topk(

@@ -48,7 +48,7 @@ _CURATED_SCHEMA = "doc_id BIGINT, n_tokens BIGINT, log_weight DOUBLE"
 _REJECTED_SCHEMA = "doc_id BIGINT, reason STRING"
 _METRICS_SCHEMA = (
     "batch_id BIGINT, n_in BIGINT, n_duplicate BIGINT, n_boilerplate BIGINT,"
-    " n_low_quality BIGINT, n_curated BIGINT, psi DOUBLE"
+    " n_contaminated BIGINT, n_low_quality BIGINT, n_curated BIGINT, psi DOUBLE"
 )
 
 
@@ -62,6 +62,8 @@ def curate_batch(
     witness_cap: int | None = None,
     paragraph_index_path: str | None = None,
     max_dup_frac: float = 0.3,
+    decon_bench_path: str | None = None,
+    decon_tau6: int = 300_000,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One-shot curation of a document frame: returns (curated,
     rejected, metrics-without-batch_id). The streaming path calls this
@@ -86,7 +88,18 @@ def curate_batch(
     (operators/dedup_index.incremental_paragraph_stats) exceeds
     ``max_dup_frac`` are rejected as ``boilerplate`` — the RefinedWeb
     "mostly template" removal the document-level screen cannot see.
-    Reason precedence: duplicate > boilerplate > low_quality."""
+
+    ``decon_bench_path`` (r9) adds the semantic-decontamination leg:
+    the batch is hash-embedded (the same frozen featurizer that built
+    the persisted benchmark table —
+    operators/similarity.build_semdecon_bench) and any doc whose max
+    cosine against that table clears ``decon_tau6`` on the 1e-6 grid is
+    rejected as ``contaminated`` — the paraphrased-eval-leak screen the
+    n-gram dedup legs cannot see. Per-batch cost: one map-side embed +
+    a broadcast of the fixed-size benchmark table; docs the embedder
+    cannot score (no tokens) pass the leg unflagged (the quality gate
+    rejects them downstream). Reason precedence:
+    duplicate > boilerplate > contaminated > low_quality."""
     dups = (
         incremental_dedup_pairs(
             spark, batch, corpus, index_path, threshold=threshold,
@@ -127,13 +140,37 @@ def curate_batch(
         )
     else:
         dup_flagged = dup_flagged.withColumn("_boiler", F.lit(False))
+    if decon_bench_path is not None:
+        from map_reduce_framework_using_python_spark.operators.similarity import (
+            benchmark_max_cosine,
+            hash_embed_array,
+        )
+
+        contaminated = (
+            benchmark_max_cosine(
+                hash_embed_array(batch),
+                spark.read.parquet(decon_bench_path),
+                decon_tau6,
+                vec_col="emb",
+                id_col="doc_id",
+                label_col=None,
+            )
+            .filter(F.col("contaminated"))
+            .select("doc_id")
+            .withColumn("_contam", F.lit(True))
+        )
+        dup_flagged = dup_flagged.join(contaminated, "doc_id", "left").withColumn(
+            "_contam", F.coalesce(F.col("_contam"), F.lit(False))
+        )
+    else:
+        dup_flagged = dup_flagged.withColumn("_contam", F.lit(False))
     # The three outputs below all derive from this frame; persisted
     # (lazily) so the dedup text verification, DSIR scoring, and
     # paragraph screen run ONCE per batch instead of once per sink
     # action (r7 streaming review measured 3×; the ContextCleaner
     # reclaims it when the outputs are dereferenced).
     dup_flagged = dup_flagged.persist()
-    ok = ~F.col("_dup") & ~F.col("_boiler")
+    ok = ~F.col("_dup") & ~F.col("_boiler") & ~F.col("_contam")
     curated = dup_flagged.filter(ok & F.col("keep")).select(
         "doc_id", "n_tokens", "log_weight"
     )
@@ -141,6 +178,7 @@ def curate_batch(
         "doc_id",
         F.when(F.col("_dup"), "duplicate")
         .when(F.col("_boiler"), "boilerplate")
+        .when(F.col("_contam"), "contaminated")
         .otherwise("low_quality")
         .alias("reason"),
     )
@@ -152,6 +190,9 @@ def curate_batch(
             F.sum((~F.col("_dup") & F.col("_boiler")).cast("long")).alias(
                 "n_boilerplate"
             ),
+            F.sum(
+                (~F.col("_dup") & ~F.col("_boiler") & F.col("_contam")).cast("long")
+            ).alias("n_contaminated"),
             F.sum((ok & ~F.col("keep")).cast("long")).alias("n_low_quality"),
             F.sum((ok & F.col("keep")).cast("long")).alias("n_curated"),
         )
@@ -176,6 +217,8 @@ def curate_stream(
     witness_cap: int | None = None,
     paragraph_index_path: str | None = None,
     max_dup_frac: float = 0.3,
+    decon_bench_path: str | None = None,
+    decon_tau6: int = 300_000,
 ) -> DataFrame:
     """Drain ``batch_stream`` (AvailableNow) through the full curation
     pass and return the curated read-back. Sinks are at-least-once
@@ -189,6 +232,8 @@ def curate_stream(
             threshold=threshold, witness_cap=witness_cap,
             paragraph_index_path=paragraph_index_path,
             max_dup_frac=max_dup_frac,
+            decon_bench_path=decon_bench_path,
+            decon_tau6=decon_tau6,
         )
         curated.write.mode("append").parquet(os.path.join(out_root, "curated"))
         rejected.write.mode("append").parquet(os.path.join(out_root, "rejected"))
@@ -197,6 +242,7 @@ def curate_stream(
             "n_in",
             "n_duplicate",
             "n_boilerplate",
+            "n_contaminated",
             "n_low_quality",
             "n_curated",
             "psi",

@@ -229,3 +229,97 @@ def test_unscorable_and_empty_batches_stay_accounted(spark):
         assert len(rows) == 1
         assert rows[0]["n_in"] == 0
         assert rows[0]["psi"] is None
+
+
+def test_semdecon_leg_rejects_contaminated_with_precedence(spark):
+    """With a persisted benchmark embedding table supplied, a batch doc
+    whose hash-embed cosine against the benchmark clears tau rejects as
+    'contaminated'; document-level duplicates keep precedence; metrics
+    partition n_in across the five verdicts; the streaming drain equals
+    the one-shot composition. The planted benchmark text exists in
+    NEITHER corpus nor batch, so the dedup legs cannot mask the leg."""
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        build_semdecon_bench,
+    )
+
+    bench_text = "zq quizzical benchmark riddle " * 8
+    with tempfile.TemporaryDirectory() as root:
+        corpus, batch, index_path, model_path = _artifacts(spark, root)
+        bench_docs = spark.createDataFrame(
+            [(1, bench_text)], "doc_id long, text string"
+        )
+        bench_path = os.path.join(root, "bench_emb")
+        build_semdecon_bench(bench_docs, bench_path)
+        # Planted contaminated doc: same text as the benchmark item
+        # (cosine 1.0), absent from the corpus (not a duplicate).
+        plant = spark.createDataFrame(
+            [(888_888, bench_text, "en", "plant", len(bench_text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        batch2 = batch.unionByName(plant)
+        curated, rejected, metrics = curate_batch(
+            spark, batch2, corpus, index_path, model_path,
+            decon_bench_path=bench_path,
+        )
+        rej = {r["doc_id"]: r["reason"] for r in rejected.collect()}
+        cur_ids = {r["doc_id"] for r in curated.collect()}
+        assert rej.get(888_888) == "contaminated"
+        m = metrics.collect()[0]
+        assert m["n_in"] == (
+            m["n_duplicate"] + m["n_boilerplate"] + m["n_contaminated"]
+            + m["n_low_quality"] + m["n_curated"]
+        )
+        assert m["n_contaminated"] >= 1
+        assert m["n_curated"] == len(cur_ids)
+
+        # Precedence: a doc that is BOTH a corpus duplicate and
+        # benchmark-contaminated ledgers as duplicate.
+        src = corpus.limit(1).collect()[0]
+        bench2_path = os.path.join(root, "bench_emb2")
+        build_semdecon_bench(
+            spark.createDataFrame([(2, src["text"])], "doc_id long, text string"),
+            bench2_path,
+        )
+        clone = spark.createDataFrame(
+            [(999_999, src["text"], src["lang"], src["source"], src["n_chars"])],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        _, rej2, _ = curate_batch(
+            spark, clone, corpus, index_path, model_path,
+            decon_bench_path=bench2_path,
+        )
+        assert {r["doc_id"]: r["reason"] for r in rej2.collect()}.get(
+            999_999
+        ) == "duplicate"
+
+        # Streaming drain equals the one-shot composition (plant rides
+        # an extra parquet dir unioned into the stream).
+        plant_dir = os.path.join(root, "plant")
+        plant.coalesce(1).write.parquet(plant_dir)
+        out_root = os.path.join(root, "out")
+        from map_reduce_framework_using_python_spark.streaming.ingest import (
+            _DOCS_SCHEMA,
+        )
+
+        stream = (
+            read_documents_stream(spark, SF_SMOKE)
+            .filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM)
+            .unionByName(
+                spark.readStream.schema(_DOCS_SCHEMA).parquet(plant_dir)
+            )
+        )
+        streamed = curate_stream(
+            stream,
+            corpus,
+            index_path,
+            model_path,
+            out_root=out_root,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            decon_bench_path=bench_path,
+        )
+        assert sorted(map(tuple, streamed.collect())) == sorted(
+            map(tuple, curated.collect())
+        )
+        assert sorted(
+            map(tuple, read_rejected(spark, out_root).collect())
+        ) == sorted(map(tuple, rejected.collect()))

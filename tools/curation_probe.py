@@ -229,6 +229,7 @@ def run(
             F.sum("n_in").alias("n_in"),
             F.sum("n_duplicate").alias("n_duplicate"),
             F.sum("n_boilerplate").alias("n_boilerplate"),
+            F.sum("n_contaminated").alias("n_contaminated"),
             F.sum("n_low_quality").alias("n_low_quality"),
             F.sum("n_curated").alias("n_curated"),
         )
@@ -236,7 +237,10 @@ def run(
     )
     out.update({
         k: int(m[k])
-        for k in ("n_in", "n_duplicate", "n_boilerplate", "n_low_quality", "n_curated")
+        for k in (
+            "n_in", "n_duplicate", "n_boilerplate", "n_contaminated",
+            "n_low_quality", "n_curated",
+        )
     })
     return out
 
