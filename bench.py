@@ -726,6 +726,27 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             result[f"curation{cur_para}x_paragraph_error"] = str(exc)[:200]
 
+    # ALL-legs curation at 10× (r9): dedup + DSIR + paragraph + the new
+    # contamination leg in one drain — the five-verdict partition with
+    # every leg firing on its own plants (n_boilerplate=206,
+    # n_contaminated=100 at the defaults). The number to hold against
+    # the single-leg rows: the composed drain must not blow up.
+    cur_all = int(os.environ.get("SPARK_GRAFT_BENCH_CURATION_ALLLEGS", "10"))
+    if cur_all > 1:
+        try:
+            from curation_probe import run as curation_run
+
+            result[f"curation{cur_all}x_alllegs"] = curation_run(
+                spark, cur_all, paragraph=True, decon=True
+            )
+            print(
+                f"# curation{cur_all}x_alllegs: "
+                f"{result[f'curation{cur_all}x_alllegs']}",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            result[f"curation{cur_all}x_alllegs_error"] = str(exc)[:200]
+
     # Paragraph leg at 100× against the pruned layout (r9: the 10× row
     # above proves the leg fires; this one measures the sub-document
     # screen's index-probe cost at the SAME corpus scale as the

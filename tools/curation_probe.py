@@ -120,6 +120,8 @@ def run(
     prune_cap: int | None = None,
     paragraph: bool = False,
     n_inject: int = 200,
+    decon: bool = False,
+    n_decon: int = 100,
 ) -> dict:
     """Build artifacts over the corpus slice, drain the batch slice
     through curate_stream, return stage timings + verdict counts.
@@ -211,6 +213,65 @@ def run(
         stream = stream.filter(
             (F.col("doc_id") < _OFFSET) | (F.col("doc_id") >= inject_base)
         )
+    bench_path = None
+    if decon:
+        # Contamination leg (r9): a 16-item synthetic benchmark suite
+        # (texts in NEITHER corpus nor batch — the dedup legs cannot
+        # mask the verdict), hash-embedded once at build time; plants =
+        # n_decon batch docs carrying those texts verbatim (cosine 1.0).
+        # Plant ids one further _OFFSET stride out than the paragraph
+        # inject range, ≡ 7 (mod 16) so they ride the batch slice.
+        from map_reduce_framework_using_python_spark.operators.similarity import (
+            build_semdecon_bench,
+        )
+
+        bench_texts = [
+            f"benchmark riddle {i} " + f"quizzical holdout item {i} " * 12
+            for i in range(16)
+        ]
+        bench_path = os.path.join(run_root, "bench_emb")
+        t0 = time.perf_counter()
+        build_semdecon_bench(
+            spark.createDataFrame(
+                list(enumerate(bench_texts)), "doc_id BIGINT, text STRING"
+            ),
+            bench_path,
+        )
+        out["decon_bench_build"] = round(time.perf_counter() - t0, 3)
+        # τ=0.90: the query-level default (0.30) is calibrated for the
+        # 64-dim embeddings table; in the 16-dim hash-embed space random
+        # bag-of-words vectors collide far more (measured at τ=0.30:
+        # 207 ORGANIC docs flagged at 2× alongside the 100 plants).
+        # Near-verbatim is the verdict this row plants and measures.
+        decon_base = _OFFSET * (replicas + 2)
+        # Each plant paragraph carries one unique salt token: without
+        # it the repeated riddle text is GENUINE sub-document
+        # boilerplate, so with the paragraph leg also on the plants
+        # flag 'boilerplate' first (measured: n_contaminated=0 in the
+        # all-legs smoke) and precedence masks the contamination
+        # verdict. ~12 unit votes against ~84 concentrated base votes
+        # keeps the hash-embed cosine ≈ 0.99 ≫ τ.
+        plants = []
+        for i in range(n_decon):
+            k = i % 16
+            text = f"benchmark riddle {k} " + " ".join(
+                f"quizzical holdout item {k} plant{i}p{j}" for j in range(12)
+            )
+            plants.append((decon_base + 7 + 16 * i, text, "en", "plant", len(text)))
+        plant_dir = os.path.join(run_root, "decon_plants")
+        spark.createDataFrame(
+            plants,
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+        ).coalesce(1).write.mode("overwrite").parquet(plant_dir)
+        stream = stream.unionByName(
+            spark.readStream.schema(_DOCS_SCHEMA).parquet(plant_dir)
+        )
+        if not paragraph:
+            # Same replica-artifact exclusion as the paragraph row: the
+            # batch is the ORIGINAL slice plus this row's plants.
+            stream = stream.filter(
+                (F.col("doc_id") < _OFFSET) | (F.col("doc_id") >= decon_base)
+            )
     stream = stream.filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM)
     t0 = time.perf_counter()
     curate_stream(
@@ -221,6 +282,8 @@ def run(
         out_root=os.path.join(run_root, "out"),
         checkpoint_dir=os.path.join(run_root, "ckpt"),
         paragraph_index_path=para_path,
+        decon_bench_path=bench_path,
+        decon_tau6=900_000,
     )
     out["stream_drain"] = round(time.perf_counter() - t0, 3)
     m = (
