@@ -314,3 +314,33 @@ def test_cms_word_freq_builds_lazily(spark):
     assert after == before  # no job ran during the build
     out = {r["word"]: r["est_count"] for r in df.collect()}
     assert set(out) == {"data", "table", "row", "spark", "query"}
+
+
+def test_semantic_decontaminate_one_narrow_exchange(spark):
+    """r9: the benchmark side must land via BroadcastExchange (never
+    plan literals, never a cartesian/SMJ), scoring stays JVM-side, and
+    the only shuffle is the per-vector partial-max row — one corpus
+    scan per side of the slice split."""
+    plan = _plan(spark, "ns_semantic_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    # _exchanges substring-matches BroadcastExchange too; the SHUFFLE
+    # count is the hashpartitioning exchange alone.
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_training_capstone_corpus_scans_confined_to_cached_subtree(spark):
+    """r9: the mixture/realize/pack stages must add ZERO corpus scans —
+    every FileScan lives inside the one cached curated-table subtree,
+    so total scans == cache-reads × cached-subtree scans exactly (the
+    tests/test_pipeline8.py pin, frozen here beside the other headline
+    shapes)."""
+    df = REGISTRY["ns_training_capstone"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_imts = plan.count("InMemoryTableScan")
+    n_scans = plan.count("Scan parquet")
+    assert n_imts > 0
+    assert n_scans % n_imts == 0, (n_scans, n_imts)
+    assert "BatchEvalPython" not in plan
