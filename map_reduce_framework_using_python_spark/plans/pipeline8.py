@@ -130,6 +130,82 @@ def paragraph_dedup_stats(d: DataFrame) -> DataFrame:
 _INST_KEY = _PINST_KEY
 
 
+@query(
+    "ns_paragraph_trim",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+                   FROM documents),
+             p AS (SELECT doc_id, g,
+                          md5(array_to_string(
+                              list_slice(ws, g * {_PARA_WORDS} + 1,
+                                         g * {_PARA_WORDS} + {_PARA_WORDS}),
+                              ' ')) AS h
+                   FROM w,
+                        LATERAL unnest(generate_series(
+                            0, (len(ws) + {_PARA_WORDS - 1}) // {_PARA_WORDS} - 1
+                        )) t(g)),
+             k AS (SELECT doc_id, h, min(g) AS g FROM p GROUP BY 1, 2)
+        SELECT w.doc_id,
+               CAST((len(ws) + {_PARA_WORDS - 1}) // {_PARA_WORDS} AS BIGINT)
+                   AS n_paras,
+               count(*) AS n_kept,
+               string_agg(array_to_string(
+                   list_slice(ws, g * {_PARA_WORDS} + 1,
+                              g * {_PARA_WORDS} + {_PARA_WORDS}), ' '),
+                   ' ' ORDER BY g) AS clean_text
+        FROM k JOIN w USING (doc_id)
+        GROUP BY 1, len(ws)
+    """,
+    tags=("northstar", "pipeline", "dedup", "paragraph"),
+)
+def ns_paragraph_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document paragraph trim: rewrite every document keeping
+    each paragraph's first occurrence WITHIN THAT DOCUMENT — the
+    within-page form of repeated-boilerplate removal (the C4/RefinedWeb
+    line-dedup move applied per page: navigation blocks and repeated
+    footers collapse without consulting any other document), the
+    complement of the corpus-wide ns_paragraph_dedup_apply.
+
+    Scale shape: strictly easier than the corpus-wide apply — the
+    keep-first rule needs only a (doc_id, digest) hash agg, so
+    paragraphs leave the scan as digests, the agg is map-side-combined,
+    and the ONLY text movement is the one doc_id join-back that every
+    apply form pays (the rewrite itself is the shared
+    operators/dedup_index.paragraph_clean_expr, so this trim, the
+    one-shot apply, and the incremental apply can never drift). No
+    window at all: within a doc the digest group is tiny, min(g) in the
+    agg replaces the global-frequency window the corpus form needs."""
+    d = t(spark, sf_dir, "documents")
+    first = (
+        _paragraph_instances(d)
+        .groupBy("doc_id", "h")
+        .agg(F.min("g").alias("g"))
+    )
+    ks = first.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("g")).alias("ks"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        d.join(ks, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST((size(split(trim(text), ' +')) + {_PARA_WORDS - 1}) "
+                f"DIV {_PARA_WORDS} AS BIGINT)"
+            ).alias("n_paras"),
+            "n_kept",
+            "ks",
+            "text",
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_kept",
+            paragraph_clean_expr("text", _PARA_WORDS).alias("clean_text"),
+        )
+    )
+
+
 #: The paragraph-apply CTE chain as a reusable oracle fragment ending
 #: in ``cleaned(doc_id, n_kept, clean_text)`` — consumed by
 #: ns_paragraph_dedup_apply (directly) and the training capstone

@@ -269,3 +269,32 @@ def test_capstone_corpus_scans_confined_to_curated_table_build(spark):
     assert tokc_scans > 0
     assert n_cache_reads > 0, cap_plan  # the curated table IS cached
     assert cap_plan.count("FileScan parquet") == n_cache_reads * tokc_scans
+
+
+def test_paragraph_trim_is_intra_doc_only(spark, tmp_path):
+    """Planted corpus: doc 1 = [S, A, S] trims to [S, A] (within-doc
+    repeat removed, first kept in position order); doc 2 = [S, B] is
+    UNTOUCHED even though S also lives in doc 1 — the trim must never
+    consult other documents (that's the corpus-wide apply's job); doc
+    3 = [S, S, S] collapses to [S], never to empty."""
+    import os
+
+    shared = _words(_PARA_WORDS, "s")
+    a, b = _words(_PARA_WORDS, "a"), _words(_PARA_WORDS, "b")
+    df = spark.createDataFrame(
+        [(1, " ".join([shared, a, shared]), "en", "src1", 1),
+         (2, " ".join([shared, b]), "en", "src1", 1),
+         (3, " ".join([shared, shared, shared]), "en", "src1", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["clean_text"])
+        for r in REGISTRY["ns_paragraph_trim"].fn(spark, sf_dir).collect()
+    }
+    assert out == {
+        1: (3, 2, shared + " " + a),
+        2: (2, 2, shared + " " + b),
+        3: (3, 1, shared),
+    }
