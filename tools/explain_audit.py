@@ -133,6 +133,10 @@ AUDIT = (
     # BroadcastExchange (never plan literals, never a cartesian), and
     # the only shuffle is the one narrow per-vector max row
     "ns_semantic_decontaminate",
+    # round 9: intra-doc paragraph trim — digests-only (doc_id, h) agg
+    # plus the one doc_id text join-back; NO window (the corpus-wide
+    # apply's frequency window is replaced by min(g) in the agg)
+    "ns_paragraph_trim",
 )
 
 
