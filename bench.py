@@ -69,6 +69,10 @@ HEADLINE = (
     # realize → pack in ONE plan, corpus scans confined to the cached
     # curated-table build) — the composed cost is the number users pay
     "ns_training_capstone",
+    # (ns_paragraph_trim is deliberately NOT a headline row: the bench
+    # times .count(), which column-prunes the clean_text rewrite away
+    # and would understate the query 3–6× — the honest rewrite-forced
+    # numbers live in NOTES: 0.92/2.58/4.61 s at sf0.1/10×/100×-docs.)
 )
 
 #: Round-3 per-query times (BENCH_r03.json, sf0.1) — the soft regression

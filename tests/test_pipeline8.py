@@ -298,3 +298,22 @@ def test_paragraph_trim_is_intra_doc_only(spark, tmp_path):
         2: (2, 2, shared + " " + b),
         3: (3, 1, shared),
     }
+
+
+def test_paragraph_trim_null_and_empty_text(spark, tmp_path):
+    """Null-text docs vanish on BOTH engines (explode of a null
+    sequence / LATERAL unnest of NULL — verified consistent with the
+    DuckDB oracle); empty text survives as one empty paragraph. Pinned
+    so a future null-guard 'fix' on one side can't silently diverge
+    from the oracle."""
+    import os
+
+    spark.createDataFrame(
+        [(1, None, "en", "s", 0), (2, "", "en", "s", 0), (3, "a b", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = sorted(
+        (r["doc_id"], r["n_paras"], r["n_kept"], r["clean_text"])
+        for r in REGISTRY["ns_paragraph_trim"].fn(spark, str(tmp_path)).collect()
+    )
+    assert out == [(2, 1, 1, ""), (3, 1, 1, "a b")]
