@@ -150,6 +150,80 @@ def benchmark_max_cosine(
     )
 
 
+def benchmark_max_cosine_lsh(
+    vectors: DataFrame,
+    bench: DataFrame,
+    tau6: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str | None = "label",
+) -> DataFrame:
+    """The SCALE path of :func:`benchmark_max_cosine` for LARGE
+    benchmark suites (real decontamination sweeps carry 10k–100k eval
+    items, where the exact form's |corpus|×|bench| scoring stops being
+    free): both sides bucket under the same random hyperplanes, each
+    bench vector explodes into its Hamming-``probe_hamming`` bucket
+    ball (C(n_planes,≤r) rows — 37× at the defaults), and corpus
+    vectors score ONLY same-bucket candidates via an equi-join.
+
+    Same output surface as the exact form; rows with no candidate in
+    the probed buckets emit ``max_cosine`` NULL / ``contaminated``
+    false. Cosine on candidates is exact, so flags are a SUBSET of the
+    exact form's (no false positives — pinned with measured recall in
+    tests/test_similarity.py); planes / probe radius are the recall
+    knobs at scale, exactly the :func:`lsh_cosine_topk` contract.
+
+    Scale shape: one corpus scan, map-side bucketing (generated-SQL
+    plane folds), ONE equi-join against the broadcast (or shuffled, at
+    very large |bench|·ball) bench ball keyed on bucket — never a
+    cross join — then the same per-vector partial max-agg as the exact
+    form."""
+    keys = [id_col] if label_col is None else [id_col, label_col]
+    head = bench.select(F.size(_as_double(F.col(vec_col))).alias("d")).head()
+    if head is None:  # empty benchmark: nothing can be contaminated
+        return benchmark_max_cosine(vectors, bench, tau6, vec_col, id_col, label_col)
+    planes = hyperplanes(int(head["d"]), n_planes, seed)
+    masks = [
+        m for m in range(1 << n_planes) if bin(m).count("1") <= probe_hamming
+    ]
+    ball = (
+        bench.select(_as_double(F.col(vec_col)).alias("bv"))
+        .select("bv", l2_norm(F.col("bv")).alias("bn"),
+                lsh_bucket("bv", planes).alias("b0"))
+        .select(
+            "bv", "bn", "b0",
+            F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias("_m"),
+        )
+        .select("bv", "bn", F.col("b0").bitwiseXOR(F.col("_m")).alias("bucket"))
+    )
+    v = vectors.select(
+        *keys, _as_double(F.col(vec_col)).alias("v")
+    ).select(*keys, "v", l2_norm(F.col("v")).alias("cn"),
+             lsh_bucket("v", planes).alias("bucket"))
+    cos = dot(F.col("v"), F.col("bv")) / (F.col("cn") * F.col("bn"))
+    m6 = F.floor(F.max(cos) * 1e6 + F.lit(0.5)).cast("bigint")
+    matched = (
+        v.join(F.broadcast(ball), "bucket")
+        .groupBy(*keys)
+        .agg(
+            (m6.cast("double") / 1e6).alias("max_cosine"),
+            (m6 >= tau6).alias("contaminated"),
+        )
+    )
+    return (
+        v.select(*keys)
+        .join(matched, keys, "left")
+        .select(
+            *keys,
+            "max_cosine",
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
 def hash_embed_array(
     df: DataFrame,
     text_col: str = "text",

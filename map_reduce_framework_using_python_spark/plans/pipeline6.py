@@ -461,6 +461,46 @@ def ns_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ns_semantic_decontaminate_lsh",
+    oracle=None,  # recall < 1 by construction (bucketed candidates) —
+    # pinned against the exact form in tests/test_similarity.py:
+    # flags ⊆ exact flags (candidate cosine is exact, so no false
+    # positives) with measured recall at the fixed seed.
+    tags=("northstar", "pipeline", "decontamination", "similarity",
+          "sketch", "rows_only"),
+)
+def ns_semantic_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB SCALE path of ns_semantic_decontaminate for LARGE
+    benchmark suites: random-hyperplane LSH buckets both sides and
+    corpus vectors score only same-bucket (Hamming ≤ 2 multi-probe)
+    benchmark candidates — |corpus|·|ball-hit| cosines instead of
+    |corpus|·|bench| (the lsh_cosine_topk contract applied to the
+    decontamination join). See
+    operators/similarity.benchmark_max_cosine_lsh.
+
+    probe_hamming=3 here: the registry τ (0.30) sits in the
+    LOW-similarity regime where per-plane collision is only
+    p = 1 − θ/π ≈ 0.60, so the default radius-2 ball recalls ~0.32 —
+    radius 3 (93 of 256 buckets) buys 0.69 on this corpus (measured,
+    pinned). At the thresholds real decontamination runs (τ ≥ 0.9 →
+    p ≈ 0.9) the radius-2 ball already recalls ~0.96 per item — the
+    planted-pair pin in tests/test_similarity.py exercises exactly
+    that regime. The knobs are the contract, not a footnote: LSH
+    pruning is for NEAR-DUPLICATE-grade thresholds."""
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        benchmark_max_cosine_lsh,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    return benchmark_max_cosine_lsh(
+        e.filter(F.col("vec_id") % 16 != 7),
+        e.filter(F.col("vec_id") % 16 == 7),
+        _SEMDECON_TAU6,
+        probe_hamming=3,
+    )
+
+
 #: Feature-hashing embedder dimensionality (small enough for a 16-column
 #: oracle; the Spark side generalizes to any power of two).
 _FH_DIM = 16
