@@ -536,6 +536,103 @@ def _fh_oracle() -> str:
     """
 
 
+#: Document-space semantic-decontamination threshold: the 16-dim
+#: hash-embed space is CROWDED (bag-of-words over a shared vocabulary —
+#: measured corpus median max-cosine vs the held-out slice is ~0.84),
+#: so the flag threshold is near-verbatim-grade, NOT the 64-dim
+#: embedding table's 0.30. Both classes non-empty at every driver SF
+#: (86/470, 55/470, 2425/4705 flagged at sf0.001/0.01/0.1).
+_DOC_DECON_TAU6 = 900_000
+
+
+def _doc_decon_oracle() -> str:
+    """Full SQL twin of ns_doc_decontaminate: the _fh_oracle embed CTEs
+    for all documents, split on the held-out slice, 16-term cosine (the
+    left-to-right sum parses to the same IEEE order Spark's ZipWith
+    fold evaluates, so raw cosines are bit-equal), max per corpus doc,
+    1e-6 grid + flag."""
+    b = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % {d}".format(d=_FH_DIM)
+    sgn = ("CASE WHEN CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) % 2 = 0 "
+           "THEN 1 ELSE -1 END")
+    sums = ",\n".join(
+        f"SUM(CASE WHEN bucket = {i} THEN sgn ELSE 0 END) AS s{i}"
+        for i in range(_FH_DIM)
+    )
+    nrm = " + ".join(f"s{i}*s{i}" for i in range(_FH_DIM))
+    comps = ",\n".join(
+        f"floor(CAST(s{i} AS DOUBLE) / nrm * 1000000.0 + 0.5) / 1000000.0 AS e{i}"
+        for i in range(_FH_DIM)
+    )
+    dot = " + ".join(f"c.e{i}*b.e{i}" for i in range(_FH_DIM))
+    cn = " + ".join(f"c.e{i}*c.e{i}" for i in range(_FH_DIM))
+    bn = " + ".join(f"b.e{i}*b.e{i}" for i in range(_FH_DIM))
+    return f"""
+        WITH tok AS (SELECT doc_id, t.tok
+                     FROM (SELECT doc_id,
+                                  string_split_regex(trim(text), ' +') AS ws
+                           FROM documents) s,
+                          unnest(s.ws) AS t(tok)
+                     WHERE t.tok <> ''),
+             h AS (SELECT doc_id, {b} AS bucket, {sgn} AS sgn FROM tok),
+             s AS (SELECT doc_id, {sums} FROM h GROUP BY 1),
+             n AS (SELECT *, sqrt({nrm}) AS nrm FROM s),
+             e AS (SELECT doc_id, {comps} FROM n WHERE nrm > 0),
+             corp AS (SELECT * FROM e WHERE doc_id % 17 <> 0),
+             bench AS (SELECT * FROM e WHERE doc_id % 17 = 0),
+             mx AS (SELECT c.doc_id,
+                           max(({dot}) / (sqrt({cn}) * sqrt({bn}))) AS m
+                    FROM corp c CROSS JOIN bench b GROUP BY 1)
+        SELECT doc_id,
+               floor(m * 1000000.0 + 0.5) / 1000000.0 AS max_cosine,
+               CAST(floor(m * 1000000.0 + 0.5) AS BIGINT)
+                   >= {_DOC_DECON_TAU6} AS contaminated
+        FROM mx
+    """
+
+
+@query(
+    "ns_doc_decontaminate",
+    oracle=_doc_decon_oracle(),
+    tags=("northstar", "pipeline", "decontamination", "embedding", "text"),
+)
+def ns_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination over raw DOCUMENTS — the oracle-gated
+    batch twin of the curation capstone's contamination leg: hash-embed
+    every document (operators/similarity.hash_embed_array, the exact
+    featurizer the leg's persisted benchmark table uses), hold out the
+    doc_id % 17 == 0 slice as the benchmark suite (the
+    ns_shingle_containment convention, so the three decontamination
+    screens share one split), and flag corpus docs whose max cosine
+    clears τ=0.90 on the 1e-6 grid. Completes the decon matrix: n-gram
+    boolean, n-gram scored, embedding-table semantic, and now
+    document-text semantic — each form fully DuckDB-gated.
+
+    Scale shape: the embed is one vocabulary-free (doc_id, small-ints)
+    exchange per side; the benchmark side is a fixed-size suite
+    (broadcast); scoring is the shared benchmark_max_cosine core —
+    map-side JVM folds, partial max-agg, one narrow exchange. Docs the
+    embedder cannot score (no tokens, or sign-cancelled zero vectors —
+    the nrm > 0 guard on BOTH engines) are absent, matching the leg's
+    'unscorable passes to the quality gate' contract."""
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        benchmark_max_cosine,
+        hash_embed_array,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    nonzero = lambda df: df.filter(  # noqa: E731
+        F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x) > 0
+    )
+    return benchmark_max_cosine(
+        nonzero(hash_embed_array(d.filter(F.col("doc_id") % 17 != 0))),
+        nonzero(hash_embed_array(d.filter(F.col("doc_id") % 17 == 0))),
+        _DOC_DECON_TAU6,
+        vec_col="emb",
+        id_col="doc_id",
+        label_col=None,
+    )
+
+
 @query(
     "ns_hash_embed",
     oracle=_fh_oracle(),

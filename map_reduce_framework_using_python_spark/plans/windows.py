@@ -197,6 +197,36 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_topk_with_ties",
+    oracle="""
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate) AS rk
+            FROM orders)
+        WHERE rk <= 2
+    """,
+    tags=("window", "topk"),
+)
+def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ties-INCLUSIVE top-k per group (`FETCH FIRST k ROWS WITH TIES`
+    semantics): every order on a customer's two earliest order DATES —
+    rank() keeps all rows sharing a boundary value where
+    q_topk_per_group's row_number() would arbitrarily truncate them.
+    The semantic users reach for when the ordering key has real ties
+    and dropping a tied row would be wrong (leaderboards, best-price
+    matches). Same WindowGroupLimit pushdown as the row_number form —
+    Spark plans rank-limit below the sort, so no group materializes
+    fully."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", F.rank().over(w).alias("rk"))
+        .filter(F.col("rk") <= 2)
+    )
+
+
+@query(
     "q_window_first_last",
     oracle="""
         SELECT DISTINCT o_custkey,
