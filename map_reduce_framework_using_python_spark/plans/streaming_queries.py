@@ -221,6 +221,61 @@ def st_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_stream_join_full",
+    oracle="""
+        WITH e AS (SELECT user_id, event_id, event_type, value,
+                          CAST(ts AS TIMESTAMP) AS ts FROM events),
+        c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+              FROM e WHERE event_type = 'click'),
+        p AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+                     ts AS purchase_ts, value AS purchase_value
+              FROM e WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                            (SELECT max(purchase_ts) FROM p))
+                      - INTERVAL 1 HOUR AS w),
+        m AS (SELECT c.user_id, c.click_id, c.click_ts,
+                     p.purchase_id, p.purchase_value
+              FROM c JOIN p ON p.p_user_id = c.user_id
+                 AND p.purchase_ts >= c.click_ts
+                 AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+        SELECT user_id, click_id, purchase_id, purchase_value FROM m
+        UNION ALL
+        SELECT c.user_id, c.click_id, NULL, NULL
+        FROM c, wm
+        WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+          AND c.click_ts + INTERVAL 30 MINUTE < wm.w
+        UNION ALL
+        SELECT p.p_user_id, NULL, p.purchase_id, p.purchase_value
+        FROM p, wm
+        WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+          AND p.purchase_ts < wm.w
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def st_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the
+    inner/left/full set: matched rows emit immediately; each side's
+    unmatched rows null-extend when the global watermark closes THAT
+    side's match window, and the windows are asymmetric because the
+    range condition is: a click waits out the forward horizon
+    (``click_ts + horizon < W``, the left join's rule) while a
+    purchase — whose latest matching click is at purchase_ts itself —
+    closes at ``purchase_ts < W``. Both rules fitted and verified
+    empirically at sf0.01, where the candidate predicates diverge
+    (streaming/windows.py docstring); the oracle encodes them exactly,
+    with user_id coalesced so purchase-only rows keep theirs."""
+    return run_available_now(
+        interval_join_clicks_purchases(
+            read_events_stream(spark, sf_dir),
+            read_events_stream(spark, sf_dir),
+            how="full_outer",
+        ),
+        _uniq("st_join_full"),
+        output_mode="append",
+    )
+
+
+@query(
     "st_stream_static_enrich",
     oracle="""
         WITH dim AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_seen

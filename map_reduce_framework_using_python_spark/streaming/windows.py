@@ -113,6 +113,16 @@ def interval_join_clicks_purchases(
     are withheld forever on a bounded replay; st_stream_join_left's
     oracle encodes exactly this rule (verified empirically: emitted
     NULL set == the ``click_ts + horizon < W`` predicate).
+
+    ``how="full_outer"`` additionally null-extends unmatched PURCHASES,
+    gated by ``purchase_ts < W`` — asymmetric from the click side
+    because the range condition is asymmetric: a purchase's latest
+    possible matching click has ``click_ts = purchase_ts``, so its
+    state closes when W passes purchase_ts itself, while a click waits
+    out the full forward horizon (r9, fitted empirically at sf0.01
+    where the candidate rules diverge: symdiff 0 for ``ts < W``, 1–2
+    for the ±horizon variants). The output key coalesces both sides'
+    user_id so purchase-only rows keep theirs.
     """
     clicks = (
         clicks_stream.filter(F.col("event_type") == "click")
@@ -133,13 +143,19 @@ def interval_join_clicks_purchases(
         )
         .withWatermark("purchase_ts", watermark)
     )
-    return clicks.join(
+    joined = clicks.join(
         purchases,
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
         how,
-    ).select("user_id", "click_id", "purchase_id", "purchase_value")
+    )
+    uid = (
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id")
+        if how == "full_outer"
+        else F.col("user_id")
+    )
+    return joined.select(uid, "click_id", "purchase_id", "purchase_value")
 
 
 def run_available_now(
