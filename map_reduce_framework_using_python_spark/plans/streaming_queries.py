@@ -276,6 +276,65 @@ def st_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_stream_join_semi",
+    oracle="""
+        WITH e AS (SELECT user_id, event_id, event_type, value,
+                          CAST(ts AS TIMESTAMP) AS ts FROM events),
+        c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+              FROM e WHERE event_type = 'click'),
+        p AS (SELECT user_id AS p_user_id, ts AS purchase_ts
+              FROM e WHERE event_type = 'purchase')
+        SELECT c.user_id, c.click_id
+        FROM c
+        WHERE EXISTS (SELECT 1 FROM p
+                      WHERE p.p_user_id = c.user_id
+                        AND p.purchase_ts >= c.click_ts
+                        AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+    """,
+    tags=("streaming", "join", "semi"),
+)
+def st_stream_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join — the conversion screen
+    ("clicks that led to a purchase within the horizon", each click at
+    most once) closing the join matrix: inner, left, full, semi. No
+    null-emission rule exists to fit: a semi row emits as soon as the
+    first match arrives and state expiry only DROPS unmatched state,
+    so a bounded AvailableNow replay equals the batch EXISTS exactly —
+    which is why this one gets a plain full oracle while the outer
+    twins needed their watermark-gating predicates fitted."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")
+        ),
+        "left_semi",
+    ).select("user_id", "click_id")
+    return run_available_now(joined, _uniq("st_join_semi"), output_mode="append")
+
+
+@query(
     "st_stream_static_enrich",
     oracle="""
         WITH dim AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_seen
