@@ -137,6 +137,12 @@ AUDIT = (
     # plus the one doc_id text join-back; NO window (the corpus-wide
     # apply's frequency window is replaced by min(g) in the agg)
     "ns_paragraph_trim",
+    # round 9: document-text decon — two embed aggs (one per slice),
+    # benchmark side broadcast, the shared partial-max tail
+    "ns_doc_decontaminate",
+    # round 9: ties-inclusive top-k — rank-mode WindowGroupLimit must
+    # appear (partial+final), same pushdown as the row_number form
+    "q_topk_with_ties",
 )
 
 
