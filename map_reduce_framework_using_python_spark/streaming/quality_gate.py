@@ -134,11 +134,6 @@ def drift_stream(
     )
 
 
-_SEMDECON_SCHEMA = (
-    "vec_id BIGINT, label INT, max_cosine DOUBLE, contaminated BOOLEAN"
-)
-
-
 def semdecon_stream(
     vec_stream: DataFrame,
     bench: DataFrame,
@@ -166,6 +161,14 @@ def semdecon_stream(
 
     spark = vec_stream.sparkSession
     bench = bench.persist()  # re-broadcast per batch, re-scan never
+    # Read-back schema derived from the scoring plan itself (an empty
+    # frame with the stream's schema through the shared core — a plan
+    # build, no action), not a hardcoded string: a caller whose
+    # embeddings carry a BIGINT label (or different key types) gets
+    # its own types back instead of a read-back schema mismatch.
+    out_schema = benchmark_max_cosine(
+        spark.createDataFrame([], vec_stream.schema), bench, tau6
+    ).schema
 
     def score(batch_df: DataFrame, batch_id: int) -> None:
         benchmark_max_cosine(batch_df, bench, tau6).write.mode(
@@ -179,10 +182,11 @@ def semdecon_stream(
         .start()
     )
     q.awaitTermination()
+    bench.unpersist()
     if not os.path.isdir(out_dir):
-        return spark.createDataFrame([], _SEMDECON_SCHEMA)
+        return spark.createDataFrame([], out_schema)
     return (
-        spark.read.schema(_SEMDECON_SCHEMA)
+        spark.read.schema(out_schema)
         .parquet(out_dir)
         .dropDuplicates(["vec_id"])
     )
