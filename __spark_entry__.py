@@ -254,6 +254,30 @@ _LAST_VERIFIED: dict[str, int] = {
         "q_wau_rolling", "q_window_count_distinct", "q_window_nth",
         "st_stream_join_left",
     ), 8),
+    # round 9 (CORRECTNESS_r09.json) — all 50 rows green: the 7
+    # never-verified r9 additions (the decontamination matrix, the
+    # paragraph trim, ties top-k, the stream-join closers) plus the
+    # stalest r3/r4 cohort re-verified. Queries whose output surface
+    # changes in r10 drop back to the unverified tier per the rule.
+    **dict.fromkeys((
+        "ns_corpus_build", "ns_corpus_report", "ns_decontaminate",
+        "ns_doc_decontaminate", "ns_event_transitions", "ns_fuzzy_match",
+        "ns_hash_sample", "ns_int8_quantize", "ns_mixture_upsample",
+        "ns_paragraph_trim", "ns_quality_filter",
+        "ns_semantic_decontaminate", "ns_sequence_packing",
+        "ns_shingle_containment", "ns_source_gini", "ns_stratified_sample",
+        "ns_text_normalize", "ns_tfidf", "ns_train_val_test",
+        "ns_word_cooccurrence", "q00_scan_count", "q01_pricing_summary",
+        "q02_filter_project", "q03_global_topn", "q06_forecast_revenue",
+        "q12_priority_by_returnflag", "q18_large_orders_bucketed",
+        "q_case_expr", "q_count_distinct", "q_cube", "q_distinct",
+        "q_distinct_subset", "q_except", "q_fuzzy_match", "q_gap_fill",
+        "q_intersect", "q_ohlc_bars", "q_pivot", "q_profile_stats",
+        "q_retention", "q_rolling_ewma", "q_rollup", "q_sql_lateral_topk",
+        "q_sql_recursive_months", "q_topk_with_ties", "q_union",
+        "q_value_histogram", "st_semantic_decontaminate",
+        "st_stream_join_full", "st_stream_join_semi",
+    ), 9),
 }
 
 

@@ -155,6 +155,24 @@ R8_SCALE_FLOOR: dict[str, float] = {
     "ns_ccnet_buckets": 1.254,
 }
 
+#: Round-9 scale10x floors (BENCH_r09.json "scale10x") for rows first
+#: recorded in r9 — the composed training capstone joined the scale
+#: section that round. Same 1.5× soft-floor contract.
+R9_SCALE_FLOOR: dict[str, float] = {
+    "ns_training_capstone": 1.702,
+}
+
+#: Round-9 floors over the standing guard SECTIONS (dicts in the bench
+#: output outside `queries`/`scale10x`) first recorded in BENCH_r09:
+#: the IVF k=256 probe pair (the r8 k-independence fix's latency
+#: guard) and the all-legs curation drain. Keyed (section, field);
+#: same 1.5× contract, reported under `regressions_vs_r9_sections`.
+R9_SECTION_FLOOR: dict[tuple[str, str], float] = {
+    ("scale10x_ivf256", "probe_plan_build"): 1.493,
+    ("scale10x_ivf256", "probe_exec"): 1.068,
+    ("curation10x_alllegs", "stream_drain"): 4.31,
+}
+
 
 def _ivf_probe(spark, dst: str, reps: int) -> dict[str, float]:
     """IVF batch probe at k=256 centroids — the standing guard for the
@@ -223,6 +241,49 @@ def _ivf_probe(spark, dst: str, reps: int) -> dict[str, float]:
         f"exec={out['probe_exec']:.3f}s ({n} rows)",
         file=sys.stderr,
     )
+    return out
+
+
+def _semdecon_probe(spark, dst: str, reps: int) -> dict[str, float]:
+    """Semantic-decontamination lane at 10× with the fold FORCED.
+
+    ``.count()`` column-prunes the max-cosine aggregate away (the
+    ns_paragraph_trim measurement lesson), so these rows time
+    ``agg(sum(max_cosine), sum(contaminated))`` — the full map-side
+    zip_with fold against the broadcast benchmark plus the one narrow
+    per-vector exchange. Two rows: the embedding-table exact form
+    (ns_semantic_decontaminate, 64-dim) and the document-text twin
+    (ns_doc_decontaminate, which pays its hash-embed aggs first).
+    First recorded in r10; seeds the next floor snapshot.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    for row, name in (
+        ("exact_exec", "ns_semantic_decontaminate"),
+        ("doc_exec", "ns_doc_decontaminate"),
+    ):
+        best, flags = float("inf"), 0
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            r = (
+                REGISTRY[name].fn(spark, dst)
+                .agg(
+                    F.sum("max_cosine").alias("s"),
+                    F.sum(F.col("contaminated").cast("long")).alias("c"),
+                )
+                .collect()[0]
+            )
+            best = min(best, _time.perf_counter() - t0)
+            flags = int(r["c"] or 0)
+        out[row] = round(best, 3)
+        out[f"{row}_flags"] = flags
+        print(
+            f"# scale10x_semdecon {name}: {out[row]:.3f}s ({flags} flags)",
+            file=sys.stderr,
+        )
     return out
 
 
@@ -652,14 +713,30 @@ def main() -> None:
                         f"{v['r8']:.3f}s ({v['now'] / v['r8']:.2f}x)",
                         file=sys.stderr,
                     )
+                scale_reg9 = {
+                    name: {"now": scale[name], "r9": floor}
+                    for name, floor in R9_SCALE_FLOOR.items()
+                    if name in scale and scale[name] > 1.5 * floor
+                }
+                result["regressions_vs_r9_scale10x"] = scale_reg9
+                for name, v in scale_reg9.items():
+                    print(
+                        f"# REGRESSION scale10x {name}: {v['now']:.3f}s vs r9 "
+                        f"{v['r9']:.3f}s ({v['now'] / v['r9']:.2f}x)",
+                        file=sys.stderr,
+                    )
 
             # Hot-bucket LSH guard: the boilerplate-heavy corpus row.
             result["scale10x_dup"] = _dup_probe(spark, DST, reps)
 
             # IVF k=256 join-form guard: the plan-build number is the
-            # one the r8 fix bounded (k-independent); its first r9
-            # record seeds the floor.
+            # one the r8 fix bounded (k-independent); the r9 record
+            # seeded the floor (R9_SECTION_FLOOR).
             result["scale10x_ivf256"] = _ivf_probe(spark, DST, reps)
+
+            # Semantic-decontamination lane at 10×, fold forced (the
+            # .count() prune makes a headline row dishonest for it).
+            result["scale10x_semdecon"] = _semdecon_probe(spark, DST, reps)
 
             # Skew evidence with a wall clock (the reference's myHash
             # lesson, Worker/shuffler.py:6-10): a 90%-hot-key fact
@@ -770,6 +847,21 @@ def main() -> None:
             )
         except Exception as exc:  # noqa: BLE001
             result[f"curation{cur100p}x_pruned_paragraph_error"] = str(exc)[:200]
+
+    # Soft floor over the standing guard sections (r9 values; each key
+    # only fires when its section actually ran this invocation).
+    section_reg: dict[str, dict[str, float]] = {}
+    for (sec, field), floor in R9_SECTION_FLOOR.items():
+        section = result.get(sec)
+        now = section.get(field) if isinstance(section, dict) else None
+        if isinstance(now, (int, float)) and now > 1.5 * floor:
+            section_reg[f"{sec}.{field}"] = {"now": now, "r9": floor}
+            print(
+                f"# REGRESSION {sec}.{field}: {now:.3f}s vs r9 {floor:.3f}s "
+                f"({now / floor:.2f}x)",
+                file=sys.stderr,
+            )
+    result["regressions_vs_r9_sections"] = section_reg
 
     print(json.dumps(result))
 

@@ -88,6 +88,20 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> 
     )
 
 
+#: Spark version the outer-join null-emission rules below (and the
+#: st_stream_join_left/full oracles that encode them) were FITTED on.
+#: Watermark-gated null extension is under-documented engine behavior:
+#: the asymmetric ``click_ts + horizon < W`` / ``purchase_ts < W``
+#: predicates were chosen by running the drained stream against every
+#: candidate rule and taking the one with an empty symdiff (r9, sf0.01,
+#: where the candidates diverge) — re-runnable via
+#: ``tools/fit_stream_join_rules.py``. A Spark upgrade can silently
+#: shift emission timing, so tests/test_streaming.py pins the running
+#: version against this constant: a version bump fails ONE clearly
+#: named test demanding a re-fit instead of a mystery oracle mismatch.
+FITTED_NULL_EMISSION_SPARK = "4.1.2"
+
+
 def interval_join_clicks_purchases(
     clicks_stream: DataFrame,
     purchases_stream: DataFrame,

@@ -272,3 +272,27 @@ def test_stateful_totals_on_rocksdb_state_store(spark):
         assert final == batch
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_join_rules_spark_version_pin(spark):
+    """The st_stream_join_left/full oracles encode EMPIRICALLY FITTED
+    watermark-gated null-emission rules (asymmetric click_ts+horizon<W
+    vs purchase_ts<W — under-documented engine behavior, fitted via
+    tools/fit_stream_join_rules.py at sf0.01 where the candidate
+    predicates diverge). A Spark upgrade can silently shift emission
+    timing; this pin makes the bump fail HERE, with instructions,
+    instead of as a mystery oracle mismatch in the driver sweep."""
+    from map_reduce_framework_using_python_spark.streaming.windows import (
+        FITTED_NULL_EMISSION_SPARK,
+    )
+
+    assert spark.version == FITTED_NULL_EMISSION_SPARK, (
+        f"Spark moved {FITTED_NULL_EMISSION_SPARK} -> {spark.version}: the"
+        " stream-stream outer-join null-emission rules were fitted on the"
+        " old build. Re-run `python tools/fit_stream_join_rules.py` (it"
+        " scores every candidate predicate by symdiff against the engine's"
+        " actual emission); if the winning rule moved, update the"
+        " st_stream_join_left/full oracles in plans/streaming_queries.py"
+        " and the interval_join_clicks_purchases docstring, then bump"
+        " FITTED_NULL_EMISSION_SPARK in streaming/windows.py."
+    )
