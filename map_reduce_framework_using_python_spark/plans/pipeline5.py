@@ -117,3 +117,131 @@ def ns_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_spans"),
         F.sum("_dup").alias("n_dup_spans"),
     )
+
+
+#: Minimum repeat length (tokens) for the variable-length span finder.
+#: Lee et al. use 50 BPE tokens; the synthetic docs are ~20-80 words,
+#: so 12 keeps the statistic non-degenerate (45 maximal spans, lengths
+#: 23-93, at sf0.01) while preserving the algorithm exactly.
+_ES_MIN = 12
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    min_len: int = _ES_MIN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MAXIMAL duplicated token spans of length ≥ ``min_len`` — the
+    variable-length ExactSubstr form of Lee et al. (ACL 2022) §4.1,
+    which ns_span_dedup's per-document COUNTS cannot express: the
+    removal pass needs (start, end) extents, and two abutting repeats
+    vs one long repeat are different cut lists even when the counts
+    tie.
+
+    Suffix-array-free equivalence: a maximal duplicated substring of
+    length L ≥ k is exactly a maximal run of L−k+1 consecutive
+    positions whose stride-1 k-shingles each occur at ≥2 (doc, pos)
+    sites in the corpus (k = ``min_len``; intra-document repeats
+    count, as in the paper). So: hash every k-shingle, keep duplicated
+    digests, and merge consecutive surviving positions per document
+    (gaps-and-islands). Emits ``(doc_id, start_pos, end_pos,
+    span_len)`` on the 1-based token grid, ``span_len = end_pos −
+    start_pos + 1 ≥ min_len``; documents shorter than ``min_len``
+    contribute their single truncated shingle (the ns_span_dedup
+    convention), so a whole-short-doc duplicate still surfaces.
+
+    Scale shape (100 TB): raw text never leaves the scan — the fan-out
+    is (doc_id, position, 128-bit digest). One digest-keyed exchange
+    decides duplication (count ≥ 2 via an unordered window — never a
+    corpus self-join), one doc_id exchange orders positions for the
+    island merge, and the final group-by reuses that partitioning
+    (doc_id ⊆ the grouping key). Per-document window state is bounded
+    by the longest document, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    k = int(min_len)
+    sp = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("a"),
+        )
+        .select(
+            "doc_id",
+            F.col("a"),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("a") - (k - 1), F.lit(1))
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.col("g").cast("long").alias("g"),
+            F.md5(F.concat_ws(" ", F.expr(f"slice(a, g, {k})"))).alias("h"),
+        )
+    )
+    dup_pos = sp.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("h"))
+    ).filter(F.col("_n") >= 2)
+    isl = dup_pos.withColumn(
+        "grp",
+        F.col("g")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("g")),
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("g").alias("start_pos"),
+            (F.max("g") + F.lit(k - 1)).cast("long").alias("end_pos"),
+        )
+        .select(
+            "doc_id",
+            "start_pos",
+            "end_pos",
+            (F.col("end_pos") - F.col("start_pos") + 1).alias("span_len"),
+        )
+    )
+
+
+@query(
+    "ns_exact_substring_spans",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
+                      FROM documents),
+             sp AS (SELECT doc_id, CAST(g AS BIGINT) AS g,
+                           md5(array_to_string(
+                               list_slice(a, CAST(g AS INT),
+                                          CAST(g AS INT) + {_ES_MIN - 1}),
+                               ' ')) AS h
+                    FROM toks,
+                         LATERAL unnest(generate_series(
+                             1, greatest(len(a) - {_ES_MIN - 1}, 1))) t(g)),
+             dup AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2),
+             pos AS (SELECT doc_id, g FROM sp JOIN dup USING (h)),
+             isl AS (SELECT doc_id, g,
+                            g - row_number() OVER (PARTITION BY doc_id
+                                                   ORDER BY g) AS grp
+                     FROM pos)
+        SELECT doc_id,
+               min(g) AS start_pos,
+               max(g) + {_ES_MIN - 1} AS end_pos,
+               max(g) + {_ES_MIN} - min(g) AS span_len
+        FROM isl
+        GROUP BY doc_id, grp
+    """,
+    tags=("northstar", "pipeline", "dedup"),
+)
+def ns_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length exact-substring dedup (Lee et al. ExactSubstr):
+    every MAXIMAL token span of length ≥ 12 that occurs at two or more
+    (document, position) sites in the corpus, as (doc_id, start_pos,
+    end_pos, span_len) cut extents on the 1-based token grid — the
+    input the paper's removal pass consumes, where ns_span_dedup
+    reports only per-document coverage counts. See
+    :func:`exact_substring_spans` for the suffix-array-free reduction
+    and the 100 TB shape (digests-only shuffles, no corpus self-join);
+    the planted-repeat pins (boundary exactness, intra-doc repeats,
+    blocked-stride misses) live in tests/test_pipeline5_spans.py."""
+    return exact_substring_spans(t(spark, sf_dir, "documents"))

@@ -1,0 +1,113 @@
+"""Planted-repeat pins for the variable-length ExactSubstr operator
+(plans/pipeline5.exact_substring_spans) — exact boundary recovery,
+intra-document repeats, the sub-threshold negative, the short-doc
+truncation convention, and the demonstration that a BLOCKED (stride-k)
+fingerprint scheme provably misses a misaligned repeat the stride-1
+island merge recovers exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.plans.pipeline5 import (
+    exact_substring_spans,
+)
+
+K = 12
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _uniq(prefix: str, n: int) -> list[str]:
+    return [f"{prefix}{i:03d}" for i in range(n)]
+
+
+def test_planted_repeat_exact_boundaries(spark):
+    """A 20-token passage planted at token 6 of doc 1 and token 11 of
+    doc 2 (offset difference 5, NOT a multiple of K) comes back as
+    exactly one maximal span per doc with the planted extents."""
+    rep = _uniq("rep", 20)
+    d1 = _uniq("a", 5) + rep + _uniq("b", 7)
+    d2 = _uniq("c", 10) + rep + _uniq("d", 4)
+    got = sorted(
+        map(
+            tuple,
+            exact_substring_spans(
+                _docs(spark, [(1, " ".join(d1)), (2, " ".join(d2))]), K
+            ).collect(),
+        )
+    )
+    assert got == [(1, 6, 25, 20), (2, 11, 30, 20)]
+
+
+def test_intra_document_repeat_and_subthreshold_negative(spark):
+    """The same 15-token phrase twice INSIDE one document yields two
+    maximal spans (Lee et al. counts intra-doc sites); an 8-token
+    shared phrase (< K) yields nothing."""
+    rep = _uniq("rep", 15)
+    doc = rep + _uniq("mid", 6) + rep + _uniq("tail", 3)
+    got = sorted(
+        map(tuple, exact_substring_spans(_docs(spark, [(1, " ".join(doc))]), K).collect())
+    )
+    assert got == [(1, 1, 15, 15), (1, 22, 36, 15)]
+
+    short = _uniq("s", 8)
+    none = exact_substring_spans(
+        _docs(
+            spark,
+            [
+                (1, " ".join(short + _uniq("x", 10))),
+                (2, " ".join(_uniq("y", 10) + short)),
+            ],
+        ),
+        K,
+    ).collect()
+    assert none == []
+
+
+def test_blocked_stride_provably_misses_misaligned_repeat(spark):
+    """The cheap alternative — non-overlapping stride-K block digests —
+    finds NO shared block when the planted repeat sits at misaligned
+    offsets (difference 5 mod K), while the stride-1 island merge
+    recovers the span exactly. This is the pin the r9 verdict asked
+    for: the blocked fixed-width form provably misses what the
+    variable-length form catches."""
+    rep = _uniq("rep", 20)
+    d1 = _uniq("a", 5) + rep + _uniq("b", 7)   # repeat at 6..25
+    d2 = _uniq("c", 10) + rep + _uniq("d", 4)  # repeat at 11..30
+    docs = _docs(spark, [(1, " ".join(d1)), (2, " ".join(d2))])
+
+    blocked = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    # non-overlapping K-token blocks: positions 1, K+1, ...
+                    f"transform(sequence(1, size(split(text, ' ')) - {K - 1}, {K}),"
+                    f" g -> md5(concat_ws(' ', slice(split(text, ' '), g, {K}))))"
+                )
+            ).alias("i", "h"),
+        )
+    )
+    h1 = {r["h"] for r in blocked.filter("doc_id = 1").collect()}
+    h2 = {r["h"] for r in blocked.filter("doc_id = 2").collect()}
+    assert h1 & h2 == set()  # the blocked scheme sees nothing
+
+    got = sorted(map(tuple, exact_substring_spans(docs, K).collect()))
+    assert got == [(1, 6, 25, 20), (2, 11, 30, 20)]
+
+
+def test_short_doc_truncation_convention(spark):
+    """Documents shorter than K tokens contribute their single
+    truncated shingle (the ns_span_dedup convention): two identical
+    5-token docs still surface, with the nominal K-wide extent."""
+    text = " ".join(_uniq("t", 5))
+    got = sorted(
+        map(
+            tuple,
+            exact_substring_spans(_docs(spark, [(1, text), (2, text)]), K).collect(),
+        )
+    )
+    assert got == [(1, 1, K, K), (2, 1, K, K)]
