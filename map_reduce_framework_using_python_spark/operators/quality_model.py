@@ -170,3 +170,33 @@ def auc(scored_with_truth: DataFrame, score_col: str, truth_col: str) -> float:
     return float(
         (agg["rp"] - agg["np"] * (agg["np"] + 1) / 2.0) / (agg["np"] * agg["nn"])
     )
+
+
+#: Planted-signal vocabularies: quality and junk documents draw from
+#: DISJOINT token sets, so a correct classifier separates them almost
+#: perfectly while any feature/weighting regression craters the AUC.
+_PLANTED_GOOD = (
+    "the quick brown fox jumps over the lazy dog with great prose".split()
+)
+_PLANTED_JUNK = "zx qq kpw vrt zzz uu glorp blat xx yy wub nrg".split()
+
+
+def planted_quality_corpus(spark, n: int = 400, seed: int = 7) -> DataFrame:
+    """Deterministic planted-signal corpus for gating the learned
+    quality classifier: the synthetic testdata's languages and sources
+    share one vocabulary (measured — an honest corpus fit tops out
+    near AUC 0.6), so the operator is gated on a corpus with a REAL
+    signal instead: ~half the docs draw 30 tokens from the good
+    vocabulary, half from the junk one, label independent of doc_id
+    parity. Seeded ``random.Random`` → bit-identical rows across runs,
+    machines, and the registry/pytest consumers (the ns_hash_sample
+    determinism rule applied to a fixture)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        good = rng.random() < 0.5
+        vocab = _PLANTED_GOOD if good else _PLANTED_JUNK
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(30)), good))
+    return spark.createDataFrame(rows, "doc_id long, text string, good boolean")

@@ -807,3 +807,42 @@ def ns_ccnet_buckets_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logp"),
         )
     )
+
+
+@query(
+    "ns_quality_classifier",
+    oracle=None,  # rows-only: the verdict table of a fitted spark.ml
+    # logistic model — no SQL twin exists; the hard gate is the pytest
+    # pin over THIS registry fn (AUC > 0.99, agreement > 0.95 on the
+    # held slice of the planted corpus, tests/test_quality_model.py).
+    tags=("northstar", "pipeline", "quality", "rows_only"),
+)
+def ns_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned (fastText-style) quality classifier, gated in the
+    driver's suite via a PLANTED-SIGNAL corpus generated
+    deterministically inside the query (r9 verdict item 7: the
+    operator was pytest-only because the synthetic corpus carries no
+    real quality signal — measured AUC ≈ 0.6 on an honest fit, so a
+    corpus-level query would be flaky or fake). Train on the
+    doc_id%4≠3 slice (weak label = the planted ``good`` flag), score
+    the HELD-OUT doc_id%4=3 slice with the broadcast-coefficient
+    map-only pass (operators/quality_model.score_quality — never
+    model.transform, whose closure drags the live session into tasks),
+    and emit the per-document verdict table (doc_id, good, p_quality,
+    keep). ``sf_dir`` is unused by construction — the fixture corpus
+    IS the point; like the streaming entries, calling this runs the
+    model fit (a bounded spark.ml action: 256 coefficients of driver
+    state)."""
+    from map_reduce_framework_using_python_spark.operators.quality_model import (
+        planted_quality_corpus,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    d = planted_quality_corpus(spark)
+    train = d.filter(F.col("doc_id") % 4 != 3)
+    held = d.filter(F.col("doc_id") % 4 == 3)
+    model = train_quality_classifier(train, F.col("good"))
+    return score_quality(held, model).join(
+        held.select("doc_id", "good"), "doc_id"
+    ).select("doc_id", "good", "p_quality", "keep")

@@ -344,3 +344,68 @@ def test_training_capstone_corpus_scans_confined_to_cached_subtree(spark):
     assert n_imts > 0
     assert n_scans % n_imts == 0, (n_scans, n_imts)
     assert "BatchEvalPython" not in plan
+
+
+def test_curate_batch_composed_plan_per_batch_cost_shape(spark):
+    """Freeze the per-batch cost claims of the FULL four-leg curation
+    composition (streaming/curation.curate_batch — the frame every
+    micro-batch executes): the benchmark table joins as ONE broadcast
+    nested-loop (the intended exact-decon crossJoin(broadcast(bench)),
+    never a real cartesian), each frozen artifact is scanned a bounded
+    number of times (minhash index ≤ 2: band probe + witness text
+    verification; paragraph index and decon bench exactly once), and
+    no row-at-a-time Python appears anywhere. The capstone query has
+    standing plan evidence; this gives the streaming legs the same
+    freeze (r9 verdict item 6). Artifacts live under a SHORT tempdir —
+    pytest's tmp_path is long enough that plan Location strings
+    truncate and the path-count assertions would read 0."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        build_minhash_index,
+        build_paragraph_index,
+    )
+    from map_reduce_framework_using_python_spark.operators.dsir import (
+        build_dsir_model,
+    )
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        build_semdecon_bench,
+    )
+    from map_reduce_framework_using_python_spark.plans.northstar import (
+        _BATCH_MOD,
+        _BATCH_REM,
+    )
+    from map_reduce_framework_using_python_spark.streaming.curation import (
+        curate_batch,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") % _BATCH_MOD != _BATCH_REM)
+    batch = d.filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM)
+    with tempfile.TemporaryDirectory(prefix="curplan") as root:
+        idx = os.path.join(root, "idx")
+        mdl = os.path.join(root, "model")
+        para = os.path.join(root, "para")
+        bench = os.path.join(root, "bench")
+        build_minhash_index(corpus, idx, n=3, num_hashes=32, bands=16)
+        build_dsir_model(spark, corpus, F.col("lang") == "en", mdl)
+        build_paragraph_index(corpus, para)
+        build_semdecon_bench(corpus.limit(5), bench)
+
+        _, rejected, _ = curate_batch(
+            spark, batch, corpus, idx, mdl,
+            paragraph_index_path=para, decon_bench_path=bench,
+        )
+        plan = rejected._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # The one nested-loop is the broadcast benchmark cross — the
+    # intended exact-decon shape with a documented kmeans/LSH escape.
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan, plan
+    assert plan.count("/idx") <= 2, plan
+    assert plan.count("/para") == 1, plan
+    assert plan.count("/bench") == 1, plan

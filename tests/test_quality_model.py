@@ -1,40 +1,28 @@
 """Pins for the learned quality classifier (operators/quality_model.py).
 
-There is deliberately NO registry query for this operator: the synthetic
-corpus's languages and sources share one vocabulary (measured — an
-honest fit tops out near AUC 0.6), so a corpus-level "quality" query
-would be either flaky or fake. The operator is pinned on a
-planted-signal corpus instead: quality and junk documents draw from
-shifted vocabularies, and the classifier must separate them almost
-perfectly, score deterministically, and agree with the generative DSIR
-ratio on the same planted signal.
+The synthetic corpus's languages and sources share one vocabulary
+(measured — an honest fit tops out near AUC 0.6), so a corpus-level
+"quality" query would be either flaky or fake. The operator is pinned
+on the package's planted-signal corpus instead
+(operators/quality_model.planted_quality_corpus): quality and junk
+documents draw from shifted vocabularies, and the classifier must
+separate them almost perfectly, score deterministically, and agree
+with the generative DSIR ratio on the same planted signal. Since r10
+the same fixture gates the REGISTRY query ns_quality_classifier, so
+the driver's suite exercises the operator too — the hard AUC gate over
+that query lives here.
 """
 
 from __future__ import annotations
-
-import random
 
 from pyspark.sql import functions as F
 
 from map_reduce_framework_using_python_spark.operators.quality_model import (
     auc,
+    planted_quality_corpus as _planted_corpus,
     score_quality,
     train_quality_classifier,
 )
-
-_GOOD = "the quick brown fox jumps over the lazy dog with great prose".split()
-_JUNK = "zx qq kpw vrt zzz uu glorp blat xx yy wub nrg".split()
-
-
-def _planted_corpus(spark, n=400, seed=7):
-    rng = random.Random(seed)
-    rows = []
-    for i in range(n):
-        good = rng.random() < 0.5  # label independent of doc_id parity
-        vocab = _GOOD if good else _JUNK
-        text = " ".join(rng.choice(vocab) for _ in range(30))
-        rows.append((i, text, good))
-    return spark.createDataFrame(rows, "doc_id long, text string, good boolean")
 
 
 def test_classifier_separates_planted_signal(spark):
@@ -126,3 +114,20 @@ def test_featurize_and_auc_guards(spark):
     )
     a = auc(truthy, score_col="p_quality", truth_col="truth")
     assert 0.0 <= a <= 1.0
+
+
+def test_registry_query_separates_planted_signal(spark):
+    """The driver-facing ns_quality_classifier query (the r10 registry
+    presence for this operator) must carry the SAME guarantee as the
+    operator pins: near-perfect separation on its held-out slice of
+    the deterministic planted corpus, in both threshold (keep) and
+    ranking (AUC) terms, with one verdict row per held-out doc."""
+    from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+
+    scored = REGISTRY["ns_quality_classifier"].fn(spark, "unused").cache()
+    n = scored.count()
+    assert n == _planted_corpus(spark).filter(F.col("doc_id") % 4 == 3).count()
+    agree = scored.filter(F.col("keep") == F.col("good")).count() / n
+    assert agree > 0.95
+    assert auc(scored, "p_quality", "good") > 0.99
+    scored.unpersist()
