@@ -69,6 +69,13 @@ HEADLINE = (
     # realize → pack in ONE plan, corpus scans confined to the cached
     # curated-table build) — the composed cost is the number users pay
     "ns_training_capstone",
+    # round 10: variable-length ExactSubstr span finder — the stride-1
+    # shingle fan-out plus two digest/doc exchanges is a new heavy
+    # data-path shape; count() is honest here (the islands and both
+    # windows must fully run to count spans). The APPLY form is not a
+    # headline row for the ns_paragraph_trim reason (count() prunes
+    # the clean_text rebuild).
+    "ns_exact_substring_spans",
     # (ns_paragraph_trim is deliberately NOT a headline row: the bench
     # times .count(), which column-prunes the clean_text rewrite away
     # and would understate the query 3–6× — the honest rewrite-forced

@@ -245,3 +245,158 @@ def ns_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planted-repeat pins (boundary exactness, intra-doc repeats,
     blocked-stride misses) live in tests/test_pipeline5_spans.py."""
     return exact_substring_spans(t(spark, sf_dir, "documents"))
+
+
+def exact_substring_apply(
+    docs: DataFrame,
+    min_len: int = _ES_MIN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REMOVAL pass over :func:`exact_substring_spans`'s extents —
+    Lee et al. §4.1's ExactSubstr-dedup applied keep-one: for every
+    duplicated ``min_len``-shingle, the lexicographically first
+    (doc_id, position) site is the canonical copy and survives; every
+    OTHER site's tokens are cut. Keep-one at shingle granularity makes
+    the paper's ambiguous "remove from all but one" deterministic and
+    oracle-expressible: when N docs share a span, the min-doc keeps it
+    intact (all its shingle sites rank first) and the rest trim it;
+    misaligned extents trim exactly their shared part; an intra-doc
+    repeat keeps its first occurrence. A token is removed iff ANY
+    covering shingle site is a non-canonical duplicate. Emits every
+    document as ``(doc_id, clean_text, n_removed)`` — untouched docs
+    pass through verbatim with n_removed = 0; a fully-duplicated doc
+    emits ''.
+
+    Scale shape: the spans pipeline's digest exchange grows one
+    row_number (total order (doc_id, g) within each digest — partition
+    size = a digest's duplication multiplicity, never corpus-bounded),
+    removal positions island-merge per doc into RANGES (few per doc),
+    and ONE doc_id join carries the ranges array back onto the text —
+    the rebuild is a map-side JVM filter/transform over the token
+    array, the paragraph-apply economics (2 corpus scans: digests,
+    then the one text join-back).
+    """
+    from pyspark.sql import Window
+
+    k = int(min_len)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("a")
+    )
+    sp = (
+        base.select(
+            "doc_id",
+            F.col("a"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("a") - (k - 1), F.lit(1)))
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.col("g").cast("long").alias("g"),
+            F.md5(F.concat_ws(" ", F.expr(f"slice(a, g, {k})"))).alias("h"),
+        )
+    )
+    wh = Window.partitionBy("h")
+    rem = (
+        sp.withColumn("_n", F.count("*").over(wh))
+        .withColumn(
+            "_rn", F.row_number().over(wh.orderBy("doc_id", "g"))
+        )
+        .filter((F.col("_n") >= 2) & (F.col("_rn") > 1))
+    )
+    ranges = (
+        rem.withColumn(
+            "grp",
+            F.col("g")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("g")),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("g").alias("rs"),
+            (F.max("g") + F.lit(k - 1)).cast("long").alias("re"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("rs", "re")).alias("spans"))
+    )
+    return (
+        base.join(ranges, "doc_id", "left")
+        .withColumn(
+            "spans",
+            F.coalesce(
+                F.col("spans"),
+                F.expr("CAST(array() AS array<struct<rs:bigint,re:bigint>>)"),
+            ),
+        )
+        .withColumn(
+            "_kept",
+            F.expr(
+                "filter(zip_with(a, sequence(1L, cast(size(a) AS BIGINT)),"
+                " (t, p) -> struct(t, p)),"
+                " s -> NOT exists(spans, r -> s.p BETWEEN r.rs AND r.re))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.expr("transform(_kept, s -> s.t)")).alias(
+                "clean_text"
+            ),
+            (F.size("a") - F.size("_kept")).cast("long").alias("n_removed"),
+        )
+    )
+
+
+@query(
+    "ns_exact_substring_apply",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
+                      FROM documents),
+             sp AS (SELECT doc_id, CAST(g AS BIGINT) AS g,
+                           md5(array_to_string(
+                               list_slice(a, CAST(g AS INT),
+                                          CAST(g AS INT) + {_ES_MIN - 1}),
+                               ' ')) AS h
+                    FROM toks,
+                         LATERAL unnest(generate_series(
+                             1, greatest(len(a) - {_ES_MIN - 1}, 1))) t(g)),
+             st AS (SELECT doc_id, g,
+                           count(*) OVER (PARTITION BY h) AS n,
+                           row_number() OVER (PARTITION BY h
+                                              ORDER BY doc_id, g) AS rn
+                    FROM sp),
+             rem AS (SELECT doc_id, g FROM st WHERE n >= 2 AND rn > 1),
+             tok AS (SELECT doc_id, a[CAST(p AS INT)] AS t,
+                            CAST(p AS BIGINT) AS p
+                     FROM toks,
+                          LATERAL unnest(generate_series(1, len(a))) s(p)),
+             keep AS (SELECT tok.doc_id, tok.t, tok.p
+                      FROM tok
+                      WHERE NOT EXISTS (
+                          SELECT 1 FROM rem
+                          WHERE rem.doc_id = tok.doc_id
+                            AND tok.p BETWEEN rem.g
+                                          AND rem.g + {_ES_MIN - 1})),
+             agg AS (SELECT doc_id,
+                            coalesce(string_agg(t, ' ' ORDER BY p), '')
+                                AS clean_text,
+                            count(*) AS n_kept
+                     FROM keep GROUP BY doc_id)
+        SELECT toks.doc_id,
+               coalesce(agg.clean_text, '') AS clean_text,
+               len(toks.a) - coalesce(agg.n_kept, 0) AS n_removed
+        FROM toks LEFT JOIN agg USING (doc_id)
+    """,
+    tags=("northstar", "pipeline", "dedup"),
+)
+def ns_exact_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-dedup REWRITE (Lee et al. §4.1, keep-one): every
+    document with non-canonical duplicated ≥12-token spans cut out, as
+    (doc_id, clean_text, n_removed) — the lexicographically first
+    (doc_id, position) site of each duplicated shingle is the
+    canonical copy and survives; all other sites trim. Untouched docs
+    pass through verbatim with n_removed = 0. See
+    :func:`exact_substring_apply` for the determinized keep-one
+    semantics and the 2-scan shape (digests decide, ONE doc_id join
+    carries the removal ranges back onto text, rebuild is a map-side
+    JVM array filter)."""
+    return exact_substring_apply(t(spark, sf_dir, "documents"))

@@ -111,3 +111,45 @@ def test_short_doc_truncation_convention(spark):
         )
     )
     assert got == [(1, 1, K, K), (2, 1, K, K)]
+
+
+def test_apply_keep_one_semantics(spark):
+    """The rewrite keeps the canonical (lexicographically first) site
+    verbatim and trims exactly the duplicated tokens everywhere else:
+    with docs 1, 2, 3 sharing a 20-token passage, doc 1 is untouched
+    and docs 2/3 lose exactly those 20 tokens; a partial (15-token)
+    copy in doc 4 trims exactly its shared prefix; the intra-doc twin
+    keeps the first occurrence."""
+    from map_reduce_framework_using_python_spark.plans.pipeline5 import (
+        exact_substring_apply,
+    )
+
+    rep = _uniq("rep", 20)
+    d1 = _uniq("a", 5) + rep + _uniq("b", 7)
+    d2 = _uniq("c", 10) + rep + _uniq("d", 4)
+    d3 = rep + _uniq("e", 6)
+    d4 = _uniq("f", 3) + rep[:15] + _uniq("g", 5)
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in exact_substring_apply(
+            _docs(
+                spark,
+                [(1, " ".join(d1)), (2, " ".join(d2)),
+                 (3, " ".join(d3)), (4, " ".join(d4))],
+            ),
+            K,
+        ).collect()
+    }
+    assert out[1] == (" ".join(d1), 0)  # canonical site untouched
+    assert out[2] == (" ".join(_uniq("c", 10) + _uniq("d", 4)), 20)
+    assert out[3] == (" ".join(_uniq("e", 6)), 20)
+    assert out[4] == (" ".join(_uniq("f", 3) + _uniq("g", 5)), 15)
+
+    # Intra-doc repeat: first occurrence survives, second trims.
+    phrase = _uniq("ph", 15)
+    doc = phrase + _uniq("mid", 6) + phrase + _uniq("tail", 3)
+    got = exact_substring_apply(_docs(spark, [(9, " ".join(doc))]), K).collect()
+    assert (got[0]["clean_text"], got[0]["n_removed"]) == (
+        " ".join(phrase + _uniq("mid", 6) + _uniq("tail", 3)),
+        15,
+    )

@@ -143,6 +143,17 @@ AUDIT = (
     # round 9: ties-inclusive top-k — rank-mode WindowGroupLimit must
     # appear (partial+final), same pushdown as the row_number form
     "q_topk_with_ties",
+    # round 10: variable-length ExactSubstr — one corpus scan, two
+    # digest/doc exchanges, final group-by reuses the doc partitioning
+    "ns_exact_substring_spans",
+    # round 10: its keep-one rewrite — digests decide, ONE doc_id text
+    # join-back, map-side array-filter rebuild (2 corpus scans total)
+    "ns_exact_substring_apply",
+    # round 10: k-means-routed decon — map-side centroid routing off a
+    # broadcast one-row struct-array (the KMeans fit runs at plan build,
+    # a bounded model action), broadcast candidate ball, one narrow
+    # per-vector max exchange like the exact form
+    "ns_semantic_decontaminate_kmeans",
 )
 
 
