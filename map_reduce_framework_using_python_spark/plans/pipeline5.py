@@ -126,11 +126,27 @@ def ns_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ES_MIN = 12
 
 
+def _shingle_digest(k: int, digest: str) -> F.Column:
+    """Digest of the k-token shingle at position ``g`` of array ``a``.
+    ``md5`` (default) because both engines spell it identically for
+    the oracles; ``xxhash64`` is the production choice — an 8-byte
+    BIGINT instead of a 32-char hex string, ~4× less shuffle volume
+    for the corpus-sized digest exchanges, identical spans absent
+    collisions (pinned in tests/test_pipeline5_spans.py)."""
+    s = F.concat_ws(" ", F.expr(f"slice(a, g, {k})"))
+    if digest == "md5":
+        return F.md5(s)
+    if digest == "xxhash64":
+        return F.xxhash64(s)
+    raise ValueError(f"digest must be 'md5' or 'xxhash64', got {digest!r}")
+
+
 def exact_substring_spans(
     docs: DataFrame,
     min_len: int = _ES_MIN,
     text_col: str = "text",
     id_col: str = "doc_id",
+    digest: str = "md5",
 ) -> DataFrame:
     """MAXIMAL duplicated token spans of length ≥ ``min_len`` — the
     variable-length ExactSubstr form of Lee et al. (ACL 2022) §4.1,
@@ -179,7 +195,7 @@ def exact_substring_spans(
         .select(
             "doc_id",
             F.col("g").cast("long").alias("g"),
-            F.md5(F.concat_ws(" ", F.expr(f"slice(a, g, {k})"))).alias("h"),
+            _shingle_digest(k, digest).alias("h"),
         )
     )
     dup_pos = sp.withColumn(
@@ -252,6 +268,7 @@ def exact_substring_apply(
     min_len: int = _ES_MIN,
     text_col: str = "text",
     id_col: str = "doc_id",
+    digest: str = "md5",
 ) -> DataFrame:
     """The REMOVAL pass over :func:`exact_substring_spans`'s extents —
     Lee et al. §4.1's ExactSubstr-dedup applied keep-one: for every
@@ -294,7 +311,7 @@ def exact_substring_apply(
         .select(
             "doc_id",
             F.col("g").cast("long").alias("g"),
-            F.md5(F.concat_ws(" ", F.expr(f"slice(a, g, {k})"))).alias("h"),
+            _shingle_digest(k, digest).alias("h"),
         )
     )
     wh = Window.partitionBy("h")

@@ -153,3 +153,30 @@ def test_apply_keep_one_semantics(spark):
         " ".join(phrase + _uniq("mid", 6) + _uniq("tail", 3)),
         15,
     )
+
+
+def test_xxhash64_digest_is_equivalent(spark):
+    """The production digest (xxhash64 BIGINT, ~4× less shuffle than
+    the 32-char md5 hex the oracles need) must produce identical spans
+    and rewrites — on the real sf0.001 corpus for spans, on the
+    planted corpus for the apply."""
+    from map_reduce_framework_using_python_spark.plans.pipeline5 import (
+        exact_substring_apply,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = sorted(map(tuple, exact_substring_spans(docs, K).collect()))
+    b = sorted(map(tuple, exact_substring_spans(docs, K, digest="xxhash64").collect()))
+    assert a == b and len(a) > 0
+
+    rep = _uniq("rep", 20)
+    planted = _docs(
+        spark,
+        [(1, " ".join(_uniq("a", 5) + rep)), (2, " ".join(rep + _uniq("b", 4)))],
+    )
+    x = sorted(map(tuple, exact_substring_apply(planted, K).collect()))
+    y = sorted(
+        map(tuple, exact_substring_apply(planted, K, digest="xxhash64").collect())
+    )
+    assert x == y
