@@ -873,3 +873,307 @@ def prune_paragraph_index(
     pruned_meta = {k: v for k, v in meta.items() if k != "src"}
     _write_meta(out_path, {**pruned_meta, "witness_cap": cap})
     return out_path
+
+
+# ---------------------------------------------------------------------------
+# Shingle (exact-substring span) index — the ingest lane of the
+# variable-length ExactSubstr pass (plans/pipeline5.exact_substring_*):
+# the corpus's stride-1 k-token shingle digests persist once, and each
+# arriving batch screens/trims against them without re-reading corpus
+# text. O(n_tokens) index rows is the same asymptotic budget as the
+# paper's suffix array (~one machine word per token with the xxhash64
+# digest); md5 stays the default so oracles can restate the math.
+# ---------------------------------------------------------------------------
+
+
+def shingle_digest_expr(k: int, digest: str) -> F.Column:
+    """Digest of the k-token shingle at position ``g`` of token array
+    ``a`` — THE one definition shared by the one-shot operators
+    (plans/pipeline5) and this index lane, so build and probe can never
+    drift. ``md5`` for oracle parity; ``xxhash64`` for production
+    (8-byte BIGINT shuffle/storage rows, ~4× narrower)."""
+    s = F.concat_ws(" ", F.expr(f"slice(a, g, {k})"))
+    if digest == "md5":
+        return F.md5(s)
+    if digest == "xxhash64":
+        return F.xxhash64(s)
+    raise ValueError(f"digest must be 'md5' or 'xxhash64', got {digest!r}")
+
+
+def shingle_instances(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 12,
+    digest: str = "md5",
+) -> DataFrame:
+    """(doc_id, g, h): every stride-1 ``min_len``-token shingle of
+    every document, 1-based positions; documents shorter than
+    ``min_len`` contribute their single truncated shingle (the
+    ns_span_dedup convention). Plain ``split(text, ' ')`` tokens —
+    the exact_substring grid, NOT the paragraph lane's regex split."""
+    k = int(min_len)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("a"),
+        )
+        .select(
+            "doc_id",
+            F.col("a"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("a") - (k - 1), F.lit(1)))
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.col("g").cast("long").alias("g"),
+            shingle_digest_expr(k, digest).alias("h"),
+        )
+    )
+
+
+_SHINGLE_IDX_SCHEMA = {
+    "md5": "doc_id BIGINT, g BIGINT, h STRING, pb INT",
+    "xxhash64": "doc_id BIGINT, g BIGINT, h BIGINT, pb INT",
+}
+
+
+def build_shingle_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 12,
+    buckets: int = 16,
+    digest: str = "md5",
+) -> str:
+    """Digest ``corpus`` once and persist its shingle-instance table,
+    hash-partitioned on the digest into ``buckets`` directories (the
+    paragraph-index layout applied to the span lane)."""
+    _require_bigint_id(corpus, id_col, "build_shingle_index")
+    inst = shingle_instances(corpus, text_col, id_col, min_len, digest)
+    (
+        inst.withColumn("pb", _pb("h", buckets))
+        .write.mode("overwrite")
+        .partitionBy("pb")
+        .parquet(os.path.join(path, "digests"))
+    )
+    _write_meta(
+        path,
+        {"kind": "shingle", "min_len": min_len, "buckets": buckets,
+         "digest": digest, "id_col": id_col},
+    )
+    return path
+
+
+def _shingle_meta(path: str, id_col: str) -> dict:
+    meta = read_meta(path)
+    if meta.get("kind") != "shingle":
+        raise ValueError(f"not a shingle index: {meta.get('kind')!r}")
+    if meta["id_col"] != id_col:
+        raise ValueError(f"index id_col {meta['id_col']!r} != {id_col!r}")
+    return meta
+
+
+def append_shingles_to_index(
+    batch: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Extend the index with ``batch``'s shingle instances (parquet
+    append into the same pb partitions) — the post-screen step of the
+    ingest loop, so later batches dedup against earlier ones too.
+    Instance rows are row-local, so appending commutes with building
+    (the paragraph-lane pin, re-pinned in tests/test_span_ingest.py)."""
+    meta = _shingle_meta(path, id_col)
+    inst = shingle_instances(batch, text_col, id_col, meta["min_len"],
+                             meta["digest"])
+    (
+        inst.withColumn("pb", _pb("h", meta["buckets"]))
+        .write.mode("append")
+        .partitionBy("pb")
+        .parquet(os.path.join(path, "digests"))
+    )
+    _drop_src_fingerprint(path)
+
+
+def _read_shingle_index(
+    spark: SparkSession, path: str, meta: dict
+) -> DataFrame:
+    return spark.read.schema(_SHINGLE_IDX_SCHEMA[meta["digest"]]).parquet(
+        os.path.join(path, "digests")
+    )
+
+
+def incremental_span_stats(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exclude_own: bool = True,
+) -> DataFrame:
+    """Per-batch-document exact-substring duplication stats against
+    the indexed corpus: ``(doc_id, n_positions, n_dup, dup_frac)``
+    where a batch shingle position is duplicated iff its digest occurs
+    at ≥2 (doc, pos) sites across (indexed corpus ∪ batch) — EXACTLY
+    the one-shot verdict over the union restricted to batch docs
+    ((count_index ≥ 1) OR (count_batch ≥ 2) ⇔ total ≥ 2; oracle-gated
+    as ns_span_screen). Scale shape = the paragraph screen's: only the
+    batch is digested, one scan of the fixed-width instance table
+    semi-pruned map-side by the broadcast batch digest set, one
+    batch-sized digest window. ``exclude_own`` is the standard
+    crash-replay guard (a batch that already appended itself must not
+    self-match)."""
+    from pyspark.sql import Window
+
+    meta = _shingle_meta(path, id_col)
+    inst = shingle_instances(batch, text_col, id_col, meta["min_len"],
+                             meta["digest"])
+    idx = _read_shingle_index(spark, path, meta)
+    if exclude_own:
+        idx = idx.join(
+            F.broadcast(batch.select(F.col(id_col).alias("doc_id")).distinct()),
+            "doc_id",
+            "left_anti",
+        )
+    hits = (
+        idx.join(F.broadcast(inst.select("h").distinct()), "h")
+        .select("h")
+        .distinct()
+        .withColumn("_in_idx", F.lit(True))
+    )
+    wb = Window.partitionBy("h")
+    flagged = (
+        inst.withColumn("_bc", F.count("*").over(wb))
+        .join(F.broadcast(hits), "h", "left")
+        .withColumn(
+            "_dup",
+            (F.coalesce(F.col("_in_idx"), F.lit(False)) | (F.col("_bc") >= 2))
+            .cast("long"),
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_positions"),
+        F.sum("_dup").alias("n_dup"),
+        (
+            F.floor(F.sum("_dup").cast("double") / F.count("*") * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("dup_frac"),
+    )
+
+
+def incremental_span_apply(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exclude_own: bool = True,
+) -> DataFrame:
+    """The ExactSubstr REMOVAL pass on ingest: rewrite each batch
+    document cutting every token covered by a non-canonical duplicated
+    shingle, where canonical is ARRIVAL-FIRST — any indexed corpus
+    site wins outright (it arrived earlier by definition), and
+    batch-only repeats keep their first (doc_id, g) site within the
+    batch. Emits every batch doc as ``(doc_id, clean_text,
+    n_removed)``.
+
+    Arrival-first replaces the one-shot operator's lexicographic
+    keep-one (plans/pipeline5.exact_substring_apply): the two COINCIDE
+    whenever batch ids follow corpus ids (the monotonic-ingest case,
+    pinned), and the oracle-gated twin (ns_span_screen_apply) states
+    arrival-first directly — order by (is_batch, doc_id, g) — so the
+    equivalence holds for ANY id split. Shape: the screen's probe plus
+    a within-batch rank window, removal positions island-merge into
+    per-doc ranges, ONE join back onto the batch text, map-side array
+    rebuild — corpus text is never read."""
+    from pyspark.sql import Window
+
+    meta = _shingle_meta(path, id_col)
+    k = int(meta["min_len"])
+    base = batch.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("a")
+    )
+    inst = shingle_instances(batch, text_col, id_col, k, meta["digest"])
+    idx = _read_shingle_index(spark, path, meta)
+    if exclude_own:
+        idx = idx.join(
+            F.broadcast(batch.select(F.col(id_col).alias("doc_id")).distinct()),
+            "doc_id",
+            "left_anti",
+        )
+    hits = (
+        idx.join(F.broadcast(inst.select("h").distinct()), "h")
+        .select("h")
+        .distinct()
+        .withColumn("_in_idx", F.lit(True))
+    )
+    wb = Window.partitionBy("h")
+    rem = (
+        inst.withColumn("_bc", F.count("*").over(wb))
+        .withColumn("_rn", F.row_number().over(wb.orderBy("doc_id", "g")))
+        .join(F.broadcast(hits), "h", "left")
+        .filter(
+            F.coalesce(F.col("_in_idx"), F.lit(False))  # corpus site wins
+            | ((F.col("_bc") >= 2) & (F.col("_rn") > 1))  # batch keep-first
+        )
+    )
+    ranges = (
+        rem.withColumn(
+            "grp",
+            F.col("g")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("g")),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("g").alias("rs"),
+            (F.max("g") + F.lit(k - 1)).cast("long").alias("re"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("rs", "re")).alias("spans"))
+    )
+    return (
+        base.join(ranges, "doc_id", "left")
+        .withColumn(
+            "spans",
+            F.coalesce(
+                F.col("spans"),
+                F.expr("CAST(array() AS array<struct<rs:bigint,re:bigint>>)"),
+            ),
+        )
+        .withColumn(
+            "_kept",
+            F.expr(
+                "filter(zip_with(a, sequence(1L, cast(size(a) AS BIGINT)),"
+                " (t, p) -> struct(t, p)),"
+                " s -> NOT exists(spans, r -> s.p BETWEEN r.rs AND r.re))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.expr("transform(_kept, s -> s.t)")).alias(
+                "clean_text"
+            ),
+            (F.size("a") - F.size("_kept")).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def compact_shingle_index(
+    spark: SparkSession, path: str, write_partitions: int = 8
+) -> None:
+    """One file per pb directory + exact-duplicate shedding (a replayed
+    append's instance rows are exact duplicates by construction).
+    Crash/race protocol: see :func:`_swap_compact`."""
+    meta = read_meta(path)
+    if meta.get("kind") != "shingle":
+        raise ValueError(f"not a shingle index: {meta.get('kind')!r}")
+    _swap_compact(
+        spark,
+        path,
+        os.path.join(path, "digests"),
+        "pb",
+        _SHINGLE_IDX_SCHEMA[meta["digest"]],
+        write_partitions,
+        "compact_shingle_index",
+    )

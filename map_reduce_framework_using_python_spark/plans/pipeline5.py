@@ -126,21 +126,6 @@ def ns_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ES_MIN = 12
 
 
-def _shingle_digest(k: int, digest: str) -> F.Column:
-    """Digest of the k-token shingle at position ``g`` of array ``a``.
-    ``md5`` (default) because both engines spell it identically for
-    the oracles; ``xxhash64`` is the production choice — an 8-byte
-    BIGINT instead of a 32-char hex string, ~4× less shuffle volume
-    for the corpus-sized digest exchanges, identical spans absent
-    collisions (pinned in tests/test_pipeline5_spans.py)."""
-    s = F.concat_ws(" ", F.expr(f"slice(a, g, {k})"))
-    if digest == "md5":
-        return F.md5(s)
-    if digest == "xxhash64":
-        return F.xxhash64(s)
-    raise ValueError(f"digest must be 'md5' or 'xxhash64', got {digest!r}")
-
-
 def exact_substring_spans(
     docs: DataFrame,
     min_len: int = _ES_MIN,
@@ -177,27 +162,12 @@ def exact_substring_spans(
     """
     from pyspark.sql import Window
 
-    k = int(min_len)
-    sp = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.split(F.col(text_col), " ").alias("a"),
-        )
-        .select(
-            "doc_id",
-            F.col("a"),
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("a") - (k - 1), F.lit(1))
-                )
-            ).alias("g"),
-        )
-        .select(
-            "doc_id",
-            F.col("g").cast("long").alias("g"),
-            _shingle_digest(k, digest).alias("h"),
-        )
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        shingle_instances,
     )
+
+    k = int(min_len)
+    sp = shingle_instances(docs, text_col, id_col, k, digest)
     dup_pos = sp.withColumn(
         "_n", F.count("*").over(Window.partitionBy("h"))
     ).filter(F.col("_n") >= 2)
@@ -296,24 +266,15 @@ def exact_substring_apply(
     """
     from pyspark.sql import Window
 
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        shingle_instances,
+    )
+
     k = int(min_len)
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("a")
     )
-    sp = (
-        base.select(
-            "doc_id",
-            F.col("a"),
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.size("a") - (k - 1), F.lit(1)))
-            ).alias("g"),
-        )
-        .select(
-            "doc_id",
-            F.col("g").cast("long").alias("g"),
-            _shingle_digest(k, digest).alias("h"),
-        )
-    )
+    sp = shingle_instances(docs, text_col, id_col, k, digest)
     wh = Window.partitionBy("h")
     rem = (
         sp.withColumn("_n", F.count("*").over(wh))
@@ -417,3 +378,163 @@ def ns_exact_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the removal ranges back onto text, rebuild is a map-side
     JVM array filter)."""
     return exact_substring_apply(t(spark, sf_dir, "documents"))
+
+
+#: Batch/corpus split for the span ingest screen (the paragraph-screen
+#: convention): every 16th doc arrives as the batch, the rest are the
+#: already-indexed corpus.
+_SBATCH_MOD, _SBATCH_REM = 16, 7
+
+
+def _ensure_shingle_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the corpus shingle-digest index under /tmp via
+    the shared fingerprint-guarded machinery (the
+    _ensure_paragraph_index pattern: corrupt meta = stale rebuild,
+    atomic fingerprint write, full-path cache tag)."""
+    import os
+
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        build_shingle_index,
+    )
+    from map_reduce_framework_using_python_spark.sources.io import (
+        ensure_fingerprinted_layout,
+        layout_cache_tag,
+        source_fingerprint,
+    )
+
+    root = os.environ.get("SPARK_GRAFT_DEDUP_INDEX_ROOT", "/tmp/spark_graft_dedup")
+    path = os.path.join(root, layout_cache_tag(sf_dir), f"shingle{_ES_MIN}")
+
+    def build(p: str) -> None:
+        corpus = t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % _SBATCH_MOD != _SBATCH_REM
+        )
+        build_shingle_index(corpus, p, min_len=_ES_MIN)
+
+    return ensure_fingerprinted_layout(
+        path,
+        "_dedup_meta.json",
+        source_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+        build,
+    )
+
+
+@query(
+    "ns_span_screen",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
+                      FROM documents),
+             sp AS (SELECT doc_id, CAST(g AS BIGINT) AS g,
+                           md5(array_to_string(
+                               list_slice(a, CAST(g AS INT),
+                                          CAST(g AS INT) + {_ES_MIN - 1}),
+                               ' ')) AS h
+                    FROM toks,
+                         LATERAL unnest(generate_series(
+                             1, greatest(len(a) - {_ES_MIN - 1}, 1))) t(g)),
+             c AS (SELECT h, count(*) AS cnt FROM sp GROUP BY 1)
+        SELECT doc_id,
+               count(*) AS n_positions,
+               CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup,
+               floor(CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+        FROM sp JOIN c USING (h)
+        WHERE doc_id % {_SBATCH_MOD} = {_SBATCH_REM}
+        GROUP BY 1
+    """,
+    tags=("northstar", "pipeline", "dedup", "index"),
+)
+def ns_span_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication stats for an ARRIVING batch (doc_id
+    ≡ 7 mod 16) against the PERSISTED shingle-digest index of the rest
+    of the corpus — the ingest path of the variable-length ExactSubstr
+    lane: corpus text is never re-digested; the probe scans the
+    fixed-width instance table semi-pruned map-side by the broadcast
+    batch digest set, plus one batch-sized digest window. The verdict
+    is EXACTLY the one-shot duplicated-position count over
+    (corpus ∪ batch) restricted to batch docs ((count_index ≥ 1) OR
+    (count_batch ≥ 2) ⇔ total ≥ 2), which the oracle states directly.
+    See operators/dedup_index.incremental_span_stats."""
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        incremental_span_stats,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    path = _ensure_shingle_index(spark, sf_dir)
+    return incremental_span_stats(
+        spark, d.filter(F.col("doc_id") % _SBATCH_MOD == _SBATCH_REM), path
+    )
+
+
+@query(
+    "ns_span_screen_apply",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
+                      FROM documents),
+             sp AS (SELECT doc_id, CAST(g AS BIGINT) AS g,
+                           md5(array_to_string(
+                               list_slice(a, CAST(g AS INT),
+                                          CAST(g AS INT) + {_ES_MIN - 1}),
+                               ' ')) AS h
+                    FROM toks,
+                         LATERAL unnest(generate_series(
+                             1, greatest(len(a) - {_ES_MIN - 1}, 1))) t(g)),
+             st AS (SELECT doc_id, g,
+                           count(*) OVER (PARTITION BY h) AS n,
+                           row_number() OVER (
+                               PARTITION BY h
+                               ORDER BY (CASE WHEN doc_id % {_SBATCH_MOD}
+                                                   = {_SBATCH_REM}
+                                         THEN 1 ELSE 0 END),
+                                        doc_id, g) AS rn
+                    FROM sp),
+             rem AS (SELECT doc_id, g FROM st
+                     WHERE n >= 2 AND rn > 1
+                       AND doc_id % {_SBATCH_MOD} = {_SBATCH_REM}),
+             bt AS (SELECT doc_id, a FROM toks
+                    WHERE doc_id % {_SBATCH_MOD} = {_SBATCH_REM}),
+             tok AS (SELECT doc_id, a[CAST(p AS INT)] AS t,
+                            CAST(p AS BIGINT) AS p
+                     FROM bt,
+                          LATERAL unnest(generate_series(1, len(a))) s(p)),
+             keep AS (SELECT tok.doc_id, tok.t, tok.p
+                      FROM tok
+                      WHERE NOT EXISTS (
+                          SELECT 1 FROM rem
+                          WHERE rem.doc_id = tok.doc_id
+                            AND tok.p BETWEEN rem.g
+                                          AND rem.g + {_ES_MIN - 1})),
+             agg AS (SELECT doc_id,
+                            coalesce(string_agg(t, ' ' ORDER BY p), '')
+                                AS clean_text,
+                            count(*) AS n_kept
+                     FROM keep GROUP BY doc_id)
+        SELECT bt.doc_id,
+               coalesce(agg.clean_text, '') AS clean_text,
+               len(bt.a) - coalesce(agg.n_kept, 0) AS n_removed
+        FROM bt LEFT JOIN agg USING (doc_id)
+    """,
+    tags=("northstar", "pipeline", "dedup", "index"),
+)
+def ns_span_screen_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr REMOVAL pass on ingest: rewrite each batch doc
+    (doc_id ≡ 7 mod 16) cutting every token covered by a non-canonical
+    duplicated shingle, canonical being ARRIVAL-FIRST — an indexed
+    corpus site wins outright (it arrived earlier by definition);
+    batch-only repeats keep their first (doc_id, g) site. The oracle
+    states arrival-first directly (rank ordered by (is_batch, doc_id,
+    g) over corpus ∪ batch, restricted to batch docs), so the
+    equivalence holds for any id split — and coincides with the
+    one-shot lexicographic ns_exact_substring_apply whenever batch ids
+    follow corpus ids (pinned in tests/test_span_ingest.py). See
+    operators/dedup_index.incremental_span_apply."""
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        incremental_span_apply,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    path = _ensure_shingle_index(spark, sf_dir)
+    return incremental_span_apply(
+        spark, d.filter(F.col("doc_id") % _SBATCH_MOD == _SBATCH_REM), path
+    )

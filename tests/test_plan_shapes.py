@@ -409,3 +409,27 @@ def test_curate_batch_composed_plan_per_batch_cost_shape(spark):
     assert plan.count("/idx") <= 2, plan
     assert plan.count("/para") == 1, plan
     assert plan.count("/bench") == 1, plan
+
+
+def test_exact_substring_spans_one_scan_two_exchanges(spark):
+    """The variable-length ExactSubstr finder (r10): ONE corpus scan
+    (digests fan out of it — text never re-read), exactly two shuffle
+    exchanges (digest window + doc window; the final group-by must
+    reuse the doc_id partitioning), no join of any kind, no
+    row-at-a-time Python."""
+    plan = _plan(spark, "ns_exact_substring_spans")
+    assert plan.count("Scan parquet") == 1, plan
+    assert _exchanges(plan) == 2, plan
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_exact_substring_apply_two_scans_is_the_floor(spark):
+    """The keep-one rewrite pays exactly one more corpus scan than the
+    finder — the doc_id text join-back that rebuilds clean_text (the
+    paragraph-apply economics); removal ranges ride a per-doc array,
+    so the rebuild itself is map-side (no extra exchange past the
+    ranges agg + join)."""
+    plan = _plan(spark, "ns_exact_substring_apply")
+    assert plan.count("Scan parquet") == 2, plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
