@@ -538,3 +538,46 @@ def ns_span_screen_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_span_apply(
         spark, d.filter(F.col("doc_id") % _SBATCH_MOD == _SBATCH_REM), path
     )
+
+
+@query(
+    "st_span_dedup",
+    oracle=None,
+    tags=("streaming", "pipeline", "dedup", "index", "rows_only"),
+)
+def st_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ns_span_screen: batch docs arrive as a
+    file-source stream, each micro-batch is screened against the
+    shingle-digest index via foreachBatch, then appended to it
+    (extend_index), so later batches dedup against earlier ones as
+    well as the corpus. Rows-only for the driver (the drained
+    single-batch result equals ns_span_screen; cross-batch
+    first-occurrence semantics pinned in tests/test_span_ingest.py).
+    The index is rebuilt in a scratch dir per run — extend_index
+    appends must not poison the shared fingerprint-cached layout."""
+    import os
+    import tempfile
+
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        build_shingle_index,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ingest import (
+        read_documents_stream,
+        span_screen_stream,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="st_span_dedup_")
+    path = os.path.join(work, "idx")
+    build_shingle_index(
+        d.filter(F.col("doc_id") % _SBATCH_MOD != _SBATCH_REM), path,
+        min_len=_ES_MIN,
+    )
+    return span_screen_stream(
+        read_documents_stream(spark, sf_dir).filter(
+            F.col("doc_id") % _SBATCH_MOD == _SBATCH_REM
+        ),
+        path,
+        out_dir=os.path.join(work, "stats"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )

@@ -215,3 +215,61 @@ def paragraph_apply_stream(
         spark.read.schema(_PAPPLY_SCHEMA).parquet(out_dir)
         .dropDuplicates(["doc_id"])
     )
+
+
+_SSTATS_SCHEMA = (
+    "doc_id BIGINT, n_positions BIGINT, n_dup BIGINT, dup_frac DOUBLE"
+)
+
+
+def span_screen_stream(
+    batch_stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    extend_index: bool = True,
+) -> DataFrame:
+    """Exact-substring (ExactSubstr) screen on ingest — the span-level
+    twin of :func:`paragraph_screen_stream`: drain ``batch_stream``
+    (AvailableNow) through the shingle-digest index probe and return
+    every batch document's ``(doc_id, n_positions, n_dup, dup_frac)``.
+
+    Per micro-batch: :func:`~..operators.dedup_index
+    .incremental_span_stats` (index scan semi-pruned by the broadcast
+    batch digest set; the batch's own ids are anti-joined out first,
+    so a crash-replayed batch never self-matches), then — under
+    ``extend_index`` — :func:`append_shingles_to_index`, so batch
+    N+1's spans dedup against batches 1..N as well as the corpus.
+    Screen-then-append keeps first occurrences clean and flags every
+    later cross-batch repeat (pinned in tests/test_span_ingest.py:
+    drained == per-batch one-shot, cross-batch phrase flagged).
+
+    Sink contract: parquet append + checkpoint (at-least-once); stats
+    rows are idempotent per (doc_id), so readers dedup on it."""
+    spark = batch_stream.sparkSession
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        from map_reduce_framework_using_python_spark.operators.dedup_index import (
+            append_shingles_to_index,
+            incremental_span_stats,
+        )
+
+        stats = incremental_span_stats(spark, batch_df, index_path)
+        stats.write.mode("append").parquet(out_dir)
+        if extend_index:
+            append_shingles_to_index(batch_df, index_path)
+
+    q = (
+        batch_stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], _SSTATS_SCHEMA)
+    return (
+        spark.read.schema(_SSTATS_SCHEMA).parquet(out_dir)
+        .select("doc_id", "n_positions", "n_dup", "dup_frac")
+        .dropDuplicates(["doc_id"])
+    )

@@ -137,3 +137,15 @@ def test_xxhash64_index_is_equivalent(spark):
             a = sorted(map(tuple, fn(spark, batch, p_md5).collect()))
             b = sorted(map(tuple, fn(spark, batch, p_xx).collect()))
             assert a == b, fn.__name__
+
+
+def test_span_screen_stream_drained_equals_one_shot(spark):
+    """The drained streaming screen (single-file source → one batch)
+    equals the one-shot incremental probe, and the registry twin
+    st_span_dedup equals ns_span_screen on the same sf_dir."""
+    from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    st = sorted(map(tuple, REGISTRY["st_span_dedup"].fn(spark, SF_SMOKE).collect()))
+    ns = sorted(map(tuple, REGISTRY["ns_span_screen"].fn(spark, SF_SMOKE).collect()))
+    assert st == ns and len(st) > 0
