@@ -607,6 +607,10 @@ def main() -> None:
                 # COMPOSITION (screen → cut → plan → realize → pack in one
                 # plan) holds off sf0.1 with no superlinear surprise
                 "ns_training_capstone",
+                # round 10: the variable-length ExactSubstr finder at 10×
+                # (~2M stride-1 shingles) — the digest-window + island
+                # shape's scale row; first record seeds the next floor
+                "ns_exact_substring_spans",
             ):
                 scale[name], n = best_of(name, DST)
                 print(f"# scale10x {name}: {scale[name]:.3f}s ({n} rows)", file=sys.stderr)

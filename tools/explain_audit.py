@@ -149,6 +149,9 @@ AUDIT = (
     # round 10: its keep-one rewrite — digests decide, ONE doc_id text
     # join-back, map-side array-filter rebuild (2 corpus scans total)
     "ns_exact_substring_apply",
+    # round 10: the ingest screen — index scan semi-pruned by the
+    # broadcast batch digest set; one batch-sized digest window
+    "ns_span_screen",
     # round 10: k-means-routed decon — map-side centroid routing off a
     # broadcast one-row struct-array (the KMeans fit runs at plan build,
     # a bounded model action), broadcast candidate ball, one narrow
