@@ -252,45 +252,68 @@ def _ivf_probe(spark, dst: str, reps: int) -> dict[str, float]:
 
 
 def _semdecon_probe(spark, dst: str, reps: int) -> dict[str, float]:
-    """Semantic-decontamination lane at 10× with the fold FORCED.
+    """Semantic-decontamination lane at 10× corpus with a FIXED-size
+    benchmark, fold FORCED.
 
-    ``.count()`` column-prunes the max-cosine aggregate away (the
-    ns_paragraph_trim measurement lesson), so these rows time
-    ``agg(sum(max_cosine), sum(contaminated))`` — the full map-side
-    zip_with fold against the broadcast benchmark plus the one narrow
-    per-vector exchange. Two rows: the embedding-table exact form
-    (ns_semantic_decontaminate, 64-dim) and the document-text twin
-    (ns_doc_decontaminate, which pays its hash-embed aggs first).
-    First recorded in r10; seeds the next floor snapshot.
+    Two measurement rules learned the hard way: (a) ``.count()``
+    column-prunes the max-cosine aggregate away (the ns_paragraph_trim
+    lesson), so rows time ``agg(sum(max_cosine), sum(contaminated))``;
+    (b) the 10× replica grows BOTH slices of the registry query, but a
+    real decontamination run's benchmark is a fixed eval suite — the
+    first r10 draft timed exact-vs-10×-bench at 17 s/153 s, measuring
+    a workload no deployment runs. So the probe holds the benchmark at
+    the ORIGINAL replica's slice (vec_id < 10M ∧ %16==7, 125 vectors)
+    and scales only the corpus (~20k vectors): ``exact_exec`` is the
+    production exact path (broadcast bench, map-side fold, one narrow
+    exchange), ``kmeans_exec`` the centroid-routed scale path at the
+    registry setting (k=6, n_probe=4 — single rep: the spark.ml fit
+    dominates and is part of the cost). Expect exact < kmeans HERE: at
+    a 125-item bench the fit outweighs the 2× scoring cut (measured
+    3.2 s vs 8.4 s cold), which is exactly why the exact form is the
+    registered production path for eval-suite-sized benchmarks — the
+    row holds the routed path's latency and recall at the registry
+    knobs (flags ratio ≈ 0.92 here) and catches fit-cost regressions,
+    not a race it is meant to win. First recorded r10; seeds the next
+    floor snapshot.
     """
     import time as _time
 
     from pyspark.sql import functions as F
 
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        benchmark_max_cosine,
+        benchmark_max_cosine_kmeans,
+    )
+
+    emb = spark.read.parquet(os.path.join(dst, "embeddings.parquet"))
+    bench = emb.filter((F.col("vec_id") < 10_000_000) & (F.col("vec_id") % 16 == 7))
+    corpus = emb.exceptAll(bench)
+    forced = lambda df: df.agg(  # noqa: E731
+        F.sum("max_cosine").alias("s"),
+        F.sum(F.col("contaminated").cast("long")).alias("c"),
+    ).collect()[0]
+
     out: dict[str, float] = {}
-    for row, name in (
-        ("exact_exec", "ns_semantic_decontaminate"),
-        ("doc_exec", "ns_doc_decontaminate"),
-    ):
-        best, flags = float("inf"), 0
-        for _ in range(reps):
-            t0 = _time.perf_counter()
-            r = (
-                REGISTRY[name].fn(spark, dst)
-                .agg(
-                    F.sum("max_cosine").alias("s"),
-                    F.sum(F.col("contaminated").cast("long")).alias("c"),
-                )
-                .collect()[0]
-            )
-            best = min(best, _time.perf_counter() - t0)
-            flags = int(r["c"] or 0)
-        out[row] = round(best, 3)
-        out[f"{row}_flags"] = flags
-        print(
-            f"# scale10x_semdecon {name}: {out[row]:.3f}s ({flags} flags)",
-            file=sys.stderr,
-        )
+    best, flags = float("inf"), 0
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        r = forced(benchmark_max_cosine(corpus, bench, 300_000))
+        best = min(best, _time.perf_counter() - t0)
+        flags = int(r["c"] or 0)
+    out["exact_exec"] = round(best, 3)
+    out["exact_flags"] = flags
+    t0 = _time.perf_counter()
+    r = forced(
+        benchmark_max_cosine_kmeans(corpus, bench, 300_000, k=6, n_probe=4)
+    )
+    out["kmeans_exec"] = round(_time.perf_counter() - t0, 3)
+    out["kmeans_flags"] = int(r["c"] or 0)
+    print(
+        f"# scale10x_semdecon exact={out['exact_exec']:.3f}s "
+        f"({out['exact_flags']} flags) kmeans={out['kmeans_exec']:.3f}s "
+        f"({out['kmeans_flags']} flags)",
+        file=sys.stderr,
+    )
     return out
 
 
