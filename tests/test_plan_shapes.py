@@ -433,3 +433,29 @@ def test_exact_substring_apply_two_scans_is_the_floor(spark):
     plan = _plan(spark, "ns_exact_substring_apply")
     assert plan.count("Scan parquet") == 2, plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_span_screen_index_scan_never_shuffles(spark):
+    """The span (ExactSubstr) ingest screen inherits the paragraph
+    screen's shape contract: the persisted shingle-index scan reaches
+    its joins purely map-side (broadcast batch-id anti-join +
+    broadcast digest-set equi-join) — no sort-merge join anywhere, and
+    the only windows are the batch-side within-batch counts on h."""
+    plan = _plan(spark, "ns_span_screen")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    for ln in plan.splitlines():
+        if "Window [" in ln:
+            assert "h#" in ln, ln
+
+
+def test_span_screen_apply_shape(spark):
+    """The apply form adds the within-batch rank window (still on h)
+    and ONE batch-text join-back; the index side must still never
+    sort-merge, and the rebuild must stay JVM-side (no row Python)."""
+    plan = _plan(spark, "ns_span_screen_apply")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    for ln in plan.splitlines():
+        if "Window [" in ln:
+            assert "h#" in ln or "doc_id#" in ln, ln
