@@ -180,3 +180,74 @@ def test_xxhash64_digest_is_equivalent(spark):
         map(tuple, exact_substring_apply(planted, K, digest="xxhash64").collect())
     )
     assert x == y
+
+
+def test_property_spans_and_apply_match_python_reference(spark):
+    """Property test (the test_properties.py discipline, inlined here
+    with a fixed seed bank instead of hypothesis — each example runs
+    real Spark jobs, so the budget is a handful of SEEDED random
+    corpora): exact_substring_spans and exact_substring_apply must
+    match a brute-force Python reference on random small-alphabet
+    corpora (alphabet of 4 tokens at k=3 forces dense shingle
+    collisions, including overlapping and self-overlapping repeats —
+    the regime hand-planted fixtures undercover)."""
+    import random
+
+    from map_reduce_framework_using_python_spark.plans.pipeline5 import (
+        exact_substring_apply,
+    )
+
+    K3 = 3
+
+    def ref(docs: dict[int, list[str]]):
+        sites: dict[str, list[tuple[int, int]]] = {}
+        for d, toks in docs.items():
+            n = len(toks)
+            top = max(n - K3 + 1, 1)
+            for g in range(1, top + 1):
+                h = " ".join(toks[g - 1 : g - 1 + K3])
+                sites.setdefault(h, []).append((d, g))
+        dup = {h for h, s in sites.items() if len(s) >= 2}
+        spans, removed = [], {d: set() for d in docs}
+        for d, toks in docs.items():
+            n = len(toks)
+            top = max(n - K3 + 1, 1)
+            gs = sorted(
+                g for g in range(1, top + 1)
+                if " ".join(toks[g - 1 : g - 1 + K3]) in dup
+            )
+            run: list[int] = []
+            for g in gs + [None]:
+                if run and (g is None or g != run[-1] + 1):
+                    spans.append((d, run[0], run[-1] + K3 - 1,
+                                  run[-1] + K3 - run[0]))
+                    run = []
+                if g is not None:
+                    run.append(g)
+            for g in range(1, top + 1):
+                h = " ".join(toks[g - 1 : g - 1 + K3])
+                if h in dup and min(sites[h]) != (d, g):
+                    removed[d].update(range(g, g + K3))
+        applies = {}
+        for d, toks in docs.items():
+            kept = [t for p, t in enumerate(toks, 1) if p not in removed[d]]
+            applies[d] = (" ".join(kept), len(toks) - len(kept))
+        return sorted(spans), applies
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        docs = {
+            d: [rng.choice("wxyz") for _ in range(rng.randint(1, 24))]
+            for d in range(rng.randint(1, 6))
+        }
+        frame = _docs(spark, [(d, " ".join(t)) for d, t in docs.items()])
+        got_spans = sorted(
+            map(tuple, exact_substring_spans(frame, K3).collect())
+        )
+        got_apply = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in exact_substring_apply(frame, K3).collect()
+        }
+        exp_spans, exp_apply = ref(docs)
+        assert got_spans == exp_spans, (seed, got_spans, exp_spans)
+        assert got_apply == exp_apply, (seed, got_apply, exp_apply)
