@@ -308,10 +308,44 @@ def _semdecon_probe(spark, dst: str, reps: int) -> dict[str, float]:
     )
     out["kmeans_exec"] = round(_time.perf_counter() - t0, 3)
     out["kmeans_flags"] = int(r["c"] or 0)
+    # The DEPLOYMENT path: quantizer persisted at benchmark-freeze time
+    # (one-off, fingerprint-cached like the IVF index), probe with NO
+    # fit — beats exact even at this bench size (measured 1.7 s vs
+    # 3.2–4.3 s), which is the whole point of the artifact.
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        benchmark_max_cosine_kmeans_indexed,
+        build_semdecon_kmeans_bench,
+    )
+    from map_reduce_framework_using_python_spark.sources.io import (
+        read_json_guarded,
+        source_fingerprint,
+        write_json_atomic,
+    )
+
+    kb_path = os.path.join(dst, "semdecon_kmeans_bench")
+    kb_meta = os.path.join(dst, "semdecon_kmeans_bench_meta.json")
+    src = source_fingerprint(os.path.join(dst, "embeddings.parquet"))
+    have = read_json_guarded(kb_meta)
+    if not (have is not None and have.get("src") == src):
+        t0 = _time.perf_counter()
+        build_semdecon_kmeans_bench(bench, kb_path, k=6)
+        out["kmeans_bench_build"] = round(_time.perf_counter() - t0, 3)
+        write_json_atomic(kb_meta, {"src": src})
+    best_ix, flags_ix = float("inf"), 0
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        r = forced(
+            benchmark_max_cosine_kmeans_indexed(corpus, kb_path, 300_000, n_probe=4)
+        )
+        best_ix = min(best_ix, _time.perf_counter() - t0)
+        flags_ix = int(r["c"] or 0)
+    out["kmeans_indexed_exec"] = round(best_ix, 3)
+    out["kmeans_indexed_flags"] = flags_ix
     print(
         f"# scale10x_semdecon exact={out['exact_exec']:.3f}s "
         f"({out['exact_flags']} flags) kmeans={out['kmeans_exec']:.3f}s "
-        f"({out['kmeans_flags']} flags)",
+        f"({out['kmeans_flags']} flags) "
+        f"indexed={out['kmeans_indexed_exec']:.3f}s ({flags_ix} flags)",
         file=sys.stderr,
     )
     return out

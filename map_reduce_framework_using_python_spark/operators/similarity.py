@@ -411,6 +411,26 @@ def benchmark_max_cosine_kmeans(
     # k×dim bounded model state → ONE broadcast row holding the centroid
     # table as array<struct>; routing is a map-side fold over it.
     cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return _kmeans_route_score(
+        vectors, ball, cents, tau6, n_probe, vec_col, keys
+    )
+
+
+def _kmeans_route_score(
+    vectors: DataFrame,
+    ball: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    tau6: int,
+    n_probe: int,
+    vec_col: str,
+    keys: list[str],
+) -> DataFrame:
+    """The routing + scoring tail shared by the inline
+    (:func:`benchmark_max_cosine_kmeans`) and artifact-backed
+    (:func:`benchmark_max_cosine_kmeans_indexed`) forms, so the two
+    can never drift: map-side top-n_probe centroid routing off the
+    broadcast one-row struct-array, broadcast candidate-ball
+    equi-join, per-vector partial max-agg, full-coverage left join."""
     cent_df = vectors.sparkSession.createDataFrame(
         [(cents,)], "cents array<struct<cid:int,cv:array<double>>>"
     )
@@ -450,6 +470,101 @@ def benchmark_max_cosine_kmeans(
             "max_cosine",
             F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
         )
+    )
+
+
+def build_semdecon_kmeans_bench(
+    bench: DataFrame,
+    path: str,
+    k: int | None = None,
+    seed: int = 42,
+    max_iter: int = 4,
+    vec_col: str = "embedding",
+) -> str:
+    """Persist the ROUTED benchmark artifact for large-suite semantic
+    decontamination: fit the coarse quantizer over the benchmark
+    vectors ONCE at benchmark-freeze time and write the clustered
+    candidate ball (``cluster, bv, bn`` parquet) plus the centroid
+    table (bounded k×dim JSON) — after which
+    :func:`benchmark_max_cosine_kmeans_indexed` scores any corpus or
+    micro-batch with NO model fit in the query path. This is the real
+    deployment shape the bench row motivates: at a fixed 125-item
+    bench the spark.ml fit dominates the inline form's latency
+    (bench.py _semdecon_probe), and an eval suite is frozen exactly
+    once — so the fit belongs with the artifact build, like the
+    MinHash index and the DSIR model."""
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from map_reduce_framework_using_python_spark.sources.io import (
+        write_json_atomic,
+    )
+
+    bv = bench.select(_as_double(F.col(vec_col)).alias("bv")).withColumn(
+        "features", array_to_vector("bv")
+    )
+    if k is None:
+        k = max(2, int(bv.count() ** 0.5))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="features").fit(bv)
+    (
+        model.transform(bv)
+        .select(
+            F.col("prediction").alias("cluster"),
+            "bv",
+            l2_norm(F.col("bv")).alias("bn"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "ball"))
+    )
+    cents = [
+        [float(x) for x in c] for c in model.clusterCenters()
+    ]
+    write_json_atomic(
+        os.path.join(path, "centroids.json"),
+        {"kind": "semdecon_kmeans", "k": int(k), "seed": seed,
+         "dim": len(cents[0]), "centroids": cents},
+    )
+    return path
+
+
+def benchmark_max_cosine_kmeans_indexed(
+    vectors: DataFrame,
+    path: str,
+    tau6: int,
+    n_probe: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str | None = "label",
+) -> DataFrame:
+    """Artifact-backed twin of :func:`benchmark_max_cosine_kmeans`:
+    routes against the persisted quantizer
+    (:func:`build_semdecon_kmeans_bench`) instead of fitting one — the
+    per-query cost drops to (k centroid cosines + the routed candidate
+    fraction) with no spark.ml action at all; the plan builds lazily
+    apart from the bounded centroid-JSON read. Pinned equal to the
+    inline form at the same (k, seed) in tests/test_similarity.py."""
+    import os
+
+    from map_reduce_framework_using_python_spark.sources.io import (
+        read_json_guarded,
+    )
+
+    meta = read_json_guarded(os.path.join(path, "centroids.json"))
+    if meta is None or meta.get("kind") != "semdecon_kmeans":
+        raise ValueError(f"not a semdecon kmeans bench artifact: {path}")
+    k = int(meta["k"])
+    if n_probe is None:
+        n_probe = max(1, (k + 1) // 2)
+    n_probe = min(n_probe, k)
+    keys = [id_col] if label_col is None else [id_col, label_col]
+    ball = vectors.sparkSession.read.schema(
+        "cluster INT, bv ARRAY<DOUBLE>, bn DOUBLE"
+    ).parquet(os.path.join(path, "ball"))
+    cents = [(i, c) for i, c in enumerate(meta["centroids"])]
+    return _kmeans_route_score(
+        vectors, ball, cents, tau6, n_probe, vec_col, keys
     )
 
 

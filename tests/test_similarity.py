@@ -395,3 +395,55 @@ def test_semdecon_scale_forms_empty_bench_full_surface(spark):
             r["max_cosine"] is None and r["contaminated"] is False
             for r in rows.values()
         ), form.__name__
+
+
+def test_semdecon_kmeans_indexed_equals_inline(spark, tmp_path):
+    """The artifact-backed routed form (quantizer persisted at
+    benchmark-freeze time, NO fit in the query path) must score
+    identically to the inline form at the same (k, seed) — build and
+    probe share _kmeans_route_score, and this pins the persisted ball
+    + centroid JSON round trip. Also: a non-artifact path fails
+    loudly, and the default n_probe derives from the stored k."""
+    import os
+
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        benchmark_max_cosine_kmeans,
+        benchmark_max_cosine_kmeans_indexed,
+        build_semdecon_kmeans_bench,
+    )
+    from map_reduce_framework_using_python_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter("vec_id % 16 != 7")
+    bench = e.filter("vec_id % 16 == 7")
+    path = os.path.join(str(tmp_path), "kb")
+    build_semdecon_kmeans_bench(bench, path, k=6)
+    inline = sorted(
+        map(
+            tuple,
+            benchmark_max_cosine_kmeans(
+                corpus, bench, 300_000, k=6, n_probe=3
+            ).collect(),
+        )
+    )
+    indexed = sorted(
+        map(
+            tuple,
+            benchmark_max_cosine_kmeans_indexed(
+                corpus, path, 300_000, n_probe=3
+            ).collect(),
+        )
+    )
+    assert indexed == inline and len(indexed) > 0
+    # default n_probe = ceil(k/2) = 3 at k=6 — same result
+    assert sorted(
+        map(
+            tuple,
+            benchmark_max_cosine_kmeans_indexed(corpus, path, 300_000).collect(),
+        )
+    ) == inline
+    with pytest.raises(ValueError, match="semdecon kmeans"):
+        benchmark_max_cosine_kmeans_indexed(corpus, str(tmp_path), 300_000)

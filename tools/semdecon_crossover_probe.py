@@ -101,6 +101,38 @@ def main() -> None:
             "speedup_vs_exact": round(t_exact / t_km, 2) if t_km else None,
         }))
 
+    # The deployment shape: quantizer persisted at benchmark-freeze
+    # time, NO fit in the query path (build timed separately).
+    import tempfile
+
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        benchmark_max_cosine_kmeans_indexed,
+        build_semdecon_kmeans_bench,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="semdecon_kb") as root:
+        for k, n_probe in ((100, 50), (100, 25)):
+            p = os.path.join(root, f"kb{k}")
+            t0 = time.perf_counter()
+            build_semdecon_kmeans_bench(bench, p, k=k)
+            t_build = round(time.perf_counter() - t0, 3)
+            t_ix, ix_flags = run(
+                benchmark_max_cosine_kmeans_indexed(
+                    corpus, p, tau6, n_probe=n_probe, label_col=None
+                )
+            )
+            rec = (
+                len(ix_flags & exact_flags) / len(exact_flags)
+                if exact_flags else 1.0
+            )
+            print(json.dumps({
+                "form": "kmeans_indexed", "k": k, "n_probe": n_probe,
+                "build_sec": t_build, "probe_sec": t_ix,
+                "recall": round(rec, 3),
+                "false_pos": len(ix_flags - exact_flags),
+                "speedup_vs_exact": round(t_exact / t_ix, 2) if t_ix else None,
+            }))
+
 
 if __name__ == "__main__":
     main()
