@@ -447,3 +447,28 @@ def test_semdecon_kmeans_indexed_equals_inline(spark, tmp_path):
     ) == inline
     with pytest.raises(ValueError, match="semdecon kmeans"):
         benchmark_max_cosine_kmeans_indexed(corpus, str(tmp_path), 300_000)
+
+
+def test_registry_indexed_kmeans_equals_inline_query(spark):
+    """The registry deployment form must emit the inline registry
+    form's exact verdict table (fingerprint-cached artifact round
+    trip included)."""
+    from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+
+    a = sorted(
+        map(
+            tuple,
+            REGISTRY["ns_semantic_decontaminate_kmeans"]
+            .fn(spark, SF_SMOKE)
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            REGISTRY["ns_semantic_decontaminate_kmeans_indexed"]
+            .fn(spark, SF_SMOKE)
+            .collect(),
+        )
+    )
+    assert a == b and len(a) > 0
