@@ -112,3 +112,18 @@ def oracle_encode_sql(col: str = "w") -> str:
         f"CASE WHEN {col} = '' THEN 0 "
         f"ELSE array_length(string_split_regex(trim({expr}), ' +')) END"
     )
+
+
+def oracle_tokens_sql(col: str = "w") -> str:
+    """SQL expression computing ``' '.join(bpe_encode(col))`` in DuckDB
+    — the TOKEN-STREAM twin of :func:`oracle_encode_sql`, sharing the
+    same replace chain; consumers split on single spaces (BPE symbols
+    never contain spaces). Empty input yields '' (unreachable from
+    PRETOKEN_RE, guarded for parity with the kernel anyway)."""
+    expr = f"'  ' || regexp_replace({col}, '(.)', '\\1  ', 'g')"
+    for a, b in MERGES:
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
+    return (
+        f"CASE WHEN {col} = '' THEN '' "
+        f"ELSE regexp_replace(trim({expr}), ' +', ' ', 'g') END"
+    )

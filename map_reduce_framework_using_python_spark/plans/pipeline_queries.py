@@ -510,3 +510,106 @@ def ns_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     keep = F.when(F.col("lang") == "en", h == "0").otherwise(h.isin("0", "1", "2", "3"))
     return d.filter(keep).groupBy("lang").agg(F.count("*").alias("n_sampled"))
+
+
+def _bpe_encode_oracle() -> str:
+    from map_reduce_framework_using_python_spark.functions.bpe import (
+        PRETOKEN_RE,
+        oracle_tokens_sql,
+    )
+
+    return f"""
+        WITH pre AS (SELECT doc_id,
+                            regexp_extract_all(text, '{PRETOKEN_RE}') AS a
+                     FROM documents),
+             words AS (SELECT doc_id, a[CAST(i AS INT)] AS w,
+                              CAST(i AS BIGINT) AS i
+                       FROM pre,
+                            LATERAL unnest(generate_series(1, len(a))) t(i)),
+             enc AS (SELECT w, {oracle_tokens_sql("w")} AS tok_str
+                     FROM (SELECT DISTINCT w FROM words)),
+             per_doc AS (SELECT doc_id,
+                                string_agg(e.tok_str, ' ' ORDER BY i)
+                                    AS token_seq,
+                                CAST(sum(len(string_split(e.tok_str, ' ')))
+                                     AS BIGINT) AS n_bpe_tokens
+                         FROM words JOIN enc e USING (w) GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(p.token_seq, '') AS token_seq,
+               coalesce(p.n_bpe_tokens, 0) AS n_bpe_tokens
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@query(
+    "ns_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("northstar", "pipeline", "text", "tokenizer"),
+)
+def ns_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the full BPE token SEQUENCE per document
+    (r10, completing the lane: ns_bpe_train learns the merge table,
+    ns_token_count_bpe prices documents, this EMITS the stream a
+    training pipeline actually feeds to packing): GPT-2-style
+    pre-tokenize, encode each distinct word with the canonical greedy
+    merge loop (functions/bpe.py), and reassemble each document's
+    tokens in pre-token order, space-joined (arrays would defeat the
+    value-hash compare; the string splits back losslessly because BPE
+    symbols never contain spaces).
+
+    Scale shape = the count form's plus the one unavoidable assembly
+    exchange: the Python loop runs per DISTINCT word (Arrow-batched,
+    vocabulary-bounded), a vocabulary-keyed shuffle-hash join carries
+    each word's token string onto the positioned occurrences, and ONE
+    doc_id exchange assembles the sequence (array_sort over the
+    collected (pos, toks) structs — no window). Raw text never
+    shuffles; the assembled stream is the same size as the text, the
+    floor for any tokenizer apply. The DuckDB twin applies the SAME
+    merge table as the rank-ordered replace chain (provably equal to
+    the greedy loop — functions/bpe.py) and reassembles with an
+    ordered string_agg."""
+    from map_reduce_framework_using_python_spark.functions.bpe import (
+        PRETOKEN_RE,
+        bpe_encode,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all("text", F.lit(PRETOKEN_RE), 0)
+        ).alias("i", "w"),
+    )
+
+    @F.pandas_udf("string")
+    def toks(col: pd.Series) -> pd.Series:
+        return col.map(lambda w: " ".join(bpe_encode(w)))
+
+    enc = words.select("w").distinct().withColumn("tok_str", toks("w"))
+    per_doc = (
+        words.join(enc.hint("shuffle_hash"), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, tok_str))),"
+                    " s -> s.tok_str)"
+                ),
+            ).alias("token_seq"),
+            F.sum(F.size(F.split("tok_str", " "))).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("token_seq", F.lit("")).alias("token_seq"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )

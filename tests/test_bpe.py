@@ -86,3 +86,22 @@ def test_oracle_sql_empty_word_is_zero():
             f"SELECT {oracle_encode_sql('w')} FROM (SELECT ? AS w)", [w]
         ).fetchone()[0]
         assert got == len(bpe_encode(w)), w
+
+
+def test_oracle_tokens_sql_matches_kernel(duck):
+    """The token-STREAM oracle twin (oracle_tokens_sql) must spell the
+    greedy loop's exact token sequence, not just its length — on the
+    training vocab, on words with repeated mergeable runs, and on the
+    guarded empty input."""
+    from map_reduce_framework_using_python_spark.functions.bpe import (
+        bpe_encode,
+        oracle_tokens_sql,
+    )
+
+    words = ["window", "order", "sort", "partition", "aggregate", "value",
+             "join", "merge", "keyline", "ererer", "ststst", "q", ""]
+    for w in words:
+        got = duck.sql(
+            f"SELECT {oracle_tokens_sql('w')} FROM (SELECT '{w}' AS w)"
+        ).fetchone()[0]
+        assert got == " ".join(bpe_encode(w)), (w, got)
