@@ -231,6 +231,28 @@ def ns_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_pq_topk",
+    oracle=None,  # rows-only: spark.ml codebooks — pytest pins recall
+    # vs brute force, exact reranked cosines, and determinism
+    # (tests/test_pq.py).
+    tags=("northstar", "similarity", "sketch", "rows_only"),
+)
+def ns_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 (r10): per-subspace codebooks →
+    m-byte codes (16 bytes/vector at the defaults, ~3% of the raw
+    embedding bytes — what the 100 TB ANN scan actually reads) → ADC
+    shortlist via a broadcast m×k lookup table (m array lookups per
+    vector, no float vector math in the scan) → EXACT rerank of the
+    shortlist, so returned cosines are true cosines and shortlist
+    membership is the only approximation. Completes the quantization
+    story next to int8 and the IVF/LSH lanes; see operators/pq.py for
+    the Jégou et al. design and the measured shortlist-recall curve."""
+    from map_reduce_framework_using_python_spark.operators.pq import pq_topk
+
+    return pq_topk(t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@query(
     "ns_embedding_norms",
     oracle="""
         SELECT vec_id, label,
