@@ -152,6 +152,9 @@ AUDIT = (
     # round 10: the ingest screen — index scan semi-pruned by the
     # broadcast batch digest set; one batch-sized digest window
     "ns_span_screen",
+    # round 10: tokenizer apply — vocabulary-bounded UDF, vocab-keyed
+    # shuffle-hash join, ONE doc_id assembly exchange (no window)
+    "ns_bpe_encode",
     # round 10: k-means-routed decon — map-side centroid routing off a
     # broadcast one-row struct-array (the KMeans fit runs at plan build,
     # a bounded model action), broadcast candidate ball, one narrow
