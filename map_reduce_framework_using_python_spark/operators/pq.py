@@ -202,3 +202,85 @@ def pq_topk(
     )
     scored = cosine_scores(candidates, q, vec_col="v")
     return _topk_tail(scored, k, id_col, label_col)
+
+
+def build_pq_index(
+    vectors: DataFrame,
+    path: str,
+    m: int = 16,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str | None = "label",
+) -> str:
+    """Persist the PQ artifact: train the codebooks once, encode the
+    corpus once, and write ``codes/`` parquet (keys + m-byte codes —
+    the 16-bytes-per-vector table a 100 TB ANN scan reads) plus the
+    bounded codebook JSON. After this, :func:`pq_topk_indexed` answers
+    queries with NO model fit and NO encode in the query path — the
+    same artifact economics as the LSH/IVF indexes and the decon
+    quantizer (operators/ann_index.py, build_semdecon_kmeans_bench)."""
+    import os
+
+    from map_reduce_framework_using_python_spark.sources.io import (
+        write_json_atomic,
+    )
+
+    books = pq_train(vectors, m, k, seed, max_iter, vec_col, id_col)
+    pq_encode(vectors, books, vec_col, id_col, label_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codes"))
+    write_json_atomic(
+        os.path.join(path, "codebooks.json"),
+        {"kind": "pq", "m": m, "k": k, "seed": seed,
+         "sub": len(books[0][0]), "books": books,
+         "id_col": id_col, "label_col": label_col},
+    )
+    return path
+
+
+def pq_topk_indexed(
+    vectors: DataFrame,
+    path: str,
+    query_vec_id: int,
+    topk: int = 10,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Artifact-backed PQ ANN: read the persisted codes + codebooks,
+    ADC-score the codes scan against the broadcast query lookup table,
+    shortlist, and rerank EXACTLY against ``vectors`` (the full-vector
+    table — the index stores only codes; rerank touches just the
+    shortlist rows). Query-path cost: one codes scan + m lookups per
+    vector + an R-row join. Pinned equal to the inline
+    :func:`pq_topk` at the same (m, k, seed) in tests/test_pq.py."""
+    import os
+
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        _query_vector,
+    )
+    from map_reduce_framework_using_python_spark.sources.io import (
+        read_json_guarded,
+    )
+
+    meta = read_json_guarded(os.path.join(path, "codebooks.json"))
+    if meta is None or meta.get("kind") != "pq":
+        raise ValueError(f"not a PQ index: {path}")
+    id_col, label_col = meta["id_col"], meta["label_col"]
+    keys = [id_col] if label_col is None else [id_col, label_col]
+    codes = vectors.sparkSession.read.parquet(os.path.join(path, "codes"))
+    q = _query_vector(vectors, vec_col, id_col, query_vec_id)
+    short = (
+        pq_adc_scores(codes, meta["books"], q)
+        .filter(F.col(id_col) != query_vec_id)
+        .orderBy(F.col("adc").asc(), F.col(id_col))
+        .limit(int(shortlist))
+        .select(id_col)
+    )
+    candidates = vectors.join(F.broadcast(short), id_col).select(
+        *keys, _as_double(F.col(vec_col)).alias("v")
+    )
+    scored = cosine_scores(candidates, q, vec_col="v")
+    return _topk_tail(scored, topk, id_col, label_col)

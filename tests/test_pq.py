@@ -65,3 +65,28 @@ def test_registry_query_runs(spark):
     assert len(rows) == 10
     cos = [r["cosine"] for r in rows]
     assert cos == sorted(cos, reverse=True)  # _topk_tail's contract
+
+
+def test_pq_index_persisted_equals_inline(spark, tmp_path):
+    """The persisted artifact (codes parquet + codebook JSON) must
+    answer queries identically to the inline form at the same
+    (m, k, seed) — no fit, no encode in the query path; a non-artifact
+    path fails loudly."""
+    import os
+
+    from map_reduce_framework_using_python_spark.operators.pq import (
+        build_pq_index,
+        pq_topk_indexed,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = os.path.join(str(tmp_path), "pq")
+    build_pq_index(emb, path)
+    inline = sorted(map(tuple, pq_topk(emb, query_vec_id=0, k=10).collect()))
+    indexed = sorted(
+        map(tuple, pq_topk_indexed(emb, path, query_vec_id=0, topk=10).collect())
+    )
+    assert indexed == inline and len(indexed) == 10
+
+    with pytest.raises(ValueError, match="not a PQ index"):
+        pq_topk_indexed(emb, str(tmp_path), query_vec_id=0)
