@@ -278,6 +278,28 @@ _LAST_VERIFIED: dict[str, int] = {
         "q_value_histogram", "st_semantic_decontaminate",
         "st_stream_join_full", "st_stream_join_semi",
     ), 9),
+    # round 10 (CORRECTNESS_r10.json) — all 50 rows green: the five
+    # never-verified r10 additions (the span lane + ns_bpe_encode) plus
+    # the stalest r5/r6 cohort re-verified. Queries whose output surface
+    # changes in r11 drop back to the unverified tier per the rule.
+    **dict.fromkeys((
+        "ns_bpe_encode", "ns_ccnet_buckets", "ns_cosine_topk",
+        "ns_dedup_exact", "ns_embedding_norms", "ns_exact_substring_apply",
+        "ns_exact_substring_spans", "ns_fingerprint", "ns_hash_embed",
+        "ns_lang_stats", "ns_language_id", "ns_quality_scores",
+        "ns_span_screen", "ns_span_screen_apply", "ns_temperature_mixture",
+        "ns_token_entropy", "ns_token_stats", "ns_wordcount",
+        "q17_small_quantity", "q18_large_orders", "q_date_funcs",
+        "q_event_dedup", "q_event_sessionize", "q_event_window_sliding",
+        "q_event_window_tumbling", "q_explode_udtf", "q_from_xml",
+        "q_join_anti", "q_join_broadcast", "q_join_full", "q_join_inner",
+        "q_join_left", "q_join_range", "q_join_semi", "q_join_theta",
+        "q_json_extract", "q_sql_collation", "q_sql_lateral_alias",
+        "q_sql_listagg", "q_sql_parameterized", "q_sql_star_except",
+        "q_string_funcs", "q_topk_per_group", "q_variant_extract",
+        "q_window_first_last", "q_window_lag_lead", "q_window_range_frame",
+        "q_window_rank", "q_window_running", "q_xml_roundtrip",
+    ), 10),
 }
 
 

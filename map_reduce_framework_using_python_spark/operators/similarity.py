@@ -169,6 +169,7 @@ def benchmark_max_cosine_lsh(
     label_col: str | None = "label",
     dim: int | None = None,
     broadcast_ball: bool = True,
+    suppress_regime_warning: bool = False,
 ) -> DataFrame:
     """The SCALE path of :func:`benchmark_max_cosine` for LARGE
     benchmark suites (real decontamination sweeps carry 10k–100k eval
@@ -208,8 +209,12 @@ def benchmark_max_cosine_lsh(
     exercises). Calling with ``tau6`` below the pinned regime emits a
     RuntimeWarning naming :func:`benchmark_max_cosine_kmeans`, the
     adaptive centroid-routed form whose recall IS pinned ≥0.9 at
-    τ=0.30 — so a user cannot silently lose a third of their flags."""
-    if tau6 < _LSH_PINNED_TAU6:
+    τ=0.30 — so a user cannot silently lose a third of their flags.
+    ``suppress_regime_warning=True`` opts a KNOWING low-τ caller out
+    (e.g. the registry query that exists precisely to document this
+    regime) so deployments escalating warnings to errors don't fail a
+    deliberate call; the semantics are unchanged either way."""
+    if tau6 < _LSH_PINNED_TAU6 and not suppress_regime_warning:
         import warnings
 
         warnings.warn(

@@ -133,24 +133,32 @@ def exact_substring_spans(
     id_col: str = "doc_id",
     digest: str = "md5",
 ) -> DataFrame:
-    """MAXIMAL duplicated token spans of length ≥ ``min_len`` — the
-    variable-length ExactSubstr form of Lee et al. (ACL 2022) §4.1,
-    which ns_span_dedup's per-document COUNTS cannot express: the
-    removal pass needs (start, end) extents, and two abutting repeats
-    vs one long repeat are different cut lists even when the counts
-    tie.
+    """Maximal runs of DUPLICATED token positions of length ≥
+    ``min_len`` — the variable-length ExactSubstr form of Lee et al.
+    (ACL 2022) §4.1, which ns_span_dedup's per-document COUNTS cannot
+    express: the removal pass needs (start, end) extents, and two
+    abutting repeats vs one long repeat are different cut lists even
+    when the counts tie.
 
-    Suffix-array-free equivalence: a maximal duplicated substring of
-    length L ≥ k is exactly a maximal run of L−k+1 consecutive
-    positions whose stride-1 k-shingles each occur at ≥2 (doc, pos)
-    sites in the corpus (k = ``min_len``; intra-document repeats
-    count, as in the paper). So: hash every k-shingle, keep duplicated
-    digests, and merge consecutive surviving positions per document
-    (gaps-and-islands). Emits ``(doc_id, start_pos, end_pos,
-    span_len)`` on the 1-based token grid, ``span_len = end_pos −
-    start_pos + 1 ≥ min_len``; documents shorter than ``min_len``
-    contribute their single truncated shingle (the ns_span_dedup
-    convention), so a whole-short-doc duplicate still surfaces.
+    Suffix-array-free construction: every duplicated substring of
+    length L ≥ k covers a run of L−k+1 consecutive positions whose
+    stride-1 k-shingles each occur at ≥2 (doc, pos) sites in the
+    corpus (k = ``min_len``; intra-document repeats count, as in the
+    paper). So: hash every k-shingle, keep duplicated digests, and
+    merge consecutive surviving positions per document
+    (gaps-and-islands). Each emitted span is a maximal run of
+    duplicated shingle positions — the UNION OF COVERS of duplicated
+    substrings, which is exactly what the removal pass consumes. Note
+    the union can FUSE two abutting repeats whose straddling shingles
+    are each duplicated against different sources, so an emitted span
+    need not itself occur verbatim at ≥2 sites as one substring;
+    removal semantics and the oracle are unaffected (both encode the
+    same position-cover reduction). Emits ``(doc_id, start_pos,
+    end_pos, span_len)`` on the 1-based token grid, ``span_len =
+    end_pos − start_pos + 1 ≥ min_len``; documents shorter than
+    ``min_len`` contribute their single truncated shingle (the
+    ns_span_dedup convention), so a whole-short-doc duplicate still
+    surfaces.
 
     Scale shape (100 TB): raw text never leaves the scan — the fan-out
     is (doc_id, position, 128-bit digest). One digest-keyed exchange

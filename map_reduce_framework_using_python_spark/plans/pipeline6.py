@@ -487,7 +487,14 @@ def ns_semantic_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     p ≈ 0.9) the radius-2 ball already recalls ~0.96 per item — the
     planted-pair pin in tests/test_similarity.py exercises exactly
     that regime. The knobs are the contract, not a footnote: LSH
-    pruning is for NEAR-DUPLICATE-grade thresholds."""
+    pruning is for NEAR-DUPLICATE-grade thresholds.
+
+    suppress_regime_warning: this registry entry IS the documented
+    under-recall form (the pins above state its measured recall), so
+    the low-τ RuntimeWarning is opted out here — otherwise every
+    driver/sweep execution would warn unconditionally, and a config
+    escalating warnings to errors would fail a deliberate call (r10
+    advice). Ad-hoc callers still get the guard."""
     from map_reduce_framework_using_python_spark.operators.similarity import (
         benchmark_max_cosine_lsh,
     )
@@ -499,6 +506,7 @@ def ns_semantic_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
         _SEMDECON_TAU6,
         probe_hamming=3,
         dim=64,  # the testdata embedding width — keeps plan-build lazy
+        suppress_regime_warning=True,
     )
 
 

@@ -369,6 +369,15 @@ def test_semdecon_lsh_warns_below_pinned_regime(spark):
         warnings.simplefilter("always")
         benchmark_max_cosine_lsh(vecs, vecs, 950_000, label_col=None, dim=2)
         assert not any(issubclass(x.category, RuntimeWarning) for x in w)
+    # A KNOWING low-τ caller can opt out (the registry query documents
+    # this regime deliberately — r10 advice): same call, no warning.
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        benchmark_max_cosine_lsh(
+            vecs, vecs, 300_000, label_col=None, dim=2,
+            suppress_regime_warning=True,
+        )
+        assert not any(issubclass(x.category, RuntimeWarning) for x in w)
 
 
 def test_semdecon_scale_forms_empty_bench_full_surface(spark):
