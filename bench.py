@@ -172,12 +172,37 @@ R9_SCALE_FLOOR: dict[str, float] = {
 #: Round-9 floors over the standing guard SECTIONS (dicts in the bench
 #: output outside `queries`/`scale10x`) first recorded in BENCH_r09:
 #: the IVF k=256 probe pair (the r8 k-independence fix's latency
-#: guard) and the all-legs curation drain. Keyed (section, field);
-#: same 1.5× contract, reported under `regressions_vs_r9_sections`.
+#: guard). Keyed (section, field); same 1.5× contract, reported under
+#: `regressions_vs_r9_sections`. The r9 curation10x_alllegs.stream_drain
+#: floor (4.31) was RETIRED in r11: the row gained the ExactSubstr span
+#: leg (sixth verdict class), so its work changed and the old floor no
+#: longer measures the same drain — BENCH_r11 re-seeds it.
 R9_SECTION_FLOOR: dict[tuple[str, str], float] = {
     ("scale10x_ivf256", "probe_plan_build"): 1.493,
     ("scale10x_ivf256", "probe_exec"): 1.068,
-    ("curation10x_alllegs", "stream_drain"): 4.31,
+}
+
+#: Round-10 headline floor (BENCH_r10 / the r10 closing measurements —
+#: recorded 0.58–0.74 s; the floor pins the high end) for the query
+#: that first appeared in the r10 headline. Same 1.5× soft-floor
+#: contract, reported under `regressions_vs_r10`.
+R10_FLOOR: dict[str, float] = {
+    "ns_exact_substring_spans": 0.74,
+}
+
+#: Round-10 scale10x floor (BENCH_r10 "scale10x") for the span finder's
+#: first scale record (~2M stride-1 shingles).
+R10_SCALE_FLOOR: dict[str, float] = {
+    "ns_exact_substring_spans": 1.36,
+}
+
+#: Round-10 section floors: the semantic-decontamination triple first
+#: recorded in BENCH_r10 (driver values). Reported under
+#: `regressions_vs_r10_sections`.
+R10_SECTION_FLOOR: dict[tuple[str, str], float] = {
+    ("scale10x_semdecon", "exact_exec"): 4.026,
+    ("scale10x_semdecon", "kmeans_exec"): 5.797,
+    ("scale10x_semdecon", "kmeans_indexed_exec"): 4.421,
 }
 
 
@@ -245,6 +270,72 @@ def _ivf_probe(spark, dst: str, reps: int) -> dict[str, float]:
     out["rows"] = n
     print(
         f"# scale10x_ivf256 plan_build={out['probe_plan_build']:.3f}s "
+        f"exec={out['probe_exec']:.3f}s ({n} rows)",
+        file=sys.stderr,
+    )
+    return out
+
+
+def _ivfpq_probe(spark, dst: str, reps: int) -> dict[str, float]:
+    """IVF-PQ (IVFADC) batched probe at the 10× replica — the composed
+    index lane's standing scale row (r11). Index: 64 coarse centroids
+    over the rolled replica embeddings (the _ivf_probe roll, so k-means
+    sees distinct points), m=16/k=16 PQ codes — the layout a 100 TB ANN
+    actually ships (16 B/vector × partition-pruned cells). Built once,
+    fingerprint-guarded; the recurring numbers are plan-build (call →
+    DataFrame, the r7 discipline) and execution of a 64-query batch
+    (n_probe=8/64 cells, shortlist=100, exact rerank against the
+    full-vector table). First recorded r11; seeds the next floor."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators import ivfpq
+    from map_reduce_framework_using_python_spark.sources.io import (
+        read_json_guarded,
+        source_fingerprint,
+        write_json_atomic,
+    )
+
+    idx_path = os.path.join(dst, "ivfpq64_index")
+    meta_path = os.path.join(dst, "ivfpq64_probe_meta.json")
+    src = source_fingerprint(os.path.join(dst, "embeddings.parquet"))
+    have = read_json_guarded(meta_path)
+    out: dict[str, float] = {}
+    emb = spark.read.parquet(os.path.join(dst, "embeddings.parquet"))
+    if not (have is not None and have.get("src") == src):
+        r = (F.col("vec_id") / 10_000_000).cast("int")
+        rolled = emb.select(
+            "vec_id",
+            F.concat(
+                F.slice(F.col("embedding"), (r % 64) + 1, 64),
+                F.slice(F.col("embedding"), 1, r % 64),
+            ).alias("embedding"),
+            "label",
+        )
+        t0 = _time.perf_counter()
+        ivfpq.build_ivfpq_index(
+            rolled, idx_path, n_centroids=64, m=16, k=16, seed=42
+        )
+        out["index_build"] = round(_time.perf_counter() - t0, 3)
+        write_json_atomic(meta_path, {"src": src})
+    queries = emb.filter(F.col("vec_id") < 64)
+    best_plan, best_exec = float("inf"), float("inf")
+    n = 0
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        df = ivfpq.ivfpq_probe_index_batch(
+            spark, queries, idx_path, emb, k=10, n_probe=8, shortlist=100
+        )
+        best_plan = min(best_plan, _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        n = df.count()
+        best_exec = min(best_exec, _time.perf_counter() - t0)
+    out["probe_plan_build"] = round(best_plan, 3)
+    out["probe_exec"] = round(best_exec, 3)
+    out["rows"] = n
+    print(
+        f"# scale10x_ivfpq plan_build={out['probe_plan_build']:.3f}s "
         f"exec={out['probe_exec']:.3f}s ({n} rows)",
         file=sys.stderr,
     )
@@ -617,6 +708,18 @@ def main() -> None:
                 f"({v['now'] / v['r8']:.2f}x)",
                 file=sys.stderr,
             )
+        regressions_r10 = {
+            name: {"now": times[name], "r10": floor}
+            for name, floor in R10_FLOOR.items()
+            if name in times and times[name] > 1.5 * floor
+        }
+        result["regressions_vs_r10"] = regressions_r10
+        for name, v in regressions_r10.items():
+            print(
+                f"# REGRESSION {name}: {v['now']:.3f}s vs r10 {v['r10']:.3f}s "
+                f"({v['now'] / v['r10']:.2f}x)",
+                file=sys.stderr,
+            )
 
     # Scale section: replicate sf0.1 10× (~6M lineitem rows, cached in
     # /tmp) and time the shuffle-heavy joins scan-based vs bucketed —
@@ -793,6 +896,18 @@ def main() -> None:
                         f"{v['r9']:.3f}s ({v['now'] / v['r9']:.2f}x)",
                         file=sys.stderr,
                     )
+                scale_reg10 = {
+                    name: {"now": scale[name], "r10": floor}
+                    for name, floor in R10_SCALE_FLOOR.items()
+                    if name in scale and scale[name] > 1.5 * floor
+                }
+                result["regressions_vs_r10_scale10x"] = scale_reg10
+                for name, v in scale_reg10.items():
+                    print(
+                        f"# REGRESSION scale10x {name}: {v['now']:.3f}s vs r10 "
+                        f"{v['r10']:.3f}s ({v['now'] / v['r10']:.2f}x)",
+                        file=sys.stderr,
+                    )
 
             # Hot-bucket LSH guard: the boilerplate-heavy corpus row.
             result["scale10x_dup"] = _dup_probe(spark, DST, reps)
@@ -801,6 +916,11 @@ def main() -> None:
             # one the r8 fix bounded (k-independent); the r9 record
             # seeded the floor (R9_SECTION_FLOOR).
             result["scale10x_ivf256"] = _ivf_probe(spark, DST, reps)
+
+            # IVF-PQ composed lane (r11): ADC over partition-pruned
+            # 16-byte codes + exact rerank — first record seeds the
+            # next floor snapshot.
+            result["scale10x_ivfpq"] = _ivfpq_probe(spark, DST, reps)
 
             # Semantic-decontamination lane at 10×, fold forced (the
             # .count() prune makes a headline row dishonest for it).
@@ -875,18 +995,20 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             result[f"curation{cur_para}x_paragraph_error"] = str(exc)[:200]
 
-    # ALL-legs curation at 10× (r9): dedup + DSIR + paragraph + the new
-    # contamination leg in one drain — the five-verdict partition with
-    # every leg firing on its own plants (n_boilerplate=206,
-    # n_contaminated=100 at the defaults). The number to hold against
-    # the single-leg rows: the composed drain must not blow up.
+    # ALL-legs curation at 10× (r9; +span r11): dedup + DSIR + paragraph
+    # + contamination + the ExactSubstr span leg in one drain — the
+    # SIX-verdict partition with every leg firing on its own plants
+    # (n_boilerplate=206, n_contaminated=100, n_span_duplicate≈50 at
+    # the defaults). The number to hold against the single-leg rows:
+    # the composed drain must not blow up. The r9 stream_drain floor
+    # was retired with the span-leg addition; BENCH_r11 re-seeds it.
     cur_all = int(os.environ.get("SPARK_GRAFT_BENCH_CURATION_ALLLEGS", "10"))
     if cur_all > 1:
         try:
             from curation_probe import run as curation_run
 
             result[f"curation{cur_all}x_alllegs"] = curation_run(
-                spark, cur_all, paragraph=True, decon=True
+                spark, cur_all, paragraph=True, decon=True, span=True
             )
             print(
                 f"# curation{cur_all}x_alllegs: "
@@ -895,6 +1017,29 @@ def main() -> None:
             )
         except Exception as exc:  # noqa: BLE001
             result[f"curation{cur_all}x_alllegs_error"] = str(exc)[:200]
+
+    # ALL-legs curation at 100× against the pruned layout (r11, VERDICT
+    # item 5): every reject leg active at the SAME corpus scale as the
+    # steady-state 100 TB configuration — hold its drain against the
+    # legless curation100x_pruned row (expect ≤ ~1.2×: the added legs
+    # are batch-sized probes of fixed-width indexes, never corpus
+    # rescans).
+    cur100a = int(os.environ.get("SPARK_GRAFT_BENCH_CURATION_100X_ALLLEGS", "100"))
+    if cur100a > 1:
+        try:
+            from curation_probe import run as curation_run
+
+            result[f"curation{cur100a}x_alllegs"] = curation_run(
+                spark, cur100a, prune_cap=8, paragraph=True, decon=True,
+                span=True,
+            )
+            print(
+                f"# curation{cur100a}x_alllegs: "
+                f"{result[f'curation{cur100a}x_alllegs']}",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            result[f"curation{cur100a}x_alllegs_error"] = str(exc)[:200]
 
     # Paragraph leg at 100× against the pruned layout (r9: the 10× row
     # above proves the leg fires; this one measures the sub-document
@@ -916,20 +1061,28 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             result[f"curation{cur100p}x_pruned_paragraph_error"] = str(exc)[:200]
 
-    # Soft floor over the standing guard sections (r9 values; each key
-    # only fires when its section actually ran this invocation).
-    section_reg: dict[str, dict[str, float]] = {}
-    for (sec, field), floor in R9_SECTION_FLOOR.items():
-        section = result.get(sec)
-        now = section.get(field) if isinstance(section, dict) else None
-        if isinstance(now, (int, float)) and now > 1.5 * floor:
-            section_reg[f"{sec}.{field}"] = {"now": now, "r9": floor}
-            print(
-                f"# REGRESSION {sec}.{field}: {now:.3f}s vs r9 {floor:.3f}s "
-                f"({now / floor:.2f}x)",
-                file=sys.stderr,
-            )
-    result["regressions_vs_r9_sections"] = section_reg
+    # Soft floor over the standing guard sections (each key only fires
+    # when its section actually ran this invocation).
+    def _section_floors(floors: dict, tag: str) -> dict:
+        reg: dict[str, dict[str, float]] = {}
+        for (sec, field), floor in floors.items():
+            section = result.get(sec)
+            now = section.get(field) if isinstance(section, dict) else None
+            if isinstance(now, (int, float)) and now > 1.5 * floor:
+                reg[f"{sec}.{field}"] = {"now": now, tag: floor}
+                print(
+                    f"# REGRESSION {sec}.{field}: {now:.3f}s vs {tag} "
+                    f"{floor:.3f}s ({now / floor:.2f}x)",
+                    file=sys.stderr,
+                )
+        return reg
+
+    result["regressions_vs_r9_sections"] = _section_floors(
+        R9_SECTION_FLOOR, "r9"
+    )
+    result["regressions_vs_r10_sections"] = _section_floors(
+        R10_SECTION_FLOOR, "r10"
+    )
 
     print(json.dumps(result))
 

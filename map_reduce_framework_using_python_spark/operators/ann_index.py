@@ -365,12 +365,21 @@ def compact_ivf_index(
 def _compact_partitioned_index(
     spark: SparkSession,
     path: str,
-    part_col: str,
+    part_col: str | None,
     write_partitions: int,
     _test_hook_pre_swap,
     opname: str,
     _test_hook_post_aside=None,
 ) -> None:
+    """``part_col=None`` compacts a FLAT (unpartitioned) parquet dir —
+    the PQ codes layout (operators/pq.py) — with the identical
+    two-rename swap, sentinel/commit-marker crash recovery, and
+    two-stage concurrent-append guard; the snapshot is the top-level
+    part-file listing and the rewrite is a plain ``repartition(n)``.
+    A layout whose meta sidecar is kept OUTSIDE the compacted dir
+    (PQ keeps ``codebooks.json`` beside ``codes/``) simply has no
+    ``_ann_meta.json`` here, and the meta preserve/fingerprint steps
+    no-op."""
     import shutil
 
     tmp = path.rstrip("/") + "__compact"
@@ -417,7 +426,9 @@ def _compact_partitioned_index(
         # fingerprint exactly as append_to_lsh_index/append_to_ivf_index
         # do, so callers that trust src for cache reuse
         # (ann_queries._ensure_*) rebuild instead of replaying a stale
-        # cache over appended data.
+        # cache over appended data. No-op for meta-less flat layouts.
+        if not os.path.exists(os.path.join(base, "_ann_meta.json")):
+            return
         m = _read_meta(base)
         if m.pop("src", None) is not None:
             _write_meta(base, m)
@@ -452,10 +463,13 @@ def _compact_partitioned_index(
         # Stray marker from a crash after the retire completed but
         # before the marker removal — benign; clear it.
         os.remove(os.path.join(path, committed))
-    meta = _read_meta(path)
+    has_meta = os.path.exists(os.path.join(path, "_ann_meta.json"))
+    meta = _read_meta(path) if has_meta else None
 
     def _data_files(base: str) -> set[str]:
         out = set()
+        if part_col is None:
+            return {f for f in os.listdir(base) if f.endswith(".parquet")}
         for d in os.listdir(base):
             if d.startswith(f"{part_col}="):
                 for f in os.listdir(os.path.join(base, d)):
@@ -464,15 +478,18 @@ def _compact_partitioned_index(
         return out
 
     snapshot = _data_files(path)
-    (
-        spark.read.parquet(path)
-        .dropDuplicates()
-        .repartition(write_partitions, part_col)
-        .write.mode("overwrite")
-        .partitionBy(part_col)
-        .parquet(tmp)
-    )
-    _write_meta(tmp, meta)
+    deduped = spark.read.parquet(path).dropDuplicates()
+    if part_col is None:
+        deduped.repartition(write_partitions).write.mode("overwrite").parquet(tmp)
+    else:
+        (
+            deduped.repartition(write_partitions, part_col)
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(tmp)
+        )
+    if meta is not None:
+        _write_meta(tmp, meta)
     if _data_files(path) != snapshot:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(

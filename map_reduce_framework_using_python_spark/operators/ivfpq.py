@@ -1,0 +1,477 @@
+"""IVF-PQ (IVFADC) — the composed ANN index: IVF coarse routing over
+PQ-compressed codes (Jégou et al., *Product Quantization for Nearest
+Neighbor Search*, TPAMI 2011 §IV; FAISS's ``IVFADC``). The two halves
+already exist separately — the partition-pruned IVF layout
+(:mod:`.ann_index`) and the 16-byte/vector ADC scan (:mod:`.pq`) —
+and this module composes them into the actual 100 TB ANN shape:
+
+* **storage**: the corpus is ONE parquet layout of ``m``-byte PQ codes
+  partitioned by coarse centroid id — ~3% of the raw embedding bytes,
+  and a probe opens only its ``n_probe`` nearest ``centroid_id=``
+  directories (``PartitionFilters``), so a query touches
+  ``n_probe/n_centroids`` of an already-30×-smaller table;
+* **scan**: inside probed cells each vector costs ``m`` array lookups
+  against the query's broadcast ADC table — no floating-point vector
+  math in the scan;
+* **answer**: the ADC shortlist joins back to the full-vector table
+  and is reranked EXACTLY, so returned cosines are true cosines and
+  the only error mode is a true neighbor missing the probe set or the
+  shortlist (recall pinned in tests/test_ivfpq.py at the registry
+  knobs).
+
+Non-residual variant, deliberately: codes are PQ(normalized vector)
+under ONE global codebook set rather than PQ(vector − centroid) under
+per-cell ADC tables. That keeps encoding row-local — so appends
+commute with builds exactly (the LSH/IVF lane contract, pinned) and a
+batch needs no per-cell table fan-out — at a small recall cost that
+the exact-rerank shortlist absorbs (measured ≥0.9 recall@10 at the
+registry knobs on the synthetic embeddings, PQ's worst case). FAISS
+ships the same switch as ``by_residual=False``.
+
+Index layout on disk::
+
+    <path>/_ann_meta.json            # kind=ivfpq: centroids + books + params
+    <path>/centroid_id=<id>/*.parquet  # (id, [label], codes array<int>)
+
+Quantizers are FROZEN at build time: the coarse assignment uses the
+same JVM argmin expression at build and append time (never
+``model.transform``), so build/append routing can never diverge.
+
+Lifecycle parity with the LSH/IVF lanes: :func:`append_to_ivfpq_index`
+(frozen quantizers, src-fingerprint drop, at-least-once),
+:func:`compact_ivfpq_index` (two-rename swap via the shared
+``_compact_partitioned_index``), and the streaming ingest probe in
+:mod:`..streaming.ann_ingest`.
+
+Reference parity note: the reference has no ANN at all; this lane is
+part of the north-star LLM-pipeline extension (SURVEY.md §2.B bottom
+rows).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.operators.ann_index import (
+    MAX_LITERAL_CENTROIDS,
+    _centroid_dist_structs,
+    _compact_partitioned_index,
+    _nearest_centroids_join,
+    _read_meta,
+    _write_meta,
+)
+from map_reduce_framework_using_python_spark.operators.pq import (
+    _books_row,
+    _normalized,
+    pq_train,
+)
+from map_reduce_framework_using_python_spark.operators.similarity import (
+    _as_double,
+    _query_vector,
+    _topk_tail,
+    cosine_scores,
+    dot,
+    l2_norm,
+)
+
+
+def _code_expr(sub: int):
+    """Per-subspace argmin over the broadcast ``books`` row, evaluated
+    against a NORMALIZED vector column ``vn`` — the pq_encode kernel
+    (deterministic ties: lowest cid), shared verbatim so flat-PQ and
+    IVF-PQ codes can never drift."""
+    return F.expr(
+        "transform(books, b -> element_at(array_sort("
+        f"transform(b.cents, c -> struct("
+        f"aggregate(zip_with(slice(vn, b.j * {sub} + 1, {sub}), c.cv,"
+        " (a, x) -> (a - x) * (a - x)), 0D, (acc, x) -> acc + x) AS dist,"
+        " c.cid AS cid))), 1).cid)"
+    )
+
+
+def _assign_and_encode(
+    vn: DataFrame,
+    keys: list[str],
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    id_col: str,
+) -> DataFrame:
+    """(keys…, centroid_id, codes) for every row of a normalized-vector
+    frame — the ONE map-side pass build and append share: coarse argmin
+    via the literal struct-sort (k ≤ MAX_LITERAL_CENTROIDS) or the
+    k-independent broadcast-centroid-table join above it (the r8 IVF
+    rule), then the PQ argmin against the single broadcast codebook
+    row. Both quantizers are pure row-local functions of the persisted
+    model state, so this pass commutes with itself across any corpus
+    split — the append-commutes-with-build pin rests on exactly that."""
+    sub = len(books[0][0])
+    if len(centroids) <= MAX_LITERAL_CENTROIDS:
+        nearest = F.element_at(
+            F.array_sort(_centroid_dist_structs(F.col("vn"), centroids)), 1
+        )["cid"]
+        assigned = vn.withColumn("centroid_id", nearest)
+    else:
+        qframe = vn.select(F.col(id_col).alias("q_id"), F.col("vn").alias("qv"))
+        sel = _nearest_centroids_join(vn.sparkSession, qframe, centroids, n_probe=1)
+        assigned = vn.join(sel.withColumnRenamed("q_id", id_col), id_col)
+    return assigned.crossJoin(F.broadcast(_books_row(vn, books))).select(
+        *keys, "centroid_id", _code_expr(sub).alias("codes")
+    )
+
+
+def build_ivfpq_index(
+    vectors: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 16,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str | None = "label",
+) -> str:
+    """Fit both quantizers and write the composed index ONCE: coarse
+    k-means (spark.ml, fixed seed — at 100 TB you fit on a sample,
+    which changes nothing below) over the L2-normalized corpus, global
+    PQ codebooks (:func:`~.pq.pq_train` — m bounded spark.ml fits),
+    then one corpus pass assigns + encodes map-side and writes the
+    codes partitioned by ``centroid_id``. All model state (centroids +
+    codebooks ≈ (n_centroids + m·k)·dim floats) persists in the meta
+    sidecar, so query-time routing and table building are pure driver
+    math and append-time assignment needs no refit."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    keys = [id_col] if label_col is None else [id_col, label_col]
+    vn = _normalized(vectors, vec_col, id_col, label_col).persist()
+    try:
+        head = vn.select(F.size("vn").alias("d")).head()
+        if head is None:
+            raise ValueError("build_ivfpq_index: empty input")
+        dim = int(head["d"])
+        if dim % m != 0:
+            raise ValueError(f"build_ivfpq_index: dim {dim} not divisible by m {m}")
+        model = KMeans(
+            k=n_centroids, seed=seed, featuresCol="_features"
+        ).fit(vn.withColumn("_features", array_to_vector(F.col("vn"))))
+        centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+        books = pq_train(
+            vectors, m, k, seed, max_iter, vec_col=vec_col, id_col=id_col
+        )
+        (
+            _assign_and_encode(vn, keys, centroids, books, id_col)
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(path)
+        )
+    finally:
+        vn.unpersist()
+    _write_meta(
+        path,
+        {"kind": "ivfpq", "n_centroids": n_centroids, "m": m, "k": k,
+         "seed": seed, "sub": dim // m, "centroids": centroids,
+         "books": books, "vec_col": vec_col, "id_col": id_col,
+         "label_col": label_col},
+    )
+    return path
+
+
+def _ivfpq_meta(path: str) -> dict:
+    meta = _read_meta(path)
+    if meta.get("kind") != "ivfpq":
+        raise ValueError(f"not an IVF-PQ index: {path}")
+    return meta
+
+
+def _normalize_query(query: list[float]) -> list[float]:
+    nrm = sum(x * x for x in query) ** 0.5 or 1.0
+    return [x / nrm for x in query]
+
+
+def _adc_table(
+    qn: list[float], books: list[list[list[float]]]
+) -> list[list[float]]:
+    """The query's m×k exact squared-L2 lookup table against the
+    NORMALIZED query — driver-side bounded model math (the
+    :func:`~.pq.pq_adc_scores` table, shared shape)."""
+    m, sub = len(books), len(books[0][0])
+    return [
+        [sum((qn[j * sub + i] - cv[i]) ** 2 for i in range(sub)) for cv in book]
+        for j, book in enumerate(books)
+    ]
+
+
+def ivfpq_topk_indexed(
+    vectors: DataFrame,
+    path: str,
+    query_vec_id: int,
+    topk: int = 10,
+    n_probe: int = 8,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-query IVFADC against a built index: rank the persisted
+    centroids by distance to the normalized query (driver math — the
+    ``ivf_topk_indexed`` probe rule), filter ``centroid_id IN
+    (n_probe nearest)`` on the PARTITION column so the codes scan opens
+    only probed directories, ADC-score those codes against the
+    broadcast lookup table, take the ``shortlist`` best (adc asc, id
+    tiebreak), and rerank EXACTLY against the full-vector table.
+    Output surface and tie-break match ``cosine_topk_bruteforce`` /
+    ``ivf_topk_indexed`` (the shared ``_topk_tail``)."""
+    meta = _ivfpq_meta(path)
+    id_col, label_col = meta["id_col"], meta["label_col"]
+    keys = [id_col] if label_col is None else [id_col, label_col]
+    q = _query_vector(vectors, vec_col, id_col, query_vec_id)
+    qn = _normalize_query(q)
+    centroids = meta["centroids"]
+    if len(qn) != len(centroids[0]):
+        raise ValueError(
+            f"query dim {len(qn)} != index dim {len(centroids[0])}"
+        )
+    by_dist = sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            sum((a - b) ** 2 for a, b in zip(qn, centroids[i])), i
+        ),
+    )
+    probe = by_dist[:n_probe]
+    table = _adc_table(qn, meta["books"])
+    spark = vectors.sparkSession
+    codes = spark.read.parquet(path).filter(F.col("centroid_id").isin(probe))
+    tbl_row = spark.createDataFrame([(table,)], "tbl array<array<double>>")
+    adc = F.expr(
+        "aggregate(zip_with(codes, tbl,"
+        " (c, row) -> element_at(row, c + 1)), 0D, (acc, x) -> acc + x)"
+    )
+    short = (
+        codes.crossJoin(F.broadcast(tbl_row))
+        .withColumn("adc", adc)
+        .filter(F.col(id_col) != query_vec_id)
+        # Replayed at-least-once appends leave duplicate code rows; one
+        # id must hold one shortlist slot, scored by its best copy (a
+        # re-encoded id resolves to min adc — the rerank below recomputes
+        # the exact cosine from the CURRENT vector either way).
+        .groupBy(id_col)
+        .agg(F.min("adc").alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col(id_col))
+        .limit(int(shortlist))
+        .select(id_col)
+    )
+    candidates = vectors.join(F.broadcast(short), id_col).select(
+        *keys, _as_double(F.col(vec_col)).alias("v")
+    )
+    scored = cosine_scores(candidates, q, vec_col="v")
+    return _topk_tail(scored, topk, id_col, label_col)
+
+
+def ivfpq_probe_index_batch(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    vectors: DataFrame,
+    k: int = 10,
+    n_probe: int = 8,
+    shortlist: int = 100,
+    exclude_query_ids: bool = False,
+) -> DataFrame:
+    """Batched multi-query IVFADC — the IVF-PQ twin of
+    ``ivf_probe_index_batch``: every query vector in ``queries`` gets
+    its ``k`` exact-reranked neighbors in ONE plan, ``(q_id, vec_id,
+    label, cosine, rn)``.
+
+    Fully JVM-side per-query work: each query normalizes, ranks the
+    persisted centroid literals (array_sort — meta-sized constant work
+    per row), keeps ``n_probe`` cells, and builds its OWN m×k ADC
+    table against the single broadcast codebook row (m·k doubles per
+    query — bounded model math riding the probe rows, never plan
+    literals per query). The tiny probe table broadcasts into an
+    equi-join on the index's PARTITION column; the static
+    ``centroid_id IN (...)`` filter keeps pruning independent of DPP
+    heuristics (the LSH/IVF probe rule). Candidates collapse to one
+    row per (query, id) at their best ADC before the per-query
+    shortlist window, the shortlist joins back to ``vectors`` (the
+    index stores only codes) and reranks exactly; ordering matches
+    :func:`ivfpq_topk_indexed` (raw cosine desc, id tiebreak — pinned
+    equal in tests/test_ivfpq.py). ``exclude_query_ids=True`` is the
+    standard crash-replay guard for ingest loops (a batch that already
+    appended itself must never match itself)."""
+    from pyspark.sql import Window
+
+    meta = _ivfpq_meta(path)
+    centroids, books = meta["centroids"], meta["books"]
+    id_col, label_col = meta["id_col"], meta["label_col"]
+    vec_col = meta["vec_col"]
+    m, sub = meta["m"], meta["sub"]
+    qv = _as_double(F.col(vec_col))
+    # Normalized query vectors, computed once JVM-side (same zero-norm
+    # floor as pq._normalized).
+    qbase = (
+        queries.select(F.col(id_col).alias("q_id"), qv.alias("_qv"))
+        .withColumn("_nrm", F.greatest(l2_norm(F.col("_qv")), F.lit(1e-30)))
+        .select(
+            "q_id", F.expr("transform(_qv, x -> x / _nrm)").alias("qvn")
+        )
+    )
+    # TWO subplans read qbase (centroid routing and the rerank
+    # join-back) — a non-deterministic query lineage must not route one
+    # evaluation and rerank another (the r7 ANN desync rule), so it
+    # persists up front; ContextCleaner reclaims the blocks when the
+    # caller drops the returned frame.
+    qbase = qbase.persist()
+    if len(centroids) <= MAX_LITERAL_CENTROIDS:
+        dist_structs = _centroid_dist_structs(F.col("qvn"), centroids)
+        routed = qbase.withColumn(
+            "_probe", F.explode(F.slice(F.array_sort(dist_structs), 1, n_probe))
+        ).select("q_id", "qvn", F.col("_probe.cid").alias("centroid_id"))
+    else:
+        # k-independent path (the r8 MAX_LITERAL_CENTROIDS rule): rank
+        # against the broadcast centroid TABLE.
+        sel = _nearest_centroids_join(
+            spark, qbase.select("q_id", F.col("qvn").alias("qv")),
+            centroids, n_probe,
+        )
+        routed = qbase.join(sel, "q_id").select("q_id", "qvn", "centroid_id")
+    # Per-query ADC table from the ONE broadcast codebook row: m×k exact
+    # query-to-centroid squared distances as DATA on the probe rows.
+    tbl = F.expr(
+        "transform(books, b -> transform(b.cents, c ->"
+        f" aggregate(zip_with(slice(qvn, b.j * {sub} + 1, {sub}), c.cv,"
+        " (a, x) -> (a - x) * (a - x)), 0D, (acc, x) -> acc + x)))"
+    )
+    probes = (
+        routed.crossJoin(F.broadcast(_books_row(queries, books)))
+        .select("q_id", "centroid_id", tbl.alias("tbl"))
+    )
+    # Persist before the static collect: the collect and the join must
+    # see ONE evaluation of `queries` (the r7 ANN desync rule). No
+    # matching unpersist — the returned plan reads `probes`; the
+    # ContextCleaner reclaims the blocks when the caller drops it.
+    probes = probes.persist()
+    probed_cids = [
+        r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
+    ]
+    codes = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(probed_cids)
+    )
+    if exclude_query_ids:
+        codes = codes.join(
+            F.broadcast(queries.select(F.col(id_col))), id_col, "left_anti"
+        )
+    adc = F.expr(
+        "aggregate(zip_with(codes, tbl,"
+        " (c, row) -> element_at(row, c + 1)), 0D, (acc, x) -> acc + x)"
+    )
+    cand = (
+        codes.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn("adc", adc)
+        # One shortlist slot per (query, id) at its best ADC copy —
+        # replayed appends / re-encoded ids collapse here; the exact
+        # rerank recomputes cosine from the CURRENT vector regardless.
+        .groupBy("q_id", id_col)
+        .agg(F.min("adc").alias("adc"))
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col(id_col))
+    short = (
+        cand.withColumn("_srn", F.row_number().over(ws))
+        .filter(F.col("_srn") <= int(shortlist))
+        .select("q_id", id_col)
+    )
+    v = _as_double(F.col(vec_col))
+    keys = [id_col] if label_col is None else [id_col, label_col]
+    full = vectors.select(*keys, v.alias("v"), l2_norm(v).alias("vnorm"))
+    rerank = (
+        short.join(full, id_col)
+        .join(
+            qbase.select(
+                "q_id", F.col("qvn").alias("qv"),
+            ),
+            "q_id",
+        )
+        # qvn is unit-norm by construction, so cosine = dot(v, qvn)/|v|.
+        .withColumn("cosine_raw", dot(F.col("v"), F.col("qv")) / F.col("vnorm"))
+    )
+    wk = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_raw").desc(), F.col(id_col)
+    )
+    return (
+        rerank.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select(
+            "q_id",
+            F.col(id_col),
+            *([] if label_col is None else [F.col(label_col)]),
+            F.round("cosine_raw", 6).alias("cosine"),
+            "rn",
+        )
+    )
+
+
+def append_to_ivfpq_index(batch: DataFrame, path: str) -> None:
+    """Extend a persisted IVF-PQ index with ``batch``'s vectors — both
+    quantizers FROZEN (persisted centroids route, persisted codebooks
+    encode; never a refit), and the assignment/encode pass is the
+    byte-identical :func:`_assign_and_encode` the build ran, so
+    appending commutes with building: build(corpus) + append(batch)
+    holds exactly the code rows of build(corpus ∪ batch) (pinned in
+    tests/test_ivfpq.py — the non-residual design makes this exact,
+    not approximate). Same at-least-once/src-fingerprint contract as
+    the LSH/IVF appends: the ``src`` pristine-build fingerprint drops
+    BEFORE the parquet append (fail-safe crash window), replayed
+    batches leave exact-duplicate rows that every probe collapses
+    after scoring and :func:`compact_ivfpq_index` sheds from disk."""
+    meta = _ivfpq_meta(path)
+    if meta.pop("src", None) is not None:
+        _write_meta(path, meta)
+    id_col, label_col = meta["id_col"], meta["label_col"]
+    keys = [id_col] if label_col is None else [id_col, label_col]
+    vn = _normalized(batch, meta["vec_col"], id_col, label_col)
+    (
+        _assign_and_encode(vn, keys, meta["centroids"], meta["books"], id_col)
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+def compact_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    write_partitions: int = 8,
+    _test_hook_pre_swap=None,
+) -> None:
+    """IVF-PQ twin of ``compact_lsh_index``/``compact_ivf_index``: one
+    file per ``centroid_id`` directory after many streamed appends,
+    replay-duplicate rows shed, the distinct code-row set unchanged.
+    Same atomic two-rename swap, sentinel/commit-marker crash recovery,
+    two-stage concurrent-append guard, and APPEND QUIESCENCE
+    requirement (all in ``_compact_partitioned_index``)."""
+    _compact_partitioned_index(
+        spark, path, "centroid_id", write_partitions, _test_hook_pre_swap,
+        "compact_ivfpq_index",
+    )
+
+
+def scan_bytes_fraction(path: str, probed: list[int]) -> float:
+    """Fraction of the CODE bytes a probe set actually reads — the
+    observable composed-pruning ratio (directory pruning × the ~30×
+    byte shrink is the whole IVFADC argument; tests assert ≪ 1)."""
+    total = hit = 0
+    probed_set = set(probed)
+    for d in os.listdir(path):
+        if not d.startswith("centroid_id="):
+            continue
+        size = sum(
+            os.path.getsize(os.path.join(path, d, f))
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        )
+        total += size
+        if int(d.split("=", 1)[1]) in probed_set:
+            hit += size
+    return hit / max(1, total)

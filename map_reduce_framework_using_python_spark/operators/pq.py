@@ -45,9 +45,14 @@ from map_reduce_framework_using_python_spark.operators.similarity import (
 
 
 def _normalized(vectors: DataFrame, vec_col: str, id_col: str, label_col: str | None):
+    # greatest(nrm, 1e-30): an all-zero embedding would otherwise divide
+    # 0/0 into NaN coordinates, silently poisoning the spark.ml fit in
+    # pq_train and producing undefined codes in pq_encode (r10 advice).
+    # With the floor a zero vector stays the zero vector — well-defined
+    # distances to every centroid, deterministic (lowest-cid) codes.
     cols = [id_col] if label_col is None else [id_col, label_col]
     v = vectors.select(*cols, _as_double(F.col(vec_col)).alias("v")).withColumn(
-        "nrm", l2_norm(F.col("v"))
+        "nrm", F.greatest(l2_norm(F.col("v")), F.lit(1e-30))
     )
     return v.select(
         *cols, F.expr("transform(v, x -> x / nrm)").alias("vn")
@@ -241,6 +246,67 @@ def build_pq_index(
     return path
 
 
+def append_to_pq_index(
+    batch: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Extend a persisted PQ index with ``batch``'s vectors (parquet
+    append into ``codes/``) — the flat-PQ twin of
+    :func:`~.ann_index.append_to_lsh_index`, closing the one lifecycle
+    asymmetry the r10 verdict called out (PQ was the only index lane
+    without append/compact/streaming-ingest).
+
+    The batch encodes with the index's PERSISTED codebooks — the
+    quantizer is FROZEN at build time; appending never refits, so old
+    and new codes score under the same ADC tables forever — and
+    encoding is row-local, so appending commutes with building:
+    build(corpus) + append(batch) holds exactly the code rows of
+    build(corpus ∪ batch) (pinned in tests/test_ivfpq.py). Appends are
+    at-least-once under foreachBatch replay (replayed rows are exact
+    duplicates); :func:`pq_topk_indexed` is unaffected — a duplicate
+    code row ranks adjacent in the ADC shortlist and the exact rerank
+    scores ids, not rows — and :func:`compact_pq_index` sheds the
+    duplicates from storage."""
+    import os
+
+    from map_reduce_framework_using_python_spark.sources.io import (
+        read_json_guarded,
+    )
+
+    meta = read_json_guarded(os.path.join(path, "codebooks.json"))
+    if meta is None or meta.get("kind") != "pq":
+        raise ValueError(f"not a PQ index: {path}")
+    pq_encode(
+        batch, meta["books"], vec_col, meta["id_col"], meta["label_col"]
+    ).write.mode("append").parquet(os.path.join(path, "codes"))
+
+
+def compact_pq_index(
+    spark,
+    path: str,
+    write_partitions: int = 8,
+    _test_hook_pre_swap=None,
+) -> None:
+    """Rewrite ``codes/`` into ``write_partitions`` files, shedding
+    replay-duplicate rows — the flat-layout instantiation of the shared
+    two-rename swap (``ann_index._compact_partitioned_index`` with
+    ``part_col=None``): same sentinel/commit-marker crash recovery and
+    two-stage concurrent-append guard, same APPEND QUIESCENCE
+    requirement. The codebook JSON lives beside ``codes/`` and is
+    untouched."""
+    import os
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        _compact_partitioned_index,
+    )
+
+    _compact_partitioned_index(
+        spark, os.path.join(path, "codes"), None, write_partitions,
+        _test_hook_pre_swap, "compact_pq_index",
+    )
+
+
 def pq_topk_indexed(
     vectors: DataFrame,
     path: str,
@@ -275,6 +341,15 @@ def pq_topk_indexed(
     short = (
         pq_adc_scores(codes, meta["books"], q)
         .filter(F.col(id_col) != query_vec_id)
+        # One shortlist slot per id at its best ADC: replayed
+        # at-least-once appends (append_to_pq_index) leave exact-
+        # duplicate code rows that would otherwise consume slots and
+        # shrink the effective shortlist; a re-encoded id resolves to
+        # its best copy, and the exact rerank below recomputes the true
+        # cosine from the CURRENT vector either way. Partial-agg
+        # friendly: the exchange carries (id, adc) only.
+        .groupBy(id_col)
+        .agg(F.min("adc").alias("adc"))
         .orderBy(F.col("adc").asc(), F.col(id_col))
         .limit(int(shortlist))
         .select(id_col)

@@ -172,6 +172,78 @@ def auc(scored_with_truth: DataFrame, score_col: str, truth_col: str) -> float:
     )
 
 
+def train_tagger_weighted(docs: DataFrame, is_positive: Column):
+    """Class-imbalance-aware twin of :func:`train_quality_classifier`
+    for RARE-positive taggers (toxicity/safety screens run at 1–15%
+    positive rates, where an unweighted logistic fit under-weights the
+    minority class and the recall-first operating point suffers):
+    positives are weighted ``n_neg/n_pos`` so both classes contribute
+    equal total loss — the standard balanced-class reweighting. The
+    class counts come from ONE bounded aggregate (two longs to the
+    driver); fails loudly on a single-class corpus, where the fit (and
+    AUC downstream) is undefined."""
+    from pyspark.ml.classification import LogisticRegression
+
+    feats = _featurize(docs, is_positive)
+    counts = feats.agg(
+        F.sum("label").alias("pos"), F.count("*").alias("n")
+    ).first()
+    pos, n = int(counts["pos"] or 0), int(counts["n"])
+    if pos == 0 or pos == n:
+        raise ValueError(
+            f"train_tagger_weighted: single-class corpus ({pos}/{n} positive)"
+        )
+    w_pos = float(n - pos) / float(pos)
+    weighted = feats.withColumn(
+        "w",
+        F.when(F.col("label") == 1.0, F.lit(w_pos)).otherwise(F.lit(1.0)),
+    )
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        weightCol="w",
+        maxIter=50,
+        regParam=0.01,
+        standardization=True,
+    )
+    return lr.fit(weighted)
+
+
+def score_tagger(
+    docs: DataFrame,
+    model,
+    tau: float = 0.3,
+    score_col: str = "p_toxic",
+    flag_col: str = "flagged",
+) -> DataFrame:
+    """(doc_id, <score_col>, <flag_col>): P(positive | doc) under the
+    fitted model at an EXPLICIT operating point — safety taggers gate
+    recall-first (``tau`` below 0.5 over-flags by design; a missed
+    toxic document costs more than a false flag sent to review). Same
+    broadcast-coefficient map-only scoring as :func:`score_quality`
+    (never ``model.transform`` — its closure drags the live session
+    into tasks); the flag compares the 1e-6-QUANTIZED probability to
+    ``tau`` so the verdict is grid-stable across runs and engines."""
+    from pyspark.ml.functions import vector_to_array
+
+    coef = [float(c) for c in model.coefficients]
+    intercept = float(model.intercept)
+    x = vector_to_array(F.col("features"))
+    w = F.array(*[F.lit(c) for c in coef])
+    margin = F.lit(intercept) + F.aggregate(
+        F.zip_with(x, w, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    pq = F.floor(p * 1e6 + F.lit(0.5)) / 1e6
+    return _featurize(docs).select(
+        "doc_id",
+        pq.alias(score_col),
+        (pq > F.lit(tau)).alias(flag_col),
+    )
+
+
 #: Planted-signal vocabularies: quality and junk documents draw from
 #: DISJOINT token sets, so a correct classifier separates them almost
 #: perfectly while any feature/weighting regression craters the AUC.
@@ -179,6 +251,48 @@ _PLANTED_GOOD = (
     "the quick brown fox jumps over the lazy dog with great prose".split()
 )
 _PLANTED_JUNK = "zx qq kpw vrt zzz uu glorp blat xx yy wub nrg".split()
+
+
+#: Toxicity-tagger planted vocabularies. Unlike the quality corpus's
+#: DISJOINT vocabularies, toxic documents here are MOSTLY neutral text
+#: with a BURST of lexicon tokens mixed in — the mixed-signal shape a
+#: real safety screen faces — and positives are RARE (15%), so the
+#: gate also exercises the class-weighted fit and the recall-first
+#: operating point. All lexicon tokens are nonsense placeholders.
+_NEUTRAL_VOCAB = (
+    "alpha bridge cloud delta ember forest garden harbor island jungle "
+    "keel lumen meadow north opal prism quartz river stone timber"
+).split()
+_TOXIC_LEXICON = "grawlix snarlwort hexbane viletongue cursefang blightmaw".split()
+
+
+def planted_toxicity_corpus(
+    spark,
+    n: int = 600,
+    seed: int = 11,
+    toxic_frac: float = 0.15,
+    burst: int = 8,
+    doc_len: int = 40,
+) -> DataFrame:
+    """Deterministic planted-signal corpus for gating the toxicity
+    tagger: every doc draws ``doc_len`` neutral tokens; ``toxic_frac``
+    of docs get ``burst`` random positions overwritten from the toxic
+    lexicon (so a toxic doc is still 80% neutral — bag-of-words overlap
+    the quality corpus deliberately lacks). Seeded ``random.Random`` →
+    bit-identical rows across runs and consumers (the
+    planted_quality_corpus rule)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        toks = [rng.choice(_NEUTRAL_VOCAB) for _ in range(doc_len)]
+        toxic = rng.random() < toxic_frac
+        if toxic:
+            for p in rng.sample(range(doc_len), burst):
+                toks[p] = rng.choice(_TOXIC_LEXICON)
+        rows.append((i, " ".join(toks), toxic))
+    return spark.createDataFrame(rows, "doc_id long, text string, toxic boolean")
 
 
 def planted_quality_corpus(spark, n: int = 400, seed: int = 7) -> DataFrame:

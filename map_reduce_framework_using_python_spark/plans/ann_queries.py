@@ -374,3 +374,81 @@ def st_ann_ingest_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_probe=4,
     )
+
+
+def _ensure_ivfpq(spark: SparkSession, sf_dir: str) -> str:
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        build_ivfpq_index,
+    )
+
+    return _ensure(
+        sf_dir, "ivfpq16x16x16_seed42",
+        lambda p: build_ivfpq_index(
+            t(spark, sf_dir, "embeddings"), p,
+            n_centroids=16, m=16, k=16, seed=42,
+        ),
+    )
+
+
+@query(
+    "ns_ivfpq_topk",
+    oracle=None,  # two trained quantizers (coarse k-means + m PQ
+    # subspace fits) — not static SQL; recall ≥0.9 and exact-rerank
+    # cosine equality are pinned in tests/test_ivfpq.py.
+    tags=("northstar", "similarity", "sketch", "index", "rows_only"),
+)
+def ns_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC) cosine top-10 against the composed persisted
+    index (operators/ivfpq.py): route through the 16 persisted coarse
+    centroids (n_probe=12, shortlist=150 — sized for min recall@10 ≥0.9
+    across query sweeps at BOTH test SFs on the synthetic UNSTRUCTURED
+    vectors, IVF's worst case: true neighbors at cosine ~0.3 scatter
+    across random cells; clustered real embeddings probe far fewer),
+    ADC-score the m-byte PQ codes only inside probed
+    ``centroid_id=`` partition directories (~16 bytes/vector read —
+    the double pruning: directory × code width), shortlist, rerank
+    EXACTLY against the full-vector table. Returned cosines are true
+    cosines; recall and equality-to-brute-force-on-intersections are
+    pinned in tests/test_ivfpq.py."""
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        ivfpq_topk_indexed,
+    )
+
+    path = _ensure_ivfpq(spark, sf_dir)
+    return ivfpq_topk_indexed(
+        t(spark, sf_dir, "embeddings"), path, query_vec_id=0,
+        topk=10, n_probe=12, shortlist=150,
+    )
+
+
+@query(
+    "st_ann_ingest_ivfpq",
+    oracle=None,
+    tags=("streaming", "similarity", "index", "rows_only"),
+)
+def st_ann_ingest_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ twin of st_ann_ingest/st_ann_ingest_ivf: the replayed
+    corpus slice (vec_id ≡ 5 mod 13) arrives as micro-batches and is
+    probed per batch against the PERSISTED IVF-PQ index — per-batch
+    cost is JVM-side routing + per-query ADC tables + a scan of the
+    probed CODE directories (~3% of raw bytes) + the shortlist rerank
+    against the full-vector table. Rows-only (two trained quantizers);
+    pinned equal to the one-shot ivfpq_probe_index_batch in
+    tests/test_ivfpq.py."""
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        ivfpq_probe_stream,
+        read_embeddings_stream,
+    )
+
+    path = _ensure_ivfpq(spark, sf_dir)
+    work = _scratch_dir("st_ann_ingest_ivfpq_")
+    return ivfpq_probe_stream(
+        read_embeddings_stream(spark, sf_dir).filter(F.col("vec_id") % 13 == 5),
+        path,
+        t(spark, sf_dir, "embeddings"),
+        out_dir=f"{work}/neighbors",
+        checkpoint_dir=f"{work}/ckpt",
+        k=5,
+        n_probe=12,
+        shortlist=150,
+    )

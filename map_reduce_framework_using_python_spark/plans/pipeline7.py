@@ -846,3 +846,43 @@ def ns_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality(held, model).join(
         held.select("doc_id", "good"), "doc_id"
     ).select("doc_id", "good", "p_quality", "keep")
+
+
+@query(
+    "ns_toxicity_tagger",
+    oracle=None,  # rows-only: the verdict table of a fitted spark.ml
+    # logistic model — no SQL twin; the hard gate is the pytest pin
+    # over THIS registry fn (AUC > 0.95 and recall ≥ 0.9 at the
+    # recall-first gate on the held slice, tests/test_quality_model.py).
+    tags=("northstar", "pipeline", "quality", "safety", "rows_only"),
+)
+def ns_toxicity_tagger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toxicity/safety-style tagger — the second registry-gated tagger
+    under the planted-signal discipline (r11, VERDICT item 6),
+    completing the quality-tagging story real pipelines run alongside
+    DSIR/CCNet. Deliberately a HARDER planted signal than
+    ns_quality_classifier's disjoint vocabularies: positives are RARE
+    (15% — the fit is class-weighted, operators/quality_model.
+    train_tagger_weighted) and a toxic doc is 80% neutral tokens with
+    an 8-token lexicon burst (bag-of-words overlap), so the gate
+    actually exercises imbalance handling. Train on the doc_id%4≠3
+    slice, score the HELD-OUT doc_id%4=3 slice with the
+    broadcast-coefficient map-only pass at the RECALL-FIRST operating
+    point (tau=0.3 — a missed toxic doc costs more than a false flag
+    sent to review), emit (doc_id, toxic, p_toxic, flagged). ``sf_dir``
+    is unused by construction — the fixture corpus IS the point;
+    calling this runs the model fit (bounded spark.ml action: 256
+    coefficients of driver state)."""
+    from map_reduce_framework_using_python_spark.operators.quality_model import (
+        planted_toxicity_corpus,
+        score_tagger,
+        train_tagger_weighted,
+    )
+
+    d = planted_toxicity_corpus(spark)
+    train = d.filter(F.col("doc_id") % 4 != 3)
+    held = d.filter(F.col("doc_id") % 4 == 3)
+    model = train_tagger_weighted(train, F.col("toxic"))
+    return score_tagger(held, model, tau=0.3).join(
+        held.select("doc_id", "toxic"), "doc_id"
+    ).select("doc_id", "toxic", "p_toxic", "flagged")

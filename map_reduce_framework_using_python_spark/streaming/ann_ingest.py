@@ -161,3 +161,49 @@ def ivf_probe_stream(
             append_to_ivf_index(batch_df, index_path)
 
     return _drain_probe_stream(batch_stream, probe, out_dir, checkpoint_dir)
+
+
+def ivfpq_probe_stream(
+    batch_stream: DataFrame,
+    index_path: str,
+    vectors: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    n_probe: int = 8,
+    shortlist: int = 100,
+    extend_index: bool = False,
+) -> DataFrame:
+    """IVF-PQ twin of :func:`probe_stream` — same sink/replay contract,
+    same ``(q_id, vec_id, label, cosine, rn)`` read-back, against a
+    persisted IVF-PQ index (``operators/ivfpq.py``): per-batch cost is
+    (normalize + route + build the per-query ADC tables, all JVM-side)
+    + (scan the probed ``centroid_id=`` directories of the m-byte
+    CODES — ~3% of the raw embedding bytes) + (rerank the shortlist
+    against ``vectors``, the full-vector table the index deliberately
+    does not store). With ``extend_index=True`` each probed batch is
+    appended via the frozen-quantizer
+    :func:`~.ivfpq.append_to_ivfpq_index` (neither quantizer is ever
+    refit mid-stream — routing AND codes stay consistent across the
+    whole ingest history), and the probe anti-joins the batch's own
+    ids (``exclude_query_ids``) so a crash-replayed batch never
+    matches itself — the exact LSH/IVF ingest contract."""
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        ivfpq_probe_index_batch,
+    )
+
+    spark = batch_stream.sparkSession
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        from map_reduce_framework_using_python_spark.operators.ivfpq import (
+            append_to_ivfpq_index,
+        )
+
+        ivfpq_probe_index_batch(
+            spark, batch_df, index_path, vectors, k=k, n_probe=n_probe,
+            shortlist=shortlist, exclude_query_ids=extend_index,
+        ).write.mode("append").parquet(out_dir)
+        if extend_index:
+            append_to_ivfpq_index(batch_df, index_path)
+
+    return _drain_probe_stream(batch_stream, probe, out_dir, checkpoint_dir)

@@ -46,9 +46,13 @@ from map_reduce_framework_using_python_spark.operators.dsir import (
 
 _CURATED_SCHEMA = "doc_id BIGINT, n_tokens BIGINT, log_weight DOUBLE"
 _REJECTED_SCHEMA = "doc_id BIGINT, reason STRING"
+# r11: n_span_duplicate joined the partition (the ExactSubstr reject
+# leg). Metrics written by earlier rounds lack the column — see
+# README "Migration notes".
 _METRICS_SCHEMA = (
     "batch_id BIGINT, n_in BIGINT, n_duplicate BIGINT, n_boilerplate BIGINT,"
-    " n_contaminated BIGINT, n_low_quality BIGINT, n_curated BIGINT, psi DOUBLE"
+    " n_span_duplicate BIGINT, n_contaminated BIGINT, n_low_quality BIGINT,"
+    " n_curated BIGINT, psi DOUBLE"
 )
 
 
@@ -64,6 +68,8 @@ def curate_batch(
     max_dup_frac: float = 0.3,
     decon_bench_path: str | None = None,
     decon_tau6: int = 900_000,
+    span_index_path: str | None = None,
+    max_span_dup_frac: float = 0.5,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One-shot curation of a document frame: returns (curated,
     rejected, metrics-without-batch_id). The streaming path calls this
@@ -104,8 +110,23 @@ def curate_batch(
     in a roomier space. Per-batch cost: one map-side embed +
     a broadcast of the fixed-size benchmark table; docs the embedder
     cannot score (no tokens) pass the leg unflagged (the quality gate
-    rejects them downstream). Reason precedence:
-    duplicate > boilerplate > contaminated > low_quality."""
+    rejects them downstream).
+
+    ``span_index_path`` (r11) adds the ExactSubstr leg: docs whose
+    fraction of stride-1 token-shingle positions duplicated against
+    the persisted shingle index
+    (operators/dedup_index.incremental_span_stats — the Lee et al.
+    variable-length grid) exceeds ``max_span_dup_frac`` reject as
+    ``span_duplicate`` — the "mostly verbatim-copied runs" page the
+    document-level MinHash screen (different overall 3-gram profile)
+    and the paragraph leg (copy offsets break fixed-chunk alignment)
+    both miss. Per-batch cost mirrors the paragraph leg: only the
+    batch is shingled, one scan of the fixed-width instance table
+    semi-pruned by the broadcast batch digest set, one batch-sized
+    digest window. Reason precedence:
+    duplicate > boilerplate > span_duplicate > contaminated >
+    low_quality (the three n-gram/dedup legs ahead of the semantic
+    one, document-level before sub-document)."""
     dups = (
         incremental_dedup_pairs(
             spark, batch, corpus, index_path, threshold=threshold,
@@ -146,6 +167,22 @@ def curate_batch(
         )
     else:
         dup_flagged = dup_flagged.withColumn("_boiler", F.lit(False))
+    if span_index_path is not None:
+        from map_reduce_framework_using_python_spark.operators.dedup_index import (
+            incremental_span_stats,
+        )
+
+        span_hot = (
+            incremental_span_stats(spark, batch, span_index_path)
+            .filter(F.col("dup_frac") > max_span_dup_frac)
+            .select("doc_id")
+            .withColumn("_span", F.lit(True))
+        )
+        dup_flagged = dup_flagged.join(span_hot, "doc_id", "left").withColumn(
+            "_span", F.coalesce(F.col("_span"), F.lit(False))
+        )
+    else:
+        dup_flagged = dup_flagged.withColumn("_span", F.lit(False))
     if decon_bench_path is not None:
         from map_reduce_framework_using_python_spark.operators.similarity import (
             benchmark_max_cosine,
@@ -176,7 +213,9 @@ def curate_batch(
     # action (r7 streaming review measured 3×; the ContextCleaner
     # reclaims it when the outputs are dereferenced).
     dup_flagged = dup_flagged.persist()
-    ok = ~F.col("_dup") & ~F.col("_boiler") & ~F.col("_contam")
+    ok = (
+        ~F.col("_dup") & ~F.col("_boiler") & ~F.col("_span") & ~F.col("_contam")
+    )
     curated = dup_flagged.filter(ok & F.col("keep")).select(
         "doc_id", "n_tokens", "log_weight"
     )
@@ -184,6 +223,7 @@ def curate_batch(
         "doc_id",
         F.when(F.col("_dup"), "duplicate")
         .when(F.col("_boiler"), "boilerplate")
+        .when(F.col("_span"), "span_duplicate")
         .when(F.col("_contam"), "contaminated")
         .otherwise("low_quality")
         .alias("reason"),
@@ -197,7 +237,13 @@ def curate_batch(
                 "n_boilerplate"
             ),
             F.sum(
-                (~F.col("_dup") & ~F.col("_boiler") & F.col("_contam")).cast("long")
+                (~F.col("_dup") & ~F.col("_boiler") & F.col("_span")).cast("long")
+            ).alias("n_span_duplicate"),
+            F.sum(
+                (
+                    ~F.col("_dup") & ~F.col("_boiler") & ~F.col("_span")
+                    & F.col("_contam")
+                ).cast("long")
             ).alias("n_contaminated"),
             F.sum((ok & ~F.col("keep")).cast("long")).alias("n_low_quality"),
             F.sum((ok & F.col("keep")).cast("long")).alias("n_curated"),
@@ -225,6 +271,8 @@ def curate_stream(
     max_dup_frac: float = 0.3,
     decon_bench_path: str | None = None,
     decon_tau6: int = 900_000,
+    span_index_path: str | None = None,
+    max_span_dup_frac: float = 0.5,
 ) -> DataFrame:
     """Drain ``batch_stream`` (AvailableNow) through the full curation
     pass and return the curated read-back. Sinks are at-least-once
@@ -240,6 +288,8 @@ def curate_stream(
             max_dup_frac=max_dup_frac,
             decon_bench_path=decon_bench_path,
             decon_tau6=decon_tau6,
+            span_index_path=span_index_path,
+            max_span_dup_frac=max_span_dup_frac,
         )
         curated.write.mode("append").parquet(os.path.join(out_root, "curated"))
         rejected.write.mode("append").parquet(os.path.join(out_root, "rejected"))
@@ -248,6 +298,7 @@ def curate_stream(
             "n_in",
             "n_duplicate",
             "n_boilerplate",
+            "n_span_duplicate",
             "n_contaminated",
             "n_low_quality",
             "n_curated",

@@ -323,3 +323,118 @@ def test_semdecon_leg_rejects_contaminated_with_precedence(spark):
         assert sorted(
             map(tuple, read_rejected(spark, out_root).collect())
         ) == sorted(map(tuple, rejected.collect()))
+
+
+def test_span_leg_rejects_mostly_copied_docs_with_precedence(spark):
+    """With a shingle index supplied, a batch doc most of whose stride-1
+    token-shingle positions are duplicated against the corpus rejects
+    as 'span_duplicate'; a full clone (doc-level near-dup AND span-dup)
+    keeps 'duplicate' precedence; metrics partition n_in across the six
+    verdicts; the streaming drain equals the one-shot composition. The
+    plant copies 60 consecutive corpus tokens AT OFFSET 5 plus 40
+    unique salts — offset breaks the paragraph leg's chunk alignment,
+    salts keep doc-level 3-gram Jaccard below the MinHash threshold, so
+    only the span leg can see it."""
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        build_shingle_index,
+        incremental_span_stats,
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        corpus, batch, index_path, model_path = _artifacts(spark, root)
+        span_path = os.path.join(root, "sidx")
+        build_shingle_index(
+            corpus, span_path, min_len=12, buckets=16, digest="xxhash64"
+        )
+        src = (
+            corpus.filter(F.size(F.split(F.col("text"), " ")) >= 80)
+            .orderBy("doc_id")
+            .limit(1)
+            .collect()[0]
+        )
+        toks = src["text"].split()[5:65] + [f"salt{j}" for j in range(40)]
+        plant_text = " ".join(toks)
+        plant = spark.createDataFrame(
+            [(777_777, plant_text, "en", "plant", len(plant_text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        batch2 = batch.unionByName(plant)
+        curated, rejected, metrics = curate_batch(
+            spark, batch2, corpus, index_path, model_path,
+            span_index_path=span_path,
+        )
+        rej = {r["doc_id"]: r["reason"] for r in rejected.collect()}
+        cur_ids = {r["doc_id"] for r in curated.collect()}
+        assert rej.get(777_777) == "span_duplicate"
+        m = metrics.collect()[0]
+        assert m["n_in"] == (
+            m["n_duplicate"] + m["n_boilerplate"] + m["n_span_duplicate"]
+            + m["n_contaminated"] + m["n_low_quality"] + m["n_curated"]
+        )
+        assert m["n_span_duplicate"] >= 1
+        assert m["n_curated"] == len(cur_ids)
+        # ground truth: every non-duplicate batch doc over the 0.5 span
+        # dup_frac must be ledgered span_duplicate, and no doc at or
+        # under it may be
+        stats = {
+            r["doc_id"]: r["dup_frac"]
+            for r in incremental_span_stats(spark, batch2, span_path).collect()
+        }
+        dup_ids = {d for d, v in rej.items() if v == "duplicate"}
+        for doc_id, frac in stats.items():
+            if frac > 0.5 and doc_id not in dup_ids:
+                assert rej.get(doc_id) == "span_duplicate", (doc_id, frac)
+            elif doc_id in cur_ids or rej.get(doc_id) == "low_quality":
+                assert frac <= 0.5, (doc_id, frac)
+
+        # precedence: a verbatim corpus clone is duplicate, never span
+        src0 = corpus.limit(1).collect()[0]
+        clone = spark.createDataFrame(
+            [(999_999, src0["text"], src0["lang"], src0["source"],
+              src0["n_chars"])],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        _, rej2, _ = curate_batch(
+            spark, clone, corpus, index_path, model_path,
+            span_index_path=span_path,
+        )
+        assert {r["doc_id"]: r["reason"] for r in rej2.collect()}.get(
+            999_999
+        ) == "duplicate"
+
+        # streaming drain equals the one-shot composition
+        from map_reduce_framework_using_python_spark.streaming.ingest import (
+            _DOCS_SCHEMA,
+        )
+
+        plant_dir = os.path.join(root, "plant")
+        plant.coalesce(1).write.parquet(plant_dir)
+        out_root = os.path.join(root, "out")
+        stream = (
+            read_documents_stream(spark, SF_SMOKE)
+            .filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM)
+            .unionByName(
+                spark.readStream.schema(_DOCS_SCHEMA).parquet(plant_dir)
+            )
+        )
+        streamed = curate_stream(
+            stream,
+            corpus,
+            index_path,
+            model_path,
+            out_root=out_root,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            span_index_path=span_path,
+        )
+        assert sorted(map(tuple, streamed.collect())) == sorted(
+            map(tuple, curated.collect())
+        )
+        assert sorted(
+            map(tuple, read_rejected(spark, out_root).collect())
+        ) == sorted(map(tuple, rejected.collect()))
+        m_stream = (
+            read_metrics(spark, out_root)
+            .agg(F.sum("n_span_duplicate").alias("s"))
+            .collect()[0]
+        )
+        assert int(m_stream["s"]) == m["n_span_duplicate"]

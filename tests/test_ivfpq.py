@@ -1,0 +1,335 @@
+"""Pins for the composed IVF-PQ (IVFADC) index lane
+(operators/ivfpq.py) and the flat-PQ lifecycle additions
+(operators/pq.py append/compact): recall at the registry knobs with
+EXACT reranked cosines, batched == single-query, append commutes with
+build under both layouts (frozen quantizers, row-local encode),
+compaction sheds replay duplicates while preserving answers, the
+composed byte-pruning ratio is observable, and degenerate inputs fail
+loudly (or normalize safely, for the zero-vector guard). Same contract
+family as tests/test_ann_batch.py for the LSH/IVF lanes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.operators.ivfpq import (
+    append_to_ivfpq_index,
+    build_ivfpq_index,
+    compact_ivfpq_index,
+    ivfpq_probe_index_batch,
+    ivfpq_topk_indexed,
+    scan_bytes_fraction,
+)
+from map_reduce_framework_using_python_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+)
+from map_reduce_framework_using_python_spark.sources.io import load_table
+from tests.conftest import SF_SMOKE
+
+#: Registry knobs (plans/ann_queries.ns_ivfpq_topk) — the pins below
+#: run at exactly these, so the registered query's contract is what's
+#: tested.
+KNOBS = dict(n_probe=12, shortlist=150)
+
+
+@pytest.fixture(scope="module")
+def ivfpq_index(spark, tmp_path_factory):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    build_ivfpq_index(emb, path, n_centroids=16, m=16, k=16, seed=42)
+    return path
+
+
+def _codes_rows(spark, path):
+    return sorted(
+        (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(path)
+        .select("vec_id", "centroid_id", "codes")
+        .collect()
+    )
+
+
+def test_recall_exact_rerank_and_determinism(spark, ivfpq_index):
+    """min recall@10 ≥ 0.9 vs brute force over a query sweep at the
+    registry knobs (measured 0.9–1.0 on the unstructured synthetic
+    vectors — IVF's worst case), every returned cosine EQUAL to the
+    brute-force cosine for that id (the rerank is exact), two runs
+    identical (frozen persisted quantizers)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    recalls = []
+    for qid in (0, 7, 29, 101, 444):
+        got = ivfpq_topk_indexed(emb, ivfpq_index, qid, topk=10, **KNOBS).collect()
+        exact = cosine_topk_bruteforce(emb, qid, k=10).collect()
+        g = {r["vec_id"]: r["cosine"] for r in got}
+        e = {r["vec_id"]: r["cosine"] for r in exact}
+        recalls.append(len(g.keys() & e.keys()) / 10)
+        for i in g.keys() & e.keys():
+            assert abs(g[i] - e[i]) < 1e-9, (qid, i)
+    assert min(recalls) >= 0.9, recalls
+    a = ivfpq_topk_indexed(emb, ivfpq_index, 0, topk=10, **KNOBS).collect()
+    b = ivfpq_topk_indexed(emb, ivfpq_index, 0, topk=10, **KNOBS).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_batch_probe_matches_single_query(spark, ivfpq_index):
+    """The batched multi-query probe returns, for each q_id, exactly the
+    single-query form's rows (same routing, ADC tables, shortlist, and
+    rerank tie-break)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = [0, 37, 111]
+    batch = ivfpq_probe_index_batch(
+        spark,
+        emb.filter(F.col("vec_id").isin(qids)),
+        ivfpq_index,
+        emb,
+        k=10,
+        **KNOBS,
+    ).collect()
+    for qid in qids:
+        got = sorted(
+            (r["vec_id"], r["label"], r["cosine"])
+            for r in batch
+            if r["q_id"] == qid
+        )
+        single = sorted(
+            map(tuple, ivfpq_topk_indexed(emb, ivfpq_index, qid, topk=10, **KNOBS).collect())
+        )
+        assert got == single, qid
+    # rn is a 1..k per-query ranking
+    for qid in qids:
+        rns = sorted(r["rn"] for r in batch if r["q_id"] == qid)
+        assert rns == list(range(1, 11)), qid
+
+
+def test_append_commutes_across_batch_splits(spark, tmp_path):
+    """Appending is row-local under FROZEN quantizers (coarse centroids
+    + codebooks both persisted at build time, never refit), so it
+    commutes across any batch split: build(head) + append(t1) +
+    append(t2) holds exactly the code rows of build(head) +
+    append(t1 ∪ t2) — seeded KMeans on identical head data fits
+    identical quantizers in both layouts, making the comparison exact.
+    And under a FULL probe (every cell, corpus-sized shortlist) the
+    incremental layout answers exactly like brute force: the index
+    changes the access path, never the answer."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    head = emb.filter(F.col("vec_id") < 300)
+    t1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    t2 = emb.filter(F.col("vec_id") >= 400)
+    split = str(tmp_path / "split")
+    joint = str(tmp_path / "joint")
+    build_ivfpq_index(head, split, n_centroids=8, m=8, k=8, seed=7)
+    append_to_ivfpq_index(t1, split)
+    append_to_ivfpq_index(t2, split)
+    build_ivfpq_index(head, joint, n_centroids=8, m=8, k=8, seed=7)
+    append_to_ivfpq_index(t1.unionByName(t2), joint)
+    assert _codes_rows(spark, split) == _codes_rows(spark, joint)
+    got = ivfpq_topk_indexed(emb, split, 0, topk=10, n_probe=8, shortlist=600)
+    exact = cosine_topk_bruteforce(emb, 0, k=10).collect()
+    g = {r["vec_id"]: r["cosine"] for r in got.collect()}
+    e = {r["vec_id"]: r["cosine"] for r in exact}
+    assert g == e
+
+
+def test_append_drops_src_fingerprint(spark, tmp_path):
+    """An appended index must stop claiming it is a pristine
+    build(source): the meta 'src' fingerprint drops BEFORE the parquet
+    append (fail-safe), the LSH/IVF lane rule."""
+    import json
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(
+        emb.filter(F.col("vec_id") < 100), path, n_centroids=4, m=8, k=4
+    )
+    meta_path = os.path.join(path, "_ann_meta.json")
+    meta = json.load(open(meta_path))
+    meta["src"] = {"fake": "fingerprint"}
+    json.dump(meta, open(meta_path, "w"))
+    append_to_ivfpq_index(
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)), path
+    )
+    assert "src" not in json.load(open(meta_path))
+
+
+def test_compaction_sheds_replays_and_preserves_answers(spark, tmp_path):
+    """A replayed (at-least-once) append leaves exact-duplicate code
+    rows; probes already collapse them (one shortlist slot per id), and
+    compaction removes them from storage — distinct row set unchanged,
+    one file per centroid directory, probe answers identical."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    head = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(head, path, n_centroids=8, m=8, k=8, seed=7)
+    append_to_ivfpq_index(batch, path)
+    append_to_ivfpq_index(batch, path)  # the replay
+    dup_total = spark.read.parquet(path).count()
+    distinct_rows = _codes_rows(spark, path)
+    n_batch = batch.count()
+    assert dup_total == len(set(distinct_rows)) + n_batch  # replica rows present
+    before = sorted(
+        map(tuple, ivfpq_topk_indexed(emb, path, 0, topk=10, **KNOBS).collect())
+    )
+    compact_ivfpq_index(spark, path, write_partitions=8)
+    assert spark.read.parquet(path).count() == len(set(distinct_rows))
+    assert sorted(set(_codes_rows(spark, path))) == sorted(set(distinct_rows))
+    after = sorted(
+        map(tuple, ivfpq_topk_indexed(emb, path, 0, topk=10, **KNOBS).collect())
+    )
+    assert after == before
+    for d in os.listdir(path):
+        if d.startswith("centroid_id="):
+            files = [
+                f for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, d
+
+
+def test_scan_bytes_fraction_composed_pruning(spark, ivfpq_index):
+    """The observable IVFADC economics: a 4/16-cell probe reads a
+    small fraction of the CODE bytes (directory pruning), and the code
+    bytes themselves are a small fraction of the raw embedding bytes
+    (the ~16 B/vector table)."""
+    frac = scan_bytes_fraction(ivfpq_index, probed=[0, 1, 2, 3])
+    assert 0.0 < frac < 0.6  # 4/16 directories ± occupancy skew
+    code_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _d, files in os.walk(ivfpq_index)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    raw = os.path.join(SF_SMOKE, "embeddings.parquet")
+    raw_bytes = (
+        os.path.getsize(raw)
+        if os.path.isfile(raw)
+        else sum(
+            os.path.getsize(os.path.join(raw, f))
+            for f in os.listdir(raw)
+            if f.endswith(".parquet")
+        )
+    )
+    assert code_bytes < 0.5 * raw_bytes, (code_bytes, raw_bytes)
+
+
+def test_guards_fail_loudly(spark, tmp_path, ivfpq_index):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    with pytest.raises((ValueError, FileNotFoundError)):
+        ivfpq_topk_indexed(emb, str(tmp_path), 0)
+    with pytest.raises(ValueError, match="not divisible"):
+        build_ivfpq_index(emb, str(tmp_path / "bad"), n_centroids=4, m=7, k=4)
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label int"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        build_ivfpq_index(empty, str(tmp_path / "e"), n_centroids=2, m=8, k=2)
+
+
+def test_zero_vector_normalizes_safely(spark, tmp_path):
+    """The r10-advice guard, end to end: an all-zero embedding must not
+    NaN-poison the fits or the codes — it encodes deterministically and
+    every other vector's answer is unaffected."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(50)
+    dim_row = emb.select(F.size("embedding").alias("d")).head()
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * int(dim_row["d"]), 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    path = str(tmp_path / "z")
+    build_ivfpq_index(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label")
+        .unionByName(zero),
+        path, n_centroids=4, m=8, k=4,
+    )
+    rows = spark.read.parquet(path).filter(F.col("vec_id") == 999_999).collect()
+    assert len(rows) == 1
+    assert all(c is not None and 0 <= c < 4 for c in rows[0]["codes"])
+
+
+def test_flat_pq_append_commutes_and_compacts(spark, tmp_path):
+    """The flat-PQ lane's new lifecycle: append encodes with the
+    persisted codebooks and commutes with building; a replayed append's
+    duplicates are shed by compact_pq_index (flat two-rename swap) with
+    indexed answers unchanged."""
+    from map_reduce_framework_using_python_spark.operators.pq import (
+        append_to_pq_index,
+        build_pq_index,
+        compact_pq_index,
+        pq_topk_indexed,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    head = emb.filter(F.col("vec_id") < 400)
+    tail = emb.filter(F.col("vec_id") >= 400)
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    build_pq_index(head, a, m=8, k=8, seed=7)
+    append_to_pq_index(tail, a)
+    build_pq_index(head, b, m=8, k=8, seed=7)
+    append_to_pq_index(tail, b)
+
+    def codes(path):
+        return sorted(
+            (r["vec_id"], tuple(r["codes"]))
+            for r in spark.read.parquet(os.path.join(path, "codes")).collect()
+        )
+
+    assert codes(a) == codes(b)
+    append_to_pq_index(tail, a)  # the replay
+    assert len(codes(a)) == len(codes(b)) + tail.count()
+    before = sorted(
+        map(tuple, pq_topk_indexed(emb, a, 0, topk=10, shortlist=150).collect())
+    )
+    compact_pq_index(spark, a, write_partitions=4)
+    assert codes(a) == codes(b)
+    files = [
+        f for f in os.listdir(os.path.join(a, "codes")) if f.endswith(".parquet")
+    ]
+    assert len(files) <= 4
+    after = sorted(
+        map(tuple, pq_topk_indexed(emb, a, 0, topk=10, shortlist=150).collect())
+    )
+    assert after == before
+    with pytest.raises(ValueError, match="not a PQ index"):
+        append_to_pq_index(tail, str(tmp_path))
+
+
+def test_ivfpq_probe_stream_equals_oneshot(spark, tmp_path, ivfpq_index):
+    """Drained streaming probe == one-shot batched probe over the same
+    vectors (every verdict depends only on (vector, frozen index), so
+    micro-batch boundaries cannot change it) — the LSH/IVF ingest pin
+    applied to the composed lane."""
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        ivfpq_probe_stream,
+        read_embeddings_stream,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 13 == 5)
+    got = ivfpq_probe_stream(
+        read_embeddings_stream(spark, SF_SMOKE).filter(F.col("vec_id") % 13 == 5),
+        ivfpq_index,
+        emb,
+        out_dir=str(tmp_path / "nb"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        k=5,
+        **KNOBS,
+    )
+    oneshot = ivfpq_probe_index_batch(
+        spark, batch, ivfpq_index, emb, k=5, **KNOBS
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+
+
+def test_registry_queries_run(spark):
+    from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+
+    rows = REGISTRY["ns_ivfpq_topk"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    cos = [r["cosine"] for r in rows]
+    assert cos == sorted(cos, reverse=True)

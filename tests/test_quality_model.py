@@ -131,3 +131,53 @@ def test_registry_query_separates_planted_signal(spark):
     assert agree > 0.95
     assert auc(scored, "p_quality", "good") > 0.99
     scored.unpersist()
+
+
+def test_toxicity_tagger_recall_first_gate(spark):
+    """The second registry-gated tagger (r11): class-weighted fit on a
+    RARE-positive (15%) mixed-vocabulary burst corpus, scored at the
+    recall-first operating point (tau=0.3). Pins: AUC > 0.95 ranking,
+    recall ≥ 0.9 on held-out positives (the property a safety screen
+    is FOR), precision > 0.5 (over-flagging is allowed, flooding is
+    not), one verdict row per held doc, fit determinism."""
+    from map_reduce_framework_using_python_spark.operators.quality_model import (
+        auc,
+        planted_toxicity_corpus,
+    )
+    from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+
+    scored = REGISTRY["ns_toxicity_tagger"].fn(spark, "unused").cache()
+    n = scored.count()
+    held = planted_toxicity_corpus(spark).filter(F.col("doc_id") % 4 == 3)
+    assert n == held.count()
+    pos = scored.filter(F.col("toxic"))
+    n_pos = pos.count()
+    assert 0 < n_pos < 0.3 * n  # the imbalance is real (planted 15%)
+    recall = pos.filter(F.col("flagged")).count() / n_pos
+    assert recall >= 0.9, recall
+    n_flagged = scored.filter(F.col("flagged")).count()
+    precision = pos.filter(F.col("flagged")).count() / max(1, n_flagged)
+    assert precision > 0.5, precision
+    assert auc(scored, "p_toxic", "toxic") > 0.95
+    again = REGISTRY["ns_toxicity_tagger"].fn(spark, "unused")
+    assert sorted(map(tuple, scored.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    scored.unpersist()
+
+
+def test_weighted_trainer_guards_single_class(spark):
+    """A single-class corpus must fail loudly at fit time (the AUC
+    downstream is undefined), not crash inside spark.ml."""
+    import pytest as _pytest
+
+    from map_reduce_framework_using_python_spark.operators.quality_model import (
+        train_tagger_weighted,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha bridge", True), (2, "cloud delta", True)],
+        "doc_id long, text string, toxic boolean",
+    )
+    with _pytest.raises(ValueError, match="single-class"):
+        train_tagger_weighted(docs, F.col("toxic"))

@@ -122,6 +122,8 @@ def run(
     n_inject: int = 200,
     decon: bool = False,
     n_decon: int = 100,
+    span: bool = False,
+    n_span: int = 50,
 ) -> dict:
     """Build artifacts over the corpus slice, drain the batch slice
     through curate_stream, return stage timings + verdict counts.
@@ -272,6 +274,63 @@ def run(
             stream = stream.filter(
                 (F.col("doc_id") < _OFFSET) | (F.col("doc_id") >= decon_base)
             )
+    span_path = None
+    if span:
+        # ExactSubstr leg (r11): the corpus shingle index is one-off
+        # build cost (own stage, like the other indexes); plants copy
+        # 60 consecutive corpus tokens AT OFFSET 5 — the offset breaks
+        # the paragraph leg's fixed 10-token chunk alignment and the
+        # 40 unique salt tokens keep doc-level 3-gram Jaccard ≈ 0.4
+        # below the MinHash threshold, so ONLY the span leg can see
+        # these (the verdict this row plants: dup_frac ≈ 0.55 > 0.5).
+        # 64 distinct source docs, n_span ≤ 64 recommended: two plants
+        # sharing a source would be within-batch paragraph duplicates
+        # of each other and precedence would mask the span verdict.
+        from map_reduce_framework_using_python_spark.operators.dedup_index import (
+            build_shingle_index,
+        )
+
+        span_path = os.path.join(run_root, "sidx")
+        t0 = time.perf_counter()
+        build_shingle_index(
+            corpus, span_path, min_len=12, buckets=16, digest="xxhash64"
+        )
+        out["span_index_build"] = round(time.perf_counter() - t0, 3)
+        base = [
+            r["text"].split()[5:65]
+            for r in corpus.filter(
+                F.size(F.split(F.col("text"), " ")) >= 80
+            )
+            .orderBy("doc_id")
+            .limit(64)
+            .select("text")
+            .collect()
+        ]
+        if not base:
+            raise RuntimeError("span probe: no corpus doc has >= 80 tokens")
+        span_base = _OFFSET * (replicas + 3)
+        plants = []
+        for i in range(n_span):
+            toks = base[i % len(base)] + [
+                f"spansalt{i}s{j}" for j in range(40)
+            ]
+            text = " ".join(toks)
+            plants.append(
+                (span_base + 7 + 16 * i, text, "en", "spanplant", len(text))
+            )
+        span_dir = os.path.join(run_root, "span_plants")
+        spark.createDataFrame(
+            plants,
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+        ).coalesce(1).write.mode("overwrite").parquet(span_dir)
+        if not paragraph and not decon:
+            # Same replica-artifact exclusion as the other plant rows.
+            stream = stream.filter(
+                (F.col("doc_id") < _OFFSET) | (F.col("doc_id") >= span_base)
+            )
+        stream = stream.unionByName(
+            spark.readStream.schema(_DOCS_SCHEMA).parquet(span_dir)
+        )
     stream = stream.filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM)
     t0 = time.perf_counter()
     curate_stream(
@@ -284,6 +343,7 @@ def run(
         paragraph_index_path=para_path,
         decon_bench_path=bench_path,
         decon_tau6=900_000,
+        span_index_path=span_path,
     )
     out["stream_drain"] = round(time.perf_counter() - t0, 3)
     m = (
@@ -292,6 +352,7 @@ def run(
             F.sum("n_in").alias("n_in"),
             F.sum("n_duplicate").alias("n_duplicate"),
             F.sum("n_boilerplate").alias("n_boilerplate"),
+            F.sum("n_span_duplicate").alias("n_span_duplicate"),
             F.sum("n_contaminated").alias("n_contaminated"),
             F.sum("n_low_quality").alias("n_low_quality"),
             F.sum("n_curated").alias("n_curated"),
@@ -301,8 +362,8 @@ def run(
     out.update({
         k: int(m[k])
         for k in (
-            "n_in", "n_duplicate", "n_boilerplate", "n_contaminated",
-            "n_low_quality", "n_curated",
+            "n_in", "n_duplicate", "n_boilerplate", "n_span_duplicate",
+            "n_contaminated", "n_low_quality", "n_curated",
         )
     })
     return out

@@ -160,6 +160,12 @@ AUDIT = (
     # a bounded model action), broadcast candidate ball, one narrow
     # per-vector max exchange like the exact form
     "ns_semantic_decontaminate_kmeans",
+    # round 11: composed IVF-PQ — the codes scan must plan with
+    # PartitionFilters on centroid_id (probed cells only), the ADC fold
+    # over ONE broadcast table row, a TakeOrdered shortlist, and a
+    # broadcast join-back for the exact rerank (both fits run at plan
+    # build, bounded model actions)
+    "ns_ivfpq_topk",
 )
 
 
