@@ -741,7 +741,16 @@ def _centroid_dist_structs(qv, centroids: list[list[float]]):
 #: recreates the wide-literal plan-build pathology round 7 root-caused
 #: (per-element expression trees dominate latency long before
 #: execution starts) — the join form ships centroids as DATA.
-MAX_LITERAL_CENTROIDS = 64
+#: Lowered 64 → 32 in r11 on direct measurement over the 10× replica
+#: (64-query batch, best-of-3 warm): at k=64 the literal form costs
+#: 4.9 s plan-build vs 1.5 s for the join form (3×), and even at k=16
+#: the join form is no slower (0.87 s vs 1.16 s plan, exec within
+#: noise) — the literal path's zero-extra-shuffle advantage never
+#: materializes because the rank shuffle moves only skinny
+#: (q_id, cid, dist) rows. Kept at 32 (not 0) so the small-k
+#: oracle-pinned probes (IVF lloyd k=8, IVF-PQ lloyd k=4, IVF k=16)
+#: keep their frozen single-shuffle plan shapes.
+MAX_LITERAL_CENTROIDS = 32
 
 
 def _centroid_frame(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:

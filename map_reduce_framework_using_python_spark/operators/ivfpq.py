@@ -180,6 +180,78 @@ def build_ivfpq_index(
     return path
 
 
+def build_ivfpq_index_lloyd(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 4,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    n_iter_sub: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str | None = "label",
+) -> str:
+    """IVF-PQ index whose BOTH quantizers are the DETERMINISTIC Lloyd
+    run from operators/clustering.py (k-smallest-id init, half-up 1e-6
+    centroid rounding, min-struct assignment) instead of spark.ml —
+    the build_ivf_index_lloyd trick applied to the composed lane: the
+    coarse chain AND the m per-subspace codebook chains are all
+    SQL-reproducible as CTE chains (plans/clustering_queries.
+    _kmeans_ctes with a prefix per chain), which is what lets a probe
+    against THIS index carry a full DuckDB oracle (ns_ivfpq_probe_
+    lloyd) — the first PQ query under the hash gate; the spark.ml
+    build keeps its pytest pins. Operates on RAW vectors (``normalize``
+    False in the meta — probes rank centroids and build ADC tables in
+    raw space; the exact rerank is cosine, which is scale-invariant),
+    sidestepping any cross-engine normalization arithmetic. Same
+    layout, append, and compaction contracts as
+    :func:`build_ivfpq_index`."""
+    from map_reduce_framework_using_python_spark.operators.clustering import (
+        kmeans_fit,
+    )
+
+    keys = [id_col] if label_col is None else [id_col, label_col]
+    first = df.select(_as_double(F.col(vec_col)).alias("v")).head()
+    if first is None or first["v"] is None:
+        raise ValueError("build_ivfpq_index_lloyd: empty input")
+    dim = len(first["v"])
+    if dim % m != 0:
+        raise ValueError(
+            f"build_ivfpq_index_lloyd: dim {dim} not divisible by m {m}"
+        )
+    sub = dim // m
+    _, coarse = kmeans_fit(
+        df, k=n_centroids, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+    )
+    books = []
+    for j in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub).alias("_sub"),
+        )
+        _, cents = kmeans_fit(
+            sliced, k=k, n_iter=n_iter_sub, vec_col="_sub", id_col=id_col
+        )
+        books.append(cents)
+    vn = df.select(*keys, _as_double(F.col(vec_col)).alias("vn"))
+    (
+        _assign_and_encode(vn, keys, coarse, books, id_col)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    _write_meta(
+        path,
+        {"kind": "ivfpq", "n_centroids": n_centroids, "m": m, "k": k,
+         "quantizer": f"lloyd{n_centroids}x{n_iter}+{m}x{k}x{n_iter_sub}",
+         "normalize": False, "sub": sub, "centroids": coarse,
+         "books": books, "vec_col": vec_col, "id_col": id_col,
+         "label_col": label_col},
+    )
+    return path
+
+
 def _ivfpq_meta(path: str) -> dict:
     meta = _read_meta(path)
     if meta.get("kind") != "ivfpq":
@@ -227,7 +299,13 @@ def ivfpq_topk_indexed(
     id_col, label_col = meta["id_col"], meta["label_col"]
     keys = [id_col] if label_col is None else [id_col, label_col]
     q = _query_vector(vectors, vec_col, id_col, query_vec_id)
-    qn = _normalize_query(q)
+    # A normalize=False (Lloyd/raw-space) index routes and ADC-scores in
+    # the raw vector space its quantizers were fitted in.
+    qn = (
+        _normalize_query(q)
+        if meta.get("normalize", True)
+        else [float(x) for x in q]
+    )
     centroids = meta["centroids"]
     if len(qn) != len(centroids[0]):
         raise ValueError(
@@ -278,6 +356,7 @@ def ivfpq_probe_index_batch(
     n_probe: int = 8,
     shortlist: int = 100,
     exclude_query_ids: bool = False,
+    grid_order: bool = False,
 ) -> DataFrame:
     """Batched multi-query IVFADC — the IVF-PQ twin of
     ``ivf_probe_index_batch``: every query vector in ``queries`` gets
@@ -299,7 +378,12 @@ def ivfpq_probe_index_batch(
     :func:`ivfpq_topk_indexed` (raw cosine desc, id tiebreak — pinned
     equal in tests/test_ivfpq.py). ``exclude_query_ids=True`` is the
     standard crash-replay guard for ingest loops (a batch that already
-    appended itself must never match itself)."""
+    appended itself must never match itself). ``grid_order=True``
+    (the DuckDB-oracle discipline of ``ivf_probe_index_batch``) orders
+    BOTH the ADC shortlist and the final rerank on the half-up 1e-6
+    grid (ties → id) and emits the quantized cosine, so the two
+    engines agree at last-ulp ties; default False keeps raw ordering,
+    pinned equal to :func:`ivfpq_topk_indexed`."""
     from pyspark.sql import Window
 
     meta = _ivfpq_meta(path)
@@ -308,15 +392,28 @@ def ivfpq_probe_index_batch(
     vec_col = meta["vec_col"]
     m, sub = meta["m"], meta["sub"]
     qv = _as_double(F.col(vec_col))
-    # Normalized query vectors, computed once JVM-side (same zero-norm
-    # floor as pq._normalized).
-    qbase = (
-        queries.select(F.col(id_col).alias("q_id"), qv.alias("_qv"))
-        .withColumn("_nrm", F.greatest(l2_norm(F.col("_qv")), F.lit(1e-30)))
-        .select(
-            "q_id", F.expr("transform(_qv, x -> x / _nrm)").alias("qvn")
+    if meta.get("normalize", True):
+        # Normalized query vectors, computed once JVM-side (same
+        # zero-norm floor as pq._normalized); qvn is unit-norm so the
+        # rerank divides by a literal 1.0.
+        qbase = (
+            queries.select(F.col(id_col).alias("q_id"), qv.alias("_qv"))
+            .withColumn(
+                "_nrm", F.greatest(l2_norm(F.col("_qv")), F.lit(1e-30))
+            )
+            .select(
+                "q_id",
+                F.expr("transform(_qv, x -> x / _nrm)").alias("qvn"),
+                F.lit(1.0).alias("qnrm"),
+            )
         )
-    )
+    else:
+        # Raw-space (Lloyd) index: route and ADC in the space the
+        # quantizers were fitted in; the rerank needs the true query
+        # norm since qvn is no longer unit-length.
+        qbase = queries.select(
+            F.col(id_col).alias("q_id"), qv.alias("qvn"), l2_norm(qv).alias("qnrm")
+        )
     # TWO subplans read qbase (centroid routing and the rerank
     # join-back) — a non-deterministic query lineage must not route one
     # evaluation and rerank another (the r7 ANN desync rule), so it
@@ -376,7 +473,19 @@ def ivfpq_probe_index_batch(
         .groupBy("q_id", id_col)
         .agg(F.min("adc").alias("adc"))
     )
-    ws = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col(id_col))
+    if grid_order:
+        # Shortlist membership must agree across engines at last-ulp
+        # adc ties: rank the half-up-1e-6-quantized adc (ties → id).
+        cand = cand.withColumn(
+            "_qadc", F.floor(F.col("adc") * 1e6 + F.lit(0.5)).cast("long")
+        )
+        ws = Window.partitionBy("q_id").orderBy(
+            F.col("_qadc").asc(), F.col(id_col)
+        )
+    else:
+        ws = Window.partitionBy("q_id").orderBy(
+            F.col("adc").asc(), F.col(id_col)
+        )
     short = (
         cand.withColumn("_srn", F.row_number().over(ws))
         .filter(F.col("_srn") <= int(shortlist))
@@ -388,14 +497,34 @@ def ivfpq_probe_index_batch(
     rerank = (
         short.join(full, id_col)
         .join(
-            qbase.select(
-                "q_id", F.col("qvn").alias("qv"),
-            ),
+            qbase.select("q_id", F.col("qvn").alias("qv"), "qnrm"),
             "q_id",
         )
-        # qvn is unit-norm by construction, so cosine = dot(v, qvn)/|v|.
-        .withColumn("cosine_raw", dot(F.col("v"), F.col("qv")) / F.col("vnorm"))
+        # qnrm is a literal 1.0 on normalized indexes (qvn unit-norm),
+        # the true query norm on raw-space (Lloyd) ones.
+        .withColumn(
+            "cosine_raw",
+            dot(F.col("v"), F.col("qv")) / (F.col("vnorm") * F.col("qnrm")),
+        )
     )
+    if grid_order:
+        rerank = rerank.withColumn(
+            "_qcos", F.floor(F.col("cosine_raw") * 1e6 + F.lit(0.5)).cast("long")
+        )
+        wk = Window.partitionBy("q_id").orderBy(
+            F.col("_qcos").desc(), F.col(id_col)
+        )
+        return (
+            rerank.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= k)
+            .select(
+                "q_id",
+                F.col(id_col),
+                *([] if label_col is None else [F.col(label_col)]),
+                (F.col("_qcos") / 1e6).alias("cosine"),
+                "rn",
+            )
+        )
     wk = Window.partitionBy("q_id").orderBy(
         F.col("cosine_raw").desc(), F.col(id_col)
     )

@@ -452,3 +452,142 @@ def st_ann_ingest_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=12,
         shortlist=150,
     )
+
+
+def _ensure_ivfpq_lloyd(spark: SparkSession, sf_dir: str) -> str:
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        build_ivfpq_index_lloyd,
+    )
+
+    return _ensure(
+        sf_dir, "ivfpq_lloyd4x2_4x4x1",
+        lambda p: build_ivfpq_index_lloyd(
+            t(spark, sf_dir, "embeddings"), p,
+            n_centroids=4, m=4, k=4, n_iter=2, n_iter_sub=1,
+        ),
+    )
+
+
+def _ivfpq_probe_oracle() -> str:
+    """Full DuckDB oracle for the Lloyd-quantizer IVF-PQ batch probe —
+    the first PQ query under the hash gate. The deterministic k-means
+    CTE chain reproduces the COARSE quantizer (the same chain
+    ns_ivf_probe_batch is gated on) AND, with per-chain prefixes, each
+    of the m PQ subspace codebooks over list slices; per-vector codes,
+    per-query coarse routing, the grid-quantized ADC shortlist, and the
+    grid-quantized exact-cosine rerank are then plain SQL. Every float
+    the two engines must agree on rides either the proven
+    list_sum/aggregate fold equivalence (assignments, distances) or the
+    half-up 1e-6 grid (shortlist and rerank ordering)."""
+    from map_reduce_framework_using_python_spark.plans.clustering_queries import (
+        _kmeans_ctes,
+        _sqdist_sql,
+    )
+
+    kc, nc, dim = 4, 2, 64          # coarse: k=4, 2 Lloyd iterations
+    m, ks, ns_, sub = 4, 4, 1, 16   # PQ: 4 subspaces × (k=4, 1 iteration)
+    n_probe, shortlist, topk = 2, 50, 10
+    ctes = _kmeans_ctes(kc, nc, dim, pfx="c")
+    for j in range(m):
+        vexpr = (
+            "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+            f"[{j * sub + 1}:{(j + 1) * sub}]"
+        )
+        ctes += _kmeans_ctes(ks, ns_, sub, pfx=f"s{j}", vexpr=vexpr)
+    code_joins = "\n".join(
+        f"            JOIN s{j}a{ns_} c{j} ON c{j}.vec_id = a.vec_id"
+        for j in range(m)
+    )
+    code_cols = ", ".join(f"c{j}.cluster AS k{j}" for j in range(m))
+    cent_joins = "\n".join(
+        f"            JOIN s{j}cent{ns_} e{j} ON e{j}.cluster = d.k{j}"
+        for j in range(m)
+    )
+    adc_terms = " + ".join(
+        _sqdist_sql(f"pr.qv[{j * sub + 1}:{(j + 1) * sub}]", f"e{j}.cent")
+        for j in range(m)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+        q AS (SELECT vec_id AS q_id, v AS qv FROM cv
+              WHERE vec_id % 37 = 0 AND vec_id < 18500),
+        pr AS (SELECT q_id, qv, cluster FROM (
+                   SELECT q.q_id, q.qv, c.cluster,
+                          row_number() OVER (
+                              PARTITION BY q.q_id
+                              ORDER BY {_sqdist_sql("q.qv", "c.cent")}, c.cluster
+                          ) AS cr
+                   FROM q CROSS JOIN ccent{nc} c)
+               WHERE cr <= {n_probe}),
+        codes AS (SELECT a.vec_id, a.cluster AS centroid_id, {code_cols}
+                  FROM ca{nc} a
+{code_joins}),
+        cand AS (SELECT pr.q_id, pr.qv, d.vec_id,
+                        ({adc_terms}) AS adc
+                 FROM pr JOIN codes d ON d.centroid_id = pr.cluster
+                                     AND d.vec_id <> pr.q_id
+{cent_joins}),
+        sl AS (SELECT q_id, vec_id, qv FROM (
+                   SELECT q_id, vec_id, qv,
+                          row_number() OVER (
+                              PARTITION BY q_id
+                              ORDER BY CAST(floor(adc * 1000000.0 + 0.5)
+                                            AS BIGINT), vec_id
+                          ) AS srn
+                   FROM cand)
+               WHERE srn <= {shortlist}),
+        rr AS (SELECT q_id, s.vec_id,
+                      floor(list_cosine_similarity(v.v, s.qv)
+                            * 1000000.0 + 0.5) AS qcos
+               FROM sl s JOIN cv v ON v.vec_id = s.vec_id),
+        rk AS (SELECT q_id, vec_id, qcos,
+                      row_number() OVER (PARTITION BY q_id
+                                         ORDER BY qcos DESC, vec_id) AS rn
+               FROM rr)
+        SELECT rk.q_id, rk.vec_id, e.label, qcos / 1000000.0 AS cosine,
+               CAST(rn AS INTEGER) AS rn
+        FROM rk JOIN embeddings e ON e.vec_id = rk.vec_id
+        WHERE rn <= {topk}
+    """
+    )
+
+
+@query(
+    "ns_ivfpq_probe_lloyd",
+    oracle=_ivfpq_probe_oracle(),
+    tags=("northstar", "similarity", "sketch", "index", "batch"),
+)
+def ns_ivfpq_probe_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF-PQ (IVFADC) top-10 against a persisted index whose
+    coarse quantizer AND all m PQ codebooks are deterministic Lloyd
+    runs (operators/ivfpq.build_ivfpq_index_lloyd — raw vector space,
+    k-smallest-id init, half-up 1e-6 centroid rounding), probed
+    grid-ordered: per-query coarse routing over the persisted centroid
+    literals, per-query m×k ADC tables off ONE broadcast codebook row,
+    the quantized-ADC shortlist, and an exact grid-quantized cosine
+    rerank against the full-vector table — one plan for the whole
+    batch, the codes scan partition-pruned to the probed cells.
+
+    The FIRST PQ query under the full DuckDB hash gate (the r7
+    ns_ivf_probe_batch promotion applied to the composed lane): the
+    oracle replays quantizer training (coarse + m prefixed subspace
+    CTE chains), code assignment, routing, the ADC shortlist, and the
+    rerank — the whole IVFADC lifecycle. The spark.ml build path
+    (ns_ivfpq_topk) keeps its recall pins."""
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        ivfpq_probe_index_batch,
+    )
+
+    path = _ensure_ivfpq_lloyd(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    return ivfpq_probe_index_batch(
+        spark,
+        emb.filter((F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 18500)),
+        path,
+        emb,
+        k=10,
+        n_probe=2,
+        shortlist=50,
+        grid_order=True,
+    )

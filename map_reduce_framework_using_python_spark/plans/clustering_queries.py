@@ -36,19 +36,34 @@ def _sqdist_sql(a: str, b: str) -> str:
     )
 
 
-def _kmeans_ctes(k: int, n_iter: int, dim: int) -> list[str]:
+def _kmeans_ctes(
+    k: int,
+    n_iter: int,
+    dim: int,
+    pfx: str = "",
+    vexpr: str = "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+) -> list[str]:
+    """CTE chain replaying operators/clustering.kmeans_fit exactly
+    (k-smallest-id init, half-up 1e-6 centroid rounding per iteration,
+    min-struct (dist, cluster) assignment, empty clusters keep their
+    previous centroid). ``pfx`` prefixes every CTE name so multiple
+    chains compose in ONE query (the IVF-PQ oracle runs a coarse chain
+    plus one chain per PQ subspace); ``vexpr`` is the vector expression
+    the chain clusters — default the full embedding, a subspace chain
+    passes a list slice. Defaults generate byte-identical SQL to the
+    pre-r11 single-chain form (every existing oracle unchanged)."""
     ctes = [
-        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        f"{pfx}v AS (SELECT vec_id, {vexpr} AS v"
         " FROM embeddings)",
-        f"cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,"
+        f"{pfx}cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,"
         f" list_transform(v, x -> {_r6('x')}) AS cent"
-        f" FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {k}))",
+        f" FROM (SELECT vec_id, v FROM {pfx}v ORDER BY vec_id LIMIT {k}))",
     ]
     for i in range(n_iter + 1):  # n_iter updates + the final assignment
         ctes.append(
-            f"a{i} AS (SELECT vec_id, v,"
+            f"{pfx}a{i} AS (SELECT vec_id, v,"
             f" min(struct_pack(d := {_sqdist_sql('v', 'cent')}, c := cluster))['c']"
-            f" AS cluster FROM v CROSS JOIN cent{i} GROUP BY vec_id, v)"
+            f" AS cluster FROM {pfx}v CROSS JOIN {pfx}cent{i} GROUP BY vec_id, v)"
         )
         if i < n_iter:
             # LEFT JOIN back onto the previous centroid list: a cluster
@@ -57,15 +72,15 @@ def _kmeans_ctes(k: int, n_iter: int, dim: int) -> list[str]:
             # present in the update aggregate), so the two engines stay
             # in lockstep even if a cluster empties mid-run.
             ctes.append(
-                f"upd{i} AS (SELECT cluster, list({_r6('s / n')} ORDER BY i) AS cent"
+                f"{pfx}upd{i} AS (SELECT cluster, list({_r6('s / n')} ORDER BY i) AS cent"
                 f" FROM (SELECT cluster, i, sum(v[i]) AS s, count(*) AS n"
-                f" FROM a{i} CROSS JOIN range(1, {dim + 1}) t(i)"
+                f" FROM {pfx}a{i} CROSS JOIN range(1, {dim + 1}) t(i)"
                 f" GROUP BY cluster, i) GROUP BY cluster)"
             )
             ctes.append(
-                f"cent{i + 1} AS (SELECT p.cluster,"
+                f"{pfx}cent{i + 1} AS (SELECT p.cluster,"
                 f" coalesce(u.cent, p.cent) AS cent"
-                f" FROM cent{i} p LEFT JOIN upd{i} u ON u.cluster = p.cluster)"
+                f" FROM {pfx}cent{i} p LEFT JOIN {pfx}upd{i} u ON u.cluster = p.cluster)"
             )
     return ctes
 

@@ -333,3 +333,162 @@ def test_registry_queries_run(spark):
     assert len(rows) == 10
     cos = [r["cosine"] for r in rows]
     assert cos == sorted(cos, reverse=True)
+
+
+def test_lloyd_variant_full_probe_equals_bruteforce(spark, tmp_path):
+    """The raw-space Lloyd-quantizer index under a FULL probe (every
+    coarse cell) with a corpus-sized shortlist must answer exactly like
+    brute force — the access-path-never-the-answer pin for the
+    oracle-gated variant's machinery (normalize=False routing, raw ADC,
+    qnrm-corrected rerank)."""
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        build_ivfpq_index_lloyd,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "lloyd")
+    build_ivfpq_index_lloyd(
+        emb, path, n_centroids=4, m=4, k=4, n_iter=2, n_iter_sub=1
+    )
+    got = ivfpq_topk_indexed(emb, path, 0, topk=10, n_probe=4, shortlist=600)
+    exact = cosine_topk_bruteforce(emb, 0, k=10).collect()
+    g = {r["vec_id"]: r["cosine"] for r in got.collect()}
+    e = {r["vec_id"]: r["cosine"] for r in exact}
+    assert g == e
+    # and the batched grid-ordered probe (the oracle's exact form)
+    # returns a 1..k ranking in quantized-cosine order per query
+    batch = ivfpq_probe_index_batch(
+        spark,
+        emb.filter(F.col("vec_id").isin([0, 37])),
+        path,
+        emb,
+        k=10,
+        n_probe=2,
+        shortlist=50,
+        grid_order=True,
+    ).collect()
+    for qid in (0, 37):
+        rows = sorted(
+            (r["rn"], r["cosine"]) for r in batch if r["q_id"] == qid
+        )
+        assert [rn for rn, _ in rows] == list(range(1, 11))
+        cos = [c for _, c in rows]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_lloyd_registry_query_runs(spark):
+    from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+
+    rows = REGISTRY["ns_ivfpq_probe_lloyd"].fn(spark, SF_SMOKE).collect()
+    qids = {r["q_id"] for r in rows}
+    assert len(rows) == 10 * len(qids) and len(qids) >= 10
+
+
+def test_ivfpq_extend_index_retrieves_across_batches(spark, tmp_path):
+    """With extend_index=True on the IVF-PQ stream, batch 2 retrieves
+    batch 1's appended vector — continuous similarity over the
+    composed lane, both quantizers frozen (the LSH/IVF cross-batch
+    pin). Rerank runs against corpus ∪ appended batches, so the probe
+    passes a vectors table that includes the landing rows — exactly
+    what a deployment does (the index stores codes; the vector table
+    is the source of truth)."""
+    import time
+
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        _EMB_SCHEMA,
+        ivfpq_probe_stream,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(100)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(emb, path, n_centroids=8, m=8, k=8, seed=42)
+
+    base = [10.0 if i % 2 == 0 else -10.0 for i in range(64)]
+    near = [x + (0.001 if i == 0 else 0.0) for i, x in enumerate(base)]
+    land = tmp_path / "landing"
+    land.mkdir()
+    now = time.time()
+    rows = {"b1.parquet": ((900001, base, 7), now - 60),
+            "b2.parquet": ((900002, near, 7), now)}
+    for name, (row, ts) in rows.items():
+        d = tmp_path / f"_w_{name}"
+        spark.createDataFrame([row], _EMB_SCHEMA).coalesce(1).write.parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        os.rename(str(d / part), str(land / name))
+        os.utime(str(land / name), (ts, ts))
+    stream = (
+        spark.readStream.schema(_EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    vectors = emb.unionByName(
+        spark.createDataFrame([r for r, _ in rows.values()], _EMB_SCHEMA)
+    )
+    got = ivfpq_probe_stream(
+        stream,
+        path,
+        vectors,
+        out_dir=str(tmp_path / "out" / "neighbors"),
+        checkpoint_dir=str(tmp_path / "out" / "ckpt"),
+        k=5,
+        n_probe=8,
+        shortlist=100,
+        extend_index=True,
+    )
+    top = {r["q_id"]: r["vec_id"] for r in got.collect() if r["rn"] == 1}
+    assert top.get(900002) == 900001
+
+
+def test_flat_pq_compact_recovers_from_crashed_swap(spark, tmp_path):
+    """Flat-layout (part_col=None) crash shape: a crash between the two
+    renames leaves codes/ missing and the previous copy at __old; the
+    next compact call must roll back first and answer identically."""
+    from map_reduce_framework_using_python_spark.operators.pq import (
+        build_pq_index,
+        compact_pq_index,
+        pq_topk_indexed,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "pq")
+    build_pq_index(emb, path, m=8, k=8, seed=7)
+    want = sorted(
+        map(tuple, pq_topk_indexed(emb, path, 0, topk=10).collect())
+    )
+    codes = os.path.join(path, "codes")
+    os.rename(codes, codes + "__old")
+    compact_pq_index(spark, path)
+    got = sorted(
+        map(tuple, pq_topk_indexed(emb, path, 0, topk=10).collect())
+    )
+    assert got == want
+
+
+def test_flat_pq_compact_rolls_back_when_append_lands_in_swap_window(
+    spark, tmp_path
+):
+    """Flat-layout concurrent-append guard: a code file landing between
+    the snapshot check and the rename is caught by the second check,
+    the swap rolls back, and the landed rows SURVIVE in the live dir."""
+    from map_reduce_framework_using_python_spark.operators.pq import (
+        append_to_pq_index,
+        build_pq_index,
+        compact_pq_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    head = emb.filter(F.col("vec_id") < 400)
+    tail = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "pq")
+    build_pq_index(head, path, m=8, k=8, seed=7)
+
+    def racing_append():
+        append_to_pq_index(tail, path)
+
+    with pytest.raises(RuntimeError, match="landed during the swap window"):
+        compact_pq_index(spark, path, _test_hook_pre_swap=racing_append)
+    got = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(path, "codes")).collect()
+    }
+    assert got == {r["vec_id"] for r in emb.select("vec_id").collect()}

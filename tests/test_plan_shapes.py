@@ -459,3 +459,19 @@ def test_span_screen_apply_shape(spark):
     for ln in plan.splitlines():
         if "Window [" in ln:
             assert "h#" in ln or "doc_id#" in ln, ln
+
+
+def test_ivfpq_topk_partition_pruned_codes_scan(spark):
+    """The composed IVF-PQ probe (r11): the CODES scan must plan with
+    PartitionFilters on centroid_id (only probed cells open — static
+    pruning, never dependent on DPP heuristics), the exact rerank must
+    join back as a broadcast (shortlist-sized side), the top-k must be
+    TakeOrderedAndProject (no global sort), and nothing row-Python or
+    cartesian may appear. The fits run at plan build (bounded model
+    actions) — this pins the QUERY plan those artifacts serve."""
+    plan = _plan(spark, "ns_ivfpq_topk")
+    assert re.search(r"PartitionFilters: \[.*centroid_id.*(INSET|IN \()", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan, plan
