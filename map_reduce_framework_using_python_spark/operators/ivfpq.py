@@ -19,14 +19,22 @@ and this module composes them into the actual 100 TB ANN shape:
   shortlist (recall pinned in tests/test_ivfpq.py at the registry
   knobs).
 
-Non-residual variant, deliberately: codes are PQ(normalized vector)
-under ONE global codebook set rather than PQ(vector − centroid) under
-per-cell ADC tables. That keeps encoding row-local — so appends
-commute with builds exactly (the LSH/IVF lane contract, pinned) and a
-batch needs no per-cell table fan-out — at a small recall cost that
-the exact-rerank shortlist absorbs (measured ≥0.9 recall@10 at the
-registry knobs on the synthetic embeddings, PQ's worst case). FAISS
-ships the same switch as ``by_residual=False``.
+Both FAISS encodings ship: the default codes are PQ(normalized
+vector) under ONE global codebook set (one ADC table per query), and
+``by_residual=True`` quantizes PQ(vector − centroid) — the FAISS
+IVFADC default, where the coarse cells absorb the low-frequency
+component and the codebooks spend their bits on the fine structure
+(one ADC table per (query, probed cell)). On the synthetic UNIFORM
+vectors the two encodings measure recall PARITY (means within 0.01 at
+every probed knob — random cells absorb almost no structure, so there
+is little residual advantage to collect; on clustered real embeddings
+the residual form is the one that wins, which is why FAISS defaults
+to it). Encoding is
+row-local EITHER way (the residual is a function of the frozen
+centroid assignment), so appends commute with builds exactly — the
+LSH/IVF lane contract, pinned — and the exact-rerank shortlist absorbs
+residual quantization error identically (measured ≥0.9 recall@10 at
+the registry knobs on the synthetic embeddings, PQ's worst case).
 
 Index layout on disk::
 
@@ -78,17 +86,39 @@ from map_reduce_framework_using_python_spark.operators.similarity import (
 )
 
 
-def _code_expr(sub: int):
+def _code_expr(sub: int, col: str = "vn"):
     """Per-subspace argmin over the broadcast ``books`` row, evaluated
-    against a NORMALIZED vector column ``vn`` — the pq_encode kernel
-    (deterministic ties: lowest cid), shared verbatim so flat-PQ and
+    against the vector column ``col`` (normalized vectors, raw vectors,
+    or coarse residuals — the caller picks the space) — the pq_encode
+    kernel (deterministic ties: lowest cid), shared so flat-PQ and
     IVF-PQ codes can never drift."""
     return F.expr(
         "transform(books, b -> element_at(array_sort("
         f"transform(b.cents, c -> struct("
-        f"aggregate(zip_with(slice(vn, b.j * {sub} + 1, {sub}), c.cv,"
+        f"aggregate(zip_with(slice({col}, b.j * {sub} + 1, {sub}), c.cv,"
         " (a, x) -> (a - x) * (a - x)), 0D, (acc, x) -> acc + x) AS dist,"
         " c.cid AS cid))), 1).cid)"
+    )
+
+
+def _centroid_array_row(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """ONE broadcast row carrying the coarse centroids as a plain
+    array-of-arrays (``carr``), for positional lookup by centroid_id —
+    data, not per-row plan literals (the _books_row discipline)."""
+    return df.sparkSession.createDataFrame(
+        [([list(map(float, c)) for c in centroids],)],
+        "carr array<array<double>>",
+    )
+
+
+#: Residual of a routed vector against its assigned coarse centroid —
+#: the by-residual encode/probe space (PQ quantizes x − c(x), the FAISS
+#: IVFADC default: cells absorb the coarse component so the codebooks
+#: spend their 8 bits on the fine structure).
+def _residual_expr(vec: str) -> F.Column:
+    return F.expr(
+        f"zip_with({vec}, element_at(carr, centroid_id + 1),"
+        " (a, b) -> a - b)"
     )
 
 
@@ -98,27 +128,60 @@ def _assign_and_encode(
     centroids: list[list[float]],
     books: list[list[list[float]]],
     id_col: str,
+    by_residual: bool = False,
 ) -> DataFrame:
-    """(keys…, centroid_id, codes) for every row of a normalized-vector
-    frame — the ONE map-side pass build and append share: coarse argmin
-    via the literal struct-sort (k ≤ MAX_LITERAL_CENTROIDS) or the
+    """(keys…, centroid_id, codes) for every row of a vector frame —
+    the ONE map-side pass build and append share: coarse argmin via the
+    literal struct-sort (k ≤ MAX_LITERAL_CENTROIDS) or the
     k-independent broadcast-centroid-table join above it (the r8 IVF
     rule), then the PQ argmin against the single broadcast codebook
-    row. Both quantizers are pure row-local functions of the persisted
-    model state, so this pass commutes with itself across any corpus
-    split — the append-commutes-with-build pin rests on exactly that."""
+    row — over the vector itself, or (``by_residual``) over the
+    residual against the assigned coarse centroid. Both quantizers are
+    pure row-local functions of the persisted model state either way,
+    so this pass commutes with itself across any corpus split — the
+    append-commutes-with-build pin rests on exactly that."""
     sub = len(books[0][0])
+    assigned = _assigned(vn, centroids, id_col)
+    assigned = assigned.crossJoin(F.broadcast(_books_row(vn, books)))
+    col = "vn"
+    if by_residual:
+        assigned = assigned.crossJoin(
+            F.broadcast(_centroid_array_row(vn, centroids))
+        ).withColumn("_rv", _residual_expr("vn"))
+        col = "_rv"
+    return assigned.select(
+        *keys, "centroid_id", _code_expr(sub, col).alias("codes")
+    )
+
+
+def _assigned(
+    vn: DataFrame, centroids: list[list[float]], id_col: str
+) -> DataFrame:
+    """Append ``centroid_id``: literal struct-sort argmin up to
+    MAX_LITERAL_CENTROIDS, broadcast-centroid-table join above it (the
+    r8 rule) — one definition so build, append, and the residual
+    fitting pass can never route differently."""
     if len(centroids) <= MAX_LITERAL_CENTROIDS:
         nearest = F.element_at(
             F.array_sort(_centroid_dist_structs(F.col("vn"), centroids)), 1
         )["cid"]
-        assigned = vn.withColumn("centroid_id", nearest)
-    else:
-        qframe = vn.select(F.col(id_col).alias("q_id"), F.col("vn").alias("qv"))
-        sel = _nearest_centroids_join(vn.sparkSession, qframe, centroids, n_probe=1)
-        assigned = vn.join(sel.withColumnRenamed("q_id", id_col), id_col)
-    return assigned.crossJoin(F.broadcast(_books_row(vn, books))).select(
-        *keys, "centroid_id", _code_expr(sub).alias("codes")
+        return vn.withColumn("centroid_id", nearest)
+    qframe = vn.select(F.col(id_col).alias("q_id"), F.col("vn").alias("qv"))
+    sel = _nearest_centroids_join(vn.sparkSession, qframe, centroids, n_probe=1)
+    return vn.join(sel.withColumnRenamed("q_id", id_col), id_col)
+
+
+def _residual_frame(
+    vn: DataFrame, centroids: list[list[float]], id_col: str
+) -> DataFrame:
+    """(vn → coarse residual) frame for codebook FITTING: assign each
+    vector its nearest coarse centroid (the shared :func:`_assigned`
+    routing) and subtract. Returns a frame whose ``vn`` column IS the
+    residual, ready for :func:`~.pq._fit_books`."""
+    return (
+        _assigned(vn, centroids, id_col)
+        .crossJoin(F.broadcast(_centroid_array_row(vn, centroids)))
+        .select(F.col(id_col), _residual_expr("vn").alias("vn"))
     )
 
 
@@ -133,16 +196,44 @@ def build_ivfpq_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str | None = "label",
+    fit_fraction: float | None = None,
+    by_residual: bool = False,
 ) -> str:
     """Fit both quantizers and write the composed index ONCE: coarse
-    k-means (spark.ml, fixed seed — at 100 TB you fit on a sample,
-    which changes nothing below) over the L2-normalized corpus, global
-    PQ codebooks (:func:`~.pq.pq_train` — m bounded spark.ml fits),
-    then one corpus pass assigns + encodes map-side and writes the
-    codes partitioned by ``centroid_id``. All model state (centroids +
-    codebooks ≈ (n_centroids + m·k)·dim floats) persists in the meta
-    sidecar, so query-time routing and table building are pure driver
-    math and append-time assignment needs no refit."""
+    k-means (spark.ml, fixed seed) over the L2-normalized corpus,
+    global PQ codebooks (:func:`~.pq.pq_train` — m bounded spark.ml
+    fits), then one corpus pass assigns + encodes map-side and writes
+    the codes partitioned by ``centroid_id``. All model state
+    (centroids + codebooks ≈ (n_centroids + m·k)·dim floats) persists
+    in the meta sidecar, so query-time routing and table building are
+    pure driver math and append-time assignment needs no refit.
+
+    ``fit_fraction``: train BOTH quantizers on a deterministic
+    xxhash-sample of this fraction of the vectors, then assign/encode
+    ALL of them — the standard 100 TB quantizer practice (FAISS trains
+    IVF-PQ on a subsample too; centroids and codebooks need density
+    estimates, not every point). Fit cost drops to O(f·n) while the
+    encode pass, probe answers' EXACTNESS (the rerank is always exact —
+    quantizer quality moves recall only), and the append/commute
+    contract are untouched (the quantizers freeze at build regardless
+    of what they were fitted on). Sampling follows the
+    semdedup_pairs_scaled rule: xxhash64(id, seed) — reproducible
+    across runs and partitionings, never ``rand()``. Caller contract:
+    f·n must comfortably exceed max(n_centroids, k)·(a few).
+
+    ``by_residual``: quantize PQ over x − c(x) instead of x — the FAISS
+    IVFADC default. The coarse cells absorb the low-frequency component
+    so the m×8-bit budget spends on the fine structure. Measured on the
+    synthetic UNIFORM vectors the two encodings are recall PARITY
+    (means within 0.01 at every probed knob — random cells capture no
+    structure for the residual to exploit; clustered real embeddings
+    are where it wins, hence the FAISS default); the registry-knob
+    recall pin and the full-probe==bruteforce exactness pin both hold
+    for the residual form (tests/test_ivfpq.py). Cost: probes build one
+    ADC table per (query, probed cell) instead of one per query —
+    n_probe × m×k bounded driver/JVM math, still no corpus-sized
+    state. Appends still commute (the residual is a row-local function
+    of the FROZEN centroid assignment)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -155,15 +246,37 @@ def build_ivfpq_index(
         dim = int(head["d"])
         if dim % m != 0:
             raise ValueError(f"build_ivfpq_index: dim {dim} not divisible by m {m}")
+        fit_src = vectors
+        fit_vn = vn
+        if fit_fraction is not None and fit_fraction < 1.0:
+            keep = F.pmod(
+                F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000)
+            ) < F.lit(int(fit_fraction * 1_000_000))
+            fit_src = vectors.filter(keep)
+            fit_vn = vn.filter(keep)
         model = KMeans(
             k=n_centroids, seed=seed, featuresCol="_features"
-        ).fit(vn.withColumn("_features", array_to_vector(F.col("vn"))))
+        ).fit(fit_vn.withColumn("_features", array_to_vector(F.col("vn"))))
         centroids = [[float(x) for x in c] for c in model.clusterCenters()]
-        books = pq_train(
-            vectors, m, k, seed, max_iter, vec_col=vec_col, id_col=id_col
-        )
+        if by_residual:
+            from map_reduce_framework_using_python_spark.operators.pq import (
+                _fit_books,
+            )
+
+            books = _fit_books(
+                _residual_frame(
+                    fit_vn.select(id_col, "vn"), centroids, id_col
+                ),
+                m, k, seed, max_iter, opname="build_ivfpq_index(residual)",
+            )
+        else:
+            books = pq_train(
+                fit_src, m, k, seed, max_iter, vec_col=vec_col, id_col=id_col
+            )
         (
-            _assign_and_encode(vn, keys, centroids, books, id_col)
+            _assign_and_encode(
+                vn, keys, centroids, books, id_col, by_residual=by_residual
+            )
             .write.mode("overwrite")
             .partitionBy("centroid_id")
             .parquet(path)
@@ -174,8 +287,8 @@ def build_ivfpq_index(
         path,
         {"kind": "ivfpq", "n_centroids": n_centroids, "m": m, "k": k,
          "seed": seed, "sub": dim // m, "centroids": centroids,
-         "books": books, "vec_col": vec_col, "id_col": id_col,
-         "label_col": label_col},
+         "books": books, "by_residual": by_residual, "vec_col": vec_col,
+         "id_col": id_col, "label_col": label_col},
     )
     return path
 
@@ -318,16 +431,38 @@ def ivfpq_topk_indexed(
         ),
     )
     probe = by_dist[:n_probe]
-    table = _adc_table(qn, meta["books"])
     spark = vectors.sparkSession
     codes = spark.read.parquet(path).filter(F.col("centroid_id").isin(probe))
-    tbl_row = spark.createDataFrame([(table,)], "tbl array<array<double>>")
     adc = F.expr(
         "aggregate(zip_with(codes, tbl,"
         " (c, row) -> element_at(row, c + 1)), 0D, (acc, x) -> acc + x)"
     )
+    if meta.get("by_residual", False):
+        # One exact ADC table PER PROBED CELL, against the query's
+        # residual in that cell (q − c): n_probe × m×k bounded driver
+        # math, broadcast as an n_probe-row table keyed on centroid_id
+        # — the codes already carry the key, so the join is the same
+        # broadcast equi-join shape as the batched probe's routing.
+        tables = [
+            (
+                c,
+                _adc_table(
+                    [a - b for a, b in zip(qn, meta["centroids"][c])],
+                    meta["books"],
+                ),
+            )
+            for c in probe
+        ]
+        tbl_rows = spark.createDataFrame(
+            tables, "centroid_id int, tbl array<array<double>>"
+        )
+        scored_codes = codes.join(F.broadcast(tbl_rows), "centroid_id")
+    else:
+        table = _adc_table(qn, meta["books"])
+        tbl_row = spark.createDataFrame([(table,)], "tbl array<array<double>>")
+        scored_codes = codes.crossJoin(F.broadcast(tbl_row))
     short = (
-        codes.crossJoin(F.broadcast(tbl_row))
+        scored_codes
         .withColumn("adc", adc)
         .filter(F.col(id_col) != query_vec_id)
         # Replayed at-least-once appends leave duplicate code rows; one
@@ -435,15 +570,23 @@ def ivfpq_probe_index_batch(
         routed = qbase.join(sel, "q_id").select("q_id", "qvn", "centroid_id")
     # Per-query ADC table from the ONE broadcast codebook row: m×k exact
     # query-to-centroid squared distances as DATA on the probe rows.
+    # by_residual indexes score the query's per-cell RESIDUAL (q − c,
+    # computed JVM-side off the broadcast centroid-array row), so each
+    # (query, probed cell) row carries its own table — same bounded
+    # m×k payload per row either way.
+    routed = routed.crossJoin(F.broadcast(_books_row(queries, books)))
+    qcol = "qvn"
+    if meta.get("by_residual", False):
+        routed = routed.crossJoin(
+            F.broadcast(_centroid_array_row(queries, centroids))
+        ).withColumn("_rq", _residual_expr("qvn"))
+        qcol = "_rq"
     tbl = F.expr(
         "transform(books, b -> transform(b.cents, c ->"
-        f" aggregate(zip_with(slice(qvn, b.j * {sub} + 1, {sub}), c.cv,"
+        f" aggregate(zip_with(slice({qcol}, b.j * {sub} + 1, {sub}), c.cv,"
         " (a, x) -> (a - x) * (a - x)), 0D, (acc, x) -> acc + x)))"
     )
-    probes = (
-        routed.crossJoin(F.broadcast(_books_row(queries, books)))
-        .select("q_id", "centroid_id", tbl.alias("tbl"))
-    )
+    probes = routed.select("q_id", "centroid_id", tbl.alias("tbl"))
     # Persist before the static collect: the collect and the join must
     # see ONE evaluation of `queries` (the r7 ANN desync rule). No
     # matching unpersist — the returned plan reads `probes`; the
@@ -559,9 +702,20 @@ def append_to_ivfpq_index(batch: DataFrame, path: str) -> None:
         _write_meta(path, meta)
     id_col, label_col = meta["id_col"], meta["label_col"]
     keys = [id_col] if label_col is None else [id_col, label_col]
-    vn = _normalized(batch, meta["vec_col"], id_col, label_col)
+    # The batch enters the SAME space the index was built in: normalized
+    # for the spark.ml build, raw for the Lloyd (normalize=False) one —
+    # a normalized append into a raw-space index would encode garbage.
+    if meta.get("normalize", True):
+        vn = _normalized(batch, meta["vec_col"], id_col, label_col)
+    else:
+        vn = batch.select(
+            *keys, _as_double(F.col(meta["vec_col"])).alias("vn")
+        )
     (
-        _assign_and_encode(vn, keys, meta["centroids"], meta["books"], id_col)
+        _assign_and_encode(
+            vn, keys, meta["centroids"], meta["books"], id_col,
+            by_residual=meta.get("by_residual", False),
+        )
         .write.mode("append")
         .partitionBy("centroid_id")
         .parquet(path)

@@ -59,6 +59,50 @@ def _normalized(vectors: DataFrame, vec_col: str, id_col: str, label_col: str | 
     )
 
 
+def _fit_books(
+    vn_frame: DataFrame,
+    m: int,
+    k: int,
+    seed: int,
+    max_iter: int,
+    opname: str = "pq_train",
+) -> list[list[list[float]]]:
+    """The codebook-fitting loop over a frame carrying a ``vn`` vector
+    column (whatever space the caller chose: normalized vectors for
+    flat PQ, coarse residuals for by-residual IVF-PQ): m bounded
+    spark.ml KMeans fits, one per dim/m-wide slice. Returned model
+    state is m×k×(dim/m) floats on the driver — the k-means centroid
+    contract. dim must be divisible by m (fails loudly)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vn = vn_frame.persist()
+    try:
+        head = vn.select(F.size("vn").alias("d")).head()
+        if head is None:
+            raise ValueError(f"{opname}: empty input")
+        dim = int(head["d"])
+        if dim % m != 0:
+            raise ValueError(f"{opname}: dim {dim} not divisible by m {m}")
+        sub = dim // m
+        books: list[list[list[float]]] = []
+        for j in range(m):
+            feats = vn.select(
+                array_to_vector(
+                    F.expr(f"slice(vn, {j * sub + 1}, {sub})")
+                ).alias("features")
+            )
+            model = KMeans(
+                k=k, seed=seed + j, maxIter=max_iter, featuresCol="features"
+            ).fit(feats)
+            books.append(
+                [[float(x) for x in c] for c in model.clusterCenters()]
+            )
+        return books
+    finally:
+        vn.unpersist()
+
+
 def pq_train(
     vectors: DataFrame,
     m: int = 16,
@@ -70,35 +114,11 @@ def pq_train(
 ) -> list[list[list[float]]]:
     """Fit the per-subspace codebooks: ``codebooks[j][c]`` is centroid
     ``c`` of subspace ``j`` (each a dim/m-wide subvector of the
-    L2-NORMALIZED input). m bounded spark.ml KMeans fits; the returned
-    model state is m×k×(dim/m) floats on the driver — the k-means
-    centroid contract. dim must be divisible by m (fails loudly)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    vn = _normalized(vectors, vec_col, id_col, None).persist()
-    head = vn.select(F.size("vn").alias("d")).head()
-    if head is None:
-        vn.unpersist()
-        raise ValueError("pq_train: empty input")
-    dim = int(head["d"])
-    if dim % m != 0:
-        vn.unpersist()
-        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
-    sub = dim // m
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        feats = vn.select(
-            array_to_vector(
-                F.expr(f"slice(vn, {j * sub + 1}, {sub})")
-            ).alias("features")
-        )
-        model = KMeans(
-            k=k, seed=seed + j, maxIter=max_iter, featuresCol="features"
-        ).fit(feats)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
-    vn.unpersist()
-    return books
+    L2-NORMALIZED input). See :func:`_fit_books` for the shared loop
+    (by-residual IVF-PQ fits the same loop over coarse residuals)."""
+    return _fit_books(
+        _normalized(vectors, vec_col, id_col, None), m, k, seed, max_iter
+    )
 
 
 def _books_row(df: DataFrame, books: list[list[list[float]]]) -> DataFrame:

@@ -212,3 +212,51 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 3).try_cast("int").alias("maybe_int"),
         F.try_divide(F.col("n_chars").cast("double"), F.col("doc_id") % 7).alias("safe_div"),
     )
+
+
+@query(
+    "q_pandas_api_agg",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               floor(SUM(n_chars) * 1.0 / COUNT(*) * 10000 + 0.5) / 10000
+                   AS avg_chars
+        FROM documents
+        WHERE lang IS NOT NULL
+        GROUP BY lang
+    """,
+    tags=("api", "pandas"),
+)
+def q_pandas_api_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-on-Spark API surface (``DataFrame.pandas_api()`` →
+    pandas-style groupby/agg → ``to_spark()``), under the SAME oracle
+    gate as every DataFrame query: users migrating pandas pipelines
+    get the pandas dialect while Catalyst still owns the plan — the
+    groupby compiles to the ordinary partial+final HashAggregate, NOT
+    driver-side pandas.
+
+    Two scale rules baked in: ``index_col='doc_id'`` at the conversion
+    (the DEFAULT 'sequence' index attaches a row number via an
+    UNPARTITIONED window — the single-task straggler the repo bans;
+    an explicit index column keeps the plan distributed), and NULL
+    groups are filtered explicitly on BOTH engines (pandas groupby
+    drops NaN keys where SQL GROUP BY keeps NULL — a silent semantic
+    divergence otherwise). The mean quantizes half-up to the 1e-4 grid
+    on both sides (exact-integer division in double on both engines)."""
+    psdf = t(spark, sf_dir, "documents").pandas_api(index_col="doc_id")
+    psdf = psdf[psdf["lang"].notnull()]
+    g = psdf.groupby("lang").agg(
+        n_docs=("source", "count"),
+        total_chars=("n_chars", "sum"),
+        avg_chars=("n_chars", "mean"),
+    )
+    sdf = g.reset_index().to_spark()
+    return sdf.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        (F.floor(F.col("avg_chars") * 1e4 + F.lit(0.5)) / 1e4).alias(
+            "avg_chars"
+        ),
+    )

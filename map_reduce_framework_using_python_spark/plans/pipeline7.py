@@ -886,3 +886,45 @@ def ns_toxicity_tagger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_tagger(held, model, tau=0.3).join(
         held.select("doc_id", "toxic"), "doc_id"
     ).select("doc_id", "toxic", "p_toxic", "flagged")
+
+
+@query(
+    "st_toxicity_gate",
+    oracle=None,
+    tags=("streaming", "pipeline", "quality", "safety", "rows_only"),
+)
+def st_toxicity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toxicity tagging ON INGEST: the held slice of the planted corpus
+    arrives as micro-batches (3 files → 3 AvailableNow batches) and is
+    scored per batch by the tagger FITTED ONCE on the train slice
+    before the stream starts — the frozen-yardstick shape of
+    st_dsir_gate applied to the safety tagger. Per-batch cost: one
+    map-side featurize + the broadcast-coefficient fold; the train
+    slice is never touched after the fit. Rows-only (fitted spark.ml
+    state); drained == one-shot score_tagger pinned in
+    tests/test_quality_model.py. Like every streaming entry, calling
+    this RUNS the drain and returns the materialized verdicts."""
+    import tempfile
+
+    from map_reduce_framework_using_python_spark.operators.quality_model import (
+        planted_toxicity_corpus,
+        train_tagger_weighted,
+    )
+    from map_reduce_framework_using_python_spark.streaming.quality_gate import (
+        tagger_stream,
+    )
+
+    d = planted_toxicity_corpus(spark)
+    train = d.filter(F.col("doc_id") % 4 != 3)
+    held = d.filter(F.col("doc_id") % 4 == 3)
+    model = train_tagger_weighted(train, F.col("toxic"))
+    work = tempfile.mkdtemp(prefix="st_toxicity_")
+    src = f"{work}/held"
+    held.select("doc_id", "text").repartition(3).write.parquet(src)
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    return tagger_stream(
+        stream, model, out_dir=f"{work}/verdicts",
+        checkpoint_dir=f"{work}/ckpt", tau=0.3,
+    )

@@ -190,3 +190,54 @@ def semdecon_stream(
         .parquet(out_dir)
         .dropDuplicates(["vec_id"])
     )
+
+
+_TAG_SCHEMA = "doc_id BIGINT, p_toxic DOUBLE, flagged BOOLEAN"
+
+
+def tagger_stream(
+    batch_stream: DataFrame,
+    model,
+    out_dir: str,
+    checkpoint_dir: str,
+    tau: float = 0.3,
+) -> DataFrame:
+    """Drain ``batch_stream`` through a PRE-FITTED toxicity tagger
+    (operators/quality_model.score_tagger) and return all verdicts —
+    the tagger twin of :func:`gate_stream`: the model is trained once
+    and FROZEN before the stream starts (or every arriving batch would
+    shift the yardstick), each micro-batch costs one map-side
+    hashed-featurize + the broadcast-coefficient fold, and the corpus
+    is never touched after training. The fitted model object lives in
+    the foreachBatch closure, which runs DRIVER-side — scoring embeds
+    only the 256 coefficient literals in the plan, so nothing
+    non-serializable ever reaches a task (the score_quality rule).
+    Same at-least-once sink contract as gate_stream (verdicts are
+    idempotent facts keyed by doc_id; read-back dedups); drained ==
+    one-shot pinned in tests/test_quality_model.py — each verdict
+    depends only on (doc, frozen model), and the flag compares the
+    1e-6-quantized probability to tau, immune to batch boundaries."""
+    spark = batch_stream.sparkSession
+    from map_reduce_framework_using_python_spark.operators.quality_model import (
+        score_tagger,
+    )
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        score_tagger(batch_df, model, tau=tau).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        batch_stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], _TAG_SCHEMA)
+    return (
+        spark.read.schema(_TAG_SCHEMA)
+        .parquet(out_dir)
+        .dropDuplicates(["doc_id"])
+    )

@@ -492,3 +492,167 @@ def test_flat_pq_compact_rolls_back_when_append_lands_in_swap_window(
         for r in spark.read.parquet(os.path.join(path, "codes")).collect()
     }
     assert got == {r["vec_id"] for r in emb.select("vec_id").collect()}
+
+
+def test_sampled_fit_keeps_exactness_and_recall(spark, tmp_path):
+    """fit_fraction trains both quantizers on a deterministic
+    xxhash-sample but encodes EVERYTHING: the full-probe answer stays
+    exactly brute force (the rerank never depends on quantizer
+    quality), recall at the registry knobs stays usable, two builds are
+    identical (hash sampling, no rand()), and every corpus row is in
+    the codes table."""
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        build_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "sampled")
+    build_ivfpq_index(
+        emb, path, n_centroids=8, m=8, k=8, seed=42, fit_fraction=0.5
+    )
+    assert spark.read.parquet(path).count() == emb.count()
+    got = ivfpq_topk_indexed(emb, path, 0, topk=10, n_probe=8, shortlist=600)
+    exact = cosine_topk_bruteforce(emb, 0, k=10).collect()
+    g = {r["vec_id"]: r["cosine"] for r in got.collect()}
+    e = {r["vec_id"]: r["cosine"] for r in exact}
+    assert g == e
+    # deterministic across rebuilds
+    path2 = str(tmp_path / "sampled2")
+    build_ivfpq_index(
+        emb, path2, n_centroids=8, m=8, k=8, seed=42, fit_fraction=0.5
+    )
+    assert _codes_rows(spark, path) == _codes_rows(spark, path2)
+    # recall sanity at a realistic probe (quantizers fitted on half the
+    # corpus still route usefully on this unstructured worst case)
+    got6 = {
+        r["vec_id"]
+        for r in ivfpq_topk_indexed(
+            emb, path, 0, topk=10, n_probe=6, shortlist=150
+        ).collect()
+    }
+    assert len(got6 & set(e)) / 10 >= 0.7
+
+
+def test_residual_encoding_exactness_recall_and_append(spark, tmp_path):
+    """by_residual=True (the FAISS IVFADC default): full-probe answers
+    stay exactly brute force (per-cell ADC tables change the shortlist
+    path, never the rerank), recall at the registry knobs passes the
+    same ≥0.9-min pin as the non-residual form (measured parity on the
+    uniform synthetic vectors), the batched probe matches the
+    single-query form, and appends still commute across batch splits
+    (the residual is a row-local function of the frozen assignment)."""
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        build_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "res")
+    build_ivfpq_index(
+        emb, path, n_centroids=16, m=16, k=16, seed=42, by_residual=True
+    )
+    # exactness under full probe
+    got = ivfpq_topk_indexed(emb, path, 0, topk=10, n_probe=16, shortlist=600)
+    exact = cosine_topk_bruteforce(emb, 0, k=10).collect()
+    g = {r["vec_id"]: r["cosine"] for r in got.collect()}
+    e = {r["vec_id"]: r["cosine"] for r in exact}
+    assert g == e
+    # registry-knob recall pin (same sweep as the non-residual test)
+    recalls = []
+    for qid in (0, 7, 29, 101, 444):
+        rg = {
+            r["vec_id"]
+            for r in ivfpq_topk_indexed(emb, path, qid, topk=10, **KNOBS).collect()
+        }
+        re_ = {
+            r["vec_id"]
+            for r in cosine_topk_bruteforce(emb, qid, k=10).collect()
+        }
+        recalls.append(len(rg & re_) / 10)
+    assert min(recalls) >= 0.9, recalls
+    # batched == single-query on the residual path too
+    batch = ivfpq_probe_index_batch(
+        spark, emb.filter(F.col("vec_id").isin([0, 37])), path, emb,
+        k=10, **KNOBS,
+    ).collect()
+    for qid in (0, 37):
+        got_b = sorted(
+            (r["vec_id"], r["label"], r["cosine"])
+            for r in batch if r["q_id"] == qid
+        )
+        single = sorted(
+            map(tuple,
+                ivfpq_topk_indexed(emb, path, qid, topk=10, **KNOBS).collect())
+        )
+        assert got_b == single, qid
+    # append commutes across batch splits
+    head = emb.filter(F.col("vec_id") < 300)
+    t1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    t2 = emb.filter(F.col("vec_id") >= 400)
+    split = str(tmp_path / "rsplit")
+    joint = str(tmp_path / "rjoint")
+    build_ivfpq_index(
+        head, split, n_centroids=8, m=8, k=8, seed=7, by_residual=True
+    )
+    append_to_ivfpq_index(t1, split)
+    append_to_ivfpq_index(t2, split)
+    build_ivfpq_index(
+        head, joint, n_centroids=8, m=8, k=8, seed=7, by_residual=True
+    )
+    append_to_ivfpq_index(t1.unionByName(t2), joint)
+    assert _codes_rows(spark, split) == _codes_rows(spark, joint)
+
+
+def test_residual_wins_on_clustered_corpus(spark, tmp_path):
+    """The planted-structure experiment behind the by_residual
+    docstring claim: on a CLUSTERED corpus (8 well-separated Gaussian
+    centers, the shape real embeddings have), residual codes beat
+    plain codes decisively at tight probes — measured mean recall@10
+    0.96 vs 0.77 at (n_probe=1, R=30), min 0.9 vs 0.5 — because the
+    coarse cell absorbs each cluster's center and the codebooks spend
+    their bits on the intra-cluster fine structure. On the uniform
+    synthetic corpus the two are parity (see the registry-knob test);
+    TOGETHER the two results are the honest statement of when residual
+    matters. Deterministic corpus (seeded random.Random)."""
+    import random
+
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        build_ivfpq_index,
+    )
+
+    rng = random.Random(5)
+    centers = [[rng.gauss(0, 1) * 4 for _ in range(64)] for _ in range(8)]
+    rows = []
+    for i in range(480):
+        c = centers[i % 8]
+        rows.append((i, [x + rng.gauss(0, 0.3) for x in c], i % 8))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    pn = str(tmp_path / "nores")
+    pr = str(tmp_path / "res")
+    build_ivfpq_index(emb, pn, n_centroids=8, m=16, k=16, seed=42)
+    build_ivfpq_index(
+        emb, pr, n_centroids=8, m=16, k=16, seed=42, by_residual=True
+    )
+    qids = [0, 1, 2, 3, 4, 5, 6, 7, 100, 200]
+    exact = {
+        q: {r["vec_id"] for r in cosine_topk_bruteforce(emb, q, k=10).collect()}
+        for q in qids
+    }
+
+    def mean_recall(path):
+        rec = []
+        for q in qids:
+            got = {
+                r["vec_id"]
+                for r in ivfpq_topk_indexed(
+                    emb, path, q, topk=10, n_probe=1, shortlist=30
+                ).collect()
+            }
+            rec.append(len(got & exact[q]) / 10)
+        return sum(rec) / len(rec), min(rec)
+
+    mean_n, _ = mean_recall(pn)
+    mean_r, min_r = mean_recall(pr)
+    assert mean_r >= mean_n + 0.1, (mean_r, mean_n)
+    assert mean_r >= 0.9 and min_r >= 0.8, (mean_r, min_r)

@@ -475,3 +475,16 @@ def test_ivfpq_topk_partition_pruned_codes_scan(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pandas_api_agg_compiles_to_distributed_hashaggregate(spark):
+    """The pandas-on-Spark query (r11) must compile to the ordinary
+    partial+final HashAggregate with ONE exchange and ZERO windows —
+    the default 'sequence' index would attach an unpartitioned-window
+    row number (the single-task straggler); index_col= keeps the plan
+    distributed, and this pins it."""
+    plan = _plan(spark, "q_pandas_api_agg")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert _exchanges(plan) == 1, plan
+    assert "Window [" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -181,3 +181,26 @@ def test_weighted_trainer_guards_single_class(spark):
     )
     with _pytest.raises(ValueError, match="single-class"):
         train_tagger_weighted(docs, F.col("toxic"))
+
+
+def test_toxicity_stream_equals_one_shot(spark):
+    """The streaming tagger gate (st_toxicity_gate) must drain to
+    exactly the one-shot score_tagger verdicts over the same held
+    slice under the same frozen model — each verdict depends only on
+    (doc, model), so micro-batch boundaries cannot change it."""
+    from map_reduce_framework_using_python_spark.operators.quality_model import (
+        planted_toxicity_corpus,
+        score_tagger,
+        train_tagger_weighted,
+    )
+    from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+
+    streamed = REGISTRY["st_toxicity_gate"].fn(spark, "unused").collect()
+    d = planted_toxicity_corpus(spark)
+    model = train_tagger_weighted(
+        d.filter(F.col("doc_id") % 4 != 3), F.col("toxic")
+    )
+    oneshot = score_tagger(
+        d.filter(F.col("doc_id") % 4 == 3), model, tau=0.3
+    ).collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, oneshot))
