@@ -58,6 +58,105 @@ def _read_meta(path: str) -> dict:
         return json.load(fh)
 
 
+#: Subdirectory holding delete tombstones. Underscore-prefixed, so the
+#: plain ``spark.read.parquet(<index dir>)`` code scans every probe
+#: runs never see it as data — the tombstone set is consulted
+#: explicitly via :func:`_apply_tombstones`.
+TOMBSTONE_DIR = "_tombstones"
+
+
+def _tombstone_base(path: str) -> tuple[str, str]:
+    """(directory that holds ``_tombstones``, id column name) for any
+    index lane: partitioned lanes (LSH/IVF/IVF-PQ) keep tombstones
+    inside the index dir beside ``_ann_meta.json``; the flat PQ lane
+    (``codes/`` + ``codebooks.json``, operators/pq.py) keeps them
+    inside ``codes/`` so they ride the same compaction swap."""
+    if os.path.exists(os.path.join(path, "_ann_meta.json")):
+        return path, _read_meta(path)["id_col"]
+    books = os.path.join(path, "codebooks.json")
+    if os.path.exists(books):
+        with open(books) as fh:
+            meta = json.load(fh)
+        if meta.get("kind") == "pq":
+            return os.path.join(path, "codes"), meta["id_col"]
+    raise ValueError(f"not an ANN index (no meta sidecar): {path}")
+
+
+def delete_from_index(ids, path: str, spark: SparkSession | None = None) -> None:
+    """Mark ids as deleted in ANY persisted index lane (LSH / IVF /
+    IVF-PQ / flat PQ) — the missing third lifecycle verb beside append
+    and compact. Deletes are TOMBSTONES (the Lucene live-docs / Delta
+    deletion-vector design): the id set lands as parquet under
+    ``_tombstones/`` inside the layout, every probe anti-joins the
+    broadcast tombstone set before scoring, and the next compaction
+    physically purges the tombstoned rows AND retires the tombstones in
+    the same atomic two-rename swap. Nothing rewrites data files at
+    delete time — at 100 TB a delete must cost O(|deleted ids|), never
+    a layout rewrite.
+
+    ``ids``: a DataFrame whose FIRST column is the id (any name — it is
+    renamed to the index's id column), or a plain Python list/tuple of
+    ids (requires ``spark``). Deleting an id that was never indexed is
+    a harmless no-op at probe time.
+
+    Contract (pinned in tests/test_ann_delete.py):
+
+    * at-least-once safe — replayed deletes append duplicate tombstone
+      rows; probes read the DISTINCT id set, so replays are idempotent;
+    * a tombstone beats every copy of the id, including copies APPENDED
+      AFTER the delete — un-deleting an id requires compacting first
+      (purges rows and tombstones together), then re-appending;
+    * tombstones are a *recent-deletes* set sized for broadcast (the
+      probe-side anti-join). An unboundedly growing delete log is the
+      signal to compact, which folds it into the layout and empties it;
+    * deletes follow the same QUIESCENCE rule as appends during
+      compaction — the swap guard snapshots tombstone files too, so a
+      delete landing mid-compaction aborts the swap rather than being
+      silently resurrected (the tmp rewrite carries no tombstones).
+
+    Like the append verbs, a delete drops the ``src`` pristine-build
+    fingerprint (fail-safe-first: before the tombstone write), so
+    cached-index users rebuild rather than serving a mutated layout as
+    pristine."""
+    base, id_col = _tombstone_base(path)
+    if os.path.exists(os.path.join(path, "_ann_meta.json")):
+        meta = _read_meta(path)
+        if meta.pop("src", None) is not None:
+            _write_meta(path, meta)
+    if not isinstance(ids, DataFrame):
+        if spark is None:
+            raise ValueError(
+                "delete_from_index: a plain id list needs spark="
+            )
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} bigint"
+        )
+    ts = ids.select(F.col(ids.columns[0]).alias(id_col))
+    ts.write.mode("append").parquet(os.path.join(base, TOMBSTONE_DIR))
+
+
+def _has_tombstones(base: str) -> bool:
+    tp = os.path.join(base, TOMBSTONE_DIR)
+    return os.path.isdir(tp) and any(
+        f.endswith(".parquet") for f in os.listdir(tp)
+    )
+
+
+def _apply_tombstones(df: DataFrame, base: str, id_col: str) -> DataFrame:
+    """Anti-join ``df`` against the index's broadcast tombstone set —
+    a no-op (the unchanged plan) when no delete has ever landed, so
+    probe plans on delete-free indexes are byte-identical to before
+    the delete verb existed."""
+    if not _has_tombstones(base):
+        return df
+    ts = (
+        df.sparkSession.read.parquet(os.path.join(base, TOMBSTONE_DIR))
+        .select(F.col(id_col))
+        .distinct()
+    )
+    return df.join(F.broadcast(ts), id_col, "left_anti")
+
+
 def build_lsh_index(
     df: DataFrame,
     path: str,
@@ -142,7 +241,10 @@ def lsh_topk_indexed(
         if sum(x * y for x, y in zip(query, p)) >= 0:
             qbits |= 1 << i
     probe = sorted(set(_hamming_ball(qbits, meta["n_planes"], probe_hamming)))
-    corpus = spark.read.parquet(path).filter(F.col("bucket").isin(probe))
+    corpus = _apply_tombstones(
+        spark.read.parquet(path).filter(F.col("bucket").isin(probe)),
+        path, id_col,
+    )
     if exclude_id is not None:
         corpus = corpus.filter(F.col(id_col) != exclude_id)
     scored = cosine_scores(corpus, query, meta["vec_col"])
@@ -250,7 +352,10 @@ def ivf_topk_indexed(
         key=lambda i: sum((a - b) ** 2 for a, b in zip(query, centroids[i])),
     )
     probe = by_dist[:n_probe]
-    corpus = spark.read.parquet(path).filter(F.col("centroid_id").isin(probe))
+    corpus = _apply_tombstones(
+        spark.read.parquet(path).filter(F.col("centroid_id").isin(probe)),
+        path, id_col,
+    )
     if exclude_id is not None:
         corpus = corpus.filter(F.col(id_col) != exclude_id)
     scored = cosine_scores(corpus, query, meta["vec_col"])
@@ -467,9 +572,22 @@ def _compact_partitioned_index(
     meta = _read_meta(path) if has_meta else None
 
     def _data_files(base: str) -> set[str]:
+        # Tombstone part files are part of the snapshot: a DELETE that
+        # lands mid-compaction must abort the swap exactly like an
+        # append — the tmp rewrite carries no tombstones, so a missed
+        # one would silently RESURRECT its rows.
         out = set()
+        tdir = os.path.join(base, TOMBSTONE_DIR)
+        if os.path.isdir(tdir):
+            out |= {
+                f"{TOMBSTONE_DIR}/{f}"
+                for f in os.listdir(tdir)
+                if f.endswith(".parquet")
+            }
         if part_col is None:
-            return {f for f in os.listdir(base) if f.endswith(".parquet")}
+            return out | {
+                f for f in os.listdir(base) if f.endswith(".parquet")
+            }
         for d in os.listdir(base):
             if d.startswith(f"{part_col}="):
                 for f in os.listdir(os.path.join(base, d)):
@@ -479,6 +597,17 @@ def _compact_partitioned_index(
 
     snapshot = _data_files(path)
     deduped = spark.read.parquet(path).dropDuplicates()
+    if _has_tombstones(path):
+        # Physical purge: compaction is where tombstones become real —
+        # the rewrite drops the tombstoned rows, and because the tmp
+        # layout carries no _tombstones dir, the committed swap retires
+        # the delete log in the same atomic rename. The tombstone
+        # column is named the index's id column by delete_from_index.
+        ts = spark.read.parquet(os.path.join(path, TOMBSTONE_DIR))
+        deduped = deduped.join(
+            F.broadcast(ts.select(ts.columns[0]).distinct()),
+            ts.columns[0], "left_anti",
+        )
     if part_col is None:
         deduped.repartition(write_partitions).write.mode("overwrite").parquet(tmp)
     else:
@@ -680,6 +809,7 @@ def lsh_probe_index_batch(
         F.col(id_col), F.col(label_col), v.alias("v"),
         l2_norm(v).alias("vnorm"), F.col("bucket"),
     )
+    idx = _apply_tombstones(idx, path, id_col)
     if exclude_query_ids:
         idx = idx.join(
             F.broadcast(queries.select(F.col(id_col))), id_col, "left_anti"
@@ -963,6 +1093,7 @@ def ivf_probe_index_batch(
         F.col(id_col), F.col(label_col), v.alias("v"), l2_norm(v).alias("vnorm"),
         F.col("centroid_id"),
     )
+    idx = _apply_tombstones(idx, path, id_col)
     if exclude_query_ids:
         idx = idx.join(
             F.broadcast(queries.select(F.col(id_col))), id_col, "left_anti"

@@ -65,6 +65,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_framework_using_python_spark.operators.ann_index import (
     MAX_LITERAL_CENTROIDS,
+    _apply_tombstones,
     _centroid_dist_structs,
     _compact_partitioned_index,
     _nearest_centroids_join,
@@ -432,7 +433,10 @@ def ivfpq_topk_indexed(
     )
     probe = by_dist[:n_probe]
     spark = vectors.sparkSession
-    codes = spark.read.parquet(path).filter(F.col("centroid_id").isin(probe))
+    codes = _apply_tombstones(
+        spark.read.parquet(path).filter(F.col("centroid_id").isin(probe)),
+        path, id_col,
+    )
     adc = F.expr(
         "aggregate(zip_with(codes, tbl,"
         " (c, row) -> element_at(row, c + 1)), 0D, (acc, x) -> acc + x)"
@@ -492,6 +496,7 @@ def ivfpq_probe_index_batch(
     shortlist: int = 100,
     exclude_query_ids: bool = False,
     grid_order: bool = False,
+    code_filter: F.Column | None = None,
 ) -> DataFrame:
     """Batched multi-query IVFADC — the IVF-PQ twin of
     ``ivf_probe_index_batch``: every query vector in ``queries`` gets
@@ -518,7 +523,16 @@ def ivfpq_probe_index_batch(
     BOTH the ADC shortlist and the final rerank on the half-up 1e-6
     grid (ties → id) and emits the quantized cosine, so the two
     engines agree at last-ulp ties; default False keeps raw ordering,
-    pinned equal to :func:`ivfpq_topk_indexed`."""
+    pinned equal to :func:`ivfpq_topk_indexed`.
+
+    ``code_filter``: attribute-filtered search — a predicate over the
+    columns stored in the index (id, label), applied INSIDE the probed
+    cells before ADC scoring (pre-filtering), so every shortlist slot
+    goes to an eligible row. Exactness pinned at full probe vs the
+    brute-force filtered top-k in tests/test_ann_delete.py; the
+    full-oracle form is ns_ivfpq_filtered_lloyd. Tombstoned ids
+    (:func:`~.ann_index.delete_from_index`) are dropped the same way on
+    every probe form."""
     from pyspark.sql import Window
 
     meta = _ivfpq_meta(path)
@@ -595,9 +609,23 @@ def ivfpq_probe_index_batch(
     probed_cids = [
         r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
     ]
-    codes = spark.read.parquet(path).filter(
-        F.col("centroid_id").isin(probed_cids)
+    codes = _apply_tombstones(
+        spark.read.parquet(path).filter(
+            F.col("centroid_id").isin(probed_cids)
+        ),
+        path, id_col,
     )
+    if code_filter is not None:
+        # Attribute-filtered search, PRE-filter style (the vector-DB
+        # term): the predicate evaluates against the columns STORED in
+        # the index (id, label) inside the probed cells, before ADC
+        # scoring — so the shortlist spends all its slots on rows that
+        # can actually be answers, instead of post-filtering a mostly-
+        # ineligible top list. A selective predicate shrinks the
+        # eligible pool per cell; size `shortlist`/`n_probe` for the
+        # FILTERED density, not the raw one (the standard filtered-ANN
+        # over-fetch rule).
+        codes = codes.filter(code_filter)
     if exclude_query_ids:
         codes = codes.join(
             F.broadcast(queries.select(F.col(id_col))), id_col, "left_anti"

@@ -356,7 +356,17 @@ def pq_topk_indexed(
         raise ValueError(f"not a PQ index: {path}")
     id_col, label_col = meta["id_col"], meta["label_col"]
     keys = [id_col] if label_col is None else [id_col, label_col]
-    codes = vectors.sparkSession.read.parquet(os.path.join(path, "codes"))
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        _apply_tombstones,
+    )
+
+    # Tombstoned ids (delete_from_index — the flat lane keeps its
+    # delete log inside codes/) drop before ADC scoring, so a deleted
+    # id can never hold a shortlist slot; compact_pq_index purges them.
+    codes = _apply_tombstones(
+        vectors.sparkSession.read.parquet(os.path.join(path, "codes")),
+        os.path.join(path, "codes"), id_col,
+    )
     q = _query_vector(vectors, vec_col, id_col, query_vec_id)
     short = (
         pq_adc_scores(codes, meta["books"], q)

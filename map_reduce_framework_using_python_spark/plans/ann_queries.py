@@ -468,7 +468,7 @@ def _ensure_ivfpq_lloyd(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-def _ivfpq_probe_oracle() -> str:
+def _ivfpq_probe_oracle(codes_join: str = "", codes_pred: str = "") -> str:
     """Full DuckDB oracle for the Lloyd-quantizer IVF-PQ batch probe —
     the first PQ query under the hash gate. The deterministic k-means
     CTE chain reproduces the COARSE quantizer (the same chain
@@ -478,7 +478,14 @@ def _ivfpq_probe_oracle() -> str:
     grid-quantized exact-cosine rerank are then plain SQL. Every float
     the two engines must agree on rides either the proven
     list_sum/aggregate fold equivalence (assignments, distances) or the
-    half-up 1e-6 grid (shortlist and rerank ordering)."""
+    half-up 1e-6 grid (shortlist and rerank ordering).
+
+    ``codes_join`` / ``codes_pred`` restrict the candidate code rows —
+    the oracle twin of the Spark side's ``code_filter`` (attribute
+    pre-filtering, ns_ivfpq_filtered_lloyd) and of a tombstoned id set
+    (``delete_from_index``, ns_ann_delete_probe): both verbs reduce to
+    "these code rows are not candidates", which in SQL is exactly a
+    predicate on the codes CTE."""
     from map_reduce_framework_using_python_spark.plans.clustering_queries import (
         _kmeans_ctes,
         _sqdist_sql,
@@ -522,7 +529,7 @@ def _ivfpq_probe_oracle() -> str:
                WHERE cr <= {n_probe}),
         codes AS (SELECT a.vec_id, a.cluster AS centroid_id, {code_cols}
                   FROM ca{nc} a
-{code_joins}),
+{code_joins}{codes_join}{codes_pred}),
         cand AS (SELECT pr.q_id, pr.qv, d.vec_id,
                         ({adc_terms}) AS adc
                  FROM pr JOIN codes d ON d.centroid_id = pr.cluster
@@ -585,6 +592,91 @@ def ns_ivfpq_probe_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         emb.filter((F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 18500)),
         path,
+        emb,
+        k=10,
+        n_probe=2,
+        shortlist=50,
+        grid_order=True,
+    )
+
+
+@query(
+    "ns_ivfpq_filtered_lloyd",
+    oracle=_ivfpq_probe_oracle(
+        codes_join="\n            JOIN embeddings el ON el.vec_id = a.vec_id",
+        codes_pred="\n            WHERE el.label % 2 = 0",
+    ),
+    tags=("northstar", "similarity", "sketch", "index", "batch"),
+)
+def ns_ivfpq_filtered_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED IVF-PQ batch probe — top-10 among only the
+    even-label vectors (pre-filtering: the predicate evaluates against
+    the label column STORED in the index, inside the probed cells,
+    before ADC scoring, so every shortlist slot goes to an eligible
+    row — the vector-DB filtered-search shape). Same Lloyd-built index,
+    grid ordering, and oracle replay as ns_ivfpq_probe_lloyd; the
+    oracle adds the identical predicate to the candidate code rows, so
+    the filter's interaction with routing, the shortlist, and the
+    rerank is hash-gated end to end, not just recall-pinned."""
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        ivfpq_probe_index_batch,
+    )
+
+    path = _ensure_ivfpq_lloyd(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    return ivfpq_probe_index_batch(
+        spark,
+        emb.filter((F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 18500)),
+        path,
+        emb,
+        k=10,
+        n_probe=2,
+        shortlist=50,
+        grid_order=True,
+        code_filter=F.col("label") % 2 == 0,
+    )
+
+
+@query(
+    "ns_ann_delete_probe",
+    oracle=_ivfpq_probe_oracle(
+        codes_pred="\n            WHERE a.vec_id % 7 <> 3",
+    ),
+    tags=("northstar", "similarity", "sketch", "index", "batch"),
+)
+def ns_ann_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe an index that has absorbed DELETES — the tombstone verb
+    (operators/ann_index.delete_from_index) under the full DuckDB hash
+    gate. The cached Lloyd IVF-PQ index is copied to a scratch dir (the
+    cached layout stays pristine for the other queries), every vec_id ≡
+    3 (mod 7) is tombstoned (~14% of the corpus — a broadcast-sized
+    delete log), and the standard batched probe runs: the tombstone
+    anti-join drops deleted ids before ADC scoring, so none can hold a
+    shortlist slot. The oracle is the full IVFADC replay with the
+    deleted ids excluded from the candidate code rows — routing, ADC,
+    shortlist and rerank must all re-settle around the survivors for
+    the hashes to match. Physical purge (compaction) and the
+    un-delete contract are pinned in tests/test_ann_delete.py."""
+    import shutil
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        delete_from_index,
+    )
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        ivfpq_probe_index_batch,
+    )
+
+    src = _ensure_ivfpq_lloyd(spark, sf_dir)
+    work = os.path.join(_scratch_dir("ns_ann_delete_"), "ivfpq")
+    shutil.copytree(src, work)
+    emb = t(spark, sf_dir, "embeddings")
+    delete_from_index(
+        emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"), work
+    )
+    return ivfpq_probe_index_batch(
+        spark,
+        emb.filter((F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 18500)),
+        work,
         emb,
         k=10,
         n_probe=2,

@@ -166,6 +166,8 @@ AUDIT = (
     # broadcast join-back for the exact rerank (both fits run at plan
     # build, bounded model actions)
     "ns_ivfpq_topk",
+    "ns_ivfpq_filtered_lloyd",
+    "ns_ann_delete_probe",
 )
 
 
