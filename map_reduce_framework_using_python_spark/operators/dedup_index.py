@@ -94,6 +94,83 @@ def _drop_src_fingerprint(path: str) -> None:
         _write_meta(path, meta)
 
 
+#: Live-layout subdirectory per index kind (None = the MinHash band
+#: table, whose meta predates the ``kind`` key).
+_LIVE_SUB = {None: "buckets", "minhash": "buckets",
+             "paragraph": "digests", "shingle": "digests"}
+
+
+def retract_docs_from_index(ids, path: str, spark: SparkSession | None = None) -> None:
+    """Retract documents from a persisted dedup index (MinHash band /
+    paragraph-digest / shingle-span) — the takedown verb a real
+    training-data pipeline needs: after a deletion request, the
+    retracted document's sketch rows must stop influencing every later
+    dedup verdict (a re-ingest of the same content screens as FRESH,
+    not as a duplicate of a document that no longer exists).
+
+    Same tombstone design as the ANN lanes
+    (:func:`~.ann_index.delete_from_index`): the doc-id set lands as an
+    O(|retracted|) parquet log under ``_tombstones/`` inside the live
+    layout — no data-file rewrite at retract time — every incremental
+    probe anti-joins the broadcast DISTINCT tombstone set before
+    matching, and the next compaction physically purges the retracted
+    docs' instance rows AND retires the log in the same atomic swap.
+    After purge the layout holds exactly the rows of
+    build(corpus minus retracted) — instance rows are row-local, so
+    the equality is EXACT (pinned in tests/test_dedup_retract.py).
+
+    Witness-capped DERIVED layouts refuse retraction (like appends):
+    the cap already discarded the rows that would be promoted when a
+    witness disappears — retract from the exact index and re-run the
+    prune (which applies tombstones, so a fresh derived layout never
+    resurrects a retracted witness).
+
+    ``ids``: a DataFrame whose FIRST column is the doc id (renamed to
+    the index's id column), or a plain list/tuple (requires
+    ``spark``). Retraction follows the append QUIESCENCE rule during
+    compaction — the swap guard snapshots tombstone files too."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        TOMBSTONE_DIR,
+    )
+
+    meta = read_meta(path)
+    if "witness_cap" in meta:
+        raise ValueError(
+            "retract_docs_from_index: target is a witness-capped DERIVED "
+            "layout — retract from the exact index and re-run the prune"
+        )
+    # The tombstone column must match the STORED layout's id column:
+    # the MinHash band table keeps the source id name, while the
+    # paragraph/shingle instance tables normalize to 'doc_id'
+    # (_paragraph_instances / _SHINGLE_IDX_SCHEMA).
+    kind = meta.get("kind")
+    id_col = meta["id_col"] if kind in (None, "minhash") else "doc_id"
+    live = os.path.join(path, _LIVE_SUB[kind])
+    _drop_src_fingerprint(path)
+    if not isinstance(ids, DataFrame):
+        if spark is None:
+            raise ValueError("retract_docs_from_index: a plain id list needs spark=")
+        ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} bigint")
+    ids.select(F.col(ids.columns[0]).alias(id_col)).write.mode("append").parquet(
+        os.path.join(live, TOMBSTONE_DIR)
+    )
+
+
+def _live_rows(idx: DataFrame, path: str, kind_key, id_col: str) -> DataFrame:
+    """Apply the index's tombstone set (if any) to a live-layout scan —
+    the one seam every incremental probe and prune pass reads through,
+    so a retracted doc can never influence a verdict or survive into a
+    derived layout. A no-op (the unchanged plan) on retraction-free
+    indexes."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        _apply_tombstones,
+    )
+
+    return _apply_tombstones(
+        idx, os.path.join(path, _LIVE_SUB[kind_key]), id_col
+    )
+
+
 def build_minhash_index(
     corpus: DataFrame,
     path: str,
@@ -204,8 +281,11 @@ def prune_index_witnesses(
             "still scanning and destroy the exact index"
         )
     meta = read_meta(path)
-    idx = spark.read.schema(f"{meta['id_col']} BIGINT, key BIGINT, band INT").parquet(
-        os.path.join(path, "buckets")
+    idx = _live_rows(
+        spark.read.schema(
+            f"{meta['id_col']} BIGINT, key BIGINT, band INT"
+        ).parquet(os.path.join(path, "buckets")),
+        path, meta.get("kind"), meta["id_col"],
     )
     wb = Window.partitionBy("band", "key").orderBy(F.col(meta["id_col"]))
     (
@@ -234,6 +314,7 @@ def _swap_compact(
     schema: str,
     write_partitions: int,
     opname: str,
+    _test_hook_pre_swap=None,
 ) -> None:
     """The shared compaction swap machine (one copy, not three — the
     round-7 review caught the ANN/bucket/paragraph copies drifting):
@@ -266,8 +347,25 @@ def _swap_compact(
     sentinel = "_swap_pending"
     committed = "_swap_committed"
 
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        TOMBSTONE_DIR,
+        _has_tombstones,
+    )
+
     def _data_files(base: str) -> set[str]:
+        # Tombstone part files (retract_docs_from_index) are part of
+        # the snapshot: a retraction landing mid-compaction must abort
+        # the swap exactly like an append — the tmp rewrite carries no
+        # tombstones, so a missed one would silently RESURRECT its
+        # instance rows.
         out = set()
+        tdir = os.path.join(base, TOMBSTONE_DIR)
+        if os.path.isdir(tdir):
+            out |= {
+                f"{TOMBSTONE_DIR}/{f}"
+                for f in os.listdir(tdir)
+                if f.endswith(".parquet")
+            }
         for d in os.listdir(base):
             if d.startswith(f"{part_col}="):
                 for f in os.listdir(os.path.join(base, d)):
@@ -319,10 +417,19 @@ def _swap_compact(
     if os.path.exists(os.path.join(live, committed)):
         os.remove(os.path.join(live, committed))  # stray marker: benign
     snapshot = _data_files(live)
+    rows = spark.read.schema(schema).parquet(live).dropDuplicates()
+    if _has_tombstones(live):
+        # Physical purge of retracted docs: the rewrite drops their
+        # instance rows, and since tmp carries no _tombstones dir, the
+        # committed swap retires the retraction log atomically — after
+        # this, the layout holds exactly build(corpus minus retracted).
+        ts = spark.read.parquet(os.path.join(live, TOMBSTONE_DIR))
+        rows = rows.join(
+            F.broadcast(ts.select(ts.columns[0]).distinct()),
+            ts.columns[0], "left_anti",
+        )
     (
-        spark.read.schema(schema)
-        .parquet(live)
-        .dropDuplicates()
+        rows
         .repartition(write_partitions, part_col)
         .write.mode("overwrite")
         .partitionBy(part_col)
@@ -334,6 +441,11 @@ def _swap_compact(
             f"{opname}: index changed during compaction "
             "(concurrent append?) — quiesce appends and re-run"
         )
+    if _test_hook_pre_swap is not None:
+        # Test seam (tests/test_dedup_retract.py): the window between
+        # the listing re-check and the rename-aside — exactly what the
+        # second check below exists for.
+        _test_hook_pre_swap()
     open(os.path.join(live, sentinel), "w").close()
     os.rename(live, old)
     # Check-then-act closure: a part file that landed between the check
@@ -458,8 +570,11 @@ def incremental_dedup_pairs(
         )
     # Explicit schema: an index built over an EMPTY corpus has no band
     # directories, and schema inference would fail on the bare dir.
-    idx = spark.read.schema(f"{meta['id_col']} BIGINT, key BIGINT, band INT").parquet(
-        os.path.join(path, "buckets")
+    idx = _live_rows(
+        spark.read.schema(
+            f"{meta['id_col']} BIGINT, key BIGINT, band INT"
+        ).parquet(os.path.join(path, "buckets")),
+        path, meta.get("kind"), meta["id_col"],
     )
     if exclude_own:
         idx = idx.join(
@@ -678,8 +793,11 @@ def incremental_paragraph_stats(
     if meta.get("kind") != "paragraph":
         raise ValueError(f"not a paragraph index: {meta.get('kind')!r}")
     inst = _paragraph_instances(batch, text_col, id_col, meta["para_words"])
-    idx = spark.read.schema("doc_id BIGINT, g BIGINT, h STRING, pb INT").parquet(
-        os.path.join(path, "digests")
+    idx = _live_rows(
+        spark.read.schema("doc_id BIGINT, g BIGINT, h STRING, pb INT").parquet(
+            os.path.join(path, "digests")
+        ),
+        path, "paragraph", "doc_id",
     )
     if exclude_own:
         idx = idx.join(
@@ -720,7 +838,8 @@ def incremental_paragraph_stats(
 
 
 def compact_paragraph_index(
-    spark: SparkSession, path: str, write_partitions: int = 8
+    spark: SparkSession, path: str, write_partitions: int = 8,
+    _test_hook_pre_swap=None,
 ) -> None:
     """One file per pb directory + exact-duplicate shedding for the
     paragraph layout (a replayed append's instance rows are exact
@@ -737,6 +856,7 @@ def compact_paragraph_index(
         "doc_id BIGINT, g BIGINT, h STRING, pb INT",
         write_partitions,
         "compact_paragraph_index",
+        _test_hook_pre_swap=_test_hook_pre_swap,
     )
 
 
@@ -779,8 +899,11 @@ def incremental_paragraph_apply(
         raise ValueError(f"not a paragraph index: {meta.get('kind')!r}")
     pw = meta["para_words"]
     inst = _paragraph_instances(batch, text_col, id_col, pw)
-    idx = spark.read.schema("doc_id BIGINT, g BIGINT, h STRING, pb INT").parquet(
-        os.path.join(path, "digests")
+    idx = _live_rows(
+        spark.read.schema("doc_id BIGINT, g BIGINT, h STRING, pb INT").parquet(
+            os.path.join(path, "digests")
+        ),
+        path, "paragraph", "doc_id",
     )
     if exclude_own:
         idx = idx.join(
@@ -855,8 +978,11 @@ def prune_paragraph_index(
     meta = read_meta(path)
     if meta.get("kind") != "paragraph":
         raise ValueError(f"not a paragraph index: {meta.get('kind')!r}")
-    idx = spark.read.schema("doc_id BIGINT, g BIGINT, h STRING, pb INT").parquet(
-        os.path.join(path, "digests")
+    idx = _live_rows(
+        spark.read.schema("doc_id BIGINT, g BIGINT, h STRING, pb INT").parquet(
+            os.path.join(path, "digests")
+        ),
+        path, "paragraph", "doc_id",
     )
     wb = Window.partitionBy("h").orderBy(F.col("doc_id") * _PINST_KEY + F.col("g"))
     (
@@ -999,8 +1125,11 @@ def append_shingles_to_index(
 def _read_shingle_index(
     spark: SparkSession, path: str, meta: dict
 ) -> DataFrame:
-    return spark.read.schema(_SHINGLE_IDX_SCHEMA[meta["digest"]]).parquet(
-        os.path.join(path, "digests")
+    return _live_rows(
+        spark.read.schema(_SHINGLE_IDX_SCHEMA[meta["digest"]]).parquet(
+            os.path.join(path, "digests")
+        ),
+        path, "shingle", "doc_id",
     )
 
 

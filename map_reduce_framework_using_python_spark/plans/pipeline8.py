@@ -700,6 +700,94 @@ def ns_paragraph_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_paragraph_retract_screen",
+    oracle=f"""
+        WITH w0 AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+                    FROM documents),
+             p0 AS (SELECT doc_id,
+                           md5(array_to_string(
+                               list_slice(ws, g * {_PARA_WORDS} + 1,
+                                          g * {_PARA_WORDS} + {_PARA_WORDS}),
+                               ' ')) AS h
+                    FROM w0,
+                         LATERAL unnest(generate_series(
+                             0, (len(ws) + {_PARA_WORDS - 1}) // {_PARA_WORDS} - 1
+                         )) t(g)),
+             bh AS (SELECT DISTINCT h FROM p0
+                    WHERE doc_id % {_PBATCH_MOD} = {_PBATCH_REM}),
+             rx AS (SELECT DISTINCT p0.doc_id FROM p0 JOIN bh USING (h)
+                    WHERE p0.doc_id % {_PBATCH_MOD} <> {_PBATCH_REM}
+                      AND p0.doc_id % 2 = 0),
+             p AS (SELECT * FROM p0
+                   WHERE doc_id % {_PBATCH_MOD} = {_PBATCH_REM}
+                      OR doc_id NOT IN (SELECT doc_id FROM rx)),
+             c AS (SELECT h, count(*) AS cnt FROM p GROUP BY 1)
+        SELECT doc_id,
+               count(*) AS n_paras,
+               CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup,
+               floor(CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+        FROM p JOIN c USING (h)
+        WHERE doc_id % {_PBATCH_MOD} = {_PBATCH_REM}
+        GROUP BY 1
+    """,
+    tags=("northstar", "pipeline", "dedup", "paragraph", "index"),
+)
+def ns_paragraph_retract_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ns_paragraph_screen verdict AFTER a takedown: the cached
+    paragraph index is copied to a scratch dir (the cache stays
+    pristine), every EVEN-id corpus doc that shares a paragraph digest
+    with the batch — i.e. actual dup-partners of arriving docs, the
+    content-derived takedown set — is RETRACTED
+    (operators/dedup_index.retract_docs_from_index: an O(|retracted|)
+    tombstone log, no data rewrite), and the usual batch (≡ 7 mod 16)
+    screens against the survivors. Retracting only the even-id half
+    leaves a MIX of flipped and surviving duplicate verdicts (both
+    measured non-empty at sf0.001 and sf0.01), so the hash gate
+    exercises partial-takedown re-settling, not just all-zeros. The
+    probe's tombstone anti-join must make the verdict EXACTLY the
+    one-shot stats over ((corpus minus retracted) ∪ batch) restricted
+    to batch docs — which is what the oracle states. Physical purge at
+    compaction and retract==never-indexed equality are pinned in
+    tests/test_dedup_retract.py."""
+    import os
+    import shutil
+
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        incremental_paragraph_stats,
+        retract_docs_from_index,
+    )
+    from map_reduce_framework_using_python_spark.plans.ann_queries import (
+        _scratch_dir,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    src = _ensure_paragraph_index(spark, sf_dir)
+    work = os.path.join(_scratch_dir("ns_para_retract_"), "para")
+    shutil.copytree(src, work)
+    inst = _paragraph_instances(d)
+    bh = (
+        inst.filter(F.col("doc_id") % _PBATCH_MOD == _PBATCH_REM)
+        .select("h")
+        .distinct()
+    )
+    rx = (
+        inst.join(bh, "h")
+        .filter(
+            (F.col("doc_id") % _PBATCH_MOD != _PBATCH_REM)
+            & (F.col("doc_id") % 2 == 0)
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    retract_docs_from_index(rx, work)
+    return incremental_paragraph_stats(
+        spark, d.filter(F.col("doc_id") % _PBATCH_MOD == _PBATCH_REM), work
+    )
+
+
+@query(
     "st_paragraph_dedup",
     oracle=None,
     tags=("streaming", "pipeline", "dedup", "paragraph", "index", "rows_only"),
