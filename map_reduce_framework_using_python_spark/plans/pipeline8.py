@@ -699,9 +699,13 @@ def ns_paragraph_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ns_paragraph_retract_screen",
-    oracle=f"""
+#: Shared oracle for the batch and streaming retraction screens: the
+#: ns_paragraph_screen verdict over ((corpus minus retracted) ∪ batch)
+#: where the retracted set is the EVEN-id corpus dup-partners of the
+#: batch — content-derived, and measured to flip SOME verdicts while
+#: keeping others at both test SFs (a vacuous retraction set would
+#: gate nothing).
+_PRETRACT_ORACLE = f"""
         WITH w0 AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
                     FROM documents),
              p0 AS (SELECT doc_id,
@@ -731,7 +735,12 @@ def ns_paragraph_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM p JOIN c USING (h)
         WHERE doc_id % {_PBATCH_MOD} = {_PBATCH_REM}
         GROUP BY 1
-    """,
+    """
+
+
+@query(
+    "ns_paragraph_retract_screen",
+    oracle=_PRETRACT_ORACLE,
     tags=("northstar", "pipeline", "dedup", "paragraph", "index"),
 )
 def ns_paragraph_retract_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -766,13 +775,23 @@ def ns_paragraph_retract_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _ensure_paragraph_index(spark, sf_dir)
     work = os.path.join(_scratch_dir("ns_para_retract_"), "para")
     shutil.copytree(src, work)
+    retract_docs_from_index(_retract_partner_ids(d), work)
+    return incremental_paragraph_stats(
+        spark, d.filter(F.col("doc_id") % _PBATCH_MOD == _PBATCH_REM), work
+    )
+
+
+def _retract_partner_ids(d: DataFrame) -> DataFrame:
+    """The takedown set of the retraction screens: every EVEN-id corpus
+    doc sharing a paragraph digest with the batch (≡ 7 mod 16) — the
+    ``rx`` CTE of :data:`_PRETRACT_ORACLE` in DataFrame form."""
     inst = _paragraph_instances(d)
     bh = (
         inst.filter(F.col("doc_id") % _PBATCH_MOD == _PBATCH_REM)
         .select("h")
         .distinct()
     )
-    rx = (
+    return (
         inst.join(bh, "h")
         .filter(
             (F.col("doc_id") % _PBATCH_MOD != _PBATCH_REM)
@@ -781,7 +800,49 @@ def ns_paragraph_retract_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    retract_docs_from_index(rx, work)
+
+
+@query(
+    "st_paragraph_retract",
+    oracle=_PRETRACT_ORACLE,
+    tags=("streaming", "pipeline", "dedup", "paragraph", "index"),
+)
+def st_paragraph_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ns_paragraph_retract_screen — the takedown
+    QUEUE: deletion requests arrive as a stream (the document stream
+    stream-static-joined to the content-derived partner set), each
+    micro-batch is retracted from the scratch-copied paragraph index
+    via foreachBatch (streaming/ingest.retract_stream — an
+    O(|batch ids|) tombstone append per batch, idempotent under
+    at-least-once replay), and the post-drain screen of the usual
+    batch must equal the one-shot bulk retraction — SAME full DuckDB
+    oracle as the batch form, because the union of per-batch tombstone
+    logs is exactly the one-shot tombstone set. Multi-batch drains and
+    replay idempotence are pinned in tests/test_dedup_retract.py."""
+    import os
+    import shutil
+
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        incremental_paragraph_stats,
+    )
+    from map_reduce_framework_using_python_spark.plans.ann_queries import (
+        _scratch_dir,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ingest import (
+        read_documents_stream,
+        retract_stream,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    base = _scratch_dir("st_para_retract_")
+    work = os.path.join(base, "para")
+    shutil.copytree(_ensure_paragraph_index(spark, sf_dir), work)
+    ids_stream = (
+        read_documents_stream(spark, sf_dir)
+        .select("doc_id")
+        .join(F.broadcast(_retract_partner_ids(d)), "doc_id")
+    )
+    retract_stream(ids_stream, work, os.path.join(base, "ckpt"))
     return incremental_paragraph_stats(
         spark, d.filter(F.col("doc_id") % _PBATCH_MOD == _PBATCH_REM), work
     )

@@ -273,3 +273,45 @@ def span_screen_stream(
         .select("doc_id", "n_positions", "n_dup", "dup_frac")
         .dropDuplicates(["doc_id"])
     )
+
+
+def retract_stream(
+    ids_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Takedown requests on a STREAM: drain ``ids_stream`` (AvailableNow;
+    first column = doc id) and retract each micro-batch's ids from the
+    dedup index at ``index_path`` via
+    :func:`~..operators.dedup_index.retract_docs_from_index` — the
+    continuous form of the deletion-request queue a real training
+    pipeline services. Per-batch cost is O(|batch ids|) (a tombstone
+    append; no data rewrite), and because retraction is IDEMPOTENT
+    (probes read the DISTINCT tombstone set), the foreachBatch
+    at-least-once replay contract needs no extra machinery: a
+    crash-replayed batch re-appends the same ids and nothing changes.
+    Drained == one-shot (the union of per-batch tombstones equals one
+    bulk retraction — pinned in tests/test_dedup_retract.py).
+
+    Ordering note: retraction and index-extending screens share the
+    layout; run takedown drains OUTSIDE screen callbacks (the same
+    quiescence discipline as compaction). A doc retracted in batch i
+    stays invisible to every screen from batch i+1 on; re-appending it
+    later (before a compaction purge) keeps it hidden — the tombstone
+    wins until compact-then-re-append, the documented un-delete."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from map_reduce_framework_using_python_spark.operators.dedup_index import (
+            retract_docs_from_index,
+        )
+
+        if batch_df.head(1):
+            retract_docs_from_index(batch_df, index_path)
+
+    q = (
+        ids_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

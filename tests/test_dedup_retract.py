@@ -205,3 +205,38 @@ def test_retract_list_requires_spark(spark, tmp_path):
     path = build_paragraph_index(docs, str(tmp_path / "idx"))
     with pytest.raises(ValueError, match="needs spark"):
         retract_docs_from_index([1], path)
+
+
+def test_retract_stream_multibatch_equals_bulk_and_replay(spark, tmp_path):
+    """Takedown QUEUE semantics: three micro-batches of retraction ids
+    drain to the same screen as one bulk retraction (tombstone logs
+    union), and re-draining the same ids with a fresh checkpoint (the
+    at-least-once replay shape) changes nothing."""
+    from map_reduce_framework_using_python_spark.streaming.ingest import (
+        retract_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    batch, corpus = _split(docs)
+    bulk = build_paragraph_index(corpus, str(tmp_path / "bulk"))
+    streamed = build_paragraph_index(corpus, str(tmp_path / "streamed"))
+    victims = [r["doc_id"] for r in corpus.select("doc_id").head(9)]
+    retract_docs_from_index(victims, bulk, spark=spark)
+    # Land the ids as three files -> three AvailableNow micro-batches.
+    ids_dir = str(tmp_path / "ids")
+    for i in range(3):
+        spark.createDataFrame(
+            [(v,) for v in victims[i * 3:(i + 1) * 3]], "doc_id bigint"
+        ).coalesce(1).write.mode("append").parquet(ids_dir)
+    stream = (
+        spark.readStream.schema("doc_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ids_dir)
+    )
+    retract_stream(stream, streamed, str(tmp_path / "ckpt1"))
+    got = _stats_rows(incremental_paragraph_stats(spark, batch, streamed))
+    want = _stats_rows(incremental_paragraph_stats(spark, batch, bulk))
+    assert got == want
+    # Replay with a fresh checkpoint: idempotent.
+    retract_stream(stream, streamed, str(tmp_path / "ckpt2"))
+    assert _stats_rows(incremental_paragraph_stats(spark, batch, streamed)) == want
