@@ -535,6 +535,67 @@ def _skew_probe(spark, dst: str, reps: int) -> dict[str, float]:
     return out
 
 
+def _retract_probe(spark, dst: str, reps: int) -> dict[str, float]:
+    """Tombstoned-probe overhead at the 10× replica (r11): the
+    ns_incremental_dedup screen against a COPY of the cached MinHash
+    index with every doc_id ≡ 1 (mod 10) retracted (~10% of the
+    corpus — a deliberately oversized takedown log; real ones compact
+    long before this). The delta vs the clean probe is the cost of one
+    broadcast-anti-join over the distinct tombstone set — the number
+    that justifies "deletes are O(|deleted|), probes stay flat".
+    First recorded r11; seeds the next floor snapshot."""
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        incremental_dedup_pairs,
+        retract_docs_from_index,
+    )
+    from map_reduce_framework_using_python_spark.plans.northstar import (
+        _BATCH_MOD,
+        _BATCH_REM,
+        _ensure_dedup_index,
+    )
+
+    src_idx = _ensure_dedup_index(spark, dst)
+    work = os.path.join(dst, "retract_probe_idx")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(src_idx, work)
+    d = spark.read.parquet(os.path.join(dst, "documents.parquet"))
+    batch = d.filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM)
+    corpus = d.filter(F.col("doc_id") % _BATCH_MOD != _BATCH_REM)
+    rx = corpus.filter(F.col("doc_id") % 10 == 1).select("doc_id")
+    t0 = _time.perf_counter()
+    retract_docs_from_index(rx, work)
+    retract_sec = round(_time.perf_counter() - t0, 3)
+    out: dict[str, float] = {"retract_sec": retract_sec}
+
+    def best(path):
+        b, n = float("inf"), 0
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            n = incremental_dedup_pairs(
+                spark, batch, corpus, path, threshold=0.6
+            ).count()
+            b = min(b, _time.perf_counter() - t0)
+        return round(b, 3), n
+
+    out["clean_exec"], n_clean = best(src_idx)
+    out["tombstoned_exec"], n_tomb = best(work)
+    out["rows_clean"], out["rows_tombstoned"] = n_clean, n_tomb
+    shutil.rmtree(work, ignore_errors=True)
+    print(
+        f"# scale10x_retract clean={out['clean_exec']:.3f}s "
+        f"tombstoned={out['tombstoned_exec']:.3f}s "
+        f"retract={retract_sec:.3f}s "
+        f"({n_clean}->{n_tomb} pairs)",
+        file=sys.stderr,
+    )
+    return out
+
+
 def _dup_probe(spark, dst: str, reps: int) -> dict[str, float]:
     """Hot-bucket LSH wall clock: MinHash-LSH over a boilerplate-heavy
     corpus — the 10× documents replica with 30% of docs overwritten by
@@ -911,6 +972,12 @@ def main() -> None:
 
             # Hot-bucket LSH guard: the boilerplate-heavy corpus row.
             result["scale10x_dup"] = _dup_probe(spark, DST, reps)
+
+            # Takedown overhead guard (r11): the same incremental dedup
+            # probe with ~10% of the corpus tombstoned must cost about
+            # what the clean probe does — the tombstone set rides ONE
+            # broadcast anti-join.
+            result["scale10x_retract"] = _retract_probe(spark, DST, reps)
 
             # IVF k=256 join-form guard: the plan-build number is the
             # one the r8 fix bounded (k-independent); the r9 record

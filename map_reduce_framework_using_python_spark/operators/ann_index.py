@@ -475,6 +475,7 @@ def _compact_partitioned_index(
     _test_hook_pre_swap,
     opname: str,
     _test_hook_post_aside=None,
+    _rewrite=None,
 ) -> None:
     """``part_col=None`` compacts a FLAT (unpartitioned) parquet dir —
     the PQ codes layout (operators/pq.py) — with the identical
@@ -484,7 +485,16 @@ def _compact_partitioned_index(
     A layout whose meta sidecar is kept OUTSIDE the compacted dir
     (PQ keeps ``codebooks.json`` beside ``codes/``) simply has no
     ``_ann_meta.json`` here, and the meta preserve/fingerprint steps
-    no-op."""
+    no-op.
+
+    ``_rewrite``: optional ``f(tmp_path) -> None`` producing the
+    REPLACEMENT layout at ``tmp_path`` instead of the default
+    dedup+tombstone-purge rewrite — the REBUILD verb
+    (:func:`rebuild_ivfpq_index` et al.) rides the identical snapshot
+    guard, two-rename swap, and crash recovery, swapping in a
+    freshly-built layout (new quantizers, its OWN meta — the old meta
+    is not preserved over it) while a mutation landing mid-build still
+    aborts the swap."""
     import shutil
 
     tmp = path.rstrip("/") + "__compact"
@@ -596,29 +606,33 @@ def _compact_partitioned_index(
         return out
 
     snapshot = _data_files(path)
-    deduped = spark.read.parquet(path).dropDuplicates()
-    if _has_tombstones(path):
-        # Physical purge: compaction is where tombstones become real —
-        # the rewrite drops the tombstoned rows, and because the tmp
-        # layout carries no _tombstones dir, the committed swap retires
-        # the delete log in the same atomic rename. The tombstone
-        # column is named the index's id column by delete_from_index.
-        ts = spark.read.parquet(os.path.join(path, TOMBSTONE_DIR))
-        deduped = deduped.join(
-            F.broadcast(ts.select(ts.columns[0]).distinct()),
-            ts.columns[0], "left_anti",
-        )
-    if part_col is None:
-        deduped.repartition(write_partitions).write.mode("overwrite").parquet(tmp)
+    if _rewrite is not None:
+        _rewrite(tmp)
     else:
-        (
-            deduped.repartition(write_partitions, part_col)
-            .write.mode("overwrite")
-            .partitionBy(part_col)
-            .parquet(tmp)
-        )
-    if meta is not None:
-        _write_meta(tmp, meta)
+        deduped = spark.read.parquet(path).dropDuplicates()
+        if _has_tombstones(path):
+            # Physical purge: compaction is where tombstones become
+            # real — the rewrite drops the tombstoned rows, and because
+            # the tmp layout carries no _tombstones dir, the committed
+            # swap retires the delete log in the same atomic rename.
+            # The tombstone column is named the index's id column by
+            # delete_from_index.
+            ts = spark.read.parquet(os.path.join(path, TOMBSTONE_DIR))
+            deduped = deduped.join(
+                F.broadcast(ts.select(ts.columns[0]).distinct()),
+                ts.columns[0], "left_anti",
+            )
+        if part_col is None:
+            deduped.repartition(write_partitions).write.mode("overwrite").parquet(tmp)
+        else:
+            (
+                deduped.repartition(write_partitions, part_col)
+                .write.mode("overwrite")
+                .partitionBy(part_col)
+                .parquet(tmp)
+            )
+        if meta is not None:
+            _write_meta(tmp, meta)
     if _data_files(path) != snapshot:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
@@ -684,6 +698,60 @@ def _compact_partitioned_index(
     os.remove(os.path.join(old, sentinel))
     shutil.rmtree(old)
     os.remove(os.path.join(path, committed))
+
+
+def _rebuild_index(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    build_into,
+    opname: str,
+    _test_hook_pre_swap=None,
+) -> None:
+    """REBUILD a live index in place, atomically: run ``build_into(tmp)``
+    (a full fresh build — new quantizers/planes, new meta) into the
+    side directory, then swap it in through the SAME snapshot guard,
+    two-rename swap, and sentinel/commit-marker crash recovery as
+    compaction. The maintenance verb for quantizer drift: after enough
+    appends the frozen centroids/codebooks no longer reflect the data
+    distribution (recall decays); rebuilding refits from the CURRENT
+    authoritative vector set while probes keep reading the old layout
+    until the commit instant. Mutations (append/delete) landing
+    mid-build abort the swap — same quiescence doctrine as compaction.
+    A failed build leaves the live layout untouched (tmp is discarded
+    by the next call's pre-clean). The fresh layout starts with an
+    empty tombstone set: the caller passes the authoritative vectors,
+    so prior deletes are expressed by their absence."""
+    _compact_partitioned_index(
+        spark, path, part_col, 8, _test_hook_pre_swap, opname,
+        _rewrite=build_into,
+    )
+
+
+def rebuild_lsh_index(
+    df: DataFrame, path: str, spark: SparkSession | None = None,
+    _test_hook_pre_swap=None, **knobs
+) -> None:
+    """Atomic in-place refit of an LSH index from the current corpus —
+    see :func:`_rebuild_index`. ``knobs`` pass to
+    :func:`build_lsh_index` (e.g. ``n_planes=``, ``seed=``)."""
+    _rebuild_index(
+        spark or df.sparkSession, path, "bucket",
+        lambda tmp: build_lsh_index(df, tmp, **knobs), "rebuild_lsh_index",
+        _test_hook_pre_swap=_test_hook_pre_swap,
+    )
+
+
+def rebuild_ivf_index(
+    df: DataFrame, path: str, spark: SparkSession | None = None, **knobs
+) -> None:
+    """Atomic in-place refit of an IVF index (fresh k-means coarse
+    quantizer) from the current corpus — see :func:`_rebuild_index`.
+    ``knobs`` pass to :func:`build_ivf_index`."""
+    _rebuild_index(
+        spark or df.sparkSession, path, "centroid_id",
+        lambda tmp: build_ivf_index(df, tmp, **knobs), "rebuild_ivf_index",
+    )
 
 
 def _dedup_max_cosine(scored: DataFrame, id_col: str, label_col: str) -> DataFrame:

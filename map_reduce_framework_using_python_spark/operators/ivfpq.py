@@ -768,6 +768,40 @@ def compact_ivfpq_index(
     )
 
 
+def rebuild_ivfpq_index(
+    vectors: DataFrame,
+    path: str,
+    spark: SparkSession | None = None,
+    _test_hook_pre_swap=None,
+    **knobs,
+) -> None:
+    """Atomic in-place REFIT of an IVF-PQ index from the current
+    authoritative vector set — the quantizer-drift maintenance verb
+    (FAISS's retrain): after enough appends the frozen coarse centroids
+    and PQ codebooks no longer reflect the data distribution and recall
+    decays; this refits BOTH quantizers and re-encodes every vector
+    into a side directory, then swaps it in through the shared snapshot
+    guard / two-rename / crash-recovery machinery
+    (:func:`~.ann_index._rebuild_index`), so probes read the old layout
+    until the commit instant and a mutation landing mid-build aborts
+    the swap instead of being lost. The fresh layout carries its own
+    meta (new quantizers) and an empty tombstone set — prior deletes
+    are expressed by their absence from ``vectors``. ``knobs`` pass to
+    :func:`build_ivfpq_index` (n_centroids/m/k/seed/by_residual/...).
+    Completes the lifecycle pentad: build / append / delete / compact /
+    rebuild (pinned in tests/test_ann_delete.py)."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        _rebuild_index,
+    )
+
+    _rebuild_index(
+        spark or vectors.sparkSession, path, "centroid_id",
+        lambda tmp: build_ivfpq_index(vectors, tmp, **knobs),
+        "rebuild_ivfpq_index",
+        _test_hook_pre_swap=_test_hook_pre_swap,
+    )
+
+
 def scan_bytes_fraction(path: str, probed: list[int]) -> float:
     """Fraction of the CODE bytes a probe set actually reads — the
     observable composed-pruning ratio (directory pruning × the ~30×

@@ -274,3 +274,74 @@ def test_delete_input_forms_and_bad_path(spark, idx, tmp_path):
         delete_from_index([1], idx)
     with pytest.raises(ValueError, match="not an ANN index"):
         delete_from_index([1], str(tmp_path / "nope"), spark=spark)
+
+
+def test_rebuild_refits_swaps_and_clears_tombstones(spark, idx):
+    """The lifecycle pentad's fifth verb: rebuild refits BOTH quantizers
+    from the current authoritative vectors, swaps atomically, starts
+    with an empty tombstone set (prior deletes expressed by absence
+    from the input), and answers exactly brute force at full probe."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        _read_meta,
+    )
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        rebuild_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    delete_from_index([3], idx, spark=spark)
+    survivors = emb.filter(F.col("vec_id") != 3)
+    rebuild_ivfpq_index(
+        survivors, idx, n_centroids=4, m=8, k=8, seed=7
+    )
+    meta = _read_meta(idx)
+    assert meta["n_centroids"] == 4 and meta["seed"] == 7
+    assert not os.path.isdir(os.path.join(idx, TOMBSTONE_DIR))
+    got = ivfpq_topk_indexed(emb, idx, 0, topk=5, n_probe=4, shortlist=600).collect()
+    assert 3 not in {r["vec_id"] for r in got}
+    exact = cosine_topk_bruteforce(survivors, 0, k=5).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in exact
+    ]
+
+
+def test_rebuild_aborts_on_concurrent_mutation(spark, idx):
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        _read_meta,
+    )
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        rebuild_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    before_meta = _read_meta(idx)
+    before_rows = _rows(spark, idx)
+
+    def racer():
+        append_to_ivfpq_index(emb.filter(F.col("vec_id") == 0), idx)
+
+    with pytest.raises(RuntimeError, match="landed during the swap|changed during"):
+        rebuild_ivfpq_index(
+            emb, idx, n_centroids=4, m=8, k=8, seed=7,
+            _test_hook_pre_swap=racer,
+        )
+    # Rolled back: old quantizers still live, racer's append preserved.
+    assert _read_meta(idx)["seed"] == before_meta["seed"] == 42
+    now = _rows(spark, idx)
+    assert set(before_rows) <= set(now) and len(now) > len(before_rows)
+
+
+def test_failed_rebuild_leaves_live_untouched(spark, idx):
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        _read_meta,
+    )
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        rebuild_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    before = _rows(spark, idx)
+    with pytest.raises(ValueError, match="not divisible"):
+        rebuild_ivfpq_index(emb, idx, n_centroids=4, m=7)  # 64 % 7 != 0
+    assert _rows(spark, idx) == before
+    assert _read_meta(idx)["m"] == 8

@@ -438,3 +438,42 @@ def test_span_leg_rejects_mostly_copied_docs_with_precedence(spark):
             .collect()[0]
         )
         assert int(m_stream["s"]) == m["n_span_duplicate"]
+
+
+def test_takedown_unblocks_duplicate_on_reingest(spark):
+    """Composition with the retraction verb (r11): a batch doc rejected
+    as 'duplicate' is re-curated after its corpus dup-sources are
+    RETRACTED from the minhash index
+    (operators/dedup_index.retract_docs_from_index — the takedown a
+    deletion request triggers between micro-batches). With the sources
+    tombstoned the doc must clear the dedup leg: its verdict either
+    becomes accepted or falls through to a later reason in the
+    precedence chain, never 'duplicate' again."""
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        incremental_dedup_pairs,
+        retract_docs_from_index,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        corpus, batch, index_path, model_path = _artifacts(spark, d)
+        _c, rejected, _m = curate_batch(
+            spark, batch, corpus, index_path, model_path
+        )
+        dup_ids = [
+            r["doc_id"]
+            for r in rejected.filter(F.col("reason") == "duplicate").collect()
+        ]
+        assert dup_ids  # non-vacuous: planted near-dups straddle the split
+        victim = dup_ids[0]
+        pairs = incremental_dedup_pairs(spark, batch, corpus, index_path)
+        partners = [
+            r["corpus_doc"]
+            for r in pairs.filter(F.col("batch_doc") == victim).collect()
+        ]
+        assert partners
+        retract_docs_from_index(partners, index_path, spark=spark)
+        _c2, rejected2, _m2 = curate_batch(
+            spark, batch, corpus, index_path, model_path
+        )
+        reasons2 = {r["doc_id"]: r["reason"] for r in rejected2.collect()}
+        assert reasons2.get(victim) != "duplicate"
