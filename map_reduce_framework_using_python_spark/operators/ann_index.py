@@ -783,6 +783,7 @@ def lsh_probe_index_batch(
     label_col: str = "label",
     max_static_buckets: int = 1024,
     exclude_query_ids: bool = False,
+    index_filter=None,
 ) -> DataFrame:
     """Batched multi-query probe of a persisted LSH index: every query
     vector in ``queries`` gets its k nearest indexed vectors in ONE
@@ -821,7 +822,15 @@ def lsh_probe_index_batch(
     replayed batch that already appended itself can never match itself.
     Per-query ordering matches :func:`lsh_topk_indexed` exactly (raw
     cosine desc, id tiebreak) — pinned equal in
-    tests/test_ann_batch.py."""
+    tests/test_ann_batch.py.
+
+    ``index_filter``: attribute-filtered search (the IVF-PQ lane's
+    ``code_filter``, same pre-filter semantics): a predicate over the
+    INDEXED columns (id, label, vector) applied inside the probed
+    buckets before scoring, so every top-k slot goes to an eligible
+    row. Pinned in tests/test_ann_delete.py: per query, the filtered
+    probe returns exactly the eligible rows of the unfiltered ranking,
+    re-ranked."""
     from pyspark.sql import Window
 
     from map_reduce_framework_using_python_spark.operators.similarity import (
@@ -878,6 +887,8 @@ def lsh_probe_index_batch(
         l2_norm(v).alias("vnorm"), F.col("bucket"),
     )
     idx = _apply_tombstones(idx, path, id_col)
+    if index_filter is not None:
+        idx = idx.filter(index_filter)
     if exclude_query_ids:
         idx = idx.join(
             F.broadcast(queries.select(F.col(id_col))), id_col, "left_anti"
@@ -1077,6 +1088,7 @@ def ivf_probe_index_batch(
     label_col: str = "label",
     exclude_query_ids: bool = False,
     grid_order: bool = False,
+    index_filter=None,
 ) -> DataFrame:
     """Batched multi-query probe of a persisted IVF index — the IVF twin
     of :func:`lsh_probe_index_batch`: ``(q_id, vec_id, label, cosine,
@@ -1106,7 +1118,12 @@ def ivf_probe_index_batch(
     itself never matches itself (same contract as the LSH probe).
     Per-query ordering matches :func:`ivf_topk_indexed` exactly (raw
     cosine desc, id tiebreak) — pinned equal in
-    tests/test_ann_batch.py."""
+    tests/test_ann_batch.py.
+
+    ``index_filter``: attribute-filtered search — the same pre-filter
+    semantics as the LSH twin and the IVF-PQ lane's ``code_filter``
+    (predicate over the indexed columns inside probed cells, before
+    scoring). Pinned in tests/test_ann_delete.py."""
     from pyspark.sql import Window
 
     from map_reduce_framework_using_python_spark.operators.similarity import (
@@ -1162,6 +1179,8 @@ def ivf_probe_index_batch(
         F.col("centroid_id"),
     )
     idx = _apply_tombstones(idx, path, id_col)
+    if index_filter is not None:
+        idx = idx.filter(index_filter)
     if exclude_query_ids:
         idx = idx.join(
             F.broadcast(queries.select(F.col(id_col))), id_col, "left_anti"
@@ -1203,6 +1222,67 @@ def ivf_probe_index_batch(
             "rn",
         )
     )
+
+
+def index_stats(path: str) -> dict:
+    """Driver-side introspection of any persisted index layout (ANN
+    lanes, dedup lanes, flat PQ) — the ops surface for the maintenance
+    verbs: file/byte counts per the live layout, partition-directory
+    count, and the tombstone-log size, all from directory listings (no
+    Spark job; at 100 TB this is a namenode listing, not a scan). Read
+    it to decide WHEN to compact (file count ballooning from streamed
+    appends, tombstone log outgrowing broadcast comfort) or rebuild.
+
+    Returns ``{kind, meta, n_partition_dirs, n_data_files, data_bytes,
+    n_tombstone_files, tombstone_bytes}`` — ``kind`` is the meta
+    sidecar's kind (``lsh``/``ivf``/``ivfpq``/``pq``/``minhash``/
+    ``paragraph``/``shingle``), ``meta`` the parameter dict with bulky
+    model state (centroids/books/planes) elided."""
+    bulky = {"centroids", "books", "planes"}
+    if os.path.exists(os.path.join(path, "_ann_meta.json")):
+        meta = _read_meta(path)
+        kind = meta.get("kind", "lsh" if "planes" in meta else "?")
+        live = path
+    elif os.path.exists(os.path.join(path, "codebooks.json")):
+        with open(os.path.join(path, "codebooks.json")) as fh:
+            meta = json.load(fh)
+        kind = meta.get("kind", "pq")
+        live = os.path.join(path, "codes")
+    elif os.path.exists(os.path.join(path, "_dedup_meta.json")):
+        with open(os.path.join(path, "_dedup_meta.json")) as fh:
+            meta = json.load(fh)
+        kind = meta.get("kind", "minhash")
+        live = os.path.join(
+            path, "buckets" if kind == "minhash" else "digests"
+        )
+    else:
+        raise ValueError(f"not a recognized index layout: {path}")
+    n_dirs = n_files = data_bytes = 0
+    n_tomb = tomb_bytes = 0
+    for root, dirs, files in os.walk(live):
+        rel = os.path.relpath(root, live)
+        in_tomb = rel.split(os.sep)[0] == TOMBSTONE_DIR
+        if rel != "." and "=" in os.path.basename(root):
+            n_dirs += 1
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            sz = os.path.getsize(os.path.join(root, f))
+            if in_tomb:
+                n_tomb += 1
+                tomb_bytes += sz
+            else:
+                n_files += 1
+                data_bytes += sz
+    return {
+        "kind": kind,
+        "meta": {k: v for k, v in meta.items() if k not in bulky},
+        "n_partition_dirs": n_dirs,
+        "n_data_files": n_files,
+        "data_bytes": data_bytes,
+        "n_tombstone_files": n_tomb,
+        "tombstone_bytes": tomb_bytes,
+    }
 
 
 def scan_fraction(path: str, probed: list[int], part_col: str) -> float:

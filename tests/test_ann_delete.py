@@ -345,3 +345,68 @@ def test_failed_rebuild_leaves_live_untouched(spark, idx):
         rebuild_ivfpq_index(emb, idx, n_centroids=4, m=7)  # 64 % 7 != 0
     assert _rows(spark, idx) == before
     assert _read_meta(idx)["m"] == 8
+
+
+def test_index_filter_on_lsh_and_ivf_batch_probes(spark, tmp_path):
+    """Filter symmetry across the lanes (r11): LSH/IVF batch probes
+    take index_filter= with the IVF-PQ code_filter semantics. Pin: with
+    k covering every candidate, the filtered probe returns exactly the
+    eligible rows of the unfiltered ranking, re-ranked."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(300)
+    pred = F.col("label") % 2 == 0
+    qdf = emb.filter(F.col("vec_id") == 0)
+
+    def check(probe, path, **kw):
+        unfiltered = probe(spark, qdf, path, k=500, **kw).collect()
+        want = [
+            (r["vec_id"], r["cosine"])
+            for r in sorted(
+                (r for r in unfiltered if r["label"] % 2 == 0),
+                key=lambda r: (-r["cosine"], r["vec_id"]),
+            )
+        ]
+        got = probe(
+            spark, qdf, path, k=500, index_filter=pred, **kw
+        ).collect()
+        assert all(r["label"] % 2 == 0 for r in got)
+        assert [(r["vec_id"], r["cosine"]) for r in got] == want
+
+    lsh = str(tmp_path / "lsh")
+    build_lsh_index(emb, lsh, n_planes=4, seed=42)
+    check(lsh_probe_index_batch, lsh, probe_hamming=2)
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(emb, ivf, n_centroids=4, seed=42)
+    check(ivf_probe_index_batch, ivf, n_probe=4)
+
+
+def test_index_stats_tracks_lifecycle(spark, idx, tmp_path):
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        index_stats,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    s0 = index_stats(idx)
+    assert s0["kind"] == "ivfpq" and s0["n_data_files"] > 0
+    assert s0["n_tombstone_files"] == 0 and s0["n_partition_dirs"] == 8
+    assert "books" not in s0["meta"] and "centroids" not in s0["meta"]
+    assert s0["meta"]["m"] == 8
+    delete_from_index([3, 17], idx, spark=spark)
+    append_to_ivfpq_index(emb.filter(F.col("vec_id") < 5), idx)
+    s1 = index_stats(idx)
+    assert s1["n_tombstone_files"] > 0 and s1["tombstone_bytes"] > 0
+    assert s1["n_data_files"] > s0["n_data_files"]
+    compact_ivfpq_index(spark, idx)
+    s2 = index_stats(idx)
+    assert s2["n_tombstone_files"] == 0
+    assert s2["n_data_files"] <= s1["n_data_files"]
+    # Dedup-lane and flat-PQ layouts introspect through the same verb.
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        build_paragraph_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    ppath = build_paragraph_index(docs, str(tmp_path / "para"))
+    sp = index_stats(ppath)
+    assert sp["kind"] == "paragraph" and sp["n_data_files"] > 0
+    with pytest.raises(ValueError, match="not a recognized"):
+        index_stats(str(tmp_path / "nope"))
