@@ -210,7 +210,8 @@ def _ivf_probe(spark, dst: str, reps: int) -> dict[str, float]:
     """IVF batch probe at k=256 centroids — the standing guard for the
     r8 k-independence fix (operators/ann_index.py: centroid ranking
     switches from literal expression trees to a broadcast join against
-    the k-row centroid table above MAX_LITERAL_CENTROIDS=64).
+    the k-row centroid table above MAX_LITERAL_CENTROIDS — 32 since
+    the r11 measurement; see the constant's comment).
 
     tools/ivf_k256_probe.py proved the design once (k=256: literal form
     13.0 s plan-build vs 1.6 s join form); the equality pin guards
@@ -303,16 +304,20 @@ def _ivfpq_probe(spark, dst: str, reps: int) -> dict[str, float]:
     have = read_json_guarded(meta_path)
     out: dict[str, float] = {}
     emb = spark.read.parquet(os.path.join(dst, "embeddings.parquet"))
+    # The rolled replica frame is what the index STORES, so it must
+    # also be the rerank vectors table — ADC-shortlisting the rolled
+    # vector and reranking the raw one would score two different
+    # vectors per id (r11 review).
+    r = (F.col("vec_id") / 10_000_000).cast("int")
+    rolled = emb.select(
+        "vec_id",
+        F.concat(
+            F.slice(F.col("embedding"), (r % 64) + 1, 64),
+            F.slice(F.col("embedding"), 1, r % 64),
+        ).alias("embedding"),
+        "label",
+    )
     if not (have is not None and have.get("src") == src):
-        r = (F.col("vec_id") / 10_000_000).cast("int")
-        rolled = emb.select(
-            "vec_id",
-            F.concat(
-                F.slice(F.col("embedding"), (r % 64) + 1, 64),
-                F.slice(F.col("embedding"), 1, r % 64),
-            ).alias("embedding"),
-            "label",
-        )
         t0 = _time.perf_counter()
         ivfpq.build_ivfpq_index(
             rolled, idx_path, n_centroids=64, m=16, k=16, seed=42
@@ -325,7 +330,7 @@ def _ivfpq_probe(spark, dst: str, reps: int) -> dict[str, float]:
     for _ in range(reps):
         t0 = _time.perf_counter()
         df = ivfpq.ivfpq_probe_index_batch(
-            spark, queries, idx_path, emb, k=10, n_probe=8, shortlist=100
+            spark, queries, idx_path, rolled, k=10, n_probe=8, shortlist=100
         )
         best_plan = min(best_plan, _time.perf_counter() - t0)
         t0 = _time.perf_counter()

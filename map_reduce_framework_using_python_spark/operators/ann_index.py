@@ -131,8 +131,24 @@ def delete_from_index(ids, path: str, spark: SparkSession | None = None) -> None
         ids = spark.createDataFrame(
             [(int(i),) for i in ids], f"{id_col} bigint"
         )
-    ts = ids.select(F.col(ids.columns[0]).alias(id_col))
+    ts = _tombstone_frame(ids, id_col, "delete_from_index")
     ts.write.mode("append").parquet(os.path.join(base, TOMBSTONE_DIR))
+
+
+def _tombstone_frame(ids: DataFrame, id_col: str, opname: str) -> DataFrame:
+    """One BIGINT column named ``id_col`` — every tombstone file must
+    carry the identical schema, because probes read the log dir with a
+    schema-less ``spark.read.parquet`` (one footer speaks for all
+    files; a mixed int32/int64 log would poison every later probe).
+    Integral ids are the layouts' standing contract
+    (``dedup_index._require_bigint_id``; the embeddings' vec_id)."""
+    dt = ids.schema[0].dataType.simpleString()
+    if dt not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"{opname}: id column must be integral (got {dt}) — the "
+            "index layouts pin BIGINT ids"
+        )
+    return ids.select(F.col(ids.columns[0]).cast("bigint").alias(id_col))
 
 
 def _has_tombstones(base: str) -> bool:
@@ -825,12 +841,14 @@ def lsh_probe_index_batch(
     tests/test_ann_batch.py.
 
     ``index_filter``: attribute-filtered search (the IVF-PQ lane's
-    ``code_filter``, same pre-filter semantics): a predicate over the
-    INDEXED columns (id, label, vector) applied inside the probed
-    buckets before scoring, so every top-k slot goes to an eligible
-    row. Pinned in tests/test_ann_delete.py: per query, the filtered
-    probe returns exactly the eligible rows of the unfiltered ranking,
-    re-ranked."""
+    ``code_filter``, same pre-filter semantics): a predicate applied
+    inside the probed buckets before scoring, so every top-k slot goes
+    to an eligible row. It evaluates AFTER the probe's projection, so
+    the columns in scope are ``(<id_col>, <label_col>, v, vnorm,
+    bucket)`` — the vector column is renamed ``v`` (doubles), its L2
+    norm is ``vnorm``; typical predicates filter the label. Pinned in
+    tests/test_ann_delete.py: per query, the filtered probe returns
+    exactly the eligible rows of the unfiltered ranking, re-ranked."""
     from pyspark.sql import Window
 
     from map_reduce_framework_using_python_spark.operators.similarity import (
@@ -1121,9 +1139,10 @@ def ivf_probe_index_batch(
     tests/test_ann_batch.py.
 
     ``index_filter``: attribute-filtered search — the same pre-filter
-    semantics as the LSH twin and the IVF-PQ lane's ``code_filter``
-    (predicate over the indexed columns inside probed cells, before
-    scoring). Pinned in tests/test_ann_delete.py."""
+    semantics as the LSH twin and the IVF-PQ lane's ``code_filter``.
+    Columns in scope (post-projection): ``(<id_col>, <label_col>, v,
+    vnorm, centroid_id)`` — the vector column is renamed ``v``.
+    Pinned in tests/test_ann_delete.py."""
     from pyspark.sql import Window
 
     from map_reduce_framework_using_python_spark.operators.similarity import (

@@ -151,9 +151,13 @@ def retract_docs_from_index(ids, path: str, spark: SparkSession | None = None) -
         if spark is None:
             raise ValueError("retract_docs_from_index: a plain id list needs spark=")
         ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} bigint")
-    ids.select(F.col(ids.columns[0]).alias(id_col)).write.mode("append").parquet(
-        os.path.join(live, TOMBSTONE_DIR)
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        _tombstone_frame,
     )
+
+    _tombstone_frame(ids, id_col, "retract_docs_from_index").write.mode(
+        "append"
+    ).parquet(os.path.join(live, TOMBSTONE_DIR))
 
 
 def _live_rows(idx: DataFrame, path: str, kind_key, id_col: str) -> DataFrame:

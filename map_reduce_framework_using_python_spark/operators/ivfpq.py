@@ -63,8 +63,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_framework_using_python_spark.operators import (
+    ann_index as _ann,
+)
 from map_reduce_framework_using_python_spark.operators.ann_index import (
-    MAX_LITERAL_CENTROIDS,
     _apply_tombstones,
     _centroid_dist_structs,
     _compact_partitioned_index,
@@ -74,6 +76,7 @@ from map_reduce_framework_using_python_spark.operators.ann_index import (
 )
 from map_reduce_framework_using_python_spark.operators.pq import (
     _books_row,
+    _code_expr,
     _normalized,
     pq_train,
 )
@@ -85,21 +88,6 @@ from map_reduce_framework_using_python_spark.operators.similarity import (
     dot,
     l2_norm,
 )
-
-
-def _code_expr(sub: int, col: str = "vn"):
-    """Per-subspace argmin over the broadcast ``books`` row, evaluated
-    against the vector column ``col`` (normalized vectors, raw vectors,
-    or coarse residuals — the caller picks the space) — the pq_encode
-    kernel (deterministic ties: lowest cid), shared so flat-PQ and
-    IVF-PQ codes can never drift."""
-    return F.expr(
-        "transform(books, b -> element_at(array_sort("
-        f"transform(b.cents, c -> struct("
-        f"aggregate(zip_with(slice({col}, b.j * {sub} + 1, {sub}), c.cv,"
-        " (a, x) -> (a - x) * (a - x)), 0D, (acc, x) -> acc + x) AS dist,"
-        " c.cid AS cid))), 1).cid)"
-    )
 
 
 def _centroid_array_row(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
@@ -162,7 +150,7 @@ def _assigned(
     MAX_LITERAL_CENTROIDS, broadcast-centroid-table join above it (the
     r8 rule) — one definition so build, append, and the residual
     fitting pass can never route differently."""
-    if len(centroids) <= MAX_LITERAL_CENTROIDS:
+    if len(centroids) <= _ann.MAX_LITERAL_CENTROIDS:
         nearest = F.element_at(
             F.array_sort(_centroid_dist_structs(F.col("vn"), centroids)), 1
         )["cid"]
@@ -569,7 +557,7 @@ def ivfpq_probe_index_batch(
     # persists up front; ContextCleaner reclaims the blocks when the
     # caller drops the returned frame.
     qbase = qbase.persist()
-    if len(centroids) <= MAX_LITERAL_CENTROIDS:
+    if len(centroids) <= _ann.MAX_LITERAL_CENTROIDS:
         dist_structs = _centroid_dist_structs(F.col("qvn"), centroids)
         routed = qbase.withColumn(
             "_probe", F.explode(F.slice(F.array_sort(dist_structs), 1, n_probe))

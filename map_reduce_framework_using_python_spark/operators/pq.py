@@ -132,6 +132,24 @@ def _books_row(df: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     )
 
 
+def _code_expr(sub: int, col: str = "vn"):
+    """Per-subspace argmin over the broadcast ``books`` row, evaluated
+    against the vector column ``col`` (normalized vectors, raw vectors,
+    or coarse residuals — the caller picks the space): deterministic
+    ties go to the lowest cid. The ONE encode kernel — flat PQ
+    (:func:`pq_encode`) and the IVF-PQ lane
+    (:func:`~.ivfpq._assign_and_encode`) both call it, so the two
+    layouts' codes can never drift (the r11 review found each carried
+    its own copy of this string)."""
+    return F.expr(
+        "transform(books, b -> element_at(array_sort("
+        f"transform(b.cents, c -> struct("
+        f"aggregate(zip_with(slice({col}, b.j * {sub} + 1, {sub}), c.cv,"
+        " (a, x) -> (a - x) * (a - x)), 0D, (acc, x) -> acc + x) AS dist,"
+        " c.cid AS cid))), 1).cid)"
+    )
+
+
 def pq_encode(
     vectors: DataFrame,
     books: list[list[list[float]]],
@@ -143,19 +161,12 @@ def pq_encode(
     centroid ids — the m-byte compressed representation. Map-side: the
     codebooks ride ONE broadcast row; the argmin is a struct-sort over
     generated array expressions (deterministic ties: lowest cid)."""
-    m, sub = len(books), len(books[0][0])
+    sub = len(books[0][0])
     cols = [id_col] if label_col is None else [id_col, label_col]
     vn = _normalized(vectors, vec_col, id_col, label_col)
-    code_expr = F.expr(
-        "transform(books, b -> element_at(array_sort("
-        f"transform(b.cents, c -> struct("
-        f"aggregate(zip_with(slice(vn, b.j * {sub} + 1, {sub}), c.cv,"
-        " (a, x) -> (a - x) * (a - x)), 0D, (acc, x) -> acc + x) AS dist,"
-        " c.cid AS cid))), 1).cid)"
-    )
     return (
         vn.crossJoin(F.broadcast(_books_row(vectors, books)))
-        .select(*cols, code_expr.alias("codes"))
+        .select(*cols, _code_expr(sub).alias("codes"))
     )
 
 
