@@ -808,3 +808,91 @@ def scan_bytes_fraction(path: str, probed: list[int]) -> float:
         if int(d.split("=", 1)[1]) in probed_set:
             hit += size
     return hit / max(1, total)
+
+
+def sdc_near_pairs(
+    spark: SparkSession,
+    path: str,
+    vectors: DataFrame,
+    tau: float = 0.4,
+    margin: float | None = 0.2,
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS mined from the persisted IVF-PQ
+    index via SYMMETRIC distance computation (SDC — Jégou et al. 2011
+    §III.A: code-to-code distance estimated as the sum of per-subspace
+    CENTROID-to-centroid distances): the SemDeDup candidate stage run
+    over the 16-byte codes table instead of the raw vectors.
+
+    Why this is the 100 TB shape: the kmeans-bucketed SemDeDup
+    (ns_semdedup_pairs) bounds the quadratic to within-cluster pairs
+    but still reads full vectors for every comparison; here the
+    within-cell self-join reads the ~30×-smaller codes layout, each
+    candidate pair costs ``m`` lookups into ONE broadcast m×k² table
+    (no vector math), and only pairs whose SDC estimate clears
+    ``2·(1−tau) + margin`` touch the full-vector table for the EXACT
+    cosine verification — so returned pairs carry true cosines and the
+    only approximation is candidate loss (bounded by ``margin``; pinned
+    in tests/test_ivfpq.py: ``margin=None`` — no SDC screen — equals
+    the same-cell exact pairs EXACTLY, finite margin's recall against
+    that is measured and pinned). Same-cell blocking is the SemDeDup
+    bucketing rule (cross-cell pairs are out of scope by design, as in
+    the kmeans form); tombstoned ids never pair. Normalized-build
+    indexes only (cosine τ maps to the squared-L2 ball 2·(1−τ) on the
+    unit sphere; a raw-space Lloyd index has no such mapping).
+
+    Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b``, cosine
+    half-up on the 1e-6 grid (the cluster_cosine_pairs convention)."""
+    meta = _ivfpq_meta(path)
+    if not meta.get("normalize", True):
+        raise ValueError(
+            "sdc_near_pairs: raw-space (normalize=False) index — the "
+            "cosine threshold mapping needs unit-norm codes"
+        )
+    id_col = meta["id_col"]
+    books = meta["books"]
+    m, k = meta["m"], meta["k"]
+    # m rows of k² doubles: d[j][a*k + b] = ||cent_a − cent_b||² in
+    # subspace j — bounded driver math (16×256 doubles at the default
+    # knobs), broadcast as ONE row like the ADC tables.
+    sdc_tbl = [
+        [
+            sum((xa - xb) ** 2 for xa, xb in zip(book[a], book[b]))
+            for a in range(k)
+            for b in range(k)
+        ]
+        for book in books
+    ]
+    tbl_row = spark.createDataFrame([(sdc_tbl,)], "tbl array<array<double>>")
+    codes = _apply_tombstones(spark.read.parquet(path), path, id_col)
+    a = codes.select(
+        "centroid_id", F.col(id_col).alias("id_a"), F.col("codes").alias("ca")
+    )
+    b = codes.select(
+        "centroid_id", F.col(id_col).alias("id_b"), F.col("codes").alias("cb")
+    )
+    pairs = a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
+    if margin is not None:
+        sdc = F.expr(
+            f"aggregate(zip_with(zip_with(ca, cb, (x, y) -> x * {k} + y),"
+            " tbl, (i, row) -> element_at(row, i + 1)),"
+            " 0D, (acc, x) -> acc + x)"
+        )
+        pairs = (
+            pairs.crossJoin(F.broadcast(tbl_row))
+            .withColumn("_sdc", sdc)
+            .filter(F.col("_sdc") <= F.lit(2.0 * (1.0 - tau) + margin))
+        )
+    cand = pairs.select("id_a", "id_b")
+    vn = _normalized(vectors, meta["vec_col"], id_col, None)
+    va = vn.select(F.col(id_col).alias("id_a"), F.col("vn").alias("va"))
+    vb = vn.select(F.col(id_col).alias("id_b"), F.col("vn").alias("vb"))
+    cos6 = F.floor(
+        dot(F.col("va"), F.col("vb")) * 1e6 + F.lit(0.5)
+    ) / 1e6
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cos6)
+        .filter(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+    )

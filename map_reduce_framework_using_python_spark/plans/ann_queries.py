@@ -683,3 +683,32 @@ def ns_ann_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=50,
         grid_order=True,
     )
+
+
+@query(
+    "ns_semdedup_sdc",
+    oracle=None,
+    tags=("northstar", "similarity", "dedup", "sketch", "index", "rows_only"),
+)
+def ns_semdedup_sdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup candidate mining over the persisted IVF-PQ CODES table
+    via symmetric distance computation (SDC — Jégou et al. 2011
+    §III.A): within-coarse-cell code pairs are screened by the
+    broadcast m×k² centroid-to-centroid table (m lookups per pair, no
+    vector math), and survivors are verified with the EXACT cosine
+    against the full-vector table (τ=0.4, the ns_semdedup_pairs
+    threshold; margin=0.2 — measured to prune ~1/3 of same-cell
+    candidates at recall 1.0 on the synthetic embeddings). The 100 TB
+    shape for embedding near-dup pairs: the quadratic stage reads the
+    ~30×-smaller codes layout instead of raw vectors. Rows-only:
+    pinned in tests/test_ivfpq.py (margin=None == same-cell exact
+    pairs EXACTLY; the registry margin's recall ≥ 0.9; tombstoned ids
+    never pair)."""
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        sdc_near_pairs,
+    )
+
+    path = _ensure_ivfpq(spark, sf_dir)
+    return sdc_near_pairs(
+        spark, path, t(spark, sf_dir, "embeddings"), tau=0.4, margin=0.2
+    )

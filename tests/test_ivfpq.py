@@ -656,3 +656,75 @@ def test_residual_wins_on_clustered_corpus(spark, tmp_path):
     mean_r, min_r = mean_recall(pr)
     assert mean_r >= mean_n + 0.1, (mean_r, mean_n)
     assert mean_r >= 0.9 and min_r >= 0.8, (mean_r, min_r)
+
+
+def test_sdc_near_pairs_exactness_recall_and_tombstones(spark, ivfpq_index, tmp_path):
+    """SDC pair mining (r11): margin=None (no SDC screen) equals the
+    same-cell exact-cosine pairs EXACTLY; the registry margin=0.2 is a
+    subset with recall ≥ 0.9 that actually prunes candidates; a
+    tombstoned id never pairs; raw-space indexes are refused."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        delete_from_index,
+    )
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        sdc_near_pairs,
+    )
+    from map_reduce_framework_using_python_spark.operators.pq import (
+        _normalized,
+    )
+    from map_reduce_framework_using_python_spark.operators.similarity import dot
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    inf = sdc_near_pairs(spark, ivfpq_index, emb, tau=0.4, margin=None)
+    got = sorted(map(tuple, inf.collect()))
+    # Ground truth: exact cosine >= tau among same-coarse-cell pairs.
+    codes = spark.read.parquet(ivfpq_index).select("vec_id", "centroid_id")
+    vn = _normalized(emb, "embedding", "vec_id", None)
+    av = codes.join(vn, "vec_id").select(
+        "centroid_id", F.col("vec_id").alias("id_a"), F.col("vn").alias("va")
+    )
+    bv = codes.join(vn, "vec_id").select(
+        "centroid_id", F.col("vec_id").alias("id_b"), F.col("vn").alias("vb")
+    )
+    cos6 = F.floor(dot(F.col("va"), F.col("vb")) * 1e6 + F.lit(0.5)) / 1e6
+    want = sorted(
+        map(
+            tuple,
+            av.join(bv, "centroid_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cos6)
+            .filter(F.col("cosine") >= 0.4)
+            .select("id_a", "id_b", "cosine")
+            .collect(),
+        )
+    )
+    assert got == want and got  # exact, non-vacuous
+    fin = sorted(map(tuple, sdc_near_pairs(
+        spark, ivfpq_index, emb, tau=0.4, margin=0.2
+    ).collect()))
+    assert set(fin) <= set(got)
+    assert len(fin) >= 0.9 * len(got)
+    # Tombstoned ids never pair.
+    victim = got[0][0]
+    work = str(tmp_path / "idx")
+    shutil.copytree(ivfpq_index, work)
+    delete_from_index([victim], work, spark=spark)
+    after = sdc_near_pairs(spark, work, emb, tau=0.4, margin=None).collect()
+    assert all(victim not in (r["id_a"], r["id_b"]) for r in after)
+
+
+def test_sdc_refuses_raw_space_index(spark, tmp_path):
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        build_ivfpq_index_lloyd,
+        sdc_near_pairs,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(60)
+    path = str(tmp_path / "lloyd")
+    build_ivfpq_index_lloyd(emb, path, n_centroids=2, m=4, k=2, n_iter=1)
+    with pytest.raises(ValueError, match="raw-space"):
+        sdc_near_pairs(spark, path, emb)
