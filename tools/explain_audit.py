@@ -169,6 +169,7 @@ AUDIT = (
     "ns_ivfpq_filtered_lloyd",
     "ns_ann_delete_probe",
     "ns_paragraph_retract_screen",
+    "ns_semdedup_sdc",
 )
 
 
