@@ -712,3 +712,44 @@ def ns_semdedup_sdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdc_near_pairs(
         spark, path, t(spark, sf_dir, "embeddings"), tau=0.4, margin=0.2
     )
+
+
+@query(
+    "ns_semdedup_sdc_reps",
+    oracle=None,
+    tags=("northstar", "similarity", "dedup", "sketch", "index",
+          "graph", "rows_only"),
+)
+def ns_semdedup_sdc_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup DROP RULE over the SDC-mined pairs: transitive
+    near-dup groups via connected components
+    (operators/graph.dedup_clusters — the iterative union frame), one
+    deterministic representative per group (min vec_id — the
+    ns_dedup_keep_best witness policy), every other member marked for
+    drop. Output ``(vec_id, cluster_id, keep)`` for EVERY corpus
+    vector (singletons keep themselves) — the end-to-end semantic
+    dedup pipeline at code width: 16-byte SDC candidates → exact
+    verify → components → representative. Rows-only; pinned in
+    tests/test_ivfpq.py against a driver-side union-find over the
+    collected pair list (exact cluster equality) plus the
+    one-keeper-per-cluster invariant."""
+    from map_reduce_framework_using_python_spark.operators.graph import (
+        dedup_clusters,
+    )
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        sdc_near_pairs,
+    )
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    path = _ensure_ivfpq(spark, sf_dir)
+    pairs = sdc_near_pairs(spark, path, emb, tau=0.4, margin=0.2)
+    clusters = dedup_clusters(
+        pairs, emb, id_col="vec_id", left_col="id_a", right_col="id_b"
+    )
+    w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("vec_id") == F.min("vec_id").over(w)).alias("keep"),
+    )

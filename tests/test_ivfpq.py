@@ -728,3 +728,62 @@ def test_sdc_refuses_raw_space_index(spark, tmp_path):
     build_ivfpq_index_lloyd(emb, path, n_centroids=2, m=4, k=2, n_iter=1)
     with pytest.raises(ValueError, match="raw-space"):
         sdc_near_pairs(spark, path, emb)
+
+
+def test_sdc_reps_match_union_find(spark, ivfpq_index):
+    """The SDC drop rule: cluster assignment equals a driver-side
+    union-find over the collected pair list, exactly one keeper per
+    cluster, keeper = min id, singletons keep themselves."""
+    from pyspark.sql import Window
+
+    from map_reduce_framework_using_python_spark.operators.graph import (
+        dedup_clusters,
+    )
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        sdc_near_pairs,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pairs_df = sdc_near_pairs(spark, ivfpq_index, emb, tau=0.4, margin=0.2)
+    pairs = [(r["id_a"], r["id_b"]) for r in pairs_df.collect()]
+    assert pairs  # non-vacuous
+    clusters = dedup_clusters(
+        pairs_df, emb, id_col="vec_id", left_col="id_a", right_col="id_b"
+    )
+    w = Window.partitionBy("cluster_id")
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in clusters.select(
+            "vec_id", "cluster_id",
+            (F.col("vec_id") == F.min("vec_id").over(w)).alias("keep"),
+        ).collect()
+    }
+    # Driver-side union-find ground truth.
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # Canonical label = min member id of each group.
+    members: dict = {}
+    for x in list(parent):
+        members.setdefault(find(x), set()).add(x)
+    want_label = {x: root for root, ms in members.items() for x in ms}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    for vid in all_ids:
+        exp_cluster = want_label.get(vid, vid)
+        assert got[vid][0] == exp_cluster, vid
+        assert got[vid][1] == (vid == exp_cluster), vid
+    # Exactly one keeper per cluster.
+    from collections import Counter
+
+    keepers = Counter(c for c, k in got.values() if k)
+    assert all(v == 1 for v in keepers.values())
