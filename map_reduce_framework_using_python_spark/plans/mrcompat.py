@@ -69,27 +69,41 @@ def st_mrtext_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_available_now,
     )
 
-    mrfs.register(spark)
     # atexit-reclaimed scratch (r7 review: one full 'de'-corpus copy
     # leaked to /tmp per invocation).
     work = _scratch_dir("st_mrtext_")
     dfs_dir = f"{work}/dfs"
-    (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("lang") == "de")
-        .repartition(3)
-        .select(F.lit(0).alias("part"), F.col("text").alias("value"))
-        .write.format("mrtext")
-        .mode("append")
-        .save(dfs_dir)
-    )
-    stream = (
-        spark.readStream.format("mrtext")
-        .load(dfs_dir)
-        .select(F.col("value").alias("text"))
-    )
+
+    # Both resolution points (batch write, stream read) run under
+    # register + active-session pin + retry: in a FOREIGN session (the
+    # driver's) earlier streaming queries leave stale session clones on
+    # the serving Py4J thread and `mrtext` resolution intermittently
+    # throws ClassNotFoundException (NOTES lesson 12; the round-11
+    # driver red row). mrfs.with_resolution_retry makes the query
+    # self-sufficient in any session.
+    def _write():
+        (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("lang") == "de")
+            .repartition(3)
+            .select(F.lit(0).alias("part"), F.col("text").alias("value"))
+            .write.format("mrtext")
+            .mode("append")
+            .save(dfs_dir)
+        )
+
+    mrfs.with_resolution_retry(spark, _write)
+
     import uuid
 
-    return run_available_now(
-        stream, f"st_mrtext_{uuid.uuid4().hex[:8]}", output_mode="append"
-    )
+    def _drain():
+        stream = (
+            spark.readStream.format("mrtext")
+            .load(dfs_dir)
+            .select(F.col("value").alias("text"))
+        )
+        return run_available_now(
+            stream, f"st_mrtext_{uuid.uuid4().hex[:8]}", output_mode="append"
+        )
+
+    return mrfs.with_resolution_retry(spark, _drain)

@@ -227,3 +227,64 @@ class MRTextDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the mrtext format on a session."""
     spark.dataSource.register(MRTextDataSource)
+
+
+def ensure_resolvable(spark) -> None:
+    """Register mrtext AND pin the JVM active session for this thread.
+
+    The JVM resolves a Python data source through the ACTIVE session of
+    whichever Py4J thread serves the call (``DataSource.lookupDataSource``
+    falls back to the active session's DataSourceManager). Under pinned-
+    thread mode (PySpark's default) each Python thread maps to one JVM
+    thread whose active-session thread-local can be a STALE CLONE left
+    by an earlier streaming query on a foreign session (the driver's, a
+    notebook's) — registration on the real session is then invisible and
+    the lookup throws ``ClassNotFoundException: mrtext.DefaultSource``
+    (NOTES lesson 12; observed in the round-11 driver run). Re-pinning
+    the active session to the session we registered on makes resolution
+    deterministic for calls issued from this Python thread.
+    """
+    register(spark)
+    try:
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except Exception:
+        # Non-classic (Connect) sessions have no JVM handle; plain
+        # registration is all we can (and need to) do there.
+        pass
+
+
+def _is_resolution_error(exc: BaseException) -> bool:
+    s = str(exc)
+    return "mrtext" in s and (
+        "ClassNotFoundException" in s
+        or "DATA_SOURCE_NOT_FOUND" in s
+        or "Failed to find" in s
+    )
+
+
+def with_resolution_retry(spark, fn, attempts: int = 3, delay: float = 0.5):
+    """Run ``fn()`` with re-register + active-session re-pin + retry on
+    the mrtext resolution race.
+
+    Belt and braces over :func:`ensure_resolvable`: if a foreign
+    session's thread-locals shift between our pin and the resolving
+    call (another stream starting concurrently), the failed attempt is
+    retried after re-pinning. Only resolution failures are retried —
+    anything else propagates immediately.
+    """
+    import time
+
+    last: BaseException | None = None
+    for i in range(attempts):
+        ensure_resolvable(spark)
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — filtered below
+            if not _is_resolution_error(e):
+                raise
+            last = e
+            if i + 1 < attempts:
+                time.sleep(delay)
+    raise last
