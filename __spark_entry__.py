@@ -225,8 +225,10 @@ _LAST_VERIFIED: dict[str, int] = {
         "q_python_udtf", "q_scalar_subquery", "q_scd2_point_in_time",
         "q_session_dynamic_gap", "q_time_weighted_avg", "q_try_arithmetic",
         "q_window_ntile", "q_window_pct", "st_dsir_gate",
-        "st_mrtext_stream",
     ), 7),
+    # st_mrtext_stream: red in r11 (driver-session resolution race) and
+    # hardened in r12 (with_resolution_retry) → deliberately ABSENT, so
+    # it leads the r12 window as unverified per the standing rule.
     # round 8 (CORRECTNESS_r08.json) — all 50 rows green: the 11
     # never-verified queries (the r7 additions plus ns_training_capstone,
     # registered mid-window) and the stalest r2/r3 cohort re-verified.
@@ -300,6 +302,30 @@ _LAST_VERIFIED: dict[str, int] = {
         "q_window_first_last", "q_window_lag_lead", "q_window_range_frame",
         "q_window_rank", "q_window_running", "q_xml_roundtrip",
     ), 10),
+    # round 11 (CORRECTNESS_r11.json) — 49 of 50 rows green (the one
+    # red, st_mrtext_stream, was the session-clone resolution race —
+    # hardened in r12 and dropped to the unverified tier above): the
+    # six r11 additions plus the stalest r7 cohort re-verified.
+    **dict.fromkeys((
+        "mr_wordcount_pipe", "ns_ann_delete_probe", "ns_bigram_lm_score",
+        "ns_bigram_lm_score_broadcast", "ns_ccnet_buckets_scaled",
+        "ns_ccnet_sample", "ns_embedding_near_pairs", "ns_epoch_plan",
+        "ns_ivfpq_filtered_lloyd", "ns_ivfpq_probe_lloyd",
+        "ns_ngram_jaccard_pairs", "ns_paragraph_dedup",
+        "ns_paragraph_retract_screen", "ns_source_overlap",
+        "ns_weighted_sample", "q03_shipping_priority",
+        "q04_priority_exists", "q05_local_supplier", "q10_returned_items",
+        "q14_promo_share", "q19_disjunctive", "q_agg_stats",
+        "q_binary_funcs", "q_date_spine", "q_event_session_native",
+        "q_except_all", "q_from_json", "q_grouping_sets", "q_having",
+        "q_intersect_all", "q_join_asof", "q_map_funcs", "q_math_funcs",
+        "q_pandas_api_agg", "q_percentile", "q_scalar_subquery",
+        "q_udaf_weighted_avg", "q_udf_scalar_pandas", "q_udtf_grouped_map",
+        "q_union_byname", "q_unpivot", "q_window_ntile",
+        "st_paragraph_retract", "st_session_window", "st_sliding_window",
+        "st_stateful_totals", "st_stream_join", "st_stream_static_enrich",
+        "st_tumbling_window",
+    ), 11),
 }
 
 

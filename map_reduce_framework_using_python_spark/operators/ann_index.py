@@ -716,6 +716,34 @@ def _compact_partitioned_index(
     os.remove(os.path.join(path, committed))
 
 
+#: Per-lane knobs a rebuild may inherit from the live index's meta.
+_REBUILD_META_KNOBS: dict[str, tuple[str, ...]] = {
+    "lsh": ("n_planes", "seed", "vec_col", "id_col"),
+    "ivf": ("n_centroids", "seed", "vec_col", "id_col"),
+    "ivfpq": ("n_centroids", "m", "k", "seed", "by_residual",
+              "vec_col", "id_col", "label_col"),
+}
+
+
+def _rebuild_knobs(path: str, kind: str, knobs: dict) -> dict:
+    """Default unspecified rebuild knobs from the LIVE index's meta.
+
+    An index built with non-default ``n_planes``/``n_centroids``/
+    ``seed``/... must not silently change parameters on rebuild just
+    because the caller didn't re-pass every knob (r11 review): layout
+    and recall would shift with no signal. Explicit knobs stay
+    overrides; knobs the meta doesn't carry keep builder defaults."""
+    try:
+        meta = _read_meta(path)
+    except FileNotFoundError:
+        return knobs
+    out = dict(knobs)
+    for key in _REBUILD_META_KNOBS.get(kind, ()):
+        if key not in out and key in meta:
+            out[key] = meta[key]
+    return out
+
+
 def _rebuild_index(
     spark: SparkSession,
     path: str,
@@ -723,6 +751,7 @@ def _rebuild_index(
     build_into,
     opname: str,
     _test_hook_pre_swap=None,
+    ids_already_filtered: bool = False,
 ) -> None:
     """REBUILD a live index in place, atomically: run ``build_into(tmp)``
     (a full fresh build — new quantizers/planes, new meta) into the
@@ -737,7 +766,23 @@ def _rebuild_index(
     A failed build leaves the live layout untouched (tmp is discarded
     by the next call's pre-clean). The fresh layout starts with an
     empty tombstone set: the caller passes the authoritative vectors,
-    so prior deletes are expressed by their absence."""
+    so prior deletes are expressed by their absence.
+
+    Because deletes are INDEX-SIDE ONLY, rebuilding from the same
+    authoritative table that fed the original build (the common case)
+    would silently resurrect every deleted id. A rebuild over a live
+    index with a non-empty tombstone log therefore REFUSES unless the
+    caller passes ``ids_already_filtered=True``, attesting the input
+    vectors already exclude the deleted ids (the
+    retract_docs_from_index witness-cap refusal pattern, r11 review)."""
+    if _has_tombstones(path) and not ids_already_filtered:
+        raise ValueError(
+            f"{opname}: the live index carries delete tombstones, which a "
+            "rebuild retires — rebuilding from an unfiltered vector table "
+            "would resurrect every deleted id. Pass "
+            "ids_already_filtered=True after excluding the deleted ids "
+            "from the input (deletes are index-side only)."
+        )
     _compact_partitioned_index(
         spark, path, part_col, 8, _test_hook_pre_swap, opname,
         _rewrite=build_into,
@@ -746,27 +791,35 @@ def _rebuild_index(
 
 def rebuild_lsh_index(
     df: DataFrame, path: str, spark: SparkSession | None = None,
-    _test_hook_pre_swap=None, **knobs
+    _test_hook_pre_swap=None, ids_already_filtered: bool = False, **knobs
 ) -> None:
     """Atomic in-place refit of an LSH index from the current corpus —
     see :func:`_rebuild_index`. ``knobs`` pass to
-    :func:`build_lsh_index` (e.g. ``n_planes=``, ``seed=``)."""
+    :func:`build_lsh_index` (e.g. ``n_planes=``, ``seed=``); knobs NOT
+    passed inherit the live index's meta (:func:`_rebuild_knobs`), so
+    a non-default index keeps its parameters across rebuilds."""
+    knobs = _rebuild_knobs(path, "lsh", knobs)
     _rebuild_index(
         spark or df.sparkSession, path, "bucket",
         lambda tmp: build_lsh_index(df, tmp, **knobs), "rebuild_lsh_index",
         _test_hook_pre_swap=_test_hook_pre_swap,
+        ids_already_filtered=ids_already_filtered,
     )
 
 
 def rebuild_ivf_index(
-    df: DataFrame, path: str, spark: SparkSession | None = None, **knobs
+    df: DataFrame, path: str, spark: SparkSession | None = None,
+    ids_already_filtered: bool = False, **knobs
 ) -> None:
     """Atomic in-place refit of an IVF index (fresh k-means coarse
     quantizer) from the current corpus — see :func:`_rebuild_index`.
-    ``knobs`` pass to :func:`build_ivf_index`."""
+    ``knobs`` pass to :func:`build_ivf_index`; unspecified knobs
+    inherit the live index's meta (:func:`_rebuild_knobs`)."""
+    knobs = _rebuild_knobs(path, "ivf", knobs)
     _rebuild_index(
         spark or df.sparkSession, path, "centroid_id",
         lambda tmp: build_ivf_index(df, tmp, **knobs), "rebuild_ivf_index",
+        ids_already_filtered=ids_already_filtered,
     )
 
 

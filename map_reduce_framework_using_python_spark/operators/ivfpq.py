@@ -761,6 +761,7 @@ def rebuild_ivfpq_index(
     path: str,
     spark: SparkSession | None = None,
     _test_hook_pre_swap=None,
+    ids_already_filtered: bool = False,
     **knobs,
 ) -> None:
     """Atomic in-place REFIT of an IVF-PQ index from the current
@@ -774,19 +775,26 @@ def rebuild_ivfpq_index(
     until the commit instant and a mutation landing mid-build aborts
     the swap instead of being lost. The fresh layout carries its own
     meta (new quantizers) and an empty tombstone set — prior deletes
-    are expressed by their absence from ``vectors``. ``knobs`` pass to
-    :func:`build_ivfpq_index` (n_centroids/m/k/seed/by_residual/...).
+    are expressed by their absence from ``vectors``, which is why a
+    live tombstone log REFUSES the rebuild unless the caller attests
+    ``ids_already_filtered=True`` (see :func:`~.ann_index._rebuild_index`).
+    ``knobs`` pass to :func:`build_ivfpq_index`
+    (n_centroids/m/k/seed/by_residual/...); unspecified knobs inherit
+    the live index's meta so a non-default index keeps its parameters.
     Completes the lifecycle pentad: build / append / delete / compact /
     rebuild (pinned in tests/test_ann_delete.py)."""
     from map_reduce_framework_using_python_spark.operators.ann_index import (
         _rebuild_index,
+        _rebuild_knobs,
     )
 
+    knobs = _rebuild_knobs(path, "ivfpq", knobs)
     _rebuild_index(
         spark or vectors.sparkSession, path, "centroid_id",
         lambda tmp: build_ivfpq_index(vectors, tmp, **knobs),
         "rebuild_ivfpq_index",
         _test_hook_pre_swap=_test_hook_pre_swap,
+        ids_already_filtered=ids_already_filtered,
     )
 
 
@@ -882,7 +890,11 @@ def sdc_near_pairs(
             .withColumn("_sdc", sdc)
             .filter(F.col("_sdc") <= F.lit(2.0 * (1.0 - tau) + margin))
         )
-    cand = pairs.select("id_a", "id_b")
+    # distinct: replayed at-least-once appends leave exact-duplicate
+    # code rows until compaction (a tolerated index state — every probe
+    # dedups it), and the within-cell self-join would then emit the
+    # same (id_a, id_b) pair once per copy-product (r11 review).
+    cand = pairs.select("id_a", "id_b").distinct()
     vn = _normalized(vectors, meta["vec_col"], id_col, None)
     va = vn.select(F.col(id_col).alias("id_a"), F.col("vn").alias("va"))
     vb = vn.select(F.col(id_col).alias("id_b"), F.col("vn").alias("vb"))

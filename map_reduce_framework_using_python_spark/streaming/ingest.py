@@ -305,8 +305,14 @@ def retract_stream(
             retract_docs_from_index,
         )
 
-        if batch_df.head(1):
-            retract_docs_from_index(batch_df, index_path)
+        # No emptiness pre-check: head(1) was a FULL Spark job paid by
+        # every batch (the common, non-empty case included) just to
+        # skip the rare empty one — and an empty tombstone append is
+        # harmless (probes read the DISTINCT set; an empty parquet part
+        # adds nothing). The remaining per-batch cost is the advertised
+        # O(|batch ids|) append plus driver-side meta/fingerprint file
+        # touches (r11 review).
+        retract_docs_from_index(batch_df, index_path)
 
     q = (
         ids_stream.writeStream.foreachBatch(apply)

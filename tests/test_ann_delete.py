@@ -291,8 +291,14 @@ def test_rebuild_refits_swaps_and_clears_tombstones(spark, idx):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     delete_from_index([3], idx, spark=spark)
     survivors = emb.filter(F.col("vec_id") != 3)
+    # live tombstones → rebuild refuses without the attestation flag
+    # (deletes are index-side only; an unfiltered input would
+    # resurrect them — r11 review)
+    with pytest.raises(ValueError, match="resurrect"):
+        rebuild_ivfpq_index(survivors, idx, n_centroids=4, m=8, k=8, seed=7)
     rebuild_ivfpq_index(
-        survivors, idx, n_centroids=4, m=8, k=8, seed=7
+        survivors, idx, n_centroids=4, m=8, k=8, seed=7,
+        ids_already_filtered=True,
     )
     meta = _read_meta(idx)
     assert meta["n_centroids"] == 4 and meta["seed"] == 7
@@ -410,3 +416,32 @@ def test_index_stats_tracks_lifecycle(spark, idx, tmp_path):
     assert sp["kind"] == "paragraph" and sp["n_data_files"] > 0
     with pytest.raises(ValueError, match="not a recognized"):
         index_stats(str(tmp_path / "nope"))
+
+
+def test_rebuild_inherits_live_meta_knobs(spark, idx):
+    """A no-knob rebuild keeps the live index's non-default parameters
+    (n_centroids/m/k/seed from _ann_meta.json) instead of silently
+    reverting to builder defaults; explicit knobs stay overrides
+    (r11 review)."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        _read_meta,
+    )
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        rebuild_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    before = _read_meta(idx)
+    assert (before["n_centroids"], before["m"], before["k"]) == (8, 8, 8)
+    rebuild_ivfpq_index(emb, idx)  # no knobs: everything from meta
+    after = _read_meta(idx)
+    for knob in ("n_centroids", "m", "k", "seed", "by_residual",
+                 "vec_col", "id_col", "label_col"):
+        assert after[knob] == before[knob], knob
+    # explicit knob overrides; the rest still inherited
+    rebuild_ivfpq_index(emb, idx, n_centroids=4)
+    final = _read_meta(idx)
+    assert final["n_centroids"] == 4
+    assert (final["m"], final["k"], final["seed"]) == (
+        before["m"], before["k"], before["seed"]
+    )

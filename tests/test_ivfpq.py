@@ -787,3 +787,31 @@ def test_sdc_reps_match_union_find(spark, ivfpq_index):
 
     keepers = Counter(c for c, k in got.values() if k)
     assert all(v == 1 for v in keepers.values())
+
+
+def test_sdc_pairs_deterministic_on_duplicated_append(spark, ivfpq_index, tmp_path):
+    """At-least-once replay leaves exact-duplicate code rows until
+    compaction — a tolerated index state every probe dedups. SDC pair
+    mining must too: on an index with a whole batch appended TWICE the
+    pair set is identical to the clean index's (no multiplicity from
+    the within-cell self-join; r11 review)."""
+    import shutil
+
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        append_to_ivfpq_index,
+        sdc_near_pairs,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    clean = sorted(
+        map(tuple, sdc_near_pairs(spark, ivfpq_index, emb, tau=0.4, margin=None).collect())
+    )
+    work = str(tmp_path / "idx")
+    shutil.copytree(ivfpq_index, work)
+    replay = emb.limit(40)  # the "redelivered" batch
+    append_to_ivfpq_index(replay, work)
+    append_to_ivfpq_index(replay, work)
+    dup = sorted(
+        map(tuple, sdc_near_pairs(spark, work, emb, tau=0.4, margin=None).collect())
+    )
+    assert dup == clean and clean
