@@ -266,6 +266,65 @@ def st_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "st_ann_takedown",
+    oracle=None,
+    tags=("streaming", "similarity", "index", "rows_only"),
+)
+def st_ann_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion requests INTERLEAVED with the similarity-on-ingest loop
+    (r12, the retraction verb wired into the ANN ingest lane): ingest
+    slice A (vec_id ≡ 5 mod 13) probes a scratch COPY of the LSH index
+    (the fingerprint-cached layout stays pristine), then a takedown
+    QUEUE drains — every EVEN corpus id slice A retrieved, arriving as
+    its own stream
+    (:func:`~..streaming.ann_ingest.delete_stream`: an O(|batch ids|)
+    tombstone append per micro-batch, idempotent under at-least-once
+    replay) — and ingest slice B (≡ 6 mod 13) probes the post-takedown
+    index. Returned: slice B's neighbor lists, which can contain no
+    tombstoned id and must EQUAL the one-shot batch probe against an
+    index with one bulk delete (drained == one-shot; pinned with
+    replay in tests/test_ann_takedown_stream.py). Rows-only for the
+    driver (bucket contents ride the hyperplane hash)."""
+    import shutil
+
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        delete_stream,
+        probe_stream,
+        read_embeddings_stream,
+    )
+
+    base = _scratch_dir("st_ann_takedown_")
+    work = f"{base}/idx"
+    shutil.copytree(_ensure_lsh(spark, sf_dir), work)
+    slice_a = probe_stream(
+        read_embeddings_stream(spark, sf_dir).filter(F.col("vec_id") % 13 == 5),
+        work,
+        out_dir=f"{base}/n1",
+        checkpoint_dir=f"{base}/ck1",
+        k=5,
+        probe_hamming=2,
+    )
+    victims = (
+        slice_a.filter(F.col("vec_id") % 2 == 0).select("vec_id").distinct()
+    )
+    delete_stream(
+        read_embeddings_stream(spark, sf_dir)
+        .select("vec_id")
+        .join(F.broadcast(victims), "vec_id"),
+        work,
+        checkpoint_dir=f"{base}/ck2",
+    )
+    return probe_stream(
+        read_embeddings_stream(spark, sf_dir).filter(F.col("vec_id") % 13 == 6),
+        work,
+        out_dir=f"{base}/n2",
+        checkpoint_dir=f"{base}/ck3",
+        k=5,
+        probe_hamming=2,
+    )
+
+
 def _ivf_probe_batch_oracle() -> str:
     """Full DuckDB oracle for the Lloyd-quantizer IVF batch probe: the
     deterministic k-means CTE chain (the SAME chain ns_kmeans_sizes is

@@ -602,3 +602,74 @@ def st_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_root=work,
         checkpoint_dir=f"{work}/ckpt",
     )
+
+
+@query(
+    "st_curation_takedown",
+    oracle=None,
+    tags=("streaming", "pipeline", "dedup", "index", "rows_only"),
+)
+def st_curation_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_curation_pipeline with the takedown QUEUE serviced inside the
+    drain (r12): the dedup index is copied to scratch (the
+    fingerprint-cached layout stays pristine), a deletion-request file
+    — every corpus doc the arriving batch would have screened as a
+    near-dup PARTNER (content-derived, the ns_paragraph_retract_screen
+    convention) — lands in the queue dir, and curate_stream retracts it
+    as maintenance BEFORE the batch screens (an O(|ids|) tombstone
+    append per file; idempotent, so a restart re-reading the queue is
+    safe). With every partner taken down the duplicate leg must go
+    QUIET for the batch: the returned curated set is the one-shot
+    curate_batch over the retracted index, and n_duplicate drops to 0
+    while the metrics SCHEMA stays byte-identical (takedown is index
+    maintenance, not a verdict class). Multi-drain flip semantics and
+    within-run queue consumption are pinned in tests/test_curation.py."""
+    import shutil
+
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        incremental_dedup_pairs,
+    )
+    from map_reduce_framework_using_python_spark.plans.ann_queries import (
+        _scratch_dir,
+    )
+    from map_reduce_framework_using_python_spark.plans.core import t
+    from map_reduce_framework_using_python_spark.plans.northstar import (
+        _BATCH_MOD,
+        _BATCH_REM,
+        _ensure_dedup_index,
+    )
+    from map_reduce_framework_using_python_spark.plans.pipeline7 import (
+        _ensure_dsir_model,
+    )
+    from map_reduce_framework_using_python_spark.streaming.curation import (
+        curate_stream,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ingest import (
+        read_documents_stream,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % _BATCH_MOD != _BATCH_REM)
+    batch = d.filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM)
+    model_path = _ensure_dsir_model(spark, sf_dir)
+    work = _scratch_dir("st_curation_takedown_")
+    index_path = f"{work}/idx"
+    shutil.copytree(_ensure_dedup_index(spark, sf_dir), index_path)
+    queue = f"{work}/queue"
+    (
+        incremental_dedup_pairs(spark, batch, corpus, index_path)
+        .select(F.col("corpus_doc").alias("doc_id"))
+        .distinct()
+        .write.parquet(f"{queue}/takedown.parquet")
+    )
+    return curate_stream(
+        read_documents_stream(spark, sf_dir).filter(
+            F.col("doc_id") % _BATCH_MOD == _BATCH_REM
+        ),
+        corpus,
+        index_path,
+        model_path,
+        out_root=f"{work}/out",
+        checkpoint_dir=f"{work}/ckpt",
+        takedown_queue_dir=queue,
+    )

@@ -207,3 +207,42 @@ def ivfpq_probe_stream(
             append_to_ivfpq_index(batch_df, index_path)
 
     return _drain_probe_stream(batch_stream, probe, out_dir, checkpoint_dir)
+
+
+def delete_stream(
+    ids_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Takedown requests for an ANN index on a STREAM: drain
+    ``ids_stream`` (AvailableNow; first column = vector id) and
+    tombstone each micro-batch's ids via
+    :func:`~.ann_index.delete_from_index` — the similarity-lane twin of
+    :func:`~.ingest.retract_stream`, closing the loop the ingest
+    probes opened: the index the ``st_ann_ingest*`` queries extend can
+    now also shed vectors continuously.
+
+    Same contract as the dedup-lane retraction queue: per-batch cost is
+    O(|batch ids|) (a tombstone append under ``_tombstones/``; no data
+    file rewrite), deletion is IDEMPOTENT (probes anti-join the
+    DISTINCT tombstone set), so at-least-once foreachBatch replay needs
+    no extra machinery, and the union of per-batch tombstones equals
+    one bulk delete — drained == one-shot (pinned in
+    tests/test_ann_takedown_stream.py). A tombstone beats copies of
+    the id appended AFTER the delete; un-deleting is compact (purge)
+    then re-append — the ANN lifecycle's documented semantics."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from map_reduce_framework_using_python_spark.operators.ann_index import (
+            delete_from_index,
+        )
+
+        delete_from_index(batch_df, index_path)
+
+    q = (
+        ids_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

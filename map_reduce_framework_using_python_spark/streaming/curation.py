@@ -273,14 +273,53 @@ def curate_stream(
     decon_tau6: int = 900_000,
     span_index_path: str | None = None,
     max_span_dup_frac: float = 0.5,
+    takedown_queue_dir: str | None = None,
 ) -> DataFrame:
     """Drain ``batch_stream`` (AvailableNow) through the full curation
     pass and return the curated read-back. Sinks are at-least-once
     appends (idempotent facts; readers dedup on doc_id / batch_id —
-    the streaming/ingest.py contract)."""
+    the streaming/ingest.py contract).
+
+    ``takedown_queue_dir``: optional landing directory of parquet id
+    files (first column = doc id) — the deletion-request queue serviced
+    AS MAINTENANCE BETWEEN MICRO-BATCHES (r12): before each batch is
+    screened, any id file not yet consumed this run is retracted from
+    every index the screens probe (dedup, paragraph, span — via
+    :func:`~..operators.dedup_index.retract_docs_from_index`), so a
+    doc taken down in the queue stops influencing every LATER batch's
+    verdicts. Consumption is tracked per RUN only; a restart re-reads
+    the whole queue, which is safe because retraction is idempotent
+    (tombstone appends; probes read the DISTINCT set). Witness-capped
+    (pruned) index layouts refuse retraction by design — route
+    takedowns at the exact layout and re-prune. The metrics schema is
+    unchanged: takedown is index maintenance, not a verdict class."""
     spark = batch_stream.sparkSession
+    consumed: set[str] = set()
+
+    def _drain_takedowns() -> None:
+        if not takedown_queue_dir or not os.path.isdir(takedown_queue_dir):
+            return
+        import glob as _glob
+
+        from map_reduce_framework_using_python_spark.operators.dedup_index import (
+            retract_docs_from_index,
+        )
+
+        files = sorted(
+            f
+            for f in _glob.glob(os.path.join(takedown_queue_dir, "*.parquet"))
+            if f not in consumed
+        )
+        if not files:
+            return
+        ids = spark.read.parquet(*files).select("doc_id")
+        for target in (index_path, paragraph_index_path, span_index_path):
+            if target is not None:
+                retract_docs_from_index(ids, target)
+        consumed.update(files)
 
     def curate(batch_df: DataFrame, batch_id: int) -> None:
+        _drain_takedowns()
         curated, rejected, metrics = curate_batch(
             spark, batch_df, corpus, index_path, model_path,
             threshold=threshold, witness_cap=witness_cap,

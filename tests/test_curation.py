@@ -477,3 +477,168 @@ def test_takedown_unblocks_duplicate_on_reingest(spark):
         )
         reasons2 = {r["doc_id"]: r["reason"] for r in rejected2.collect()}
         assert reasons2.get(victim) != "duplicate"
+
+
+def _doc_stream(spark, land):
+    from map_reduce_framework_using_python_spark.streaming.ingest import (
+        _DOCS_SCHEMA,
+    )
+
+    return (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(land)
+    )
+
+
+def _clone_of(spark, src_row, doc_id):
+    return spark.createDataFrame(
+        [(doc_id, src_row["text"], src_row["lang"], src_row["source"],
+          src_row["n_chars"])],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_takedown_queue_flips_duplicate_between_drains(spark):
+    """The r12 takedown leg: a clone of a corpus doc is ledgered
+    `duplicate` in drain 1; its entire dup-partner set lands in the
+    takedown queue; drain 2's clone of the SAME text screens clean of
+    the duplicate verdict — maintenance between drains changed the
+    later verdict without touching the sinks' schemas."""
+    import shutil
+
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        incremental_dedup_pairs,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        corpus, batch, src_idx, model_path = _artifacts(spark, d)
+        index_path = os.path.join(d, "idx_copy")
+        shutil.copytree(src_idx, index_path)
+        src = corpus.limit(1).collect()[0]
+        land = os.path.join(d, "land")
+        os.makedirs(land)
+        queue = os.path.join(d, "queue")
+        os.makedirs(queue)
+        out_root = os.path.join(d, "out")
+        ckpt = os.path.join(d, "ckpt")
+
+        def drain():
+            return curate_stream(
+                _doc_stream(spark, land), corpus, index_path, model_path,
+                out_root=out_root, checkpoint_dir=ckpt,
+                takedown_queue_dir=queue,
+            )
+
+        _clone_of(spark, src, 999_001).coalesce(1).write.parquet(
+            os.path.join(land, "b1.parquet")
+        )
+        drain()
+        rej = {
+            r["doc_id"]: r["reason"]
+            for r in read_rejected(spark, out_root).collect()
+        }
+        assert rej.get(999_001) == "duplicate"
+
+        # takedown: every corpus partner the clone collides with
+        partners = (
+            incremental_dedup_pairs(
+                spark, _clone_of(spark, src, 999_002), corpus, index_path
+            )
+            .select(F.col("corpus_doc").alias("doc_id"))
+            .distinct()
+        )
+        assert partners.count() > 0
+        partners.coalesce(1).write.parquet(
+            os.path.join(queue, "takedown.parquet")
+        )
+        _clone_of(spark, src, 999_002).coalesce(1).write.parquet(
+            os.path.join(land, "b2.parquet")
+        )
+        drain()
+        rej2 = {
+            r["doc_id"]: r["reason"]
+            for r in read_rejected(spark, out_root).collect()
+        }
+        cur2 = {r["doc_id"] for r in
+                spark.read.parquet(os.path.join(out_root, "curated")).collect()}
+        # same text, later drain: no longer a duplicate (partition
+        # invariant still holds — it lands curated or rejected for a
+        # NON-duplicate reason)
+        assert 999_002 in cur2 or (
+            999_002 in rej2 and rej2[999_002] != "duplicate"
+        )
+        assert rej.get(999_001) == "duplicate"  # drain-1 ledger intact
+        # metrics schema unchanged by the takedown leg
+        m = read_metrics(spark, out_root)
+        assert m.columns == [
+            "batch_id", "n_in", "n_duplicate", "n_boilerplate",
+            "n_span_duplicate", "n_contaminated", "n_low_quality",
+            "n_curated", "psi",
+        ]
+
+
+def test_takedown_queue_drained_equals_one_shot_bulk_retraction(spark):
+    """Pre-seeded queue == bulk retract-then-curate: the streamed drain
+    with the queue serviced before the batch equals curate_batch
+    against an index with one bulk retraction of the same ids
+    (drained == one-shot), and the retraction silences the duplicate
+    leg entirely (n_duplicate == 0) without schema drift. Replay: a
+    second drain over a fresh checkpoint (redelivered batch + already-
+    consumed queue re-read) yields the same curated set."""
+    import shutil
+
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        incremental_dedup_pairs,
+        retract_docs_from_index,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        corpus, batch, src_idx, model_path = _artifacts(spark, d)
+        partners = (
+            incremental_dedup_pairs(spark, batch, corpus, src_idx)
+            .select(F.col("corpus_doc").alias("doc_id"))
+            .distinct()
+        )
+        assert partners.count() > 0
+
+        streamed_idx = os.path.join(d, "idx_stream")
+        shutil.copytree(src_idx, streamed_idx)
+        queue = os.path.join(d, "queue")
+        partners.coalesce(1).write.parquet(
+            os.path.join(queue, "takedown.parquet")
+        )
+        out_root = os.path.join(d, "out")
+        streamed = curate_stream(
+            read_documents_stream(spark, SF_SMOKE).filter(
+                F.col("doc_id") % _BATCH_MOD == _BATCH_REM
+            ),
+            corpus, streamed_idx, model_path,
+            out_root=out_root, checkpoint_dir=os.path.join(d, "ckpt"),
+            takedown_queue_dir=queue,
+        )
+        got = sorted(map(tuple, streamed.collect()))
+
+        bulk_idx = os.path.join(d, "idx_bulk")
+        shutil.copytree(src_idx, bulk_idx)
+        retract_docs_from_index(partners, bulk_idx)
+        curated, _rejected, metrics = curate_batch(
+            spark, batch, corpus, bulk_idx, model_path
+        )
+        assert got == sorted(map(tuple, curated.collect()))
+        m = read_metrics(spark, out_root).collect()[0]
+        assert m["n_duplicate"] == 0
+        assert metrics.collect()[0]["n_duplicate"] == 0
+
+        # replay (fresh checkpoint): idempotent takedown + idempotent
+        # sinks → same curated set
+        replayed = curate_stream(
+            read_documents_stream(spark, SF_SMOKE).filter(
+                F.col("doc_id") % _BATCH_MOD == _BATCH_REM
+            ),
+            corpus, streamed_idx, model_path,
+            out_root=out_root, checkpoint_dir=os.path.join(d, "ckpt2"),
+            takedown_queue_dir=queue,
+        )
+        assert sorted(map(tuple, replayed.collect())) == got
