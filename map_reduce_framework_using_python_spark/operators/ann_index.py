@@ -1349,12 +1349,130 @@ def index_stats(path: str) -> dict:
     return {
         "kind": kind,
         "meta": {k: v for k, v in meta.items() if k not in bulky},
+        "live_dir": live,
         "n_partition_dirs": n_dirs,
         "n_data_files": n_files,
         "data_bytes": data_bytes,
         "n_tombstone_files": n_tomb,
         "tombstone_bytes": tomb_bytes,
     }
+
+
+def _parquet_rows_under(root: str, tombstones: bool) -> int:
+    """Sum of footer ``num_rows`` over the parquet files under ``root``
+    — driver-side pyarrow footer reads (one footer per file, metadata
+    only; at 100 TB this is namenode listings + footer gets, still no
+    Spark job and proportional to FILE COUNT, not bytes). Tombstone
+    rows count replays at-least-once (appends are never deduped on
+    disk), so the returned count is an upper bound on distinct ids —
+    the safe direction for a maintenance trigger."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for r, _d, files in os.walk(root):
+        rel = os.path.relpath(r, root)
+        in_tomb = rel.split(os.sep)[0] == TOMBSTONE_DIR
+        if in_tomb != tombstones:
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+                except Exception:  # noqa: BLE001 — half-written tmp files
+                    pass
+    return total
+
+
+def plan_maintenance(
+    indexes: dict[str, str],
+    compact_tombstone_frac: float = 0.05,
+    max_files_per_partition: float = 4.0,
+    max_tombstone_files: int = 64,
+    rebuild_tombstone_frac: float = 0.3,
+) -> list[dict]:
+    """Turn :func:`index_stats`'s listing-only signals into per-index
+    **compact / rebuild / noop** decisions — the "when to run verb N"
+    policy the lifecycle pentad (build/append/delete/compact/rebuild)
+    makes possible. ``indexes``: ``{label: path}``. Returns one dict
+    per index, decision plus every input signal (so the caller can
+    audit the policy, not just obey it).
+
+    Policy, in precedence order (thresholds are knobs):
+
+    * **rebuild** when ``tombstone_frac`` (tombstone rows / live data
+      rows, both from parquet FOOTERS — no scan) ≥
+      ``rebuild_tombstone_frac``: so much of the layout is dead that
+      the vectors the quantizers were fit on no longer reflect the
+      survivors — compaction would purge the rows but keep the stale
+      quantizers; refit instead (the caller passes the filtered
+      authoritative vectors, ``ids_already_filtered=True``). The
+      measured cost gap (rebuild ≈ 28× append+compact at the 10×
+      bench, scale10x_rebuild) is why this threshold is HIGH.
+    * **compact** when the tombstone set outgrows broadcast comfort
+      (``tombstone_frac`` ≥ ``compact_tombstone_frac`` or
+      ``n_tombstone_files`` ≥ ``max_tombstone_files`` — the log's own
+      file fan-out makes every probe's anti-join read more files) or
+      streamed appends have fanned the layout out
+      (``files_per_partition`` ≥ ``max_files_per_partition`` — each
+      probe opens every file of its partition directories).
+    * **noop** otherwise — a pristine or recently-compacted index.
+
+    Decisions flip exactly as the lifecycle advances (pinned in
+    tests/test_ann_maintenance.py); the registered form is
+    ``ns_index_maintenance_plan``."""
+    out: list[dict] = []
+    for label, path in indexes.items():
+        st = index_stats(path)
+        live = st["live_dir"]
+        data_rows = _parquet_rows_under(live, tombstones=False)
+        tomb_rows = _parquet_rows_under(live, tombstones=True)
+        files_pp = st["n_data_files"] / max(1, st["n_partition_dirs"])
+        tomb_frac = tomb_rows / max(1, data_rows)
+        if tomb_frac >= rebuild_tombstone_frac:
+            decision = "rebuild"
+            reason = (
+                f"tombstone_frac {tomb_frac:.3f} >= "
+                f"{rebuild_tombstone_frac} (quantizers fit on a corpus "
+                "this layout no longer stores)"
+            )
+        elif tomb_frac >= compact_tombstone_frac:
+            decision = "compact"
+            reason = (
+                f"tombstone_frac {tomb_frac:.3f} >= "
+                f"{compact_tombstone_frac} (anti-join set outgrowing "
+                "broadcast comfort)"
+            )
+        elif st["n_tombstone_files"] >= max_tombstone_files:
+            decision = "compact"
+            reason = (
+                f"n_tombstone_files {st['n_tombstone_files']} >= "
+                f"{max_tombstone_files} (delete-log file fan-out)"
+            )
+        elif files_pp >= max_files_per_partition:
+            decision = "compact"
+            reason = (
+                f"files_per_partition {files_pp:.1f} >= "
+                f"{max_files_per_partition} (append fan-out)"
+            )
+        else:
+            decision = "noop"
+            reason = "all signals under thresholds"
+        out.append(
+            {
+                "index": label,
+                "kind": st["kind"],
+                "n_partition_dirs": st["n_partition_dirs"],
+                "n_data_files": st["n_data_files"],
+                "files_per_partition": round(files_pp, 3),
+                "data_rows": data_rows,
+                "tombstone_rows": tomb_rows,
+                "n_tombstone_files": st["n_tombstone_files"],
+                "tombstone_frac": round(tomb_frac, 6),
+                "decision": decision,
+                "reason": reason,
+            }
+        )
+    return out
 
 
 def scan_fraction(path: str, probed: list[int], part_col: str) -> float:

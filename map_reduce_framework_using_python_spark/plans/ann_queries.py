@@ -812,3 +812,58 @@ def ns_semdedup_sdc_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("vec_id") == F.min("vec_id").over(w)).alias("keep"),
     )
+
+
+@query(
+    "ns_index_maintenance_plan",
+    oracle=None,
+    tags=("northstar", "similarity", "index", "ops", "rows_only"),
+)
+def ns_index_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto-maintenance PLANNER (r12, VERDICT item 7): three scratch
+    LSH indexes driven into the lifecycle's three states — pristine,
+    append-fanned (5 streamed re-deliveries of the same batch), and
+    heavily tombstoned (every even id deleted) — then
+    :func:`~..operators.ann_index.plan_maintenance` turns the
+    listing-only signals (parquet-footer row counts, file fan-out,
+    delete-log size; NO Spark scan) into per-index compact / rebuild /
+    noop decisions: noop for the pristine layout, compact for append
+    fan-out, rebuild when the tombstone fraction says the quantizers
+    were fit on a corpus the layout no longer stores. Rows-only for the
+    driver (decisions are filesystem facts, not SQL); the full
+    lifecycle flip sequence — including compact and rebuild actually
+    CLEARING the decisions they answer — is pinned in
+    tests/test_ann_maintenance.py."""
+    import shutil
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        delete_from_index,
+        plan_maintenance,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").limit(300)
+    base = _scratch_dir("ns_maint_plan_")
+    fresh = f"{base}/fresh"
+    appended = f"{base}/appended"
+    deleted = f"{base}/deleted"
+    build_lsh_index(emb, fresh, n_planes=4, seed=42)
+    shutil.copytree(fresh, appended)
+    batch = emb.limit(40)
+    for _ in range(5):
+        append_to_lsh_index(batch, appended)
+    shutil.copytree(fresh, deleted)
+    delete_from_index(
+        emb.filter(F.col("vec_id") % 2 == 0).select("vec_id"), deleted
+    )
+    rows = plan_maintenance(
+        {"fresh": fresh, "appended": appended, "deleted": deleted}
+    )
+    return spark.createDataFrame(
+        rows,
+        "index string, kind string, n_partition_dirs int, n_data_files int,"
+        " files_per_partition double, data_rows bigint, tombstone_rows bigint,"
+        " n_tombstone_files int, tombstone_frac double, decision string,"
+        " reason string",
+    )
