@@ -205,6 +205,33 @@ R10_SECTION_FLOOR: dict[tuple[str, str], float] = {
     ("scale10x_semdecon", "kmeans_indexed_exec"): 4.421,
 }
 
+#: Round-11-era section floors, seeded in r12 from warm-isolated
+#: best-of-two-runs on the continuation box AFTER the pre-touch fix
+#: (the driver's BENCH_r11 record carried the cold-IO tax the r11
+#: close bisected, so those firsts are not a like-for-like floor;
+#: these values match the r11 close's isolated measurements —
+#: ivfpq plan 1.48/exec 0.92, retract tombstoned/clean ≈ 1.08).
+#: Reported under `regressions_vs_r11_sections`.
+R11_SECTION_FLOOR: dict[tuple[str, str], float] = {
+    ("scale10x_ivfpq", "probe_plan_build"): 1.403,
+    ("scale10x_ivfpq", "probe_exec"): 0.861,
+    ("scale10x_retract", "clean_exec"): 0.954,
+    ("scale10x_retract", "tombstoned_exec"): 0.974,
+}
+
+#: Round-12 section floors: the REBUILD and SDC sections first recorded
+#: in r12 (warm-isolated best-of-two). rebuild_sec pins the refit cost
+#: (two quantizer programs + full re-encode at 10×); pairs_exec pins
+#: SDC mining's wall-clock edge over the kmeans-bucketed full-vector
+#: form. Reported under `regressions_vs_r12_sections`.
+R12_SECTION_FLOOR: dict[tuple[str, str], float] = {
+    ("scale10x_rebuild", "rebuild_sec"): 33.342,
+    ("scale10x_rebuild", "append_sec"): 1.879,
+    ("scale10x_rebuild", "compact_sec"): 1.142,
+    ("scale10x_sdc", "pairs_plan_build"): 0.431,
+    ("scale10x_sdc", "pairs_exec"): 3.178,
+}
+
 
 def _page_cache_mb() -> int | None:
     """Buffers+Cached from /proc/meminfo, in MiB — the reclaiming-VM
@@ -1322,6 +1349,12 @@ def main() -> None:
     )
     result["regressions_vs_r10_sections"] = _section_floors(
         R10_SECTION_FLOOR, "r10"
+    )
+    result["regressions_vs_r11_sections"] = _section_floors(
+        R11_SECTION_FLOOR, "r11"
+    )
+    result["regressions_vs_r12_sections"] = _section_floors(
+        R12_SECTION_FLOOR, "r12"
     )
 
     print(json.dumps(result))

@@ -23,6 +23,7 @@ from __future__ import annotations
 # round-closing sweep after the r7 review deferred it).
 import pandas as pd  # noqa: F401
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from map_reduce_framework_using_python_spark.plans.core import query, t
 
@@ -322,3 +323,186 @@ def q_sql_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
     """)
+
+
+@query(
+    "q_sql_variables",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders,
+               max(o_totalprice) AS max_price
+        FROM orders
+        WHERE o_totalprice > 150000.0
+        GROUP BY o_orderpriority
+    """,
+    tags=("sql", "variables"),
+)
+def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session variables (Spark 4 ``DECLARE VARIABLE`` / ``SET VAR``):
+    the threshold lives in typed session state and the query references
+    it by name — the parameterization layer for SQL-only clients (no
+    Python ``args=`` available), resolved at plan time so predicate
+    pushdown sees the literal exactly as if it were inlined. DECLARE OR
+    REPLACE keeps the query idempotent per session. The oracle is the
+    resolved query; max(o_totalprice) passes a STORED double through
+    (exact on both engines), no float accumulation."""
+    _view(spark, sf_dir, "orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE min_price DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("SET VAR min_price = 150000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               max(o_totalprice) AS max_price
+        FROM orders
+        WHERE o_totalprice > min_price
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q_sql_exec_immediate",
+    oracle="""
+        SELECT n_name, count(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > 100.0
+        GROUP BY n_name
+    """,
+    tags=("sql", "variables"),
+)
+def q_sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE`` (Spark 4): the query TEXT arrives in a
+    session variable (the dynamic-SQL path a SQL-only ETL framework
+    uses) and positional parameters bind via ``USING`` — injection-safe
+    like q_sql_parameterized, but driven entirely from SQL. The oracle
+    is the resolved query (same shape as q_sql_parameterized's, which
+    pins that dynamic and static execution agree)."""
+    _view(spark, sf_dir, "customer", "nation")
+    spark.sql("DECLARE OR REPLACE VARIABLE qtext STRING")
+    spark.sql(
+        """SET VAR qtext =
+           'SELECT n_name, count(*) AS n_cust
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > ? GROUP BY n_name'"""
+    )
+    return spark.sql("EXECUTE IMMEDIATE qtext USING 100.0")
+
+
+@query(
+    "q_sql_scripting",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_totalprice > 175000.0
+        GROUP BY o_orderpriority
+    """,
+    tags=("sql", "scripting"),
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 compound statements): a BEGIN..END block
+    with local DECLAREs and a WHILE loop computes the cutoff
+    procedurally (100k + 3 × 25k = 175k), then the final SELECT is the
+    block's result set — control flow INSIDE the SQL surface, no
+    Python driver loop. The oracle inlines the loop's fixed point; the
+    script's arithmetic is integral-step double math, identical on any
+    engine."""
+    _view(spark, sf_dir, "orders")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+            DECLARE cutoff DOUBLE DEFAULT 100000.0;
+            DECLARE i INT DEFAULT 0;
+            WHILE i < 3 DO
+                SET cutoff = cutoff + 25000.0;
+                SET i = i + 1;
+            END WHILE;
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_totalprice > cutoff
+            GROUP BY o_orderpriority;
+        END
+        """
+    )
+
+
+@query(
+    "q_transpose",
+    oracle="""
+        WITH a AS (
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   count(DISTINCT o_custkey) AS n_cust
+            FROM orders GROUP BY 1
+        )
+        SELECT 'n_orders' AS key,
+               (SELECT n_orders FROM a WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+               (SELECT n_orders FROM a WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+               (SELECT n_orders FROM a WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+               (SELECT n_orders FROM a WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+               (SELECT n_orders FROM a WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        UNION ALL
+        SELECT 'n_cust',
+               (SELECT n_cust FROM a WHERE o_orderpriority = '1-URGENT'),
+               (SELECT n_cust FROM a WHERE o_orderpriority = '2-HIGH'),
+               (SELECT n_cust FROM a WHERE o_orderpriority = '3-MEDIUM'),
+               (SELECT n_cust FROM a WHERE o_orderpriority = '4-NOT SPECIFIED'),
+               (SELECT n_cust FROM a WHERE o_orderpriority = '5-LOW')
+    """,
+    tags=("relational", "reshape"),
+)
+def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4.0): a 5-row priority aggregate
+    flipped so metrics become rows and priorities become columns — the
+    matrix-reshape report layout (the inverse of q_unpivot's melt).
+    Spark derives the output columns from the index column's VALUES, so
+    the frame is ordered first (column order = row order, determinism)
+    and both metrics share BIGINT (transpose requires a least common
+    type across transposed columns). The oracle builds the same matrix
+    with scalar subqueries — column NAMES must match the data values
+    exactly, which is itself a pin that transpose names columns from
+    the data."""
+    o = t(spark, sf_dir, "orders")
+    agg = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    return agg.transpose()
+
+
+@query(
+    "q_lateral_join_api",
+    oracle="""
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM orders
+                      WHERE o_custkey = c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 2) top2
+        WHERE c_acctbal > 9000.0
+    """,
+    tags=("relational", "join", "lateral"),
+)
+def q_lateral_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.lateralJoin`` (Spark 4.0): per-customer top-2 orders
+    by price, expressed as a correlated lateral subquery in the
+    DataFrame DSL — ``F.col(...).outer()`` marks the outer reference,
+    ORDER BY + LIMIT run PER DRIVING ROW. The API twin of
+    q_sql_lateral_topk (which pins the SQL front-end form); at scale
+    Catalyst rewrites the lateral limit into a partitioned window — no
+    per-row subquery execution survives the plan. The (o_totalprice
+    DESC, o_orderkey) order is total, so the top-2 set is
+    deterministic; o_totalprice is a stored double passthrough."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000.0)
+    o = t(spark, sf_dir, "orders")
+    return c.lateralJoin(
+        o.where(F.col("c_custkey").outer() == F.col("o_custkey"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(2)
+    ).select("c_custkey", "o_orderkey", "o_totalprice")
