@@ -1475,6 +1475,85 @@ def plan_maintenance(
     return out
 
 
+def auto_maintain(
+    spark: SparkSession,
+    indexes: dict[str, str],
+    vectors: dict[str, DataFrame] | None = None,
+    **thresholds,
+) -> list[dict]:
+    """Close the maintenance loop: :func:`plan_maintenance` decides,
+    this EXECUTES — the operational form of the lifecycle pentad for
+    the ANN lanes (lsh / ivf / ivfpq). ``vectors``: the authoritative
+    vector table per index label, required only for rebuilds; the
+    executor OWNS the tombstone filtering (anti-join against the live
+    delete log before the refit, then ``ids_already_filtered=True``),
+    so a caller can hand over the same unfiltered table that fed the
+    original build without resurrecting deletes.
+
+    A planned rebuild with NO vectors DEGRADES to compact — the purge
+    half of the decision still lands (probes stay correct; only
+    quantizer freshness is deferred) and the degradation is RECORDED,
+    never silent. Each returned row carries the decision, the action
+    actually taken, and the post-action re-plan, so drift between plan
+    and effect is observable (each verb must flip its own decision to
+    noop — pinned in tests/test_ann_maintenance.py).
+
+    Quiescence is the caller's contract, same as calling the verbs
+    directly: run between ingest drains, not concurrent with appends
+    (a mutation landing mid-swap aborts the swap — the shared guard)."""
+    from map_reduce_framework_using_python_spark.operators import ivfpq as _ivfpq
+
+    compactors = {
+        "lsh": lambda p: compact_lsh_index(spark, p),
+        "ivf": lambda p: compact_ivf_index(spark, p),
+        "ivfpq": lambda p: _ivfpq.compact_ivfpq_index(spark, p),
+    }
+    rebuilders = {
+        "lsh": lambda df, p: rebuild_lsh_index(
+            df, p, spark=spark, ids_already_filtered=True
+        ),
+        "ivf": lambda df, p: rebuild_ivf_index(
+            df, p, spark=spark, ids_already_filtered=True
+        ),
+        "ivfpq": lambda df, p: _ivfpq.rebuild_ivfpq_index(
+            df, p, spark=spark, ids_already_filtered=True
+        ),
+    }
+    out: list[dict] = []
+    for row in plan_maintenance(indexes, **thresholds):
+        label, decision = row["index"], row["decision"]
+        path = indexes[label]
+        kind = row["kind"]
+        if kind not in compactors:
+            raise ValueError(
+                f"auto_maintain: no executor for kind {kind!r} (label "
+                f"{label!r}) — run the lane's own maintenance verbs"
+            )
+        vec = (vectors or {}).get(label)
+        if decision == "rebuild" and vec is None:
+            action = "compact (degraded: rebuild planned, no vectors)"
+            compactors[kind](path)
+        elif decision == "rebuild":
+            action = "rebuild"
+            meta = _read_meta(path)
+            survivors = _apply_tombstones(vec, path, meta["id_col"])
+            rebuilders[kind](survivors, path)
+        elif decision == "compact":
+            action = "compact"
+            compactors[kind](path)
+        else:
+            action = "noop"
+        after = plan_maintenance({label: path}, **thresholds)[0]
+        out.append(
+            {
+                **row,
+                "action": action,
+                "decision_after": after["decision"],
+            }
+        )
+    return out
+
+
 def scan_fraction(path: str, probed: list[int], part_col: str) -> float:
     """Fraction of partition directories a probe set actually opens —
     the observable pruning ratio (tests assert it ≪ 1)."""

@@ -867,3 +867,60 @@ def ns_index_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         " n_tombstone_files int, tombstone_frac double, decision string,"
         " reason string",
     )
+
+
+@query(
+    "ns_index_auto_maintain",
+    oracle=None,
+    tags=("northstar", "similarity", "index", "ops", "rows_only"),
+)
+def ns_index_auto_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance loop CLOSED (r12): the planner's three-state
+    fixture (pristine / append-fanned / mass-deleted), but
+    :func:`~..operators.ann_index.auto_maintain` also EXECUTES each
+    decision — compact for the fan-out, rebuild for the tombstoned
+    index (the executor anti-joins the authoritative vectors against
+    the live delete log itself, so the caller's unfiltered table can't
+    resurrect deletes), noop for the pristine layout — and re-plans
+    after acting. Every returned row must show decision_after = noop:
+    each verb clears the decision that called for it. Rows-only;
+    degradation (rebuild planned, no vectors → compact) and
+    probe-correctness after each action are pinned in
+    tests/test_ann_maintenance.py."""
+    import shutil
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        append_to_lsh_index,
+        auto_maintain,
+        build_lsh_index,
+        delete_from_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").limit(300)
+    base = _scratch_dir("ns_auto_maint_")
+    fresh = f"{base}/fresh"
+    appended = f"{base}/appended"
+    deleted = f"{base}/deleted"
+    build_lsh_index(emb, fresh, n_planes=4, seed=42)
+    shutil.copytree(fresh, appended)
+    batch = emb.limit(40)
+    for _ in range(5):
+        append_to_lsh_index(batch, appended)
+    shutil.copytree(fresh, deleted)
+    delete_from_index(
+        emb.filter(F.col("vec_id") % 2 == 0).select("vec_id"), deleted
+    )
+    rows = auto_maintain(
+        spark,
+        {"fresh": fresh, "appended": appended, "deleted": deleted},
+        vectors={"deleted": emb},
+    )
+    return spark.createDataFrame(
+        [
+            (r["index"], r["kind"], r["decision"], r["action"],
+             r["decision_after"])
+            for r in rows
+        ],
+        "index string, kind string, decision string, action string,"
+        " decision_after string",
+    )

@@ -94,3 +94,94 @@ def test_registry_query_decisions(spark):
     # the signals ride along for auditability
     assert got["deleted"]["tombstone_frac"] >= 0.3
     assert got["appended"]["files_per_partition"] >= 4
+
+
+def test_auto_maintain_executes_and_clears_decisions(spark, tmp_path):
+    """The executor half: compact clears the fan-out, rebuild (with the
+    executor doing the tombstone filtering) clears the mass-delete, the
+    post-action re-plan is noop everywhere, and probes after the
+    rebuild equal brute force over the survivors."""
+    import shutil
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        auto_maintain,
+        lsh_probe_index_batch,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(300)
+    fresh = str(tmp_path / "fresh")
+    build_lsh_index(emb, fresh, n_planes=4, seed=42)
+    appended = str(tmp_path / "appended")
+    shutil.copytree(fresh, appended)
+    batch = emb.limit(40)
+    for _ in range(5):
+        append_to_lsh_index(batch, appended)
+    deleted = str(tmp_path / "deleted")
+    shutil.copytree(fresh, deleted)
+    delete_from_index(
+        emb.filter(F.col("vec_id") % 2 == 0).select("vec_id"), deleted
+    )
+
+    rows = {
+        r["index"]: r
+        for r in auto_maintain(
+            spark,
+            {"fresh": fresh, "appended": appended, "deleted": deleted},
+            # deliberately UNFILTERED: the executor must anti-join the
+            # tombstones itself before the refit
+            vectors={"deleted": emb},
+        )
+    }
+    assert rows["fresh"]["action"] == "noop"
+    assert rows["appended"]["action"] == "compact"
+    assert rows["deleted"]["action"] == "rebuild"
+    assert all(r["decision_after"] == "noop" for r in rows.values())
+
+    # the rebuilt index answers exactly like one built on survivors
+    survivors = emb.filter(F.col("vec_id") % 2 != 0)
+    ref = str(tmp_path / "ref")
+    build_lsh_index(survivors, ref, n_planes=4, seed=42)
+    q = emb.filter(F.col("vec_id") < 8)
+    got = sorted(map(tuple, lsh_probe_index_batch(
+        spark, q, deleted, k=5, probe_hamming=2
+    ).collect()))
+    want = sorted(map(tuple, lsh_probe_index_batch(
+        spark, q, ref, k=5, probe_hamming=2
+    ).collect()))
+    assert got == want and got
+
+
+def test_auto_maintain_degrades_rebuild_to_compact_without_vectors(
+    spark, tmp_path
+):
+    """No vectors → the purge half still lands (probes correct,
+    tombstones retired) and the degradation is recorded."""
+    import shutil
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        auto_maintain,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(300)
+    idx = str(tmp_path / "idx")
+    build_lsh_index(emb, idx, n_planes=4, seed=42)
+    delete_from_index(
+        emb.filter(F.col("vec_id") % 2 == 0).select("vec_id"), idx
+    )
+    (row,) = auto_maintain(spark, {"idx": idx})
+    assert row["decision"] == "rebuild"
+    assert row["action"].startswith("compact (degraded")
+    assert row["decision_after"] == "noop"
+
+
+def test_auto_maintain_registry_query(spark):
+    from map_reduce_framework_using_python_spark.plans import REGISTRY
+
+    got = {
+        r["index"]: r
+        for r in REGISTRY["ns_index_auto_maintain"].fn(spark, SF_SMOKE).collect()
+    }
+    assert {(r["decision"], r["action"]) for r in got.values()} == {
+        ("noop", "noop"), ("compact", "compact"), ("rebuild", "rebuild")
+    }
+    assert all(r["decision_after"] == "noop" for r in got.values())

@@ -170,6 +170,15 @@ AUDIT = (
     "ns_ann_delete_probe",
     "ns_paragraph_retract_screen",
     "ns_semdedup_sdc",
+    # round 12: DataFrame lateral join — Catalyst must rewrite the
+    # per-row ORDER BY/LIMIT into partial+final WindowGroupLimit with
+    # the filtered driving side broadcast (verified: BroadcastHashJoin
+    # BuildLeft + two WindowGroupLimit around one Exchange), and the
+    # acctbal predicate must reach the customer scan as PushedFilters
+    "q_lateral_join_api",
+    # round 12: session-variable threshold — the plan must carry the
+    # RESOLVED literal (pushdown sees 150000.0, not a variable ref)
+    "q_sql_variables",
 )
 
 
