@@ -65,6 +65,8 @@ def probe_stream(
     k: int = 5,
     probe_hamming: int = 2,
     extend_index: bool = False,
+    maintain_every: int | None = None,
+    maintain_thresholds: dict | None = None,
 ) -> DataFrame:
     """Drain ``batch_stream`` (AvailableNow) through the index probe and
     return every arriving vector's top-k corpus neighbors
@@ -78,12 +80,26 @@ def probe_stream(
     ``exclude_query_ids`` anti-join means a batch never matches itself
     — including a REPLAYED batch probing an index it already appended
     itself to (the at-least-once crash window between append and
-    checkpoint commit)."""
+    checkpoint commit).
+
+    ``maintain_every=N`` (r12) makes the loop SELF-MAINTAINING: after
+    every Nth batch's append, :func:`~.ann_index.auto_maintain` runs
+    against the index — the planner's listing-only signals decide
+    compact/noop (a planned rebuild degrades to compact here: the loop
+    has no authoritative vector table, and freshness is deferred to an
+    offline rebuild), executed INSIDE the sequential foreachBatch
+    callback, which is exactly the quiescence window the verbs demand
+    (no append can land mid-swap). Maintenance is layout-only, so the
+    drained neighbor lists are IDENTICAL with and without it (pinned in
+    tests/test_ann_batch.py) — what changes is the layout the NEXT
+    batch probes: bounded files per bucket instead of one file per
+    (bucket, append) forever."""
     spark = batch_stream.sparkSession
 
     def probe(batch_df: DataFrame, batch_id: int) -> None:
         from map_reduce_framework_using_python_spark.operators.ann_index import (
             append_to_lsh_index,
+            auto_maintain,
         )
 
         lsh_probe_index_batch(
@@ -92,6 +108,10 @@ def probe_stream(
         ).write.mode("append").parquet(out_dir)
         if extend_index:
             append_to_lsh_index(batch_df, index_path)
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            auto_maintain(
+                spark, {"ingest": index_path}, **(maintain_thresholds or {})
+            )
 
     return _drain_probe_stream(batch_stream, probe, out_dir, checkpoint_dir)
 

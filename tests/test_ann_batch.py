@@ -1131,3 +1131,81 @@ def test_ivf_centroid_join_path_equals_literal_path(spark, tmp_path, monkeypatch
         monkeypatch.undo()
         assert joined == literal
         assert literal
+
+
+def test_maintain_every_preserves_answers_and_bounds_layout(spark, tmp_path):
+    """The self-maintaining ingest loop (r12): maintenance between
+    micro-batches is LAYOUT-ONLY — the drained neighbor lists are
+    identical with and without maintain_every — while the maintained
+    layout ends compaction-clean (planner: noop) and the unmaintained
+    one has accumulated append fan-out (planner: compact)."""
+    import os
+    import shutil
+    import time
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        plan_maintenance,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        _EMB_SCHEMA,
+        probe_stream,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(100)
+    plain = str(tmp_path / "plain")
+    build_lsh_index(emb, plain, n_planes=4, seed=42)
+    maintained = str(tmp_path / "maintained")
+    shutil.copytree(plain, maintained)
+
+    # four single-row batches, deterministic arrival order
+    land = tmp_path / "landing"
+    land.mkdir()
+    now = time.time()
+    base = [10.0 if i % 2 == 0 else -10.0 for i in range(64)]
+    for j in range(4):
+        vec = [x + 0.001 * j * (i == 0) for i, x in enumerate(base)]
+        d = tmp_path / f"_w_{j}"
+        spark.createDataFrame(
+            [(900001 + j, vec, 7)], _EMB_SCHEMA
+        ).coalesce(1).write.parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        os.rename(str(d / part), str(land / f"b{j}.parquet"))
+        os.utime(str(land / f"b{j}.parquet"), (now - 60 + j, now - 60 + j))
+
+    def drain(path, out, maintain_every):
+        stream = (
+            spark.readStream.schema(_EMB_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land))
+        )
+        return sorted(
+            map(
+                tuple,
+                probe_stream(
+                    stream, path,
+                    out_dir=str(tmp_path / out / "neighbors"),
+                    checkpoint_dir=str(tmp_path / out / "ckpt"),
+                    k=5, probe_hamming=2, extend_index=True,
+                    maintain_every=maintain_every,
+                    maintain_thresholds=dict(max_files_per_partition=1.1),
+                ).collect(),
+            )
+        )
+
+    got_plain = drain(plain, "out_plain", None)
+    got_maint = drain(maintained, "out_maint", 1)
+    assert got_maint == got_plain and got_plain
+
+    # the four appends all hash to one bucket (near-identical planted
+    # vectors), so fan-out concentrates there: compare layouts at a
+    # threshold between the two states
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        index_stats,
+    )
+
+    n_plain = index_stats(plain)["n_data_files"]
+    n_maint = index_stats(maintained)["n_data_files"]
+    assert n_maint < n_plain  # compaction actually merged files
+    thresholds = dict(max_files_per_partition=1.1)
+    assert plan_maintenance({"i": plain}, **thresholds)[0]["decision"] == "compact"
+    assert plan_maintenance({"i": maintained}, **thresholds)[0]["decision"] == "noop"
