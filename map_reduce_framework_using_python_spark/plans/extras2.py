@@ -260,3 +260,42 @@ def q_pandas_api_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chars"
         ),
     )
+
+
+@query(
+    "q_pandas_api_cumsum",
+    oracle="""
+        SELECT doc_id, lang, n_chars,
+               CAST(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
+                    AS BIGINT) AS running_chars
+        FROM documents
+        WHERE lang IS NOT NULL
+    """,
+    tags=("api", "pandas", "window"),
+)
+def q_pandas_api_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-on-Spark CUMULATIVE op under the oracle gate: per-language
+    running character totals via ``groupby().cumsum()`` — the pandas
+    dialect's window function. pandas cumulative semantics are
+    ROW-ORDER semantics, and pandas-on-Spark implements them over its
+    internal natural-order column (whatever order rows happened to load
+    in) — so the frame is ``orderBy("doc_id")``-ed FIRST, making the
+    order explicit and the result deterministic instead of
+    storage-layout-dependent. The oracle is the equivalent SQL window
+    (SUM OVER PARTITION BY lang ORDER BY doc_id); BIGINT sums, no float
+    accumulation. Catalyst still owns the plan: the cumsum compiles to
+    an ordinary partitioned running-sum Window, not driver pandas."""
+    psdf = (
+        t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .pandas_api(index_col="doc_id")
+    )
+    psdf = psdf[["lang", "n_chars"]][psdf["lang"].notnull()]
+    psdf["running_chars"] = psdf.groupby("lang")["n_chars"].cumsum()
+    sdf = psdf.reset_index().to_spark()
+    return sdf.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("running_chars").cast("long").alias("running_chars"),
+    )

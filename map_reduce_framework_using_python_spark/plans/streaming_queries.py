@@ -673,3 +673,63 @@ def st_curation_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=f"{work}/ckpt",
         takedown_queue_dir=queue,
     )
+
+
+@query(
+    "st_state_read",
+    oracle="""
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("streaming", "stateful", "ops"),
+)
+def st_state_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-state OBSERVABILITY (Spark 4 state data source): a
+    built-in streaming aggregation drains to a NOOP sink — the result
+    is read from the CHECKPOINT instead, via
+    ``spark.read.format("statestore")``, projecting the state rows'
+    (key, value) structs back to columns. The ops move a real pipeline
+    needs: inspect (or repair-audit) a stream's state without touching
+    the query or its sink. FULL oracle: the state of a grouped
+    aggregation IS the aggregate over everything ingested, so DuckDB's
+    one-shot GROUP BY must hash-match the state store's contents
+    exactly (count long; sum rounded on read with the st_ lane's
+    convention — the store holds the raw accumulator)."""
+    import os
+
+    from map_reduce_framework_using_python_spark.plans.ann_queries import (
+        _scratch_dir,
+    )
+    from map_reduce_framework_using_python_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    work = _scratch_dir("st_state_read_")
+    ckpt = os.path.join(work, "ckpt")
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n_events"),
+            F.round(F.col("value.sum"), 2).alias("total_value"),
+        )
+    )
