@@ -105,7 +105,21 @@ def ns_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference's users would run this as three
     chained MR jobs (tf job, df job, score/sort job) — `Readme.md:6`.
     """
-    d = t(spark, sf_dir, "documents")
+    piv = _bm25_pivoted(t(spark, sf_dir, "documents"))
+    total = F.col("s0") + F.col("s1") + F.col("s2")
+    return (
+        piv.select("doc_id", total.alias("_raw"), half_up(total, 4).alias("bm25"))
+        .orderBy(F.col("_raw").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "bm25")
+    )
+
+
+def _bm25_pivoted(d: DataFrame) -> DataFrame:
+    """(doc_id, s0, s1, s2) — raw per-term BM25 scores for the fixed
+    query, pivoted to a fixed-order sum (never an engine-ordered double
+    aggregation). Shared by ns_bm25_topk and the hybrid-RRF lexical
+    leg, so the two can never drift."""
     docs = d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("dl"))
     corpus = docs.agg(
         F.count("*").alias("n_docs"),
@@ -130,20 +144,13 @@ def ns_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(corpus))
         .select("doc_id", "term", s.alias("s"))
     )
-    piv = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         *[
             F.coalesce(
                 F.max(F.when(F.col("term") == term, F.col("s"))), F.lit(0.0)
             ).alias(f"s{i}")
             for i, term in enumerate(_TERMS)
         ]
-    )
-    total = F.col("s0") + F.col("s1") + F.col("s2")
-    return (
-        piv.select("doc_id", total.alias("_raw"), half_up(total, 4).alias("bm25"))
-        .orderBy(F.col("_raw").desc(), "doc_id")
-        .limit(20)
-        .select("doc_id", "bm25")
     )
 
 
@@ -392,3 +399,151 @@ def ns_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(_PII_INJECT_SQL.replace("{S}", "STRING")).alias("pii_text")
     )
     return redact_pii(d, text_col="pii_text").drop("pii_text")
+
+
+#: RRF constant (Cormack et al. 2009's k=60) and per-leg candidate depth.
+_RRF_K = 60
+_RRF_DEPTH = 50
+
+
+@query(
+    "ns_hybrid_rrf",
+    oracle=f"""
+        WITH docs AS (SELECT doc_id,
+                             len(string_split(text, ' ')) AS dl
+                      FROM documents),
+             corpus AS (SELECT count(*) AS n_docs,
+                               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                        FROM docs),
+             tf AS (SELECT doc_id, term, count(*) AS tf
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                          FROM documents)
+                    WHERE term IN ('{_TERMS[0]}', '{_TERMS[1]}', '{_TERMS[2]}')
+                    GROUP BY 1, 2),
+             df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             scored AS (
+                SELECT tf.doc_id, tf.term,
+                       ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * (tf * ({_K1} + 1))
+                         / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl)) AS s
+                FROM tf
+                JOIN df USING (term)
+                JOIN docs USING (doc_id), corpus),
+             pivoted AS (
+                SELECT doc_id,
+                       coalesce(max(CASE WHEN term = '{_TERMS[0]}' THEN s END), 0)
+                         AS s0,
+                       coalesce(max(CASE WHEN term = '{_TERMS[1]}' THEN s END), 0)
+                         AS s1,
+                       coalesce(max(CASE WHEN term = '{_TERMS[2]}' THEN s END), 0)
+                         AS s2
+                FROM scored GROUP BY 1),
+             lex AS (SELECT doc_id,
+                            CAST(row_number() OVER (
+                                ORDER BY s0 + s1 + s2 DESC, doc_id
+                            ) AS INTEGER) AS lex_rank
+                     FROM pivoted WHERE doc_id <> 0
+                     QUALIFY lex_rank <= {_RRF_DEPTH}),
+             q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+             cos AS (SELECT e.vec_id AS doc_id,
+                            CAST(floor(list_cosine_similarity(
+                                CAST(e.embedding AS DOUBLE[]), q.qv
+                            ) * 1000000.0 + 0.5) AS BIGINT) AS c6
+                     FROM embeddings e, q WHERE e.vec_id <> 0),
+             vec AS (SELECT doc_id,
+                            CAST(row_number() OVER (
+                                ORDER BY c6 DESC, doc_id
+                            ) AS INTEGER) AS vec_rank
+                     FROM cos QUALIFY vec_rank <= {_RRF_DEPTH}),
+             fused AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                              l.lex_rank, v.vec_rank,
+                              CAST(floor((coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+                                        + coalesce(1.0 / ({_RRF_K} + v.vec_rank), 0.0))
+                                         * 1000000.0 + 0.5) AS BIGINT) AS rrf6
+                       FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id)
+        SELECT doc_id, lex_rank, vec_rank, rrf6 / 1000000.0 AS rrf
+        FROM fused
+        ORDER BY rrf6 DESC, doc_id
+        LIMIT 20
+    """,
+    tags=("northstar", "pipeline", "text", "similarity", "ranking"),
+)
+def ns_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal rank fusion (Cormack et al.
+    2009, k=60): the BM25 lexical leg (the fixed 3-term query, shared
+    scorer `_bm25_pivoted` — ns_bm25_topk and this leg can never drift)
+    fused with the embedding-cosine leg (query vector vec_id=0) over
+    the UNION of both candidate lists — 1/(k+rank) per leg, missing leg
+    contributes 0. The retrieval shape a RAG/curation stack actually
+    serves: lexical catches exact terminology, vector catches
+    paraphrase, RRF needs no score calibration because it consumes only
+    RANKS (integers — which is also what makes the full DuckDB oracle
+    exact: every fused score derives from small-integer arithmetic on
+    the same 1e-6 grid).
+
+    Scale shape: each leg is its own top-{_RRF_DEPTH}
+    (TakeOrderedAndProject — no global sort), ranked AFTER the limit
+    with a window over ≤{_RRF_DEPTH} rows (the bounded-wall convention;
+    never a corpus-sized unpartitioned window), fused with a full outer
+    join over ≤2·{_RRF_DEPTH} rows."""
+    from pyspark.sql import Window
+
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        _query_vector,
+        cosine_scores,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+
+    total = F.col("s0") + F.col("s1") + F.col("s2")
+    lex50 = (
+        _bm25_pivoted(d)
+        .filter(F.col("doc_id") != 0)
+        .select("doc_id", total.alias("_t"))
+        .orderBy(F.col("_t").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    lex = lex50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("_t").desc(), "doc_id"))
+        .cast("int")
+        .alias("lex_rank"),
+    )
+
+    qv = _query_vector(emb, "embedding", "vec_id", 0)
+    c6 = F.floor(F.col("cosine_raw") * 1e6 + F.lit(0.5)).cast("bigint")
+    vec50 = (
+        cosine_scores(emb.filter(F.col("vec_id") != 0), qv)
+        .select(F.col("vec_id").alias("doc_id"), c6.alias("_c6"))
+        .orderBy(F.col("_c6").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    vec = vec50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("_c6").desc(), "doc_id"))
+        .cast("int")
+        .alias("vec_rank"),
+    )
+
+    rrf6 = F.floor(
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("vec_rank")), F.lit(0.0))
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        lex.join(vec, "doc_id", "full")
+        .select("doc_id", "lex_rank", "vec_rank", rrf6.alias("_rrf6"))
+        .orderBy(F.col("_rrf6").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id", "lex_rank", "vec_rank",
+            (F.col("_rrf6") / 1e6).alias("rrf"),
+        )
+    )
