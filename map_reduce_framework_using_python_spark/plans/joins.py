@@ -396,3 +396,31 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q_join_shuffle_hash",
+    oracle="""
+        SELECT o.o_orderkey, c.c_name, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'F'
+    """,
+    tags=("join", "shuffle_hash"),
+)
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_join_inner under the SHUFFLE_HASH hint — the fourth join
+    strategy beside broadcast (q_join_broadcast), sort-merge
+    (q05_local_supplier_smj), and bucketed zero-exchange SMJ
+    (q05_local_supplier_bucketed), completing the matrix. At 100 TB
+    shuffle-hash is the right call when BOTH sides exceed the broadcast
+    threshold but one side's PER-PARTITION hash table fits in executor
+    memory: it shuffles like SMJ but skips both sorts (build + probe
+    instead). Results are strategy-invariant — the oracle is
+    q_join_inner's verbatim; the ShuffledHashJoin plan node is pinned
+    in tests/test_plan_shapes.py."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )

@@ -488,3 +488,13 @@ def test_pandas_api_agg_compiles_to_distributed_hashaggregate(spark):
     assert _exchanges(plan) == 1, plan
     assert "Window [" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_join_shuffle_hash_uses_shuffled_hash_join(spark):
+    """The SHUFFLE_HASH hint must survive to the physical plan (r12):
+    a ShuffledHashJoin — no sort on either side — completing the
+    pinned join-strategy matrix (broadcast / SMJ / bucketed SMJ /
+    shuffle-hash)."""
+    plan = _plan(spark, "q_join_shuffle_hash")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
