@@ -299,3 +299,40 @@ def q_pandas_api_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("running_chars").cast("long").alias("running_chars"),
     )
+
+
+@query(
+    "q_observe_metrics",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(CASE WHEN lang IS NULL THEN 1 END) AS BIGINT)
+                   AS n_null_lang,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+    """,
+    tags=("api", "observability"),
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``Observation`` API under the oracle gate: data-quality
+    counters (row count, null-key count, byte mass) ride the SAME pass
+    as the consuming action via ``df.observe`` — zero extra scans,
+    which is the whole point at 100 TB (a separate metrics query would
+    re-read the corpus). The observed values are returned as a
+    one-row frame; the oracle recomputes them declaratively, pinning
+    that observe's accumulator semantics equal the aggregate (exactly
+    once per row, integer sums — no float accumulation)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("doc_metrics")
+    d = t(spark, sf_dir, "documents").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("lang").isNull(), 1)).alias("n_null_lang"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    d.write.format("noop").mode("overwrite").save()  # the consuming action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_null_lang"], m["total_chars"])],
+        "n_rows bigint, n_null_lang bigint, total_chars bigint",
+    )
