@@ -336,3 +336,54 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_null_lang"], m["total_chars"])],
         "n_rows bigint, n_null_lang bigint, total_chars bigint",
     )
+
+
+@query(
+    "ns_sketch_set_algebra",
+    oracle=None,
+    tags=("northstar", "sketch", "approx", "rows_only"),
+)
+def ns_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches set algebra (Spark 4 HLL + Theta families) — the
+    100 TB shape for audience/overlap questions: per-partition sketches
+    (KBs) merge associatively instead of shuffling raw ids, and Theta
+    sketches answer |A∩B| / |A\\\\B| WITHOUT the join an exact COUNT
+    DISTINCT would need.
+
+    One row: HLL distinct users unioned across per-source group
+    sketches vs sketched whole (MERGEABILITY — identical by
+    construction, the distributed-rollup property, pinned equal), and
+    Theta union/intersection/difference estimates over the purchase—
+    view user sets (each pinned within 5% of exact in
+    tests/test_extras2_sketches.py). Rows-only: DuckDB's
+    approx_count_distinct is a different sketch."""
+    e = t(spark, sf_dir, "events")
+    hll_groups = (
+        e.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+    )
+    hll_whole = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    )
+    legs = (
+        e.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("sk"))).alias("a"),
+            F.max(F.when(F.col("event_type") == "view", F.col("sk"))).alias("b"),
+        )
+        .select(
+            F.theta_sketch_estimate(F.theta_union(F.col("a"), F.col("b"))).alias("n_union"),
+            F.theta_sketch_estimate(F.theta_intersection(F.col("a"), F.col("b"))).alias("n_intersect"),
+            F.theta_sketch_estimate(F.theta_difference(F.col("a"), F.col("b"))).alias("n_diff"),
+        )
+    )
+    return (
+        hll_groups.select(F.col("est").alias("hll_union_of_groups"))
+        .crossJoin(hll_whole.select(F.col("est").alias("hll_whole")))
+        .crossJoin(legs)
+    )
