@@ -179,6 +179,12 @@ AUDIT = (
     # round 12: session-variable threshold — the plan must carry the
     # RESOLVED literal (pushdown sees 150000.0, not a variable ref)
     "q_sql_variables",
+    # round 12: hybrid RRF — each leg a TakeOrdered top-50, bounded
+    # 50-row rank windows, tiny full outer fusion; the posting scan's
+    # term filter and the broadcast of df/corpus must survive
+    "ns_hybrid_rrf",
+    # round 12: the fourth join strategy — ShuffledHashJoin, no sorts
+    "q_join_shuffle_hash",
 )
 
 
