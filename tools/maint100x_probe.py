@@ -1,0 +1,140 @@
+"""One-off 100×-embeddings probe for the r12 maintenance shapes: the
+lifecycle verbs (append / delete / compact / rebuild) and the planner
+against a 2M-vector IVF-PQ index — does the cost model measured at 10×
+(scale10x_rebuild) hold two orders of magnitude up?
+
+Replicates sf0.1's 20k embeddings 100× (vec_id offset + 64-dim slice
+roll per replica, the bench _ivfpq_rolled convention, so k-means sees
+distinct points) into its own fingerprint-guarded dir — deliberately
+NOT scale_probe.DST (a different replica count would rmtree the 10×
+cache the standing bench rows reuse).
+
+Knobs scale with the corpus: n_centroids=256 (≈7.8k codes/cell),
+fit_fraction=0.02 (≈40k-vector quantizer sample — the sampled-fit
+path whose exactness is pinned in test_ivfpq). SDC pair mining is
+deliberately ABSENT here: at fixed cell occupancy the within-cell
+quadratic needs n_centroids ∝ n (6400 cells for 312/cell at 2M), and
+a 6400-centroid spark.ml fit is not a probe — the standing 10× row
+(scale10x_sdc) is the SDC measurement; the planner lesson is recorded
+in NOTES (same shape as the semdedup fixed-k blow-up).
+
+Usage: python tools/maint100x_probe.py [replicas=100]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_using_python_spark.operators import ivfpq
+from map_reduce_framework_using_python_spark.operators.ann_index import (
+    delete_from_index,
+    plan_maintenance,
+)
+from map_reduce_framework_using_python_spark.session import get_spark
+from map_reduce_framework_using_python_spark.sources.io import (
+    read_json_guarded,
+    source_fingerprint,
+    write_json_atomic,
+)
+
+SRC = "/root/testdata/sf0.1/embeddings.parquet"
+DST = "/tmp/spark_graft_maint100x"
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    spark = get_spark(app_name="maint100x_probe")
+    out: dict = {"replicas": replicas, "vectors": replicas * 20_000}
+
+    emb_path = os.path.join(DST, "embeddings.parquet")
+    manifest = os.path.join(DST, "_manifest.json")
+    want = {"replicas": replicas, "src": source_fingerprint(SRC)}
+    if read_json_guarded(manifest) != want:
+        shutil.rmtree(DST, ignore_errors=True)
+        base = spark.read.parquet(SRC)
+        t0 = time.time()
+        frames = []
+        for r in range(replicas):
+            roll = r % 64
+            frames.append(
+                base.select(
+                    (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+                    F.concat(
+                        F.slice(F.col("embedding"), roll + 1, 64 - roll),
+                        F.slice(F.col("embedding"), 1, roll),
+                    ).alias("embedding"),
+                    "label",
+                )
+            )
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
+        df.repartition(64).write.mode("overwrite").parquet(emb_path)
+        out["dataset_build"] = round(time.time() - t0, 3)
+        write_json_atomic(manifest, want)
+    vecs = spark.read.parquet(emb_path)
+
+    idx = os.path.join(DST, "idx")
+    t0 = time.time()
+    ivfpq.build_ivfpq_index(
+        vecs, idx, n_centroids=256, m=16, k=16, seed=42, fit_fraction=0.02
+    )
+    out["index_build"] = round(time.time() - t0, 3)
+
+    # probe latency on the big index (the number maintenance must not hurt)
+    queries = vecs.filter(F.col("vec_id") < 64)
+    t0 = time.time()
+    n = ivfpq.ivfpq_probe_index_batch(
+        spark, queries, idx, vecs, k=10, n_probe=16, shortlist=100
+    ).count()
+    out["probe_exec"] = round(time.time() - t0, 3)
+    out["probe_rows"] = n
+
+    # append 1% (re-delivery) then compact
+    batch = vecs.filter(F.col("vec_id") % 97 == 1)
+    t0 = time.time()
+    ivfpq.append_to_ivfpq_index(batch, idx)
+    out["append_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    ivfpq.compact_ivfpq_index(spark, idx)
+    out["compact_sec"] = round(time.time() - t0, 3)
+
+    # delete 10% — the O(|deleted|) claim at 200k ids
+    t0 = time.time()
+    delete_from_index(vecs.filter(F.col("vec_id") % 10 == 3).select("vec_id"), idx)
+    out["delete_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n = ivfpq.ivfpq_probe_index_batch(
+        spark, queries, idx, vecs, k=10, n_probe=16, shortlist=100
+    ).count()
+    out["probe_tombstoned_exec"] = round(time.time() - t0, 3)
+
+    # planner over the mutated layout (listing + footer reads only)
+    t0 = time.time()
+    plan = plan_maintenance({"idx": idx})[0]
+    out["planner_sec"] = round(time.time() - t0, 3)
+    out["planner_decision"] = plan["decision"]
+    out["tombstone_frac"] = plan["tombstone_frac"]
+
+    # rebuild from the filtered survivors (the verb the planner asks for)
+    survivors = vecs.filter(F.col("vec_id") % 10 != 3)
+    t0 = time.time()
+    ivfpq.rebuild_ivfpq_index(
+        survivors, idx, fit_fraction=0.02, ids_already_filtered=True
+    )
+    out["rebuild_sec"] = round(time.time() - t0, 3)
+    out["planner_after"] = plan_maintenance({"idx": idx})[0]["decision"]
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
