@@ -200,6 +200,12 @@ def build_lsh_index(
     planes = hyperplanes(dim, n_planes, seed)
     (
         df.withColumn("bucket", lsh_bucket(vec_col, planes))
+        # one file per bucket directory: co-locate each bucket on one
+        # writer task before the partitioned write — a fresh build must
+        # START compaction-clean (the r12 100x probe caught the planner
+        # flagging a brand-new 2M-vector layout whose every dir held one
+        # file per write task), and probes open one file per probed dir
+        .repartition(F.col("bucket"))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
@@ -292,6 +298,8 @@ def build_ivf_index(
         model.transform(vecs)
         .withColumnRenamed("prediction", "centroid_id")
         .drop("_features")
+        # one file per cell directory (see build_lsh_index)
+        .repartition(F.col("centroid_id"))
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(path)
@@ -333,6 +341,8 @@ def build_ivf_index_lloyd(
         )
         .drop("_v")
         .withColumnRenamed("cluster", "centroid_id")
+        # one file per cell directory (see build_lsh_index)
+        .repartition(F.col("centroid_id"))
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(path)

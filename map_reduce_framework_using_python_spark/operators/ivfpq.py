@@ -266,6 +266,9 @@ def build_ivfpq_index(
             _assign_and_encode(
                 vn, keys, centroids, books, id_col, by_residual=by_residual
             )
+            # one file per cell directory (ann_index.build_lsh_index's
+            # r12 layout rule): a fresh build starts compaction-clean
+            .repartition(F.col("centroid_id"))
             .write.mode("overwrite")
             .partitionBy("centroid_id")
             .parquet(path)
@@ -339,6 +342,8 @@ def build_ivfpq_index_lloyd(
     vn = df.select(*keys, _as_double(F.col(vec_col)).alias("vn"))
     (
         _assign_and_encode(vn, keys, coarse, books, id_col)
+        # one file per cell directory (the r12 layout rule)
+        .repartition(F.col("centroid_id"))
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(path)

@@ -107,3 +107,55 @@ def st_mrtext_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return mrfs.with_resolution_retry(spark, _drain)
+
+
+@query(
+    "st_mrtext_sink",
+    oracle="""
+        SELECT text FROM documents WHERE lang = 'de'
+    """,
+    tags=("mr_compat", "streaming"),
+)
+def st_mrtext_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DFS layout as a streaming SINK (r12 —
+    sources/mrfs.MRTextStreamWriter, the Spark 4 Python
+    DataSourceStreamWriter API): the 'de' document stream lands as
+    mrtext part files named ``part_{batch:06d}_{i:04d}``, commit
+    replacing the batch's own parts so at-least-once replay is
+    exactly-once on disk. FULL oracle: the landed parts batch-read
+    back must reproduce exactly the filtered text column (documents
+    are single-line). The inverse of st_mrtext_stream — together they
+    close the relay topology (stream INTO the reference's layout,
+    stream OUT of it). Same resolution hardening (the driver-session
+    clone race) on both the stream start and the read-back."""
+    from map_reduce_framework_using_python_spark.plans.ann_queries import (
+        _scratch_dir,
+    )
+    from map_reduce_framework_using_python_spark.sources import mrfs
+    from map_reduce_framework_using_python_spark.streaming.ingest import (
+        read_documents_stream,
+    )
+
+    work = _scratch_dir("st_mrtext_sink_")
+    dfs_dir = f"{work}/dfs"
+
+    def _drain():
+        q = (
+            read_documents_stream(spark, sf_dir)
+            .filter(F.col("lang") == "de")
+            .select(F.lit(0).alias("part"), F.col("text").alias("value"))
+            .writeStream.format("mrtext")
+            .option("path", dfs_dir)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    mrfs.with_resolution_retry(spark, _drain)
+    return mrfs.with_resolution_retry(
+        spark,
+        lambda: spark.read.format("mrtext")
+        .load(dfs_dir)
+        .select(F.col("value").alias("text")),
+    )

@@ -30,6 +30,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -156,6 +157,66 @@ class MRTextWriter(DataSourceWriter):
                 os.remove(m.path)
 
 
+class MRTextStreamWriter(DataSourceStreamWriter):
+    """Streaming SINK for the DFS layout — the landing-zone half of the
+    reference's contract (batch jobs write parts; here a STREAM lands
+    them continuously, and the streaming reader on another directory
+    picks them up — the relay topology a real ingest pipeline wires).
+
+    Exactly-once per micro-batch on top of Spark's at-least-once
+    foreachBatch-style replay: final part names embed the batch id
+    (``part_{batchId:06d}_{i:04d}`` — batch-major under
+    ``_part_files``'s digit sort, so read order == commit order), and
+    ``commit`` REPLACES the batch's own parts before renaming the new
+    set in — a crash-replayed batch overwrites itself, never
+    duplicates. Task-side mechanics mirror the batch writer: each
+    attempt owns ``_tmp_stream_<pid>_a<attempt>``; only the attempt
+    whose commit message the driver receives is renamed in, and commit
+    sweeps losers/orphans (micro-batches are serial per stream, so the
+    sweep can't eat a concurrent batch's tmps). One stream owns a sink
+    directory — mixing it with batch ``mode("append")`` writes is
+    outside the contract (their unnumbered ``part_<i>`` names would
+    interleave into the digit sort)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mrtext: path required (use .option('path', dir))")
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path,
+            f"_tmp_stream_{ctx.partitionId()}_a{ctx.attemptNumber()}",
+        )
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(f"{row[-1]}\n")
+        return _Committed(tmp)
+
+    def commit(self, messages, batchId: int) -> None:
+        prefix = os.path.join(self.path, f"part_{batchId:06d}_")
+        # idempotent replay: the batch replaces its OWN parts
+        for stale in glob.glob(prefix + "*"):
+            os.remove(stale)
+
+        def _pid(m):
+            return int(os.path.basename(m.path).split("_a")[0].rsplit("_", 1)[-1])
+
+        for i, m in enumerate(sorted(messages, key=_pid)):
+            os.replace(m.path, f"{prefix}{i:04d}")
+        for orphan in glob.glob(os.path.join(self.path, "_tmp_stream_*")):
+            os.remove(orphan)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class MRTextSimpleStreamReader(SimpleDataSourceStreamReader):
     """Stream the DFS layout: one micro-batch per part file, manifest
     order — the landing-directory contract. The reference's client
@@ -222,6 +283,9 @@ class MRTextDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return MRTextSimpleStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return MRTextStreamWriter(self.options)
 
 
 def register(spark) -> None:

@@ -251,3 +251,77 @@ def test_uncommitted_batch_restart_replays_identically(spark, tmp_path):
     assert replays[1:] == []
     drain()
     assert [rows for _, rows in batches[2:]] == [[(2, "late")]]
+
+
+def _drain_to_sink(spark, land, dst, ckpt):
+    q = (
+        spark.readStream.schema("part int, value string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(land)
+        .writeStream.format("mrtext")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stream_sink_lands_parts_batch_major_and_replay_safe(spark, tmp_path):
+    """The streaming mrtext SINK (r12): one part set per micro-batch,
+    batch-major under the digit sort (read order == commit order), and
+    a redelivered drain (fresh checkpoint, same data) REPLACES its own
+    parts instead of duplicating — exactly-once on disk over
+    at-least-once replay."""
+    import os
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    for i, vals in enumerate((["a", "b"], ["c"])):
+        spark.createDataFrame(
+            [(0, v) for v in vals], "part int, value string"
+        ).coalesce(1).write.parquet(os.path.join(land, f"b{i}.parquet"))
+        # deterministic arrival order for maxFilesPerTrigger
+        os.utime(
+            os.path.join(land, f"b{i}.parquet"),
+            (1_700_000_000 + i, 1_700_000_000 + i),
+        )
+
+    dst = str(tmp_path / "dfs")
+    _drain_to_sink(spark, land, dst, str(tmp_path / "ck1"))
+    names = sorted(os.listdir(dst))
+    assert all(n.startswith("part_") for n in names)
+    batches = {n.split("_")[1] for n in names}
+    assert len(batches) == 2  # one part set per micro-batch
+    back = spark.read.format("mrtext").load(dst)
+    got = sorted(r["value"] for r in back.collect())
+    assert got == ["a", "b", "c"]
+
+    # redelivery: fresh checkpoint reprocesses everything; batch ids
+    # restart at 0 and each batch replaces its own parts
+    _drain_to_sink(spark, land, dst, str(tmp_path / "ck2"))
+    assert sorted(os.listdir(dst)) == names
+    assert sorted(
+        r["value"] for r in spark.read.format("mrtext").load(dst).collect()
+    ) == ["a", "b", "c"]
+
+
+def test_stream_sink_registry_query_roundtrip(spark):
+    """st_mrtext_sink end-to-end: landed parts reproduce the filtered
+    text column exactly."""
+    from map_reduce_framework_using_python_spark.plans import REGISTRY
+    from map_reduce_framework_using_python_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = sorted(
+        r["text"]
+        for r in REGISTRY["st_mrtext_sink"].fn(spark, SF_SMOKE).collect()
+    )
+    want = sorted(
+        r["text"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .filter("lang = 'de'")
+        .collect()
+    )
+    assert got == want and got
