@@ -1437,13 +1437,34 @@ def plan_maintenance(
         data_rows = _parquet_rows_under(live, tombstones=False)
         tomb_rows = _parquet_rows_under(live, tombstones=True)
         files_pp = st["n_data_files"] / max(1, st["n_partition_dirs"])
-        tomb_frac = tomb_rows / max(1, data_rows)
-        if tomb_frac >= rebuild_tombstone_frac:
+        # Tombstones are DOC/VECTOR ids; the minhash layout stores one
+        # row per (doc, band), so the raw ratio understates a takedown
+        # by the bands factor — normalize to per-document terms when
+        # the meta says how (paragraph/shingle instance multiplicity is
+        # data-dependent; their raw ratio stays the conservative floor).
+        per_id_rows = (
+            st["meta"].get("bands", 1) if st["kind"] == "minhash" else 1
+        )
+        tomb_frac = tomb_rows / max(1, data_rows / max(1, per_id_rows))
+        # Mass takedown means different things per lane: quantized
+        # layouts (ANN) REBUILD — their frozen quantizers were fit on a
+        # corpus the layout no longer stores — while sketch layouts
+        # (minhash/paragraph/shingle) have no model to drift, so the
+        # same signal just means PURGE (compact).
+        quantized = st["kind"] in ("lsh", "ivf", "ivfpq", "pq")
+        if tomb_frac >= rebuild_tombstone_frac and quantized:
             decision = "rebuild"
             reason = (
                 f"tombstone_frac {tomb_frac:.3f} >= "
                 f"{rebuild_tombstone_frac} (quantizers fit on a corpus "
                 "this layout no longer stores)"
+            )
+        elif tomb_frac >= rebuild_tombstone_frac:
+            decision = "compact"
+            reason = (
+                f"tombstone_frac {tomb_frac:.3f} >= "
+                f"{rebuild_tombstone_frac} (mass takedown; sketch layout "
+                "has no quantizer to refit — purge)"
             )
         elif tomb_frac >= compact_tombstone_frac:
             decision = "compact"
@@ -1493,7 +1514,10 @@ def auto_maintain(
 ) -> list[dict]:
     """Close the maintenance loop: :func:`plan_maintenance` decides,
     this EXECUTES — the operational form of the lifecycle pentad for
-    the ANN lanes (lsh / ivf / ivfpq). ``vectors``: the authoritative
+    the ANN lanes (lsh / ivf / ivfpq) and the dedup lanes the takedown
+    queues feed (minhash / paragraph / shingle — compact only; their
+    mass-takedown signal routes to purge at the PLANNER, no quantizer
+    to refit). ``vectors``: the authoritative
     vector table per index label, required only for rebuilds; the
     executor OWNS the tombstone filtering (anti-join against the live
     delete log before the refit, then ``ids_already_filtered=True``),
@@ -1511,12 +1535,21 @@ def auto_maintain(
     Quiescence is the caller's contract, same as calling the verbs
     directly: run between ingest drains, not concurrent with appends
     (a mutation landing mid-swap aborts the swap — the shared guard)."""
+    from map_reduce_framework_using_python_spark.operators import (
+        dedup_index as _dd,
+    )
     from map_reduce_framework_using_python_spark.operators import ivfpq as _ivfpq
 
     compactors = {
         "lsh": lambda p: compact_lsh_index(spark, p),
         "ivf": lambda p: compact_ivf_index(spark, p),
         "ivfpq": lambda p: _ivfpq.compact_ivfpq_index(spark, p),
+        # dedup lanes (r12): the takedown queues feed these — the
+        # planner routes their mass-takedown signal to compact (purge),
+        # never rebuild (no quantizer to refit)
+        "minhash": lambda p: _dd.compact_index(spark, p),
+        "paragraph": lambda p: _dd.compact_paragraph_index(spark, p),
+        "shingle": lambda p: _dd.compact_shingle_index(spark, p),
     }
     rebuilders = {
         "lsh": lambda df, p: rebuild_lsh_index(

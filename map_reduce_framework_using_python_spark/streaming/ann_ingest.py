@@ -193,6 +193,8 @@ def ivfpq_probe_stream(
     n_probe: int = 8,
     shortlist: int = 100,
     extend_index: bool = False,
+    maintain_every: int | None = None,
+    maintain_thresholds: dict | None = None,
 ) -> DataFrame:
     """IVF-PQ twin of :func:`probe_stream` — same sink/replay contract,
     same ``(q_id, vec_id, label, cosine, rn)`` read-back, against a
@@ -225,6 +227,19 @@ def ivfpq_probe_stream(
         ).write.mode("append").parquet(out_dir)
         if extend_index:
             append_to_ivfpq_index(batch_df, index_path)
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            # the probe_stream self-maintenance contract, composed-lane
+            # twin: layout-only (answers identical — the LSH pin's
+            # argument holds verbatim: compaction sheds replay
+            # duplicates the probe already dedups), run inside the
+            # sequential callback (the quiescence window)
+            from map_reduce_framework_using_python_spark.operators.ann_index import (
+                auto_maintain,
+            )
+
+            auto_maintain(
+                spark, {"ingest": index_path}, **(maintain_thresholds or {})
+            )
 
     return _drain_probe_stream(batch_stream, probe, out_dir, checkpoint_dir)
 

@@ -1209,3 +1209,75 @@ def test_maintain_every_preserves_answers_and_bounds_layout(spark, tmp_path):
     thresholds = dict(max_files_per_partition=1.1)
     assert plan_maintenance({"i": plain}, **thresholds)[0]["decision"] == "compact"
     assert plan_maintenance({"i": maintained}, **thresholds)[0]["decision"] == "noop"
+
+
+def test_ivfpq_maintain_every_preserves_answers(spark, tmp_path):
+    """Composed-lane twin of the LSH self-maintenance pin: the IVF-PQ
+    ingest loop with maintain_every drains to the SAME neighbor lists
+    as without, and ends with a compaction-clean layout."""
+    import os
+    import shutil
+    import time
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        plan_maintenance,
+    )
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        build_ivfpq_index,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        _EMB_SCHEMA,
+        ivfpq_probe_stream,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    plain = str(tmp_path / "plain")
+    build_ivfpq_index(emb, plain, n_centroids=4, m=8, k=8, seed=42)
+    maintained = str(tmp_path / "maintained")
+    shutil.copytree(plain, maintained)
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    now = time.time()
+    base = [10.0 if i % 2 == 0 else -10.0 for i in range(64)]
+    for j in range(3):
+        vec = [x + 0.001 * j * (i == 0) for i, x in enumerate(base)]
+        d = tmp_path / f"_w_{j}"
+        spark.createDataFrame(
+            [(900001 + j, vec, 7)], _EMB_SCHEMA
+        ).coalesce(1).write.parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        os.rename(str(d / part), str(land / f"b{j}.parquet"))
+        os.utime(str(land / f"b{j}.parquet"), (now - 60 + j, now - 60 + j))
+
+    def drain(path, out, maintain_every):
+        stream = (
+            spark.readStream.schema(_EMB_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land))
+        )
+        return sorted(
+            map(
+                tuple,
+                ivfpq_probe_stream(
+                    stream, path, emb,
+                    out_dir=str(tmp_path / out / "neighbors"),
+                    checkpoint_dir=str(tmp_path / out / "ckpt"),
+                    k=5, n_probe=4, shortlist=250, extend_index=True,
+                    maintain_every=maintain_every,
+                    maintain_thresholds=dict(max_files_per_partition=1.1),
+                ).collect(),
+            )
+        )
+
+    got_plain = drain(plain, "out_plain", None)
+    got_maint = drain(maintained, "out_maint", 1)
+    assert got_maint == got_plain and got_plain
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        index_stats,
+    )
+
+    assert index_stats(maintained)["n_data_files"] < index_stats(plain)["n_data_files"]
+    thresholds = dict(max_files_per_partition=1.1)
+    assert plan_maintenance({"i": maintained}, **thresholds)[0]["decision"] == "noop"

@@ -185,3 +185,33 @@ def test_auto_maintain_registry_query(spark):
         ("noop", "noop"), ("compact", "compact"), ("rebuild", "rebuild")
     }
     assert all(r["decision_after"] == "noop" for r in got.values())
+
+
+def test_dedup_lane_mass_takedown_routes_to_purge(spark, tmp_path):
+    """The dedup lanes under the same loop (r12): a minhash index with
+    40% of its docs retracted plans COMPACT with the purge rationale
+    (no quantizer to refit — never rebuild), auto_maintain executes
+    compact_index, the tombstone log retires, and the decision clears."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        TOMBSTONE_DIR,
+        auto_maintain,
+    )
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        build_minhash_index,
+        retract_docs_from_index,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(200)
+    idx = str(tmp_path / "mh")
+    build_minhash_index(d, idx, n=3, num_hashes=32, bands=16)
+    assert plan_maintenance({"mh": idx})[0]["decision"] == "noop"
+    retract_docs_from_index(
+        d.filter(F.col("doc_id") % 5 != 4).select("doc_id"), idx
+    )
+    before = plan_maintenance({"mh": idx})[0]
+    assert before["decision"] == "compact" and "purge" in before["reason"]
+    (row,) = auto_maintain(spark, {"mh": idx})
+    assert row["action"] == "compact" and row["decision_after"] == "noop"
+    import os
+
+    assert not os.path.isdir(os.path.join(idx, "buckets", TOMBSTONE_DIR))
