@@ -387,3 +387,60 @@ def ns_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(hll_whole.select(F.col("est").alias("hll_whole")))
         .crossJoin(legs)
     )
+
+
+@query(
+    "ns_corpus_snapshot_diff",
+    oracle="""
+        WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+             v2 AS (SELECT doc_id,
+                           md5(CASE WHEN doc_id % 7 = 0
+                                    THEN text || ' [rev2]' ELSE text END) AS fp
+                    FROM documents
+                    WHERE doc_id % 11 <> 3)
+        SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.fp <> v2.fp THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               count(*) AS n_docs
+        FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+        GROUP BY 1
+    """,
+    tags=("northstar", "pipeline", "versioning"),
+)
+def ns_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus VERSION DIFF — the dataset-release audit a training
+    pipeline runs between snapshots: full outer join on doc id,
+    content compared by fingerprint (never by text equality — the
+    fingerprint column is what a manifest actually stores), each doc
+    classified added / removed / changed / unchanged. The v2 snapshot
+    is derived deterministically (every 7th doc revised, every
+    11th ≡ 3 dropped) so the oracle replays the same derivation; a real
+    deployment points the two sides at two manifest tables. Scale
+    shape: one fingerprint scan per side, one doc_id-keyed full outer
+    exchange, counts only — no text leaves the scan (md5 computes
+    map-side; the join carries 16-byte fingerprints)."""
+    d = t(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", F.md5("text").alias("fp"))
+    v2 = (
+        d.filter(F.col("doc_id") % 11 != 3)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" [rev2]")),
+                ).otherwise(F.col("text"))
+            ).alias("fp"),
+        )
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(status.alias("status")).agg(F.count("*").alias("n_docs"))
