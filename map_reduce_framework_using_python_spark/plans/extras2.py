@@ -444,3 +444,56 @@ def ns_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
     )
     return j.groupBy(status.alias("status")).agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "q_map_higher_order",
+    oracle="""
+        SELECT o_custkey,
+               'S_' || o_orderstatus AS status_key,
+               count(*) AS n_orders,
+               max(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY o_custkey, o_orderstatus
+        HAVING count(*) >= 2
+    """,
+    tags=("functions", "map", "higher_order"),
+)
+def q_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order MAP functions end to end: per-customer maps built
+    with map_from_entries, fused with map_zip_with (count map ⊕
+    max-price map → struct values), keys rewritten with transform_keys,
+    entries pruned with map_filter, and the survivors exploded back to
+    rows — the map-column algebra q_map_funcs' scalar lookups don't
+    reach. Everything stays in whole-stage codegen (lambda functions
+    compile to JVM expressions, no Python). The oracle is the flat
+    equivalent (GROUP BY + HAVING with a stored-double passthrough),
+    which is the point: map algebra must not change the relational
+    answer."""
+    o = t(spark, sf_dir, "orders")
+    g = o.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count("*").alias("n"), F.max("o_totalprice").alias("mx")
+    )
+    per_cust = g.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "n"))
+        ).alias("n_map"),
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "mx"))
+        ).alias("m_map"),
+    )
+    zipped = F.map_zip_with(
+        "n_map", "m_map",
+        lambda k, n, mx: F.struct(n.alias("n"), mx.alias("mx")),
+    )
+    renamed = F.transform_keys(zipped, lambda k, v: F.concat(F.lit("S_"), k))
+    pruned = F.map_filter(renamed, lambda k, v: v["n"] >= 2)
+    return (
+        per_cust.select("o_custkey", F.explode(pruned).alias("status_key", "_v"))
+        .select(
+            "o_custkey",
+            "status_key",
+            F.col("_v.n").alias("n_orders"),
+            F.col("_v.mx").alias("max_price"),
+        )
+    )
