@@ -326,6 +326,29 @@ _LAST_VERIFIED: dict[str, int] = {
         "st_stateful_totals", "st_stream_join", "st_stream_static_enrich",
         "st_tumbling_window",
     ), 11),
+    # round 12 (CORRECTNESS_r12.json) — 50 of 50 rows green: the r12
+    # additions (Spark 4 surface wave, streaming sink/state-source,
+    # hybrid RRF, corpus snapshot diff, shuffle-hash join) plus the
+    # re-earned st_mrtext_stream and the stalest tier-7 cohort.
+    **dict.fromkeys((
+        "ns_ann_probe_batch", "ns_bigram_rarity", "ns_chunk_documents",
+        "ns_corpus_drift", "ns_corpus_snapshot_diff", "ns_dedup_keep_best",
+        "ns_dsir_resample", "ns_dsir_weights", "ns_dup_clusters",
+        "ns_hybrid_rrf", "ns_ivf_probe_batch", "ns_pagerank_events",
+        "ns_pii_redact", "ns_repetition_signals", "ns_seeded_shuffle",
+        "ns_semdedup_pairs", "ns_token_count_bpe", "q05_local_supplier_bucketed",
+        "q05_local_supplier_smj", "q07_nation_volume", "q11_important_stock",
+        "q20_part_promotion", "q21_sole_supplier", "q_equidepth_histogram",
+        "q_funnel", "q_funnel_latency", "q_join_asof_forward",
+        "q_join_asof_nearest", "q_join_shuffle_hash", "q_lateral_join_api",
+        "q_map_higher_order", "q_observe_metrics", "q_pandas_api_cumsum",
+        "q_python_udtf", "q_scd2_point_in_time", "q_session_dynamic_gap",
+        "q_sql_exec_immediate", "q_sql_scripting", "q_sql_variables",
+        "q_time_weighted_avg", "q_transpose", "q_try_arithmetic",
+        "q_udtf_polymorphic", "q_udtf_table_arg", "q_window_pct",
+        "st_dsir_gate", "st_mrtext_sink", "st_mrtext_stream",
+        "st_state_read", "st_stream_join_left",
+    ), 12),
 }
 
 

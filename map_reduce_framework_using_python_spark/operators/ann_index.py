@@ -64,6 +64,11 @@ def _read_meta(path: str) -> dict:
 #: explicitly via :func:`_apply_tombstones`.
 TOMBSTONE_DIR = "_tombstones"
 
+#: Write parallelism a FLAT layout's compactor targets (pq codes/ —
+#: operators/pq.compact_pq_index's default). The maintenance planner
+#: normalizes the flat fan-out signal by this floor.
+FLAT_COMPACT_PARTITIONS = 8
+
 
 def _tombstone_base(path: str) -> tuple[str, str]:
     """(directory that holds ``_tombstones``, id column name) for any
@@ -180,6 +185,7 @@ def build_lsh_index(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    grid: bool = False,
 ) -> str:
     """Write ``df`` partitioned by LSH sign-bucket.
 
@@ -188,6 +194,17 @@ def build_lsh_index(
     its own parquet directory. The hyperplanes are persisted alongside
     so queries hash identically forever (an index is only valid with
     the planes it was built with).
+
+    ``grid=True`` buckets with :func:`~.similarity.lsh_bucket_grid`
+    (sign taken on the half-up 1e-6 grid) instead of the raw sign —
+    the deterministic build variant that lets a probe against this
+    index carry a full DuckDB oracle (ns_lsh_topk_indexed, r13 — the
+    build_ivf_index_lloyd pattern applied to the LSH lane): both
+    engines quantize each plane projection to the same integer grid
+    before taking its sign, so a last-ulp float disagreement can't
+    flip a bucket bit. The flag persists in the meta; every consumer
+    of the persisted planes (append / probes / rebuild) hashes with
+    the function the index was built with.
     """
     first = df.select(vec_col).head()
     if first is None or first[0] is None:
@@ -198,8 +215,9 @@ def build_lsh_index(
         )
     dim = len(first[0])
     planes = hyperplanes(dim, n_planes, seed)
+    bucket_fn = _bucket_fn_for({"grid": grid})
     (
-        df.withColumn("bucket", lsh_bucket(vec_col, planes))
+        df.withColumn("bucket", bucket_fn(vec_col, planes))
         # one file per bucket directory: co-locate each bucket on one
         # writer task before the partitioned write — a fresh build must
         # START compaction-clean (the r12 100x probe caught the planner
@@ -211,8 +229,38 @@ def build_lsh_index(
         .parquet(path)
     )
     _write_meta(path, {"kind": "lsh", "n_planes": n_planes, "seed": seed,
-                       "planes": planes, "vec_col": vec_col, "id_col": id_col})
+                       "planes": planes, "vec_col": vec_col, "id_col": id_col,
+                       "grid": grid})
     return path
+
+
+def _bucket_fn_for(meta: dict):
+    """The bucket function a persisted LSH layout was BUILT with — an
+    index is only valid with its own hashing, so every consumer of the
+    persisted planes (build / append / probe / rebuild) routes through
+    this one switch."""
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        lsh_bucket_grid,
+    )
+
+    return lsh_bucket_grid if meta.get("grid") else lsh_bucket
+
+
+def _query_bits(query: list[float], meta: dict) -> int:
+    """Driver-side bucket of a single query vector under the index's
+    persisted planes, honoring the layout's sign convention (raw vs
+    half-up-1e-6 grid)."""
+    import math as _math
+
+    qbits = 0
+    for i, p in enumerate(meta["planes"]):
+        d = sum(x * y for x, y in zip(query, p))
+        sign_ok = (
+            _math.floor(d * 1e6 + 0.5) >= 0 if meta.get("grid") else d >= 0
+        )
+        if sign_ok:
+            qbits |= 1 << i
+    return qbits
 
 
 def _hamming_ball(center: int, n_bits: int, radius: int) -> list[int]:
@@ -243,6 +291,7 @@ def lsh_topk_indexed(
     probe_hamming: int = 2,
     label_col: str = "label",
     exclude_id: int | None = None,
+    grid: bool = False,
 ) -> DataFrame:
     """Partition-pruned LSH cosine top-k against a built index.
 
@@ -250,6 +299,9 @@ def lsh_topk_indexed(
     driver-side from the persisted planes — tiny, pure math — and pushed
     as ``bucket IN (...)`` on the PARTITION column, so the scan plans
     with ``PartitionFilters`` and never opens non-probed directories.
+    Query hashing honors the layout's persisted sign convention (raw vs
+    grid — :func:`_query_bits`); ``grid=True`` additionally ranks and
+    reports the cosine on the half-up 1e-6 grid (oracle parity).
     """
     meta = _read_meta(path)
     planes, id_col = meta["planes"], meta["id_col"]
@@ -258,10 +310,7 @@ def lsh_topk_indexed(
         raise ValueError(
             f"query dim {len(query)} != index dim {len(planes[0])}"
         )
-    qbits = 0
-    for i, p in enumerate(planes):
-        if sum(x * y for x, y in zip(query, p)) >= 0:
-            qbits |= 1 << i
+    qbits = _query_bits(query, meta)
     probe = sorted(set(_hamming_ball(qbits, meta["n_planes"], probe_hamming)))
     corpus = _apply_tombstones(
         spark.read.parquet(path).filter(F.col("bucket").isin(probe)),
@@ -270,7 +319,7 @@ def lsh_topk_indexed(
     if exclude_id is not None:
         corpus = corpus.filter(F.col(id_col) != exclude_id)
     scored = cosine_scores(corpus, query, meta["vec_col"])
-    return _topk_tail(scored, k, id_col, label_col)
+    return _topk_tail(scored, k, id_col, label_col, grid=grid)
 
 
 def build_ivf_index(
@@ -306,7 +355,8 @@ def build_ivf_index(
     )
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     _write_meta(path, {"kind": "ivf", "n_centroids": n_centroids, "seed": seed,
-                       "centroids": centroids, "vec_col": vec_col, "id_col": id_col})
+                       "centroids": centroids, "vec_col": vec_col, "id_col": id_col,
+                       "fit_rows": _parquet_rows_under(path, tombstones=False)})
     return path
 
 
@@ -350,7 +400,8 @@ def build_ivf_index_lloyd(
     _write_meta(
         path,
         {"kind": "ivf", "n_centroids": k, "quantizer": f"lloyd{k}x{n_iter}",
-         "centroids": centroids, "vec_col": vec_col, "id_col": id_col},
+         "centroids": centroids, "vec_col": vec_col, "id_col": id_col,
+         "fit_rows": _parquet_rows_under(path, tombstones=False)},
     )
     return path
 
@@ -363,10 +414,13 @@ def ivf_topk_indexed(
     n_probe: int = 4,
     label_col: str = "label",
     exclude_id: int | None = None,
+    grid: bool = False,
 ) -> DataFrame:
     """Partition-pruned IVF cosine top-k against a built index: rank the
     persisted centroids by distance to the query (driver math), filter
-    ``centroid_id IN (n_probe nearest)`` on the partition column."""
+    ``centroid_id IN (n_probe nearest)`` on the partition column.
+    ``grid=True`` ranks and reports the cosine on the half-up 1e-6 grid
+    (oracle parity over a Lloyd-built index — ns_ivf_topk_indexed)."""
     meta = _read_meta(path)
     centroids, id_col = meta["centroids"], meta["id_col"]
     if len(query) != len(centroids[0]):
@@ -385,7 +439,7 @@ def ivf_topk_indexed(
     if exclude_id is not None:
         corpus = corpus.filter(F.col(id_col) != exclude_id)
     scored = cosine_scores(corpus, query, meta["vec_col"])
-    return _topk_tail(scored, k, id_col, label_col)
+    return _topk_tail(scored, k, id_col, label_col, grid=grid)
 
 
 def append_to_lsh_index(batch: DataFrame, path: str) -> None:
@@ -425,7 +479,7 @@ def append_to_lsh_index(batch: DataFrame, path: str) -> None:
         _write_meta(path, meta)
     (
         batch.withColumn(
-            "bucket", lsh_bucket(meta["vec_col"], meta["planes"])
+            "bucket", _bucket_fn_for(meta)(meta["vec_col"], meta["planes"])
         )
         .write.mode("append")
         .partitionBy("bucket")
@@ -728,11 +782,25 @@ def _compact_partitioned_index(
 
 #: Per-lane knobs a rebuild may inherit from the live index's meta.
 _REBUILD_META_KNOBS: dict[str, tuple[str, ...]] = {
-    "lsh": ("n_planes", "seed", "vec_col", "id_col"),
+    "lsh": ("n_planes", "seed", "vec_col", "id_col", "grid"),
     "ivf": ("n_centroids", "seed", "vec_col", "id_col"),
     "ivfpq": ("n_centroids", "m", "k", "seed", "by_residual",
               "vec_col", "id_col", "label_col"),
 }
+
+
+def _live_quantizer(path: str) -> str:
+    """The live index's ``quantizer`` meta tag, or '' — lloyd-built
+    indexes stamp ``lloyd{k}x{n_iter}`` (IVF) /
+    ``lloyd{n}x{i}+{m}x{k}x{i_sub}`` (IVF-PQ); spark.ml builds carry
+    no tag. Rebuild dispatch keys on this (r13 ADVICE): a rebuild must
+    refit with the SAME quantizer algorithm the index was built with,
+    or recall/layout determinism silently shifts under a
+    planner-triggered rebuild."""
+    try:
+        return str(_read_meta(path).get("quantizer", ""))
+    except FileNotFoundError:
+        return ""
 
 
 def _rebuild_knobs(path: str, kind: str, knobs: dict) -> dict:
@@ -824,7 +892,38 @@ def rebuild_ivf_index(
     """Atomic in-place refit of an IVF index (fresh k-means coarse
     quantizer) from the current corpus — see :func:`_rebuild_index`.
     ``knobs`` pass to :func:`build_ivf_index`; unspecified knobs
-    inherit the live index's meta (:func:`_rebuild_knobs`)."""
+    inherit the live index's meta (:func:`_rebuild_knobs`).
+
+    Quantizer FLAVOR is preserved (r13 ADVICE): an index built with
+    :func:`build_ivf_index_lloyd` (meta ``quantizer: lloyd{k}x{n}``)
+    is refit by the deterministic Lloyd builder — inheriting
+    ``k``/``n_iter`` from the meta tag — never silently swapped to the
+    spark.ml fit by a planner-triggered rebuild (the lloyd layout is
+    what carries the DuckDB oracles; its determinism is the contract)."""
+    quant = _live_quantizer(path)
+    if quant.startswith("lloyd"):
+        meta = _read_meta(path)
+        k_tag, n_iter_tag = (int(s) for s in quant[len("lloyd"):].split("x"))
+        lknobs = {
+            "k": int(knobs.pop("k", knobs.pop("n_centroids",
+                                              meta.get("n_centroids", k_tag)))),
+            "n_iter": int(knobs.pop("n_iter", n_iter_tag)),
+            "vec_col": knobs.pop("vec_col", meta.get("vec_col", "embedding")),
+            "id_col": knobs.pop("id_col", meta.get("id_col", "vec_id")),
+        }
+        if knobs:
+            raise ValueError(
+                f"rebuild_ivf_index: knobs {sorted(knobs)} do not apply to a "
+                "lloyd-quantized index (deterministic fit, no seed) — pass "
+                "k/n_iter/vec_col/id_col, or refit explicitly with "
+                "build_ivf_index_lloyd"
+            )
+        _rebuild_index(
+            spark or df.sparkSession, path, "centroid_id",
+            lambda tmp: build_ivf_index_lloyd(df, tmp, **lknobs),
+            "rebuild_ivf_index", ids_already_filtered=ids_already_filtered,
+        )
+        return
     knobs = _rebuild_knobs(path, "ivf", knobs)
     _rebuild_index(
         spark or df.sparkSession, path, "centroid_id",
@@ -930,7 +1029,7 @@ def lsh_probe_index_batch(
             F.col(id_col).alias("q_id"),
             qv.alias("qv"),
             l2_norm(qv).alias("qnorm"),
-            lsh_bucket(vec_col, planes).alias("_qbucket"),
+            _bucket_fn_for(meta)(vec_col, planes).alias("_qbucket"),
             F.explode(
                 F.array(*[F.lit(m).cast("long") for m in masks])
             ).alias("_mask"),
@@ -1381,15 +1480,31 @@ def _parquet_rows_under(root: str, tombstones: bool) -> int:
     total = 0
     for r, _d, files in os.walk(root):
         rel = os.path.relpath(r, root)
-        in_tomb = rel.split(os.sep)[0] == TOMBSTONE_DIR
+        parts = rel.split(os.sep)
+        in_tomb = parts[0] == TOMBSTONE_DIR
         if in_tomb != tombstones:
             continue
+        # Spark's in-flight writes live under _temporary/ (or dot-tmp
+        # names); a half-written file THERE is expected and skippable.
+        in_progress_dir = any(p == "_temporary" or p.startswith(".") for p in parts)
         for f in files:
-            if f.endswith(".parquet"):
-                try:
-                    total += pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
-                except Exception:  # noqa: BLE001 — half-written tmp files
-                    pass
+            if not f.endswith(".parquet"):
+                continue
+            fpath = os.path.join(r, f)
+            try:
+                total += pq.ParquetFile(fpath).metadata.num_rows
+            except Exception:  # noqa: BLE001
+                # Tolerate unreadable files ONLY where a half-written
+                # file is expected: in-progress/tmp paths, or the
+                # tombstone side (appended concurrently by takedown
+                # streams). An unreadable LIVE data file must NOT
+                # silently undercount data_rows — that INFLATES
+                # tombstone_frac and can flip a cheap compact into a
+                # ~28x-cost rebuild (r12 ADVICE). Let it propagate so
+                # the policy input stays auditable.
+                if in_progress_dir or f.startswith((".", "_")) or tombstones:
+                    continue
+                raise
     return total
 
 
@@ -1399,6 +1514,7 @@ def plan_maintenance(
     max_files_per_partition: float = 4.0,
     max_tombstone_files: int = 64,
     rebuild_tombstone_frac: float = 0.3,
+    rebuild_growth_frac: float = 1.0,
 ) -> list[dict]:
     """Turn :func:`index_stats`'s listing-only signals into per-index
     **compact / rebuild / noop** decisions — the "when to run verb N"
@@ -1418,6 +1534,17 @@ def plan_maintenance(
       authoritative vectors, ``ids_already_filtered=True``). The
       measured cost gap (rebuild ≈ 28× append+compact at the 10×
       bench, scale10x_rebuild) is why this threshold is HIGH.
+    * **rebuild** (r13) when the layout has GROWN past
+      ``rebuild_growth_frac`` of its fit-time row count
+      (``growth_frac`` = appended rows since fit / ``fit_rows``, both
+      from footers vs the meta's stamp — still listing-only): appends
+      with a frozen quantizer shift the stored distribution even with
+      zero deletes, so long-lived ingest loops must rebuild on growth,
+      not just takedown. Applies only to the DATA-FIT quantizer lanes
+      (ivf / ivfpq — k-means centroids/codebooks drift with the data);
+      LSH planes are data-independent, so growth never invalidates
+      them. Indexes built before the stamp (no ``fit_rows`` meta) skip
+      the signal.
     * **compact** when the tombstone set outgrows broadcast comfort
       (``tombstone_frac`` ≥ ``compact_tombstone_frac`` or
       ``n_tombstone_files`` ≥ ``max_tombstone_files`` — the log's own
@@ -1436,7 +1563,12 @@ def plan_maintenance(
         live = st["live_dir"]
         data_rows = _parquet_rows_under(live, tombstones=False)
         tomb_rows = _parquet_rows_under(live, tombstones=True)
-        files_pp = st["n_data_files"] / max(1, st["n_partition_dirs"])
+        # Flat layouts (no partition dirs — pq codes/) can never
+        # compact below their compactor's own write parallelism, so
+        # the fan-out signal normalizes by that floor: a just-compacted
+        # flat index must read noop, not re-flag forever (r13).
+        denom = st["n_partition_dirs"] or FLAT_COMPACT_PARTITIONS
+        files_pp = st["n_data_files"] / denom
         # Tombstones are DOC/VECTOR ids; the minhash layout stores one
         # row per (doc, band), so the raw ratio understates a takedown
         # by the bands factor — normalize to per-document terms when
@@ -1446,6 +1578,11 @@ def plan_maintenance(
             st["meta"].get("bands", 1) if st["kind"] == "minhash" else 1
         )
         tomb_frac = tomb_rows / max(1, data_rows / max(1, per_id_rows))
+        fit_rows = st["meta"].get("fit_rows")
+        growth_frac = (
+            max(0, data_rows - fit_rows) / fit_rows
+            if fit_rows else None
+        )
         # Mass takedown means different things per lane: quantized
         # layouts (ANN) REBUILD — their frozen quantizers were fit on a
         # corpus the layout no longer stores — while sketch layouts
@@ -1465,6 +1602,17 @@ def plan_maintenance(
                 f"tombstone_frac {tomb_frac:.3f} >= "
                 f"{rebuild_tombstone_frac} (mass takedown; sketch layout "
                 "has no quantizer to refit — purge)"
+            )
+        elif (
+            growth_frac is not None
+            and growth_frac >= rebuild_growth_frac
+            and st["kind"] in ("ivf", "ivfpq")
+        ):
+            decision = "rebuild"
+            reason = (
+                f"growth_frac {growth_frac:.3f} >= {rebuild_growth_frac} "
+                "(appends with a frozen quantizer shift the stored "
+                "distribution — refit on growth, not just takedown)"
             )
         elif tomb_frac >= compact_tombstone_frac:
             decision = "compact"
@@ -1499,6 +1647,10 @@ def plan_maintenance(
                 "tombstone_rows": tomb_rows,
                 "n_tombstone_files": st["n_tombstone_files"],
                 "tombstone_frac": round(tomb_frac, 6),
+                "fit_rows": fit_rows,
+                "growth_frac": (
+                    None if growth_frac is None else round(growth_frac, 6)
+                ),
                 "decision": decision,
                 "reason": reason,
             }
@@ -1539,11 +1691,16 @@ def auto_maintain(
         dedup_index as _dd,
     )
     from map_reduce_framework_using_python_spark.operators import ivfpq as _ivfpq
+    from map_reduce_framework_using_python_spark.operators import pq as _pq
 
     compactors = {
         "lsh": lambda p: compact_lsh_index(spark, p),
         "ivf": lambda p: compact_ivf_index(spark, p),
         "ivfpq": lambda p: _ivfpq.compact_ivfpq_index(spark, p),
+        # flat-PQ (r13, ADVICE): the planner treats pq as quantized
+        # (can decide rebuild) but the lane has no in-place rebuilder —
+        # rebuild DEGRADES to compact below, like the no-vectors path
+        "pq": lambda p: _pq.compact_pq_index(spark, p),
         # dedup lanes (r12): the takedown queues feed these — the
         # planner routes their mass-takedown signal to compact (purge),
         # never rebuild (no quantizer to refit)
@@ -1573,7 +1730,10 @@ def auto_maintain(
                 f"{label!r}) — run the lane's own maintenance verbs"
             )
         vec = (vectors or {}).get(label)
-        if decision == "rebuild" and vec is None:
+        if decision == "rebuild" and kind not in rebuilders:
+            action = "compact (degraded: rebuild planned, no in-place rebuilder)"
+            compactors[kind](path)
+        elif decision == "rebuild" and vec is None:
             action = "compact (degraded: rebuild planned, no vectors)"
             compactors[kind](path)
         elif decision == "rebuild":

@@ -71,6 +71,7 @@ from map_reduce_framework_using_python_spark.operators.ann_index import (
     _centroid_dist_structs,
     _compact_partitioned_index,
     _nearest_centroids_join,
+    _parquet_rows_under,
     _read_meta,
     _write_meta,
 )
@@ -111,6 +112,48 @@ def _residual_expr(vec: str) -> F.Column:
     )
 
 
+def _assign_hier(
+    vn: DataFrame,
+    c1: list[list[float]],
+    c2: list[list[float]],
+    id_col: str,
+) -> DataFrame:
+    """Append ``centroid_id`` = LEAF cell of the two-level coarse
+    quantizer (``l1 · len(c2) + l2``): route to the nearest level-1
+    centroid, take the residual, route the residual to the nearest
+    level-2 centroid — the inverted-multi-index composition (Babenko &
+    Lempitsky 2012, "The Inverted Multi-Index"): ``k1·k2`` leaf cells
+    from only ``k1 + k2`` fitted centroids, which is what makes a
+    corpus-proportional cell count affordable (a FLAT fit at k≈6400 is
+    the documented SDC scale ceiling — NOTES r12). Routing is row-local
+    map-side math through both levels, so it commutes across any corpus
+    split exactly like the flat :func:`_assigned` (the
+    append-commutes-with-build contract)."""
+    k2 = len(c2)
+    a1 = (
+        _assigned(vn, c1, id_col)
+        .crossJoin(F.broadcast(_centroid_array_row(vn, c1)))
+        .withColumn("_rv", _residual_expr("vn"))
+        .drop("carr")
+        .withColumnRenamed("centroid_id", "_c1")
+    )
+    # level-2 routing of the residual: reuse the shared _assigned kernel
+    # by presenting the residual as the routed column
+    r = _assigned(
+        a1.withColumnRenamed("vn", "_vn0").withColumnRenamed("_rv", "vn"),
+        c2, id_col,
+    ).withColumnRenamed("centroid_id", "_c2")
+    return (
+        r.withColumnRenamed("vn", "_rv")
+        .withColumnRenamed("_vn0", "vn")
+        .withColumn(
+            "centroid_id",
+            (F.col("_c1") * F.lit(k2) + F.col("_c2")).cast("int"),
+        )
+        .drop("_c1", "_c2", "_rv")
+    )
+
+
 def _assign_and_encode(
     vn: DataFrame,
     keys: list[str],
@@ -118,6 +161,7 @@ def _assign_and_encode(
     books: list[list[list[float]]],
     id_col: str,
     by_residual: bool = False,
+    hier: dict | None = None,
 ) -> DataFrame:
     """(keys…, centroid_id, codes) for every row of a vector frame —
     the ONE map-side pass build and append share: coarse argmin via the
@@ -128,9 +172,24 @@ def _assign_and_encode(
     residual against the assigned coarse centroid. Both quantizers are
     pure row-local functions of the persisted model state either way,
     so this pass commutes with itself across any corpus split — the
-    append-commutes-with-build pin rests on exactly that."""
+    append-commutes-with-build pin rests on exactly that.
+
+    ``hier`` (the meta's two-level dict) routes through
+    :func:`_assign_hier` instead of the flat argmin — leaf-cell ids,
+    same row-local contract; incompatible with ``by_residual`` (the
+    hier lane encodes the vector itself)."""
+    if hier is not None and by_residual:
+        raise ValueError(
+            "_assign_and_encode: hier routing and by_residual encoding "
+            "are mutually exclusive"
+        )
     sub = len(books[0][0])
-    assigned = _assigned(vn, centroids, id_col)
+    if hier is not None:
+        assigned = _assign_hier(
+            vn, hier["centroids_l1"], hier["centroids_l2"], id_col
+        )
+    else:
+        assigned = _assigned(vn, centroids, id_col)
     assigned = assigned.crossJoin(F.broadcast(_books_row(vn, books)))
     col = "vn"
     if by_residual:
@@ -280,7 +339,8 @@ def build_ivfpq_index(
         {"kind": "ivfpq", "n_centroids": n_centroids, "m": m, "k": k,
          "seed": seed, "sub": dim // m, "centroids": centroids,
          "books": books, "by_residual": by_residual, "vec_col": vec_col,
-         "id_col": id_col, "label_col": label_col},
+         "id_col": id_col, "label_col": label_col,
+         "fit_rows": _parquet_rows_under(path, tombstones=False)},
     )
     return path
 
@@ -354,7 +414,132 @@ def build_ivfpq_index_lloyd(
          "quantizer": f"lloyd{n_centroids}x{n_iter}+{m}x{k}x{n_iter_sub}",
          "normalize": False, "sub": sub, "centroids": coarse,
          "books": books, "vec_col": vec_col, "id_col": id_col,
-         "label_col": label_col},
+         "label_col": label_col,
+         "fit_rows": _parquet_rows_under(path, tombstones=False)},
+    )
+    return path
+
+
+def build_ivfpq_index_hier(
+    vectors: DataFrame,
+    path: str,
+    n_cells_l1: int = 4,
+    n_cells_l2: int = 4,
+    m: int = 16,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str | None = "label",
+    fit_fraction: float | None = None,
+) -> str:
+    """IVF-PQ index whose coarse quantizer is TWO stacked k-means
+    levels (the inverted multi-index, Babenko & Lempitsky 2012): fit
+    ``n_cells_l1`` centroids on the normalized corpus, fit
+    ``n_cells_l2`` centroids on the RESIDUALS against level 1, and
+    partition by the composed leaf cell ``l1·k2 + l2`` —
+    ``k1·k2`` cells from ``k1 + k2`` fitted centroids.
+
+    WHY (the r12 scale ceiling): SemDeDup/SDC pair mining needs the
+    cell count to grow WITH the corpus (cells ≈ n / target-cell-size
+    keeps the within-cell quadratic bounded per vector), but a flat
+    spark.ml fit at k ≈ 6400 is too expensive a coarse fit — the 100×
+    probe documented SDC as the one lane without a scale path. Two
+    stacked √k-sized fits cost what two SMALL fits cost (each Lloyd
+    iteration scans with √k distance evaluations per row instead of k)
+    while still yielding k leaf cells; routing is map-side through
+    both levels. :func:`sdc_near_pairs` runs UNCHANGED over the
+    resulting layout — same-cell blocking over leaf cells, the same
+    16-byte-code quadratic, now corpus-proportionally bounded.
+
+    Degenerate ``n_cells_l2=1`` reduces EXACTLY to the flat build
+    (level 2's single centroid shifts every residual identically and
+    every leaf id equals the level-1 id) — pinned in
+    tests/test_ivfpq.py, which is what ties the hier lane's
+    correctness to the flat form's oracles and pins.
+
+    Layout, meta contract, appends (hier routing — frozen centroids of
+    BOTH levels), compaction, and probes (leaf centroids composed as
+    ``c1_i + c2_j`` persist in ``meta['centroids']``, so ranking and
+    ADC work unchanged; hierarchical greedy assignment may differ from
+    flat argmin over composed centroids — standard IMI semantics, a
+    recall knob, never a correctness one: the exact rerank scores true
+    vectors) all match :func:`build_ivfpq_index`. Normalized space
+    (``normalize`` True) — the SDC threshold mapping needs unit-norm
+    codes."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    keys = [id_col] if label_col is None else [id_col, label_col]
+    vn = _normalized(vectors, vec_col, id_col, label_col).persist()
+    try:
+        head = vn.select(F.size("vn").alias("d")).head()
+        if head is None:
+            raise ValueError("build_ivfpq_index_hier: empty input")
+        dim = int(head["d"])
+        if dim % m != 0:
+            raise ValueError(
+                f"build_ivfpq_index_hier: dim {dim} not divisible by m {m}"
+            )
+        fit_src = vectors
+        fit_vn = vn
+        if fit_fraction is not None and fit_fraction < 1.0:
+            keep = F.pmod(
+                F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000)
+            ) < F.lit(int(fit_fraction * 1_000_000))
+            fit_src = vectors.filter(keep)
+            fit_vn = vn.filter(keep)
+        def fit_level(frame: DataFrame, kk: int) -> list[list[float]]:
+            if kk == 1:
+                # spark.ml forbids k=1; a single Lloyd centroid IS the
+                # mean — one agg pass (this is the degenerate level the
+                # hier==flat equality pin rides)
+                rows = (
+                    frame.select(F.posexplode("vn").alias("pos", "x"))
+                    .groupBy("pos").agg(F.avg("x").alias("a"))
+                    .orderBy("pos").collect()
+                )
+                return [[float(r["a"]) for r in rows]]
+            model = KMeans(k=kk, seed=seed, featuresCol="_features").fit(
+                frame.withColumn("_features", array_to_vector(F.col("vn")))
+            )
+            return [[float(x) for x in c] for c in model.clusterCenters()]
+
+        c1 = fit_level(fit_vn, n_cells_l1)
+        res = _residual_frame(fit_vn.select(id_col, "vn"), c1, id_col)
+        c2 = fit_level(res, n_cells_l2)
+        books = pq_train(
+            fit_src, m, k, seed, max_iter, vec_col=vec_col, id_col=id_col
+        )
+        hier = {
+            "n_cells_l1": n_cells_l1, "n_cells_l2": n_cells_l2,
+            "centroids_l1": c1, "centroids_l2": c2,
+        }
+        (
+            _assign_and_encode(vn, keys, [], books, id_col, hier=hier)
+            # one file per cell directory (the r12 layout rule)
+            .repartition(F.col("centroid_id"))
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(path)
+        )
+    finally:
+        vn.unpersist()
+    composed = [
+        [a + b for a, b in zip(c1[i], c2[j])]
+        for i in range(n_cells_l1)
+        for j in range(n_cells_l2)
+    ]
+    _write_meta(
+        path,
+        {"kind": "ivfpq", "n_centroids": n_cells_l1 * n_cells_l2,
+         "m": m, "k": k, "seed": seed, "sub": dim // m,
+         "quantizer": f"hier{n_cells_l1}x{n_cells_l2}",
+         "centroids": composed, "books": books, "by_residual": False,
+         "hier": hier, "vec_col": vec_col, "id_col": id_col,
+         "label_col": label_col,
+         "fit_rows": _parquet_rows_under(path, tombstones=False)},
     )
     return path
 
@@ -736,6 +921,11 @@ def append_to_ivfpq_index(batch: DataFrame, path: str) -> None:
         _assign_and_encode(
             vn, keys, meta["centroids"], meta["books"], id_col,
             by_residual=meta.get("by_residual", False),
+            # hier layouts route through both frozen levels — flat
+            # argmin over the composed leaf centroids is NOT the same
+            # assignment (greedy vs global), and appends must land in
+            # the cells the build would have picked
+            hier=meta.get("hier"),
         )
         .write.mode("append")
         .partitionBy("centroid_id")
@@ -787,12 +977,87 @@ def rebuild_ivfpq_index(
     (n_centroids/m/k/seed/by_residual/...); unspecified knobs inherit
     the live index's meta so a non-default index keeps its parameters.
     Completes the lifecycle pentad: build / append / delete / compact /
-    rebuild (pinned in tests/test_ann_delete.py)."""
+    rebuild (pinned in tests/test_ann_delete.py).
+
+    Quantizer FLAVOR is preserved (r13 ADVICE): an index built with
+    :func:`build_ivfpq_index_lloyd` (meta
+    ``quantizer: lloyd{n}x{i}+{m}x{k}x{i_sub}``) is refit by the
+    deterministic Lloyd builder — n_iter/n_iter_sub inherited from the
+    meta tag — never silently swapped to the spark.ml/sampled fit by a
+    planner-triggered rebuild (determinism and raw-space layout are
+    what carry the lloyd lane's DuckDB oracles)."""
     from map_reduce_framework_using_python_spark.operators.ann_index import (
+        _live_quantizer,
+        _read_meta,
         _rebuild_index,
         _rebuild_knobs,
     )
 
+    quant = _live_quantizer(path)
+    if quant.startswith("hier"):
+        meta = _read_meta(path)
+        h = meta["hier"]
+        hknobs = {
+            "n_cells_l1": int(knobs.pop("n_cells_l1", h["n_cells_l1"])),
+            "n_cells_l2": int(knobs.pop("n_cells_l2", h["n_cells_l2"])),
+            "m": int(knobs.pop("m", meta["m"])),
+            "k": int(knobs.pop("k", meta["k"])),
+            "seed": int(knobs.pop("seed", meta.get("seed", 42))),
+            "vec_col": knobs.pop("vec_col", meta.get("vec_col", "embedding")),
+            "id_col": knobs.pop("id_col", meta.get("id_col", "vec_id")),
+            "label_col": knobs.pop("label_col", meta.get("label_col", "label")),
+        }
+        if "fit_fraction" in knobs:
+            hknobs["fit_fraction"] = knobs.pop("fit_fraction")
+        if "max_iter" in knobs:
+            hknobs["max_iter"] = int(knobs.pop("max_iter"))
+        if knobs:
+            raise ValueError(
+                f"rebuild_ivfpq_index: knobs {sorted(knobs)} do not apply to "
+                "a hierarchical (two-level) index — pass n_cells_l1/"
+                "n_cells_l2/m/k/seed/fit_fraction/max_iter/vec_col/id_col/"
+                "label_col, or refit explicitly with build_ivfpq_index_hier"
+            )
+        _rebuild_index(
+            spark or vectors.sparkSession, path, "centroid_id",
+            lambda tmp: build_ivfpq_index_hier(vectors, tmp, **hknobs),
+            "rebuild_ivfpq_index",
+            _test_hook_pre_swap=_test_hook_pre_swap,
+            ids_already_filtered=ids_already_filtered,
+        )
+        return
+    if quant.startswith("lloyd"):
+        meta = _read_meta(path)
+        coarse_tag, pq_tag = quant[len("lloyd"):].split("+")
+        nc_tag, ni_tag = (int(s) for s in coarse_tag.split("x"))
+        m_tag, k_tag, nis_tag = (int(s) for s in pq_tag.split("x"))
+        lknobs = {
+            "n_centroids": int(knobs.pop("n_centroids",
+                                         meta.get("n_centroids", nc_tag))),
+            "m": int(knobs.pop("m", meta.get("m", m_tag))),
+            "k": int(knobs.pop("k", meta.get("k", k_tag))),
+            "n_iter": int(knobs.pop("n_iter", ni_tag)),
+            "n_iter_sub": int(knobs.pop("n_iter_sub", nis_tag)),
+            "vec_col": knobs.pop("vec_col", meta.get("vec_col", "embedding")),
+            "id_col": knobs.pop("id_col", meta.get("id_col", "vec_id")),
+            "label_col": knobs.pop("label_col", meta.get("label_col", "label")),
+        }
+        if knobs:
+            raise ValueError(
+                f"rebuild_ivfpq_index: knobs {sorted(knobs)} do not apply to "
+                "a lloyd-quantized index (deterministic fit, no "
+                "seed/by_residual) — pass n_centroids/m/k/n_iter/n_iter_sub/"
+                "vec_col/id_col/label_col, or refit explicitly with "
+                "build_ivfpq_index_lloyd"
+            )
+        _rebuild_index(
+            spark or vectors.sparkSession, path, "centroid_id",
+            lambda tmp: build_ivfpq_index_lloyd(vectors, tmp, **lknobs),
+            "rebuild_ivfpq_index",
+            _test_hook_pre_swap=_test_hook_pre_swap,
+            ids_already_filtered=ids_already_filtered,
+        )
+        return
     knobs = _rebuild_knobs(path, "ivfpq", knobs)
     _rebuild_index(
         spark or vectors.sparkSession, path, "centroid_id",

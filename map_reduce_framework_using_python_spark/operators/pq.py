@@ -316,7 +316,7 @@ def append_to_pq_index(
 def compact_pq_index(
     spark,
     path: str,
-    write_partitions: int = 8,
+    write_partitions: int | None = None,
     _test_hook_pre_swap=None,
 ) -> None:
     """Rewrite ``codes/`` into ``write_partitions`` files, shedding
@@ -329,11 +329,13 @@ def compact_pq_index(
     import os
 
     from map_reduce_framework_using_python_spark.operators.ann_index import (
+        FLAT_COMPACT_PARTITIONS,
         _compact_partitioned_index,
     )
 
     _compact_partitioned_index(
-        spark, os.path.join(path, "codes"), None, write_partitions,
+        spark, os.path.join(path, "codes"), None,
+        write_partitions or FLAT_COMPACT_PARTITIONS,
         _test_hook_pre_swap, "compact_pq_index",
     )
 

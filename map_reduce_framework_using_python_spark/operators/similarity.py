@@ -56,10 +56,27 @@ def cosine_scores(df: DataFrame, query: list[float], vec_col: str = "embedding")
     return df.withColumn("cosine_raw", dot(v, qlit) / (l2_norm(v) * F.lit(qnorm)))
 
 
-def _topk_tail(scored: DataFrame, k: int, id_col: str, label_col: str) -> DataFrame:
+def _topk_tail(
+    scored: DataFrame, k: int, id_col: str, label_col: str,
+    grid: bool = False,
+) -> DataFrame:
     """Shared top-k tail: order by raw cosine (id tiebreak), limit,
     round for the reported value. One definition so the brute-force,
-    IVF, and LSH paths cannot drift apart on tie-break or rounding."""
+    IVF, and LSH paths cannot drift apart on tie-break or rounding.
+
+    ``grid=True`` ranks AND reports on the half-up 1e-6 grid
+    (floor(x·1e6 + 0.5)) — the oracle-parity discipline of the batch
+    probes' ``grid_order`` (r13: what lets the single-query indexed
+    forms carry full DuckDB oracles)."""
+    if grid:
+        g = scored.withColumn(
+            "_qcos", F.floor(F.col("cosine_raw") * 1e6 + F.lit(0.5)).cast("long")
+        )
+        return (
+            g.orderBy(F.col("_qcos").desc(), F.col(id_col))
+            .limit(k)
+            .select(id_col, label_col, (F.col("_qcos") / 1e6).alias("cosine"))
+        )
     return (
         scored.orderBy(F.col("cosine_raw").desc(), F.col(id_col))
         .limit(k)

@@ -79,6 +79,18 @@ def _ensure_ivf(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def _ensure_lsh_grid(spark: SparkSession, sf_dir: str) -> str:
+    """The grid-bucketed LSH build variant (same planes as _ensure_lsh;
+    signs taken on the half-up 1e-6 grid) — the deterministic layout
+    the full-oracle indexed probe reads (ns_lsh_topk_indexed, r13)."""
+    return _ensure(
+        sf_dir, "lsh8_seed42_grid",
+        lambda p: build_lsh_index(
+            t(spark, sf_dir, "embeddings"), p, n_planes=8, seed=42, grid=True
+        ),
+    )
+
+
 def _ensure_ivf_lloyd(spark: SparkSession, sf_dir: str) -> str:
     from map_reduce_framework_using_python_spark.operators.ann_index import (
         build_ivf_index_lloyd,
@@ -119,34 +131,14 @@ def _qvec(spark: SparkSession, sf_dir: str, vid: int = 0) -> list[float]:
     )
 
 
-@query("ns_lsh_topk_indexed", oracle=None, tags=("northstar", "similarity", "sketch", "index"))
-def ns_lsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-pruned LSH cosine top-10 (storage-backed index): reads
-    only the 37/256 Hamming-ball bucket directories. Pinned equal to
-    ns_lsh_cosine_topk (tests/test_ann_index.py)."""
-    path = _ensure_lsh(spark, sf_dir)
-    return lsh_topk_indexed(
-        spark, path, _qvec(spark, sf_dir), k=10, probe_hamming=2, exclude_id=0
-    )
-
-
-@query("ns_ivf_topk_indexed", oracle=None, tags=("northstar", "similarity", "sketch", "index"))
-def ns_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-pruned IVF cosine top-10 (storage-backed index): reads
-    the 4/16 nearest centroid partitions. Pinned equal to ns_ivf_topk
-    and to brute force under full probe (tests/test_ann_index.py)."""
-    path = _ensure_ivf(spark, sf_dir)
-    return ivf_topk_indexed(
-        spark, path, _qvec(spark, sf_dir), k=10, n_probe=4, exclude_id=0
-    )
-
-
 # ---------------------------------------------------------------------------
 # Batched multi-query probing (round 5): one plan answers a BATCH of
 # query vectors — the shape retrieval/curation actually runs — and, by
 # quantizing both the bucket signs and the cosine to the 1e-6 grid on
-# both engines, the first ANN query that carries a full DuckDB oracle
-# (every earlier ANN entry is pytest-pinned rows-only).
+# both engines, the first ANN query that carries a full DuckDB oracle.
+# r13 promoted the single-query INDEXED forms under the same gate: the
+# LSH one over a grid-bucketed build variant (build_lsh_index grid=True),
+# the IVF one over the Lloyd-built index.
 
 from map_reduce_framework_using_python_spark.operators.similarity import (  # noqa: E402
     hyperplanes,
@@ -172,6 +164,109 @@ def _bucket_sql(vec_expr: str) -> str:
             f" * 1000000.0 + 0.5) >= 0 THEN {1 << i} ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+_LSH_TOPK_INDEXED_ORACLE = f"""
+    WITH b AS (
+        SELECT vec_id, label,
+               CAST(embedding AS DOUBLE[]) AS v,
+               CAST({_bucket_sql("CAST(embedding AS DOUBLE[])")} AS BIGINT)
+                   AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0
+    ), cand AS (
+        SELECT b.vec_id, b.label,
+               floor(list_cosine_similarity(b.v, q.qv) * 1000000.0 + 0.5)
+                   AS qcos
+        FROM b CROSS JOIN q
+        WHERE bit_count(xor(b.bucket, q.qbucket)) <= 2 AND b.vec_id <> 0
+    )
+    SELECT vec_id, label, qcos / 1000000.0 AS cosine
+    FROM cand ORDER BY qcos DESC, vec_id LIMIT 10
+"""
+
+
+@query(
+    "ns_lsh_topk_indexed",
+    oracle=_LSH_TOPK_INDEXED_ORACLE,
+    tags=("northstar", "similarity", "sketch", "index"),
+)
+def ns_lsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned LSH cosine top-10 against a PERSISTED
+    grid-bucketed index (build_lsh_index ``grid=True`` — signs on the
+    half-up 1e-6 grid, same planes as the raw layout): reads only the
+    37/256 Hamming-ball bucket directories, ranks on the quantized
+    cosine. Promoted from rows-only to a FULL DuckDB oracle in r13
+    (VERDICT item 5): the grid signs make the bucket bits — and so the
+    candidate set — bit-reproducible in SQL (plane literals, the
+    ns_ann_probe_batch machinery), so the oracle replays bucketing,
+    Hamming-ball pruning, and the top-k. The raw-sign build path stays
+    (operators/ann_index.build_lsh_index default) with its pytest pins."""
+    path = _ensure_lsh_grid(spark, sf_dir)
+    return lsh_topk_indexed(
+        spark, path, _qvec(spark, sf_dir), k=10, probe_hamming=2,
+        exclude_id=0, grid=True,
+    )
+
+
+def _ivf_topk_indexed_oracle() -> str:
+    """Full DuckDB oracle for the Lloyd-built single-query IVF probe:
+    the deterministic k-means CTE chain reproduces the index's
+    centroids and assignments; centroid ranking, n_probe pruning, and
+    the grid-quantized cosine top-10 are plain SQL (the
+    ns_ivf_probe_batch machinery, single-query form)."""
+    from map_reduce_framework_using_python_spark.plans.clustering_queries import (
+        _kmeans_ctes,
+        _sqdist_sql,
+    )
+
+    k_cl, n_iter, dim = 8, 2, 64
+    ctes = _kmeans_ctes(k_cl, n_iter, dim)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+        q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        pr AS (SELECT cluster FROM (
+                   SELECT c.cluster,
+                          row_number() OVER (
+                              ORDER BY {_sqdist_sql("q.qv", "c.cent")}, c.cluster
+                          ) AS cr
+                   FROM q CROSS JOIN cent{n_iter} c)
+               WHERE cr <= 4),
+        cand AS (SELECT a.vec_id,
+                        floor(list_cosine_similarity(a.v, q.qv)
+                              * 1000000.0 + 0.5) AS qcos
+                 FROM a{n_iter} a JOIN pr ON a.cluster = pr.cluster
+                      CROSS JOIN q
+                 WHERE a.vec_id <> 0)
+        SELECT c.vec_id, e.label, qcos / 1000000.0 AS cosine
+        FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+        ORDER BY qcos DESC, c.vec_id LIMIT 10
+    """
+    )
+
+
+@query(
+    "ns_ivf_topk_indexed",
+    oracle=_ivf_topk_indexed_oracle(),
+    tags=("northstar", "similarity", "sketch", "index"),
+)
+def ns_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned IVF cosine top-10 against the PERSISTED
+    Lloyd-built index (k=8, 2 iterations — ns_kmeans_sizes' model):
+    reads the 4/8 nearest centroid partitions, ranks on the quantized
+    cosine. Promoted from rows-only to a FULL DuckDB oracle in r13
+    (VERDICT item 5) via the ns_ivf_probe_batch machinery in
+    single-query form — the oracle replays centroid training, index
+    assignment, probe routing, and the top-10. The spark.ml build path
+    stays (operators/ann_index.build_ivf_index) with its pytest pins
+    (full-probe == brute force, tests/test_ann_index.py)."""
+    path = _ensure_ivf_lloyd(spark, sf_dir)
+    return ivf_topk_indexed(
+        spark, path, _qvec(spark, sf_dir), k=10, n_probe=4, exclude_id=0,
+        grid=True,
+    )
 
 
 _ANN_PROBE_BATCH_ORACLE = f"""
@@ -864,8 +959,8 @@ def ns_index_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "index string, kind string, n_partition_dirs int, n_data_files int,"
         " files_per_partition double, data_rows bigint, tombstone_rows bigint,"
-        " n_tombstone_files int, tombstone_frac double, decision string,"
-        " reason string",
+        " n_tombstone_files int, tombstone_frac double, fit_rows bigint,"
+        " growth_frac double, decision string, reason string",
     )
 
 

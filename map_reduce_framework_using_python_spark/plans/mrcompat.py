@@ -54,7 +54,7 @@ def st_mrtext_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     document texts land as mrtext part files (the reference's WRITE,
     op 1), then ``readStream.format("mrtext")`` drains them through
     the Spark 4 Python streaming DataSource
-    (sources/mrfs.py:MRTextSimpleStreamReader) — offsets are manifest
+    (sources/mrfs.py:MRTextStreamReader) — offsets are manifest
     positions, so the checkpoint gives exactly-once per part (resume
     pinned in tests/test_mrfs.py). FULL oracle: the round trip must
     reproduce exactly the filtered text column (documents are

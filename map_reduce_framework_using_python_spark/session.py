@@ -49,6 +49,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Real Trigger.AvailableNow for sources that don't declare
+        # SupportsTriggerAvailableNow (the Python DataSource bridge,
+        # PythonMicroBatchStream, never does): Spark's AvailableNow
+        # wrapper pins the end offset once at query start and drains to
+        # it, instead of the warned single-batch fallback (r13; the
+        # mrtext stream reader relies on it — sources/mrfs.py).
+        .config("spark.sql.streaming.triggerAvailableNowWrapper.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     if master is not None:

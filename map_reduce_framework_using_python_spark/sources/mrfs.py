@@ -30,10 +30,10 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
@@ -217,23 +217,35 @@ class MRTextStreamWriter(DataSourceStreamWriter):
                 os.remove(m.path)
 
 
-class MRTextSimpleStreamReader(SimpleDataSourceStreamReader):
-    """Stream the DFS layout: one micro-batch per part file, manifest
-    order — the landing-directory contract. The reference's client
-    polls the master for new parts and maps each as it lands
-    (`client_v1.py:96-115` registers parts in index order); here the
-    offset IS the manifest position (``{"next_part": i}``), so Spark's
-    checkpoint gives exactly-once per part: a restart resumes at the
-    first unconsumed part, and ``readBetweenOffsets`` replays a
-    committed-but-unwritten batch deterministically from the same
-    files (part files are immutable once landed — the writer's
+class MRTextStreamReader(DataSourceStreamReader):
+    """Stream the DFS layout: parts consumed in manifest order — the
+    landing-directory contract. The reference's client polls the master
+    for new parts and maps each as it lands (`client_v1.py:96-115`
+    registers parts in index order); here the offset IS the manifest
+    position (``{"next_part": i}``), so Spark's checkpoint gives
+    exactly-once per part: a restart resumes at the first unconsumed
+    part, and ``partitions(start, end)`` replays a
+    committed-but-unwritten batch deterministically from the same files
+    (part files are immutable once landed — the writer's
     rename-on-commit guarantees no half-written part is ever visible).
 
-    Each ``read()`` consumes every part landed since the last offset
-    (one call per trigger — AvailableNow drains all current parts in
-    one batch; a continuous trigger batches whatever landed between
-    polls). Replay windows stay file-aligned either way; the per-batch
-    cost is one directory listing + the new files, never a rescan."""
+    This is the FULL DataSourceStreamReader (r13; it replaced the r10
+    SimpleDataSourceStreamReader): ``latestOffset`` is one directory
+    listing on the driver, and each part file becomes its own input
+    partition whose rows are read EXECUTOR-SIDE — the simple reader
+    materialized every row in a driver-side list, which caps at the
+    driver's memory; this form scales to a 100 TB landing directory
+    exactly like the batch reader (one task per part, placement-local).
+    It also honors the real ``Trigger.AvailableNow`` contract through
+    Spark's AvailableNow wrapper
+    (``spark.sql.streaming.triggerAvailableNowWrapper.enabled``, set in
+    session.py and ensure_resolvable): the end offset is pinned ONCE at
+    query start and the run drains exactly the parts landed before it —
+    no single-batch-fallback warning, and parts landing mid-run wait
+    for the next drain. The wrapper is incompatible with the simple
+    reader's driver-side prefetch cache (its ``latestOffset``-twice
+    pattern trips the cache assert in pyspark's datasource_internal) —
+    a second reason the full reader is the right shape."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -243,28 +255,25 @@ class MRTextSimpleStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"next_part": 0}
 
-    def _rows(self, index: int, path: str) -> list[tuple]:
-        with open(path, encoding="utf-8") as fh:
-            return [(index, line.rstrip("\n")) for line in fh]
+    def latestOffset(self) -> dict:
+        return {"next_part": len(_part_files(self.path))}
 
-    def read(self, start: dict):
-        # Spark's prefetch cache copy.copy()s the returned iterator, so
-        # it must be a list iterator (copyable), never a generator.
+    def partitions(self, start: dict, end: dict):
         parts = _part_files(self.path)
-        i = start["next_part"]
-        if i >= len(parts):
-            return iter([]), start
-        out: list[tuple] = []
-        for j in range(i, len(parts)):
-            out.extend(self._rows(j, parts[j]))
-        return iter(out), {"next_part": len(parts)}
+        return [
+            _PartFile(i, parts[i])
+            for i in range(start["next_part"], min(end["next_part"], len(parts)))
+        ]
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        parts = _part_files(self.path)
-        out: list[tuple] = []
-        for i in range(start["next_part"], min(end["next_part"], len(parts))):
-            out.extend(self._rows(i, parts[i]))
-        return iter(out)
+    def read(self, partition: _PartFile):
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                yield (partition.index, line.rstrip("\n"))
+
+    def commit(self, end: dict) -> None:
+        # nothing to clean up: offsets are manifest positions over
+        # immutable part files; Spark's checkpoint owns progress
+        pass
 
 
 class MRTextDataSource(DataSource):
@@ -281,8 +290,8 @@ class MRTextDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return MRTextWriter(self.options, overwrite)
 
-    def simpleStreamReader(self, schema):
-        return MRTextSimpleStreamReader(self.options)
+    def streamReader(self, schema):
+        return MRTextStreamReader(self.options)
 
     def streamWriter(self, schema, overwrite: bool):
         return MRTextStreamWriter(self.options)
@@ -309,6 +318,15 @@ def ensure_resolvable(spark) -> None:
     deterministic for calls issued from this Python thread.
     """
     register(spark)
+    # The stream reader's real-AvailableNow contract rides Spark's
+    # wrapper (see MRTextStreamReader) — a foreign session (the
+    # driver's) may not have it on, and it is runtime-settable.
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.triggerAvailableNowWrapper.enabled", "true"
+        )
+    except Exception:
+        pass
     try:
         spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
             spark._jsparkSession

@@ -274,6 +274,8 @@ def curate_stream(
     span_index_path: str | None = None,
     max_span_dup_frac: float = 0.5,
     takedown_queue_dir: str | None = None,
+    maintain_every: int | None = None,
+    maintain_thresholds: dict | None = None,
 ) -> DataFrame:
     """Drain ``batch_stream`` (AvailableNow) through the full curation
     pass and return the curated read-back. Sinks are at-least-once
@@ -292,7 +294,23 @@ def curate_stream(
     (tombstone appends; probes read the DISTINCT set). Witness-capped
     (pruned) index layouts refuse retraction by design — route
     takedowns at the exact layout and re-prune. The metrics schema is
-    unchanged: takedown is index maintenance, not a verdict class."""
+    unchanged: takedown is index maintenance, not a verdict class.
+
+    ``maintain_every=N`` (r13) closes the loop the takedown queue
+    opened: after every Nth batch's sinks land —
+    inside the foreachBatch quiescence window (micro-batches are
+    serial per stream), the ann_ingest self-maintenance pattern —
+    :func:`~..operators.ann_index.auto_maintain` runs over every index
+    the screens probe (dedup / paragraph / span), so queue-driven
+    tombstone growth and append fan-out are compacted by the stream
+    itself instead of waiting for an operator. Each decision /
+    action / decision_after row is appended to an
+    ``out_root/maintenance`` sidecar keyed by batch_id
+    (:func:`read_maintenance`); the verdict metrics schema stays
+    untouched. Maintenance is layout-only (compaction sheds replay
+    duplicates and retires tombstone logs the probes already
+    anti-join), so drained results are byte-identical with or without
+    it — pinned in tests/test_curation.py."""
     spark = batch_stream.sparkSession
     consumed: set[str] = set()
 
@@ -312,11 +330,41 @@ def curate_stream(
         )
         if not files:
             return
-        ids = spark.read.parquet(*files).select("doc_id")
+        # First column = doc id, POSITIONALLY (the docstring contract,
+        # matching delete_from_index's first-column rule) — a queue
+        # file whose id column carries another name must not abort the
+        # drain mid-run after some indexes were already retracted.
+        queued = spark.read.parquet(*files)
+        ids = queued.select(F.col(queued.columns[0]).alias("doc_id"))
         for target in (index_path, paragraph_index_path, span_index_path):
             if target is not None:
                 retract_docs_from_index(ids, target)
         consumed.update(files)
+
+    def _maintain(batch_id: int) -> None:
+        from map_reduce_framework_using_python_spark.operators.ann_index import (
+            auto_maintain,
+        )
+
+        targets = {
+            name: p
+            for name, p in (
+                ("dedup", index_path),
+                ("paragraph", paragraph_index_path),
+                ("span", span_index_path),
+            )
+            if p is not None
+        }
+        rows = auto_maintain(spark, targets, **(maintain_thresholds or {}))
+        spark.createDataFrame(
+            [
+                (batch_id, r["index"], r["kind"], r["decision"],
+                 r["action"], r["decision_after"])
+                for r in rows
+            ],
+            "batch_id bigint, index string, kind string, decision string,"
+            " action string, decision_after string",
+        ).write.mode("append").parquet(os.path.join(out_root, "maintenance"))
 
     def curate(batch_df: DataFrame, batch_id: int) -> None:
         _drain_takedowns()
@@ -343,6 +391,11 @@ def curate_stream(
             "n_curated",
             "psi",
         ).write.mode("append").parquet(os.path.join(out_root, "metrics"))
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            # after the batch's sinks land = the quiescence window
+            # (micro-batches are serial per stream; nothing appends or
+            # probes the indexes until the next batch starts)
+            _maintain(batch_id)
 
     q = (
         batch_stream.writeStream.foreachBatch(curate)
@@ -371,3 +424,21 @@ def read_metrics(spark: SparkSession, out_root: str) -> DataFrame:
     if not os.path.isdir(path):
         return spark.createDataFrame([], _METRICS_SCHEMA)
     return spark.read.schema(_METRICS_SCHEMA).parquet(path).dropDuplicates(["batch_id"])
+
+
+_MAINTENANCE_SCHEMA = (
+    "batch_id bigint, index string, kind string, decision string,"
+    " action string, decision_after string"
+)
+
+
+def read_maintenance(spark: SparkSession, out_root: str) -> DataFrame:
+    """The self-maintenance ledger ``curate_stream(maintain_every=N)``
+    appends: one row per (maintenance tick, probed index) with the
+    planner's decision, the action taken, and the post-action re-plan
+    — drift between plan and effect stays observable in the stream's
+    own output, the auto_maintain contract."""
+    path = os.path.join(out_root, "maintenance")
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], _MAINTENANCE_SCHEMA)
+    return spark.read.schema(_MAINTENANCE_SCHEMA).parquet(path)

@@ -215,3 +215,203 @@ def test_dedup_lane_mass_takedown_routes_to_purge(spark, tmp_path):
     import os
 
     assert not os.path.isdir(os.path.join(idx, "buckets", TOMBSTONE_DIR))
+
+
+def test_auto_maintain_pq_lane_degrades_rebuild_to_compact(spark, tmp_path):
+    """Flat PQ under the loop (r13 ADVICE): the planner treats pq as
+    quantized (mass takedown → rebuild decision) but the lane has no
+    in-place rebuilder — auto_maintain must DEGRADE to compact_pq_index
+    (even with vectors offered), record the degradation, clear the
+    decision, and a mixed index dict containing the pq lane must not
+    abort the other lanes' pass."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        auto_maintain,
+        delete_from_index,
+    )
+    from map_reduce_framework_using_python_spark.operators.pq import (
+        build_pq_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    pq_idx = str(tmp_path / "pq")
+    build_pq_index(emb, pq_idx, m=4, k=4, seed=42)
+    lsh_idx = str(tmp_path / "lsh")
+    build_lsh_index(emb, lsh_idx, n_planes=4, seed=42)
+    assert plan_maintenance({"pq": pq_idx})[0]["decision"] == "noop"
+
+    delete_from_index(
+        emb.filter(F.col("vec_id") % 2 == 0).select("vec_id"), pq_idx
+    )
+    before = plan_maintenance({"pq": pq_idx})[0]
+    assert before["kind"] == "pq" and before["decision"] == "rebuild"
+
+    rows = {
+        r["index"]: r
+        for r in auto_maintain(
+            spark, {"pq": pq_idx, "lsh": lsh_idx}, vectors={"pq": emb}
+        )
+    }
+    assert rows["lsh"]["action"] == "noop"
+    assert rows["pq"]["action"].startswith("compact (degraded")
+    assert "no in-place rebuilder" in rows["pq"]["action"]
+    assert rows["pq"]["decision_after"] == "noop"
+
+
+def test_corrupt_live_data_file_fails_loud_tombstone_side_tolerated(
+    spark, tmp_path
+):
+    """The planner's row counts come from parquet footers; an
+    unreadable LIVE data file must PROPAGATE (silently undercounting
+    data_rows inflates tombstone_frac — the direction that flips a
+    cheap compact into a ~28x rebuild), while garbage on the tombstone
+    side (appended concurrently by takedown streams) and under
+    in-progress dirs stays tolerated (r13 ADVICE)."""
+    import os
+
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        TOMBSTONE_DIR,
+        delete_from_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(100)
+    idx = str(tmp_path / "idx")
+    build_lsh_index(emb, idx, n_planes=4, seed=42)
+    delete_from_index([1], idx, spark=spark)
+
+    # garbage tombstone-side file: tolerated (plan still lands)
+    tomb_dir = os.path.join(idx, TOMBSTONE_DIR)
+    with open(os.path.join(tomb_dir, "half-written.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    assert plan_maintenance({"idx": idx})[0]["decision"] in ("noop", "compact")
+
+    # garbage under an in-progress dir: tolerated
+    tmp_part = os.path.join(idx, "bucket=0", "_temporary")
+    os.makedirs(tmp_part, exist_ok=True)
+    with open(os.path.join(tmp_part, "inflight.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    assert plan_maintenance({"idx": idx})[0]["decision"] in ("noop", "compact")
+
+    # garbage LIVE data file: the policy input is poisoned — fail loud
+    part = next(
+        d for d in os.listdir(idx)
+        if d.startswith("bucket=") and os.path.isdir(os.path.join(idx, d))
+    )
+    with open(os.path.join(idx, part, "corrupt.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    with pytest.raises(Exception):
+        plan_maintenance({"idx": idx})
+
+
+def test_rebuild_preserves_lloyd_quantizer_flavor(spark, tmp_path):
+    """r13 ADVICE (medium): an index built with the deterministic
+    Lloyd builders must be REBUILT by them — meta keeps the lloyd tag
+    and its knobs, and the rebuilt index equals a fresh lloyd build on
+    the survivors byte-for-byte at the probe level. A spark.ml-only
+    knob (seed) refuses loudly instead of silently swapping flavor."""
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        _read_meta,
+        build_ivf_index_lloyd,
+        delete_from_index,
+        ivf_probe_index_batch,
+        rebuild_ivf_index,
+    )
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        build_ivfpq_index_lloyd,
+        ivfpq_probe_index_batch,
+        rebuild_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    survivors = emb.filter(F.col("vec_id") % 2 != 0)
+    q = emb.filter(F.col("vec_id") < 6)
+
+    # --- IVF ---
+    idx = str(tmp_path / "ivf")
+    build_ivf_index_lloyd(emb, idx, k=4, n_iter=2)
+    delete_from_index(
+        emb.filter(F.col("vec_id") % 2 == 0).select("vec_id"), idx
+    )
+    with pytest.raises(ValueError, match="lloyd"):
+        rebuild_ivf_index(survivors, idx, spark=spark,
+                          ids_already_filtered=True, seed=7)
+    rebuild_ivf_index(survivors, idx, spark=spark, ids_already_filtered=True)
+    meta = _read_meta(idx)
+    assert meta["quantizer"] == "lloyd4x2"
+    ref = str(tmp_path / "ivf_ref")
+    build_ivf_index_lloyd(survivors, ref, k=4, n_iter=2)
+    got = sorted(map(tuple, ivf_probe_index_batch(
+        spark, q, idx, k=5, n_probe=2).collect()))
+    want = sorted(map(tuple, ivf_probe_index_batch(
+        spark, q, ref, k=5, n_probe=2).collect()))
+    assert got == want and got
+
+    # --- IVF-PQ ---
+    pidx = str(tmp_path / "ivfpq")
+    build_ivfpq_index_lloyd(emb, pidx, n_centroids=4, m=4, k=4,
+                            n_iter=2, n_iter_sub=1)
+    delete_from_index(
+        emb.filter(F.col("vec_id") % 2 == 0).select("vec_id"), pidx
+    )
+    with pytest.raises(ValueError, match="lloyd"):
+        rebuild_ivfpq_index(survivors, pidx, spark=spark,
+                            ids_already_filtered=True, by_residual=True)
+    rebuild_ivfpq_index(survivors, pidx, spark=spark,
+                        ids_already_filtered=True)
+    pmeta = _read_meta(pidx)
+    assert pmeta["quantizer"] == "lloyd4x2+4x4x1"
+    pref = str(tmp_path / "ivfpq_ref")
+    build_ivfpq_index_lloyd(survivors, pref, n_centroids=4, m=4, k=4,
+                            n_iter=2, n_iter_sub=1)
+    pgot = sorted(map(tuple, ivfpq_probe_index_batch(
+        spark, q, pidx, survivors, k=5, n_probe=2).collect()))
+    pwant = sorted(map(tuple, ivfpq_probe_index_batch(
+        spark, q, pref, survivors, k=5, n_probe=2).collect()))
+    assert pgot == pwant and pgot
+
+
+def test_append_growth_triggers_rebuild_for_datafit_quantizers(
+    spark, tmp_path
+):
+    """The r13 growth signal: appends with a frozen quantizer shift the
+    stored distribution even with ZERO deletes — an IVF index that has
+    doubled since fit (footer counts vs the meta's fit_rows stamp,
+    still listing-only) plans REBUILD with the growth rationale, the
+    rebuild restamps the baseline and clears it, and the same growth on
+    an LSH layout stays quiet (planes are data-independent)."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index_lloyd,
+        rebuild_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 != 0)
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index_lloyd(half, idx, k=4, n_iter=2)
+    d = plan_maintenance({"idx": idx})[0]
+    assert d["decision"] == "noop" and d["growth_frac"] == 0.0
+    append_to_ivf_index(rest, idx)
+    d = plan_maintenance({"idx": idx})[0]
+    assert d["decision"] == "rebuild" and "growth_frac" in d["reason"]
+    assert d["growth_frac"] >= 1.0 and d["fit_rows"] > 0
+    # threshold is a knob
+    assert plan_maintenance(
+        {"idx": idx}, rebuild_growth_frac=10.0
+    )[0]["decision"] == "noop"
+    # the rebuild restamps fit_rows → signal clears
+    rebuild_ivf_index(emb, idx, spark=spark)
+    d = plan_maintenance({"idx": idx})[0]
+    assert d["decision"] == "noop" and d["growth_frac"] == 0.0
+
+    # LSH twin: same doubling, no data-fit quantizer → no rebuild
+    lsh = str(tmp_path / "lsh")
+    build_lsh_index(half, lsh, n_planes=4, seed=42)
+    append_to_lsh_index(rest, lsh)
+    d = plan_maintenance({"lsh": lsh})[0]
+    assert d["decision"] != "rebuild"

@@ -23,6 +23,7 @@ from map_reduce_framework_using_python_spark.plans.northstar import (
 from map_reduce_framework_using_python_spark.streaming.curation import (
     curate_batch,
     curate_stream,
+    read_maintenance,
     read_metrics,
     read_rejected,
 )
@@ -541,12 +542,15 @@ def test_takedown_queue_flips_duplicate_between_drains(spark):
         }
         assert rej.get(999_001) == "duplicate"
 
-        # takedown: every corpus partner the clone collides with
+        # takedown: every corpus partner the clone collides with. The
+        # queue contract is FIRST COLUMN = doc id, positionally (r13
+        # ADVICE) — use a non-doc_id name to pin that the drain never
+        # depends on the literal column name.
         partners = (
             incremental_dedup_pairs(
                 spark, _clone_of(spark, src, 999_002), corpus, index_path
             )
-            .select(F.col("corpus_doc").alias("doc_id"))
+            .select(F.col("corpus_doc").alias("takedown_id"))
             .distinct()
         )
         assert partners.count() > 0
@@ -642,3 +646,78 @@ def test_takedown_queue_drained_equals_one_shot_bulk_retraction(spark):
             takedown_queue_dir=queue,
         )
         assert sorted(map(tuple, replayed.collect())) == got
+
+
+def test_curate_stream_self_maintenance_interleaved(spark):
+    """The r13 maintenance tick (curate_stream maintain_every=N — the
+    ann_ingest self-maintenance pattern inside the capstone): a
+    queue-driven mass retraction leaves tombstones; the maintained
+    stream compacts its own index between micro-batches, the drained
+    curated set is IDENTICAL to the unmaintained run (maintenance is
+    layout-only), the ledger carries decision / action /
+    decision_after rows with every post-action re-plan noop, and the
+    tombstone log is physically retired by the in-stream compact."""
+    import shutil
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        TOMBSTONE_DIR,
+    )
+    from map_reduce_framework_using_python_spark.operators.dedup_index import (
+        incremental_dedup_pairs,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        corpus, batch, src_idx, model_path = _artifacts(spark, d)
+        partners = (
+            incremental_dedup_pairs(spark, batch, corpus, src_idx)
+            .select(F.col("corpus_doc").alias("takedown_id"))
+            .distinct()
+        )
+        assert partners.count() > 0
+        queue = os.path.join(d, "queue")
+        partners.coalesce(1).write.parquet(
+            os.path.join(queue, "takedown.parquet")
+        )
+
+        plain_idx = os.path.join(d, "idx_plain")
+        shutil.copytree(src_idx, plain_idx)
+        maint_idx = os.path.join(d, "idx_maint")
+        shutil.copytree(src_idx, maint_idx)
+
+        def stream():
+            return read_documents_stream(spark, SF_SMOKE).filter(
+                F.col("doc_id") % _BATCH_MOD == _BATCH_REM
+            )
+
+        plain = curate_stream(
+            stream(), corpus, plain_idx, model_path,
+            out_root=os.path.join(d, "out_plain"),
+            checkpoint_dir=os.path.join(d, "ck1"),
+            takedown_queue_dir=queue,
+        )
+        maint_out = os.path.join(d, "out_maint")
+        maintained = curate_stream(
+            stream(), corpus, maint_idx, model_path,
+            out_root=maint_out,
+            checkpoint_dir=os.path.join(d, "ck2"),
+            takedown_queue_dir=queue,
+            maintain_every=1,
+            # any tombstone triggers the compact decision: the pin is
+            # about the tick's mechanics, not the default thresholds
+            maintain_thresholds={"compact_tombstone_frac": 1e-6},
+        )
+        # drained == drained-with-maintenance (layout-only, byte-equal)
+        assert sorted(map(tuple, maintained.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+        led = read_maintenance(spark, maint_out).collect()
+        assert led
+        assert all(r["decision_after"] == "noop" for r in led)
+        acted = [r for r in led if r["action"] != "noop"]
+        assert acted
+        assert all(r["kind"] == "minhash" for r in acted)
+        assert all("compact" in r["action"] for r in acted)
+        # the in-stream compact physically retired the tombstone log
+        assert not os.path.isdir(
+            os.path.join(maint_idx, "buckets", TOMBSTONE_DIR)
+        )

@@ -203,13 +203,16 @@ def test_resolution_survives_stale_active_session(spark, tmp_path):
 
 
 def test_uncommitted_batch_restart_replays_identically(spark, tmp_path):
-    """AvailableNow runs the SimpleDataSourceStreamReader through the
-    single-batch fallback (the source doesn't declare
-    SupportsTriggerAvailableNow) — pin that the fallback is SAFE: a
-    batch whose offset was logged but never committed (sink crash) is
+    """The real Trigger.AvailableNow contract (r13: full
+    DataSourceStreamReader + Spark's AvailableNow wrapper): a batch
+    whose offset was logged but never committed (sink crash) is
     replayed byte-identically from the same part files on restart
-    (readBetweenOffsets is file-aligned), and a part landed between
-    crash and restart is NOT folded into the replayed batch."""
+    (``partitions(start, end)`` is file-aligned over immutable parts),
+    a part landed between crash and restart is NOT folded into the
+    replayed batch — it settles as its OWN batch in the same restart
+    drain (the wrapper pins the end offset once at query start, so the
+    drain consumes exactly the parts landed before it) — and a further
+    drain with nothing new is empty."""
     src = str(tmp_path / "dfs")
     _write_parts(src, [["a"], ["b"]])
     ckpt = str(tmp_path / "ckpt")
@@ -244,13 +247,13 @@ def test_uncommitted_batch_restart_replays_identically(spark, tmp_path):
     replays = [rows for _, rows in batches[1:]]
     # batch 0 replay: identical content, no late part folded in
     assert replays[0] == [(0, "a"), (1, "b")]
-    # documented fallback semantics: the restart drain ONLY settles the
-    # replayed batch (it does not advance past the checkpointed offset
-    # in the same run) — the late part needs its own drain, where it
-    # arrives exactly once and alone
-    assert replays[1:] == []
+    # real-AvailableNow semantics: the restart drain then advances to
+    # the offset pinned at ITS start — the late part arrives exactly
+    # once, alone, as the next batch of the same run
+    assert replays[1:] == [[(2, "late")]]
+    # nothing new → a further drain settles no batches
     drain()
-    assert [rows for _, rows in batches[2:]] == [[(2, "late")]]
+    assert [rows for _, rows in batches[3:]] == []
 
 
 def _drain_to_sink(spark, land, dst, ckpt):
