@@ -85,6 +85,17 @@ HEADLINE = (
 #: Round-3 per-query times (BENCH_r03.json, sf0.1) — the soft regression
 #: floor. A query slower than 1.5× its r3 time gets flagged in the
 #: output so later-round churn can't silently give the gains back.
+#:
+#: r13 RE-SEED (VERDICT r12 item 2): entries tagged "r13 re-seed" in
+#: this and the later floor dicts were re-based to the post-pre-touch
+#: WARM best-of-two isolated runs on the continuation box (env: the
+#: ~1.3× slower VM the r11 close bisected; buff/cache pre-touched).
+#: The old values were recorded on a faster box and sat at 1.3–1.46×
+#: warm-best — one load wobble from a false flag (the r12 close's
+#: minhash/capstone/q05-scale flaps, every flagged module
+#: byte-identical). Re-based entries keep the full 1.5× headroom ON
+#: THIS BOX; untouched entries still bind at their original values
+#: (all ≤1.28× warm-best in the same runs).
 R3_FLOOR: dict[str, float] = {
     "q01_pricing_summary": 0.337,
     "q05_local_supplier": 0.711,
@@ -95,7 +106,7 @@ R3_FLOOR: dict[str, float] = {
     "q_window_running": 0.122,
     "q_event_sessionize": 0.37,
     "ns_dedup_exact": 0.188,
-    "ns_minhash_lsh_pairs": 1.566,
+    "ns_minhash_lsh_pairs": 1.705,  # r13 re-seed (see note above R3_FLOOR)
     "ns_cosine_topk": 0.314,
     "ns_wordcount": 0.23,
     "q_join_range_bigbig": 0.187,
@@ -109,7 +120,7 @@ R3_FLOOR: dict[str, float] = {
 #: broadcast-model plan; r5's registered default is the 100 TB-safe
 #: shuffle join, which is FASTER at sf0.1, so the floor still binds.)
 R4_FLOOR: dict[str, float] = {
-    "ns_int8_quantize": 0.094,
+    "ns_int8_quantize": 0.128,  # r13 re-seed
     "ns_bigram_lm_score": 1.03,
 }
 
@@ -122,7 +133,7 @@ R5_FLOOR: dict[str, float] = {
     "ns_incremental_dedup": 0.889,
     "ns_hash_embed": 0.573,
     "ns_token_entropy": 0.439,
-    "ns_dsir_weights": 0.541,
+    "ns_dsir_weights": 0.715,  # r13 re-seed
     "ns_ann_probe_batch": 1.47,
 }
 
@@ -132,15 +143,15 @@ R5_FLOOR: dict[str, float] = {
 #: (previously only headline queries had a floor).
 R5_SCALE_FLOOR: dict[str, float] = {
     "q01_pricing_summary": 0.27,
-    "q05_local_supplier": 0.871,
+    "q05_local_supplier": 1.036,  # r13 re-seed
     "q05_local_supplier_smj": 1.023,
     "q05_local_supplier_bucketed": 0.751,
     "q18_large_orders": 1.047,
     "q18_large_orders_bucketed": 0.401,
     "ns_dedup_exact": 0.235,
-    "ns_minhash_lsh_pairs": 4.831,
+    "ns_minhash_lsh_pairs": 5.702,  # r13 re-seed
     "ns_bigram_lm_score": 1.524,
-    "ns_bigram_lm_score_broadcast": 1.416,
+    "ns_bigram_lm_score_broadcast": 1.937,  # r13 re-seed
     "ns_semdedup_scaled_sqrtk": 5.644,
     "ns_semdedup_scaled_samplefit": 4.372,
     "ns_incremental_dedup": 1.283,
@@ -151,7 +162,7 @@ R5_SCALE_FLOOR: dict[str, float] = {
 R8_FLOOR: dict[str, float] = {
     "ns_ccnet_buckets_scaled": 1.275,
     "ns_paragraph_dedup": 0.222,
-    "ns_training_capstone": 1.496,
+    "ns_training_capstone": 2.118,  # r13 re-seed
 }
 
 #: Round-8 scale10x floors for rows recorded since r5 (the ccnet pair
@@ -159,14 +170,14 @@ R8_FLOOR: dict[str, float] = {
 #: the IVF k=256 probe first record in r9 and seed the next snapshot.
 R8_SCALE_FLOOR: dict[str, float] = {
     "ns_ccnet_buckets_scaled": 1.715,
-    "ns_ccnet_buckets": 1.254,
+    "ns_ccnet_buckets": 1.673,  # r13 re-seed
 }
 
 #: Round-9 scale10x floors (BENCH_r09.json "scale10x") for rows first
 #: recorded in r9 — the composed training capstone joined the scale
 #: section that round. Same 1.5× soft-floor contract.
 R9_SCALE_FLOOR: dict[str, float] = {
-    "ns_training_capstone": 1.702,
+    "ns_training_capstone": 2.381,  # r13 re-seed
 }
 
 #: Round-9 floors over the standing guard SECTIONS (dicts in the bench
@@ -178,8 +189,8 @@ R9_SCALE_FLOOR: dict[str, float] = {
 #: leg (sixth verdict class), so its work changed and the old floor no
 #: longer measures the same drain — BENCH_r11 re-seeds it.
 R9_SECTION_FLOOR: dict[tuple[str, str], float] = {
-    ("scale10x_ivf256", "probe_plan_build"): 1.493,
-    ("scale10x_ivf256", "probe_exec"): 1.068,
+    ("scale10x_ivf256", "probe_plan_build"): 2.177,  # r13 re-seed
+    ("scale10x_ivf256", "probe_exec"): 1.518,  # r13 re-seed
 }
 
 #: Round-10 headline floor (BENCH_r10 / the r10 closing measurements —
@@ -501,6 +512,60 @@ def _sdc_probe(spark, dst: str, reps: int) -> dict[str, float]:
     out["rows"] = n
     print(
         f"# scale10x_sdc plan_build={out['pairs_plan_build']:.3f}s "
+        f"exec={out['pairs_exec']:.3f}s ({n} pairs)",
+        file=sys.stderr,
+    )
+    return out
+
+
+def _sdc_hier_probe(spark, dst: str, reps: int) -> dict[str, float]:
+    """SDC pair mining at CORPUS-PROPORTIONAL cell count via the
+    two-level coarse quantizer (r13, VERDICT item 1): n/312 ≈ 625 leaf
+    cells for the 10× replica set, fit as 25 × 25 stacked sampled
+    k-means (build_ivfpq_index_hier — the inverted-multi-index
+    composition; a FLAT spark.ml fit at 625 centroids is the shape the
+    r12 probe documented as the SDC scale ceiling). Mining runs the
+    byte-identical sdc_near_pairs over the leaf cells — the within-cell
+    quadratic is ~n·312/2 candidate pairs regardless of corpus size,
+    which is the whole point. Index fingerprint-cached like ivfpq64;
+    ``build`` records on the first (cold) build only."""
+    import time as _time
+
+    from map_reduce_framework_using_python_spark.operators import ivfpq
+    from map_reduce_framework_using_python_spark.sources.io import (
+        read_json_guarded,
+        source_fingerprint,
+        write_json_atomic,
+    )
+
+    idx_path = os.path.join(dst, "ivfpq_hier_index")
+    meta_path = os.path.join(dst, "ivfpq_hier_probe_meta.json")
+    src = source_fingerprint(os.path.join(dst, "embeddings.parquet"))
+    have = read_json_guarded(meta_path)
+    rolled = _ivfpq_rolled(spark, dst)
+    out: dict[str, float] = {}
+    if not (have is not None and have.get("src") == src):
+        t0 = _time.perf_counter()
+        ivfpq.build_ivfpq_index_hier(
+            rolled, idx_path, n_cells_l1=25, n_cells_l2=25,
+            m=16, k=16, seed=42, fit_fraction=0.2,
+        )
+        out["build"] = round(_time.perf_counter() - t0, 3)
+        write_json_atomic(meta_path, {"src": src})
+    best_plan, best_exec = float("inf"), float("inf")
+    n = 0
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        df = ivfpq.sdc_near_pairs(spark, idx_path, rolled, tau=0.4, margin=0.2)
+        best_plan = min(best_plan, _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        n = df.count()
+        best_exec = min(best_exec, _time.perf_counter() - t0)
+    out["pairs_plan_build"] = round(best_plan, 3)
+    out["pairs_exec"] = round(best_exec, 3)
+    out["rows"] = n
+    print(
+        f"# scale10x_sdc_hier plan_build={out['pairs_plan_build']:.3f}s "
         f"exec={out['pairs_exec']:.3f}s ({n} pairs)",
         file=sys.stderr,
     )
@@ -1188,6 +1253,13 @@ def main() -> None:
             # item 5) — wall-clock twin of the codes-vs-vectors byte
             # advantage; hold against ns_semdedup_scaled_sqrtk above.
             result["scale10x_sdc"] = _sdc_probe(spark, DST, reps)
+
+            # SDC at CORPUS-PROPORTIONAL cells via the two-level coarse
+            # quantizer (r13, VERDICT item 1): ~625 leaf cells from two
+            # 25-centroid fits — the scale path the flat k=64 row above
+            # cannot take (a flat fit at n/312 cells is the documented
+            # ceiling). First recorded r13; seeds the next floor.
+            result["scale10x_sdc_hier"] = _sdc_hier_probe(spark, DST, reps)
 
             # Semantic-decontamination lane at 10×, fold forced (the
             # .count() prune makes a headline row dishonest for it).

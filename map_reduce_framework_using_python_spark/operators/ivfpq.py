@@ -216,7 +216,14 @@ def _assigned(
         return vn.withColumn("centroid_id", nearest)
     qframe = vn.select(F.col(id_col).alias("q_id"), F.col("vn").alias("qv"))
     sel = _nearest_centroids_join(vn.sparkSession, qframe, centroids, n_probe=1)
-    return vn.join(sel.withColumnRenamed("q_id", id_col), id_col)
+    return vn.join(sel.withColumnRenamed("q_id", id_col), id_col).withColumn(
+        # the join path's cid is BIGINT while the literal path emits
+        # INT — unify so downstream positional lookups
+        # (element_at(carr, centroid_id + 1) in _residual_expr) and the
+        # hier leaf composition type-check on both routes (r13: first
+        # fired at a 80-centroid residual fit)
+        "centroid_id", F.col("centroid_id").cast("int")
+    )
 
 
 def _residual_frame(

@@ -868,6 +868,48 @@ def ns_semdedup_sdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_ivfpq_hier(spark: SparkSession, sf_dir: str) -> str:
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        build_ivfpq_index_hier,
+    )
+
+    return _ensure(
+        sf_dir, "ivfpq_hier4x4_seed42",
+        lambda p: build_ivfpq_index_hier(
+            t(spark, sf_dir, "embeddings"), p,
+            n_cells_l1=4, n_cells_l2=4, m=16, k=16, seed=42,
+        ),
+    )
+
+
+@query(
+    "ns_semdedup_sdc_hier",
+    oracle=None,
+    tags=("northstar", "similarity", "dedup", "sketch", "index", "rows_only"),
+)
+def ns_semdedup_sdc_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDC pair mining over the TWO-LEVEL coarse quantizer (r13,
+    VERDICT item 1 — the corpus-proportional scale path): the same
+    16-byte-code quadratic as ns_semdedup_sdc, but the 16 leaf cells
+    come from two stacked 4-centroid fits (the inverted multi-index
+    composition, Babenko & Lempitsky 2012) instead of one flat k=16
+    fit. At 100 TB this is the difference that matters: cells must grow
+    with the corpus (n/cell-size bounds the within-cell quadratic), and
+    √k + √k fit cost stays affordable where a flat k≈6400 spark.ml fit
+    is the documented ceiling (NOTES r12; validated two orders up by
+    tools/maint100x_probe.py --sdc-hier). Rows-only: the hier==flat
+    degenerate equality, recall vs exact all-pairs, and append/rebuild
+    contracts are pinned in tests/test_ivfpq.py."""
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        sdc_near_pairs,
+    )
+
+    path = _ensure_ivfpq_hier(spark, sf_dir)
+    return sdc_near_pairs(
+        spark, path, t(spark, sf_dir, "embeddings"), tau=0.4, margin=0.2
+    )
+
+
 @query(
     "ns_semdedup_sdc_reps",
     oracle=None,

@@ -11,12 +11,16 @@ cache the standing bench rows reuse).
 
 Knobs scale with the corpus: n_centroids=256 (≈7.8k codes/cell),
 fit_fraction=0.02 (≈40k-vector quantizer sample — the sampled-fit
-path whose exactness is pinned in test_ivfpq). SDC pair mining is
-deliberately ABSENT here: at fixed cell occupancy the within-cell
-quadratic needs n_centroids ∝ n (6400 cells for 312/cell at 2M), and
-a 6400-centroid spark.ml fit is not a probe — the standing 10× row
-(scale10x_sdc) is the SDC measurement; the planner lesson is recorded
-in NOTES (same shape as the semdedup fixed-k blow-up).
+path whose exactness is pinned in test_ivfpq).
+
+SDC pair mining at corpus-proportional cells (r13 — the r12 probe
+documented this as the one missing scale lane): the within-cell
+quadratic needs n_cells ∝ n (6400 cells for ~312 codes/cell at 2M),
+and a flat 6400-centroid spark.ml fit is not a probe — but the
+TWO-LEVEL coarse quantizer (build_ivfpq_index_hier, 80×80 leaf cells
+from two 80-centroid sampled fits) is: the `sdc_hier_*` keys time the
+hier build and the SDC mining over its leaf cells, the row that shows
+the quadratic stays bounded two orders up.
 
 Usage: python tools/maint100x_probe.py [replicas=100]
 """
@@ -97,6 +101,28 @@ def main() -> None:
     ).count()
     out["probe_exec"] = round(time.time() - t0, 3)
     out["probe_rows"] = n
+
+    # SDC pair mining at corpus-proportional cells via the TWO-LEVEL
+    # coarse quantizer: √6400 × √6400 leaf cells from two 80-centroid
+    # sampled fits (a flat k=6400 fit is the documented non-starter)
+    # total cells ≈ n/312; each LEVEL fits √cells centroids
+    k_side = max(2, int(round((replicas * 20_000 / 312) ** 0.5)))
+    hier_idx = os.path.join(DST, "idx_hier")
+    t0 = time.time()
+    ivfpq.build_ivfpq_index_hier(
+        vecs, hier_idx, n_cells_l1=k_side, n_cells_l2=k_side,
+        m=16, k=16, seed=42, fit_fraction=0.02,
+    )
+    out["sdc_hier_build"] = round(time.time() - t0, 3)
+    out["sdc_hier_cells"] = (
+        spark.read.parquet(hier_idx).select("centroid_id").distinct().count()
+    )
+    t0 = time.time()
+    out["sdc_hier_pairs"] = ivfpq.sdc_near_pairs(
+        spark, hier_idx, vecs, tau=0.4, margin=0.2
+    ).count()
+    out["sdc_hier_pairs_exec"] = round(time.time() - t0, 3)
+    shutil.rmtree(hier_idx, ignore_errors=True)
 
     # append 1% (re-delivery) then compact
     batch = vecs.filter(F.col("vec_id") % 97 == 1)
