@@ -1419,7 +1419,7 @@ def index_stats(path: str) -> dict:
     sidecar's kind (``lsh``/``ivf``/``ivfpq``/``pq``/``minhash``/
     ``paragraph``/``shingle``), ``meta`` the parameter dict with bulky
     model state (centroids/books/planes) elided."""
-    bulky = {"centroids", "books", "planes"}
+    bulky = {"centroids", "books", "planes", "hier"}
     if os.path.exists(os.path.join(path, "_ann_meta.json")):
         meta = _read_meta(path)
         kind = meta.get("kind", "lsh" if "planes" in meta else "?")

@@ -188,6 +188,34 @@ AUDIT = (
 )
 
 
+#: Queries ALLOWED to plan a partitionless Window (the `WindowExec: No
+#: Partition Defined` warning — a single-partition sort, which at 100 TB
+#: is a scale bug UNLESS the windowed frame is bounded by construction).
+#: Each entry documents the bound; the audit marks these EXEMPT and
+#: flags any other audited query that grows one (r13, VERDICT r12
+#: "what's wrong" item 2 — the warning kept reading as a scale bug in
+#: audits because the bounded-frame justification lived nowhere).
+PARTITIONLESS_WINDOW_OK: dict[str, str] = {
+    # Each RRF leg is TakeOrderedAndProject top-50 BEFORE the global
+    # rank window — the windowed frame is ≤ 50 rows per leg by
+    # construction, never corpus-sized (plans/pipeline4.py:472).
+    "ns_hybrid_rrf": "rank windows over per-leg top-50 frames (≤50 rows each)",
+}
+
+
+def _partitionless_windows(plan: str) -> int:
+    """Count windowspecdefinition()s whose FIRST argument is an ORDER
+    expression (``col ASC/DESC ...``) — i.e. no partition columns
+    precede the ordering. Global row_number/rank shapes print this way;
+    partitioned specs lead with bare partition columns."""
+    n = 0
+    for args in re.findall(r"windowspecdefinition\(([^()]*)", plan):
+        first = args.split(",")[0].strip()
+        if re.search(r"\s(ASC|DESC)\b", first):
+            n += 1
+    return n
+
+
 def audit(name: str, spark, sf_dir: str) -> str:
     df = REGISTRY[name].fn(spark, sf_dir)
     qe = df._jdf.queryExecution()
@@ -244,6 +272,20 @@ def audit(name: str, spark, sf_dir: str) -> str:
         checks.append("- top-k via TakeOrderedAndProject (no global sort)")
     if "WholeStageCodegen" in full:
         checks.append("- whole-stage codegen active")
+    n_pw = _partitionless_windows(full)
+    if n_pw:
+        why = PARTITIONLESS_WINDOW_OK.get(name)
+        if why:
+            checks.append(
+                f"- partitionless window: {n_pw} node(s) — EXEMPT ({why})"
+            )
+        else:
+            checks.append(
+                f"- WARNING: {n_pw} partitionless Window node(s) — a"
+                " single-partition sort at scale; add to"
+                " PARTITIONLESS_WINDOW_OK only with a bounded-row"
+                " justification"
+            )
     return f"## {name}\n\n" + "\n".join(checks) + "\n\n```\n" + tree + "\n```\n"
 
 
