@@ -1730,7 +1730,15 @@ def auto_maintain(
                 f"{label!r}) — run the lane's own maintenance verbs"
             )
         vec = (vectors or {}).get(label)
-        if decision == "rebuild" and kind not in rebuilders:
+        growth_rebuild = "growth_frac" in row["reason"]
+        if decision == "rebuild" and growth_rebuild and vec is None:
+            # A GROWTH-triggered rebuild has no purge half for compact
+            # to land — degrading to compact would pay an O(corpus)
+            # rewrite that cannot clear the signal, and a
+            # maintain_every ingest loop past the threshold would then
+            # re-compact EVERY tick forever (r13). Record, defer.
+            action = "noop (deferred: growth rebuild needs vectors)"
+        elif decision == "rebuild" and kind not in rebuilders:
             action = "compact (degraded: rebuild planned, no in-place rebuilder)"
             compactors[kind](path)
         elif decision == "rebuild" and vec is None:

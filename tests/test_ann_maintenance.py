@@ -415,3 +415,47 @@ def test_append_growth_triggers_rebuild_for_datafit_quantizers(
     append_to_lsh_index(rest, lsh)
     d = plan_maintenance({"lsh": lsh})[0]
     assert d["decision"] != "rebuild"
+
+
+def test_growth_rebuild_without_vectors_defers_not_compacts(
+    spark, tmp_path
+):
+    """A growth-triggered rebuild decision with no vectors must NOT
+    degrade to compact (compaction has no purge half to land against
+    growth — a maintain_every ingest loop past the threshold would
+    re-pay an O(corpus) rewrite every tick forever, r13): the action
+    records a deferral, the layout is untouched, and the decision
+    honestly stays 'rebuild' until the caller supplies vectors — at
+    which point the rebuild restamps the baseline and clears it."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        append_to_ivf_index,
+        auto_maintain,
+        build_ivf_index_lloyd,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index_lloyd(half, idx, k=4, n_iter=2)
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 2 != 0), idx)
+    assert plan_maintenance({"idx": idx})[0]["decision"] == "rebuild"
+
+    import os
+
+    files_before = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(idx) for f in fs
+    )
+    (row,) = auto_maintain(spark, {"idx": idx})
+    assert row["decision"] == "rebuild"
+    assert row["action"].startswith("noop (deferred")
+    assert row["decision_after"] == "rebuild"  # honestly still pending
+    files_after = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(idx) for f in fs
+    )
+    assert files_before == files_after  # layout untouched
+
+    # with vectors the rebuild executes and clears the signal
+    (row2,) = auto_maintain(spark, {"idx": idx}, vectors={"idx": emb})
+    assert row2["action"] == "rebuild" and row2["decision_after"] == "noop"

@@ -924,3 +924,50 @@ def test_hier_append_commutes_and_rebuild_keeps_flavor(spark, tmp_path):
     build_ivfpq_index_hier(emb, fresh, n_cells_l1=2, n_cells_l2=2,
                            m=4, k=4, seed=7)
     assert _codes_rows(spark, split) == _codes_rows(spark, fresh)
+
+
+def test_hier_full_probe_equals_bruteforce_and_stream_loop(
+    spark, tmp_path
+):
+    """The composed-leaf-centroid meta carries every existing consumer:
+    a FULL probe (every leaf cell, corpus-sized shortlist) over the
+    hier index answers exactly like brute force (access path, never the
+    answer), and the streaming ingest loop — including a
+    maintain_every tick, which runs the planner over the hier layout
+    inside the drain — equals the one-shot batched probe."""
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        build_ivfpq_index_hier,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        ivfpq_probe_stream,
+        read_embeddings_stream,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "hier")
+    build_ivfpq_index_hier(
+        emb, path, n_cells_l1=2, n_cells_l2=2, m=4, k=4, seed=42
+    )
+    got = ivfpq_topk_indexed(emb, path, 0, topk=10, n_probe=4, shortlist=600)
+    exact = cosine_topk_bruteforce(emb, 0, k=10).collect()
+    g = {r["vec_id"]: r["cosine"] for r in got.collect()}
+    e = {r["vec_id"]: r["cosine"] for r in exact}
+    assert g == e
+
+    batch = emb.filter(F.col("vec_id") % 13 == 5)
+    drained = ivfpq_probe_stream(
+        read_embeddings_stream(spark, SF_SMOKE).filter(
+            F.col("vec_id") % 13 == 5
+        ),
+        path, emb,
+        out_dir=str(tmp_path / "nb"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        k=5, n_probe=4, shortlist=100,
+        maintain_every=1,
+    )
+    oneshot = ivfpq_probe_index_batch(
+        spark, batch, path, emb, k=5, n_probe=4, shortlist=100
+    )
+    assert sorted(map(tuple, drained.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
