@@ -1765,6 +1765,33 @@ def auto_maintain(
     return out
 
 
+#: One row per (maintenance tick, index): the planner's decision, the
+#: action actually taken, and the post-action re-plan — the
+#: observability contract every self-maintaining stream shares.
+MAINTENANCE_LEDGER_SCHEMA = (
+    "batch_id bigint, index string, kind string, decision string,"
+    " action string, decision_after string"
+)
+
+
+def write_maintenance_ledger(
+    spark: SparkSession, rows: list[dict], batch_id: int, ledger_dir: str
+) -> None:
+    """Append :func:`auto_maintain`'s rows to a parquet ledger keyed by
+    the micro-batch id — ONE writer shared by curate_stream and the
+    ANN ingest loops (r13), so plan-vs-effect drift (including deferred
+    growth rebuilds) is observable in every self-maintaining stream's
+    own output, not just the function return value."""
+    spark.createDataFrame(
+        [
+            (batch_id, r["index"], r["kind"], r["decision"],
+             r["action"], r["decision_after"])
+            for r in rows
+        ],
+        MAINTENANCE_LEDGER_SCHEMA,
+    ).write.mode("append").parquet(ledger_dir)
+
+
 def scan_fraction(path: str, probed: list[int], part_col: str) -> float:
     """Fraction of partition directories a probe set actually opens —
     the observable pruning ratio (tests assert it ≪ 1)."""

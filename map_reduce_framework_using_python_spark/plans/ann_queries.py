@@ -952,6 +952,46 @@ def ns_semdedup_sdc_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_semdedup_sdc_hier_reps",
+    oracle=None,
+    tags=("northstar", "similarity", "dedup", "sketch", "index",
+          "graph", "rows_only"),
+)
+def ns_semdedup_sdc_hier_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup DROP RULE over the HIER-mined SDC pairs (r13): the
+    end-to-end corpus-proportional semantic dedup pipeline — two-level
+    coarse quantizer → 16-byte-code SDC candidates inside leaf cells →
+    exact verify → connected components → one min-id representative
+    per transitive group, every corpus vector labeled
+    ``(vec_id, cluster_id, keep)``. The ns_semdedup_sdc_reps shape with
+    the hier index swapped in: dedup_clusters is lane-agnostic, which
+    is the point — the scale path changes WHERE candidates come from,
+    never what the drop rule does. Rows-only; the union-find equality
+    and one-keeper-per-cluster pins cover the reps machinery
+    (tests/test_ivfpq.py), the hier lane's own pins cover the pairs."""
+    from map_reduce_framework_using_python_spark.operators.graph import (
+        dedup_clusters,
+    )
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        sdc_near_pairs,
+    )
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    path = _ensure_ivfpq_hier(spark, sf_dir)
+    pairs = sdc_near_pairs(spark, path, emb, tau=0.4, margin=0.2)
+    clusters = dedup_clusters(
+        pairs, emb, id_col="vec_id", left_col="id_a", right_col="id_b"
+    )
+    w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("vec_id") == F.min("vec_id").over(w)).alias("keep"),
+    )
+
+
+@query(
     "ns_index_maintenance_plan",
     oracle=None,
     tags=("northstar", "similarity", "index", "ops", "rows_only"),

@@ -67,10 +67,17 @@ def probe_stream(
     extend_index: bool = False,
     maintain_every: int | None = None,
     maintain_thresholds: dict | None = None,
+    maintain_ledger_dir: str | None = None,
 ) -> DataFrame:
     """Drain ``batch_stream`` (AvailableNow) through the index probe and
     return every arriving vector's top-k corpus neighbors
     ``(q_id, vec_id, label, cosine, rn)``.
+
+    ``maintain_ledger_dir`` (r13): when set (with ``maintain_every``),
+    each tick's decision/action/decision_after rows append to a parquet
+    ledger keyed by batch id (the curate_stream observability contract
+    — :func:`~.ann_index.write_maintenance_ledger`), so deferred growth
+    rebuilds and degradations are visible in the loop's own output.
 
     ``extend_index=True`` closes the retrieval loop: after probing,
     each batch's vectors are APPENDED to the index
@@ -100,6 +107,7 @@ def probe_stream(
         from map_reduce_framework_using_python_spark.operators.ann_index import (
             append_to_lsh_index,
             auto_maintain,
+            write_maintenance_ledger,
         )
 
         lsh_probe_index_batch(
@@ -109,9 +117,13 @@ def probe_stream(
         if extend_index:
             append_to_lsh_index(batch_df, index_path)
         if maintain_every and (batch_id + 1) % maintain_every == 0:
-            auto_maintain(
+            rows = auto_maintain(
                 spark, {"ingest": index_path}, **(maintain_thresholds or {})
             )
+            if maintain_ledger_dir:
+                write_maintenance_ledger(
+                    spark, rows, batch_id, maintain_ledger_dir
+                )
 
     return _drain_probe_stream(batch_stream, probe, out_dir, checkpoint_dir)
 
@@ -195,6 +207,7 @@ def ivfpq_probe_stream(
     extend_index: bool = False,
     maintain_every: int | None = None,
     maintain_thresholds: dict | None = None,
+    maintain_ledger_dir: str | None = None,
 ) -> DataFrame:
     """IVF-PQ twin of :func:`probe_stream` — same sink/replay contract,
     same ``(q_id, vec_id, label, cosine, rn)`` read-back, against a
@@ -235,11 +248,16 @@ def ivfpq_probe_stream(
             # sequential callback (the quiescence window)
             from map_reduce_framework_using_python_spark.operators.ann_index import (
                 auto_maintain,
+                write_maintenance_ledger,
             )
 
-            auto_maintain(
+            rows = auto_maintain(
                 spark, {"ingest": index_path}, **(maintain_thresholds or {})
             )
+            if maintain_ledger_dir:
+                write_maintenance_ledger(
+                    spark, rows, batch_id, maintain_ledger_dir
+                )
 
     return _drain_probe_stream(batch_stream, probe, out_dir, checkpoint_dir)
 

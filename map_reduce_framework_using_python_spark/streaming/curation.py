@@ -344,6 +344,7 @@ def curate_stream(
     def _maintain(batch_id: int) -> None:
         from map_reduce_framework_using_python_spark.operators.ann_index import (
             auto_maintain,
+            write_maintenance_ledger,
         )
 
         targets = {
@@ -356,15 +357,9 @@ def curate_stream(
             if p is not None
         }
         rows = auto_maintain(spark, targets, **(maintain_thresholds or {}))
-        spark.createDataFrame(
-            [
-                (batch_id, r["index"], r["kind"], r["decision"],
-                 r["action"], r["decision_after"])
-                for r in rows
-            ],
-            "batch_id bigint, index string, kind string, decision string,"
-            " action string, decision_after string",
-        ).write.mode("append").parquet(os.path.join(out_root, "maintenance"))
+        write_maintenance_ledger(
+            spark, rows, batch_id, os.path.join(out_root, "maintenance")
+        )
 
     def curate(batch_df: DataFrame, batch_id: int) -> None:
         _drain_takedowns()
@@ -426,9 +421,8 @@ def read_metrics(spark: SparkSession, out_root: str) -> DataFrame:
     return spark.read.schema(_METRICS_SCHEMA).parquet(path).dropDuplicates(["batch_id"])
 
 
-_MAINTENANCE_SCHEMA = (
-    "batch_id bigint, index string, kind string, decision string,"
-    " action string, decision_after string"
+from map_reduce_framework_using_python_spark.operators.ann_index import (  # noqa: E402
+    MAINTENANCE_LEDGER_SCHEMA as _MAINTENANCE_SCHEMA,
 )
 
 

@@ -459,3 +459,60 @@ def test_growth_rebuild_without_vectors_defers_not_compacts(
     # with vectors the rebuild executes and clears the signal
     (row2,) = auto_maintain(spark, {"idx": idx}, vectors={"idx": emb})
     assert row2["action"] == "rebuild" and row2["decision_after"] == "noop"
+
+
+def test_ingest_loop_maintenance_ledger(spark, tmp_path):
+    """The self-maintaining ingest loop's ledger (r13 — the
+    curate_stream observability contract shared via
+    write_maintenance_ledger): probe_stream(maintain_every=1,
+    maintain_ledger_dir=) appends one decision/action/decision_after
+    row per tick; answers are unchanged by ledgering; every acted
+    decision clears (append fan-out compacts in-loop)."""
+    import os
+    import shutil
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        MAINTENANCE_LEDGER_SCHEMA,
+    )
+    from map_reduce_framework_using_python_spark.streaming.ann_ingest import (
+        probe_stream,
+        read_embeddings_stream,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(300)
+    fresh = str(tmp_path / "fresh")
+    build_lsh_index(emb, fresh, n_planes=4, seed=42)
+    with_ledger = str(tmp_path / "with")
+    shutil.copytree(fresh, with_ledger)
+    without = str(tmp_path / "without")
+    shutil.copytree(fresh, without)
+    ledger = str(tmp_path / "ledger")
+
+    def stream():
+        return read_embeddings_stream(spark, SF_SMOKE).filter(
+            F.col("vec_id") % 13 == 5
+        )
+
+    got = probe_stream(
+        stream(), with_ledger,
+        out_dir=str(tmp_path / "n1"), checkpoint_dir=str(tmp_path / "c1"),
+        k=5, probe_hamming=2, extend_index=True,
+        maintain_every=1, maintain_ledger_dir=ledger,
+    )
+    want = probe_stream(
+        stream(), without,
+        out_dir=str(tmp_path / "n2"), checkpoint_dir=str(tmp_path / "c2"),
+        k=5, probe_hamming=2, extend_index=True,
+        maintain_every=1,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert os.path.isdir(ledger)
+    rows = spark.read.schema(MAINTENANCE_LEDGER_SCHEMA).parquet(ledger).collect()
+    assert rows and all(r["index"] == "ingest" for r in rows)
+    acted = [r for r in rows if r["action"] != "noop"]
+    assert all(
+        r["decision_after"] == "noop" or "deferred" in r["action"]
+        for r in acted
+    )

@@ -971,3 +971,47 @@ def test_hier_full_probe_equals_bruteforce_and_stream_loop(
     assert sorted(map(tuple, drained.collect())) == sorted(
         map(tuple, oneshot.collect())
     )
+
+
+def test_sdc_hier_reps_match_union_find(spark, tmp_path):
+    """The hier drop rule equals a driver-side union-find over the
+    collected hier pair list (exact cluster equality up to relabeling)
+    and keeps exactly one representative per cluster — the
+    ns_semdedup_sdc_reps pin applied to the corpus-proportional lane."""
+    from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+
+    rows = REGISTRY["ns_semdedup_sdc_hier_reps"].fn(spark, SF_SMOKE).collect()
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    assert len(rows) == n
+
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["ns_semdedup_sdc_hier"].fn(spark, SF_SMOKE).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    got_groups: dict[int, set] = {}
+    for r in rows:
+        got_groups.setdefault(r["cluster_id"], set()).add(r["vec_id"])
+    want_groups: dict[int, set] = {}
+    for r in rows:
+        want_groups.setdefault(find(r["vec_id"]), set()).add(r["vec_id"])
+    assert sorted(map(sorted, got_groups.values())) == sorted(
+        map(sorted, want_groups.values())
+    )
+    for members in got_groups.values():
+        keepers = [r["vec_id"] for r in rows
+                   if r["vec_id"] in members and r["keep"]]
+        assert keepers == [min(members)]
