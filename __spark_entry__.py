@@ -349,6 +349,31 @@ _LAST_VERIFIED: dict[str, int] = {
         "st_dsir_gate", "st_mrtext_sink", "st_mrtext_stream",
         "st_state_read", "st_stream_join_left",
     ), 12),
+    # round 13 (CORRECTNESS_r13.json) — 50 of 50 rows green: the two
+    # r13 promotions (ns_lsh_topk_indexed, ns_ivf_topk_indexed) plus
+    # the stalest tier-7/8 cohort re-verified. Queries whose output
+    # surface changes in r14 drop back to the unverified tier per the
+    # standing rule.
+    **dict.fromkeys((
+        "ns_bm25_topk", "ns_epoch_realize", "ns_epoch_shards",
+        "ns_ivf_topk_indexed", "ns_kmeans_sizes", "ns_lsh_topk_indexed",
+        "ns_paragraph_dedup_apply", "ns_paragraph_screen",
+        "ns_paragraph_screen_apply", "ns_phrase_search", "ns_pps_sample",
+        "ns_span_dedup", "ns_training_capstone", "q02_min_cost_supplier",
+        "q08_market_share", "q09_product_profit",
+        "q13_customer_distribution", "q15_top_supplier",
+        "q16_parts_supplier_count", "q22_idle_customers",
+        "q_argmax_struct", "q_array_ops", "q_assoc_rules",
+        "q_attribution_last_touch", "q_bfs_distance", "q_bool_agg",
+        "q_collect_sorted", "q_corr_stats", "q_cross_join",
+        "q_data_quality", "q_dpp_partitioned", "q_explode_outer",
+        "q_incremental_agg", "q_join_range_bigbig", "q_kcore",
+        "q_mad_outliers", "q_mode_by_group", "q_null_handling",
+        "q_predicates_misc", "q_regexp_funcs", "q_regression_stats",
+        "q_skew_salted", "q_spearman", "q_sql_group_by_all",
+        "q_sql_pipe_syntax", "q_sql_udf", "q_triangle_count",
+        "q_wau_rolling", "q_window_count_distinct", "q_window_nth",
+    ), 13),
 }
 
 
