@@ -243,6 +243,19 @@ R12_SECTION_FLOOR: dict[tuple[str, str], float] = {
     ("scale10x_sdc", "pairs_exec"): 3.178,
 }
 
+#: Round-13 section floor: the HIER (two-level) SDC section first
+#: recorded in r13 (BENCH_r13: plan 0.589 / exec 11.2; build 33.2 is
+#: cold-only, fingerprint-cached, so it takes no floor). Caveat from
+#: the r13 close: at 10× the hier exec is ~3.4× the flat scale10x_sdc
+#: BECAUSE its 625 leaf cells recall ~31% more true pairs than the
+#: flat k=16 cells — its advantage is the 100× regime where a flat
+#: corpus-proportional fit is unaffordable (the right way to read the
+#: number). Reported under `regressions_vs_r13_sections`.
+R13_SECTION_FLOOR: dict[tuple[str, str], float] = {
+    ("scale10x_sdc_hier", "pairs_plan_build"): 0.589,
+    ("scale10x_sdc_hier", "pairs_exec"): 11.2,
+}
+
 
 def _page_cache_mb() -> int | None:
     """Buffers+Cached from /proc/meminfo, in MiB — the reclaiming-VM
@@ -1427,6 +1440,9 @@ def main() -> None:
     )
     result["regressions_vs_r12_sections"] = _section_floors(
         R12_SECTION_FLOOR, "r12"
+    )
+    result["regressions_vs_r13_sections"] = _section_floors(
+        R13_SECTION_FLOOR, "r13"
     )
 
     print(json.dumps(result))

@@ -291,7 +291,7 @@ def lsh_topk_indexed(
     probe_hamming: int = 2,
     label_col: str = "label",
     exclude_id: int | None = None,
-    grid: bool = False,
+    grid: bool | None = None,
 ) -> DataFrame:
     """Partition-pruned LSH cosine top-k against a built index.
 
@@ -300,10 +300,15 @@ def lsh_topk_indexed(
     as ``bucket IN (...)`` on the PARTITION column, so the scan plans
     with ``PartitionFilters`` and never opens non-probed directories.
     Query hashing honors the layout's persisted sign convention (raw vs
-    grid — :func:`_query_bits`); ``grid=True`` additionally ranks and
-    reports the cosine on the half-up 1e-6 grid (oracle parity).
+    grid — :func:`_query_bits`); ``grid`` controls whether the RANKED /
+    reported cosine is also on the half-up 1e-6 grid (oracle parity) and
+    defaults from the build's persisted flag (r13 ADVICE: probing a
+    grid-built index must not silently mix conventions — bucket on the
+    grid, rank raw). Pass ``grid=`` explicitly to override.
     """
     meta = _read_meta(path)
+    if grid is None:
+        grid = bool(meta.get("grid", False))
     planes, id_col = meta["planes"], meta["id_col"]
     if len(query) != len(planes[0]):
         # zip() would silently truncate and hash a garbage bucket.
@@ -414,14 +419,18 @@ def ivf_topk_indexed(
     n_probe: int = 4,
     label_col: str = "label",
     exclude_id: int | None = None,
-    grid: bool = False,
+    grid: bool | None = None,
 ) -> DataFrame:
     """Partition-pruned IVF cosine top-k against a built index: rank the
     persisted centroids by distance to the query (driver math), filter
     ``centroid_id IN (n_probe nearest)`` on the partition column.
     ``grid=True`` ranks and reports the cosine on the half-up 1e-6 grid
-    (oracle parity over a Lloyd-built index — ns_ivf_topk_indexed)."""
+    (oracle parity over a Lloyd-built index — ns_ivf_topk_indexed);
+    ``grid=None`` defaults from the build's persisted flag like the LSH
+    probe (IVF metas don't persist one today → raw)."""
     meta = _read_meta(path)
+    if grid is None:
+        grid = bool(meta.get("grid", False))
     centroids, id_col = meta["centroids"], meta["id_col"]
     if len(query) != len(centroids[0]):
         raise ValueError(
@@ -904,9 +913,23 @@ def rebuild_ivf_index(
     if quant.startswith("lloyd"):
         meta = _read_meta(path)
         k_tag, n_iter_tag = (int(s) for s in quant[len("lloyd"):].split("x"))
+        # k / n_centroids are aliases; accepting both at once would
+        # silently discard one (r13 ADVICE: the nested-pop form
+        # consumed n_centroids eagerly). Conflicts fail loudly like
+        # every other inapplicable knob.
+        if "k" in knobs and "n_centroids" in knobs:
+            raise ValueError(
+                "rebuild_ivf_index: pass k OR n_centroids, not both "
+                "(they are aliases for the lloyd centroid count)"
+            )
+        if "k" in knobs:
+            k_knob = knobs.pop("k")
+        elif "n_centroids" in knobs:
+            k_knob = knobs.pop("n_centroids")
+        else:
+            k_knob = meta.get("n_centroids", k_tag)
         lknobs = {
-            "k": int(knobs.pop("k", knobs.pop("n_centroids",
-                                              meta.get("n_centroids", k_tag)))),
+            "k": int(k_knob),
             "n_iter": int(knobs.pop("n_iter", n_iter_tag)),
             "vec_col": knobs.pop("vec_col", meta.get("vec_col", "embedding")),
             "id_col": knobs.pop("id_col", meta.get("id_col", "vec_id")),
@@ -1480,8 +1503,12 @@ def _parquet_rows_under(root: str, tombstones: bool) -> int:
     total = 0
     for r, _d, files in os.walk(root):
         rel = os.path.relpath(r, root)
-        parts = rel.split(os.sep)
-        in_tomb = parts[0] == TOMBSTONE_DIR
+        # Files directly under root have rel == "." — that is NOT an
+        # in-progress dot-dir (r13 ADVICE: '.'.startswith('.') made
+        # flat layouts tolerate corrupt LIVE files, defeating the
+        # fail-loud rule below). Root-level files get no dir parts.
+        parts = [] if rel == "." else rel.split(os.sep)
+        in_tomb = bool(parts) and parts[0] == TOMBSTONE_DIR
         if in_tomb != tombstones:
             continue
         # Spark's in-flight writes live under _temporary/ (or dot-tmp
@@ -1589,15 +1616,20 @@ def plan_maintenance(
         # (minhash/paragraph/shingle) have no model to drift, so the
         # same signal just means PURGE (compact).
         quantized = st["kind"] in ("lsh", "ivf", "ivfpq", "pq")
+        # ``trigger`` is the STRUCTURED signal class ('tombstone' |
+        # 'growth' | 'fanout' | None) — consumers key policy on it
+        # (auto_maintain's growth-rebuild deferral), never on the
+        # human-readable reason prose (r13 ADVICE: a rewording must
+        # not silently re-enable the compact-every-tick loop).
         if tomb_frac >= rebuild_tombstone_frac and quantized:
-            decision = "rebuild"
+            decision, trigger = "rebuild", "tombstone"
             reason = (
                 f"tombstone_frac {tomb_frac:.3f} >= "
                 f"{rebuild_tombstone_frac} (quantizers fit on a corpus "
                 "this layout no longer stores)"
             )
         elif tomb_frac >= rebuild_tombstone_frac:
-            decision = "compact"
+            decision, trigger = "compact", "tombstone"
             reason = (
                 f"tombstone_frac {tomb_frac:.3f} >= "
                 f"{rebuild_tombstone_frac} (mass takedown; sketch layout "
@@ -1608,33 +1640,33 @@ def plan_maintenance(
             and growth_frac >= rebuild_growth_frac
             and st["kind"] in ("ivf", "ivfpq")
         ):
-            decision = "rebuild"
+            decision, trigger = "rebuild", "growth"
             reason = (
                 f"growth_frac {growth_frac:.3f} >= {rebuild_growth_frac} "
                 "(appends with a frozen quantizer shift the stored "
                 "distribution — refit on growth, not just takedown)"
             )
         elif tomb_frac >= compact_tombstone_frac:
-            decision = "compact"
+            decision, trigger = "compact", "tombstone"
             reason = (
                 f"tombstone_frac {tomb_frac:.3f} >= "
                 f"{compact_tombstone_frac} (anti-join set outgrowing "
                 "broadcast comfort)"
             )
         elif st["n_tombstone_files"] >= max_tombstone_files:
-            decision = "compact"
+            decision, trigger = "compact", "fanout"
             reason = (
                 f"n_tombstone_files {st['n_tombstone_files']} >= "
                 f"{max_tombstone_files} (delete-log file fan-out)"
             )
         elif files_pp >= max_files_per_partition:
-            decision = "compact"
+            decision, trigger = "compact", "fanout"
             reason = (
                 f"files_per_partition {files_pp:.1f} >= "
                 f"{max_files_per_partition} (append fan-out)"
             )
         else:
-            decision = "noop"
+            decision, trigger = "noop", None
             reason = "all signals under thresholds"
         out.append(
             {
@@ -1652,6 +1684,7 @@ def plan_maintenance(
                     None if growth_frac is None else round(growth_frac, 6)
                 ),
                 "decision": decision,
+                "trigger": trigger,
                 "reason": reason,
             }
         )
@@ -1730,7 +1763,7 @@ def auto_maintain(
                 f"{label!r}) — run the lane's own maintenance verbs"
             )
         vec = (vectors or {}).get(label)
-        growth_rebuild = "growth_frac" in row["reason"]
+        growth_rebuild = row["trigger"] == "growth"
         if decision == "rebuild" and growth_rebuild and vec is None:
             # A GROWTH-triggered rebuild has no purge half for compact
             # to land — degrading to compact would pay an O(corpus)
@@ -1770,7 +1803,7 @@ def auto_maintain(
 #: observability contract every self-maintaining stream shares.
 MAINTENANCE_LEDGER_SCHEMA = (
     "batch_id bigint, index string, kind string, decision string,"
-    " action string, decision_after string"
+    " trigger string, action string, decision_after string"
 )
 
 
@@ -1785,7 +1818,7 @@ def write_maintenance_ledger(
     spark.createDataFrame(
         [
             (batch_id, r["index"], r["kind"], r["decision"],
-             r["action"], r["decision_after"])
+             r["trigger"], r["action"], r["decision_after"])
             for r in rows
         ],
         MAINTENANCE_LEDGER_SCHEMA,

@@ -551,6 +551,151 @@ def build_ivfpq_index_hier(
     return path
 
 
+def build_ivfpq_index_hier_lloyd(
+    vectors: DataFrame,
+    path: str,
+    n_cells_l1: int = 4,
+    n_cells_l2: int = 4,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    n_iter_sub: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str | None = "label",
+) -> str:
+    """Two-level (inverted multi-index) IVF-PQ build whose EVERY fit —
+    both coarse levels and all m PQ subspace codebooks — is the
+    DETERMINISTIC Lloyd run from operators/clustering.py
+    (k-smallest-id init, half-up 1e-6 centroid rounding per iteration,
+    min-struct assignment): the build_ivfpq_index_lloyd trick applied
+    to the HIER lane (r14, promoting the r13 scale path to the hash
+    gate). Each fit is SQL-reproducible as a _kmeans_ctes chain, and
+    the chains STACK — fit level 1 on the normalized corpus, compute
+    residuals against the final level-1 centroids, fit level 2 on that
+    residual FRAME (a CTE, not a table) — so SDC pair mining over this
+    index carries a full DuckDB oracle (ns_semdedup_sdc_hier_lloyd)
+    where the spark.ml hier build keeps its pytest pins.
+
+    Unlike the flat lloyd build this operates in NORMALIZED space
+    (``normalize`` True implied by its absence in the meta): SDC's
+    cosine-τ → squared-L2-ball mapping needs unit-norm codes
+    (:func:`sdc_near_pairs` refuses raw-space indexes). Normalization
+    is the exact arithmetic ``_normalized`` applies — x / max(‖x‖₂,
+    1e-30), a sequential fold + IEEE sqrt + exact division — replayed
+    verbatim in the oracle's nv CTE. Layout, meta ``hier`` dict,
+    appends (frozen two-level routing), compaction, and probes all
+    match :func:`build_ivfpq_index_hier`; quantizer tag
+    ``hlloyd{k1}x{k2}x{n_iter}+{m}x{k}x{n_iter_sub}`` dispatches
+    rebuilds back to THIS builder (flavor preservation, r13 ADVICE)."""
+    from map_reduce_framework_using_python_spark.operators.clustering import (
+        kmeans_fit,
+    )
+
+    keys = [id_col] if label_col is None else [id_col, label_col]
+    vn = _normalized(vectors, vec_col, id_col, label_col).persist()
+    try:
+        head = vn.select(F.size("vn").alias("d")).head()
+        if head is None:
+            raise ValueError("build_ivfpq_index_hier_lloyd: empty input")
+        dim = int(head["d"])
+        if dim % m != 0:
+            raise ValueError(
+                f"build_ivfpq_index_hier_lloyd: dim {dim} not divisible "
+                f"by m {m}"
+            )
+        sub = dim // m
+        _, c1 = kmeans_fit(
+            vn, k=n_cells_l1, n_iter=n_iter, vec_col="vn", id_col=id_col
+        )
+        res = _residual_frame(vn.select(id_col, "vn"), c1, id_col)
+        _, c2 = kmeans_fit(
+            res, k=n_cells_l2, n_iter=n_iter, vec_col="vn", id_col=id_col
+        )
+        books = []
+        for j in range(m):
+            sliced = vn.select(
+                F.col(id_col),
+                F.slice(F.col("vn"), j * sub + 1, sub).alias("_sub"),
+            )
+            _, cents = kmeans_fit(
+                sliced, k=k, n_iter=n_iter_sub, vec_col="_sub", id_col=id_col
+            )
+            books.append(cents)
+        hier = {
+            "n_cells_l1": n_cells_l1, "n_cells_l2": n_cells_l2,
+            "centroids_l1": c1, "centroids_l2": c2,
+        }
+        (
+            _assign_and_encode(vn, keys, [], books, id_col, hier=hier)
+            # one file per cell directory (the r12 layout rule)
+            .repartition(F.col("centroid_id"))
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(path)
+        )
+    finally:
+        vn.unpersist()
+    composed = [
+        [a + b for a, b in zip(c1[i], c2[j])]
+        for i in range(n_cells_l1)
+        for j in range(n_cells_l2)
+    ]
+    _write_meta(
+        path,
+        {"kind": "ivfpq", "n_centroids": n_cells_l1 * n_cells_l2,
+         "m": m, "k": k, "sub": dim // m,
+         "quantizer": (
+             f"hlloyd{n_cells_l1}x{n_cells_l2}x{n_iter}"
+             f"+{m}x{k}x{n_iter_sub}"
+         ),
+         "centroids": composed, "books": books, "by_residual": False,
+         "hier": hier, "vec_col": vec_col, "id_col": id_col,
+         "label_col": label_col,
+         "fit_rows": _parquet_rows_under(path, tombstones=False)},
+    )
+    return path
+
+
+def _hier_probe_cells(
+    qn: list[float], meta: dict, n_probe: int, n_probe1: int
+) -> list[int]:
+    """IMI MULTI-SEQUENCE cell selection (Babenko & Lempitsky 2012
+    §3.1) for a two-level index: rank the k1 level-1 centroids (k1
+    distance evals, driver math), keep the ``n_probe1`` nearest, rank
+    each survivor's RESIDUAL against the k2 level-2 centroids, and
+    take the ``n_probe`` best composed cells by the exact leaf
+    distance ‖(q − c1ᵢ) − c2ⱼ‖² — mathematically identical to the
+    composed-centroid distance ‖q − (c1ᵢ + c2ⱼ)‖² (equal up to float
+    association; ties break on cell id like the composed sort).
+
+    WHY: the composed ranking is k1·k2 distance evaluations per query
+    — fine at 6,400 leaves, the probe bottleneck past ~10⁵ (the r13
+    NOTES crossover): at a 250×250 grid this walk costs
+    k1 + n_probe1·k2 ≈ 4,250 evals where the composed sort pays
+    62,500 — measured flat-vs-linear in tools/maint100x_probe.py
+    (--imi). Skipping cells whose level-1 parent ranks past
+    ``n_probe1`` is the standard IMI recall knob, never a correctness
+    one: the exact rerank scores true vectors (``n_probe1 >= k1``
+    degenerates to the composed ranking's exact cell set)."""
+    h = meta["hier"]
+    c1, c2 = h["centroids_l1"], h["centroids_l2"]
+    k2 = len(c2)
+    d1 = sorted(
+        (sum((a - b) ** 2 for a, b in zip(qn, c)), i)
+        for i, c in enumerate(c1)
+    )[: max(1, int(n_probe1))]
+    cand = []
+    for _, i in d1:
+        r = [a - b for a, b in zip(qn, c1[i])]
+        for j, c in enumerate(c2):
+            cand.append(
+                (sum((x - y) ** 2 for x, y in zip(r, c)), i * k2 + j)
+            )
+    cand.sort()
+    return [cell for _, cell in cand[: int(n_probe)]]
+
+
 def _ivfpq_meta(path: str) -> dict:
     meta = _read_meta(path)
     if meta.get("kind") != "ivfpq":
@@ -584,6 +729,7 @@ def ivfpq_topk_indexed(
     n_probe: int = 8,
     shortlist: int = 100,
     vec_col: str = "embedding",
+    n_probe1: int | None = None,
 ) -> DataFrame:
     """Single-query IVFADC against a built index: rank the persisted
     centroids by distance to the normalized query (driver math — the
@@ -593,7 +739,13 @@ def ivfpq_topk_indexed(
     broadcast lookup table, take the ``shortlist`` best (adc asc, id
     tiebreak), and rerank EXACTLY against the full-vector table.
     Output surface and tie-break match ``cosine_topk_bruteforce`` /
-    ``ivf_topk_indexed`` (the shared ``_topk_tail``)."""
+    ``ivf_topk_indexed`` (the shared ``_topk_tail``).
+
+    ``n_probe1`` (hier indexes only): route with the IMI
+    multi-sequence walk (:func:`_hier_probe_cells` — rank level 1,
+    then level 2 within the ``n_probe1`` nearest parents) instead of
+    sorting all k1·k2 composed leaf centroids — the scale path past
+    ~10⁵ leaves. Default None keeps the composed ranking."""
     meta = _ivfpq_meta(path)
     id_col, label_col = meta["id_col"], meta["label_col"]
     keys = [id_col] if label_col is None else [id_col, label_col]
@@ -610,13 +762,21 @@ def ivfpq_topk_indexed(
         raise ValueError(
             f"query dim {len(qn)} != index dim {len(centroids[0])}"
         )
-    by_dist = sorted(
-        range(len(centroids)),
-        key=lambda i: (
-            sum((a - b) ** 2 for a, b in zip(qn, centroids[i])), i
-        ),
-    )
-    probe = by_dist[:n_probe]
+    if n_probe1 is not None:
+        if not meta.get("hier"):
+            raise ValueError(
+                "ivfpq_topk_indexed: n_probe1 is the two-level (IMI) "
+                "routing knob — this index has no hier quantizer"
+            )
+        probe = _hier_probe_cells(qn, meta, n_probe, n_probe1)
+    else:
+        by_dist = sorted(
+            range(len(centroids)),
+            key=lambda i: (
+                sum((a - b) ** 2 for a, b in zip(qn, centroids[i])), i
+            ),
+        )
+        probe = by_dist[:n_probe]
     spark = vectors.sparkSession
     codes = _apply_tombstones(
         spark.read.parquet(path).filter(F.col("centroid_id").isin(probe)),
@@ -1001,6 +1161,39 @@ def rebuild_ivfpq_index(
     )
 
     quant = _live_quantizer(path)
+    if quant.startswith("hlloyd"):
+        meta = _read_meta(path)
+        h = meta["hier"]
+        coarse_tag, pq_tag = quant[len("hlloyd"):].split("+")
+        _, _, ni_tag = (int(s) for s in coarse_tag.split("x"))
+        _, _, nis_tag = (int(s) for s in pq_tag.split("x"))
+        hknobs = {
+            "n_cells_l1": int(knobs.pop("n_cells_l1", h["n_cells_l1"])),
+            "n_cells_l2": int(knobs.pop("n_cells_l2", h["n_cells_l2"])),
+            "m": int(knobs.pop("m", meta["m"])),
+            "k": int(knobs.pop("k", meta["k"])),
+            "n_iter": int(knobs.pop("n_iter", ni_tag)),
+            "n_iter_sub": int(knobs.pop("n_iter_sub", nis_tag)),
+            "vec_col": knobs.pop("vec_col", meta.get("vec_col", "embedding")),
+            "id_col": knobs.pop("id_col", meta.get("id_col", "vec_id")),
+            "label_col": knobs.pop("label_col", meta.get("label_col", "label")),
+        }
+        if knobs:
+            raise ValueError(
+                f"rebuild_ivfpq_index: knobs {sorted(knobs)} do not apply "
+                "to a hier-lloyd index (deterministic fit, no "
+                "seed/fit_fraction) — pass n_cells_l1/n_cells_l2/m/k/"
+                "n_iter/n_iter_sub/vec_col/id_col/label_col, or refit "
+                "explicitly with build_ivfpq_index_hier_lloyd"
+            )
+        _rebuild_index(
+            spark or vectors.sparkSession, path, "centroid_id",
+            lambda tmp: build_ivfpq_index_hier_lloyd(vectors, tmp, **hknobs),
+            "rebuild_ivfpq_index",
+            _test_hook_pre_swap=_test_hook_pre_swap,
+            ids_already_filtered=ids_already_filtered,
+        )
+        return
     if quant.startswith("hier"):
         meta = _read_meta(path)
         h = meta["hier"]
@@ -1101,6 +1294,7 @@ def sdc_near_pairs(
     vectors: DataFrame,
     tau: float = 0.4,
     margin: float | None = 0.2,
+    grid_screen: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate PAIRS mined from the persisted IVF-PQ
     index via SYMMETRIC distance computation (SDC — Jégou et al. 2011
@@ -1124,6 +1318,14 @@ def sdc_near_pairs(
     the kmeans form); tombstoned ids never pair. Normalized-build
     indexes only (cosine τ maps to the squared-L2 ball 2·(1−τ) on the
     unit sphere; a raw-space Lloyd index has no such mapping).
+
+    ``grid_screen``: quantize the SDC estimate itself to the half-up
+    1e-6 grid BEFORE thresholding — the oracle-parity discipline
+    (plans/core.py) applied to the candidate screen, so a last-ulp
+    fold divergence between engines can't flip a candidate in or out
+    at the margin boundary (the hier-lloyd DuckDB oracle compares the
+    same quantized number). Default off: the screen's raw compare is
+    what every existing recall pin measured.
 
     Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b``, cosine
     half-up on the 1e-6 grid (the cluster_cosine_pairs convention)."""
@@ -1162,10 +1364,14 @@ def sdc_near_pairs(
             " tbl, (i, row) -> element_at(row, i + 1)),"
             " 0D, (acc, x) -> acc + x)"
         )
+        screened = (
+            F.floor(F.col("_sdc") * 1e6 + F.lit(0.5)) / 1e6
+            if grid_screen else F.col("_sdc")
+        )
         pairs = (
             pairs.crossJoin(F.broadcast(tbl_row))
             .withColumn("_sdc", sdc)
-            .filter(F.col("_sdc") <= F.lit(2.0 * (1.0 - tau) + margin))
+            .filter(screened <= F.lit(2.0 * (1.0 - tau) + margin))
         )
     # distinct: replayed at-least-once appends leave exact-duplicate
     # code rows until compaction (a tolerated index state — every probe

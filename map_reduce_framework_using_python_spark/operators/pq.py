@@ -402,3 +402,75 @@ def pq_topk_indexed(
     )
     scored = cosine_scores(candidates, q, vec_col="v")
     return _topk_tail(scored, topk, id_col, label_col)
+
+
+def pq_topk_lloyd(
+    vectors: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    m: int = 4,
+    n_centroids: int = 4,
+    shortlist: int = 50,
+    n_iter: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Flat-PQ ANN whose m subspace codebooks are the DETERMINISTIC
+    Lloyd run from operators/clustering.py instead of spark.ml — the
+    build_ivfpq_index_lloyd promotion trick applied to the FLAT lane
+    (r14, VERDICT item 7): every fit replays as a ``_kmeans_ctes``
+    chain over a slice of the normalized-vector CTE, the ADC
+    shortlist ranks on the HALF-UP-1e-6-QUANTIZED distance (id
+    tiebreak), and the exact rerank is the grid-quantized cosine — so
+    the end-to-end train → encode → ADC → rerank pipeline carries a
+    full DuckDB oracle (ns_pq_topk_lloyd) where the spark.ml form
+    (:func:`pq_topk`) keeps its recall pins. Same output surface and
+    tie-break as the other single-query probes (the shared
+    ``_topk_tail`` with ``grid=True``)."""
+    from map_reduce_framework_using_python_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        _query_vector,
+    )
+
+    q = _query_vector(vectors, vec_col, id_col, query_vec_id)
+    vn = _normalized(vectors, vec_col, id_col, label_col)
+    head = vn.select(F.size("vn").alias("d")).head()
+    dim = int(head["d"])
+    if dim % m != 0:
+        raise ValueError(f"pq_topk_lloyd: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = vn.select(
+            F.col(id_col), F.slice(F.col("vn"), j * sub + 1, sub).alias("_sub")
+        )
+        _, cents = kmeans_fit(
+            sliced, k=n_centroids, n_iter=n_iter, vec_col="_sub",
+            id_col=id_col,
+        )
+        books.append(cents)
+    codes = (
+        vn.crossJoin(F.broadcast(_books_row(vectors, books)))
+        .select(id_col, label_col, _code_expr(sub).alias("codes"))
+    )
+    short = (
+        pq_adc_scores(codes, books, q)
+        .filter(F.col(id_col) != query_vec_id)
+        # grid-quantized ADC ordering (id tiebreak): the oracle-parity
+        # discipline of the batched probes' grid_order applied to the
+        # flat lane's shortlist boundary
+        .withColumn(
+            "_qadc", F.floor(F.col("adc") * 1e6 + F.lit(0.5)).cast("long")
+        )
+        .orderBy(F.col("_qadc").asc(), F.col(id_col))
+        .limit(int(shortlist))
+        .select(id_col)
+    )
+    candidates = vectors.join(F.broadcast(short), id_col).select(
+        id_col, label_col, _as_double(F.col(vec_col)).alias("v")
+    )
+    scored = cosine_scores(candidates, q, vec_col="v")
+    return _topk_tail(scored, k, id_col, label_col, grid=True)

@@ -991,6 +991,312 @@ def ns_semdedup_sdc_hier_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_ivfpq_hier_lloyd(spark: SparkSession, sf_dir: str) -> str:
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        build_ivfpq_index_hier_lloyd,
+    )
+
+    return _ensure(
+        sf_dir, "ivfpq_hlloyd4x4x2_4x4x1",
+        lambda p: build_ivfpq_index_hier_lloyd(
+            t(spark, sf_dir, "embeddings"), p,
+            n_cells_l1=4, n_cells_l2=4, m=4, k=4, n_iter=2, n_iter_sub=1,
+        ),
+    )
+
+
+def _sdc_hier_lloyd_oracle(reps: bool = False) -> str:
+    """Full DuckDB oracle for SDC pair mining over the LLOYD-flavor
+    two-level coarse quantizer — the r13 scale path promoted from
+    pin-trusted to oracle-proven (r14). STACKED deterministic k-means
+    CTE chains replay the whole build: normalize (the exact
+    ``_normalized`` fold arithmetic), fit level 1 on the normalized
+    corpus, compute residuals against the final level-1 centroids (a
+    CTE, which ``_kmeans_ctes``'s ``src=`` makes a legal chain input),
+    fit level 2 on the residual frame, fit the m PQ subspace codebooks
+    on normalized slices; leaf cell = l1·k2 + l2; the SDC screen sums
+    the per-subspace centroid-to-centroid squared distances and
+    thresholds the HALF-UP-1e-6-QUANTIZED estimate (the Spark side's
+    ``grid_screen=True``); survivors verify with the grid-quantized
+    exact cosine. Every cross-engine float rides the proven
+    list_sum/aggregate fold equivalence, the 1e-6 grid, or IEEE-exact
+    sqrt/divide (normalization).
+
+    ``reps=True`` extends the chain with the DROP RULE: transitive
+    closure of the verified pairs as a RECURSIVE CTE (min-reachable-id
+    labeling — the SQL twin of operators/graph.connected_components'
+    min-label propagation; UNION semantics bound the recursion), one
+    min-id representative per component, singletons keeping
+    themselves — the first connected-components query under the hash
+    gate (previously "non-SQL-expressible" was taken on faith)."""
+    from map_reduce_framework_using_python_spark.plans.clustering_queries import (
+        _kmeans_ctes,
+        _sqdist_sql,
+    )
+
+    k1, k2, ni, dim = 4, 4, 2, 64
+    m, ks, nis, sub = 4, 4, 1, 16
+    tau, margin = 0.4, 0.2
+    thr = 2.0 * (1.0 - tau) + margin  # the Spark side's exact double
+    ctes = [
+        "rawv AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        # _normalized twin: x / max(l2, 1e-30); l2 is the same
+        # sequential fold Spark runs, sqrt and divide are IEEE-exact
+        "nv AS (SELECT vec_id, list_transform(v, x -> x /"
+        " greatest(sqrt(list_sum(list_transform(v, y -> y * y))),"
+        " 1e-30)) AS v FROM rawv)",
+    ]
+    ctes += _kmeans_ctes(k1, ni, dim, pfx="h1", vexpr="v", src="nv")
+    ctes.append(
+        # residual of every vector against its FINAL level-1 centroid —
+        # exactly operators/ivfpq._residual_frame on the lloyd fit
+        "rres AS (SELECT a.vec_id,"
+        " list_transform(list_zip(a.v, c.cent), p -> p[1] - p[2]) AS v"
+        f" FROM h1a{ni} a JOIN h1cent{ni} c ON c.cluster = a.cluster)"
+    )
+    ctes += _kmeans_ctes(k2, ni, dim, pfx="h2", vexpr="v", src="rres")
+    for j in range(m):
+        ctes += _kmeans_ctes(
+            ks, nis, sub, pfx=f"p{j}",
+            vexpr=f"v[{j * sub + 1}:{(j + 1) * sub}]", src="nv",
+        )
+    code_joins = "\n".join(
+        f"            JOIN p{j}a{nis} c{j} ON c{j}.vec_id = l.vec_id"
+        for j in range(m)
+    )
+    code_cols = ", ".join(f"c{j}.cluster AS k{j}" for j in range(m))
+    cent_joins = "\n".join(
+        f"            JOIN p{j}cent{nis} e{j}a ON e{j}a.cluster = a.k{j}\n"
+        f"            JOIN p{j}cent{nis} e{j}b ON e{j}b.cluster = b.k{j}"
+        for j in range(m)
+    )
+    sdc_terms = " + ".join(
+        _sqdist_sql(f"e{j}a.cent", f"e{j}b.cent") for j in range(m)
+    )
+    body = f""",
+        cells AS (SELECT a1.vec_id, a1.cluster * {k2} + a2.cluster AS cell
+                  FROM h1a{ni} a1 JOIN h2a{ni} a2 ON a2.vec_id = a1.vec_id),
+        codes AS (SELECT l.vec_id, l.cell, {code_cols}
+                  FROM cells l
+{code_joins}),
+        cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM codes a JOIN codes b
+                   ON b.cell = a.cell AND a.vec_id < b.vec_id
+{cent_joins}
+                 WHERE floor(({sdc_terms}) * 1000000.0 + 0.5) / 1000000.0
+                       <= {thr!r})"""
+    if not reps:
+        return (
+            "WITH " + ",\n".join(ctes) + body
+            + f"""
+        SELECT id_a, id_b, qcos / 1000000.0 AS cosine FROM (
+            SELECT c.id_a, c.id_b,
+                   floor(list_cosine_similarity(va.v, vb.v)
+                         * 1000000.0 + 0.5) AS qcos
+            FROM cand c
+            JOIN rawv va ON va.vec_id = c.id_a
+            JOIN rawv vb ON vb.vec_id = c.id_b)
+        WHERE qcos / 1000000.0 >= {tau!r}
+    """
+        )
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes) + body
+        + f""",
+        verified AS (SELECT id_a, id_b FROM (
+            SELECT c.id_a, c.id_b,
+                   floor(list_cosine_similarity(va.v, vb.v)
+                         * 1000000.0 + 0.5) AS qcos
+            FROM cand c
+            JOIN rawv va ON va.vec_id = c.id_a
+            JOIN rawv vb ON vb.vec_id = c.id_b)
+            WHERE qcos / 1000000.0 >= {tau!r}),
+        bidir AS (SELECT id_a AS src, id_b AS dst FROM verified
+                  UNION ALL
+                  SELECT id_b AS src, id_a AS dst FROM verified),
+        reach(vec_id, u) AS (
+            SELECT vec_id, vec_id AS u FROM embeddings
+            UNION
+            SELECT r.vec_id, b.dst AS u
+            FROM reach r JOIN bidir b ON b.src = r.u
+        )
+        SELECT vec_id, min(u) AS cluster_id, vec_id = min(u) AS keep
+        FROM reach GROUP BY vec_id
+    """
+    )
+
+
+@query(
+    "ns_semdedup_sdc_hier_lloyd",
+    oracle=_sdc_hier_lloyd_oracle(),
+    tags=("northstar", "similarity", "dedup", "sketch", "index"),
+)
+def ns_semdedup_sdc_hier_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDC pair mining over the two-level coarse quantizer with EVERY
+    fit the deterministic Lloyd kernel (operators/ivfpq.
+    build_ivfpq_index_hier_lloyd) — the r13 hier scale path under the
+    full DuckDB hash gate (r14): the oracle replays normalize → fit-l1
+    → residual → fit-l2 → subspace codebooks → leaf routing → the
+    grid-quantized SDC screen → the grid-quantized exact-cosine verify,
+    end to end in SQL (stacked ``_kmeans_ctes`` chains — the
+    ns_ivfpq_probe_lloyd machinery plus the new residual-CTE ``src=``).
+    Same operator (:func:`~..operators.ivfpq.sdc_near_pairs`), same
+    corpus-proportional 100 TB shape as ns_semdedup_sdc_hier — k1·k2
+    leaf cells from k1+k2 fits bound the within-cell quadratic — with
+    ``grid_screen=True`` so both engines threshold the identical
+    quantized estimate."""
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        sdc_near_pairs,
+    )
+
+    path = _ensure_ivfpq_hier_lloyd(spark, sf_dir)
+    return sdc_near_pairs(
+        spark, path, t(spark, sf_dir, "embeddings"), tau=0.4, margin=0.2,
+        grid_screen=True,
+    )
+
+
+@query(
+    "ns_semdedup_sdc_hier_lloyd_reps",
+    oracle=_sdc_hier_lloyd_oracle(reps=True),
+    tags=("northstar", "similarity", "dedup", "sketch", "index", "graph"),
+)
+def ns_semdedup_sdc_hier_lloyd_reps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SemDeDup DROP RULE over the hier-LLOYD SDC pairs, under the
+    FULL hash gate (r14): deterministic two-level quantizer → grid-
+    screened 16-byte-code SDC candidates → grid-quantized exact verify
+    → connected components (operators/graph.dedup_clusters — iterative
+    min-label propagation with per-round localCheckpoint) → one min-id
+    representative per transitive group, every corpus vector labeled
+    ``(vec_id, cluster_id, keep)``. The oracle replays the components
+    as a RECURSIVE min-reachable-id CTE — the first time the iterative
+    graph machinery itself is oracle-proven rather than union-find-
+    pinned (the rows-only ns_semdedup_sdc_*_reps forms keep covering
+    the spark.ml lanes)."""
+    from map_reduce_framework_using_python_spark.operators.graph import (
+        dedup_clusters,
+    )
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        sdc_near_pairs,
+    )
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    path = _ensure_ivfpq_hier_lloyd(spark, sf_dir)
+    pairs = sdc_near_pairs(spark, path, emb, tau=0.4, margin=0.2,
+                           grid_screen=True)
+    clusters = dedup_clusters(
+        pairs, emb, id_col="vec_id", left_col="id_a", right_col="id_b"
+    )
+    w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("vec_id") == F.min("vec_id").over(w)).alias("keep"),
+    )
+
+
+def _pq_topk_lloyd_oracle() -> str:
+    """Full DuckDB oracle for the Lloyd-codebook FLAT-PQ probe: the
+    normalized-vector CTE (the hier-lloyd nv twin), one deterministic
+    k-means chain per subspace slice, per-vector codes, the
+    grid-quantized ADC shortlist against the query's normalized
+    slices, and the grid-quantized exact-cosine rerank — train →
+    encode → ADC → rerank, end to end in SQL (the ns_ivfpq_probe_lloyd
+    shape minus coarse routing)."""
+    from map_reduce_framework_using_python_spark.plans.clustering_queries import (
+        _kmeans_ctes,
+        _sqdist_sql,
+    )
+
+    m, ks, nis, sub = 4, 4, 1, 16
+    shortlist, topk, qid = 50, 10, 0
+    ctes = [
+        "rawv AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        "nv AS (SELECT vec_id, list_transform(v, x -> x /"
+        " greatest(sqrt(list_sum(list_transform(v, y -> y * y))),"
+        " 1e-30)) AS v FROM rawv)",
+    ]
+    for j in range(m):
+        ctes += _kmeans_ctes(
+            ks, nis, sub, pfx=f"p{j}",
+            vexpr=f"v[{j * sub + 1}:{(j + 1) * sub}]", src="nv",
+        )
+    code_joins = "\n".join(
+        f"            JOIN p{j}a{nis} c{j} ON c{j}.vec_id = n.vec_id"
+        for j in range(m)
+    )
+    code_cols = ", ".join(f"c{j}.cluster AS k{j}" for j in range(m))
+    cent_joins = "\n".join(
+        f"            JOIN p{j}cent{nis} e{j} ON e{j}.cluster = d.k{j}"
+        for j in range(m)
+    )
+    adc_terms = " + ".join(
+        _sqdist_sql(f"q.qv[{j * sub + 1}:{(j + 1) * sub}]", f"e{j}.cent")
+        for j in range(m)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+        codes AS (SELECT n.vec_id, {code_cols}
+                  FROM nv n
+{code_joins}),
+        q AS (SELECT v AS qv FROM nv WHERE vec_id = {qid}),
+        sl AS (SELECT vec_id FROM (
+                   SELECT d.vec_id,
+                          row_number() OVER (
+                              ORDER BY CAST(floor(({adc_terms})
+                                            * 1000000.0 + 0.5) AS BIGINT),
+                                       d.vec_id
+                          ) AS srn
+                   FROM codes d CROSS JOIN q
+{cent_joins}
+                   WHERE d.vec_id <> {qid})
+               WHERE srn <= {shortlist}),
+        rr AS (SELECT s.vec_id,
+                      floor(list_cosine_similarity(v.v, q0.v)
+                            * 1000000.0 + 0.5) AS qcos
+               FROM sl s
+               JOIN rawv v ON v.vec_id = s.vec_id
+               CROSS JOIN (SELECT v FROM rawv WHERE vec_id = {qid}) q0),
+        rk AS (SELECT vec_id, qcos,
+                      row_number() OVER (ORDER BY qcos DESC, vec_id) AS rn
+               FROM rr)
+        SELECT rk.vec_id, e.label, qcos / 1000000.0 AS cosine
+        FROM rk JOIN embeddings e ON e.vec_id = rk.vec_id
+        WHERE rn <= {topk}
+    """
+    )
+
+
+@query(
+    "ns_pq_topk_lloyd",
+    oracle=_pq_topk_lloyd_oracle(),
+    tags=("northstar", "similarity", "sketch"),
+)
+def ns_pq_topk_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-PQ ANN top-10 with deterministic Lloyd codebooks under the
+    full DuckDB hash gate (r14, the ns_pq_topk promotion): per-subspace
+    Lloyd fits over normalized slices, m-byte codes via the shared
+    encode kernel, grid-quantized ADC shortlist, grid-quantized exact
+    rerank — the whole compressed-domain pipeline oracle-proven
+    (operators/pq.pq_topk_lloyd). The spark.ml form (ns_pq_topk) keeps
+    its recall/determinism pins."""
+    from map_reduce_framework_using_python_spark.operators.pq import (
+        pq_topk_lloyd,
+    )
+
+    return pq_topk_lloyd(
+        t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10,
+        m=4, n_centroids=4, shortlist=50, n_iter=1,
+    )
+
+
 @query(
     "ns_index_maintenance_plan",
     oracle=None,
@@ -1042,7 +1348,7 @@ def ns_index_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "index string, kind string, n_partition_dirs int, n_data_files int,"
         " files_per_partition double, data_rows bigint, tombstone_rows bigint,"
         " n_tombstone_files int, tombstone_frac double, fit_rows bigint,"
-        " growth_frac double, decision string, reason string",
+        " growth_frac double, decision string, trigger string, reason string",
     )
 
 
@@ -1094,10 +1400,10 @@ def ns_index_auto_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.createDataFrame(
         [
-            (r["index"], r["kind"], r["decision"], r["action"],
-             r["decision_after"])
+            (r["index"], r["kind"], r["decision"], r["trigger"],
+             r["action"], r["decision_after"])
             for r in rows
         ],
-        "index string, kind string, decision string, action string,"
-        " decision_after string",
+        "index string, kind string, decision string, trigger string,"
+        " action string, decision_after string",
     )

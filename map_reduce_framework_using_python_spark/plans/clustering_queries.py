@@ -42,6 +42,7 @@ def _kmeans_ctes(
     dim: int,
     pfx: str = "",
     vexpr: str = "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+    src: str = "embeddings",
 ) -> list[str]:
     """CTE chain replaying operators/clustering.kmeans_fit exactly
     (k-smallest-id init, half-up 1e-6 centroid rounding per iteration,
@@ -50,11 +51,14 @@ def _kmeans_ctes(
     chains compose in ONE query (the IVF-PQ oracle runs a coarse chain
     plus one chain per PQ subspace); ``vexpr`` is the vector expression
     the chain clusters — default the full embedding, a subspace chain
-    passes a list slice. Defaults generate byte-identical SQL to the
-    pre-r11 single-chain form (every existing oracle unchanged)."""
+    passes a list slice. ``src`` is the FROM source — a table by
+    default, or an earlier CTE, which is what lets chains STACK (the
+    r14 hier-lloyd oracle clusters a residual CTE computed from a
+    previous chain's output). Defaults generate byte-identical SQL to
+    the pre-r11 single-chain form (every existing oracle unchanged)."""
     ctes = [
         f"{pfx}v AS (SELECT vec_id, {vexpr} AS v"
-        " FROM embeddings)",
+        f" FROM {src})",
         f"{pfx}cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,"
         f" list_transform(v, x -> {_r6('x')}) AS cent"
         f" FROM (SELECT vec_id, v FROM {pfx}v ORDER BY vec_id LIMIT {k}))",

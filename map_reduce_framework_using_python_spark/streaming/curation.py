@@ -258,6 +258,18 @@ def curate_batch(
     return curated, rejected, metrics
 
 
+def _takedown_id_col(columns: list[str]) -> str:
+    """Which queue-file column carries the doc ids: a NAMED ``doc_id``
+    column wins when present; otherwise the FIRST column, positionally
+    (the documented contract, matching delete_from_index's first-column
+    rule — a queue file whose id column carries another name must not
+    abort the drain mid-run after some indexes were already retracted).
+    The name-first rule (r13 ADVICE) keeps a queue file that gained a
+    leading non-id column (e.g. a prepended timestamp) from silently
+    retracting the wrong values."""
+    return "doc_id" if "doc_id" in columns else columns[0]
+
+
 def curate_stream(
     batch_stream: DataFrame,
     corpus: DataFrame,
@@ -330,12 +342,10 @@ def curate_stream(
         )
         if not files:
             return
-        # First column = doc id, POSITIONALLY (the docstring contract,
-        # matching delete_from_index's first-column rule) — a queue
-        # file whose id column carries another name must not abort the
-        # drain mid-run after some indexes were already retracted.
         queued = spark.read.parquet(*files)
-        ids = queued.select(F.col(queued.columns[0]).alias("doc_id"))
+        ids = queued.select(
+            F.col(_takedown_id_col(queued.columns)).alias("doc_id")
+        )
         for target in (index_path, paragraph_index_path, span_index_path):
             if target is not None:
                 retract_docs_from_index(ids, target)

@@ -47,6 +47,41 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _maybe_maintain(
+    spark: SparkSession,
+    index_path: str,
+    batch_id: int,
+    maintain_every: int | None,
+    maintain_thresholds: dict | None,
+    maintain_ledger_dir: str | None,
+) -> None:
+    """The self-maintenance tick every ingest lane shares (r14,
+    completing the r13 ledger unification): after every Nth batch's
+    sinks land — inside the foreachBatch quiescence window, the one
+    place the stream owns the layout — run
+    :func:`~..operators.ann_index.auto_maintain` over the probed index
+    and, when ``maintain_ledger_dir`` is set, append the
+    decision/action/decision_after rows to the SAME parquet ledger
+    schema curate_stream and the ANN ingest loops write
+    (:data:`~..operators.ann_index.MAINTENANCE_LEDGER_SCHEMA`), so
+    plan-vs-effect drift is observable with one reader across every
+    ``maintain_every=`` loop. Maintenance is layout-only (compaction
+    sheds replay duplicates and retires tombstone logs the probes
+    already anti-join) — drained answers are pinned unchanged."""
+    if not maintain_every or (batch_id + 1) % maintain_every != 0:
+        return
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        auto_maintain,
+        write_maintenance_ledger,
+    )
+
+    rows = auto_maintain(
+        spark, {"ingest": index_path}, **(maintain_thresholds or {})
+    )
+    if maintain_ledger_dir:
+        write_maintenance_ledger(spark, rows, batch_id, maintain_ledger_dir)
+
+
 def screen_stream(
     batch_stream: DataFrame,
     corpus: DataFrame,
@@ -55,6 +90,9 @@ def screen_stream(
     checkpoint_dir: str,
     threshold: float = 0.6,
     extend_index: bool = False,
+    maintain_every: int | None = None,
+    maintain_thresholds: dict | None = None,
+    maintain_ledger_dir: str | None = None,
 ) -> DataFrame:
     """Drain ``batch_stream`` (AvailableNow) through the index probe and
     return all pairs found: ``(batch_doc, corpus_doc, jaccard)``.
@@ -93,6 +131,8 @@ def screen_stream(
         if extend_index:
             append_to_index(batch_df, index_path)
             batch_df.write.mode("append").parquet(seen_dir)
+        _maybe_maintain(spark, index_path, batch_id, maintain_every,
+                        maintain_thresholds, maintain_ledger_dir)
 
     q = (
         batch_stream.writeStream.foreachBatch(probe)
@@ -119,6 +159,9 @@ def paragraph_screen_stream(
     out_dir: str,
     checkpoint_dir: str,
     extend_index: bool = True,
+    maintain_every: int | None = None,
+    maintain_thresholds: dict | None = None,
+    maintain_ledger_dir: str | None = None,
 ) -> DataFrame:
     """Paragraph-level exact-dedup screen on ingest: drain
     ``batch_stream`` (AvailableNow) through the paragraph-digest index
@@ -152,6 +195,8 @@ def paragraph_screen_stream(
         stats.write.mode("append").parquet(out_dir)
         if extend_index:
             append_paragraphs_to_index(batch_df, index_path)
+        _maybe_maintain(spark, index_path, batch_id, maintain_every,
+                        maintain_thresholds, maintain_ledger_dir)
 
     q = (
         batch_stream.writeStream.foreachBatch(probe)
@@ -178,6 +223,9 @@ def paragraph_apply_stream(
     out_dir: str,
     checkpoint_dir: str,
     extend_index: bool = True,
+    maintain_every: int | None = None,
+    maintain_thresholds: dict | None = None,
+    maintain_ledger_dir: str | None = None,
 ) -> DataFrame:
     """APPLY-on-ingest twin of :func:`paragraph_screen_stream`: drain
     the stream rewriting each batch document to keep only paragraphs
@@ -201,6 +249,8 @@ def paragraph_apply_stream(
         out.write.mode("append").parquet(out_dir)
         if extend_index:
             append_paragraphs_to_index(batch_df, index_path)
+        _maybe_maintain(spark, index_path, batch_id, maintain_every,
+                        maintain_thresholds, maintain_ledger_dir)
 
     q = (
         batch_stream.writeStream.foreachBatch(rewrite)
@@ -228,6 +278,9 @@ def span_screen_stream(
     out_dir: str,
     checkpoint_dir: str,
     extend_index: bool = True,
+    maintain_every: int | None = None,
+    maintain_thresholds: dict | None = None,
+    maintain_ledger_dir: str | None = None,
 ) -> DataFrame:
     """Exact-substring (ExactSubstr) screen on ingest — the span-level
     twin of :func:`paragraph_screen_stream`: drain ``batch_stream``
@@ -258,6 +311,8 @@ def span_screen_stream(
         stats.write.mode("append").parquet(out_dir)
         if extend_index:
             append_shingles_to_index(batch_df, index_path)
+        _maybe_maintain(spark, index_path, batch_id, maintain_every,
+                        maintain_thresholds, maintain_ledger_dir)
 
     q = (
         batch_stream.writeStream.foreachBatch(probe)
@@ -279,6 +334,9 @@ def retract_stream(
     ids_stream: DataFrame,
     index_path: str,
     checkpoint_dir: str,
+    maintain_every: int | None = None,
+    maintain_thresholds: dict | None = None,
+    maintain_ledger_dir: str | None = None,
 ) -> None:
     """Takedown requests on a STREAM: drain ``ids_stream`` (AvailableNow;
     first column = doc id) and retract each micro-batch's ids from the
@@ -313,6 +371,14 @@ def retract_stream(
         # O(|batch ids|) append plus driver-side meta/fingerprint file
         # touches (r11 review).
         retract_docs_from_index(batch_df, index_path)
+        # The takedown loop is where tombstone_frac actually grows —
+        # a maintain tick here lets the stream compact its own delete
+        # log once the planner says so (same ledger as every other
+        # maintain_every loop).
+        _maybe_maintain(
+            batch_df.sparkSession, index_path, batch_id, maintain_every,
+            maintain_thresholds, maintain_ledger_dir,
+        )
 
     q = (
         ids_stream.writeStream.foreachBatch(apply)

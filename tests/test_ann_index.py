@@ -50,6 +50,43 @@ def test_lsh_indexed_equals_inline(spark, tmp_path):
     assert [tuple(r) for r in indexed] == [tuple(r) for r in inline]
 
 
+def test_probe_grid_defaults_from_build_meta(spark, tmp_path):
+    """r13 ADVICE: probing a grid-built LSH index with no explicit
+    ``grid=`` must rank on the grid too (the build's persisted flag is
+    the default), never bucket-on-grid / rank-raw — and an explicit
+    override still wins. A raw-built index keeps the raw default."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(300)
+    q = _query_vec(emb)
+
+    gpath = str(tmp_path / "lsh_grid")
+    build_lsh_index(emb, gpath, n_planes=8, seed=42, grid=True)
+    default_rows = lsh_topk_indexed(
+        spark, gpath, q, k=10, probe_hamming=2, exclude_id=0).collect()
+    grid_rows = lsh_topk_indexed(
+        spark, gpath, q, k=10, probe_hamming=2, exclude_id=0,
+        grid=True).collect()
+    assert [tuple(r) for r in default_rows] == [tuple(r) for r in grid_rows]
+    # the grid-ranked cosine lies exactly on the 1e-6 grid
+    assert all(
+        abs(r["cosine"] * 1e6 - round(r["cosine"] * 1e6)) < 1e-6
+        for r in default_rows
+    )
+    # explicit override on the same layout still reaches the raw ranker
+    raw_rows = lsh_topk_indexed(
+        spark, gpath, q, k=10, probe_hamming=2, exclude_id=0,
+        grid=False).collect()
+    assert {r["vec_id"] for r in raw_rows}  # runs; convention is caller's
+
+    rpath = str(tmp_path / "lsh_raw")
+    build_lsh_index(emb, rpath, n_planes=8, seed=42)
+    raw_default = lsh_topk_indexed(
+        spark, rpath, q, k=10, probe_hamming=2, exclude_id=0).collect()
+    raw_explicit = lsh_topk_indexed(
+        spark, rpath, q, k=10, probe_hamming=2, exclude_id=0,
+        grid=False).collect()
+    assert [tuple(r) for r in raw_default] == [tuple(r) for r in raw_explicit]
+
+
 def test_lsh_indexed_scan_is_partition_pruned(spark, tmp_path):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     path = str(tmp_path / "lsh_idx")

@@ -304,6 +304,47 @@ def test_corrupt_live_data_file_fails_loud_tombstone_side_tolerated(
         plan_maintenance({"idx": idx})
 
 
+def test_corrupt_live_file_fails_loud_in_flat_layout(spark, tmp_path):
+    """r13 ADVICE (the '.' relpath hole): in a FLAT layout (pq codes —
+    all live data files directly under the index root) a corrupt live
+    parquet file must propagate exactly like a partition-dir file; the
+    root is not an in-progress dot-dir. Tombstone-side garbage stays
+    tolerated."""
+    import os
+
+    import pytest
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        TOMBSTONE_DIR,
+        delete_from_index,
+    )
+    from map_reduce_framework_using_python_spark.operators.pq import (
+        build_pq_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(100)
+    idx = str(tmp_path / "pq")
+    build_pq_index(emb, idx, m=4, k=4, seed=42)
+    delete_from_index([1], idx, spark=spark)
+
+    # the flat PQ lane's live root is codes/ (tombstones ride inside it
+    # — ann_index._tombstone_base)
+    live_root = os.path.join(idx, "codes")
+
+    # tombstone-side garbage: still tolerated in the flat layout
+    tomb_dir = os.path.join(live_root, TOMBSTONE_DIR)
+    with open(os.path.join(tomb_dir, "half-written.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    assert plan_maintenance({"pq": idx})[0]["decision"] in ("noop", "compact")
+
+    # corrupt ROOT-LEVEL live file: must fail loud, not read as
+    # an in-progress dir ('.' is not a dot-tmp name)
+    with open(os.path.join(live_root, "corrupt.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    with pytest.raises(Exception):
+        plan_maintenance({"pq": idx})
+
+
 def test_rebuild_preserves_lloyd_quantizer_flavor(spark, tmp_path):
     """r13 ADVICE (medium): an index built with the deterministic
     Lloyd builders must be REBUILT by them — meta keeps the lloyd tag
@@ -338,6 +379,12 @@ def test_rebuild_preserves_lloyd_quantizer_flavor(spark, tmp_path):
     with pytest.raises(ValueError, match="lloyd"):
         rebuild_ivf_index(survivors, idx, spark=spark,
                           ids_already_filtered=True, seed=7)
+    # k and n_centroids are aliases — supplying both must refuse, not
+    # silently discard one (r13 ADVICE: the nested-pop form consumed
+    # n_centroids eagerly)
+    with pytest.raises(ValueError, match="not both"):
+        rebuild_ivf_index(survivors, idx, spark=spark,
+                          ids_already_filtered=True, k=4, n_centroids=8)
     rebuild_ivf_index(survivors, idx, spark=spark, ids_already_filtered=True)
     meta = _read_meta(idx)
     assert meta["quantizer"] == "lloyd4x2"
@@ -399,6 +446,9 @@ def test_append_growth_triggers_rebuild_for_datafit_quantizers(
     append_to_ivf_index(rest, idx)
     d = plan_maintenance({"idx": idx})[0]
     assert d["decision"] == "rebuild" and "growth_frac" in d["reason"]
+    # the signal class is STRUCTURED (r13 ADVICE): consumers key the
+    # growth-rebuild deferral on row['trigger'], never on reason prose
+    assert d["trigger"] == "growth"
     assert d["growth_frac"] >= 1.0 and d["fit_rows"] > 0
     # threshold is a knob
     assert plan_maintenance(
@@ -447,7 +497,7 @@ def test_growth_rebuild_without_vectors_defers_not_compacts(
         for r, _d, fs in os.walk(idx) for f in fs
     )
     (row,) = auto_maintain(spark, {"idx": idx})
-    assert row["decision"] == "rebuild"
+    assert row["decision"] == "rebuild" and row["trigger"] == "growth"
     assert row["action"].startswith("noop (deferred")
     assert row["decision_after"] == "rebuild"  # honestly still pending
     files_after = sorted(

@@ -721,3 +721,17 @@ def test_curate_stream_self_maintenance_interleaved(spark):
         assert not os.path.isdir(
             os.path.join(maint_idx, "buckets", TOMBSTONE_DIR)
         )
+
+
+def test_takedown_id_column_name_beats_position():
+    """r13 ADVICE: a queue file that carries a NAMED doc_id column uses
+    it even when another column was prepended (a positional read would
+    silently retract the wrong values); without the name, the first
+    column stays the documented contract."""
+    from map_reduce_framework_using_python_spark.streaming.curation import (
+        _takedown_id_col,
+    )
+
+    assert _takedown_id_col(["ts", "doc_id"]) == "doc_id"
+    assert _takedown_id_col(["doc_id", "note"]) == "doc_id"
+    assert _takedown_id_col(["takedown_id", "why"]) == "takedown_id"

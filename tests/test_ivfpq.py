@@ -355,6 +355,9 @@ def test_lloyd_variant_full_probe_equals_bruteforce(spark, tmp_path):
     g = {r["vec_id"]: r["cosine"] for r in got.collect()}
     e = {r["vec_id"]: r["cosine"] for r in exact}
     assert g == e
+    # the IMI routing knob refuses a flat (non-hier) index loudly (r14)
+    with pytest.raises(ValueError, match="hier"):
+        ivfpq_topk_indexed(emb, path, 0, n_probe1=2)
     # and the batched grid-ordered probe (the oracle's exact form)
     # returns a 1..k ranking in quantized-cosine order per query
     batch = ivfpq_probe_index_batch(
@@ -953,6 +956,12 @@ def test_hier_full_probe_equals_bruteforce_and_stream_loop(
     g = {r["vec_id"]: r["cosine"] for r in got.collect()}
     e = {r["vec_id"]: r["cosine"] for r in exact}
     assert g == e
+    # IMI multi-sequence routing (r14): with n_probe1 >= k1 the walk
+    # considers every level-1 parent, so the full probe answers
+    # identically through the hierarchical route too
+    imi = ivfpq_topk_indexed(emb, path, 0, topk=10, n_probe=4,
+                             shortlist=600, n_probe1=2)
+    assert {r["vec_id"]: r["cosine"] for r in imi.collect()} == e
 
     batch = emb.filter(F.col("vec_id") % 13 == 5)
     drained = ivfpq_probe_stream(
@@ -1015,3 +1024,84 @@ def test_sdc_hier_reps_match_union_find(spark, tmp_path):
         keepers = [r["vec_id"] for r in rows
                    if r["vec_id"] in members and r["keep"]]
         assert keepers == [min(members)]
+
+
+def test_hier_lloyd_append_commutes_and_rebuild_keeps_flavor(
+    spark, tmp_path
+):
+    """The r14 hier-LLOYD lane (both levels + all codebooks fit by the
+    deterministic Lloyd kernel — the lane carrying the
+    ns_semdedup_sdc_hier_lloyd oracle): appends commute across batch
+    splits (frozen two-level routing is row-local), a rebuild refits
+    with THIS builder (hlloyd tag preserved), a spark.ml-only knob
+    (seed) refuses loudly, and rebuilt-from-full == fresh full build
+    at the code-row level (deterministic fits make this exact, not
+    just probe-level)."""
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        _read_meta,
+    )
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        build_ivfpq_index_hier_lloyd,
+        rebuild_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    head = emb.filter(F.col("vec_id") < 300)
+    t1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    t2 = emb.filter(F.col("vec_id") >= 400)
+    split = str(tmp_path / "split")
+    joint = str(tmp_path / "joint")
+    build_ivfpq_index_hier_lloyd(head, split, n_cells_l1=2, n_cells_l2=2,
+                                 m=4, k=4, n_iter=1, n_iter_sub=1)
+    append_to_ivfpq_index(t1, split)
+    append_to_ivfpq_index(t2, split)
+    build_ivfpq_index_hier_lloyd(head, joint, n_cells_l1=2, n_cells_l2=2,
+                                 m=4, k=4, n_iter=1, n_iter_sub=1)
+    append_to_ivfpq_index(t1.unionByName(t2), joint)
+    assert _codes_rows(spark, split) == _codes_rows(spark, joint)
+
+    with pytest.raises(ValueError, match="hier-lloyd"):
+        rebuild_ivfpq_index(emb, split, spark=spark, seed=7)
+    rebuild_ivfpq_index(emb, split, spark=spark)
+    meta = _read_meta(split)
+    assert meta["quantizer"] == "hlloyd2x2x1+4x4x1"
+    assert meta["hier"]["n_cells_l1"] == 2
+    fresh = str(tmp_path / "fresh")
+    build_ivfpq_index_hier_lloyd(emb, fresh, n_cells_l1=2, n_cells_l2=2,
+                                 m=4, k=4, n_iter=1, n_iter_sub=1)
+    assert _codes_rows(spark, split) == _codes_rows(spark, fresh)
+
+
+def test_sdc_grid_screen_keeps_recall(spark, tmp_path):
+    """grid_screen quantizes the SDC estimate before thresholding
+    (oracle parity for the hier-lloyd lane) — it must not cost recall
+    against the unscreened same-cell exact pairs any more than the raw
+    screen does at the same margin (the screens differ only at 1e-6
+    boundaries)."""
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        build_ivfpq_index_hier_lloyd,
+        sdc_near_pairs,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(300)
+    path = str(tmp_path / "hl")
+    build_ivfpq_index_hier_lloyd(emb, path, n_cells_l1=2, n_cells_l2=2,
+                                 m=4, k=4, n_iter=1, n_iter_sub=1)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in sdc_near_pairs(spark, path, emb, tau=0.4,
+                                margin=None).collect()
+    }
+    raw = {
+        (r["id_a"], r["id_b"])
+        for r in sdc_near_pairs(spark, path, emb, tau=0.4,
+                                margin=0.2).collect()
+    }
+    grid = {
+        (r["id_a"], r["id_b"])
+        for r in sdc_near_pairs(spark, path, emb, tau=0.4, margin=0.2,
+                                grid_screen=True).collect()
+    }
+    assert raw <= exact and grid <= exact
+    # the two screens may disagree only at 1e-6 quantization boundaries
+    assert len(raw ^ grid) <= max(1, len(exact) // 20)

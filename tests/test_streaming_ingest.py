@@ -152,3 +152,57 @@ def test_replayed_batch_does_not_self_match_minhash(spark, tmp_path):
     }
     batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
     assert {(d, d) for d in batch_ids} <= naive
+
+
+def test_screen_stream_maintenance_ledger_answers_unchanged(
+    spark, tmp_path
+):
+    """r14 (the r13 ledger unification completed): the dedup ingest
+    lanes' maintain_every tick writes the SAME parquet ledger schema as
+    curate_stream and the ANN ingest loops — one reader for every
+    self-maintaining stream — and ledgering/maintenance never changes
+    the drained answer (maintenance is layout-only)."""
+    import os
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        MAINTENANCE_LEDGER_SCHEMA,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % MOD != REM)
+    with_m = build_minhash_index(
+        corpus, str(tmp_path / "idx_m"), n=3, num_hashes=32, bands=16
+    )
+    without = build_minhash_index(
+        corpus, str(tmp_path / "idx_n"), n=3, num_hashes=32, bands=16
+    )
+    ledger = str(tmp_path / "ledger")
+
+    def stream():
+        return read_documents_stream(spark, SF_SMOKE).filter(
+            F.col("doc_id") % MOD == REM
+        )
+
+    got = screen_stream(
+        stream(), corpus, with_m,
+        out_dir=str(tmp_path / "p1"), checkpoint_dir=str(tmp_path / "c1"),
+        threshold=0.6, extend_index=True,
+        maintain_every=1, maintain_ledger_dir=ledger,
+    )
+    want = screen_stream(
+        stream(), corpus, without,
+        out_dir=str(tmp_path / "p2"), checkpoint_dir=str(tmp_path / "c2"),
+        threshold=0.6, extend_index=True,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert os.path.isdir(ledger)
+    rows = spark.read.schema(MAINTENANCE_LEDGER_SCHEMA).parquet(ledger).collect()
+    assert rows and all(r["index"] == "ingest" for r in rows)
+    assert all(r["kind"] == "minhash" for r in rows)
+    acted = [r for r in rows if r["action"] != "noop"]
+    assert all(
+        r["decision_after"] == "noop" or "deferred" in r["action"]
+        for r in acted
+    )

@@ -170,6 +170,14 @@ AUDIT = (
     "ns_ann_delete_probe",
     "ns_paragraph_retract_screen",
     "ns_semdedup_sdc",
+    # round 14: the hier-LLOYD SDC lane under the hash gate — the plan
+    # must show map-side routing through both frozen levels (no
+    # shuffle before the within-cell pair join), the broadcast SDC
+    # table, and the grid-screened candidate filter ahead of the
+    # exact-verify joins; the flat-PQ lloyd probe must keep the
+    # TakeOrdered shortlist + broadcast rerank join-back shape
+    "ns_semdedup_sdc_hier_lloyd",
+    "ns_pq_topk_lloyd",
     # round 12: DataFrame lateral join — Catalyst must rewrite the
     # per-row ORDER BY/LIMIT into partial+final WindowGroupLimit with
     # the filtered driving side broadcast (verified: BroadcastHashJoin

@@ -122,6 +122,73 @@ def main() -> None:
         spark, hier_idx, vecs, tau=0.4, margin=0.2
     ).count()
     out["sdc_hier_pairs_exec"] = round(time.time() - t0, 3)
+
+    # IMI multi-sequence routing vs composed-centroid ranking (r14 —
+    # the r13 NOTES crossover, measured): cell selection is pure
+    # driver math, so time it directly on the REAL hier meta
+    # (k_side² leaves) and on a synthetic 250×250 grid (the past-10⁵
+    # regime the composed sort cannot reach). The walk must pick
+    # near-identical cells at the real scale (overlap row) and stay
+    # flat where the composed sort grows with k1·k2.
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        _read_meta,
+    )
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        _hier_probe_cells,
+        _normalize_query,
+    )
+
+    meta = _read_meta(hier_idx)
+    qn = _normalize_query(
+        [float(x) for x in vecs.filter(F.col("vec_id") == 0)
+         .head()["embedding"]]
+    )
+    n_probe_cells = 64
+
+    def composed_rank(centroids, reps=1):
+        t = time.time()
+        for _ in range(reps):
+            sel = sorted(
+                range(len(centroids)),
+                key=lambda i: (
+                    sum((a - b) ** 2 for a, b in zip(qn, centroids[i])), i
+                ),
+            )[:n_probe_cells]
+        return sel, (time.time() - t) / reps
+
+    sel_c, t_c = composed_rank(meta["centroids"])
+    t = time.time()
+    sel_i = _hier_probe_cells(qn, meta, n_probe_cells, n_probe1=16)
+    t_i = time.time() - t
+    out["imi_real_leaves"] = len(meta["centroids"])
+    out["imi_real_composed_sec"] = round(t_c, 4)
+    out["imi_real_walk_sec"] = round(t_i, 4)
+    out["imi_real_cell_overlap"] = round(
+        len(set(sel_c) & set(sel_i)) / n_probe_cells, 3
+    )
+
+    # synthetic 250×250 grid: deterministic pseudo-centroids (values
+    # never matter for routing COST, only the eval count does)
+    import math
+
+    dim = len(qn)
+    k_big = 250
+    c1 = [[math.sin(i * dim + d) for d in range(dim)] for i in range(k_big)]
+    c2 = [[math.cos(j * dim + d) * 0.1 for d in range(dim)]
+          for j in range(k_big)]
+    big_meta = {"hier": {"centroids_l1": c1, "centroids_l2": c2}}
+    composed_big = [
+        [a + b for a, b in zip(c1[i], c2[j])]
+        for i in range(k_big) for j in range(k_big)
+    ]
+    _, t_cb = composed_rank(composed_big)
+    t = time.time()
+    _hier_probe_cells(qn, big_meta, n_probe_cells, n_probe1=16)
+    t_ib = time.time() - t
+    out["imi_big_leaves"] = k_big * k_big
+    out["imi_big_composed_sec"] = round(t_cb, 4)
+    out["imi_big_walk_sec"] = round(t_ib, 4)
+
     shutil.rmtree(hier_idx, ignore_errors=True)
 
     # append 1% (re-delivery) then compact
