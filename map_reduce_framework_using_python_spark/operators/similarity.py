@@ -551,6 +551,48 @@ def build_semdecon_kmeans_bench(
     return path
 
 
+def benchmark_max_cosine_kmeans_lloyd(
+    vectors: DataFrame,
+    bench: DataFrame,
+    tau6: int,
+    k: int = 6,
+    n_probe: int = 4,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str | None = "label",
+) -> DataFrame:
+    """:func:`benchmark_max_cosine_kmeans` with the DETERMINISTIC Lloyd
+    fit (operators/clustering.kmeans_fit) instead of spark.ml — the r14
+    promotion trick applied to the decontamination scale path: the
+    benchmark fit replays as a ``_kmeans_ctes`` chain over the bench
+    slice, the map-side cosine routing and the candidate max-agg are
+    the byte-identical :func:`_kmeans_route_score` tail the spark.ml
+    form uses, and every cross-engine float rides the proven fold
+    equivalence + the 1e-6 grid — so the ROUTED form carries a full
+    DuckDB oracle (ns_semantic_decontaminate_kmeans_lloyd) where the
+    spark.ml forms keep their recall-vs-exact pins. Same output
+    surface and subset guarantee (candidates score exactly — flags ⊆
+    the exact form's)."""
+    from map_reduce_framework_using_python_spark.operators.clustering import (
+        kmeans_fit,
+    )
+
+    keys = [id_col] if label_col is None else [id_col, label_col]
+    assigned, cents_list = kmeans_fit(
+        bench, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+    )
+    ball = assigned.select(
+        "cluster",
+        F.col("v").alias("bv"),
+        l2_norm(F.col("v")).alias("bn"),
+    )
+    cents = [(i, c) for i, c in enumerate(cents_list)]
+    return _kmeans_route_score(
+        vectors, ball, cents, tau6, min(n_probe, k), vec_col, keys
+    )
+
+
 def benchmark_max_cosine_kmeans_indexed(
     vectors: DataFrame,
     path: str,

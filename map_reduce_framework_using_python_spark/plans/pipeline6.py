@@ -552,6 +552,92 @@ def ns_semantic_decontaminate_kmeans(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _semdecon_kmeans_lloyd_oracle() -> str:
+    """Full DuckDB oracle for the LLOYD-fit kmeans-routed semantic
+    decontamination (r14): a deterministic k-means chain over the
+    BENCH slice (``_kmeans_ctes`` with ``src=``), per-corpus-vector
+    cosine ranking of the rounded centroids (the exact routing
+    expression _kmeans_route_score evaluates, cn included so the
+    floats are bit-identical), candidates restricted to the probed
+    clusters' bench members, and the grid-quantized max-cosine verdict
+    — the routed scale path under the hash gate where the spark.ml
+    forms are recall-pinned."""
+    from map_reduce_framework_using_python_spark.plans.clustering_queries import (
+        _kmeans_ctes,
+    )
+
+    k, ni, dim, n_probe = 6, 2, 64, 4
+    ctes = [
+        "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "benchv AS (SELECT vec_id, v FROM e WHERE vec_id % 16 = 7)",
+        "corp AS (SELECT vec_id, label, v FROM e WHERE vec_id % 16 <> 7)",
+    ]
+    ctes += _kmeans_ctes(k, ni, dim, pfx="b", vexpr="v", src="benchv")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+        ball AS (SELECT cluster, v AS bv FROM ba{ni}),
+        route AS (SELECT vec_id, cluster FROM (
+            SELECT c.vec_id, ct.cluster,
+                   row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                     -(list_sum(list_transform(list_zip(c.v, ct.cent),
+                                               p -> p[1] * p[2])))
+                     / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(ct.cent,
+                                                       x -> x * x)))),
+                     ct.cluster) AS rr
+            FROM corp c CROSS JOIN bcent{ni} ct)
+            WHERE rr <= {n_probe}),
+        mx AS (SELECT c.vec_id,
+                      max(list_cosine_similarity(c.v, ball.bv)) AS m
+               FROM corp c
+               JOIN route r ON r.vec_id = c.vec_id
+               JOIN ball ON ball.cluster = r.cluster
+               GROUP BY 1)
+        SELECT c.vec_id, c.label,
+               floor(m * 1000000.0 + 0.5) / 1000000.0 AS max_cosine,
+               coalesce(CAST(floor(m * 1000000.0 + 0.5) AS BIGINT)
+                        >= {_SEMDECON_TAU6}, false) AS contaminated
+        FROM corp c LEFT JOIN mx ON mx.vec_id = c.vec_id
+    """
+    )
+
+
+@query(
+    "ns_semantic_decontaminate_kmeans_lloyd",
+    oracle=_semdecon_kmeans_lloyd_oracle(),
+    tags=("northstar", "pipeline", "decontamination", "similarity",
+          "sketch"),
+)
+def ns_semantic_decontaminate_kmeans_lloyd(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The kmeans-ROUTED decontamination scale path under the FULL
+    DuckDB hash gate (r14): the benchmark slice is clustered by the
+    deterministic Lloyd kernel (k-smallest-id init, half-up 1e-6
+    centroid rounding — SQL-replayable, where the spark.ml fit of
+    ns_semantic_decontaminate_kmeans can only be recall-pinned), each
+    corpus vector routes map-side to its n_probe nearest centroids BY
+    COSINE off one broadcast row, and only co-routed bench members
+    score exactly; verdicts ride the 1e-6 grid. Routing/scoring tail
+    byte-shared with the spark.ml forms (_kmeans_route_score), so the
+    oracle also gates the machinery those rows-only forms run."""
+    from map_reduce_framework_using_python_spark.operators.similarity import (
+        benchmark_max_cosine_kmeans_lloyd,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    return benchmark_max_cosine_kmeans_lloyd(
+        e.filter(F.col("vec_id") % 16 != 7),
+        e.filter(F.col("vec_id") % 16 == 7),
+        _SEMDECON_TAU6,
+        k=6,
+        n_probe=4,
+        n_iter=2,
+    )
+
+
 def _ensure_semdecon_kmeans_bench(spark: SparkSession, sf_dir: str) -> str:
     """Build-or-reuse the persisted decon quantizer artifact under /tmp
     via the shared fingerprint-guarded machinery (the

@@ -481,3 +481,34 @@ def test_registry_indexed_kmeans_equals_inline_query(spark):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_semdecon_kmeans_lloyd_subset_and_recall(spark):
+    """The r14 LLOYD-fit routed form (the oracle-gated variant): same
+    subset guarantee as the spark.ml form — candidates score exactly,
+    so flags ⊆ the exact form's and non-null max ≤ exact max — with
+    recall ≥ 0.9 at the registry τ (the deterministic fit routes at
+    least as well as the seeded one on this corpus)."""
+    from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+
+    exact = {
+        r["vec_id"]: r
+        for r in REGISTRY["ns_semantic_decontaminate"].fn(spark, SF_SMOKE).collect()
+    }
+    km = {
+        r["vec_id"]: r
+        for r in REGISTRY["ns_semantic_decontaminate_kmeans_lloyd"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(km) == set(exact)
+    exact_flags = {k for k, r in exact.items() if r["contaminated"]}
+    km_flags = {k for k, r in km.items() if r["contaminated"]}
+    assert km_flags <= exact_flags
+    for k, r in km.items():
+        if r["max_cosine"] is not None:
+            assert r["max_cosine"] <= exact[k]["max_cosine"] + 1e-9, k
+    assert len(km_flags) / len(exact_flags) >= 0.9, (
+        len(km_flags),
+        len(exact_flags),
+    )
