@@ -696,6 +696,76 @@ def _hier_probe_cells(
     return [cell for _, cell in cand[: int(n_probe)]]
 
 
+def _nearest_cells_join_hier(
+    spark: SparkSession,
+    qframe: DataFrame,
+    c1: list[list[float]],
+    c2: list[list[float]],
+    n_probe: int,
+    n_probe1: int,
+) -> DataFrame:
+    """(q_id, centroid_id) per query via the DISTRIBUTED IMI
+    multi-sequence walk — the batch twin of :func:`_hier_probe_cells`:
+    rank level 1 with the k-independent broadcast-table join
+    (``_nearest_centroids_join`` over k1 rows), keep ``n_probe1``
+    parents per query, subtract each parent map-side (broadcast
+    centroid-array row), rank the residuals against the k2-row
+    level-2 table, and window the composed cells per query by the
+    exact leaf distance ‖(q − c1ᵢ) − c2ⱼ‖² (ties → composed cell id,
+    the composed sort's rule).
+
+    The 100 TB shape: broadcast state shrinks from k1·k2·dim doubles
+    (the composed centroid table — 32 MB at a 250×250×64 grid) to
+    (k1 + k2)·dim, and per-query work from k1·k2 to
+    k1 + n_probe1·k2 distance folds; only skinny
+    (q_id, cell, dist) rows reach the rank window."""
+    from pyspark.sql import Window
+
+    from map_reduce_framework_using_python_spark.operators.ann_index import (
+        _centroid_frame,
+        _nearest_centroids_join,
+    )
+
+    k2 = len(c2)
+    sel1 = _nearest_centroids_join(spark, qframe, c1, n_probe1)
+    r = (
+        qframe.join(sel1, "q_id")
+        .crossJoin(F.broadcast(_centroid_array_row(qframe, c1)))
+        .select(
+            "q_id",
+            F.col("centroid_id").alias("_l1"),
+            # _nearest_centroids_join emits a BIGINT cid; element_at's
+            # index must be INT (the r13 type-mismatch lesson)
+            F.expr(
+                "zip_with(qv, element_at(carr,"
+                " CAST(centroid_id AS INT) + 1), (a, b) -> a - b)"
+            ).alias("_rv"),
+        )
+    )
+    dists = (
+        r.join(F.broadcast(_centroid_frame(spark, c2)))
+        .select(
+            "q_id",
+            (F.col("_l1") * F.lit(k2) + F.col("cid")).cast("int").alias("cell"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("_rv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dist").asc(), F.col("cell").asc()
+    )
+    return (
+        dists.withColumn("_crn", F.row_number().over(w))
+        .filter(F.col("_crn") <= n_probe)
+        .select("q_id", F.col("cell").alias("centroid_id"))
+    )
+
+
 def _ivfpq_meta(path: str) -> dict:
     meta = _read_meta(path)
     if meta.get("kind") != "ivfpq":
@@ -842,6 +912,7 @@ def ivfpq_probe_index_batch(
     exclude_query_ids: bool = False,
     grid_order: bool = False,
     code_filter: F.Column | None = None,
+    n_probe1: int | None = None,
 ) -> DataFrame:
     """Batched multi-query IVFADC — the IVF-PQ twin of
     ``ivf_probe_index_batch``: every query vector in ``queries`` gets
@@ -877,7 +948,15 @@ def ivfpq_probe_index_batch(
     brute-force filtered top-k in tests/test_ann_delete.py; the
     full-oracle form is ns_ivfpq_filtered_lloyd. Tombstoned ids
     (:func:`~.ann_index.delete_from_index`) are dropped the same way on
-    every probe form."""
+    every probe form.
+
+    ``n_probe1`` (hier indexes only): route with the distributed IMI
+    multi-sequence walk (:func:`_nearest_cells_join_hier`) instead of
+    ranking all k1·k2 composed centroids — broadcast state and
+    per-query work shrink from k1·k2 to k1 + n_probe1·k2, the batch
+    scale path past ~10⁵ leaves. Default None keeps composed ranking
+    (literal structs up to MAX_LITERAL_CENTROIDS, broadcast-table join
+    above it)."""
     from pyspark.sql import Window
 
     meta = _ivfpq_meta(path)
@@ -914,7 +993,19 @@ def ivfpq_probe_index_batch(
     # persists up front; ContextCleaner reclaims the blocks when the
     # caller drops the returned frame.
     qbase = qbase.persist()
-    if len(centroids) <= _ann.MAX_LITERAL_CENTROIDS:
+    if n_probe1 is not None:
+        if not meta.get("hier"):
+            raise ValueError(
+                "ivfpq_probe_index_batch: n_probe1 is the two-level "
+                "(IMI) routing knob — this index has no hier quantizer"
+            )
+        h = meta["hier"]
+        sel = _nearest_cells_join_hier(
+            spark, qbase.select("q_id", F.col("qvn").alias("qv")),
+            h["centroids_l1"], h["centroids_l2"], n_probe, n_probe1,
+        )
+        routed = qbase.join(sel, "q_id").select("q_id", "qvn", "centroid_id")
+    elif len(centroids) <= _ann.MAX_LITERAL_CENTROIDS:
         dist_structs = _centroid_dist_structs(F.col("qvn"), centroids)
         routed = qbase.withColumn(
             "_probe", F.explode(F.slice(F.array_sort(dist_structs), 1, n_probe))

@@ -208,6 +208,7 @@ def ivfpq_probe_stream(
     maintain_every: int | None = None,
     maintain_thresholds: dict | None = None,
     maintain_ledger_dir: str | None = None,
+    n_probe1: int | None = None,
 ) -> DataFrame:
     """IVF-PQ twin of :func:`probe_stream` — same sink/replay contract,
     same ``(q_id, vec_id, label, cosine, rn)`` read-back, against a
@@ -237,6 +238,8 @@ def ivfpq_probe_stream(
         ivfpq_probe_index_batch(
             spark, batch_df, index_path, vectors, k=k, n_probe=n_probe,
             shortlist=shortlist, exclude_query_ids=extend_index,
+            # hier indexes may route via the distributed IMI walk (r14)
+            n_probe1=n_probe1,
         ).write.mode("append").parquet(out_dir)
         if extend_index:
             append_to_ivfpq_index(batch_df, index_path)

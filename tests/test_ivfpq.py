@@ -1105,3 +1105,40 @@ def test_sdc_grid_screen_keeps_recall(spark, tmp_path):
     assert raw <= exact and grid <= exact
     # the two screens may disagree only at 1e-6 quantization boundaries
     assert len(raw ^ grid) <= max(1, len(exact) // 20)
+
+
+def test_batch_imi_routing_equals_composed(spark, tmp_path):
+    """The DISTRIBUTED IMI walk (r14, _nearest_cells_join_hier): the
+    batched probe with n_probe1 >= k1 visits every level-1 parent, so
+    its answers equal the composed-centroid-ranked batch probe exactly
+    (full-probe cells identical; leaf distances differ only in float
+    association, which a full probe cannot observe). A flat index
+    refuses the knob loudly."""
+    from map_reduce_framework_using_python_spark.operators.ivfpq import (
+        build_ivfpq_index_hier,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "hier")
+    build_ivfpq_index_hier(
+        emb, path, n_cells_l1=2, n_cells_l2=2, m=4, k=4, seed=42
+    )
+    queries = emb.filter(F.col("vec_id") % 29 == 3)
+    composed = ivfpq_probe_index_batch(
+        spark, queries, path, emb, k=5, n_probe=4, shortlist=100
+    )
+    imi = ivfpq_probe_index_batch(
+        spark, queries, path, emb, k=5, n_probe=4, shortlist=100,
+        n_probe1=2,
+    )
+    assert sorted(map(tuple, imi.collect())) == sorted(
+        map(tuple, composed.collect())
+    )
+
+    flat = str(tmp_path / "flat")
+    build_ivfpq_index(emb, flat, n_centroids=4, m=4, k=4, seed=42)
+    with pytest.raises(ValueError, match="hier"):
+        ivfpq_probe_index_batch(
+            spark, queries, flat, emb, k=5, n_probe=2, shortlist=50,
+            n_probe1=2,
+        )

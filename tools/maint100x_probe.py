@@ -189,6 +189,21 @@ def main() -> None:
     out["imi_big_composed_sec"] = round(t_cb, 4)
     out["imi_big_walk_sec"] = round(t_ib, 4)
 
+    # end-to-end single-query probe against the REAL hier index, both
+    # routes (the recall surface is the exact rerank either way; the
+    # routing difference is where the time goes at big leaf counts)
+    t0 = time.time()
+    n_comp = ivfpq.ivfpq_topk_indexed(
+        vecs, hier_idx, 0, topk=10, n_probe=64, shortlist=200
+    ).count()
+    out["imi_probe_composed_exec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_imi = ivfpq.ivfpq_topk_indexed(
+        vecs, hier_idx, 0, topk=10, n_probe=64, shortlist=200, n_probe1=16
+    ).count()
+    out["imi_probe_walk_exec"] = round(time.time() - t0, 3)
+    out["imi_probe_rows"] = (n_comp, n_imi)
+
     shutil.rmtree(hier_idx, ignore_errors=True)
 
     # append 1% (re-delivery) then compact
