@@ -146,14 +146,23 @@ def _tombstone_frame(ids: DataFrame, id_col: str, opname: str) -> DataFrame:
     schema-less ``spark.read.parquet`` (one footer speaks for all
     files; a mixed int32/int64 log would poison every later probe).
     Integral ids are the layouts' standing contract
-    (``dedup_index._require_bigint_id``; the embeddings' vec_id)."""
-    dt = ids.schema[0].dataType.simpleString()
+    (``dedup_index._require_bigint_id``; the embeddings' vec_id).
+
+    Column choice (r14, the curation `_takedown_id_col` rule pushed to
+    the ONE seam every delete/retract verb crosses): a column NAMED
+    like the target layout's id column wins when present; otherwise
+    the FIRST column, positionally (the documented contract). A frame
+    that gained a leading non-id column (e.g. a prepended timestamp)
+    either resolves by name or fails the integral-type check below —
+    never silently retracts the wrong values."""
+    src = id_col if id_col in ids.columns else ids.columns[0]
+    dt = ids.schema[ids.columns.index(src)].dataType.simpleString()
     if dt not in ("bigint", "int", "smallint", "tinyint"):
         raise ValueError(
             f"{opname}: id column must be integral (got {dt}) — the "
             "index layouts pin BIGINT ids"
         )
-    return ids.select(F.col(ids.columns[0]).cast("bigint").alias(id_col))
+    return ids.select(F.col(src).cast("bigint").alias(id_col))
 
 
 def _has_tombstones(base: str) -> bool:
@@ -1823,6 +1832,32 @@ def write_maintenance_ledger(
         ],
         MAINTENANCE_LEDGER_SCHEMA,
     ).write.mode("append").parquet(ledger_dir)
+
+
+def maintenance_tick(
+    spark: SparkSession,
+    indexes: dict[str, str],
+    batch_id: int,
+    maintain_every: int | None,
+    thresholds: dict | None = None,
+    ledger_dir: str | None = None,
+) -> list[dict] | None:
+    """THE self-maintenance tick every ``maintain_every=`` stream
+    shares (r14 — one definition so the cadence gate, the executor
+    call, and the ledger write can never drift between lanes): after
+    every Nth micro-batch — callers invoke it inside their foreachBatch
+    quiescence window, the one place a stream owns its layouts — run
+    :func:`auto_maintain` over ``indexes`` and, when ``ledger_dir`` is
+    set, append the decision/trigger/action/decision_after rows to the
+    shared parquet ledger (:data:`MAINTENANCE_LEDGER_SCHEMA`). Returns
+    the rows, or None when the tick doesn't fire. Maintenance is
+    layout-only — every lane pins drained answers unchanged."""
+    if not maintain_every or (batch_id + 1) % maintain_every != 0:
+        return None
+    rows = auto_maintain(spark, indexes, **(thresholds or {}))
+    if ledger_dir:
+        write_maintenance_ledger(spark, rows, batch_id, ledger_dir)
+    return rows
 
 
 def scan_fraction(path: str, probed: list[int], part_col: str) -> float:

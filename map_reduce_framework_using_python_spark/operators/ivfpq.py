@@ -727,7 +727,9 @@ def _nearest_cells_join_hier(
     )
 
     k2 = len(c2)
-    sel1 = _nearest_centroids_join(spark, qframe, c1, n_probe1)
+    # clamp like the driver twin (_hier_probe_cells): n_probe1 <= 0
+    # must probe 1 parent, never silently return an empty frame
+    sel1 = _nearest_centroids_join(spark, qframe, c1, max(1, int(n_probe1)))
     r = (
         qframe.join(sel1, "q_id")
         .crossJoin(F.broadcast(_centroid_array_row(qframe, c1)))
@@ -960,6 +962,13 @@ def ivfpq_probe_index_batch(
     from pyspark.sql import Window
 
     meta = _ivfpq_meta(path)
+    if n_probe1 is not None and not meta.get("hier"):
+        # fail fast, before any query-frame work (the single-query
+        # twin's validation order)
+        raise ValueError(
+            "ivfpq_probe_index_batch: n_probe1 is the two-level "
+            "(IMI) routing knob — this index has no hier quantizer"
+        )
     centroids, books = meta["centroids"], meta["books"]
     id_col, label_col = meta["id_col"], meta["label_col"]
     vec_col = meta["vec_col"]
@@ -994,11 +1003,6 @@ def ivfpq_probe_index_batch(
     # caller drops the returned frame.
     qbase = qbase.persist()
     if n_probe1 is not None:
-        if not meta.get("hier"):
-            raise ValueError(
-                "ivfpq_probe_index_batch: n_probe1 is the two-level "
-                "(IMI) routing knob — this index has no hier quantizer"
-            )
         h = meta["hier"]
         sel = _nearest_cells_join_hier(
             spark, qbase.select("q_id", F.col("qvn").alias("qv")),

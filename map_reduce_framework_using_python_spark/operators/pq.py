@@ -436,41 +436,57 @@ def pq_topk_lloyd(
     )
 
     q = _query_vector(vectors, vec_col, id_col, query_vec_id)
-    vn = _normalized(vectors, vec_col, id_col, label_col)
-    head = vn.select(F.size("vn").alias("d")).head()
-    dim = int(head["d"])
-    if dim % m != 0:
-        raise ValueError(f"pq_topk_lloyd: dim {dim} not divisible by m {m}")
-    sub = dim // m
-    books = []
-    for j in range(m):
-        sliced = vn.select(
-            F.col(id_col), F.slice(F.col("vn"), j * sub + 1, sub).alias("_sub")
+    # persist around the m fits (the _fit_books discipline): each
+    # kmeans_fit runs an init collect + n_iter aggregate jobs over a
+    # slice, and without the cache every job would re-pay the
+    # normalization scan
+    vn = _normalized(vectors, vec_col, id_col, label_col).persist()
+    try:
+        head = vn.select(F.size("vn").alias("d")).head()
+        if head is None:
+            raise ValueError("pq_topk_lloyd: empty input")
+        dim = int(head["d"])
+        if dim % m != 0:
+            raise ValueError(
+                f"pq_topk_lloyd: dim {dim} not divisible by m {m}"
+            )
+        sub = dim // m
+        books = []
+        for j in range(m):
+            sliced = vn.select(
+                F.col(id_col),
+                F.slice(F.col("vn"), j * sub + 1, sub).alias("_sub"),
+            )
+            _, cents = kmeans_fit(
+                sliced, k=n_centroids, n_iter=n_iter, vec_col="_sub",
+                id_col=id_col,
+            )
+            books.append(cents)
+        codes = (
+            vn.crossJoin(F.broadcast(_books_row(vectors, books)))
+            # the ONE shared encode kernel (_code_expr — pq_encode and
+            # the IVF-PQ lane wrap the same string), evaluated against
+            # the cached normalized frame rather than re-normalizing
+            # through pq_encode
+            .select(id_col, label_col, _code_expr(sub).alias("codes"))
         )
-        _, cents = kmeans_fit(
-            sliced, k=n_centroids, n_iter=n_iter, vec_col="_sub",
-            id_col=id_col,
+        short = (
+            pq_adc_scores(codes, books, q)
+            .filter(F.col(id_col) != query_vec_id)
+            # grid-quantized ADC ordering (id tiebreak): the
+            # oracle-parity discipline of the batched probes'
+            # grid_order applied to the flat lane's shortlist boundary
+            .withColumn(
+                "_qadc", F.floor(F.col("adc") * 1e6 + F.lit(0.5)).cast("long")
+            )
+            .orderBy(F.col("_qadc").asc(), F.col(id_col))
+            .limit(int(shortlist))
+            .select(id_col)
         )
-        books.append(cents)
-    codes = (
-        vn.crossJoin(F.broadcast(_books_row(vectors, books)))
-        .select(id_col, label_col, _code_expr(sub).alias("codes"))
-    )
-    short = (
-        pq_adc_scores(codes, books, q)
-        .filter(F.col(id_col) != query_vec_id)
-        # grid-quantized ADC ordering (id tiebreak): the oracle-parity
-        # discipline of the batched probes' grid_order applied to the
-        # flat lane's shortlist boundary
-        .withColumn(
-            "_qadc", F.floor(F.col("adc") * 1e6 + F.lit(0.5)).cast("long")
+        candidates = vectors.join(F.broadcast(short), id_col).select(
+            id_col, label_col, _as_double(F.col(vec_col)).alias("v")
         )
-        .orderBy(F.col("_qadc").asc(), F.col(id_col))
-        .limit(int(shortlist))
-        .select(id_col)
-    )
-    candidates = vectors.join(F.broadcast(short), id_col).select(
-        id_col, label_col, _as_double(F.col(vec_col)).alias("v")
-    )
-    scored = cosine_scores(candidates, q, vec_col="v")
-    return _topk_tail(scored, k, id_col, label_col, grid=True)
+        scored = cosine_scores(candidates, q, vec_col="v")
+        return _topk_tail(scored, k, id_col, label_col, grid=True)
+    finally:
+        vn.unpersist()

@@ -106,8 +106,7 @@ def probe_stream(
     def probe(batch_df: DataFrame, batch_id: int) -> None:
         from map_reduce_framework_using_python_spark.operators.ann_index import (
             append_to_lsh_index,
-            auto_maintain,
-            write_maintenance_ledger,
+            maintenance_tick,
         )
 
         lsh_probe_index_batch(
@@ -116,14 +115,13 @@ def probe_stream(
         ).write.mode("append").parquet(out_dir)
         if extend_index:
             append_to_lsh_index(batch_df, index_path)
-        if maintain_every and (batch_id + 1) % maintain_every == 0:
-            rows = auto_maintain(
-                spark, {"ingest": index_path}, **(maintain_thresholds or {})
-            )
-            if maintain_ledger_dir:
-                write_maintenance_ledger(
-                    spark, rows, batch_id, maintain_ledger_dir
-                )
+        # the ONE shared self-maintenance tick (r14 dedup of the
+        # per-lane copies), inside the sequential callback — the
+        # quiescence window
+        maintenance_tick(
+            spark, {"ingest": index_path}, batch_id, maintain_every,
+            maintain_thresholds, maintain_ledger_dir,
+        )
 
     return _drain_probe_stream(batch_stream, probe, out_dir, checkpoint_dir)
 
@@ -243,24 +241,17 @@ def ivfpq_probe_stream(
         ).write.mode("append").parquet(out_dir)
         if extend_index:
             append_to_ivfpq_index(batch_df, index_path)
-        if maintain_every and (batch_id + 1) % maintain_every == 0:
-            # the probe_stream self-maintenance contract, composed-lane
-            # twin: layout-only (answers identical — the LSH pin's
-            # argument holds verbatim: compaction sheds replay
-            # duplicates the probe already dedups), run inside the
-            # sequential callback (the quiescence window)
-            from map_reduce_framework_using_python_spark.operators.ann_index import (
-                auto_maintain,
-                write_maintenance_ledger,
-            )
+        # the probe_stream self-maintenance contract, composed-lane
+        # twin: layout-only (answers identical — the LSH pin's
+        # argument holds verbatim), via the ONE shared tick
+        from map_reduce_framework_using_python_spark.operators.ann_index import (
+            maintenance_tick,
+        )
 
-            rows = auto_maintain(
-                spark, {"ingest": index_path}, **(maintain_thresholds or {})
-            )
-            if maintain_ledger_dir:
-                write_maintenance_ledger(
-                    spark, rows, batch_id, maintain_ledger_dir
-                )
+        maintenance_tick(
+            spark, {"ingest": index_path}, batch_id, maintain_every,
+            maintain_thresholds, maintain_ledger_dir,
+        )
 
     return _drain_probe_stream(batch_stream, probe, out_dir, checkpoint_dir)
 

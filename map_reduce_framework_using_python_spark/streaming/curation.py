@@ -353,8 +353,7 @@ def curate_stream(
 
     def _maintain(batch_id: int) -> None:
         from map_reduce_framework_using_python_spark.operators.ann_index import (
-            auto_maintain,
-            write_maintenance_ledger,
+            maintenance_tick,
         )
 
         targets = {
@@ -366,9 +365,11 @@ def curate_stream(
             )
             if p is not None
         }
-        rows = auto_maintain(spark, targets, **(maintain_thresholds or {}))
-        write_maintenance_ledger(
-            spark, rows, batch_id, os.path.join(out_root, "maintenance")
+        # the ONE shared tick (r14); curate_stream's ledger is always
+        # on — it lives in the stream's own out_root
+        maintenance_tick(
+            spark, targets, batch_id, maintain_every,
+            maintain_thresholds, os.path.join(out_root, "maintenance"),
         )
 
     def curate(batch_df: DataFrame, batch_id: int) -> None:

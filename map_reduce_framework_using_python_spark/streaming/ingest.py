@@ -67,19 +67,17 @@ def _maybe_maintain(
     plan-vs-effect drift is observable with one reader across every
     ``maintain_every=`` loop. Maintenance is layout-only (compaction
     sheds replay duplicates and retires tombstone logs the probes
-    already anti-join) — drained answers are pinned unchanged."""
-    if not maintain_every or (batch_id + 1) % maintain_every != 0:
-        return
+    already anti-join) — drained answers are pinned unchanged. Thin
+    lane-facing shim over the ONE shared
+    :func:`~..operators.ann_index.maintenance_tick`."""
     from map_reduce_framework_using_python_spark.operators.ann_index import (
-        auto_maintain,
-        write_maintenance_ledger,
+        maintenance_tick,
     )
 
-    rows = auto_maintain(
-        spark, {"ingest": index_path}, **(maintain_thresholds or {})
+    maintenance_tick(
+        spark, {"ingest": index_path}, batch_id, maintain_every,
+        maintain_thresholds, maintain_ledger_dir,
     )
-    if maintain_ledger_dir:
-        write_maintenance_ledger(spark, rows, batch_id, maintain_ledger_dir)
 
 
 def screen_stream(
@@ -374,9 +372,11 @@ def retract_stream(
         # The takedown loop is where tombstone_frac actually grows —
         # a maintain tick here lets the stream compact its own delete
         # log once the planner says so (same ledger as every other
-        # maintain_every loop).
+        # maintain_every loop). Outer stream session, NOT the
+        # micro-batch clone (the sibling lanes' rule; session clones
+        # are the r11 resolution-race class).
         _maybe_maintain(
-            batch_df.sparkSession, index_path, batch_id, maintain_every,
+            ids_stream.sparkSession, index_path, batch_id, maintain_every,
             maintain_thresholds, maintain_ledger_dir,
         )
 
