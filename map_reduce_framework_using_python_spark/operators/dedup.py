@@ -141,12 +141,46 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Hash flavors for the MinHash/LSH lane. ``xxhash64`` (default) is the
+#: fast JVM path; ``md5`` derives 48-bit integers from md5 hex — slower
+#: per hash, but CROSS-ENGINE REPRODUCIBLE (DuckDB computes the
+#: identical value as ``CAST('0x' || substr(md5(s), 1, 12) AS
+#: BIGINT)``), which is what lets a full MinHash-LSH pipeline carry a
+#: DuckDB oracle (ns_minhash_lsh_pairs_md5, r14) where the xxhash64
+#: form can only be recall-pinned. 48 bits (not 64) so the value fits
+#: a signed BIGINT on both engines with no sign/overflow edge.
+def _seeded_hash(seed: int, flavor: str, col: str = "shingle") -> str:
+    if flavor == "xxhash64":
+        return f"xxhash64({seed}, {col})"
+    if flavor == "md5":
+        return (
+            f"CAST(conv(substring(md5(concat('{seed}:', {col})), 1, 12),"
+            " 16, 10) AS BIGINT)"
+        )
+    raise ValueError(f"unknown minhash flavor: {flavor!r}")
+
+
+def _band_key(cols: str, flavor: str) -> str:
+    if flavor == "xxhash64":
+        return f"xxhash64({cols})"
+    if flavor == "md5":
+        casted = ", ".join(
+            f"CAST({c.strip()} AS STRING)" for c in cols.split(",")
+        )
+        return (
+            f"CAST(conv(substring(md5(concat_ws(',', {casted})), 1, 12),"
+            " 16, 10) AS BIGINT)"
+        )
+    raise ValueError(f"unknown minhash flavor: {flavor!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 64,
+    flavor: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: ``num_hashes`` seeded xxhash64
     permutations over the shingle set, min per permutation.
@@ -167,7 +201,7 @@ def minhash_signatures(
     # literal parses to the IntegerType F.lit(i) carried before, so the
     # hashes are bit-identical (pinned by every LSH recall test).
     cols = ", ".join(
-        f"min(xxhash64({i}, shingle)) AS h{i}" for i in range(num_hashes)
+        f"min({_seeded_hash(i, flavor)}) AS h{i}" for i in range(num_hashes)
     )
     return (
         sh.groupBy(id_col)
@@ -177,7 +211,8 @@ def minhash_signatures(
 
 
 def band_table(
-    sig: DataFrame, id_col: str = "doc_id", num_hashes: int = 64, bands: int = 16
+    sig: DataFrame, id_col: str = "doc_id", num_hashes: int = 64,
+    bands: int = 16, flavor: str = "xxhash64",
 ) -> DataFrame:
     """LSH band-bucket table ``(id, band, key)`` from a signature frame:
     the ``num_hashes`` mins split into ``bands`` bands of r rows each,
@@ -195,7 +230,9 @@ def band_table(
     items = []
     for b in range(bands):
         cols = ", ".join(f"h{i}" for i in range(b * r, (b + 1) * r))
-        items.append(f"named_struct('band', {b}, 'key', xxhash64({cols}))")
+        items.append(
+            f"named_struct('band', {b}, 'key', {_band_key(cols, flavor)})"
+        )
     return sig.select(
         F.col(id_col),
         F.expr("explode(array(" + ",".join(items) + "))").alias("bk"),
@@ -212,6 +249,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.6,
     max_bucket: int = 1024,
     anchor_k: int = 3,
+    flavor: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, exact-verified.
 
@@ -264,8 +302,8 @@ def minhash_lsh_pairs(
     from pyspark.sql import Window
 
     buckets = band_table(
-        minhash_signatures(df, text_col, id_col, n, num_hashes),
-        id_col, num_hashes, bands,
+        minhash_signatures(df, text_col, id_col, n, num_hashes, flavor),
+        id_col, num_hashes, bands, flavor,
     )
     # Per-bucket size + min-id anchor via an unordered window over the
     # ONE (band, key) exchange — sort-based and spillable, so even a

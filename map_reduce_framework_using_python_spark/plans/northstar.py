@@ -110,6 +110,67 @@ def ns_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ns_minhash_lsh_pairs_md5",
+    oracle="""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+               FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        hs AS (SELECT doc_id, s.i AS i,
+                      min(CAST('0x' || substr(md5(CAST(s.i AS VARCHAR)
+                               || ':' || shingle), 1, 12) AS BIGINT)) AS h
+               FROM sh CROSS JOIN range(0, 32) s(i) GROUP BY 1, 2),
+        sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hs GROUP BY doc_id),
+        bnd AS (SELECT doc_id, t.b AS band,
+                       CAST('0x' || substr(md5(concat_ws(',',
+                            hs[t.b*2+1], hs[t.b*2+2])), 1, 12) AS BIGINT) AS key
+                FROM sig CROSS JOIN range(0, 16) t(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+                 FROM bnd a JOIN bnd b2 ON b2.band = a.band
+                        AND b2.key = a.key AND a.doc_id < b2.doc_id),
+        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+                  FROM cand c
+                  JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+                  GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b,
+               round(i.n_shared * 1.0 / (ca.n + cb.n - i.n_shared), 4) AS jaccard
+        FROM inter i
+        JOIN counts ca ON ca.doc_id = i.doc_a
+        JOIN counts cb ON cb.doc_id = i.doc_b
+        WHERE i.n_shared * 1.0 / (ca.n + cb.n - i.n_shared) >= 0.6
+    """,
+    tags=("northstar", "dedup", "sketch"),
+)
+def ns_minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP dedup lane under the full DuckDB hash gate (r14):
+    the byte-identical MinHash + LSH banding pipeline
+    (operators/dedup.minhash_lsh_pairs — same banding, hot-bucket cap,
+    and exact-Jaccard verification as ns_minhash_lsh_pairs) with the
+    ``md5`` hash flavor: every seeded permutation and band key derives
+    a 48-bit integer from md5 hex, which BOTH engines compute
+    identically (Spark ``conv(substring(md5(s),1,12),16,10)``, DuckDB
+    ``CAST('0x' || substr(md5(s),1,12) AS BIGINT)``) — so the oracle
+    replays shingling → 32 seeded mins → 16 band keys → bucket
+    pairing → exact verification end to end, where the xxhash64 flavor
+    is engine-private and can only be recall-pinned. The oracle's
+    all-pairs-within-bucket form is exact at these SFs (no bucket
+    exceeds max_bucket — the hot-bucket star never engages; parity
+    itself verifies that)."""
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        num_hashes=32,
+        bands=16,
+        threshold=0.6,
+        flavor="md5",
+    )
+
+
 #: Batch/corpus split for the incremental-index query: every 16th doc
 #: (by id) plays the role of the arriving ingest batch (~6%), the rest
 #: are the already-indexed corpus.
