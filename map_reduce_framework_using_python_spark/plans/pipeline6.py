@@ -146,7 +146,17 @@ def _bigram_lm(spark: SparkSession, sf_dir: str, model_join: str) -> DataFrame:
         .filter(nw > 1)
         .select("doc_id", F.explode(bigrams).alias("bg"))
     )
-    c12 = bg.groupBy("bg").agg(F.count("*").alias("n12"))
+    # Persisted (lazily — the r7 persist discipline; ContextCleaner
+    # reclaims): TWO consumers read c12 — the unigram-prefix aggregate
+    # c1 and the model join below — and their differing projections
+    # defeat ReuseExchange, so without the persist Catalyst re-derives
+    # the whole corpus scan + split + bigram explode for each
+    # (measured r14: 3 corpus scans/explodes per LM derivation, 2 of
+    # them for the model). c12 is VOCABULARY-bounded (Heaps' law —
+    # distinct bigrams, not corpus rows), so caching it is bounded
+    # model state, never a corpus-sized cache; the corpus now pays
+    # exactly 2 scans: one to build c12, one for the scored join.
+    c12 = bg.groupBy("bg").agg(F.count("*").alias("n12")).persist()
     # Unigram-prefix counts derive from the bigram counts (sum n12 per
     # w1) — aggregating the vocabulary-sized c12, not a second pass
     # over the corpus-sized exploded table. Spark's sum(bigint) stays

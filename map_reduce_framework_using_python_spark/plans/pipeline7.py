@@ -729,7 +729,16 @@ def _ccnet_scaled_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = _bigram_lm(spark, sf_dir, "shuffle")
     d = t(spark, sf_dir, "documents").select("doc_id", "lang")
     li6 = F.floor(F.col("avg_logp") * 1e6 + F.lit(0.5)).cast("bigint")
-    s = lm.join(d, "doc_id").select("doc_id", "lang", li6.alias("li6"))
+    # Persisted (lazily — the r7 discipline, same as the capstone's
+    # tokc): the histogram below AND the final assignment join both
+    # consume s, and their differing projections defeat ReuseExchange —
+    # without the persist the ENTIRE bigram-LM pipeline (corpus scan +
+    # explode + model join) is derived twice per assignment (measured
+    # r14: ns_ccnet_buckets_scaled paid 2× the LM's corpus work). s is
+    # one NARROW row per doc (doc_id, lang, li6 — the guide-§8
+    # lightweight-proxy shape), spillable at scale via the default
+    # MEMORY_AND_DISK level.
+    s = lm.join(d, "doc_id").select("doc_id", "lang", li6.alias("li6")).persist()
     h = s.groupBy("lang", "li6").agg(F.count("*").alias("cnt"))
     c = h.select(
         "lang",

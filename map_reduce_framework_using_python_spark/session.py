@@ -44,6 +44,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan (coalesce) the shuffles INSIDE a cached-plan
+        # materialization (default false pins a cached subtree to the
+        # static shuffle-partition count for output-partitioning
+        # stability). Our lazily-persisted intermediates (the capstone
+        # curated table, the r14 bigram-model/score caches) are bounded
+        # model state whose consumers never rely on their partitioning,
+        # and without AQE their materialization runs every tiny shuffle
+        # at the full static partition count (r14: measured 32 near-
+        # empty tasks per cached stage at bench scale; at cluster scale
+        # the static count is just as wrong in the other direction).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

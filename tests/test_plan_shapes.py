@@ -333,17 +333,26 @@ def test_semantic_decontaminate_one_narrow_exchange(spark):
 
 def test_training_capstone_corpus_scans_confined_to_cached_subtree(spark):
     """r9: the mixture/realize/pack stages must add ZERO corpus scans —
-    every FileScan lives inside the one cached curated-table subtree,
-    so total scans == cache-reads × cached-subtree scans exactly (the
-    tests/test_pipeline8.py pin, frozen here beside the other headline
-    shapes)."""
+    every FileScan lives inside a cached subtree (the curated table,
+    plus the r14 nested bigram-model/score caches). Asserted
+    structurally since r14 (the textual modulo pin relied on
+    single-level cache reprinting; see tests/test_pipeline8.py): the
+    physical tree outside cache boundaries must contain no file scan
+    at all."""
     df = REGISTRY["ns_training_capstone"].fn(spark, SF_SMOKE)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    n_imts = plan.count("InMemoryTableScan")
-    n_scans = plan.count("Scan parquet")
-    assert n_imts > 0
-    assert n_scans % n_imts == 0, (n_scans, n_imts)
-    assert "BatchEvalPython" not in plan
+    root = df._jdf.queryExecution().executedPlan()
+    if root.nodeName() == "AdaptiveSparkPlan":
+        root = root.initialPlan()
+
+    def walk(node):
+        yield node
+        for i in range(node.children().size()):
+            yield from walk(node.children().apply(i))
+
+    names = [n.nodeName() for n in walk(root)]
+    assert sum(1 for n in names if "InMemoryTableScan" in n) > 0, names
+    assert not any("Scan parquet" in n or "FileScan" in n for n in names), names
+    assert "BatchEvalPython" not in df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_curate_batch_composed_plan_per_batch_cost_shape(spark):
