@@ -248,6 +248,18 @@ def _seq_sqnorm_cols(np, M):
     return acc
 
 
+# r14 note (examined, deliberately NOT applied): extending the Arrow
+# kernel to the pair-verification tails (SDC verify, SemDeDup
+# cluster_cosine_pairs) LOSES — those tails evaluate the dot on JOIN
+# OUTPUT, so the Python boundary would carry O(candidate-pairs) rows
+# with two vector payloads each (~2.7 GB at the 10× SDC probe;
+# measured 4.6 s Arrow vs 3.3 s JVM fold, back-to-back best-of-3).
+# benchmark_max_cosine wins because only O(corpus rows) cross the
+# boundary and the bench suite rides a broadcast. The transferable
+# rule is guide §8's: ship small rows across expensive boundaries —
+# per-vector passes vectorize well, per-pair passes do not.
+
+
 #: Threshold (1e-6 grid) above which benchmark_max_cosine_lsh's recall
 #: is pinned (~0.96/item measured on planted near-verbatim leaks at the
 #: default radius 2). Below it the hyperplane scheme under-recalls and
