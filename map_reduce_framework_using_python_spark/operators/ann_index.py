@@ -137,7 +137,14 @@ def delete_from_index(ids, path: str, spark: SparkSession | None = None) -> None
             [(int(i),) for i in ids], f"{id_col} bigint"
         )
     ts = _tombstone_frame(ids, id_col, "delete_from_index")
-    ts.write.mode("append").parquet(os.path.join(base, TOMBSTONE_DIR))
+    # coalesce(1): the log is O(|deleted ids|) by design — one file per
+    # delete call instead of one per input partition (r14, guide §6:
+    # a 4.5k-id retract wrote 22 tiny files, and every later probe
+    # lists and footer-reads each of them; compaction retires the log
+    # either way).
+    ts.coalesce(1).write.mode("append").parquet(
+        os.path.join(base, TOMBSTONE_DIR)
+    )
 
 
 def _tombstone_frame(ids: DataFrame, id_col: str, opname: str) -> DataFrame:

@@ -155,9 +155,11 @@ def retract_docs_from_index(ids, path: str, spark: SparkSession | None = None) -
         _tombstone_frame,
     )
 
-    _tombstone_frame(ids, id_col, "retract_docs_from_index").write.mode(
-        "append"
-    ).parquet(os.path.join(live, TOMBSTONE_DIR))
+    # coalesce(1): one log file per retract call, not one per input
+    # partition (r14 — the delete_from_index rule; see its comment).
+    _tombstone_frame(ids, id_col, "retract_docs_from_index").coalesce(
+        1
+    ).write.mode("append").parquet(os.path.join(live, TOMBSTONE_DIR))
 
 
 def _live_rows(idx: DataFrame, path: str, kind_key, id_col: str) -> DataFrame:
