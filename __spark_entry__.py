@@ -167,7 +167,6 @@ _LAST_VERIFIED: dict[str, int] = {
     **dict.fromkeys((
         "q_from_xml", "q_xml_roundtrip",
         "ns_hash_embed", "ns_token_entropy",
-        "ns_ccnet_buckets",
         "ns_temperature_mixture",
         "q_sql_star_except",
         "q_sql_lateral_alias", "q_sql_parameterized", "q_sql_collation",
@@ -183,7 +182,6 @@ _LAST_VERIFIED: dict[str, int] = {
     # round 6 (CORRECTNESS_r06.json) — all 50 rows green: the five
     # round-6 additions plus the stalest r1/r2 cohort re-verified.
     **dict.fromkeys((
-        "ns_ccnet_buckets_scaled", "ns_ccnet_sample",
         "ns_cosine_topk", "ns_dedup_exact", "ns_embedding_near_pairs",
         "ns_embedding_norms", "ns_epoch_plan", "ns_fingerprint",
         "ns_lang_stats", "ns_language_id", "ns_paragraph_dedup", "ns_quality_scores", "ns_token_stats", "ns_wordcount",
@@ -207,8 +205,7 @@ _LAST_VERIFIED: dict[str, int] = {
     # ns_span_dedup, q_data_quality, q_dpp_partitioned, q_spearman)
     # stay ABSENT → unverified tier, leading the round-8 window.
     **dict.fromkeys((
-        "mr_wordcount_pipe", "ns_ann_probe_batch", "ns_bigram_lm_score",
-        "ns_bigram_lm_score_broadcast", "ns_bigram_rarity",
+        "mr_wordcount_pipe", "ns_ann_probe_batch", "ns_bigram_rarity",
         "ns_chunk_documents", "ns_corpus_drift", "ns_dedup_keep_best",
         "ns_dsir_resample", "ns_dsir_weights", "ns_dup_clusters",
         "ns_ivf_probe_batch", "ns_ngram_jaccard_pairs",
@@ -224,7 +221,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "q_join_asof_forward", "q_join_asof_nearest", "q_math_funcs",
         "q_python_udtf", "q_scalar_subquery", "q_scd2_point_in_time",
         "q_session_dynamic_gap", "q_time_weighted_avg", "q_try_arithmetic",
-        "q_window_ntile", "q_window_pct", "st_dsir_gate",
+        "q_window_ntile", "q_window_pct",
     ), 7),
     # st_mrtext_stream: red in r11 (driver-session resolution race) and
     # hardened in r12 (with_resolution_retry) → deliberately ABSENT, so
@@ -240,7 +237,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "ns_kmeans_sizes", "ns_paragraph_dedup_apply",
         "ns_paragraph_screen", "ns_paragraph_screen_apply",
         "ns_phrase_search", "ns_pps_sample", "ns_span_dedup",
-        "ns_training_capstone", "q02_min_cost_supplier",
+        "q02_min_cost_supplier",
         "q07_nation_volume", "q08_market_share", "q09_product_profit",
         "q13_customer_distribution", "q15_top_supplier",
         "q16_parts_supplier_count", "q22_idle_customers",
@@ -285,7 +282,7 @@ _LAST_VERIFIED: dict[str, int] = {
     # the stalest r5/r6 cohort re-verified. Queries whose output surface
     # changes in r11 drop back to the unverified tier per the rule.
     **dict.fromkeys((
-        "ns_bpe_encode", "ns_ccnet_buckets", "ns_cosine_topk",
+        "ns_bpe_encode", "ns_cosine_topk",
         "ns_dedup_exact", "ns_embedding_norms", "ns_exact_substring_apply",
         "ns_exact_substring_spans", "ns_fingerprint", "ns_hash_embed",
         "ns_lang_stats", "ns_language_id", "ns_quality_scores",
@@ -307,9 +304,8 @@ _LAST_VERIFIED: dict[str, int] = {
     # hardened in r12 and dropped to the unverified tier above): the
     # six r11 additions plus the stalest r7 cohort re-verified.
     **dict.fromkeys((
-        "mr_wordcount_pipe", "ns_ann_delete_probe", "ns_bigram_lm_score",
-        "ns_bigram_lm_score_broadcast", "ns_ccnet_buckets_scaled",
-        "ns_ccnet_sample", "ns_embedding_near_pairs", "ns_epoch_plan",
+        "mr_wordcount_pipe", "ns_ann_delete_probe",
+        "ns_embedding_near_pairs", "ns_epoch_plan",
         "ns_ivfpq_filtered_lloyd", "ns_ivfpq_probe_lloyd",
         "ns_ngram_jaccard_pairs", "ns_paragraph_dedup",
         "ns_paragraph_retract_screen", "ns_source_overlap",
@@ -346,9 +342,20 @@ _LAST_VERIFIED: dict[str, int] = {
         "q_sql_exec_immediate", "q_sql_scripting", "q_sql_variables",
         "q_time_weighted_avg", "q_transpose", "q_try_arithmetic",
         "q_udtf_polymorphic", "q_udtf_table_arg", "q_window_pct",
-        "st_dsir_gate", "st_mrtext_sink", "st_mrtext_stream",
+        "st_mrtext_sink", "st_mrtext_stream",
         "st_state_read", "st_stream_join_left",
     ), 12),
+    # round 15 note (optimization round 2): the r14-verdict item-4
+    # queries — the six whose lanes gained the r14 persists
+    # (ns_bigram_lm_score + _broadcast, ns_ccnet_buckets + _scaled,
+    # ns_ccnet_sample, ns_training_capstone, st_dsir_gate) — were
+    # REMOVED from their tiers below so they lead the r15 window: they
+    # changed in r14 but rotated out of the r14 driver window before
+    # the change landed. ns_semantic_decontaminate_kmeans_lloyd is
+    # likewise ABSENT from tier 14 (its routing/scoring tail moved to
+    # the r15 Arrow kernel — bit-identical output, verified, but the
+    # plan is new, so the driver should re-earn the green per the
+    # standing rule).
     # round 13 (CORRECTNESS_r13.json) — 50 of 50 rows green: the two
     # r13 promotions (ns_lsh_topk_indexed, ns_ivf_topk_indexed) plus
     # the stalest tier-7/8 cohort re-verified. Queries whose output
@@ -359,7 +366,7 @@ _LAST_VERIFIED: dict[str, int] = {
         "ns_ivf_topk_indexed", "ns_kmeans_sizes", "ns_lsh_topk_indexed",
         "ns_paragraph_dedup_apply", "ns_paragraph_screen",
         "ns_paragraph_screen_apply", "ns_phrase_search", "ns_pps_sample",
-        "ns_span_dedup", "ns_training_capstone", "q02_min_cost_supplier",
+        "ns_span_dedup", "q02_min_cost_supplier",
         "q08_market_share", "q09_product_profit",
         "q13_customer_distribution", "q15_top_supplier",
         "q16_parts_supplier_count", "q22_idle_customers",
@@ -374,6 +381,30 @@ _LAST_VERIFIED: dict[str, int] = {
         "q_sql_pipe_syntax", "q_sql_udf", "q_triangle_count",
         "q_wau_rolling", "q_window_count_distinct", "q_window_nth",
     ), 13),
+    # round 14 (CORRECTNESS_r14.json) — 50 of 50 rows green: the six
+    # never-driver-verified partial-build-round promotions plus the
+    # stalest r9 cohort. ns_semantic_decontaminate_kmeans_lloyd was
+    # green in this window but is deliberately ABSENT (r15 Arrow-kernel
+    # plan rework — see the round-15 note above).
+    **dict.fromkeys((
+        "ns_corpus_build", "ns_corpus_report", "ns_decontaminate",
+        "ns_doc_decontaminate", "ns_event_transitions", "ns_fuzzy_match",
+        "ns_hash_sample", "ns_int8_quantize", "ns_minhash_lsh_pairs_md5",
+        "ns_mixture_upsample", "ns_pq_topk_lloyd", "ns_quality_filter",
+        "ns_semantic_decontaminate", "ns_semdedup_sdc_hier_lloyd",
+        "ns_semdedup_sdc_hier_lloyd_reps", "ns_sequence_packing",
+        "ns_shingle_containment", "ns_source_gini", "ns_stratified_sample",
+        "ns_text_normalize", "ns_tfidf", "ns_train_val_test",
+        "ns_word_cooccurrence", "q00_scan_count", "q01_pricing_summary",
+        "q02_filter_project", "q03_global_topn", "q06_forecast_revenue",
+        "q12_priority_by_returnflag", "q18_large_orders_bucketed",
+        "q_case_expr", "q_count_distinct", "q_cube", "q_distinct",
+        "q_distinct_subset", "q_except", "q_gap_fill", "q_intersect",
+        "q_pivot", "q_retention", "q_rollup", "q_sql_lateral_topk",
+        "q_sql_recursive_months", "q_topk_with_ties", "q_union",
+        "q_value_histogram", "st_semantic_decontaminate",
+        "st_stream_join_full", "st_stream_join_semi",
+    ), 14),
 }
 
 
