@@ -85,3 +85,39 @@ def half_up(col: Column, scale: int = 2) -> Column:
     ``floor(CAST(x AS DOUBLE) * 10^s + 0.5) / 10^s``)."""
     m = float(10**scale)
     return F.floor(col.cast("double") * m + F.lit(0.5)) / m
+
+
+# --------------------------------------------------------------------------
+# Lane-scoped persist bookkeeping (r15, per the r14 verdict)
+#
+# Several query builders lazily persist a bounded per-corpus intermediate
+# (the bigram-model counts, the CCNet score proxy, the capstone token
+# table). The persist must outlive the builder — the RETURNED plan reads
+# the cached subtree — so the builder cannot unpersist it, and Spark's
+# CacheManager holds the relation until an explicit unpersist (the
+# in-code "ContextCleaner reclaims" note was wrong: that applies to RDD
+# shuffle/broadcast cleanup, not DataFrame cache entries). Left alone,
+# a long session touching many corpora accumulates one entry per
+# (lane, sf_dir) forever. This registry bounds that to ONE corpus per
+# lane: building the same lane for a NEW sf_dir unpersists the previous
+# corpus's entry (blocking=False — eviction is async, correctness never
+# depends on it). Re-persisting the same (lane, sf_dir) is a no-op at
+# the CacheManager level (identical plan), so repeated builder calls,
+# including bench reps after spark.catalog.clearCache(), stay correct.
+# --------------------------------------------------------------------------
+
+_LANE_PERSISTS: dict[str, tuple[str, "DataFrame"]] = {}
+
+
+def persist_lane(lane: str, sf_dir: str, df: "DataFrame") -> "DataFrame":
+    """Persist ``df`` (default MEMORY_AND_DISK) as ``lane``'s bounded
+    per-corpus intermediate, releasing the lane's previous corpus."""
+    prev = _LANE_PERSISTS.get(lane)
+    if prev is not None and prev[0] != sf_dir:
+        try:
+            prev[1].unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — a dead session must not fail a new plan
+            pass
+    df = df.persist()
+    _LANE_PERSISTS[lane] = (sf_dir, df)
+    return df

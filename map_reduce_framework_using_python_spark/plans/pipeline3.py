@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_framework_using_python_spark.plans.core import half_up, query, t
+from map_reduce_framework_using_python_spark.plans.core import half_up, persist_lane, query, t
 
 
 @query(
@@ -229,7 +229,9 @@ def ns_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted lazily: the counter table feeds both the probe join and
     # the total (Σcount / D) — without it the corpus aggregation runs
     # twice. It is ≤ D×W rows, trivially cached.
-    counters = cells.groupBy("i", "b").agg(F.count("*").alias("c")).persist()
+    counters = persist_lane(
+        "cms_counters", sf_dir, cells.groupBy("i", "b").agg(F.count("*").alias("c"))
+    )
     total = counters.agg(
         (F.coalesce(F.sum("c"), F.lit(0)) / D).cast("long").alias("n_total")
     )

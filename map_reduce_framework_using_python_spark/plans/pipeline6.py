@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_framework_using_python_spark.plans.core import half_up, query, t
+from map_reduce_framework_using_python_spark.plans.core import half_up, persist_lane, query, t
 
 #: Fixed-point grid for per-bigram log-probability terms: quantizing
 #: each term to 1e-9 then summing as BIGINT makes the per-document sum
@@ -146,8 +146,8 @@ def _bigram_lm(spark: SparkSession, sf_dir: str, model_join: str) -> DataFrame:
         .filter(nw > 1)
         .select("doc_id", F.explode(bigrams).alias("bg"))
     )
-    # Persisted (lazily — the r7 persist discipline; ContextCleaner
-    # reclaims): TWO consumers read c12 — the unigram-prefix aggregate
+    # Persisted (lazily — the r7 persist discipline; lane-scoped
+    # unpersist via persist_lane, r15): TWO consumers read c12 — the unigram-prefix aggregate
     # c1 and the model join below — and their differing projections
     # defeat ReuseExchange, so without the persist Catalyst re-derives
     # the whole corpus scan + split + bigram explode for each
@@ -156,7 +156,9 @@ def _bigram_lm(spark: SparkSession, sf_dir: str, model_join: str) -> DataFrame:
     # distinct bigrams, not corpus rows), so caching it is bounded
     # model state, never a corpus-sized cache; the corpus now pays
     # exactly 2 scans: one to build c12, one for the scored join.
-    c12 = bg.groupBy("bg").agg(F.count("*").alias("n12")).persist()
+    c12 = persist_lane(
+        "bigram_c12", sf_dir, bg.groupBy("bg").agg(F.count("*").alias("n12"))
+    )
     # Unigram-prefix counts derive from the bigram counts (sum n12 per
     # w1) — aggregating the vocabulary-sized c12, not a second pass
     # over the corpus-sized exploded table. Spark's sum(bigint) stays

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from map_reduce_framework_using_python_spark.plans.core import query, t
+from map_reduce_framework_using_python_spark.plans.core import persist_lane, query, t
 from map_reduce_framework_using_python_spark.plans.pipeline6 import (
     _BIGRAM_LM_ORACLE,
     _LOG_GRID,
@@ -738,7 +738,10 @@ def _ccnet_scaled_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one NARROW row per doc (doc_id, lang, li6 — the guide-§8
     # lightweight-proxy shape), spillable at scale via the default
     # MEMORY_AND_DISK level.
-    s = lm.join(d, "doc_id").select("doc_id", "lang", li6.alias("li6")).persist()
+    s = persist_lane(
+        "ccnet_score_proxy", sf_dir,
+        lm.join(d, "doc_id").select("doc_id", "lang", li6.alias("li6")),
+    )
     h = s.groupBy("lang", "li6").agg(F.count("*").alias("cnt"))
     c = h.select(
         "lang",

@@ -39,7 +39,7 @@ from map_reduce_framework_using_python_spark.operators.dedup_index import (
     PARA_WORDS,
     paragraph_clean_expr,
 )
-from map_reduce_framework_using_python_spark.plans.core import query, t
+from map_reduce_framework_using_python_spark.plans.core import persist_lane, query, t
 from map_reduce_framework_using_python_spark.plans.pipeline7 import (
     _CCNET_ASSIGN_ORACLE,
     _ccnet_scaled_assign,
@@ -1148,7 +1148,7 @@ def ns_training_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standalone stages' shapes."""
     # Two consumers (epoch aggregate + realize join) — without the
     # persist Catalyst derives the whole screen+cut pipeline twice.
-    tokc = _capstone_tokc(spark, sf_dir).persist()
+    tokc = persist_lane("capstone_tokc", sf_dir, _capstone_tokc(spark, sf_dir))
     return _pack_shards(_realize_stream(tokc, _plan_e6(_epoch_plan_from_tok(tokc))))
 
 
