@@ -541,11 +541,159 @@ def _kmeans_route_score(
     keys: list[str],
 ) -> DataFrame:
     """The routing + scoring tail shared by the inline
-    (:func:`benchmark_max_cosine_kmeans`) and artifact-backed
-    (:func:`benchmark_max_cosine_kmeans_indexed`) forms, so the two
-    can never drift: map-side top-n_probe centroid routing off the
-    broadcast one-row struct-array, broadcast candidate-ball
-    equi-join, per-vector partial max-agg, full-coverage left join."""
+    (:func:`benchmark_max_cosine_kmeans`), Lloyd
+    (:func:`benchmark_max_cosine_kmeans_lloyd`), and artifact-backed
+    (:func:`benchmark_max_cosine_kmeans_indexed`) forms, so they can
+    never drift.
+
+    r15 (optimization round, guide §4.2 + §2.4): the per-row JVM
+    routing fold (k×d interpreted mult-adds per corpus vector), the
+    broadcast candidate-ball equi-join, the per-vector max-agg
+    exchange, and the corpus⋈corpus full-coverage left join are all
+    replaced by ONE ``mapInArrow`` pass — the
+    :func:`benchmark_max_cosine` kernel extended with centroid
+    routing. The ball is a bounded benchmark artifact by contract
+    (the same object the old plan broadcast), so it rides to every
+    task as a SparkContext broadcast; the plan is scan → MapInArrow →
+    project with ZERO joins and ZERO exchanges.
+
+    Bit-identity with the retired fold plan
+    (:func:`_kmeans_route_score_fold`, kept for the equivalence pin in
+    tests/test_similarity.py): every float is produced by the fold's
+    exact IEEE evaluation order — rank-1 dim-by-dim accumulation for
+    the routing dots, centroid norms, and candidate cosines
+    (:func:`_seq_sqnorm_cols`), stored ``bn`` used verbatim — and the
+    top-``n_probe`` selection replicates Spark's
+    ``array_sort(struct(negcos, cid))`` ordering exactly:
+    ``np.lexsort`` compares doubles with IEEE equality (so ±0.0 ties
+    break to the lowest cid, like SQLOrderingUtil.compareDoubles) and
+    places NaN last (NaN-vs-NaN ties also to cid) — verified against
+    array_sort on crafted NaN/±0.0/tie cases. Rows whose probed
+    clusters hold no candidates emit NULL/false, exactly the old
+    left-join miss."""
+    import numpy as np
+
+    spark = vectors.sparkSession
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in vectors.select(*keys).schema.fields
+    )
+    if any(i != int(cid) for i, (cid, _) in enumerate(cents)):
+        raise ValueError("_kmeans_route_score: cids must be 0..k-1 in order")
+    Cm = np.asarray([c for _, c in cents], dtype=np.float64)
+    if Cm.ndim != 2:
+        raise ValueError("_kmeans_route_score: ragged or empty centroids")
+    k, d = Cm.shape
+    n_probe = min(int(n_probe), k)
+    Cn = np.sqrt(_seq_sqnorm_cols(np, Cm))
+    # The candidate ball is the bounded benchmark artifact (the old
+    # plan broadcast it); group its members per cluster once on the
+    # driver. bn is the STORED norm — the same value the join plan
+    # read — so candidate cosines divide by identical doubles.
+    ball_rows = ball.select("cluster", "bv", "bn").collect()
+    balls: dict[int, tuple] = {}
+    for r in ball_rows:
+        balls.setdefault(int(r["cluster"]), []).append(
+            ([float(x) for x in r["bv"]], float(r["bn"]))
+        )
+    for c, items in balls.items():
+        B = np.asarray([v for v, _ in items], dtype=np.float64)
+        if B.ndim != 2 or B.shape[1] != d:
+            raise ValueError(
+                "_kmeans_route_score: ragged ball vectors or width != "
+                f"centroid width {d}"
+            )
+        balls[c] = (B, np.asarray([bn for _, bn in items], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((Cm, Cn, balls))
+
+    def _route_score(batches):
+        import pyarrow as pa
+
+        Cm, Cn, balls = bc.value
+        k, d = Cm.shape
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ix = batch.schema.get_field_index(vec_col)
+            col = batch.column(ix)
+            lens = col.value_lengths().to_numpy(zero_copy_only=False)
+            if lens.min() != d or lens.max() != d:
+                raise ValueError(
+                    f"_kmeans_route_score: vector width {lens.min()}–"
+                    f"{lens.max()} != centroid width {d}"
+                )
+            V = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, d)
+            )
+            Vn = np.sqrt(_seq_sqnorm_cols(np, V))
+            # Routing negcos, rank-1 dim-by-dim (the fold's IEEE order).
+            Dt = np.multiply.outer(V[:, 0], Cm[:, 0])
+            for i in range(1, d):
+                Dt += np.multiply.outer(V[:, i], Cm[:, i])
+            NC = (-Dt) / np.multiply.outer(Vn, Cn)
+            cid = np.broadcast_to(np.arange(k), NC.shape)
+            sel = np.lexsort((cid, NC), axis=-1)[:, :n_probe]
+            # Score each distinct probe-set's rows against exactly its
+            # clusters' candidates — the routed-candidate economics of
+            # the old equi-join, vectorized per group.
+            m6 = np.zeros(n, dtype=np.int64)
+            isnull = np.ones(n, dtype=bool)
+            groups: dict[tuple, list[int]] = {}
+            for r, s in enumerate(map(tuple, np.sort(sel, axis=1))):
+                groups.setdefault(s, []).append(r)
+            for s, rows in groups.items():
+                mats = [balls[c] for c in s if c in balls]
+                if not mats:
+                    continue  # no candidates → NULL/false (join miss)
+                B = np.concatenate([m[0] for m in mats], axis=0)
+                Bn = np.concatenate([m[1] for m in mats], axis=0)
+                ri = np.asarray(rows)
+                C = np.multiply.outer(V[ri, 0], B[:, 0])
+                for i in range(1, d):
+                    C += np.multiply.outer(V[ri, i], B[:, i])
+                C /= np.multiply.outer(Vn[ri], Bn)
+                g = np.floor(C.max(axis=1) * 1e6 + 0.5)
+                ok = np.isfinite(g)
+                m6[ri] = np.where(ok, g, 0).astype(np.int64)
+                isnull[ri] = ~ok
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(batch.schema.get_field_index(c)) for c in keys]
+                + [pa.array(m6, type=pa.int64(), mask=isnull)],
+                names=[*keys, "_m6"],
+            )
+
+    scored = vectors.select(*keys, vec_col).mapInArrow(
+        _route_score, f"{key_fields}, _m6 bigint"
+    )
+    return scored.select(
+        *keys,
+        (F.col("_m6").cast("double") / 1e6).alias("max_cosine"),
+        F.coalesce(F.col("_m6") >= F.lit(tau6), F.lit(False)).alias(
+            "contaminated"
+        ),
+    )
+
+
+def _kmeans_route_score_fold(
+    vectors: DataFrame,
+    ball: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    tau6: int,
+    n_probe: int,
+    vec_col: str,
+    keys: list[str],
+) -> DataFrame:
+    """The retired r14 JVM-fold routing/scoring tail: map-side
+    top-n_probe centroid routing off a broadcast one-row struct-array,
+    broadcast candidate-ball equi-join, per-vector partial max-agg,
+    full-coverage left join. Kept as the equivalence pin for the r15
+    Arrow kernel (tests/test_similarity.py asserts the kernel's output
+    is bit-identical to this plan's) and as the shape documentation
+    the kernel's bit-identity claims refer to."""
     cent_df = vectors.sparkSession.createDataFrame(
         [(cents,)], "cents array<struct<cid:int,cv:array<double>>>"
     )

@@ -110,4 +110,10 @@ def test_semantic_decontaminate_flag_and_slices(spark):
     assert flags == {True, False}
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # r14 Arrow kernel: the crossJoin(broadcast)+max-agg plan became
+    # scan → MapInArrow → project (the bench suite rides a SparkContext
+    # broadcast, not a plan-side BroadcastExchange). This pin was the
+    # one pre-r14 shape assertion the targeted r14 test runs missed —
+    # caught by the r15 round-start suite run.
+    assert "MapInArrow" in plan
+    assert "Join" not in plan and "Exchange" not in plan

@@ -512,3 +512,65 @@ def test_semdecon_kmeans_lloyd_subset_and_recall(spark):
         len(km_flags),
         len(exact_flags),
     )
+
+
+def test_kmeans_route_score_kernel_bitwise_equals_fold(spark):
+    """The r15 Arrow routing/scoring kernel must be BIT-identical to
+    the retired r14 JVM-fold plan (_kmeans_route_score_fold) — the
+    routing dots, centroid norms, and candidate cosines replay the
+    fold's IEEE evaluation order, and the top-n_probe selection
+    replicates array_sort's struct ordering (±0.0 ties and NaNs break
+    to the lowest cid). Verified here over sf0.001 for both fit
+    flavors; the r15 close record extends it to sf0.01/sf0.1 and the
+    19,875-vector 10× probe."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_using_python_spark.operators import (
+        similarity as S,
+    )
+    from map_reduce_framework_using_python_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from map_reduce_framework_using_python_spark.plans.core import t
+
+    e = t(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 16 != 7)
+    bench = e.filter(F.col("vec_id") % 16 == 7)
+    assigned, cents_list = kmeans_fit(
+        bench, k=6, n_iter=2, vec_col="embedding", id_col="vec_id"
+    )
+    ball = assigned.select(
+        "cluster", F.col("v").alias("bv"), S.l2_norm(F.col("v")).alias("bn")
+    )
+    cents = list(enumerate(cents_list))
+
+    def canon(df):
+        return {
+            (r["vec_id"], r["label"]): (
+                None
+                if r["max_cosine"] is None
+                else struct.pack(">d", r["max_cosine"]).hex(),
+                bool(r["contaminated"]),
+            )
+            for r in df.collect()
+        }
+
+    args = (corpus, ball, cents, 300_000, 4, "embedding", ["vec_id", "label"])
+    new = canon(S._kmeans_route_score(*args))
+    old = canon(S._kmeans_route_score_fold(*args))
+    assert new == old
+
+
+def test_kmeans_route_score_kernel_plan_shape(spark):
+    """The kernel plan is scan → MapInArrow → project: no joins, no
+    exchanges, no BatchEvalPython — the guide-§4.2 shape the exact
+    decontamination scorer established in r14."""
+    from map_reduce_framework_using_python_spark.plans.core import REGISTRY
+
+    df = REGISTRY["ns_semantic_decontaminate_kmeans_lloyd"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    for node in ("Join", "Exchange", "BatchEvalPython", "CartesianProduct"):
+        assert node not in plan, (node, plan)
