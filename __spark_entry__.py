@@ -125,11 +125,11 @@ _LAST_VERIFIED: dict[str, int] = {
         "ns_phrase_search",
         "q08_market_share",
         "q09_product_profit", "q13_customer_distribution", "q16_parts_supplier_count",
-        "q_argmax_struct", "q_assoc_rules",
+        "q_argmax_struct",
         "q_attribution_last_touch", "q_bfs_distance", "q_corr_stats",
         "q_fuzzy_match",
         "q_incremental_agg", "q_join_range_bigbig", "q_kcore",
-        "q_mad_outliers", "q_mode_by_group", "q_null_handling",
+        "q_mode_by_group", "q_null_handling",
         "q_ohlc_bars", "q_predicates_misc", "q_profile_stats",
         "q_regression_stats", "q_rolling_ewma", "q_skew_salted", "q_sql_group_by_all",
         "q_sql_pipe_syntax", "q_sql_udf", "q_triangle_count", "q_wau_rolling",
@@ -241,14 +241,14 @@ _LAST_VERIFIED: dict[str, int] = {
         "q07_nation_volume", "q08_market_share", "q09_product_profit",
         "q13_customer_distribution", "q15_top_supplier",
         "q16_parts_supplier_count", "q22_idle_customers",
-        "q_argmax_struct", "q_array_ops", "q_assoc_rules",
+        "q_argmax_struct", "q_array_ops",
         "q_attribution_last_touch", "q_bfs_distance", "q_bool_agg",
         "q_collect_sorted", "q_corr_stats", "q_cross_join",
         "q_data_quality", "q_dpp_partitioned", "q_explode_outer",
         "q_incremental_agg", "q_join_range_bigbig", "q_kcore",
-        "q_mad_outliers", "q_mode_by_group", "q_null_handling",
+        "q_mode_by_group", "q_null_handling",
         "q_predicates_misc", "q_regexp_funcs", "q_regression_stats",
-        "q_skew_salted", "q_spearman", "q_sql_group_by_all",
+        "q_skew_salted", "q_sql_group_by_all",
         "q_sql_pipe_syntax", "q_sql_udf", "q_triangle_count",
         "q_wau_rolling", "q_window_count_distinct", "q_window_nth",
         "st_stream_join_left",
@@ -355,7 +355,10 @@ _LAST_VERIFIED: dict[str, int] = {
     # likewise ABSENT from tier 14 (its routing/scoring tail moved to
     # the r15 Arrow kernel — bit-identical output, verified, but the
     # plan is new, so the driver should re-earn the green per the
-    # standing rule).
+    # standing rule). Same rule for the r15 stats-lane restructure:
+    # q_spearman / q_mad_outliers / q_assoc_rules (histogram-rank
+    # forms — outputs verified bit-identical at all three SFs, plans
+    # new) were removed from their tiers.
     # round 13 (CORRECTNESS_r13.json) — 50 of 50 rows green: the two
     # r13 promotions (ns_lsh_topk_indexed, ns_ivf_topk_indexed) plus
     # the stalest tier-7/8 cohort re-verified. Queries whose output
@@ -370,14 +373,14 @@ _LAST_VERIFIED: dict[str, int] = {
         "q08_market_share", "q09_product_profit",
         "q13_customer_distribution", "q15_top_supplier",
         "q16_parts_supplier_count", "q22_idle_customers",
-        "q_argmax_struct", "q_array_ops", "q_assoc_rules",
+        "q_argmax_struct", "q_array_ops",
         "q_attribution_last_touch", "q_bfs_distance", "q_bool_agg",
         "q_collect_sorted", "q_corr_stats", "q_cross_join",
         "q_data_quality", "q_dpp_partitioned", "q_explode_outer",
         "q_incremental_agg", "q_join_range_bigbig", "q_kcore",
-        "q_mad_outliers", "q_mode_by_group", "q_null_handling",
+        "q_mode_by_group", "q_null_handling",
         "q_predicates_misc", "q_regexp_funcs", "q_regression_stats",
-        "q_skew_salted", "q_spearman", "q_sql_group_by_all",
+        "q_skew_salted", "q_sql_group_by_all",
         "q_sql_pipe_syntax", "q_sql_udf", "q_triangle_count",
         "q_wau_rolling", "q_window_count_distinct", "q_window_nth",
     ), 13),

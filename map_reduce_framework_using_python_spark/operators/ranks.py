@@ -258,3 +258,80 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
         .otherwise(r + F.floor((rank - r * big - 1) / F.greatest(q, F.lit(1))) + 1)
         .cast("int")
     )
+
+
+def bucketed_cumsum_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket: Column,
+    order_by: list[Column],
+    weight: Column,
+    cum_col: str = "cum",
+) -> DataFrame:
+    """Per-group inclusive running ``sum(weight)`` over the total order
+    ``order_by`` within each group — the weighted sibling of
+    :func:`bucketed_rank_grouped` (r15, the stats-lane histogram
+    restructure): the window hash-partitions on (group, bucket) so a
+    heavy group never funnels through one task, and the prefix-sum join
+    is per-group over the bounded bucket list. Same contracts:
+    ``bucket`` order-consistent along ``order_by`` within every group,
+    ``order_by`` a total order, sort keys non-null (fail-fast);
+    ``weight`` non-negative integral so exclusive starts
+    (``cum - weight``) stay on the integer grid."""
+    if not group_cols:
+        raise ValueError(
+            "bucketed_cumsum_grouped: group_cols must be non-empty — "
+            "use bucketed_cumsum for a global running sum"
+        )
+    b = df.withColumn(
+        "_cg_bucket",
+        F.coalesce(
+            bucket,
+            F.raise_error(
+                F.lit(
+                    "bucketed_cumsum_grouped: NULL sort key/bucket — "
+                    "order keys must be non-null"
+                )
+            ),
+        ),
+    ).withColumn("_cg_w", weight)
+    w = (
+        Window.partitionBy(*group_cols, "_cg_bucket")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("_cg_local", F.sum("_cg_w").over(w))
+
+    totals = b.groupBy(*group_cols, "_cg_bucket").agg(
+        F.sum("_cg_w").alias("_cg_tot")
+    )
+    ta = totals.select(
+        *[F.col(g).alias(f"_cg_ga_{g}") for g in group_cols],
+        F.col("_cg_bucket").alias("_cg_a"),
+    )
+    tb = totals.select(
+        *[F.col(g).alias(f"_cg_gb_{g}") for g in group_cols],
+        F.col("_cg_bucket").alias("_cg_b"),
+        F.col("_cg_tot").alias("_cg_b_tot"),
+    )
+    cond = ta[f"_cg_ga_{group_cols[0]}"].eqNullSafe(tb[f"_cg_gb_{group_cols[0]}"])
+    for g in group_cols[1:]:
+        cond = cond & ta[f"_cg_ga_{g}"].eqNullSafe(tb[f"_cg_gb_{g}"])
+    offsets = (
+        ta.join(F.broadcast(tb), cond & (F.col("_cg_b") < F.col("_cg_a")), "left")
+        .groupBy(*[f"_cg_ga_{g}" for g in group_cols], "_cg_a")
+        .agg(F.coalesce(F.sum("_cg_b_tot"), F.lit(0)).alias("_cg_offset"))
+    )
+    joined = local.join(
+        F.broadcast(offsets),
+        [local[g].eqNullSafe(offsets[f"_cg_ga_{g}"]) for g in group_cols]
+        + [local["_cg_bucket"] == offsets["_cg_a"]],
+    )
+    return joined.withColumn(cum_col, F.col("_cg_offset") + F.col("_cg_local")).drop(
+        "_cg_bucket",
+        "_cg_w",
+        "_cg_local",
+        "_cg_a",
+        "_cg_offset",
+        *[f"_cg_ga_{g}" for g in group_cols],
+    )

@@ -29,7 +29,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from map_reduce_framework_using_python_spark.operators.ranks import bucketed_rank_grouped
 from map_reduce_framework_using_python_spark.plans.core import query, t
 
 
@@ -256,11 +255,16 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Counts are exact integers; each ratio is ONE double division /
     multiply chain applied to identical integers on both engines, so
-    the 6-dp round sees bit-identical inputs. Scale shape: baskets
-    shuffle once on orderkey to build pairs (fan-out bounded by
-    items-per-basket², here ≤ brands-per-order ~7), pair counts and
-    item counts are partial-aggregated, and the tiny per-item count
-    table broadcasts into the final join.
+    the 6-dp round sees bit-identical inputs. Scale shape (r15
+    restructure, guide §2.4): baskets shuffle ONCE on orderkey into a
+    per-order item array, and pairs are generated MAP-SIDE from the
+    array (value-compared, so collect_list's order is irrelevant —
+    fan-out bounded by items-per-basket², here ≤ brands-per-order ~7)
+    instead of the r14-era self-join, which shuffled the basket table
+    a second time and re-derived the lineitem⋈part distinct for every
+    consumer (measured: 10 parquet scans in the plan → 6). Basket
+    count and per-item counts re-aggregate the same grouped table; the
+    tiny per-item count table broadcasts into the final join.
     """
     b = (
         t(spark, sf_dir, "lineitem")
@@ -274,12 +278,25 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o", "item")
         .distinct()
     )
-    n_baskets = b.agg(F.countDistinct("o").alias("n_baskets"))
-    cnt = b.groupBy("item").agg(F.count("*").alias("n_item"))
-    rhs = b.select(F.col("o").alias("o2"), F.col("item").alias("item_b"))
+    baskets = b.groupBy("o").agg(F.collect_list("item").alias("items"))
+    n_baskets = baskets.agg(F.count("*").alias("n_baskets"))
+    cnt = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("n_item"))
+    )
     pair = (
-        b.withColumnRenamed("item", "item_a")
-        .join(rhs, (F.col("o") == F.col("o2")) & (F.col("item_a") < F.col("item_b")))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, a -> "
+                    "filter(transform(items, b2 -> CASE WHEN a < b2 THEN "
+                    "struct(a AS item_a, b2 AS item_b) END), "
+                    "p -> p IS NOT NULL)))"
+                )
+            ).alias("p")
+        )
+        .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_both"))
         .filter(F.col("n_both") >= 5)
@@ -348,47 +365,66 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Discrete (value-at-position) medians — lesson #3: interpolating
     percentiles differ per engine. The oracle's per-type windows are
-    the textbook form; the Spark side gets the position ranks from
-    ``bucketed_rank_grouped`` so no event type ever funnels through a
-    single task (5 types × 100 TB would otherwise be 5 tasks). med and
-    mad are raw column passthroughs; dev = one identical IEEE
-    subtract/abs per row on identical doubles, so the ``> 3·mad``
-    comparison and the counts agree bit-for-bit.
+    the textbook form. The Spark side (r15 restructure, guide §2.3):
+    every statistic is a function of the per-(type, value) HISTOGRAM —
+    the median is the value whose inclusive running count straddles
+    position (n+1) div 2, the deviation histogram re-aggregates the
+    value histogram under dev = |value − med|, and the outlier count
+    is a weighted histogram sum — so the corpus is aggregated ONCE and
+    every window touches only histogram rows
+    (``bucketed_cumsum_grouped``; no type ever funnels through a
+    single task). The r14-era row form ranked the full table twice
+    (measured: 25 parquet scans in the plan, 1.8 s at sf0.1 → 0.8 s).
+    med and mad are raw column passthroughs; dev = one identical IEEE
+    subtract/abs on identical doubles, so the ``> 3·mad`` comparison
+    and the counts agree bit-for-bit with the row form and the oracle.
     """
-    e = t(spark, sf_dir, "events").select("event_type", "event_id", "value")
-    ranked = bucketed_rank_grouped(
-        e,
+    from map_reduce_framework_using_python_spark.operators.ranks import (
+        bucketed_cumsum_grouped,
+    )
+
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    h = e.groupBy("event_type", "value").agg(F.count("*").alias("c"))
+    n = h.groupBy("event_type").agg(F.sum("c").alias("n"))
+    cum = bucketed_cumsum_grouped(
+        h,
         ["event_type"],
         F.floor(F.col("value") / _MAD_BUCKET_W),
-        [F.col("value"), F.col("event_id")],
-        rank_col="rn",
-        total_col="n",
+        [F.col("value")],
+        F.col("c"),
+        cum_col="_cum",
     )
-    med = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
-        "event_type", F.col("value").alias("med"), "n"
+    pos = F.expr("(n + 1) div 2")
+    med = (
+        cum.join(F.broadcast(n), "event_type")
+        .filter((F.col("_cum") >= pos) & (F.col("_cum") - F.col("c") < pos))
+        .select("event_type", F.col("value").alias("med"), "n")
     )
-    d = e.join(F.broadcast(med), "event_type").withColumn(
+    hd = h.join(F.broadcast(med), "event_type").withColumn(
         "dev", F.abs(F.col("value") - F.col("med"))
     )
-    ranked2 = bucketed_rank_grouped(
-        d.select("event_type", "event_id", "n", "med", "dev"),
+    hdev = hd.groupBy("event_type", "dev").agg(F.sum("c").alias("c2"))
+    cum2 = bucketed_cumsum_grouped(
+        hdev,
         ["event_type"],
         F.floor(F.col("dev") / _MAD_BUCKET_W),
-        [F.col("dev"), F.col("event_id")],
-        rank_col="rn2",
-        total_col="n2",
+        [F.col("dev")],
+        F.col("c2"),
+        cum_col="_cum2",
     )
-    mad = ranked2.filter(F.col("rn2") == F.expr("(n + 1) div 2")).select(
-        "event_type", F.col("dev").alias("mad")
+    mad = (
+        cum2.join(F.broadcast(n), "event_type")
+        .filter((F.col("_cum2") >= pos) & (F.col("_cum2") - F.col("c2") < pos))
+        .select("event_type", F.col("dev").alias("mad"))
     )
     return (
-        d.join(F.broadcast(mad), "event_type")
+        hd.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
             F.max("n").alias("n_events"),
             F.max("med").alias("med"),
             F.max("mad").alias("mad"),
-            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), F.col("c")).otherwise(0))
             .cast("bigint")
             .alias("n_outliers"),
         )

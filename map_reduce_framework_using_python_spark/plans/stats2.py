@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 
 from map_reduce_framework_using_python_spark.operators.ranks import (
     bucketed_cumsum,
-    bucketed_rank_grouped,
 )
 from map_reduce_framework_using_python_spark.plans.core import query, t
 
@@ -77,41 +76,53 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded IEEE) — the q_corr_stats doctrine, extended to
     rank statistics.
 
-    The oracle's per-group rank windows are the textbook form; the
-    Spark side derives min-rank from ``bucketed_rank_grouped`` (total
-    order (value, key)) + a per-(group, value) tie aggregate, so no
-    heavy group ever funnels through one window task.
+    The oracle's per-group rank windows are the textbook form. The
+    Spark side (r15 restructure, guide §2.3/§2.4) computes the scaled
+    rank per distinct VALUE from the marginal histogram instead of
+    ranking rows: 2·avg_rank(v) = 2·cum(v) − c(v) + 1, where cum is
+    the per-group inclusive running count along the value order
+    (``bucketed_cumsum_grouped`` — windows touch only histogram rows,
+    never the corpus). The r14-era row form ranked the full table
+    twice and tie-joined each rank back, so Catalyst re-derived the
+    scan+window subtree combinatorially (measured: 43 parquet scans in
+    the physical plan, 5.1 s at sf0.1); the histogram form joins two
+    value-rank tables onto ONE corpus pass (~1.2 s, 4 scans). The
+    attached ranks are identical integers, so the exact decimal sums
+    and the final rho are bit-identical.
     """
+    from map_reduce_framework_using_python_spark.operators.ranks import (
+        bucketed_cumsum_grouped,
+    )
+
     l = t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("g"),
         F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),
-        F.col("l_orderkey"),
-        F.col("l_linenumber"),
     )
 
-    def scaled_rank(df: DataFrame, col: str, bucket, out: str) -> DataFrame:
-        """2·avg_rank over ties of ``col`` within g, as an integer col."""
-        rn = bucketed_rank_grouped(
-            df,
-            ["g"],
-            bucket,
-            [F.col(col), F.col("l_orderkey"), F.col("l_linenumber")],
-            rank_col="_rn",
-            total_col="_nt",
+    def value_rank(col: str, bucket, out: str) -> DataFrame:
+        """2·avg_rank for every distinct (g, col) value, from the
+        marginal histogram: min_rank(v) = cum(v) − c(v) + 1, so
+        2·avg_rank = 2·min_rank + c − 1 = 2·cum − c + 1 (all BIGINT)."""
+        hist = l.groupBy("g", col).agg(F.count("*").alias("_c"))
+        cum = bucketed_cumsum_grouped(
+            hist, ["g"], bucket, [F.col(col)], F.col("_c"), cum_col="_cum"
         )
-        ties = rn.groupBy("g", col).agg(
-            F.min("_rn").alias("_minrn"), F.count("*").alias("_c")
-        )
-        return (
-            rn.join(ties, ["g", col])
-            .withColumn(out, 2 * F.col("_minrn") + F.col("_c") - 1)
-            .drop("_rn", "_nt", "_minrn", "_c")
+        return cum.select(
+            "g", col, (2 * F.col("_cum") - F.col("_c") + 1).alias(out)
         )
 
-    rx = scaled_rank(l, "x", F.floor(F.col("x") / 8), "rx")
-    rxy = scaled_rank(rx, "y", F.floor(F.col("y") / 8192), "ry")
-    s = rxy.groupBy("g").agg(
+    rxx = value_rank("x", F.floor(F.col("x") / 8), "rx")
+    rxy = value_rank("y", F.floor(F.col("y") / 8192), "ry")
+    # The y-rank table is value-histogram-bounded but too big to be
+    # worth broadcasting (A/B at sf0.1: broadcast 2.26 s vs SMJ 2.02 s
+    # vs shuffled-hash 1.42 s — the SMJ's two 600k-row sorts are pure
+    # overhead when the build side hashes per-partition; guide §3.1).
+    s = (
+        l.join(rxx, ["g", "x"])
+        .join(rxy.hint("shuffle_hash"), ["g", "y"])
+        .groupBy("g")
+        .agg(
         F.count("*").cast("decimal(38,0)").alias("n"),
         F.sum(F.col("rx").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sx"),
         F.sum(F.col("ry").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sy"),
@@ -124,6 +135,7 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ry").cast("decimal(38,0)") * F.col("ry"))
         .cast("decimal(38,0)")
         .alias("syy"),
+        )
     )
     return s.select(
         "g",
