@@ -1135,31 +1135,42 @@ def lsh_probe_index_batch(
     )
 
 
-def _centroid_dist_structs(qv, centroids: list[list[float]]):
+def _centroid_dist_structs(qv_sql: str, centroids: list[list[float]]):
     """(squared-distance, cid) structs for every persisted centroid —
     sorts lexicographically: nearest first, lowest cid as the
     deterministic tie-break (the JVM twin of the driver-side
     ``sorted(range(k), key=dist)`` in :func:`ivf_topk_indexed`). The
     centroid list is meta-sized, so this is constant work per row.
     Shared by the batch probe (rank n_probe nearest) and the append
-    path (argmin assignment) so routing and storage always agree."""
-    return F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        qv,
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
+    path (argmin assignment) so routing and storage always agree.
+
+    r15 (guide §1.2 step 2 / the assign_clusters generated-SQL
+    discipline): the expression is built as ONE parsed SQL string
+    instead of k×d Column-API literal calls — at k=16, d=64 the old
+    form cost ~2,100 Py4J round trips, 0.59 s of every probe plan
+    build; the parse produces the identical fold/struct tree (same
+    arithmetic, same double literals via shortest round-trip repr), so
+    routing and scores are unchanged. ``qv_sql`` is the query-vector
+    expression as SQL text (callers pass a resolved column name or a
+    transform(...) cast)."""
+    parts = []
+    for i, c in enumerate(centroids):
+        arr = ", ".join(_dlit(x) for x in c)
+        parts.append(
+            f"named_struct('dist', aggregate(zip_with({qv_sql}, "
+            f"array({arr}), (a, b) -> (a - b) * (a - b)), 0D, "
+            f"(acc, x) -> acc + x), 'cid', {int(i)})"
+        )
+    return F.expr("array(" + ", ".join(parts) + ")")
+
+
+def _dlit(x: float) -> str:
+    """A SQL DOUBLE literal that parses back to exactly ``x`` (Python's
+    repr is the shortest round-tripping decimal form)."""
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite centroid coordinate: {x}")
+    return f"CAST('{x!r}' AS DOUBLE)" if repr(x)[0] == "-" else f"{x!r}D"
 
 
 #: Centroid counts up to this use the literal array-of-structs ranking
@@ -1219,12 +1230,12 @@ def _nearest_centroids_join(
         .select(
             "q_id",
             "cid",
-            F.aggregate(
-                F.zip_with(
-                    F.col("qv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            # One parsed expression (r15, the _centroid_dist_structs
+            # discipline) — identical fold tree, no per-lambda Py4J
+            # round trips on every probe plan build.
+            F.expr(
+                "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)),"
+                " 0D, (acc, x) -> acc + x)"
             ).alias("dist"),
         )
     )
@@ -1263,8 +1274,9 @@ def append_to_ivf_index(batch: DataFrame, path: str) -> None:
     centroids = meta["centroids"]
     qv = _as_double(F.col(meta["vec_col"]))
     if len(centroids) <= MAX_LITERAL_CENTROIDS:
+        qv_sql = f"transform(`{meta['vec_col']}`, x -> CAST(x AS DOUBLE))"
         nearest = F.element_at(
-            F.array_sort(_centroid_dist_structs(qv, centroids)), 1
+            F.array_sort(_centroid_dist_structs(qv_sql, centroids)), 1
         )["cid"]
         assigned = batch.withColumn("centroid_id", nearest)
     else:
@@ -1362,7 +1374,7 @@ def ivf_probe_index_batch(
     if len(centroids) <= MAX_LITERAL_CENTROIDS:
         # Small-k fast path: per-row literal array_sort, no extra
         # shuffle and no second pass over the query frame.
-        dist_structs = _centroid_dist_structs(F.col("qv"), centroids)
+        dist_structs = _centroid_dist_structs("qv", centroids)
         probes = qbase.withColumn(
             "_probe", F.explode(F.slice(F.array_sort(dist_structs), 1, n_probe))
         ).select("q_id", "qv", "qnorm", F.col("_probe.cid").alias("centroid_id"))

@@ -211,7 +211,7 @@ def _assigned(
     fitting pass can never route differently."""
     if len(centroids) <= _ann.MAX_LITERAL_CENTROIDS:
         nearest = F.element_at(
-            F.array_sort(_centroid_dist_structs(F.col("vn"), centroids)), 1
+            F.array_sort(_centroid_dist_structs("vn", centroids)), 1
         )["cid"]
         return vn.withColumn("centroid_id", nearest)
     qframe = vn.select(F.col(id_col).alias("q_id"), F.col("vn").alias("qv"))
@@ -1010,7 +1010,7 @@ def ivfpq_probe_index_batch(
         )
         routed = qbase.join(sel, "q_id").select("q_id", "qvn", "centroid_id")
     elif len(centroids) <= _ann.MAX_LITERAL_CENTROIDS:
-        dist_structs = _centroid_dist_structs(F.col("qvn"), centroids)
+        dist_structs = _centroid_dist_structs("qvn", centroids)
         routed = qbase.withColumn(
             "_probe", F.explode(F.slice(F.array_sort(dist_structs), 1, n_probe))
         ).select("q_id", "qvn", F.col("_probe.cid").alias("centroid_id"))
