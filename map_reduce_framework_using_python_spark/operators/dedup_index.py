@@ -630,6 +630,11 @@ def incremental_dedup_pairs(
     # re-derived from digests), so witness-capped layouts keep their
     # truncated candidate sets exactly.
     cand_ids = cand.select(F.col("corpus_doc")).distinct()
+    # Narrow (corpus_doc, digest) map over the candidate set — ONE
+    # corpus-text scan computes every digest; persisted (the cand
+    # discipline: two consumers — the pair attach and the
+    # representative pick — and fixed-width rows bounded by the
+    # candidate set, never corpus text).
     cd = (
         corpus.join(
             F.broadcast(cand_ids.withColumnRenamed("corpus_doc", id_col)),
@@ -639,22 +644,21 @@ def incremental_dedup_pairs(
         .select(
             F.col(id_col).alias("corpus_doc"),
             F.md5(F.col(text_col)).alias("_td"),
-            F.col(text_col).alias("_text"),
         )
+        .persist()
     )
-    # One representative text per digest (all equal by doctrine, so
-    # min() just picks the text); shingle each distinct text once.
-    rep_sets = (
-        cd.groupBy("_td")
-        .agg(F.min("_text").alias("_rt"))
-        .select("_td", word_shingles("_rt", meta["n"]).alias("sh_b"))
+    # One representative doc per digest; only THEIR text is re-read
+    # and shingled (the distinct-text set, ≤ the candidate set).
+    reps = cd.groupBy("_td").agg(F.min("corpus_doc").alias(id_col))
+    rep_sets = corpus.join(F.broadcast(reps), id_col).select(
+        "_td", word_shingles(text_col, meta["n"]).alias("sh_b")
     )
     batch_sets = batch.select(
         F.col(id_col).alias("batch_doc"),
         word_shingles(text_col, meta["n"]).alias("sh_a"),
     )
     jac = shingle_jaccard("sh_a", "sh_b")
-    pair_d = cand.join(cd.select("corpus_doc", "_td"), "corpus_doc")
+    pair_d = cand.join(cd, "corpus_doc")
     verdicts = (
         pair_d.select("batch_doc", "_td")
         .distinct()

@@ -132,7 +132,9 @@ def test_no_single_partition_window_anywhere(spark, name):
         ("q_window_count_distinct", "user_id"),
         ("q_attribution_last_touch", "user_id"),
         ("q_fuzzy_match", "p_partkey"),
-        ("q_mad_outliers", "_rg_bucket"),
+        # r15: the histogram restructure moved the medians onto the
+        # grouped weighted cumsum (_cg_bucket, bucketed_cumsum_grouped)
+        ("q_mad_outliers", "_cg_bucket"),
     ],
 )
 def test_analytics_windows_are_partitioned(spark, name, part_col):
@@ -418,9 +420,31 @@ def test_curate_batch_composed_plan_per_batch_cost_shape(spark):
     # matrix — a bounded suite by contract).
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("MapInArrow") == 1, plan
-    assert plan.count("/idx") <= 2, plan
-    assert plan.count("/para") == 1, plan
     assert plan.count("/bench") == 0, plan
+    # r15: the textual /idx count was retired as the per-batch cost
+    # pin — the plan printer reprints every persisted subtree's child
+    # plan per reference (the r14 capstone-pin lesson), so the count
+    # tracks textual fan-out, not executed scans (the r15 distinct-text
+    # verification references the persisted candidate table from more
+    # branches while scanning the index exactly once). The REAL
+    # assertion is structural: the per-batch sink plan reads ONLY
+    # cached tables — every FileScan (index, paragraph index, corpus,
+    # batch) lives inside a persist boundary, so each is executed at
+    # most once per batch no matter how many branches reference it.
+    root_p = rejected._jdf.queryExecution().executedPlan()
+    if root_p.nodeName() == "AdaptiveSparkPlan":
+        root_p = root_p.initialPlan()
+
+    def walk(node):
+        yield node
+        for i in range(node.children().size()):
+            yield from walk(node.children().apply(i))
+
+    names = [n.nodeName() for n in walk(root_p)]
+    assert sum(1 for n in names if "InMemoryTableScan" in n) >= 1, names
+    assert not any(
+        "Scan parquet" in n or "FileScan" in n for n in names
+    ), names
 
 
 def test_exact_substring_spans_one_scan_two_exchanges(spark):
